@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One driver-verifiable query: a Spark implementation plus (when
+  * SQL-expressible) the equivalent ANSI SQL the driver runs in DuckDB
+  * over the same parquet tables. Column names/types and row order must
+  * match between the two (the driver hash-compares values after sorting
+  * columns by name), so every query here ends in a total ORDER BY and
+  * aliases every computed column identically on both sides.
+  */
+final case class QDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QDef {
+  /** Read one of the driver-generated tables (TESTDATA.md). The events
+    * table stores TIMESTAMP(NANOS) parquet, which Spark cannot represent:
+    * read the raw nanos as long and floor-divide to micros — DuckDB's
+    * `CAST(ts AS TIMESTAMP)` truncates identically, so oracles reference
+    * the cast form.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact-decimal view of a 2-decimal money/measure double. Summing
+    * doubles is order-dependent and would break DuckDB hash-parity at
+    * shuffle scale; summing DECIMAL(18,2) is exact in both engines.
+    * Cast the final aggregate back to double on both sides.
+    */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Scratch space for queries that must materialize an intermediate
+    * (JSON round-trips, partitioned sinks, streaming checkpoints).
+    * Kept inside the repo target dir per the environment contract.
+    */
+  def scratch(sub: String): String = {
+    val p = s"/root/repo/target/scratch/$sub"
+    new java.io.File(p).getParentFile.mkdirs()
+    p
+  }
+}

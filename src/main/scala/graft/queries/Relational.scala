@@ -1,0 +1,466 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Relational operator inventory: scans/sinks, filters, joins, aggregates,
+  * windows, sorts, set ops (SURVEY.md §2.2). Every query is a declarative
+  * DataFrame plan — Catalyst gets predicate pushdown, column pruning and
+  * join selection for free; explicit `broadcast()` only where the
+  * reference semantics call for a small-dimension lookup (the
+  * known-entities map, json_classification.py:313-320).
+  */
+object Relational {
+  import QDef._
+
+  val all: Seq[QDef] = Seq(
+
+    QDef("scan_parquet",
+      (s, dir) => t(s, dir, "lineitem")
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data:
+        // order by every output column so the compare order is total.
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .limit(1000),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem ORDER BY 1, 2, 3, 4 LIMIT 1000""")),
+
+    QDef("scan_json_docs",
+      (s, dir) => {
+        // JSON round-trip of the document table (reference stage-boundary
+        // IPC, xml_to_json.py:130 / json_classification.py:310): write the
+        // doc model as JSONL, read it back with an explicit schema.
+        val out = scratch(s"scan_json_docs_${new java.io.File(dir).getName}")
+        t(s, dir, "documents").write.mode("overwrite").json(out)
+        s.read
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .json(out)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+        FROM documents ORDER BY doc_id""")),
+
+    QDef("sink_parquet_partitioned",
+      (s, dir) => {
+        // Partitioned parquet sink (graph-sink analog, json_to_db.py
+        // write-by-label -> write.partitionBy, SURVEY O29), then re-read
+        // and aggregate to prove the round-trip.
+        val out = scratch(s"sink_part_${new java.io.File(dir).getName}")
+        t(s, dir, "events").write.mode("overwrite")
+          .partitionBy("event_type").parquet(out)
+        s.read.parquet(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(money(col("value"))).cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    QDef("project_docs",
+      (s, dir) => t(s, dir, "documents")
+        // Build the nested doc-model shape (SURVEY §1.1) in flight, then
+        // project nested fields + array index back out.
+        .select(col("doc_id"),
+          struct(
+            col("lang").as("language"),
+            struct(col("source").as("name")).as("origin"),
+            array(col("lang"), col("source")).as("tags")).as("meta"))
+        .select(col("doc_id"),
+          col("meta.language").as("language"),
+          col("meta.origin.name").as("source_name"),
+          element_at(col("meta.tags"), 2).as("tag2"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang AS language, source AS source_name,
+          source AS tag2 FROM documents ORDER BY doc_id""")),
+
+    QDef("filter_nonempty_terms",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0 ORDER BY doc_id""")),
+
+    QDef("filter_predicates",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(
+          (col("l_returnflag").isin("A", "R")
+            && col("l_quantity").between(10, 30)
+            && !(col("l_discount") > lit(0.05))
+            && col("l_linestatus").like("F%"))
+          || (col("l_returnflag") <=> lit("N") && col("l_quantity") === lit(1.0)))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        FROM lineitem
+        WHERE (l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 30
+               AND NOT (l_discount > 0.05) AND l_linestatus LIKE 'F%')
+           OR (l_returnflag IS NOT DISTINCT FROM 'N' AND l_quantity = 1.0)
+        ORDER BY 1, 2, 3, 4""")),
+
+    // ------------------------------------------------------------------
+    // Joins
+    // ------------------------------------------------------------------
+
+    QDef("join_broadcast_known_entities",
+      (s, dir) => {
+        // The reference known-entities lookup (O13/O15): a small
+        // normalized name->type dimension broadcast against the term set.
+        val known =
+          t(s, dir, "customer").select(Text.normTerm(col("c_name")).as("norm"), lit("person").as("type"))
+            .union(t(s, dir, "nation").select(Text.normTerm(col("n_name")).as("norm"), lit("place").as("type")))
+            .distinct()
+        val terms =
+          t(s, dir, "part").select(Text.normTerm(col("p_name")).as("norm"))
+            .union(t(s, dir, "nation").select(Text.normTerm(col("n_name")).as("norm")))
+            .distinct()
+        terms.join(broadcast(known), Seq("norm"), "left_outer")
+          .select(col("norm"), coalesce(col("type"), lit("unclassified")).as("type"))
+          .orderBy("norm")
+      },
+      Some("""WITH known AS (
+          SELECT DISTINCT * FROM (
+            SELECT lower(trim(regexp_replace(c_name,'\s+',' ','g'))) AS norm, 'person' AS type FROM customer
+            UNION ALL
+            SELECT lower(trim(regexp_replace(n_name,'\s+',' ','g'))), 'place' FROM nation)
+        ), terms AS (
+          SELECT DISTINCT lower(trim(regexp_replace(p_name,'\s+',' ','g'))) AS norm FROM part
+          UNION
+          SELECT DISTINCT lower(trim(regexp_replace(n_name,'\s+',' ','g'))) FROM nation
+        )
+        SELECT terms.norm AS norm, coalesce(known.type, 'unclassified') AS type
+        FROM terms LEFT JOIN known ON terms.norm = known.norm
+        ORDER BY 1""")),
+
+    QDef("join_anti_unclassified",
+      (s, dir) => {
+        // O15: terms NOT in the known-entities map still need the
+        // classifier (json_classification.py:121-123) — left_anti join.
+        val known = t(s, dir, "nation").select(Text.normTerm(col("n_name")).as("norm")).distinct()
+        t(s, dir, "part").select(Text.normTerm(col("p_name")).as("norm")).distinct()
+          .union(known.limit(3))
+          .distinct()
+          .join(broadcast(known), Seq("norm"), "left_anti")
+          .orderBy("norm")
+      },
+      Some("""WITH known AS (
+          SELECT DISTINCT lower(trim(regexp_replace(n_name,'\s+',' ','g'))) AS norm FROM nation),
+        terms AS (
+          SELECT DISTINCT lower(trim(regexp_replace(p_name,'\s+',' ','g'))) AS norm FROM part
+          UNION
+          SELECT norm FROM (SELECT norm FROM known ORDER BY norm LIMIT 3))
+        SELECT norm FROM terms
+        WHERE NOT EXISTS (SELECT 1 FROM known WHERE known.norm = terms.norm)
+        ORDER BY norm""")),
+
+    QDef("join_semi",
+      (s, dir) => {
+        val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        t(s, dir, "customer")
+          .join(fOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        ORDER BY c_custkey""")),
+
+    QDef("join_left_outer_api_results",
+      (s, dir) => {
+        // O18: tasks left-outer results on the key, missing -> 'Unknown'
+        // (json_classification.py:205-215).
+        val goodCust = t(s, dir, "customer").filter(col("c_acctbal") > 0)
+          .select(col("c_custkey"), col("c_name"))
+        t(s, dir, "orders")
+          .join(goodCust, col("o_custkey") === col("c_custkey"), "left_outer")
+          .select(col("o_orderkey"),
+            coalesce(col("c_name"), lit("Unknown")).as("cust_name"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, coalesce(c_name, 'Unknown') AS cust_name
+        FROM orders LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0) c
+          ON o_custkey = c_custkey
+        ORDER BY o_orderkey""")),
+
+    QDef("join_inner_hash",
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(money(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    QDef("join_sort_merge",
+      (s, dir) => t(s, dir, "lineitem").hint("merge")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    QDef("join_theta_range",
+      (s, dir) => {
+        // Interval/as-of family: same-user event pairs within 5 minutes.
+        // Equi key (user_id) keeps the join shuffle-partitionable at
+        // scale; the range predicate is applied post-match.
+        val e = t(s, dir, "events")
+        val a = e.select(col("user_id"), col("ts").as("a_ts"))
+        val b = e.select(col("user_id"), col("ts").as("b_ts"))
+        a.join(b, Seq("user_id"))
+          .filter(col("b_ts") > col("a_ts")
+            && col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        SELECT a.user_id, count(*) AS n_pairs
+        FROM ev a JOIN ev b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Aggregations
+    // ------------------------------------------------------------------
+
+    QDef("agg_hash_group",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
+          sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+            .cast("double").as("revenue"),
+          (sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+          min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QDef("agg_distinct_terms",
+      (s, dir) => t(s, dir, "documents")
+        // O14: distinct normalized term extraction across all documents.
+        .select(explode(Text.tokens(lower(col("text")))).as("w"))
+        .filter(length(col("w")) > 0)
+        .agg(count_distinct(col("w")).as("n_terms"), count(lit(1)).as("n_tokens")),
+      Some("""SELECT count(DISTINCT w) AS n_terms, count(*) AS n_tokens
+        FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents)
+        WHERE length(w) > 0""")),
+
+    QDef("agg_approx_distinct",
+      // HLL sketches differ across engines — no hash oracle; the
+      // ScalaTest spec asserts <5% relative error vs the exact count.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
+    QDef("agg_rollup_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("gid"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    QDef("agg_collect_terms",
+      (s, dir) => t(s, dir, "part")
+        // O22 re-nest: collect_list after explode; sorted for determinism
+        // (SURVEY §2.3-3 — bare collect order is shuffle-dependent).
+        .groupBy("p_brand")
+        .agg(array_join(array_sort(collect_list(col("p_name"))), "|").as("names"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, string_agg(p_name, '|' ORDER BY p_name) AS names,
+          count(*) AS n
+        FROM part GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Windows
+    // ------------------------------------------------------------------
+
+    QDef("win_rank_dedup",
+      (s, dir) => {
+        // First-wins dedup at scale (SURVEY §2.3-3): row_number over an
+        // explicit total order replaces order-dependent dropDuplicates.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "ts")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, ts FROM (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+          FROM events) WHERE rn = 1 ORDER BY user_id""")),
+
+    QDef("win_analytic",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"),
+            first(col("event_type")).over(w).as("first_type"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+          lag(value, 1) OVER w AS prev_value,
+          lead(value, 1) OVER w AS next_value,
+          first_value(event_type) OVER w AS first_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        ORDER BY user_id, CAST(ts AS TIMESTAMP), event_id""")),
+
+    QDef("win_frame_rows",
+      (s, dir) => {
+        val base = t(s, dir, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        val wRows = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+        val wRange = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us")).rangeBetween(-300000000L, 0)
+        base.select(col("user_id"), col("event_id"), col("ts"),
+            sum(money(col("value"))).over(wRows).cast("double").as("moving3"),
+            sum(money(col("value"))).over(wRange).cast("double").as("last5min"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        SELECT user_id, event_id, ts,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS last5min
+        FROM ev ORDER BY user_id, ts, event_id""")),
+
+    QDef("win_ntile_dense",
+      (s, dir) => {
+        val wVal = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wYear = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(year(col("o_orderdate")))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(wVal).cast("long").as("quartile"),
+            dense_rank().over(wYear).cast("long").as("year_rank"),
+            percent_rank().over(wVal).as("pct_rank"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+          CAST(ntile(4) OVER wv AS BIGINT) AS quartile,
+          CAST(dense_rank() OVER wy AS BIGINT) AS year_rank,
+          percent_rank() OVER wv AS pct_rank
+        FROM orders
+        WINDOW wv AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+               wy AS (PARTITION BY o_orderpriority ORDER BY year(o_orderdate))
+        ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // Sorts / top-k
+    // ------------------------------------------------------------------
+
+    QDef("sort_limit",
+      // TakeOrderedAndProject: per-partition top-k then merge, never a
+      // full global sort of the table.
+      (s, dir) => t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    QDef("topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        t(s, dir, "part")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("p_brand", "rk", "p_partkey", "p_retailprice")
+          .orderBy("p_brand", "rk")
+      },
+      Some("""SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 CAST(row_number() OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk
+          FROM part) WHERE rk <= 3 ORDER BY p_brand, rk""")),
+
+    // ------------------------------------------------------------------
+    // Set operations
+    // ------------------------------------------------------------------
+
+    QDef("setop_union_entities",
+      // O13: union of the entity-name sources (authors ∪ recipients ∪
+      // location analog), deduplicated.
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_name").as("name"))
+          .union(t(s, dir, "supplier").select(col("s_name")))
+          .union(t(s, dir, "nation").select(col("n_name")))
+          .distinct()
+          .orderBy("name"),
+      Some("""SELECT c_name AS name FROM customer
+        UNION SELECT s_name FROM supplier
+        UNION SELECT n_name FROM nation
+        ORDER BY name""")),
+
+    QDef("setop_intersect_except",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderstatus").as("v")).distinct()
+        val l = t(s, dir, "lineitem").select(col("l_linestatus").as("v")).distinct()
+        o.intersect(l).select(lit("intersect").as("op"), col("v"))
+          .union(o.except(l).select(lit("except").as("op"), col("v")))
+          .orderBy("op", "v")
+      },
+      Some("""SELECT 'intersect' AS op, v FROM (
+          SELECT DISTINCT o_orderstatus AS v FROM orders
+          INTERSECT SELECT DISTINCT l_linestatus FROM lineitem)
+        UNION ALL
+        SELECT 'except' AS op, v FROM (
+          SELECT DISTINCT o_orderstatus AS v FROM orders
+          EXCEPT SELECT DISTINCT l_linestatus FROM lineitem)
+        ORDER BY op, v"""))
+  )
+}
