@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ConvertName, Text}
+import graft.pipeline.{Classify, Corpus, Graph}
+
+/** End-to-end reference pipeline (SURVEY §7.1 flagship slice and §3.1
+  * lifecycle) over the synthetic TPC-H-derived document corpus, each
+  * stage DuckDB-oracle-checked:
+  *
+  *   known-entity harvest (O13) -> distinct-term extraction (O14) ->
+  *   known-entity pruning (O15, broadcast anti join) -> classification
+  *   (O16-O19, rule classifier) -> label precedence (O20-O21) ->
+  *   URI minting (O23-O24) -> graph build (O25-O28).
+  *
+  * The whole chain is one lazy Catalyst plan per query — the reference's
+  * four process boundaries and disk IPC (run_pipeline.py:34-77) collapse
+  * into shuffles chosen by the optimizer.
+  */
+object Pipeline {
+  import QDef._
+
+  private def uriSql(e: String): String =
+    s"'r' || CAST(CAST(('0x' || substr(sha256(regexp_replace(lower($e), '[ ,]', '', 'g')), 1, 8)) AS BIGINT) % 100000000 AS VARCHAR)"
+
+  private def prelude: String = Seq(
+    Corpus.flatDocsSql,
+    Corpus.indexTriplesSql,
+    Classify.knownEntitiesSql,
+    Classify.allTermsSql,
+    Classify.apiMapSql,
+    Classify.labelTriplesSql).mkString("WITH ", ",\n", "\n")
+
+  private def stages(s: SparkSession, dir: String) = {
+    val docs = Corpus.flatDocs(s, dir)
+    val triples = Corpus.indexTriples(s, dir)
+    val known = Classify.knownEntities(docs)
+    val api = Classify.apiMap(Classify.allTerms(triples), known, Classify.RuleClassifier)
+    val labeled = Classify.labelTriples(triples, known, api)
+    (docs, triples, known, api, labeled)
+  }
+
+  val all: Seq[QDef] = Seq(
+
+    QDef("pipeline_known_entities",
+      (s, dir) => Classify.knownEntities(Corpus.flatDocs(s, dir)).orderBy("norm"),
+      Some(prelude + "SELECT norm, type FROM known ORDER BY norm")),
+
+    QDef("pipeline_terms_classify",
+      (s, dir) => {
+        val (docs, triples, known, api, _) = stages(s, dir)
+        api.orderBy("norm")
+      },
+      Some(prelude + "SELECT norm, type FROM api ORDER BY norm")),
+
+    QDef("pipeline_label_precedence",
+      (s, dir) => {
+        val (_, _, _, _, labeled) = stages(s, dir)
+        labeled.orderBy("documentID", "main", "midsub", "sub")
+      },
+      Some(prelude +
+        """SELECT documentID, main, main_type, midsub, midsub_type, sub, sub_type
+        FROM labeled ORDER BY documentID, main, midsub, sub""")),
+
+    QDef("pipeline_uri_attach",
+      (s, dir) => {
+        val (docs, _, _, _, labeled) = stages(s, dir)
+        val entities = labeled.filter(col("main_type") =!= "term")
+          .select(col("main").as("name"), col("main_type").as("type"))
+          .union(labeled.filter(col("midsub_type") =!= "term")
+            .select(col("midsub"), col("midsub_type")))
+          .union(labeled.filter(col("sub_type") =!= "term")
+            .select(col("sub"), col("sub_type")))
+          .union(docs.select(ConvertName.asUdf(col("author")).as("name"), lit("person")))
+          .union(docs.select(ConvertName.asUdf(col("recipient")), lit("person")))
+          .union(docs.select(col("loc"), lit("place")))
+          .distinct()
+        entities.withColumn("uri", Text.uriHash(col("name")))
+          .orderBy("name", "type")
+      },
+      Some(prelude +
+        s"""SELECT name, type, ${uriSql("name")} AS uri FROM (
+          SELECT DISTINCT name, type FROM (
+            SELECT main AS name, main_type AS type FROM labeled WHERE main_type <> 'term'
+            UNION ALL SELECT midsub, midsub_type FROM labeled WHERE midsub_type <> 'term'
+            UNION ALL SELECT sub, sub_type FROM labeled WHERE sub_type <> 'term'
+            UNION ALL SELECT author, 'person' FROM docs
+            UNION ALL SELECT recipient, 'person' FROM docs
+            UNION ALL SELECT loc, 'place' FROM docs))
+        ORDER BY name, type""")),
+
+    QDef("pipeline_graph_nodes",
+      (s, dir) => {
+        val (docs, _, _, _, labeled) = stages(s, dir)
+        Graph.nodes(docs, labeled)
+          .orderBy(col("label"), col("key"), col("uri").asc_nulls_first)
+      },
+      Some(prelude +
+        s"""SELECT DISTINCT label, key, uri FROM (
+          SELECT 'Document' AS label, documentID AS key, CAST(NULL AS VARCHAR) AS uri FROM docs
+          UNION ALL SELECT 'Person', author, ${uriSql("author")} FROM docs
+          UNION ALL SELECT 'Person', recipient, ${uriSql("recipient")} FROM docs
+          UNION ALL SELECT 'Place', loc, ${uriSql("loc")} FROM docs
+          UNION ALL SELECT 'Person', main, ${uriSql("main")} FROM labeled WHERE main_type = 'person'
+          UNION ALL SELECT 'Place', main, ${uriSql("main")} FROM labeled WHERE main_type = 'place'
+          UNION ALL SELECT 'Organization', main, ${uriSql("main")} FROM labeled WHERE main_type = 'organization'
+          UNION ALL SELECT 'Term', main, NULL FROM labeled WHERE main_type = 'term'
+          UNION ALL SELECT 'Term', midsub, NULL FROM labeled WHERE midsub IS NOT NULL AND midsub <> ''
+          UNION ALL SELECT 'Term', sub, NULL FROM labeled WHERE sub IS NOT NULL AND sub <> ''
+          UNION ALL SELECT 'Date', date_from, NULL FROM docs WHERE date_from IS NOT NULL AND date_from <> ''
+          UNION ALL SELECT 'Date', date_to, NULL FROM docs WHERE date_to IS NOT NULL AND date_to <> '')
+        ORDER BY label, key, uri NULLS FIRST""")),
+
+    QDef("pipeline_graph_edges",
+      (s, dir) => {
+        val (docs, _, _, _, labeled) = stages(s, dir)
+        Graph.edges(docs, labeled).orderBy("type", "src", "dst")
+      },
+      Some(prelude +
+        s"""SELECT DISTINCT src, dst, type FROM (
+          SELECT ${uriSql("author")} AS src, documentID AS dst, 'AUTHOR' AS type FROM docs
+          UNION ALL SELECT ${uriSql("recipient")}, documentID, 'RECIPIENT' FROM docs
+          UNION ALL SELECT ${uriSql("loc")}, documentID, 'LOCATION' FROM docs
+          UNION ALL SELECT documentID, date_from, 'DATE_FROM' FROM docs WHERE date_from IS NOT NULL AND date_from <> ''
+          UNION ALL SELECT documentID, date_to, 'DATE_TO' FROM docs WHERE date_to IS NOT NULL AND date_to <> ''
+          UNION ALL SELECT ${uriSql("main")}, documentID, 'HAS_PERSON' FROM labeled WHERE main_type = 'person'
+          UNION ALL SELECT ${uriSql("main")}, documentID, 'HAS_PLACE' FROM labeled WHERE main_type = 'place'
+          UNION ALL SELECT ${uriSql("main")}, documentID, 'HAS_ORGANIZATION' FROM labeled WHERE main_type = 'organization'
+          UNION ALL SELECT documentID, main, 'HAS_TERM' FROM labeled WHERE main_type = 'term'
+          UNION ALL SELECT main, midsub, 'MIDSUB' FROM labeled WHERE main_type = 'term' AND midsub IS NOT NULL AND midsub <> ''
+          UNION ALL SELECT main, sub, 'SUB' FROM labeled WHERE main_type = 'term' AND sub IS NOT NULL AND sub <> '')
+        ORDER BY type, src, dst""")),
+
+    QDef("pipeline_node_counts",
+      (s, dir) => {
+        val (docs, _, _, _, labeled) = stages(s, dir)
+        Graph.nodes(docs, labeled)
+          .groupBy("label").agg(count(lit(1)).as("n"))
+          .orderBy("label")
+      },
+      Some(prelude +
+        s"""SELECT label, count(*) AS n FROM (
+          SELECT DISTINCT label, key, uri FROM (
+            SELECT 'Document' AS label, documentID AS key, CAST(NULL AS VARCHAR) AS uri FROM docs
+            UNION ALL SELECT 'Person', author, ${uriSql("author")} FROM docs
+            UNION ALL SELECT 'Person', recipient, ${uriSql("recipient")} FROM docs
+            UNION ALL SELECT 'Place', loc, ${uriSql("loc")} FROM docs
+            UNION ALL SELECT 'Person', main, ${uriSql("main")} FROM labeled WHERE main_type = 'person'
+            UNION ALL SELECT 'Place', main, ${uriSql("main")} FROM labeled WHERE main_type = 'place'
+            UNION ALL SELECT 'Organization', main, ${uriSql("main")} FROM labeled WHERE main_type = 'organization'
+            UNION ALL SELECT 'Term', main, NULL FROM labeled WHERE main_type = 'term'
+            UNION ALL SELECT 'Term', midsub, NULL FROM labeled WHERE midsub IS NOT NULL AND midsub <> ''
+            UNION ALL SELECT 'Term', sub, NULL FROM labeled WHERE sub IS NOT NULL AND sub <> ''
+            UNION ALL SELECT 'Date', date_from, NULL FROM docs WHERE date_from IS NOT NULL AND date_from <> ''
+            UNION ALL SELECT 'Date', date_to, NULL FROM docs WHERE date_to IS NOT NULL AND date_to <> ''))
+        GROUP BY label ORDER BY label"""))
+  )
+}
