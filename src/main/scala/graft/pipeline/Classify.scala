@@ -157,14 +157,17 @@ object Classify {
     }
 
     val labeled = subLabel("sub")(subLabel("midsub")(withMain))
-    labeled.select(
-      col("documentID"),
+    // Pass every non-triple input column through (e.g. the position key
+    // the nested re-nest path needs for document-order fidelity).
+    val passthrough = triples.columns
+      .filterNot(Set("main", "midsub", "sub")).toSeq.map(col)
+    labeled.select(passthrough ++ Seq(
       convertIfPerson(col("main"), col("main_type")).as("main"),
       col("main_type"),
       convertIfPerson(col("midsub"), col("midsub_type")).as("midsub"),
       col("midsub_type"),
       convertIfPerson(col("sub"), col("sub_type")).as("sub"),
-      col("sub_type"))
+      col("sub_type")): _*)
   }
 
   /** DuckDB CTE equivalent of [[labelTriples]] on the synthetic corpus

@@ -70,6 +70,33 @@ object Corpus {
         col("p_type").as("sub"))
       .distinct()
 
+  /** The §1.1 nested document model (schema B1) over the synthetic
+    * corpus: arrays/structs assembled in flight, indexing canonicalized
+    * by sort (the per-document array is the deterministic unit).
+    */
+  def nestedDocs(s: SparkSession, dir: String): DataFrame = {
+    val trip = indexTriples(s, dir)
+      .groupBy("documentID")
+      .agg(sort_array(collect_list(
+        struct(col("main"), col("midsub"), col("sub")))).as("indexing"))
+    flatDocs(s, dir).join(trip, Seq("documentID"), "left_outer")
+      .select(
+        col("documentID"),
+        col("documentTitle"),
+        struct(col("publicationName"), col("seriesName"), col("volumeInfo"),
+          col("publisher"),
+          array(lit("print"), lit("digital")).as("formats")).as("projectInfo"),
+        array(struct(col("author").as("name"))).as("authors"),
+        array(struct(col("recipient").as("name"))).as("recipients"),
+        struct(col("date_from").as("date-from"),
+          col("date_to").as("date-to")).as("dates"),
+        struct(col("loc").as("name")).as("location"),
+        array(lit("Library")).as("repositories"),
+        coalesce(col("indexing"),
+          array().cast("array<struct<main: string, midsub: string, sub: string>>"))
+          .as("indexing"))
+  }
+
   /** DuckDB CTE equivalent of [[indexTriples]]. */
   val indexTriplesSql: String =
     """triples AS (

@@ -38,10 +38,13 @@ object Graph {
       col("documentID").as("key"), nullUri.as("uri"))
     // update_json converts every author/recipient name (O21) before URIs
     // are minted from the converted form (generate_uri.py:51-57).
+    // The reference loops over present entities only (empty author list /
+    // missing location emit nothing, json_to_db.py:84-95) -> null-filter.
     def docEntity(field: String, label: String, convert: Boolean) = {
       val name = if (convert) convertedAuthor(field) else col(field)
-      flatDocs.select(lit(label).as("label"), name.as("key"),
-        Text.uriHash(name).as("uri"))
+      flatDocs.filter(col(field).isNotNull)
+        .select(lit(label).as("label"), name.as("key"),
+          Text.uriHash(name).as("uri"))
     }
     val authors = docEntity("author", "Person", convert = true)
     val recipients = docEntity("recipient", "Person", convert = true)
@@ -74,8 +77,9 @@ object Graph {
   def edges(flatDocs: DataFrame, labeled: DataFrame): DataFrame = {
     def docRole(field: String, role: String, convert: Boolean) = {
       val name = if (convert) convertedAuthor(field) else col(field)
-      flatDocs.select(Text.uriHash(name).as("src"),
-        col("documentID").as("dst"), lit(role).as("type"))
+      flatDocs.filter(col(field).isNotNull)
+        .select(Text.uriHash(name).as("src"),
+          col("documentID").as("dst"), lit(role).as("type"))
     }
     val author = docRole("author", "AUTHOR", convert = true)
     val recipient = docRole("recipient", "RECIPIENT", convert = true)

@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Text
+
+/** XML document-corpus ingest (O1-O8): Spark 4's built-in XML source
+  * with rowTag=document replaces the reference's whole-file DOM parse
+  * (xml_to_json.py:54-61) with a streaming, partitionable scan.
+  *
+  * The element paths and null-fallback semantics mirror
+  * xml_to_json.py:77-96; parenthetical strip + order-preserving
+  * first-wins triple dedup (xml_to_json.py:27-42) happen per document
+  * inside `transform`/`array_distinct` — order-preserving by
+  * construction, unlike a shuffle-dependent dropDuplicates
+  * (SURVEY §2.3-3/§2.3-6).
+  */
+object XmlDocs {
+
+  /** Raw XML shape under rowTag=document (FIXTURES.md §A). */
+  val xmlSchema: StructType = StructType.fromDDL(
+    """documentID STRING,
+       documentTitle STRING,
+       projectInfo STRUCT<publicationName: STRING, seriesName: STRING,
+                          volumeInfo: STRING, publisher: STRING,
+                          formats: STRUCT<type: ARRAY<STRING>>>,
+       authors STRUCT<author: ARRAY<STRING>>,
+       recipients STRUCT<recipient: ARRAY<STRING>>,
+       dates STRUCT<`date-from` STRING, `date-to` STRING>,
+       location STRUCT<placeName: STRING>,
+       repositories STRUCT<repository: ARRAY<STRING>>,
+       indexing STRUCT<indexTerm: ARRAY<STRUCT<main: STRING, midsub: STRING, sub: STRING>>>""")
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", "document")
+      .schema(xmlSchema)
+      .load(path)
+
+  /** Document-model schema B1 (SURVEY §1.1 / FIXTURES.md §B). */
+  val docModelSchema: StructType = StructType.fromDDL(
+    """documentID STRING,
+       documentTitle STRING,
+       projectInfo STRUCT<publicationName: STRING, seriesName: STRING,
+                          volumeInfo: STRING, publisher: STRING,
+                          formats: ARRAY<STRING>>,
+       authors ARRAY<STRUCT<name: STRING>>,
+       recipients ARRAY<STRUCT<name: STRING>>,
+       dates STRUCT<`date-from` STRING, `date-to` STRING>,
+       location STRUCT<name: STRING>,
+       repositories ARRAY<STRING>,
+       indexing ARRAY<STRUCT<main: STRING, midsub: STRING, sub: STRING>>""")
+
+  /** Raw XML rows -> nested document model (xml_to_json.py:77-96). */
+  def toDocModel(raw: DataFrame): DataFrame = {
+    def emptyIfNull(c: org.apache.spark.sql.Column) = coalesce(c, lit(""))
+    val emptyStr = array().cast(ArrayType(StringType))
+    raw.select(
+      col("documentID"),
+      col("documentTitle"),
+      struct(
+        col("projectInfo.publicationName").as("publicationName"),
+        col("projectInfo.seriesName").as("seriesName"),
+        col("projectInfo.volumeInfo").as("volumeInfo"),
+        col("projectInfo.publisher").as("publisher"),
+        coalesce(col("projectInfo.formats.type"), emptyStr).as("formats")).as("projectInfo"),
+      transform(coalesce(col("authors.author"), emptyStr),
+        a => struct(a.as("name"))).as("authors"),
+      transform(coalesce(col("recipients.recipient"), emptyStr),
+        r => struct(r.as("name"))).as("recipients"),
+      struct(
+        col("dates.`date-from`").as("date-from"),
+        col("dates.`date-to`").as("date-to")).as("dates"),
+      when(col("location").isNotNull,
+        struct(trim(col("location.placeName")).as("name")))
+        .otherwise(lit(null)).as("location"),
+      coalesce(col("repositories.repository"), emptyStr).as("repositories"),
+      // collect_terms_from_xml: missing midsub/sub -> "", strip parens,
+      // then first-wins dedup of the (main, midsub, sub) tuple in
+      // document order (array_distinct keeps first occurrences).
+      array_distinct(
+        transform(
+          coalesce(col("indexing.indexTerm"),
+            array().cast(ArrayType(StructType.fromDDL(
+              "main STRING, midsub STRING, sub STRING")))),
+          x => struct(
+            Text.stripParens(emptyIfNull(x.getField("main"))).as("main"),
+            when(emptyIfNull(x.getField("midsub")) === "", lit(""))
+              .otherwise(Text.stripParens(x.getField("midsub"))).as("midsub"),
+            when(emptyIfNull(x.getField("sub")) === "", lit(""))
+              .otherwise(Text.stripParens(x.getField("sub"))).as("sub"))))
+        .as("indexing"))
+  }
+
+  /** Flatten the nested model to the pipeline's per-document scalar view
+    * (Classify/Graph operate on this + exploded triples).
+    */
+  def toFlatDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("documentID"),
+      col("documentTitle"),
+      col("projectInfo.publicationName").as("publicationName"),
+      col("projectInfo.seriesName").as("seriesName"),
+      col("projectInfo.volumeInfo").as("volumeInfo"),
+      col("projectInfo.publisher").as("publisher"),
+      // get() (not [0]) — ANSI mode errors on out-of-bounds for empty
+      // author/recipient lists; get returns null like the reference's loop
+      get(col("authors"), lit(0)).getField("name").as("author"),
+      get(col("recipients"), lit(0)).getField("name").as("recipient"),
+      col("location.name").as("loc"),
+      col("dates.`date-from`").as("date_from"),
+      col("dates.`date-to`").as("date_to"))
+
+  /** Exploded per-document index triples from the nested model. */
+  def toTriples(docs: DataFrame): DataFrame =
+    docs.select(col("documentID"), explode(col("indexing")).as("t"))
+      .select(col("documentID"),
+        col("t.main").as("main"),
+        col("t.midsub").as("midsub"),
+        col("t.sub").as("sub"))
+
+  /** Serialize the synthetic corpus as reference-shaped XML (one root,
+    * N <document> elements) so the XML scan is exercised on real data.
+    * Driver-side by design: this is a bounded test-input generator
+    * (limit rows first), not a data-path operator.
+    */
+  def writeCorpusXml(flatDocs: DataFrame, triples: DataFrame, path: String): Unit = {
+    val trip = triples.groupBy("documentID")
+      .agg(sort_array(collect_list(struct(col("main"), col("midsub"), col("sub")))).as("ts"))
+    val rows = flatDocs.join(trip, Seq("documentID"), "left_outer")
+      .orderBy("documentID")
+      .collect()
+    val sb = new StringBuilder("<root>\n")
+    rows.foreach { r =>
+      def g(n: String) = Option(r.getAs[String](n)).getOrElse("")
+      sb.append("<document>")
+        .append(s"<documentID>${g("documentID")}</documentID>")
+        .append(s"<documentTitle>${g("documentTitle")}</documentTitle>")
+        .append("<projectInfo>")
+        .append(s"<publicationName>${g("publicationName")}</publicationName>")
+        .append(s"<seriesName>${g("seriesName")}</seriesName>")
+        .append(s"<volumeInfo>${g("volumeInfo")}</volumeInfo>")
+        .append(s"<publisher>${g("publisher")}</publisher>")
+        .append("<formats><type>print</type><type>digital</type></formats>")
+        .append("</projectInfo>")
+        .append(s"<authors><author>${g("author")}</author></authors>")
+        .append(s"<recipients><recipient>${g("recipient")}</recipient></recipients>")
+        .append("<dates>")
+        .append(s"<date-from>${g("date_from")}</date-from>")
+        .append(s"<date-to>${g("date_to")}</date-to>")
+        .append("</dates>")
+        .append(s"<location><placeName>${g("loc")}</placeName></location>")
+        .append("<repositories><repository>Library</repository></repositories>")
+        .append("<indexing>")
+      val ts = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ts")
+      if (ts != null) ts.foreach { t =>
+        sb.append("<indexTerm>")
+          .append(s"<main>${t.getString(0)}</main>")
+          .append(s"<midsub>${t.getString(1)}</midsub>")
+          .append(s"<sub>${t.getString(2)}</sub>")
+          .append("</indexTerm>")
+      }
+      sb.append("</indexing></document>\n")
+    }
+    sb.append("</root>\n")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ConvertName, Text}
-import graft.pipeline.{Classify, Corpus, Graph}
+import graft.pipeline.{Classify, Corpus, Graph, NestedEnrich, XmlDocs}
 
 /** End-to-end reference pipeline (SURVEY §7.1 flagship slice and §3.1
   * lifecycle) over the synthetic TPC-H-derived document corpus, each
@@ -43,6 +43,68 @@ object Pipeline {
   }
 
   val all: Seq[QDef] = Seq(
+
+    QDef("scan_xml_docs",
+      // O1-O3: serialize a bounded slice of the corpus as
+      // reference-shaped XML, scan it with Spark's XML source, rebuild
+      // the document model and project — checked against the relational
+      // corpus definition.
+      (s, dir) => {
+        val docs = Corpus.flatDocs(s, dir).orderBy("documentID").limit(100)
+        val trip = Corpus.indexTriples(s, dir)
+          .join(docs.select("documentID"), Seq("documentID"))
+        val path = scratch(
+          s"xml_docs_${new java.io.File(dir).getName}/corpus.xml")
+        XmlDocs.writeCorpusXml(docs, trip, path)
+        XmlDocs.toDocModel(XmlDocs.read(s, path))
+          .select(col("documentID"), col("documentTitle"),
+            size(col("authors")).cast("long").as("n_authors"),
+            size(col("indexing")).cast("long").as("n_terms"),
+            col("location.name").as("loc"),
+            col("dates.`date-from`").as("date_from"))
+          .orderBy("documentID")
+      },
+      Some(prelude +
+        """SELECT d.documentID, d.documentTitle,
+             CAST(1 AS BIGINT) AS n_authors,
+             coalesce(tc.n, 0) AS n_terms,
+             d.loc, d.date_from
+        FROM (SELECT * FROM docs ORDER BY documentID LIMIT 100) d
+        LEFT JOIN (SELECT documentID, count(*) AS n FROM triples GROUP BY 1) tc
+          USING (documentID)
+        ORDER BY documentID""")),
+
+    QDef("pipeline_nested_enrich",
+      // The faithful nested-model path (B1 -> B2 -> B3): enrich +
+      // URI-attach via transform() lambdas, then flatten for compare.
+      (s, dir) => {
+        val nested = Corpus.nestedDocs(s, dir)
+        val b3 = NestedEnrich.addUris(
+          NestedEnrich.enrich(nested, Classify.RuleClassifier))
+        b3.select(col("documentID"), explode(col("indexing")).as("t"))
+          .select(col("documentID"),
+            col("t.term").as("term"), col("t.type").as("type"),
+            col("t.uri").as("uri"),
+            col("t.midsub.term").as("mid_term"),
+            col("t.midsub.type").as("mid_type"),
+            col("t.midsub.uri").as("mid_uri"),
+            col("t.sub.term").as("sub_term"),
+            col("t.sub.type").as("sub_type"),
+            col("t.sub.uri").as("sub_uri"))
+          .orderBy("documentID", "term", "mid_term", "sub_term")
+      },
+      Some(prelude +
+        s"""SELECT documentID,
+             main AS term, main_type AS type,
+             CASE WHEN main_type <> 'term' THEN ${uriSql("main")} END AS uri,
+             CASE WHEN midsub <> '' THEN midsub END AS mid_term,
+             CASE WHEN midsub <> '' THEN midsub_type END AS mid_type,
+             CASE WHEN midsub <> '' AND midsub_type <> 'term' THEN ${uriSql("midsub")} END AS mid_uri,
+             CASE WHEN sub <> '' THEN sub END AS sub_term,
+             CASE WHEN sub <> '' THEN sub_type END AS sub_type,
+             CASE WHEN sub <> '' AND sub_type <> 'term' THEN ${uriSql("sub")} END AS sub_uri
+        FROM labeled
+        ORDER BY documentID, term, mid_term NULLS FIRST, sub_term NULLS FIRST""")),
 
     QDef("pipeline_known_entities",
       (s, dir) => Classify.knownEntities(Corpus.flatDocs(s, dir)).orderBy("norm"),
