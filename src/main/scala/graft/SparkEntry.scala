@@ -17,7 +17,8 @@ object SparkEntry {
   private def groups: Seq[Seq[QDef]] = Seq(
     Relational.all,
     Scalars.all,
-    Pipeline.all)
+    Pipeline.all,
+    Custom.all)
 
   private lazy val defs: Seq[QDef] = groups.flatten
 

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{Encoders, functions => F}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TermTripleExplode, Text, TopKTerms, UriHashExpr}
+
+/** Custom Catalyst / typed-API surface (SURVEY.md §2.2 UDF/UDAF/UDTF
+  * rows): a native codegen'd `Expression`, the same `Aggregator` through
+  * both the untyped `functions.udaf` and typed `KeyValueGroupedDataset`
+  * routes, and a custom `Generator`. Each result is deterministically
+  * ordered so the DuckDB oracle reproduces it exactly.
+  */
+object Custom {
+  import QDef._
+
+  /** Typed-route input row: one token of one document. */
+  final case class DocTok(source: String, tok: String)
+
+  val all: Seq[QDef] = Seq(
+
+    QDef("expr_catalyst",
+      // O23 URI minting as a native Catalyst Expression with doGenCode
+      // (graft.functions.UriHashExpr), cross-checked in the same plan
+      // against the pure built-in sha2/conv/pmod chain.
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_custkey"),
+          UriHashExpr.uriHashNative(col("c_name")).as("uri"),
+          (UriHashExpr.uriHashNative(col("c_name")) === Text.uriHash(col("c_name")))
+            .as("match_builtin"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+          'r' || CAST(CAST(('0x' || substr(sha256(regexp_replace(lower(c_name), '[ ,]', '', 'g')), 1, 8)) AS BIGINT) % 100000000 AS VARCHAR) AS uri,
+          true AS match_builtin
+        FROM customer ORDER BY c_custkey""")),
+
+    QDef("udaf_aggregator",
+      // TopKTerms via functions.udaf: top-5 tokens per language across
+      // the documents table. Map-side partial maps merge at the shuffle
+      // like a built-in hash aggregate.
+      (s, dir) => {
+        val topk = F.udaf(new TopKTerms[String](5, identity), Encoders.STRING)
+        t(s, dir, "documents")
+          .select(col("lang"),
+            explode(Text.tokens(Text.normTerm(col("text")))).as("tok"))
+          .groupBy("lang").agg(topk(col("tok")).as("tks"))
+          .select(col("lang"), posexplode(col("tks")))
+          .select(col("lang"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.term").as("term"), col("col.cnt").as("cnt"))
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH toks AS (
+          SELECT lang,
+                 unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+          FROM documents),
+        cnts AS (SELECT lang, tok AS term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        rk AS (SELECT lang, term, cnt,
+                      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rank
+               FROM cnts)
+        SELECT lang, rank, term, cnt FROM rk WHERE rank <= 5 ORDER BY lang, rank""")),
+
+    QDef("agg_custom_typed",
+      // The same Aggregator through the typed Dataset API:
+      // groupByKey(_.source).agg(topk.toColumn) — top-3 tokens per
+      // source feed.
+      (s, dir) => {
+        import s.implicits._
+        val ds = t(s, dir, "documents")
+          .select(col("source"),
+            explode(Text.tokens(Text.normTerm(col("text")))).as("tok"))
+          .as[DocTok]
+        ds.groupByKey(_.source)
+          .agg(new TopKTerms[DocTok](3, _.tok).toColumn.name("tks"))
+          .toDF("source", "tks")
+          .select(col("source"), posexplode(col("tks")))
+          .select(col("source"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.term").as("term"), col("col.cnt").as("cnt"))
+          .orderBy("source", "rank")
+      },
+      Some("""WITH toks AS (
+          SELECT source,
+                 unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+          FROM documents),
+        cnts AS (SELECT source, tok AS term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        rk AS (SELECT source, term, cnt,
+                      row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rank
+               FROM cnts)
+        SELECT source, rank, term, cnt FROM rk WHERE rank <= 3 ORDER BY source, rank""")),
+
+    QDef("udtf_generator",
+      // Custom Generator unpivoting a (main, midsub, sub) triple into
+      // (level, term) rows, skipping nulls and empties exactly like the
+      // reference's nested loops (json_classification.py:322-335).
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          TermTripleExplode.termTriples(
+            col("p_name"),
+            when(col("p_size") % 7 === 0, lit(null).cast("string"))
+              .otherwise(col("p_brand")),
+            when(col("p_size") > 25, col("p_type")).otherwise(lit(""))))
+        .orderBy("p_partkey", "level", "term"),
+      Some("""SELECT p_partkey, 'main' AS level, p_name AS term FROM part
+        UNION ALL
+        SELECT p_partkey, 'midsub', p_brand FROM part WHERE p_size % 7 <> 0
+        UNION ALL
+        SELECT p_partkey, 'sub', p_type FROM part WHERE p_size > 25
+        ORDER BY p_partkey, level, term"""))
+  )
+}
