@@ -18,7 +18,8 @@ object SparkEntry {
     Relational.all,
     Scalars.all,
     Pipeline.all,
-    Custom.all)
+    Custom.all,
+    TextAnalysis.all)
 
   private lazy val defs: Seq[QDef] = groups.flatten
 

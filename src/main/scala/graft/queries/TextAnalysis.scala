@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** North-star text-analysis operators over the `documents` table
+  * (BASELINE.json north_star; SURVEY.md §2.2 text rows): tokenize
+  * stats, BPE-ish token counting, n-gram/stopword language-ID, quality
+  * scoring, and fingerprinting. Everything is codegen'd built-ins —
+  * narrow, shuffle-free per-document plans that scale linearly with the
+  * corpus; only the final ORDER BY (driver-compare requirement) sorts.
+  */
+object TextAnalysis {
+  import QDef._
+
+  /** Normalized whitespace tokens; single-spaced so DuckDB's
+    * string_split(' ') sees identical tokens.
+    */
+  private def toks: Column = Text.tokens(Text.normTerm(col("text")))
+  private val toksSql =
+    """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
+
+  private def stopHits(langWords: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(langWords))).cast("long")
+  private def stopHitsSql(langWords: Seq[String]): String = {
+    val lst = langWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toksSql, t -> list_contains($lst, t)))"
+  }
+
+  private val enW = Seq("the", "and", "of", "to", "in", "is")
+  private val deW = Seq("der", "die", "und", "das", "ist", "nicht")
+  private val frW = Seq("le", "la", "les", "et", "est", "une")
+  private val esW = Seq("el", "los", "las", "y", "es", "una")
+
+  val all: Seq[QDef] = Seq(
+
+    QDef("text_tokenize_stats",
+      // Per-document token statistics. Mean token length is derived
+      // arithmetically from the single-spaced normalized text (chars
+      // minus separators over token count) to avoid any fold-order
+      // dependence between engines.
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          array_min(toks).as("min_tok"),
+          array_max(toks).as("max_tok"),
+          round((length(Text.normTerm(col("text"))).cast("double")
+            - (size(toks) - 1).cast("double")) / size(toks).cast("double"), 4)
+            .as("mean_tok_len"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+          len($toksSql) AS n_toks,
+          len(list_distinct($toksSql)) AS n_distinct,
+          list_min($toksSql) AS min_tok,
+          list_max($toksSql) AS max_tok,
+          round((CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS DOUBLE)
+                 - (len($toksSql) - 1)) / len($toksSql), 4) AS mean_tok_len
+        FROM documents ORDER BY doc_id""")),
+
+    QDef("text_token_count",
+      // Whitespace count plus a BPE-ish regex tokenizer (letter runs,
+      // single digits, single non-alphanumerics) — the standard
+      // pre-tokenization shape of byte-pair encoders.
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+            .cast("long").as("bpe_tokens"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+          len($toksSql) AS ws_tokens,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    QDef("text_langid",
+      // Stopword-marker language ID: per-language marker-token hit
+      // counts, CJK codepoint presence for zh, then a fixed-precedence
+      // argmax (identical CASE chain in the oracle) so ties are
+      // deterministic. `correct` compares against the table's lang.
+      (s, dir) => {
+        val zh = size(regexp_extract_all(col("text"), lit("[一-鿿]")))
+          .cast("long")
+        val (en, de, fr, es) =
+          (stopHits(enW), stopHits(deW), stopHits(frW), stopHits(esW))
+        val pred = when(zh >= 1, "zh")
+          .when(es > en && es > de && es > fr, "es")
+          .when(fr > en && fr > de, "fr")
+          .when(de > en, "de")
+          .otherwise("en")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"),
+            es.as("es_hits"), zh.as("zh_hits"),
+            pred.as("pred"), (pred === col("lang")).as("correct"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang,
+          ${stopHitsSql(enW)} AS en_hits,
+          ${stopHitsSql(deW)} AS de_hits,
+          ${stopHitsSql(frW)} AS fr_hits,
+          ${stopHitsSql(esW)} AS es_hits,
+          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh_hits,
+          CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) >= 1 THEN 'zh'
+               WHEN ${stopHitsSql(esW)} > ${stopHitsSql(enW)} AND ${stopHitsSql(esW)} > ${stopHitsSql(deW)} AND ${stopHitsSql(esW)} > ${stopHitsSql(frW)} THEN 'es'
+               WHEN ${stopHitsSql(frW)} > ${stopHitsSql(enW)} AND ${stopHitsSql(frW)} > ${stopHitsSql(deW)} THEN 'fr'
+               WHEN ${stopHitsSql(deW)} > ${stopHitsSql(enW)} THEN 'de'
+               ELSE 'en' END AS pred,
+          (CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) >= 1 THEN 'zh'
+               WHEN ${stopHitsSql(esW)} > ${stopHitsSql(enW)} AND ${stopHitsSql(esW)} > ${stopHitsSql(deW)} AND ${stopHitsSql(esW)} > ${stopHitsSql(frW)} THEN 'es'
+               WHEN ${stopHitsSql(frW)} > ${stopHitsSql(enW)} AND ${stopHitsSql(frW)} > ${stopHitsSql(deW)} THEN 'fr'
+               WHEN ${stopHitsSql(deW)} > ${stopHitsSql(enW)} THEN 'de'
+               ELSE 'en' END = lang) AS correct
+        FROM documents ORDER BY doc_id""")),
+
+    QDef("text_quality_score",
+      // Composite document-quality heuristic: stopword ratio up, punct
+      // density down, mean token length toward a cap. Pure per-row
+      // arithmetic; rounded to 4 places for engine float parity.
+      (s, dir) => {
+        val nToks = size(toks).cast("double")
+        val stopR = stopHits(enW ++ deW ++ frW ++ esW).cast("double") / nToks
+        val punct = size(regexp_extract_all(col("text"), lit("[.,;:!?]")))
+          .cast("double") / length(col("text")).cast("double")
+        val meanLen = (length(Text.normTerm(col("text"))).cast("double")
+          - (size(toks) - 1).cast("double")) / nToks
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            col("n_chars"),
+            round(stopR, 4).as("stop_ratio"),
+            round(punct, 4).as("punct_ratio"),
+            round(least(meanLen / lit(8.0), lit(1.0)), 4).as("len_term"),
+            round(lit(0.3) * stopR + lit(0.3) * (lit(1.0) - punct)
+              + lit(0.4) * least(meanLen / lit(8.0), lit(1.0)), 4).as("quality"))
+          .orderBy("doc_id")
+      }, {
+        val allW = stopHitsSql(enW ++ deW ++ frW ++ esW)
+        Some(s"""SELECT doc_id, n_chars,
+          round($allW / CAST(len($toksSql) AS DOUBLE), 4) AS stop_ratio,
+          round(len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+          round(least(((CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS DOUBLE) - (len($toksSql) - 1)) / len($toksSql)) / 8.0, 1.0), 4) AS len_term,
+          round(0.3 * ($allW / CAST(len($toksSql) AS DOUBLE))
+              + 0.3 * (1.0 - len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE))
+              + 0.4 * least(((CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS DOUBLE) - (len($toksSql) - 1)) / len($toksSql)) / 8.0, 1.0), 4) AS quality
+        FROM documents ORDER BY doc_id""")
+      }),
+
+    QDef("text_fingerprint",
+      // Document fingerprinting: md5 whole-text fingerprint plus a
+      // rolling min/max over 3-token shingle hashes (the minhash
+      // primitive; md5-derived so any engine reproduces it).
+      (s, dir) => {
+        // sequence(0, -1) descends rather than yielding empty, so guard
+        // the under-3-token case explicitly.
+        val sh = expr(
+          "CASE WHEN size(norm_toks) >= 3 THEN" +
+            " transform(sequence(0, size(norm_toks) - 3)," +
+            " i -> concat_ws(' ', norm_toks[i], norm_toks[i+1], norm_toks[i+2]))" +
+            " ELSE array() END")
+        t(s, dir, "documents")
+          .withColumn("norm_toks", toks)
+          .withColumn("sh", sh)
+          .select(col("doc_id"),
+            Text.fingerprint(col("text")).as("fp"),
+            array_min(transform(col("sh"), x => Text.md5Hash32(x))).as("min_sh"),
+            array_max(transform(col("sh"), x => Text.md5Hash32(x))).as("max_sh"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, text, $toksSql AS ts FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_transform(range(greatest(len(ts) - 2, 0)),
+                   i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS shingles
+          FROM base)
+        SELECT b.doc_id,
+          substr(md5(lower(trim(regexp_replace(b.text, '\\s+', ' ', 'g')))), 1, 16) AS fp,
+          list_min(list_transform(sh.shingles, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))) AS min_sh,
+          list_max(list_transform(sh.shingles, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))) AS max_sh
+        FROM base b JOIN sh USING (doc_id) ORDER BY b.doc_id"""))
+  )
+}
