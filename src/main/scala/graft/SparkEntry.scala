@@ -19,7 +19,8 @@ object SparkEntry {
     Scalars.all,
     Pipeline.all,
     Custom.all,
-    TextAnalysis.all)
+    TextAnalysis.all,
+    Dedup.all)
 
   private lazy val defs: Seq[QDef] = groups.flatten
 

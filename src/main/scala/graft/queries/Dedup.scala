@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** North-star deduplication operators (BASELINE.json north_star): exact,
+  * MinHash+LSH banding, SimHash signatures, blocked n-gram Jaccard, and
+  * blocked embedding-cosine near-dup. All hashes are md5-derived 32-bit
+  * ints (`Text.md5Hash32`) so every value is integer-exact in any engine
+  * — no reliance on Spark-private murmur3 — and every pairwise stage is
+  * *blocked* (LSH band buckets / (source, lang) / label) so no query
+  * ever materializes the full O(n²) cross product: the shuffle key is
+  * the block, which is how the same plan survives 100 TB.
+  */
+object Dedup {
+  import QDef._
+
+  /** n-token shingles of a token-array column (empty when under n). */
+  private def shingles(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", (0 until n).map(j => get(ts, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  private def toks: Column = Text.tokens(Text.normTerm(col("text")))
+  private val toksSql =
+    """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
+  private val shSql =
+    s"list_transform(range(greatest(len($toksSql) - 2, 0)), i -> $toksSql[i+1] || ' ' || $toksSql[i+2] || ' ' || $toksSql[i+3])"
+  private val h32Sql = (e: String) => s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+  private val MinhashK = 16
+  private val BandRows = 4
+
+  /** doc_id → (band, band-signature) rows: the LSH index build. */
+  private def minhashBands(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(shingles(toks, 3)).as("shingle"))
+      .select(col("doc_id"), col("shingle"),
+        explode(lit((0 until MinhashK).toArray)).as("k"))
+      .select(col("doc_id"), col("k"),
+        Text.md5Hash32(concat(col("k"), lit(":"), col("shingle"))).as("hv"))
+      .groupBy("doc_id", "k").agg(min("hv").as("h"))
+      .withColumn("band", (col("k") / BandRows).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("k"), col("h")))),
+          x => x.getField("h").cast("string"))).as("bsig"))
+
+  private val minhashBandsSql =
+    s"""mh AS (
+          SELECT doc_id, k, min(${h32Sql("k || ':' || shingle")}) AS h
+          FROM (SELECT doc_id, unnest($shSql) AS shingle FROM documents),
+               (SELECT unnest(range($MinhashK)) AS k)
+          GROUP BY doc_id, k),
+        bands AS (
+          SELECT doc_id, CAST(k // $BandRows AS INT) AS band,
+                 string_agg(h, ',' ORDER BY k) AS bsig
+          FROM mh GROUP BY doc_id, k // $BandRows)"""
+
+  val all: Seq[QDef] = Seq(
+
+    QDef("dedup_exact",
+      // Exact dedup: hash-group on the normalized-text fingerprint,
+      // keep the smallest doc_id (deterministic first-wins analog of
+      // xml_to_json.py:38-42 at corpus scale). One shuffle on the
+      // 16-hex-char fingerprint — the canonical 100 TB exact-dedup plan.
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(Text.fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper"),
+      Some(s"""SELECT substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) AS fp,
+          min(doc_id) AS keeper, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY keeper""")),
+
+    QDef("dedup_minhash_sig",
+      // The MinHash+LSH index itself: 16 md5-seeded min-hashes over
+      // 3-token shingles, banded 4×4. Rows = docs × 4 bands.
+      (s, dir) => minhashBands(t(s, dir, "documents"))
+        .orderBy("doc_id", "band"),
+      Some(s"""WITH $minhashBandsSql
+        SELECT doc_id, band, bsig FROM bands ORDER BY doc_id, band""")),
+
+    QDef("dedup_minhash_pairs",
+      // LSH candidate pairs: docs sharing any band signature. The join
+      // key is (band, bsig) — bucket-local, never all-pairs.
+      (s, dir) => {
+        val b = minhashBands(t(s, dir, "documents"))
+        b.as("a").join(b.as("b"),
+            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $minhashBandsSql
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b""")),
+
+    QDef("dedup_simhash", {
+      // 32-bit SimHash: per-token md5 hash, per-bit ±1 vote, sign →
+      // bit. One explode + one hash-aggregate per document; the 32 bit
+      // sums are columns of a single aggregate, not 32 passes.
+      (s, dir) => {
+        val votes = (0 until 32).map(b =>
+          sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+        val sig = (0 until 32).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .select(col("doc_id"), Text.md5Hash32(col("tok")).as("h"))
+          .groupBy("doc_id").agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"), sig.cast("long").as("simhash"))
+          .orderBy("doc_id")
+      }
+    }, {
+      val votes = (0 until 32)
+        .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
+      val sig = (0 until 32)
+        .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      Some(s"""WITH th AS (
+          SELECT doc_id, ${h32Sql("tok")} AS h
+          FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)),
+        v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id)
+        SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v ORDER BY doc_id""")
+    }),
+
+    QDef("dedup_ngram_jaccard",
+      // Blocked n-gram Jaccard: candidate pairs only within a
+      // (source, lang) block, similarity from integer set sizes —
+      // engine-exact. Blocks bound the pair count; the division is the
+      // only float op and happens once per candidate.
+      (s, dir) => {
+        val sets = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            array_distinct(shingles(toks, 3)).as("ss"))
+        val inter = size(array_intersect(col("a.ss"), col("b.ss")))
+        val ja = inter.cast("double") /
+          (size(col("a.ss")) + size(col("b.ss")) - inter).cast("double")
+        sets.as("a").join(sets.as("b"),
+            col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.source").as("source"), col("a.lang").as("lang"),
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            round(ja, 4).as("jaccard"))
+          .filter(col("jaccard") >= 0.05)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH sets AS (
+          SELECT doc_id, source, lang, list_distinct($shSql) AS ss FROM documents)
+        SELECT a.source AS source, a.lang AS lang,
+               a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                     / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 4) AS jaccard
+        FROM sets a JOIN sets b
+          ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 4) >= 0.05
+        ORDER BY doc_a, doc_b""")),
+
+    QDef("dedup_embedding_cosine",
+      // Embedding near-dup, blocked by label (IVF-style partition-local
+      // scan): explicit in-order double dot/norm folds so both engines
+      // sum identically; similarity rounded to 6 before thresholding.
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        def dot(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        val cos = dot(col("a.v"), col("b.v")) /
+          (sqrt(dot(col("a.v"), col("a.v"))) * sqrt(dot(col("b.v"), col("b.v"))))
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.label").as("label"),
+            col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            round(cos, 6).as("cos"))
+          .filter(col("cos") >= 0.25)
+          .orderBy("vec_a", "vec_b")
+      }, {
+        val dotSql = (x: String, y: String) =>
+          s"list_sum(list_transform(range(64), i -> CAST($x.embedding[i+1] AS DOUBLE) * CAST($y.embedding[i+1] AS DOUBLE)))"
+        Some(s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+            round(${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})), 6) AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})), 6) >= 0.25
+          ORDER BY vec_a, vec_b""")
+      })
+  )
+}
