@@ -20,7 +20,8 @@ object SparkEntry {
     Pipeline.all,
     Custom.all,
     TextAnalysis.all,
-    Dedup.all)
+    Dedup.all,
+    Similarity.all)
 
   private lazy val defs: Seq[QDef] = groups.flatten
 

@@ -1,0 +1,174 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** North-star similarity search over the `embeddings` table
+  * (BASELINE.json north_star; SURVEY.md §2.2 `sim_cosine_topk` /
+  * `join_cross_topk_similarity`): brute-force cosine top-k as the
+  * correctness baseline, a label-blocked KNN join, and a
+  * random-hyperplane LSH bucketed ANN as the scale path. Dot products
+  * are in-order double folds (`aggregate`/`zip_with`) so DuckDB's
+  * in-order `list_sum` reproduces them; similarities are rounded to 6
+  * places before ranking and every window tie-breaks on vec_id, so
+  * top-k is fully deterministic.
+  *
+  * Scale shape: the query side is small and broadcast (nested-loop
+  * against it is O(n·q), embarrassingly parallel over the big side);
+  * the ANN variant shuffles on the LSH bucket instead, which is the
+  * plan that survives when q itself is large.
+  */
+object Similarity {
+  import QDef._
+
+  private val Dims = 64
+  private val Planes = 8
+  private val QueryVecs = 10
+  private val K = 5
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private val dotSql = (x: String, y: String) =>
+    s"list_sum(list_transform(range($Dims), i -> CAST($x.embedding[i+1] AS DOUBLE) * CAST($y.embedding[i+1] AS DOUBLE)))"
+  private val cosSql = (x: String, y: String) =>
+    s"${dotSql(x, y)} / (sqrt(${dotSql(x, x)}) * sqrt(${dotSql(y, y)}))"
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * md5-derived 32-bit int mapped to [-1, 1] in steps of 1e-3 —
+    * reproducible identically in SQL from the same md5 formula.
+    */
+  private def planeWeight(p: Int, d: Int): Double = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L) / 1000.0
+  }
+
+  /** 8-bit LSH bucket of a double-vector column, from literal planes. */
+  private def lshBucket(v: Column): Column =
+    (0 until Planes).map { p =>
+      val plane = typedLit((0 until Dims).map(planeWeight(p, _)))
+      when(dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _).cast("long")
+
+  private val lshBucketSql: String = (0 until Planes).map { p =>
+    val planeDot =
+      s"list_sum(list_transform(range($Dims), i -> CAST(embedding[i+1] AS DOUBLE) * ((${h32(s"'$p:' || i")}) % 2001 - 1000) / 1000.0))"
+    s"(CASE WHEN $planeDot > 0 THEN ${1L << p} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private def h32(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+  val all: Seq[QDef] = Seq(
+
+    QDef("sim_cosine_topk",
+      // Brute-force baseline: the first QueryVecs vectors as the query
+      // set, broadcast nested-loop against the full table, window
+      // top-k. The big side streams; only q·k rows survive the window.
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val q = e.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH pairs AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 round(${cosSql("q", "e")}, 6) AS cos
+          FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+          WHERE q.vec_id < $QueryVecs),
+        rk AS (SELECT q_id, vec_id, cos,
+                      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+               FROM pairs)
+        SELECT q_id, rank, vec_id, cos FROM rk WHERE rank <= $K
+        ORDER BY q_id, rank""")),
+
+    QDef("join_cross_topk_similarity",
+      // Label-blocked KNN join: every vector's top-3 neighbours within
+      // its label partition. The cross product exists only inside each
+      // block; shuffle key = label.
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val w = Window.partitionBy("vec_a")
+          .orderBy(col("cos").desc, col("vec_b").asc)
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
+            col("b.vec_id").as("vec_b"),
+            round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("label"), col("vec_a"),
+            col("rank").cast("long").as("rank"), col("vec_b"), col("cos"))
+          .orderBy("vec_a", "rank")
+      },
+      Some(s"""WITH pairs AS (
+          SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(${cosSql("a", "b")}, 6) AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id <> b.vec_id),
+        rk AS (SELECT label, vec_a, vec_b, cos,
+                      row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rank
+               FROM pairs)
+        SELECT label, vec_a, rank, vec_b, cos FROM rk WHERE rank <= 3
+        ORDER BY vec_a, rank""")),
+
+    QDef("sim_ann_lsh",
+      // Scale-path ANN: 8 deterministic random-hyperplane sign bits →
+      // bucket; candidates only within the query's bucket; top-3 by
+      // cosine. Spark evaluates literal plane arrays (broadcast-free
+      // constants); the oracle rebuilds identical planes from the same
+      // md5 formula in-query.
+      (s, dir) => {
+        val e = vecs(s, dir).withColumn("bucket", lshBucket(col("v")))
+        val q = e.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("bucket").as("q_bucket"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(q).join(e,
+            col("q_bucket") === col("bucket") && col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("q_bucket").as("bucket"), col("vec_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("bucket"),
+            col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH b AS (
+          SELECT vec_id, embedding, CAST($lshBucketSql AS BIGINT) AS bucket
+          FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS q_id, q.bucket AS bucket, e.vec_id AS vec_id,
+                 round(${cosSql("q", "e")}, 6) AS cos
+          FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+          WHERE q.vec_id < $QueryVecs),
+        rk AS (SELECT q_id, bucket, vec_id, cos,
+                      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+               FROM pairs)
+        SELECT q_id, bucket, rank, vec_id, cos FROM rk WHERE rank <= 3
+        ORDER BY q_id, rank"""))
+  )
+}
