@@ -21,7 +21,8 @@ object SparkEntry {
     Custom.all,
     TextAnalysis.all,
     Dedup.all,
-    Similarity.all)
+    Similarity.all,
+    Streaming.all)
 
   private lazy val defs: Seq[QDef] = groups.flatten
 

@@ -1,0 +1,211 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.Text
+import graft.streaming.StreamRuns
+
+/** Structured Streaming surface (SURVEY.md §2.2 streaming rows). Each
+  * entry runs a real streaming query to completion inside the query fn —
+  * file sources with AvailableNow (the incremental per-file pipeline of
+  * run_pipeline.py:105-109 re-expressed) or a two-phase MemoryStream for
+  * watermark late-data semantics — and returns the final sink table,
+  * which the DuckDB oracle reproduces in closed form.
+  *
+  * Scale posture: all state is bounded — window aggregations key on
+  * (window, group), dedup state on the key set, and the late-data query
+  * demonstrates the watermark actually evicting; nothing buffers the
+  * unbounded input.
+  */
+object Streaming {
+  import QDef._
+
+  /** One staged event row for the MemoryStream phases. */
+  final case class Ev(ts: Timestamp, event_type: String, user_id: Long)
+
+  /** Stream the events table back from a staged multi-file parquet copy. */
+  private def eventsStream(s: SparkSession, dir: String, tag: String,
+      files: Int, perTrigger: Option[Int]): DataFrame = {
+    val batch = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val src = StreamRuns.stageAsFiles(batch, tag, files)
+    val r = s.readStream.schema(batch.schema)
+    perTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).parquet(src)
+  }
+
+  val all: Seq[QDef] = Seq(
+
+    QDef("stream_file_ingest",
+      // O30-O32: incremental file-discovery ingest, two files per
+      // micro-batch, batch normalization logic reused unchanged inside
+      // foreachBatch, parquet sink. Final sink content == the batch
+      // result over the same input.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            col("text"))
+        val src = StreamRuns.stageAsFiles(docs, "ingest", 4)
+        val sink = StreamRuns.fresh("ingest-sink")
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 2).parquet(src)
+          .withColumn("fp", Text.fingerprint(col("text")))
+          .writeStream
+          .option("checkpointLocation", StreamRuns.fresh("ingest-ckpt"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.drop("text").write.mode("append").parquet(sink)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars,
+          substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    QDef("stream_tumbling_window",
+      // 5-minute tumbling windows per event type, exact decimal sums;
+      // complete mode so every window reaches the sink regardless of
+      // the final watermark position.
+      (s, dir) => {
+        val agg = eventsStream(s, dir, "tumble", 4, None)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sv"))
+        StreamRuns.runToMemory(s, agg, "complete", "tumble")
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("n"), col("sv").cast("double").as("sum_value"))
+          .orderBy("w_start", "event_type")
+      },
+      Some("""SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+          event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    QDef("stream_sliding_window",
+      // 10-minute windows sliding by 5: every event lands in exactly
+      // two windows; the oracle unions the two bucket shifts.
+      (s, dir) => {
+        val agg = eventsStream(s, dir, "slide", 4, None)
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+          .agg(count(lit(1)).as("n"))
+        StreamRuns.runToMemory(s, agg, "complete", "slide")
+          .select(col("window.start").as("w_start"), col("n"))
+          .orderBy("w_start")
+      },
+      Some("""WITH starts AS (
+          SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes' FROM events)
+        SELECT w_start, count(*) AS n FROM starts GROUP BY 1 ORDER BY w_start""")),
+
+    QDef("stream_session_window",
+      // Per-user session windows with a 5-minute gap. Spark starts a
+      // new session when the gap to the previous event is >= the
+      // timeout (session end is exclusive); the oracle's
+      // gaps-and-islands break uses the same >= boundary.
+      (s, dir) => {
+        val agg = eventsStream(s, dir, "sess", 4, None)
+          .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        StreamRuns.runToMemory(s, agg, "complete", "sess")
+          .select(col("user_id"),
+            col("session_window.start").as("s_start"),
+            col("session_window.end").as("s_end"), col("n"))
+          .orderBy("user_id", "s_start")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        m AS (SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                     THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sgrp AS (SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM m)
+        SELECT user_id, min(ts) AS s_start,
+               max(ts) + INTERVAL '5 minutes' AS s_end, count(*) AS n
+        FROM sgrp GROUP BY user_id, sid ORDER BY user_id, s_start""")),
+
+    QDef("stream_dedup_state",
+      // Stateful streaming dedup on (user_id, event_type) with
+      // dropDuplicatesWithinWatermark — O7's first-wins dedup with
+      // watermark-bounded state. Output projects the key set, which is
+      // order-independent and exactly the batch DISTINCT.
+      (s, dir) => {
+        val dd = eventsStream(s, dir, "dedup", 4, None)
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+        StreamRuns.runToMemory(s, dd, "append", "dedup")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type""")),
+
+    QDef("stream_late_data",
+      // Watermark drop/accept semantics via a two-phase MemoryStream:
+      // phase 1 feeds event_id % 3 <> 0, advancing the watermark to
+      // wm1 = max(phase-1 ts) - 10 min; phase 2 replays the rest as
+      // stragglers. Phase-2 rows below wm1 are dropped; survivors can
+      // advance the watermark again, and Spark runs one final
+      // no-new-data micro-batch after a watermark change, so the sink
+      // holds every window closed by wm2 = max(kept ts) - 10 min,
+      // counted over phase-1 plus surviving phase-2 rows — which is
+      // what the oracle computes in closed form. The driver-side
+      // collect is the two-phase replay harness, not a data-path op.
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
+        val phase1 = ev.filter(col("event_id") % 3 =!= 0)
+          .select(col("ts"), col("event_type"), col("user_id"))
+          .as[Ev].collect().toSeq
+        val phase2 = ev.filter(col("event_id") % 3 === 0)
+          .select(col("ts"), col("event_type"), col("user_id"))
+          .as[Ev].collect().toSeq
+
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ms = MemoryStream[Ev]
+        val qn = "late_" + java.util.UUID.randomUUID().toString.take(8)
+        val q = ms.toDF()
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .option("checkpointLocation", StreamRuns.fresh("late-ckpt"))
+          .start()
+        ms.addData(phase1)
+        q.processAllAvailable()
+        ms.addData(phase2)
+        q.processAllAvailable()
+        q.stop()
+        s.table(qn)
+          .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+          .orderBy("w_start", "event_type")
+      },
+      Some("""WITH b1 AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+          WHERE event_id % 3 <> 0),
+        wm1 AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM b1),
+        kept AS (
+          SELECT ts, event_type FROM b1
+          UNION ALL
+          SELECT CAST(ts AS TIMESTAMP), event_type FROM events, wm1
+          WHERE event_id % 3 = 0 AND CAST(ts AS TIMESTAMP) >= wm1.w),
+        wm2 AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM kept),
+        agg AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+                       event_type, count(*) AS n
+                FROM kept GROUP BY 1, 2)
+        SELECT a.w_start, a.event_type, a.n FROM agg a, wm2
+        WHERE a.w_start + INTERVAL '5 minutes' <= wm2.w
+        ORDER BY a.w_start, a.event_type"""))
+  )
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Harness for running a Structured Streaming query to completion inside
+  * a batch-shaped `SparkEntry.queries` entry: file/Memory sources with
+  * AvailableNow-style triggers, memory or parquet sinks, fresh
+  * checkpoint per run. Batch stage functions are reused unchanged inside
+  * the streams (run_pipeline.py per-file incremental processing ≙ file
+  * source + foreachBatch; SURVEY.md §2.2 streaming rows).
+  */
+object StreamRuns {
+
+  /** Fresh scratch sub-directory (checkpoints, sinks, source copies). */
+  def fresh(tag: String): String = {
+    val p = s"/root/repo/target/scratch/stream/$tag-${UUID.randomUUID().toString.take(8)}"
+    new java.io.File(p).mkdirs()
+    p
+  }
+
+  /** Run `build`'s streaming DataFrame into an in-memory sink until no
+    * input remains; returns the final result table.
+    */
+  def runToMemory(
+      spark: SparkSession,
+      stream: DataFrame,
+      mode: String,
+      tag: String): DataFrame = {
+    val qn = s"${tag}_${UUID.randomUUID().toString.take(8).replace("-", "")}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(qn)
+      .outputMode(mode)
+      .option("checkpointLocation", fresh(s"$tag-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
+
+  /** Materialize a stable single-schema copy of a table as a multi-file
+    * parquet directory a file-source stream can discover incrementally.
+    */
+  def stageAsFiles(df: DataFrame, tag: String, files: Int): String = {
+    val dir = fresh(s"$tag-src")
+    df.repartition(files).write.mode("overwrite").parquet(dir)
+    dir
+  }
+}
