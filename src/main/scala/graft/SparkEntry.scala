@@ -22,7 +22,8 @@ object SparkEntry {
     TextAnalysis.all,
     Dedup.all,
     Similarity.all,
-    Streaming.all)
+    Streaming.all,
+    MultimodalQ.all)
 
   private lazy val defs: Seq[QDef] = groups.flatten
 

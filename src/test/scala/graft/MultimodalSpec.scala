@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Multimodal
+import graft.functions.Multimodal.{MediaRow, StubCodec}
+
+/** Byte-for-byte goldens for the stub codec and the mapPartitions
+  * plumbing (schema, batch shape, null/empty payloads).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("StubCodec is a deterministic pure function of the payload") {
+    val c = new StubCodec()
+    val r = c.decode(MediaRow(7L, "image", "abc".getBytes("UTF-8")))
+    // 'a'=97 → width 1+97%64=34; 3 bytes → height 4, frames 1;
+    // all three bytes fall in histogram bucket 97>>5 = 3.
+    assert(r.n_bytes == 3 && r.width == 34 && r.height == 4 && r.n_frames == 1)
+    assert(r.features.toSeq == Seq(0.0, 0.0, 0.0, 3.0, 0.0, 0.0, 0.0, 0.0))
+    assert(c.decode(MediaRow(7L, "image", "abc".getBytes("UTF-8"))).features.toSeq
+      == r.features.toSeq)
+  }
+
+  test("empty payload decodes to zeroed features, not a crash") {
+    val r = new StubCodec().decode(MediaRow(1L, "audio", Array.emptyByteArray))
+    assert(r.n_bytes == 0 && r.width == 1 && r.n_frames == 1)
+    assert(r.features.forall(_ == 0.0))
+  }
+
+  test("decodeBatch preserves row count and schema over partitions") {
+    implicit val s = spark
+    import s.implicits._
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .repartition(4)
+      .as[MediaRow]
+    val out = Multimodal.decodeBatch(media, () => new StubCodec())
+    assert(out.count() == media.count())
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "n_bytes", "width", "height", "n_frames", "features"))
+    // n_bytes from the codec must agree with the engine-side byte length.
+    val mismatch = out.toDF()
+      .join(media.toDF(), "media_id")
+      .filter(col("n_bytes") =!= length(col("payload")))
+      .count()
+    assert(mismatch == 0)
+  }
+}
