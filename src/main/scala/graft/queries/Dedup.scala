@@ -169,13 +169,15 @@ object Dedup {
       // scan): explicit in-order double dot/norm folds so both engines
       // sum identically; similarity rounded to 6 before thresholding.
       (s, dir) => {
+        def dot(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        // Norms precomputed per vector, not per pair (same IEEE ops as
+        // the oracle's sqrt(dot), 3x fewer flops in the pairwise stage).
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), x => x.cast("double")).as("v"))
-        def dot(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-        val cos = dot(col("a.v"), col("b.v")) /
-          (sqrt(dot(col("a.v"), col("a.v"))) * sqrt(dot(col("b.v"), col("b.v"))))
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
         e.as("a").join(e.as("b"),
             col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.label").as("label"),

@@ -29,16 +29,23 @@ object Similarity {
   private val QueryVecs = 10
   private val K = 5
 
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Vectors with their norm precomputed once — the pairwise stage then
+    * does one dot per pair instead of three (the per-pair norm
+    * recomputation would triple the flop count of every similarity
+    * join at scale). sqrt(dot(v,v)) here and sqrt(dot) in the oracle
+    * are the same IEEE operations, so parity is exact.
+    */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   private val dotSql = (x: String, y: String) =>
     s"list_sum(list_transform(range($Dims), i -> CAST($x.embedding[i+1] AS DOUBLE) * CAST($y.embedding[i+1] AS DOUBLE)))"
@@ -81,12 +88,13 @@ object Similarity {
       (s, dir) => {
         val e = vecs(s, dir)
         val q = e.filter(col("vec_id") < QueryVecs)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("vec_id").asc)
         broadcast(q).join(e, col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("vec_id"),
-            round(cosine(col("qv"), col("v")), 6).as("cos"))
+            round(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= K)
           .select(col("q_id"), col("rank").cast("long").as("rank"),
@@ -116,7 +124,8 @@ object Similarity {
             col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
             col("b.vec_id").as("vec_b"),
-            round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+            round(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6)
+              .as("cos"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("label"), col("vec_a"),
@@ -144,13 +153,13 @@ object Similarity {
         val e = vecs(s, dir).withColumn("bucket", lshBucket(col("v")))
         val q = e.filter(col("vec_id") < QueryVecs)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("bucket").as("q_bucket"))
+            col("nrm").as("qnrm"), col("bucket").as("q_bucket"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("vec_id").asc)
         broadcast(q).join(e,
             col("q_bucket") === col("bucket") && col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("q_bucket").as("bucket"), col("vec_id"),
-            round(cosine(col("qv"), col("v")), 6).as("cos"))
+            round(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("q_id"), col("bucket"),
