@@ -34,14 +34,26 @@ object Dedup {
   private val MinhashK = 16
   private val BandRows = 4
 
-  /** doc_id → (band, band-signature) rows: the LSH index build. */
+  /** doc_id → (band, band-signature) rows: the LSH index build.
+    *
+    * One md5 per shingle; the K hash families are affine rehashes
+    * `(h0·(2k+1) + k·2654435761) mod (2^31-1)` of that base hash — the
+    * standard minwise trick that avoids K full hashes per shingle (16×
+    * fewer md5 evaluations, integer-exact in any engine). The token
+    * array is materialized as a bound column BEFORE the shingle lambda:
+    * passing the raw split(...) expression into `transform` would
+    * re-evaluate the whole tokenization at every element access.
+    */
   private def minhashBands(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(shingles(toks, 3)).as("shingle"))
-      .select(col("doc_id"), col("shingle"),
+      .withColumn("tks", toks)
+      .select(col("doc_id"), explode(shingles(col("tks"), 3)).as("shingle"))
+      .select(col("doc_id"), Text.md5Hash32(col("shingle")).as("h0"))
+      .select(col("doc_id"), col("h0"),
         explode(lit((0 until MinhashK).toArray)).as("k"))
       .select(col("doc_id"), col("k"),
-        Text.md5Hash32(concat(col("k"), lit(":"), col("shingle"))).as("hv"))
+        ((col("h0") * (col("k") * 2 + 1) + col("k") * lit(2654435761L))
+          % lit(2147483647L)).as("hv"))
       .groupBy("doc_id", "k").agg(min("hv").as("h"))
       .withColumn("band", (col("k") / BandRows).cast("int"))
       .groupBy("doc_id", "band")
@@ -51,8 +63,10 @@ object Dedup {
 
   private val minhashBandsSql =
     s"""mh AS (
-          SELECT doc_id, k, min(${h32Sql("k || ':' || shingle")}) AS h
-          FROM (SELECT doc_id, unnest($shSql) AS shingle FROM documents),
+          SELECT doc_id, k,
+                 min((h0 * (k * 2 + 1) + k * 2654435761) % 2147483647) AS h
+          FROM (SELECT doc_id, ${h32Sql("shingle")} AS h0
+                FROM (SELECT doc_id, unnest($shSql) AS shingle FROM documents)),
                (SELECT unnest(range($MinhashK)) AS k)
           GROUP BY doc_id, k),
         bands AS (
@@ -137,9 +151,11 @@ object Dedup {
       // engine-exact. Blocks bound the pair count; the division is the
       // only float op and happens once per candidate.
       (s, dir) => {
+        // tks bound first — see minhashBands on lambda re-evaluation.
         val sets = t(s, dir, "documents")
+          .withColumn("tks", toks)
           .select(col("doc_id"), col("source"), col("lang"),
-            array_distinct(shingles(toks, 3)).as("ss"))
+            array_distinct(shingles(col("tks"), 3)).as("ss"))
         val inter = size(array_intersect(col("a.ss"), col("b.ss")))
         val ja = inter.cast("double") /
           (size(col("a.ss")) + size(col("b.ss")) - inter).cast("double")
