@@ -89,6 +89,30 @@ object Custom {
                FROM cnts)
         SELECT source, rank, term, cnt FROM rk WHERE rank <= 3 ORDER BY source, rank""")),
 
+    QDef("ext_sql_functions",
+      // The SparkSessionExtensions surface: both custom expressions
+      // resolved from SQL text (scalar call + LATERAL VIEW generator).
+      // ensureRegistered makes the entry independent of how the session
+      // was built; sessions created with
+      // spark.sql.extensions=graft.GraftExtensions get this for free.
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        t(s, dir, "part").createOrReplaceTempView("ext_part")
+        s.sql("""SELECT p_partkey, tv.level, tv.term, uri_hash(tv.term) AS uri
+                 FROM ext_part
+                 LATERAL VIEW term_triple_explode(
+                   p_name, p_brand,
+                   CASE WHEN p_size > 25 THEN p_type ELSE '' END) tv AS level, term
+                 ORDER BY p_partkey, level, term""")
+      },
+      Some("""WITH tv AS (
+          SELECT p_partkey, 'main' AS level, p_name AS term FROM part
+          UNION ALL SELECT p_partkey, 'midsub', p_brand FROM part
+          UNION ALL SELECT p_partkey, 'sub', p_type FROM part WHERE p_size > 25)
+        SELECT p_partkey, level, term,
+          'r' || CAST(CAST(('0x' || substr(sha256(regexp_replace(lower(term), '[ ,]', '', 'g')), 1, 8)) AS BIGINT) % 100000000 AS VARCHAR) AS uri
+        FROM tv ORDER BY p_partkey, level, term""")),
+
     QDef("udtf_generator",
       // Custom Generator unpivoting a (main, midsub, sub) triple into
       // (level, term) rows, skipping nulls and empties exactly like the

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge between graft's custom Catalyst `Expression`s and the public
@@ -16,4 +17,17 @@ object GraftShim {
 
   /** Unwrap a Column to its analyzed-later Catalyst expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register an expression builder in an EXISTING session's function
+    * registry (idempotent). `GraftExtensions` is the front door for
+    * sessions built with `spark.sql.extensions`; this path serves
+    * sessions the caller did not construct (the driver's smoke session).
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(name), info, builder)
 }
