@@ -14,10 +14,12 @@ import graft.functions.{TermTripleExplode, UriHashExpr}
   * injection surface (SURVEY.md §4.3).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.LowerClassifyTerm)
+  }
 }
 
 object GraftExtensions {
@@ -36,13 +38,22 @@ object GraftExtensions {
     f("term_triple_explode",
       "term_triple_explode(main, midsub, sub) - (level, term) rows, skipping null/empty") {
       cs => TermTripleExplode(cs(0), cs(1), cs(2))
+    },
+    f("classify_term",
+      "classify_term(norm) - deterministic rule-classifier label; lowered by LowerClassifyTerm") {
+      cs => graft.functions.ClassifyTerm(cs.head)
     })
 
-  /** Idempotently register the same functions on a session that was NOT
-    * built with the extension (e.g. the driver's own session).
+  /** Idempotently register the same functions — and the ClassifyTerm
+    * lowering rule via `experimental.extraOptimizations` — on a session
+    * that was NOT built with the extension (e.g. the driver's own
+    * session).
     */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       GraftShim.registerFunction(spark, id.funcName, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LowerClassifyTerm))
+      spark.experimental.extraOptimizations ++= Seq(graft.plans.LowerClassifyTerm)
+  }
 }

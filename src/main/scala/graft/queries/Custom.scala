@@ -113,6 +113,25 @@ object Custom {
           'r' || CAST(CAST(('0x' || substr(sha256(regexp_replace(lower(term), '[ ,]', '', 'g')), 1, 8)) AS BIGINT) % 100000000 AS VARCHAR) AS uri
         FROM tv ORDER BY p_partkey, level, term""")),
 
+    QDef("rule_classify_lower",
+      // The custom optimizer rule surface: classify_term(norm) is an
+      // Unevaluable marker the LowerClassifyTerm Rule[LogicalPlan]
+      // rewrites into the rule-classifier expression during
+      // optimization — executing at all proves the rule ran.
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        t(s, dir, "part")
+          .select(col("p_partkey"), Text.normTerm(col("p_name")).as("norm"))
+          .createOrReplaceTempView("rule_part")
+        s.sql("""SELECT classify_term(norm) AS type, count(*) AS n
+                 FROM rule_part GROUP BY 1 ORDER BY 1""")
+      },
+      Some(s"""SELECT ${graft.pipeline.Classify.RuleClassifier.labelSql} AS type,
+            count(*) AS n
+          FROM (SELECT lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS norm
+                FROM part)
+          GROUP BY 1 ORDER BY 1""")),
+
     QDef("udtf_generator",
       // Custom Generator unpivoting a (main, midsub, sub) triple into
       // (level, term) rows, skipping nulls and empties exactly like the
