@@ -237,6 +237,50 @@ object Relational {
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
         GROUP BY 1 ORDER BY 1""")),
 
+    QDef("join_asof",
+      (s, dir) => {
+        // As-of join (the family the reference's key-lookups never
+        // reach, SURVEY §2.1 note): for each click, the latest purchase
+        // of the same user at-or-before its timestamp. Implemented as
+        // union + running last-non-null over one (user_id) shuffle —
+        // the sort-merge as-of shape that scales linearly, instead of a
+        // pairwise ts-range join. Equal-ts purchases sort before clicks
+        // (kr) so <= semantics hold; event_id totalizes ties.
+        val ev = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"),
+            when(col("event_type") === "purchase", 0).otherwise(1).as("kr"))
+        val win = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("kr"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def lastP(c: org.apache.spark.sql.Column) =
+          last(when(col("event_type") === "purchase", c), ignoreNulls = true)
+            .over(win)
+        ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+            lastP(col("event_id")).as("p_id"),
+            lastP(col("ts")).as("p_ts"),
+            lastP(col("value")).as("p_value"))
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"), col("p_id"), col("p_ts"), col("p_value"))
+          .orderBy("user_id", "click_ts", "click_id")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+                 CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kr
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        w AS (SELECT user_id, event_id, ts, event_type,
+                last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS) OVER win AS p_id,
+                last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS) OVER win AS p_ts,
+                last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER win AS p_value
+              FROM ev
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, kr, event_id
+                             ROWS UNBOUNDED PRECEDING))
+        SELECT user_id, event_id AS click_id, ts AS click_ts, p_id, p_ts, p_value
+        FROM w WHERE event_type = 'click'
+        ORDER BY user_id, click_ts, click_id""")),
+
     // ------------------------------------------------------------------
     // Aggregations
     // ------------------------------------------------------------------
