@@ -27,92 +27,101 @@ import graft.functions.{ConvertName, Text}
   */
 object Graph {
 
-  private def norm = Text.normTerm _
-
   private def convertedAuthor(c: String) = ConvertName.asUdf(col(c))
+
+  /** Single-pass multi-emit: each input row contributes an array of
+    * candidate output structs (null when its condition fails), exploded
+    * and null-filtered. A union-of-filtered-branches shape would
+    * re-execute the upstream labeled/docs pipeline once per branch —
+    * Spark shares no common subtrees across union arms — which at sf0.1
+    * multiplied the whole classify chain 6-11x per graph query.
+    */
+  private def emit(df: DataFrame, candidates: Seq[org.apache.spark.sql.Column],
+      fields: Seq[String]): DataFrame =
+    df.select(explode(array(candidates: _*)).as("x"))
+      .filter(col("x").isNotNull)
+      .select(fields.map(f => col(s"x.$f").as(f)): _*)
 
   /** All six node labels, deduplicated on (label, key, uri). */
   def nodes(flatDocs: DataFrame, labeled: DataFrame): DataFrame = {
     val nullUri = lit(null).cast("string")
-    val docs = flatDocs.select(lit("Document").as("label"),
-      col("documentID").as("key"), nullUri.as("uri"))
+    def node(label: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+        uri: org.apache.spark.sql.Column) =
+      struct(label.as("label"), key.as("key"), uri.as("uri"))
+
     // update_json converts every author/recipient name (O21) before URIs
     // are minted from the converted form (generate_uri.py:51-57).
     // The reference loops over present entities only (empty author list /
-    // missing location emit nothing, json_to_db.py:84-95) -> null-filter.
-    def docEntity(field: String, label: String, convert: Boolean) = {
-      val name = if (convert) convertedAuthor(field) else col(field)
-      flatDocs.filter(col(field).isNotNull)
-        .select(lit(label).as("label"), name.as("key"),
-          Text.uriHash(name).as("uri"))
-    }
-    val authors = docEntity("author", "Person", convert = true)
-    val recipients = docEntity("recipient", "Person", convert = true)
-    val places = docEntity("loc", "Place", convert = false)
-    def mainEntity(t: String, label: String) = labeled
-      .filter(col("main_type") === t)
-      .select(lit(label).as("label"), col("main").as("key"),
-        Text.uriHash(col("main")).as("uri"))
-    val termMains = labeled.filter(col("main_type") === "term")
-      .select(lit("Term").as("label"), col("main").as("key"), nullUri.as("uri"))
-    val subTerms = labeled.select(col("midsub").as("key"))
-      .union(labeled.select(col("sub")))
-      .filter(col("key").isNotNull && col("key") =!= "")
-      .select(lit("Term").as("label"), col("key"), nullUri.as("uri"))
-    val dates = flatDocs.select(col("date_from").as("key"))
-      .union(flatDocs.select(col("date_to")))
-      .filter(col("key").isNotNull && col("key") =!= "")
-      .select(lit("Date").as("label"), col("key"), nullUri.as("uri"))
+    // missing location emit nothing, json_to_db.py:84-95) -> null guards.
+    val author = convertedAuthor("author")
+    val recipient = convertedAuthor("recipient")
+    val fromDocs = emit(flatDocs, Seq(
+      node(lit("Document"), col("documentID"), nullUri),
+      when(col("author").isNotNull,
+        node(lit("Person"), author, Text.uriHash(author))),
+      when(col("recipient").isNotNull,
+        node(lit("Person"), recipient, Text.uriHash(recipient))),
+      when(col("loc").isNotNull,
+        node(lit("Place"), col("loc"), Text.uriHash(col("loc")))),
+      when(col("date_from").isNotNull && col("date_from") =!= "",
+        node(lit("Date"), col("date_from"), nullUri)),
+      when(col("date_to").isNotNull && col("date_to") =!= "",
+        node(lit("Date"), col("date_to"), nullUri))),
+      Seq("label", "key", "uri"))
 
-    docs
-      .union(authors).union(recipients).union(places)
-      .union(mainEntity("person", "Person"))
-      .union(mainEntity("place", "Place"))
-      .union(mainEntity("organization", "Organization"))
-      .union(termMains).union(subTerms).union(dates)
-      .distinct()
+    val mainLabel = when(col("main_type") === "person", "Person")
+      .when(col("main_type") === "place", "Place")
+      .when(col("main_type") === "organization", "Organization")
+      .otherwise("Term")
+    val fromLabeled = emit(labeled, Seq(
+      node(mainLabel, col("main"),
+        when(col("main_type") =!= "term", Text.uriHash(col("main")))),
+      when(col("midsub").isNotNull && col("midsub") =!= "",
+        node(lit("Term"), col("midsub"), nullUri)),
+      when(col("sub").isNotNull && col("sub") =!= "",
+        node(lit("Term"), col("sub"), nullUri))),
+      Seq("label", "key", "uri"))
+
+    fromDocs.union(fromLabeled).distinct()
   }
 
   /** All eleven edge types, deduplicated on (src, dst, type). */
   def edges(flatDocs: DataFrame, labeled: DataFrame): DataFrame = {
-    def docRole(field: String, role: String, convert: Boolean) = {
-      val name = if (convert) convertedAuthor(field) else col(field)
-      flatDocs.filter(col(field).isNotNull)
-        .select(Text.uriHash(name).as("src"),
-          col("documentID").as("dst"), lit(role).as("type"))
-    }
-    val author = docRole("author", "AUTHOR", convert = true)
-    val recipient = docRole("recipient", "RECIPIENT", convert = true)
-    val location = docRole("loc", "LOCATION", convert = false)
-    def dateEdge(field: String, role: String) = flatDocs
-      .filter(col(field).isNotNull && col(field) =!= "")
-      .select(col("documentID").as("src"), col(field).as("dst"),
-        lit(role).as("type"))
-    def hasEntity(t: String, role: String) = labeled
-      .filter(col("main_type") === t)
-      .select(Text.uriHash(col("main")).as("src"),
-        col("documentID").as("dst"), lit(role).as("type"))
-    val hasTerm = labeled.filter(col("main_type") === "term")
-      .select(col("documentID").as("src"), col("main").as("dst"),
-        lit("HAS_TERM").as("type"))
-    // Parent matched by `term` property -> only term-typed mains (see
-    // class doc); child is the midsub/sub string.
-    def subEdge(field: String, role: String) = labeled
-      .filter(col("main_type") === "term"
-        && col(field).isNotNull && col(field) =!= "")
-      .select(col("main").as("src"), col(field).as("dst"),
-        lit(role).as("type"))
+    def edge(src: org.apache.spark.sql.Column, dst: org.apache.spark.sql.Column,
+        typ: org.apache.spark.sql.Column) =
+      struct(src.as("src"), dst.as("dst"), typ.as("type"))
 
-    author.union(recipient).union(location)
-      .union(dateEdge("date_from", "DATE_FROM"))
-      .union(dateEdge("date_to", "DATE_TO"))
-      .union(hasEntity("person", "HAS_PERSON"))
-      .union(hasEntity("place", "HAS_PLACE"))
-      .union(hasEntity("organization", "HAS_ORGANIZATION"))
-      .union(hasTerm)
-      .union(subEdge("midsub", "MIDSUB"))
-      .union(subEdge("sub", "SUB"))
-      .distinct()
+    val author = convertedAuthor("author")
+    val recipient = convertedAuthor("recipient")
+    val fromDocs = emit(flatDocs, Seq(
+      when(col("author").isNotNull,
+        edge(Text.uriHash(author), col("documentID"), lit("AUTHOR"))),
+      when(col("recipient").isNotNull,
+        edge(Text.uriHash(recipient), col("documentID"), lit("RECIPIENT"))),
+      when(col("loc").isNotNull,
+        edge(Text.uriHash(col("loc")), col("documentID"), lit("LOCATION"))),
+      when(col("date_from").isNotNull && col("date_from") =!= "",
+        edge(col("documentID"), col("date_from"), lit("DATE_FROM"))),
+      when(col("date_to").isNotNull && col("date_to") =!= "",
+        edge(col("documentID"), col("date_to"), lit("DATE_TO")))),
+      Seq("src", "dst", "type"))
+
+    // Parent matched by `term` property -> MIDSUB/SUB only under
+    // term-typed mains (see class doc); child is the midsub/sub string.
+    val isTerm = col("main_type") === "term"
+    val fromLabeled = emit(labeled, Seq(
+      when(!isTerm,
+        edge(Text.uriHash(col("main")), col("documentID"),
+          concat(lit("HAS_"), upper(col("main_type"))))),
+      when(isTerm,
+        edge(col("documentID"), col("main"), lit("HAS_TERM"))),
+      when(isTerm && col("midsub").isNotNull && col("midsub") =!= "",
+        edge(col("main"), col("midsub"), lit("MIDSUB"))),
+      when(isTerm && col("sub").isNotNull && col("sub") =!= "",
+        edge(col("main"), col("sub"), lit("SUB")))),
+      Seq("src", "dst", "type"))
+
+    fromDocs.union(fromLabeled).distinct()
   }
 
   /** Partitioned graph sink (O29): one parquet dataset per label/type. */
