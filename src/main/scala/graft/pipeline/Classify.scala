@@ -69,9 +69,15 @@ object Classify {
     * collision — max(type) reproduces that ('place' > 'person').
     */
   def knownEntities(flatDocs: DataFrame): DataFrame =
-    flatDocs.select(Text.normTerm(col("author")).as("norm"), lit("person").as("type"))
-      .union(flatDocs.select(Text.normTerm(col("recipient")), lit("person")))
-      .union(flatDocs.select(Text.normTerm(col("loc")), lit("place")))
+    // Single-pass multi-emit: three union arms would re-execute the
+    // flatDocs join chain once per arm (no common-subtree sharing
+    // across unions).
+    flatDocs.select(explode(array(
+        struct(Text.normTerm(col("author")).as("norm"), lit("person").as("type")),
+        struct(Text.normTerm(col("recipient")).as("norm"), lit("person").as("type")),
+        struct(Text.normTerm(col("loc")).as("norm"), lit("place").as("type"))))
+        .as("x"))
+      .select(col("x.norm").as("norm"), col("x.type").as("type"))
       .groupBy("norm")
       .agg(max(col("type")).as("type"))
 

@@ -21,14 +21,24 @@ object NestedEnrich {
   private val termObjDdl = "term STRING, type STRING"
   private val termObjUriDdl = "term STRING, type STRING, uri STRING"
 
-  /** Known-entity harvest from the nested model (O13). */
+  /** Known-entity harvest from the nested model (O13). Single-pass
+    * multi-emit over one scan of the nested docs — per-arm unions would
+    * re-execute the nested-model build (join + collect_list) per arm.
+    */
   def knownEntities(docs: DataFrame): DataFrame =
-    docs.select(explode(col("authors")).as("a"))
-      .select(Text.normTerm(col("a.name")).as("norm"), lit("person").as("type"))
-      .union(docs.select(explode(col("recipients")).as("r"))
-        .select(Text.normTerm(col("r.name")), lit("person")))
-      .union(docs.filter(col("location").isNotNull)
-        .select(Text.normTerm(col("location.name")), lit("place")))
+    docs.select(explode(concat(
+        transform(col("authors"), a =>
+          struct(Text.normTerm(a.getField("name")).as("norm"),
+            lit("person").as("type"))),
+        transform(col("recipients"), r =>
+          struct(Text.normTerm(r.getField("name")).as("norm"),
+            lit("person").as("type"))),
+        when(col("location").isNotNull,
+          array(struct(Text.normTerm(col("location.name")).as("norm"),
+            lit("place").as("type"))))
+          .otherwise(array().cast("array<struct<norm: string, type: string>>"))))
+        .as("x"))
+      .select(col("x.norm").as("norm"), col("x.type").as("type"))
       .groupBy("norm").agg(max(col("type")).as("type"))
 
   /** B1 -> B2: classify index terms, apply label precedence, convert

@@ -129,17 +129,24 @@ object Pipeline {
     QDef("pipeline_uri_attach",
       (s, dir) => {
         val (docs, _, _, _, labeled) = stages(s, dir)
-        val entities = labeled.filter(col("main_type") =!= "term")
-          .select(col("main").as("name"), col("main_type").as("type"))
-          .union(labeled.filter(col("midsub_type") =!= "term")
-            .select(col("midsub"), col("midsub_type")))
-          .union(labeled.filter(col("sub_type") =!= "term")
-            .select(col("sub"), col("sub_type")))
-          .union(docs.select(ConvertName.asUdf(col("author")).as("name"), lit("person")))
-          .union(docs.select(ConvertName.asUdf(col("recipient")), lit("person")))
-          .union(docs.select(col("loc"), lit("place")))
-          .distinct()
-        entities.withColumn("uri", Text.uriHash(col("name")))
+        // Multi-emit, not union-of-filters: a union arm per entity kind
+        // would re-execute the labeled chain once per arm (see Graph).
+        def ent(name: org.apache.spark.sql.Column, typ: org.apache.spark.sql.Column) =
+          struct(name.as("name"), typ.as("type"))
+        val fromLabeled = labeled.select(explode(array(
+            when(col("main_type") =!= "term", ent(col("main"), col("main_type"))),
+            when(col("midsub_type") =!= "term", ent(col("midsub"), col("midsub_type"))),
+            when(col("sub_type") =!= "term", ent(col("sub"), col("sub_type")))))
+            .as("x"))
+          .filter(col("x").isNotNull)
+          .select(col("x.name").as("name"), col("x.type").as("type"))
+        val fromDocs = docs.select(explode(array(
+            ent(ConvertName.asUdf(col("author")), lit("person")),
+            ent(ConvertName.asUdf(col("recipient")), lit("person")),
+            ent(col("loc"), lit("place")))).as("x"))
+          .select(col("x.name").as("name"), col("x.type").as("type"))
+        fromLabeled.union(fromDocs).distinct()
+          .withColumn("uri", Text.uriHash(col("name")))
           .orderBy("name", "type")
       },
       Some(prelude +
