@@ -344,6 +344,38 @@ object Relational {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    QDef("agg_percentile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("median_price"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
+          round(percentile(col("l_quantity"), lit(0.25)), 4).as("q1_qty"))
+        .orderBy("l_returnflag"),
+      // Spark's exact percentile and DuckDB's quantile_cont share the
+      // same (n-1)*p linear interpolation; rounded for float parity.
+      Some("""SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+          round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+          round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    QDef("agg_pivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(money(col("l_quantity"))))
+        .select(col("l_returnflag"),
+          coalesce(col("F").cast("double"), lit(0.0)).as("f_qty"),
+          coalesce(col("O").cast("double"), lit(0.0)).as("o_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          CAST(coalesce(sum(CASE WHEN l_linestatus = 'F'
+            THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS f_qty,
+          CAST(coalesce(sum(CASE WHEN l_linestatus = 'O'
+            THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS o_qty
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     QDef("agg_collect_terms",
       (s, dir) => t(s, dir, "part")
         // O22 re-nest: collect_list after explode; sorted for determinism

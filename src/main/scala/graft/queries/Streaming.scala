@@ -4,8 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.functions.Text
 import graft.streaming.StreamRuns
@@ -27,6 +28,12 @@ object Streaming {
 
   /** One staged event row for the MemoryStream phases. */
   final case class Ev(ts: Timestamp, event_type: String, user_id: Long)
+
+  /** Custom per-user state carried across micro-batches. */
+  final case class UserState(n: Long, cents: Long)
+
+  /** Snapshot emitted by the stateful function after each batch. */
+  final case class UserSnap(user_id: Long, n: Long, cents: Long)
 
   /** Stream the events table back from a staged multi-file parquet copy. */
   private def eventsStream(s: SparkSession, dir: String, tag: String,
@@ -149,6 +156,39 @@ object Streaming {
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
         ORDER BY user_id, event_type""")),
+
+    QDef("stream_custom_state",
+      // Arbitrary stateful processing (flatMapGroupsWithState): per-user
+      // running (count, cent-exact sum) state updated across >= 2
+      // micro-batches (4 source files, 2 per trigger), a snapshot
+      // emitted per batch. The final per-user snapshot — selected by
+      // max n, which strictly increases per invocation — equals the
+      // batch GROUP BY, which is only possible if state persisted
+      // across batches. Sums are integer cents via floor(v*100 + 0.5)
+      // so group-iteration order cannot perturb them.
+      (s, dir) => {
+        import s.implicits._
+        val src = eventsStream(s, dir, "state", 4, Some(2))
+        val ds = src.select(col("user_id"), col("value")).as[(Long, Double)]
+        val out = ds.groupByKey(_._1).flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+            var st = state.getOption.getOrElse(UserState(0L, 0L))
+            it.foreach { case (_, v) =>
+              st = UserState(st.n + 1, st.cents + math.floor(v * 100 + 0.5).toLong)
+            }
+            state.update(st)
+            Iterator(UserSnap(uid, st.n, st.cents))
+        }
+        val snaps = StreamRuns.runToMemory(s, out.toDF(), "append", "state")
+        val w = Window.partitionBy("user_id").orderBy(col("n").desc)
+        snaps.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("user_id"), col("n"), col("cents"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n,
+          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY user_id ORDER BY user_id""")),
 
     QDef("stream_late_data",
       // Watermark drop/accept semantics via a two-phase MemoryStream:
