@@ -146,16 +146,21 @@ object Dedup {
     }),
 
     QDef("dedup_ngram_jaccard",
-      // Blocked n-gram Jaccard: candidate pairs only within a
-      // (source, lang) block, similarity from integer set sizes —
-      // engine-exact. Blocks bound the pair count; the division is the
-      // only float op and happens once per candidate.
+      // Blocked n-gram Jaccard over HASHED shingles: candidate pairs
+      // only within a (source, lang) block, intersections on md5-derived
+      // 32-bit ints (primitive array_intersect, no per-pair string
+      // hashing), similarity from integer set sizes — engine-exact, the
+      // oracle hashes identically. Blocks bound the pair count; an
+      // inverted-index join is NOT the right shape for this corpus (hot
+      // shingles in a ~30-word vocab make per-shingle co-grouping
+      // quadratic).
       (s, dir) => {
         // tks bound first — see minhashBands on lambda re-evaluation.
         val sets = t(s, dir, "documents")
           .withColumn("tks", toks)
+          .withColumn("sh", shingles(col("tks"), 3))
           .select(col("doc_id"), col("source"), col("lang"),
-            array_distinct(shingles(col("tks"), 3)).as("ss"))
+            array_distinct(transform(col("sh"), x => Text.md5Hash32(x))).as("ss"))
         val inter = size(array_intersect(col("a.ss"), col("b.ss")))
         val ja = inter.cast("double") /
           (size(col("a.ss")) + size(col("b.ss")) - inter).cast("double")
@@ -169,7 +174,9 @@ object Dedup {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH sets AS (
-          SELECT doc_id, source, lang, list_distinct($shSql) AS ss FROM documents)
+          SELECT doc_id, source, lang,
+                 list_distinct(list_transform($shSql, x -> ${h32Sql("x")})) AS ss
+          FROM documents)
         SELECT a.source AS source, a.lang AS lang,
                a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
