@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ConvertName, Text}
+import graft.functions.{ConvertNameExpr, Text}
 
 /** The classification stage of the reference pipeline re-expressed as
   * set-oriented Spark plans (json_classification.py, SURVEY O13-O22).
@@ -144,7 +144,7 @@ object Classify {
     val a = broadcast(api.withColumnRenamed("type", "a_type"))
     def normed(c: String) = Text.normTerm(col(c))
     def convertIfPerson(term: Column, label: Column): Column =
-      when(label === "person", ConvertName.asUdf(term)).otherwise(term)
+      when(label === "person", ConvertNameExpr.convertNameNative(term)).otherwise(term)
 
     val mainLab = coalesce(col("k_type"), col("a_type"), lit("term"))
     val withMain = triples

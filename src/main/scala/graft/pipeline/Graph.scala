@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ConvertName, Text}
+import graft.functions.{ConvertNameExpr, Text}
 
 /** Graph-build stage (json_to_db.py, SURVEY O23-O29): the labeled
   * property graph as two DataFrames — nodes(label, key, uri) and
@@ -27,7 +27,7 @@ import graft.functions.{ConvertName, Text}
   */
 object Graph {
 
-  private def convertedAuthor(c: String) = ConvertName.asUdf(col(c))
+  private def convertedAuthor(c: String) = ConvertNameExpr.convertNameNative(col(c))
 
   /** Single-pass multi-emit: each input row contributes an array of
     * candidate output structs (null when its condition fails), exploded

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ConvertName, Text}
+import graft.functions.{ConvertNameExpr, Text}
 
 /** Nested document-model enrichment: the faithful B1 -> B2 -> B3 stage
   * contracts (SURVEY §1.1) over the §1.1 nested schema, replacing the
@@ -81,10 +81,10 @@ object NestedEnrich {
       .drop("indexing_enriched")
       .withColumn("authors",
         transform(col("authors"),
-          a => struct(ConvertName.asUdf(a.getField("name")).as("name"))))
+          a => struct(ConvertNameExpr.convertNameNative(a.getField("name")).as("name"))))
       .withColumn("recipients",
         transform(col("recipients"),
-          r => struct(ConvertName.asUdf(r.getField("name")).as("name"))))
+          r => struct(ConvertNameExpr.convertNameNative(r.getField("name")).as("name"))))
   }
 
   /** B2 -> B3: mint URIs (generate_uri.py:29-67) — always for

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ConvertName, Text}
+import graft.functions.{ConvertNameExpr, Text}
 import graft.pipeline.{Classify, Corpus, Graph, NestedEnrich, XmlDocs}
 
 /** End-to-end reference pipeline (SURVEY §7.1 flagship slice and §3.1
@@ -141,8 +141,8 @@ object Pipeline {
           .filter(col("x").isNotNull)
           .select(col("x.name").as("name"), col("x.type").as("type"))
         val fromDocs = docs.select(explode(array(
-            ent(ConvertName.asUdf(col("author")), lit("person")),
-            ent(ConvertName.asUdf(col("recipient")), lit("person")),
+            ent(ConvertNameExpr.convertNameNative(col("author")), lit("person")),
+            ent(ConvertNameExpr.convertNameNative(col("recipient")), lit("person")),
             ent(col("loc"), lit("place")))).as("x"))
           .select(col("x.name").as("name"), col("x.type").as("type"))
         fromLabeled.union(fromDocs).distinct()

@@ -41,7 +41,9 @@ object Streaming {
     val batch = t(s, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
-    val src = StreamRuns.stageAsFiles(batch, tag, files)
+    // Shared "events" staging key: all event-stream queries reuse one
+    // staged copy per scale dir (memoized in StreamRuns).
+    val src = StreamRuns.stageAsFiles(batch, "events", files)
     val r = s.readStream.schema(batch.schema)
     perTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).parquet(src)
   }

@@ -41,12 +41,20 @@ object StreamRuns {
     spark.table(qn)
   }
 
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Materialize a stable single-schema copy of a table as a multi-file
     * parquet directory a file-source stream can discover incrementally.
+    * Memoized per (tag, files, plan) within the JVM — six streaming
+    * queries over the same events table stage one copy, not six.
     */
   def stageAsFiles(df: DataFrame, tag: String, files: Int): String = {
-    val dir = fresh(s"$tag-src")
-    df.repartition(files).write.mode("overwrite").parquet(dir)
-    dir
+    val key = s"$tag/$files/${df.queryExecution.logical.semanticHash()}"
+    stageCache.computeIfAbsent(key, { _ =>
+      val dir = fresh(s"$tag-src")
+      df.repartition(files).write.mode("overwrite").parquet(dir)
+      dir
+    })
   }
 }

@@ -61,6 +61,15 @@ class PropertySpec extends AnyFunSuite {
     got.zip(expected).foreach { case (g, e) => assert(g == e.toSeq) }
   }
 
+  test("ConvertNameExpr (codegen) equals the ConvertName UDF everywhere") {
+    val named = samples ++ Seq("Washington, George", "Adams, Dr. John",
+      "von Humboldt, Baron Alexander", "One, Two, Three", "x,y")
+    val df = named.toDF("s").select(
+      graft.functions.ConvertNameExpr.convertNameNative(col("s")).as("native"),
+      ConvertName.asUdf(col("s")).as("viaUdf"))
+    assert(df.filter(col("native") =!= col("viaUdf")).count() == 0)
+  }
+
   test("convert_name passes through strings without a comma-space separator") {
     samples.filterNot(_.contains(", ")).foreach { s =>
       assert(ConvertName(s) == s, s"'$s'")
