@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Text
 
@@ -33,6 +34,46 @@ object TextAnalysis {
   private val deW = Seq("der", "die", "und", "das", "ist", "nicht")
   private val frW = Seq("le", "la", "les", "et", "est", "une")
   private val esW = Seq("el", "los", "las", "y", "es", "una")
+
+  /** Language-ID argmax with fixed tie precedence (shared by
+    * text_langid and the curation report; identical CASE in SQL).
+    */
+  private def predExpr: Column = {
+    val zh = size(regexp_extract_all(col("text"), lit("[一-鿿]"))).cast("long")
+    val (en, de, fr, es) =
+      (stopHits(enW), stopHits(deW), stopHits(frW), stopHits(esW))
+    when(zh >= 1, "zh")
+      .when(es > en && es > de && es > fr, "es")
+      .when(fr > en && fr > de, "fr")
+      .when(de > en, "de")
+      .otherwise("en")
+  }
+  private val predSql: String =
+    s"""CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) >= 1 THEN 'zh'
+         WHEN ${stopHitsSql(esW)} > ${stopHitsSql(enW)} AND ${stopHitsSql(esW)} > ${stopHitsSql(deW)} AND ${stopHitsSql(esW)} > ${stopHitsSql(frW)} THEN 'es'
+         WHEN ${stopHitsSql(frW)} > ${stopHitsSql(enW)} AND ${stopHitsSql(frW)} > ${stopHitsSql(deW)} THEN 'fr'
+         WHEN ${stopHitsSql(deW)} > ${stopHitsSql(enW)} THEN 'de'
+         ELSE 'en' END"""
+
+  /** Composite quality score rounded to 4 places (shared by
+    * text_quality_score and the curation report).
+    */
+  private def qualityExpr: Column = {
+    val nToks = size(toks).cast("double")
+    val stopR = stopHits(enW ++ deW ++ frW ++ esW).cast("double") / nToks
+    val punct = size(regexp_extract_all(col("text"), lit("[.,;:!?]")))
+      .cast("double") / length(col("text")).cast("double")
+    val meanLen = (length(Text.normTerm(col("text"))).cast("double")
+      - (size(toks) - 1).cast("double")) / nToks
+    round(lit(0.3) * stopR + lit(0.3) * (lit(1.0) - punct)
+      + lit(0.4) * least(meanLen / lit(8.0), lit(1.0)), 4)
+  }
+  private val qualitySql: String = {
+    val allW = stopHitsSql(enW ++ deW ++ frW ++ esW)
+    s"""round(0.3 * ($allW / CAST(len($toksSql) AS DOUBLE))
+        + 0.3 * (1.0 - len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE))
+        + 0.4 * least(((CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS DOUBLE) - (len($toksSql) - 1)) / len($toksSql)) / 8.0, 1.0), 4)"""
+  }
 
   val all: Seq[QDef] = Seq(
 
@@ -147,6 +188,33 @@ object TextAnalysis {
               + 0.4 * least(((CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS DOUBLE) - (len($toksSql) - 1)) / len($toksSql)) / 8.0, 1.0), 4) AS quality
         FROM documents ORDER BY doc_id""")
       }),
+
+    QDef("text_curation_report",
+      // The curation product query a training-data pipeline ships:
+      // per-source document count, mean quality (decimal-exact sum of
+      // the rounded per-doc scores), language-ID accuracy, and
+      // exact-dup rate — quality scoring + langid + dedup composed in
+      // one aggregate over a single scan.
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          qualityExpr.as("q"), predExpr.as("pred"),
+          Text.fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("q").cast(DecimalType(18, 4))).cast("double")
+            / count(lit(1)), 4).as("avg_quality"),
+          round(sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 4).as("langid_acc"),
+          count_distinct(col("fp")).as("n_unique"),
+          round(lit(1.0) - count_distinct(col("fp")).cast("double")
+            / count(lit(1)), 4).as("dup_rate"))
+        .orderBy("source"),
+      Some(s"""SELECT source, count(*) AS n_docs,
+          round(CAST(sum(CAST($qualitySql AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_quality,
+          round(sum(CASE WHEN $predSql = lang THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS langid_acc,
+          count(DISTINCT substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16)) AS n_unique,
+          round(1.0 - count(DISTINCT substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16)) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+        FROM documents GROUP BY source ORDER BY source""")),
 
     QDef("text_fingerprint",
       // Document fingerprinting: md5 whole-text fingerprint plus a
