@@ -344,6 +344,32 @@ object Relational {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    QDef("agg_skew_salted",
+      (s, dir) => {
+        // Skew mitigation by salting: collapse users < 50 onto one hot
+        // key, then aggregate in two phases — (key, salt) partials
+        // first, so the hot key spreads over 8 reducers, then the
+        // final combine per key. Results are identical to a direct
+        // GROUP BY (the oracle); the salt is derived from event_id
+        // rather than rand() so the oracle stays deterministic — at
+        // 100 TB the salt source is interchangeable.
+        val skewed = t(s, dir, "events")
+          .withColumn("k",
+            when(col("user_id") < 50, lit(0L)).otherwise(col("user_id")))
+        skewed
+          .withColumn("salt", pmod(col("event_id"), lit(8)))
+          .groupBy("k", "salt")
+          .agg(count(lit(1)).as("pn"), sum(money(col("value"))).as("ps"))
+          .groupBy("k")
+          .agg(sum(col("pn")).as("n"),
+            sum(col("ps")).cast("double").as("sum_value"))
+          .orderBy("k")
+      },
+      Some("""SELECT CASE WHEN user_id < 50 THEN 0 ELSE user_id END AS k,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     QDef("agg_percentile",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
