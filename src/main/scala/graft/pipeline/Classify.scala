@@ -125,9 +125,10 @@ object Classify {
     s"""api AS (
       SELECT norm, ${RuleClassifier.labelSql} AS type FROM (
         SELECT DISTINCT lower(trim(regexp_replace(term, '\\s+', ' ', 'g'))) AS norm
-        FROM terms
-        WHERE lower(trim(regexp_replace(term, '\\s+', ' ', 'g')))
-              NOT IN (SELECT norm FROM known)))"""
+        FROM terms t
+        WHERE NOT EXISTS (
+          SELECT 1 FROM known
+          WHERE known.norm = lower(trim(regexp_replace(t.term, '\\s+', ' ', 'g'))))))"""
 
   /** O20-O21 label precedence (json_classification.py:258-264) applied
     * to the per-document triples:

@@ -132,9 +132,24 @@ object XmlDocs {
     val rows = flatDocs.join(trip, Seq("documentID"), "left_outer")
       .orderBy("documentID")
       .collect()
+    // Escape the five XML entities — an unescaped '&'/'<'/'>' in a field
+    // would produce malformed XML that the PERMISSIVE reader turns into
+    // silently nulled rows.
+    def esc(s: String): String = {
+      val b = new StringBuilder(s.length)
+      s.foreach {
+        case '&'  => b.append("&amp;")
+        case '<'  => b.append("&lt;")
+        case '>'  => b.append("&gt;")
+        case '"'  => b.append("&quot;")
+        case '\'' => b.append("&apos;")
+        case c    => b.append(c)
+      }
+      b.toString
+    }
     val sb = new StringBuilder("<root>\n")
     rows.foreach { r =>
-      def g(n: String) = Option(r.getAs[String](n)).getOrElse("")
+      def g(n: String) = esc(Option(r.getAs[String](n)).getOrElse(""))
       sb.append("<document>")
         .append(s"<documentID>${g("documentID")}</documentID>")
         .append(s"<documentTitle>${g("documentTitle")}</documentTitle>")
@@ -157,9 +172,9 @@ object XmlDocs {
       val ts = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ts")
       if (ts != null) ts.foreach { t =>
         sb.append("<indexTerm>")
-          .append(s"<main>${t.getString(0)}</main>")
-          .append(s"<midsub>${t.getString(1)}</midsub>")
-          .append(s"<sub>${t.getString(2)}</sub>")
+          .append(s"<main>${esc(t.getString(0))}</main>")
+          .append(s"<midsub>${esc(t.getString(1))}</midsub>")
+          .append(s"<sub>${esc(t.getString(2))}</sub>")
           .append("</indexTerm>")
       }
       sb.append("</indexing></document>\n")

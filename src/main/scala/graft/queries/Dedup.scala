@@ -164,9 +164,14 @@ object Dedup {
         val inter = size(array_intersect(col("a.ss"), col("b.ss")))
         val ja = inter.cast("double") /
           (size(col("a.ss")) + size(col("b.ss")) - inter).cast("double")
+        // Guard the empty∩empty pair: 0/0 is NaN, which Spark's `>= 0.05`
+        // rejects but DuckDB (NaN sorts greatest) would accept — exclude
+        // it explicitly on BOTH sides so the engines agree by
+        // construction, not by data accident.
         sets.as("a").join(sets.as("b"),
             col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
-              col("a.doc_id") < col("b.doc_id"))
+              col("a.doc_id") < col("b.doc_id") &&
+              (size(col("a.ss")) + size(col("b.ss"))) > 0)
           .select(col("a.source").as("source"), col("a.lang").as("lang"),
             col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             round(ja, 4).as("jaccard"))
@@ -183,6 +188,7 @@ object Dedup {
                      / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 4) AS jaccard
         FROM sets a JOIN sets b
           ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+            AND (len(a.ss) + len(b.ss)) > 0
         WHERE round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
                     / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 4) >= 0.05
         ORDER BY doc_a, doc_b""")),

@@ -196,12 +196,15 @@ object Streaming {
       // Watermark drop/accept semantics via a two-phase MemoryStream:
       // phase 1 feeds event_id % 3 <> 0, advancing the watermark to
       // wm1 = max(phase-1 ts) - 10 min; phase 2 replays the rest as
-      // stragglers. Phase-2 rows below wm1 are dropped; survivors can
-      // advance the watermark again, and Spark runs one final
-      // no-new-data micro-batch after a watermark change, so the sink
-      // holds every window closed by wm2 = max(kept ts) - 10 min,
-      // counted over phase-1 plus surviving phase-2 rows — which is
-      // what the oracle computes in closed form. The driver-side
+      // stragglers. Phase-2 rows whose window already closed under wm1
+      // are dropped (the late filter is window-level: drop iff
+      // window.end <= wm1); every phase-2 row still advances the
+      // watermark (the stats operator precedes the late filter), and
+      // Spark runs one final no-new-data micro-batch after a watermark
+      // change, so the sink holds every window closed by
+      // wm2 = max(all ts) - 10 min, counted over phase-1 plus surviving
+      // phase-2 rows — which is what the oracle computes in closed
+      // form. The driver-side
       // collect is the two-phase replay harness, not a data-path op.
       (s, dir) => {
         import s.implicits._
@@ -240,9 +243,18 @@ object Streaming {
         kept AS (
           SELECT ts, event_type FROM b1
           UNION ALL
+          -- Spark's late filter is WINDOW-level, not row-level: a phase-2
+          -- row is dropped only when its window has already closed
+          -- (window.end <= watermark), so rows with ts < wm1 but inside a
+          -- still-open window are aggregated.
           SELECT CAST(ts AS TIMESTAMP), event_type FROM events, wm1
-          WHERE event_id % 3 = 0 AND CAST(ts AS TIMESTAMP) >= wm1.w),
-        wm2 AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM kept),
+          WHERE event_id % 3 = 0
+            AND time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                + INTERVAL '5 minutes' > wm1.w),
+        -- The watermark stats operator sits UPSTREAM of the aggregate's
+        -- late filter, so every phase-2 row (even a dropped one) advances
+        -- the watermark: wm2 derives from max over ALL rows, not kept.
+        wm2 AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes' AS w FROM events),
         agg AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
                        event_type, count(*) AS n
                 FROM kept GROUP BY 1, 2)
