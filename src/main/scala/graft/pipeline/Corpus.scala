@@ -74,12 +74,18 @@ object Corpus {
     * corpus: arrays/structs assembled in flight, indexing canonicalized
     * by sort (the per-document array is the deterministic unit).
     */
-  def nestedDocs(s: SparkSession, dir: String): DataFrame = {
-    val trip = indexTriples(s, dir)
+  def nestedDocs(s: SparkSession, dir: String): DataFrame =
+    nestedDocsFrom(flatDocs(s, dir), indexTriples(s, dir))
+
+  /** [[nestedDocs]] over already-staged flat/triple inputs (so cached
+    * stage outputs are reused instead of re-deriving the corpus joins).
+    */
+  def nestedDocsFrom(flat: DataFrame, triples: DataFrame): DataFrame = {
+    val trip = triples
       .groupBy("documentID")
       .agg(sort_array(collect_list(
         struct(col("main"), col("midsub"), col("sub")))).as("indexing"))
-    flatDocs(s, dir).join(trip, Seq("documentID"), "left_outer")
+    flat.join(trip, Seq("documentID"), "left_outer")
       .select(
         col("documentID"),
         col("documentTitle"),

@@ -44,16 +44,24 @@ object NestedEnrich {
   /** B1 -> B2: classify index terms, apply label precedence, convert
     * person names (authors/recipients always), rebuild `indexing` as
     * typed term objects.
+    *
+    * `maps` optionally supplies already-staged (known, api) lookup
+    * tables (their content is invariant between the nested and flat
+    * corpus views — same entity fields, same distinct term set), so a
+    * session that staged the flat pipeline does not re-derive the
+    * classify chain here.
     */
-  def enrich(docs: DataFrame, classifier: Classify.Classifier): DataFrame = {
-    val known = knownEntities(docs)
+  def enrich(docs: DataFrame, classifier: Classify.Classifier,
+      maps: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val known = maps.map(_._1).getOrElse(knownEntities(docs))
     val triples = docs
       .select(col("documentID"), posexplode(col("indexing")))
       .select(col("documentID"), col("pos"),
         col("col.main").as("main"),
         col("col.midsub").as("midsub"),
         col("col.sub").as("sub"))
-    val api = Classify.apiMap(Classify.allTerms(triples), known, classifier)
+    val api = maps.map(_._2).getOrElse(
+      Classify.apiMap(Classify.allTerms(triples), known, classifier))
     val labeled = Classify.labelTriples(triples, known, api)
 
     def subObj(f: String): Column =

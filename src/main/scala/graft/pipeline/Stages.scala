@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Shared pipeline stage outputs, memoized per (session, input dir) and
+  * persisted in managed cache.
+  *
+  * The reference materializes every stage boundary to disk and each
+  * downstream stage re-reads it (run_pipeline.py:50-54;
+  * xml_to_json.py:130 -> json_classification.py:310 ->
+  * generate_uri.py:78 -> json_to_db.py:142). The Spark-native analog of
+  * that stage-output reuse is persist(): the classify chain is computed
+  * once per session+input and every consumer — the seven pipeline
+  * queries, the XML-scan staging, the graph build — reuses it.
+  *
+  * This is also load-bearing *within* a single query: labelTriples
+  * broadcasts the api map three times (main/midsub/sub joins) under
+  * different aliases, and aliased broadcast exchanges are not
+  * deduplicated by exchange reuse — without persistence each broadcast
+  * re-executes the whole distinct-classify subplan, and the graph
+  * queries were paying the chain 3-4x each.
+  *
+  * Scale posture (100 TB): `known`/`api` are dimension-sized (bounded by
+  * the distinct entity/term count — the reference's own premise when it
+  * builds in-memory dicts of them, json_classification.py:313-343) and
+  * belong in executor cache. `docs`/`triples`/`labeled` are fact-sized;
+  * MEMORY_AND_DISK spills partitions instead of OOMing, and in a true
+  * multi-job deployment the same structure materializes to parquet
+  * instead of cache — the plan shape is identical, only the medium
+  * changes.
+  */
+object Stages {
+
+  final case class PipelineStages(
+      docs: DataFrame,
+      triples: DataFrame,
+      nested: DataFrame,
+      known: DataFrame,
+      api: DataFrame,
+      labeled: DataFrame,
+      nodes: DataFrame)
+
+  private val cache = new ConcurrentHashMap[String, PipelineStages]()
+
+  def apply(s: SparkSession, dir: String): PipelineStages =
+    cache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      def p(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val docs = p(Corpus.flatDocs(s, dir))
+      val triples = p(Corpus.indexTriples(s, dir))
+      val nested = Corpus.nestedDocsFrom(docs, triples)
+      val known = p(Classify.knownEntities(docs))
+      val api = p(Classify.apiMap(Classify.allTerms(triples), known, Classify.RuleClassifier))
+      val labeled = p(Classify.labelTriples(triples, known, api))
+      val nodes = p(Graph.nodes(docs, labeled))
+      PipelineStages(docs, triples, nested, known, api, labeled, nodes)
+    })
+}
+
+/** Generic memoized persist for any staged intermediate keyed by
+  * (session, input dir, tag). Self-join stages use it because Spark
+  * shares no common subtree between the two sides of a self-join —
+  * without persistence a pairwise similarity/dedup query tokenizes,
+  * shingles, and hashes the whole corpus once PER SIDE, and sibling
+  * queries over the same index (minhash signatures vs candidate pairs)
+  * rebuild it from scratch.
+  */
+object Staged {
+  private val cache = new ConcurrentHashMap[String, DataFrame]()
+
+  def apply(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir|$tag",
+      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+}

@@ -91,9 +91,11 @@ object Dedup {
 
     QDef("dedup_minhash_sig",
       // The MinHash+LSH index itself: 16 md5-seeded min-hashes over
-      // 3-token shingles, banded 4×4. Rows = docs × 4 bands.
-      (s, dir) => minhashBands(t(s, dir, "documents"))
-        .orderBy("doc_id", "band"),
+      // 3-token shingles, banded 4×4. Rows = docs × 4 bands. Staged:
+      // the candidate-pair query self-joins this same index.
+      (s, dir) => graft.pipeline.Staged(s, dir, "minhash_bands") {
+        minhashBands(t(s, dir, "documents"))
+      }.orderBy("doc_id", "band"),
       Some(s"""WITH $minhashBandsSql
         SELECT doc_id, band, bsig FROM bands ORDER BY doc_id, band""")),
 
@@ -101,7 +103,9 @@ object Dedup {
       // LSH candidate pairs: docs sharing any band signature. The join
       // key is (band, bsig) — bucket-local, never all-pairs.
       (s, dir) => {
-        val b = minhashBands(t(s, dir, "documents"))
+        val b = graft.pipeline.Staged(s, dir, "minhash_bands") {
+          minhashBands(t(s, dir, "documents"))
+        }
         b.as("a").join(b.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
               col("a.doc_id") < col("b.doc_id"))
@@ -156,11 +160,15 @@ object Dedup {
       // quadratic).
       (s, dir) => {
         // tks bound first — see minhashBands on lambda re-evaluation.
-        val sets = t(s, dir, "documents")
-          .withColumn("tks", toks)
-          .withColumn("sh", shingles(col("tks"), 3))
-          .select(col("doc_id"), col("source"), col("lang"),
-            array_distinct(transform(col("sh"), x => Text.md5Hash32(x))).as("ss"))
+        // Staged: the self-join below evaluates each side independently,
+        // so without persistence the corpus is shingled+hashed twice.
+        val sets = graft.pipeline.Staged(s, dir, "ngram_sets") {
+          t(s, dir, "documents")
+            .withColumn("tks", toks)
+            .withColumn("sh", shingles(col("tks"), 3))
+            .select(col("doc_id"), col("source"), col("lang"),
+              array_distinct(transform(col("sh"), x => Text.md5Hash32(x))).as("ss"))
+        }
         val inter = size(array_intersect(col("a.ss"), col("b.ss")))
         val ja = inter.cast("double") /
           (size(col("a.ss")) + size(col("b.ss")) - inter).cast("double")
@@ -201,11 +209,9 @@ object Dedup {
         def dot(a: Column, b: Column): Column =
           aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
         // Norms precomputed per vector, not per pair (same IEEE ops as
-        // the oracle's sqrt(dot), 3x fewer flops in the pairwise stage).
-        val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"),
-            transform(col("embedding"), x => x.cast("double")).as("v"))
-          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        // the oracle's sqrt(dot), 3x fewer flops in the pairwise stage);
+        // the staged vector table is shared with the similarity queries.
+        val e = Similarity.vecs(s, dir)
         val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
         e.as("a").join(e.as("b"),
             col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ConvertNameExpr, Text}
-import graft.pipeline.{Classify, Corpus, Graph, NestedEnrich, XmlDocs}
+import graft.pipeline.{Classify, Corpus, Graph, NestedEnrich, Stages, XmlDocs}
 
 /** End-to-end reference pipeline (SURVEY §7.1 flagship slice and §3.1
   * lifecycle) over the synthetic TPC-H-derived document corpus, each
@@ -33,14 +33,10 @@ object Pipeline {
     Classify.apiMapSql,
     Classify.labelTriplesSql).mkString("WITH ", ",\n", "\n")
 
-  private def stages(s: SparkSession, dir: String) = {
-    val docs = Corpus.flatDocs(s, dir)
-    val triples = Corpus.indexTriples(s, dir)
-    val known = Classify.knownEntities(docs)
-    val api = Classify.apiMap(Classify.allTerms(triples), known, Classify.RuleClassifier)
-    val labeled = Classify.labelTriples(triples, known, api)
-    (docs, triples, known, api, labeled)
-  }
+  // Memoized + persisted stage outputs (see Stages): the seven queries
+  // of this family and the XML staging all consume one computation of
+  // the corpus/classify chain per session+dir.
+  private def stages(s: SparkSession, dir: String) = Stages(s, dir)
 
   val all: Seq[QDef] = Seq(
 
@@ -50,8 +46,9 @@ object Pipeline {
       // the document model and project — checked against the relational
       // corpus definition.
       (s, dir) => {
-        val docs = Corpus.flatDocs(s, dir).orderBy("documentID").limit(100)
-        val trip = Corpus.indexTriples(s, dir)
+        val st = stages(s, dir)
+        val docs = st.docs.orderBy("documentID").limit(100)
+        val trip = st.triples
           .join(docs.select("documentID"), Seq("documentID"))
         val path = scratch(
           s"xml_docs_${new java.io.File(dir).getName}/corpus.xml")
@@ -78,9 +75,10 @@ object Pipeline {
       // The faithful nested-model path (B1 -> B2 -> B3): enrich +
       // URI-attach via transform() lambdas, then flatten for compare.
       (s, dir) => {
-        val nested = Corpus.nestedDocs(s, dir)
+        val st = stages(s, dir)
         val b3 = NestedEnrich.addUris(
-          NestedEnrich.enrich(nested, Classify.RuleClassifier))
+          NestedEnrich.enrich(st.nested, Classify.RuleClassifier,
+            maps = Some((st.known, st.api))))
         b3.select(col("documentID"), explode(col("indexing")).as("t"))
           .select(col("documentID"),
             col("t.term").as("term"), col("t.type").as("type"),
@@ -107,28 +105,24 @@ object Pipeline {
         ORDER BY documentID, term, mid_term NULLS FIRST, sub_term NULLS FIRST""")),
 
     QDef("pipeline_known_entities",
-      (s, dir) => Classify.knownEntities(Corpus.flatDocs(s, dir)).orderBy("norm"),
+      (s, dir) => stages(s, dir).known.orderBy("norm"),
       Some(prelude + "SELECT norm, type FROM known ORDER BY norm")),
 
     QDef("pipeline_terms_classify",
-      (s, dir) => {
-        val (docs, triples, known, api, _) = stages(s, dir)
-        api.orderBy("norm")
-      },
+      (s, dir) => stages(s, dir).api.orderBy("norm"),
       Some(prelude + "SELECT norm, type FROM api ORDER BY norm")),
 
     QDef("pipeline_label_precedence",
-      (s, dir) => {
-        val (_, _, _, _, labeled) = stages(s, dir)
-        labeled.orderBy("documentID", "main", "midsub", "sub")
-      },
+      (s, dir) => stages(s, dir).labeled
+        .orderBy("documentID", "main", "midsub", "sub"),
       Some(prelude +
         """SELECT documentID, main, main_type, midsub, midsub_type, sub, sub_type
         FROM labeled ORDER BY documentID, main, midsub, sub""")),
 
     QDef("pipeline_uri_attach",
       (s, dir) => {
-        val (docs, _, _, _, labeled) = stages(s, dir)
+        val st = stages(s, dir)
+        val (docs, labeled) = (st.docs, st.labeled)
         // Multi-emit, not union-of-filters: a union arm per entity kind
         // would re-execute the labeled chain once per arm (see Graph).
         def ent(name: org.apache.spark.sql.Column, typ: org.apache.spark.sql.Column) =
@@ -161,11 +155,8 @@ object Pipeline {
         ORDER BY name, type""")),
 
     QDef("pipeline_graph_nodes",
-      (s, dir) => {
-        val (docs, _, _, _, labeled) = stages(s, dir)
-        Graph.nodes(docs, labeled)
-          .orderBy(col("label"), col("key"), col("uri").asc_nulls_first)
-      },
+      (s, dir) => stages(s, dir).nodes
+        .orderBy(col("label"), col("key"), col("uri").asc_nulls_first),
       Some(prelude +
         s"""SELECT DISTINCT label, key, uri FROM (
           SELECT 'Document' AS label, documentID AS key, CAST(NULL AS VARCHAR) AS uri FROM docs
@@ -184,8 +175,8 @@ object Pipeline {
 
     QDef("pipeline_graph_edges",
       (s, dir) => {
-        val (docs, _, _, _, labeled) = stages(s, dir)
-        Graph.edges(docs, labeled).orderBy("type", "src", "dst")
+        val st = stages(s, dir)
+        Graph.edges(st.docs, st.labeled).orderBy("type", "src", "dst")
       },
       Some(prelude +
         s"""SELECT DISTINCT src, dst, type FROM (
@@ -203,12 +194,9 @@ object Pipeline {
         ORDER BY type, src, dst""")),
 
     QDef("pipeline_node_counts",
-      (s, dir) => {
-        val (docs, _, _, _, labeled) = stages(s, dir)
-        Graph.nodes(docs, labeled)
-          .groupBy("label").agg(count(lit(1)).as("n"))
-          .orderBy("label")
-      },
+      (s, dir) => stages(s, dir).nodes
+        .groupBy("label").agg(count(lit(1)).as("n"))
+        .orderBy("label"),
       Some(prelude +
         s"""SELECT label, count(*) AS n FROM (
           SELECT DISTINCT label, key, uri FROM (

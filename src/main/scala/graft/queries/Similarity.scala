@@ -37,12 +37,17 @@ object Similarity {
     * recomputation would triple the flop count of every similarity
     * join at scale). sqrt(dot(v,v)) here and sqrt(dot) in the oracle
     * are the same IEEE operations, so parity is exact.
+    *
+    * Staged (memoized persist): a self-join evaluates its build plan
+    * once per side, and four similarity/near-dup queries share it.
     */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  private[queries] def vecs(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "emb_vecs") {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    }
 
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)

@@ -208,30 +208,32 @@ object Streaming {
       // collect is the two-phase replay harness, not a data-path op.
       (s, dir) => {
         import s.implicits._
-        val ev = t(s, dir, "events")
+        // One collect, split in the driver: the phase partition is the
+        // replay harness's job, not worth two cluster scans.
+        val all = t(s, dir, "events")
           .select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
-        val phase1 = ev.filter(col("event_id") % 3 =!= 0)
-          .select(col("ts"), col("event_type"), col("user_id"))
-          .as[Ev].collect().toSeq
-        val phase2 = ev.filter(col("event_id") % 3 === 0)
-          .select(col("ts"), col("event_type"), col("user_id"))
-          .as[Ev].collect().toSeq
+          .as[(Long, Timestamp, String, Long)].collect()
+        val (p1, p2) = all.partition(_._1 % 3 != 0)
+        def evs(xs: Array[(Long, Timestamp, String, Long)]): Seq[Ev] =
+          xs.map(x => Ev(x._2, x._3, x._4)).toSeq
 
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val ms = MemoryStream[Ev]
         val qn = "late_" + java.util.UUID.randomUUID().toString.take(8)
-        val q = ms.toDF()
-          .withWatermark("ts", "10 minutes")
-          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .writeStream.format("memory").queryName(qn).outputMode("append")
-          .option("checkpointLocation", StreamRuns.fresh("late-ckpt"))
-          .start()
-        ms.addData(phase1)
-        q.processAllAvailable()
-        ms.addData(phase2)
-        q.processAllAvailable()
-        q.stop()
+        StreamRuns.withStreamPartitions(s) {
+          val q = ms.toDF()
+            .withWatermark("ts", "10 minutes")
+            .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .writeStream.format("memory").queryName(qn).outputMode("append")
+            .option("checkpointLocation", StreamRuns.fresh("late-ckpt"))
+            .start()
+          ms.addData(evs(p1))
+          q.processAllAvailable()
+          ms.addData(evs(p2))
+          q.processAllAvailable()
+          q.stop()
+        }
         s.table(qn)
           .select(col("window.start").as("w_start"), col("event_type"), col("n"))
           .orderBy("w_start", "event_type")

@@ -21,6 +21,28 @@ object StreamRuns {
     p
   }
 
+  /** Stateful-op partition count for the test-scale streams. Each
+    * shuffle partition materializes one state-store instance per
+    * stateful operator per micro-batch, with a checkpoint delta write
+    * (+ fsync) each — at bounded state cardinality the store count, not
+    * the data, dominates micro-batch latency. On a real cluster this
+    * value is sized to executor count; state partitioning is fixed at
+    * first checkpoint, which is why it must be set before start().
+    */
+  val StreamShufflePartitions = 8
+
+  /** Run `body` with the session's shuffle-partition count pinned to
+    * [[StreamShufflePartitions]] (restored after). Streaming queries
+    * capture the conf at start(), so this scopes the override to the
+    * stream without perturbing batch queries.
+    */
+  def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StreamShufflePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run `build`'s streaming DataFrame into an in-memory sink until no
     * input remains; returns the final result table.
     */
@@ -28,7 +50,7 @@ object StreamRuns {
       spark: SparkSession,
       stream: DataFrame,
       mode: String,
-      tag: String): DataFrame = {
+      tag: String): DataFrame = withStreamPartitions(spark) {
     val qn = s"${tag}_${UUID.randomUUID().toString.take(8).replace("-", "")}"
     val q = stream.writeStream
       .format("memory")
