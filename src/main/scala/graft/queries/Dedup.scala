@@ -61,6 +61,27 @@ object Dedup {
         transform(sort_array(collect_list(struct(col("k"), col("h")))),
           x => x.getField("h").cast("string"))).as("bsig"))
 
+  /** LSH candidate pairs: docs sharing any band signature — the join
+    * key is (band, bsig), bucket-local, never all-pairs. Shared by the
+    * pair query and the cluster query.
+    */
+  private def candidatePairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val b = graft.pipeline.Staged(s, dir, "minhash_bands") {
+      minhashBands(t(s, dir, "documents"))
+    }
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private val candidatePairsSql =
+    """cpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)"""
+
   private val minhashBandsSql =
     s"""mh AS (
           SELECT doc_id, k,
@@ -102,22 +123,30 @@ object Dedup {
     QDef("dedup_minhash_pairs",
       // LSH candidate pairs: docs sharing any band signature. The join
       // key is (band, bsig) — bucket-local, never all-pairs.
-      (s, dir) => {
-        val b = graft.pipeline.Staged(s, dir, "minhash_bands") {
-          minhashBands(t(s, dir, "documents"))
-        }
-        b.as("a").join(b.as("b"),
-            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-          .orderBy("doc_a", "doc_b")
-      },
-      Some(s"""WITH $minhashBandsSql
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-        ORDER BY doc_a, doc_b""")),
+      (s, dir) => candidatePairs(s, dir).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $minhashBandsSql,
+        $candidatePairsSql
+        SELECT doc_a, doc_b FROM cpairs ORDER BY doc_a, doc_b""")),
+
+    QDef("dedup_cluster_cc",
+      // The dedup step AFTER candidate generation: connected components
+      // over the LSH pair graph (see operators.ConnectedComponents),
+      // cluster id = component-min doc_id (the deterministic keeper).
+      (s, dir) => graft.operators.ConnectedComponents
+        .clusters(candidatePairs(s, dir))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $minhashBandsSql,
+        $candidatePairsSql,
+        cedges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cpairs
+          UNION SELECT doc_b, doc_a FROM cpairs),
+        reach(a, b) AS (
+          SELECT src, src FROM cedges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cedges e ON r.b = e.src)
+        SELECT a AS doc_id, min(b) AS cluster FROM reach
+        GROUP BY a ORDER BY doc_id""")),
 
     QDef("dedup_simhash", {
       // 32-bit SimHash: per-token md5 hash, per-bit ±1 vote, sign →

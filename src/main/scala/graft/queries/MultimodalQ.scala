@@ -6,9 +6,9 @@ import graft.functions.Multimodal
 
 /** Multimodal binary-column queries (north star). `multimodal_meta` is
   * oracle-checked binary handling in pure built-ins; the stub-decode
-  * pipeline itself is per-partition typed code (not SQL-expressible), so
-  * `multimodal_decode_stub` is rows-only for the driver and
-  * golden-tested byte-for-byte in MultimodalSpec.
+  * pipeline runs per-partition typed code, but the stub's outputs are
+  * deterministic byte functions, so its aggregate is oracle-checked too
+  * (and golden-tested byte-for-byte in MultimodalSpec).
   */
 object MultimodalQ {
   import QDef._
@@ -36,8 +36,11 @@ object MultimodalQ {
     QDef("multimodal_decode_stub",
       // The decode pipeline: binary payloads through a per-partition
       // codec (StubCodec — deterministic fake; see Multimodal scaladoc),
-      // then a relational aggregate over the extracted features. Driver
-      // checks rows>0; value goldens live in MultimodalSpec.
+      // then a relational aggregate over the extracted features. The
+      // stub's outputs are pure functions of the payload bytes, so the
+      // oracle reproduces them in closed form (the 8-bucket histogram
+      // partitions every byte exactly once, hence feature mass ==
+      // byte count); byte-level goldens live in MultimodalSpec.
       (s, dir) => {
         implicit val spark = s
         import s.implicits._
@@ -49,11 +52,17 @@ object MultimodalQ {
           .agg(count(lit(1)).as("n"),
             sum(col("n_bytes")).as("total_bytes"),
             avg(col("width")).as("avg_width"),
-            max(col("n_frames")).as("max_frames"),
+            max(col("n_frames")).cast("long").as("max_frames"),
             sum(aggregate(col("features"), lit(0.0), (a, x) => a + x))
               .cast("long").as("total_feature_mass"))
           .orderBy("kind")
       },
-      None)
+      Some("""SELECT CASE WHEN lang = 'zh' THEN 'audio' ELSE 'image' END AS kind,
+          count(*) AS n,
+          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+          avg(1 + CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT) % 64) AS avg_width,
+          CAST(max(1 + octet_length(encode(text)) // 1024) AS BIGINT) AS max_frames,
+          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_feature_mass
+        FROM documents GROUP BY 1 ORDER BY kind"""))
   )
 }

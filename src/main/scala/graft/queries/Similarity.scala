@@ -28,6 +28,8 @@ object Similarity {
   private val Planes = 8
   private val QueryVecs = 10
   private val K = 5
+  private val Cents = 8
+  private val NProbe = 2
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -147,6 +149,73 @@ object Similarity {
                FROM pairs)
         SELECT label, vec_a, rank, vec_b, cos FROM rk WHERE rank <= 3
         ORDER BY vec_a, rank""")),
+
+    QDef("sim_ann_ivf",
+      // IVF-style ANN: a deterministic coarse quantizer (centroids = the
+      // first Cents vectors; production swaps in k-means means under the
+      // same plan) assigns every vector to its nearest centroid's
+      // inverted list; a query probes its NProbe nearest lists and
+      // brute-forces only those. The probed-list join shuffles on the
+      // centroid id — the partition-local scan that survives when the
+      // corpus is 100 TB and a full cross product is impossible.
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val cents = e.filter(col("vec_id") < Cents)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+        def assigned(rank: Int): DataFrame = {
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("c_sim").desc, col("c_id").asc)
+          e.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+              round(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6).as("c_sim"))
+            .withColumn("crk", row_number().over(w))
+            .filter(col("crk") <= rank)
+        }
+        val lists = assigned(1).select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
+        val probes = assigned(NProbe).filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"), col("c_id"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        probes.join(lists, Seq("c_id"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
+          .distinct()
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ca AS (
+          SELECT e.vec_id, c.vec_id AS c_id,
+                 round(${cosSql("e", "c")}, 6) AS c_sim
+          FROM embeddings e JOIN embeddings c ON c.vec_id < $Cents),
+        crk AS (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY c_sim DESC, c_id) AS crk
+          FROM ca),
+        lists AS (SELECT c_id, vec_id FROM crk WHERE crk = 1),
+        probes AS (SELECT vec_id AS q_id, c_id FROM crk
+                   WHERE crk <= $NProbe AND vec_id < $QueryVecs),
+        cand AS (
+          SELECT DISTINCT p.q_id, l.vec_id
+          FROM probes p JOIN lists l ON p.c_id = l.c_id
+          WHERE p.q_id <> l.vec_id),
+        scored AS (
+          SELECT cand.q_id, cand.vec_id,
+                 round(${cosSql("q", "e")}, 6) AS cos
+          FROM cand
+          JOIN embeddings q ON q.vec_id = cand.q_id
+          JOIN embeddings e ON e.vec_id = cand.vec_id),
+        rk AS (SELECT q_id, vec_id, cos,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos DESC, vec_id) AS rank
+               FROM scored)
+        SELECT q_id, rank, vec_id, cos FROM rk WHERE rank <= 3
+        ORDER BY q_id, rank""")),
 
     QDef("sim_ann_lsh",
       // Scale-path ANN: 8 deterministic random-hyperplane sign bits →

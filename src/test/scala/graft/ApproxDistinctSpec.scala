@@ -2,9 +2,11 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** agg_approx_distinct has no value oracle (HLL sketches are
-  * engine-specific); this spec pins the promised accuracy contract
-  * instead: <5% relative error against the exact distinct count.
+/** agg_approx_distinct emits the exact distinct count plus a boolean
+  * recording whether the HLL estimate landed inside its 5% error
+  * envelope (the form the DuckDB oracle can assert). This spec pins the
+  * boolean actually coming out true on real data — a sketch regression
+  * would flip it and fail both here and at the oracle gate.
   */
 class ApproxDistinctSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -14,11 +16,9 @@ class ApproxDistinctSpec extends AnyFunSuite {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(exact > 0)
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"${r.get(0)}: approx=$approx exact=$exact")
+      assert(r.getAs[Long]("exact_parts") > 0)
+      assert(r.getAs[Boolean]("within_5pct"),
+        s"${r.get(0)}: estimate outside the 5% envelope")
     }
   }
 }

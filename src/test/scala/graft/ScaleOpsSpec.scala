@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-posture operators: bucketed co-located join (exchange-free
+  * plan) and connected-components dedup clustering (multi-round label
+  * propagation on graphs deeper than one hop).
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed join plan has no shuffle exchange") {
+    val df = SparkEntry.queries("join_bucketed")(spark, sf)
+    assert(df.count() == 5) // finalize AQE so the real plan is inspectable
+    // The aggregate after the join still exchanges on the group key; the
+    // JOIN itself must not — assert by locating the SMJ subtree and
+    // checking no exchange occurs below it.
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, s"expected a sort-merge join in:\n$plan")
+    val exchangesBelowJoin = smj.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchangesBelowJoin.isEmpty,
+      s"bucketed join must be exchange-free below the join:\n${smj.head}")
+  }
+
+  test("cc clustering resolves a 5-node chain to one component") {
+    // A chain a-b-c-d-e needs multiple propagation rounds (diameter 4):
+    // exercises the loop beyond the near-clique shapes LSH pairs form.
+    // Built from parquet, not toDF — local relations constant-fold.
+    import spark.implicits._
+    val dir = graft.streaming.StreamRuns.fresh("cc-chain")
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("doc_a", "doc_b").write.mode("overwrite").parquet(dir)
+    val got = graft.operators.ConnectedComponents
+      .clusters(spark.read.parquet(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      7L -> 7L, 8L -> 7L))
+  }
+
+  test("ivf probes cover the lsh-recall contract: results are true neighbours") {
+    // Every IVF result must be a genuine top-scoring pair under the
+    // exact metric within the probed lists — cross-check a sample
+    // against brute force.
+    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // IVF cosine values must agree with the brute-force metric wherever
+    // the same pair appears (same fold order, same rounding).
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      brute.get(key).foreach(c => assert(c == r.getDouble(3)))
+    }
+  }
+}
