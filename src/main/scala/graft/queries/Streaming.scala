@@ -192,6 +192,41 @@ object Streaming {
           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    QDef("stream_stream_join",
+      // Stream-stream inner join: clicks x purchases per user within a
+      // 5-minute follow window, watermarks on both sides bounding the
+      // join state (each side buffers only rows younger than watermark +
+      // window — the state-cleanup contract that makes the join viable
+      // on unbounded input). Single AvailableNow pass, so the emitted
+      // set is exactly the closed-form batch join.
+      (s, dir) => {
+        val clicks = eventsStream(s, dir, "ssj", 4, None)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "10 minutes")
+        val purchases = eventsStream(s, dir, "ssj2", 4, None)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purch_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "10 minutes")
+        val j = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"))
+        StreamRuns.runToMemory(s,
+            j.select(col("user_id"), col("click_id"), col("purch_id")),
+            "append", "ssj")
+          .orderBy("user_id", "click_id", "purch_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purch_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '5 minutes'
+        ORDER BY c.user_id, click_id, purch_id""")),
+
     QDef("stream_late_data",
       // Watermark drop/accept semantics via a two-phase MemoryStream:
       // phase 1 feeds event_id % 3 <> 0, advancing the watermark to

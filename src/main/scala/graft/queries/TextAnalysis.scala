@@ -248,6 +248,29 @@ object TextAnalysis {
           substr(md5(lower(trim(regexp_replace(b.text, '\\s+', ' ', 'g')))), 1, 16) AS fp,
           list_min(list_transform(sh.shingles, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))) AS min_sh,
           list_max(list_transform(sh.shingles, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))) AS max_sh
-        FROM base b JOIN sh USING (doc_id) ORDER BY b.doc_id"""))
+        FROM base b JOIN sh USING (doc_id) ORDER BY b.doc_id""")),
+
+    QDef("text_pack_sequences",
+      // Training-batch sequence packing: docs fill fixed 512-token
+      // context windows greedily in (source, doc_id) order — a doc opens
+      // in the bin where its running prefix starts. One window cumsum
+      // per source partition, no shuffle beyond it; the assignment is a
+      // pure function of the running total, so packing 100 TB is a
+      // single pass. (Capacity-strict packers need the same cumsum; only
+      // the bin function changes.)
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Long.MinValue, 0)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
+          .withColumn("bin",
+            floor((sum(col("n_tok")).over(w) - col("n_tok")) / 512).cast("long"))
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tok,
+          CAST(floor((sum(len($toksSql)) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - len($toksSql)) / 512) AS BIGINT) AS bin
+        FROM documents ORDER BY source, doc_id"""))
   )
 }
