@@ -236,7 +236,7 @@ object Dedup {
       // sum identically; similarity rounded to 6 before thresholding.
       (s, dir) => {
         def dot(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          graft.functions.ArrayDotExpr.dot(a, b)
         // Norms precomputed per vector, not per pair (same IEEE ops as
         // the oracle's sqrt(dot), 3x fewer flops in the pairwise stage);
         // the staged vector table is shared with the similarity queries.

@@ -31,8 +31,11 @@ object Similarity {
   private val Cents = 8
   private val NProbe = 2
 
+  /** Native codegen'd kernel; same in-order fold as the HOF chain
+    * `aggregate(zip_with(...))` and DuckDB's list_sum(list_transform).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDotExpr.dot(a, b)
 
   /** Vectors with their norm precomputed once — the pairwise stage then
     * does one dot per pair instead of three (the per-pair norm

@@ -48,6 +48,18 @@ class ScaleOpsSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L))
   }
 
+  test("ArrayDotExpr matches the built-in higher-order fold bit-for-bit") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cmp = e.select(
+        graft.functions.ArrayDotExpr.dot(col("v"), col("v")).as("fast"),
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+    assert(cmp.count() == 0)
+  }
+
   test("ivf probes cover the lsh-recall contract: results are true neighbours") {
     // Every IVF result must be a genuine top-scoring pair under the
     // exact metric within the probed lists — cross-check a sample
