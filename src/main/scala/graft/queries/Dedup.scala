@@ -191,14 +191,20 @@ object Dedup {
         // tks bound first — see minhashBands on lambda re-evaluation.
         // Staged: the self-join below evaluates each side independently,
         // so without persistence the corpus is shingled+hashed twice.
+        // Sorted at prep so the pairwise stage uses the zero-allocation
+        // merge-count kernel (SortedInterCountExpr) instead of
+        // array_intersect's per-pair hash set; set SIZE is
+        // order-invariant, so the oracle needs no sort.
         val sets = graft.pipeline.Staged(s, dir, "ngram_sets") {
           t(s, dir, "documents")
             .withColumn("tks", toks)
             .withColumn("sh", shingles(col("tks"), 3))
             .select(col("doc_id"), col("source"), col("lang"),
-              array_distinct(transform(col("sh"), x => Text.md5Hash32(x))).as("ss"))
+              sort_array(array_distinct(transform(col("sh"), x => Text.md5Hash32(x))))
+                .as("ss"))
         }
-        val inter = size(array_intersect(col("a.ss"), col("b.ss")))
+        val inter = graft.functions.SortedInterCountExpr
+          .interCount(col("a.ss"), col("b.ss")).cast("int")
         val ja = inter.cast("double") /
           (size(col("a.ss")) + size(col("b.ss")) - inter).cast("double")
         // Guard the empty∩empty pair: 0/0 is NaN, which Spark's `>= 0.05`

@@ -60,6 +60,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(cmp.count() == 0)
   }
 
+  test("SortedInterCountExpr matches size(array_intersect) on sorted distinct arrays") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(
+          split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "),
+          t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")))).as("ss"))
+    val cmp = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .limit(5000)
+      .select(
+        graft.functions.SortedInterCountExpr
+          .interCount(col("a.ss"), col("b.ss")).as("fast"),
+        size(array_intersect(col("a.ss"), col("b.ss"))).cast("long").as("builtin"))
+      .filter(col("fast") =!= col("builtin"))
+    assert(cmp.count() == 0)
+  }
+
   test("ivf probes cover the lsh-recall contract: results are true neighbours") {
     // Every IVF result must be a genuine top-scoring pair under the
     // exact metric within the probed lists — cross-check a sample
