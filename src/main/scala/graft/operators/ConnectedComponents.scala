@@ -33,12 +33,14 @@ object ConnectedComponents {
     while (!converged && rounds < maxRounds) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+      // Carry old + new in one frame so the convergence probe needs no
+      // second join: one action per round, reading the freshly cached
+      // `next`.
       val next = labels.join(prop, col("id") === col("src"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .persist()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count() == 0L
+      converged = next.filter(col("label") =!= col("old")).limit(1).count() == 0L
       labels.unpersist()
       labels = next
       rounds += 1
