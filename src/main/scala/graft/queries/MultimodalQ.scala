@@ -60,7 +60,9 @@ object MultimodalQ {
       Some("""SELECT CASE WHEN lang = 'zh' THEN 'audio' ELSE 'image' END AS kind,
           count(*) AS n,
           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-          avg(1 + CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT) % 64) AS avg_width,
+          avg(CASE WHEN octet_length(encode(text)) = 0 THEN 1
+                   ELSE 1 + CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT) % 64
+              END) AS avg_width,
           CAST(max(1 + octet_length(encode(text)) // 1024) AS BIGINT) AS max_frames,
           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_feature_mass
         FROM documents GROUP BY 1 ORDER BY kind"""))

@@ -81,4 +81,52 @@ class PropertySpec extends AnyFunSuite {
     val twice = samples.toDF("s").select(Text.uriHash(col("s"))).as[String].collect()
     assert(once.toSeq == twice.toSeq)
   }
+
+  test("connected components equal brute-force union-find on random graphs") {
+    val graphs = Gen.listOfN(5,
+      Gen.choose(3, 25).flatMap { m =>
+        Gen.listOfN(m, for {
+          a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L) if a != b
+        } yield (math.min(a, b), math.max(a, b)))
+      }).pureApply(Gen.Parameters.default, Seed(13L))
+    graphs.zipWithIndex.foreach { case (pairs, gi) =>
+      // Brute-force union-find reference.
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      // find() roots at the component MIN because unions always point
+      // the larger root at the smaller one.
+      val expected = nodes.map(n => n -> find(n)).toMap
+      val dir = graft.streaming.StreamRuns.fresh(s"cc-prop-$gi")
+      pairs.toDF("doc_a", "doc_b").write.mode("overwrite").parquet(dir)
+      val got = graft.operators.ConnectedComponents
+        .clusters(spark.read.parquet(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"graph $gi: $pairs")
+    }
+  }
+
+  test("sequence packing: bins fill in order and every bin start is below capacity") {
+    val rows = SparkEntry.queries("text_pack_sequences")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, docs) =>
+      var cum = 0L
+      var lastBin = 0L
+      docs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val bin = r.getAs[Long]("bin")
+        assert(bin == cum / 512, s"doc ${r.get(0)}: bin $bin, cum $cum")
+        assert(bin >= lastBin)
+        cum += r.getAs[Long]("n_tok")
+        lastBin = bin
+      }
+    }
+  }
 }
