@@ -217,7 +217,7 @@ object Dedup {
               (size(col("a.ss")) + size(col("b.ss"))) > 0)
           .select(col("a.source").as("source"), col("a.lang").as("lang"),
             col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            round(ja, 4).as("jaccard"))
+            rx(ja, 4).as("jaccard"))
           .filter(col("jaccard") >= 0.05)
           .orderBy("doc_a", "doc_b")
       },
@@ -227,13 +227,13 @@ object Dedup {
           FROM documents)
         SELECT a.source AS source, a.lang AS lang,
                a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
-                     / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 4) AS jaccard
+               ${rxSql("""CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                     / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))""", 4)} AS jaccard
         FROM sets a JOIN sets b
           ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
             AND (len(a.ss) + len(b.ss)) > 0
-        WHERE round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
-                    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 4) >= 0.05
+        WHERE ${rxSql("""CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))""", 4)} >= 0.05
         ORDER BY doc_a, doc_b""")),
 
     QDef("dedup_embedding_cosine",
@@ -252,17 +252,17 @@ object Dedup {
             col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.label").as("label"),
             col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            round(cos, 6).as("cos"))
+            rx(cos, 6).as("cos"))
           .filter(col("cos") >= 0.25)
           .orderBy("vec_a", "vec_b")
       }, {
         val dotSql = (x: String, y: String) =>
           s"list_sum(list_transform(range(64), i -> CAST($x.embedding[i+1] AS DOUBLE) * CAST($y.embedding[i+1] AS DOUBLE)))"
         Some(s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-            round(${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})), 6) AS cos
+            ${rxSql(s"""${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")}))""", 6)} AS cos
           FROM embeddings a JOIN embeddings b
             ON a.label = b.label AND a.vec_id < b.vec_id
-          WHERE round(${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})), 6) >= 0.25
+          WHERE ${rxSql(s"""${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")}))""", 6)} >= 0.25
           ORDER BY vec_a, vec_b""")
       })
   )

@@ -37,6 +37,26 @@ object QDef {
     */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Engine-exact decimal rounding of an FP-computed double:
+    * floor(x*10^d + 0.5)/10^d is pure IEEE arithmetic, so both engines
+    * round the identical binary double identically. Spark's round()
+    * (BigDecimal HALF_UP on the shortest decimal representation) and
+    * DuckDB's round() (binary-value rounding) disagree on doubles one
+    * ulp below a half boundary — observed on a real quality score of
+    * 0.53374999…: Spark said 0.5338, DuckDB 0.5337. Use for any rounded
+    * value DERIVED FROM FP MATH on both sides; inputs must be non-NaN
+    * and |x| < 2^53/10^d. (Halves of negative inputs round toward +inf,
+    * not away from zero — consistently in both engines.)
+    */
+  def rx(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits.toDouble)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** DuckDB spelling of [[rx]]. */
+  def rxSql(e: String, digits: Int): String =
+    s"floor(($e) * 1e$digits + 0.5) / 1e$digits"
+
   /** Scratch space for queries that must materialize an intermediate
     * (JSON round-trips, partitioned sinks, streaming checkpoints).
     * Kept inside the repo target dir per the environment contract.

@@ -451,16 +451,16 @@ object Relational {
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("median_price"),
-          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
-          round(percentile(col("l_quantity"), lit(0.25)), 4).as("q1_qty"))
+          rx(percentile(col("l_extendedprice"), lit(0.5)), 4).as("median_price"),
+          rx(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
+          rx(percentile(col("l_quantity"), lit(0.25)), 4).as("q1_qty"))
         .orderBy("l_returnflag"),
       // Spark's exact percentile and DuckDB's quantile_cont share the
       // same (n-1)*p linear interpolation; rounded for float parity.
-      Some("""SELECT l_returnflag,
-          round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
-          round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
-          round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+      Some(s"""SELECT l_returnflag,
+          ${rxSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS median_price,
+          ${rxSql("quantile_cont(l_extendedprice, 0.95)", 4)} AS p95_price,
+          ${rxSql("quantile_cont(l_quantity, 0.25)", 4)} AS q1_qty
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     QDef("agg_pivot",

@@ -102,20 +102,27 @@ object Scalars {
           pow(col("l_quantity"), 2).as("q2"),
           floor(col("l_extendedprice") / 100).as("fl"),
           ceil(col("l_extendedprice") / 100).as("cl"),
-          round(col("l_extendedprice") / 7, 3).as("r3"))
+          // round() itself is safe here: 2-decimal prices are dyadic at
+          // .5, so both engines see exact halves and round away alike.
+          round(col("l_extendedprice"), 0).as("r0"),
+          // An FP-derived quotient is NOT safe under round() (Spark
+          // rounds the shortest decimal repr, DuckDB the binary value):
+          // use the engine-exact floor form.
+          rx(col("l_extendedprice") / 7, 3).as("r3"))
         // (l_orderkey, l_linenumber) is not unique: total order over all
         // output columns so the row-order compare is deterministic.
         .orderBy("l_orderkey", "l_linenumber", "disc_price", "abs_d",
-          "sqrt_q", "q2", "fl", "cl", "r3"),
-      Some("""SELECT l_orderkey, l_linenumber,
+          "sqrt_q", "q2", "fl", "cl", "r0", "r3"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
           l_extendedprice * (1.0 - l_discount) AS disc_price,
           abs(l_discount - 0.05) AS abs_d,
           sqrt(l_quantity) AS sqrt_q,
           power(l_quantity, 2) AS q2,
           CAST(floor(l_extendedprice / 100) AS BIGINT) AS fl,
           CAST(ceil(l_extendedprice / 100) AS BIGINT) AS cl,
-          round(l_extendedprice / 7, 3) AS r3
-        FROM lineitem ORDER BY 1, 2, 3, 4, 5, 6, 7, 8, 9""")),
+          round(l_extendedprice, 0) AS r0,
+          ${rxSql("l_extendedprice / 7", 3)} AS r3
+        FROM lineitem ORDER BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10""")),
 
     QDef("array_funcs",
       (s, dir) => {

@@ -104,7 +104,7 @@ object Similarity {
           .orderBy(col("cos").desc, col("vec_id").asc)
         broadcast(q).join(e, col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("vec_id"),
-            round(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= K)
           .select(col("q_id"), col("rank").cast("long").as("rank"),
@@ -113,7 +113,7 @@ object Similarity {
       },
       Some(s"""WITH pairs AS (
           SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
-                 round(${cosSql("q", "e")}, 6) AS cos
+                 ${rxSql(cosSql("q", "e"), 6)} AS cos
           FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
           WHERE q.vec_id < $QueryVecs),
         rk AS (SELECT q_id, vec_id, cos,
@@ -134,7 +134,7 @@ object Similarity {
             col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
             col("b.vec_id").as("vec_b"),
-            round(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6)
+            rx(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6)
               .as("cos"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
@@ -144,7 +144,7 @@ object Similarity {
       },
       Some(s"""WITH pairs AS (
           SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 round(${cosSql("a", "b")}, 6) AS cos
+                 ${rxSql(cosSql("a", "b"), 6)} AS cos
           FROM embeddings a JOIN embeddings b
             ON a.label = b.label AND a.vec_id <> b.vec_id),
         rk AS (SELECT label, vec_a, vec_b, cos,
@@ -170,7 +170,7 @@ object Similarity {
             .orderBy(col("c_sim").desc, col("c_id").asc)
           e.crossJoin(broadcast(cents))
             .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-              round(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6).as("c_sim"))
+              rx(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6).as("c_sim"))
             .withColumn("crk", row_number().over(w))
             .filter(col("crk") <= rank)
         }
@@ -183,7 +183,7 @@ object Similarity {
         probes.join(lists, Seq("c_id"))
           .filter(col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("vec_id"),
-            round(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
           .distinct()
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
@@ -193,7 +193,7 @@ object Similarity {
       },
       Some(s"""WITH ca AS (
           SELECT e.vec_id, c.vec_id AS c_id,
-                 round(${cosSql("e", "c")}, 6) AS c_sim
+                 ${rxSql(cosSql("e", "c"), 6)} AS c_sim
           FROM embeddings e JOIN embeddings c ON c.vec_id < $Cents),
         crk AS (
           SELECT vec_id, c_id,
@@ -209,7 +209,7 @@ object Similarity {
           WHERE p.q_id <> l.vec_id),
         scored AS (
           SELECT cand.q_id, cand.vec_id,
-                 round(${cosSql("q", "e")}, 6) AS cos
+                 ${rxSql(cosSql("q", "e"), 6)} AS cos
           FROM cand
           JOIN embeddings q ON q.vec_id = cand.q_id
           JOIN embeddings e ON e.vec_id = cand.vec_id),
@@ -236,7 +236,7 @@ object Similarity {
         broadcast(q).join(e,
             col("q_bucket") === col("bucket") && col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("q_bucket").as("bucket"), col("vec_id"),
-            round(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("q_id"), col("bucket"),
@@ -248,7 +248,7 @@ object Similarity {
           FROM embeddings),
         pairs AS (
           SELECT q.vec_id AS q_id, q.bucket AS bucket, e.vec_id AS vec_id,
-                 round(${cosSql("q", "e")}, 6) AS cos
+                 ${rxSql(cosSql("q", "e"), 6)} AS cos
           FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
           WHERE q.vec_id < $QueryVecs),
         rk AS (SELECT q_id, bucket, vec_id, cos,

@@ -65,14 +65,16 @@ object TextAnalysis {
       .cast("double") / length(col("text")).cast("double")
     val meanLen = (length(Text.normTerm(col("text"))).cast("double")
       - (size(toks) - 1).cast("double")) / nToks
-    round(lit(0.3) * stopR + lit(0.3) * (lit(1.0) - punct)
+    rx(lit(0.3) * stopR + lit(0.3) * (lit(1.0) - punct)
       + lit(0.4) * least(meanLen / lit(8.0), lit(1.0)), 4)
   }
   private val qualitySql: String = {
     val allW = stopHitsSql(enW ++ deW ++ frW ++ esW)
-    s"""round(0.3 * ($allW / CAST(len($toksSql) AS DOUBLE))
+    rxSql(
+      s"""0.3 * ($allW / CAST(len($toksSql) AS DOUBLE))
         + 0.3 * (1.0 - len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE))
-        + 0.4 * least(((CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS DOUBLE) - (len($toksSql) - 1)) / len($toksSql)) / 8.0, 1.0), 4)"""
+        + 0.4 * least(((CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS DOUBLE) - (len($toksSql) - 1)) / len($toksSql)) / 8.0, 1.0)""",
+      4)
   }
 
   val all: Seq[QDef] = Seq(
@@ -88,7 +90,7 @@ object TextAnalysis {
           size(array_distinct(toks)).cast("long").as("n_distinct"),
           array_min(toks).as("min_tok"),
           array_max(toks).as("max_tok"),
-          round((length(Text.normTerm(col("text"))).cast("double")
+          rx((length(Text.normTerm(col("text"))).cast("double")
             - (size(toks) - 1).cast("double")) / size(toks).cast("double"), 4)
             .as("mean_tok_len"))
         .orderBy("doc_id"),
@@ -97,8 +99,9 @@ object TextAnalysis {
           len(list_distinct($toksSql)) AS n_distinct,
           list_min($toksSql) AS min_tok,
           list_max($toksSql) AS max_tok,
-          round((CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS DOUBLE)
-                 - (len($toksSql) - 1)) / len($toksSql), 4) AS mean_tok_len
+          ${rxSql(
+            s"""(CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS DOUBLE)
+                 - (len($toksSql) - 1)) / len($toksSql)""", 4)} AS mean_tok_len
         FROM documents ORDER BY doc_id""")),
 
     QDef("text_token_count",
@@ -171,21 +174,24 @@ object TextAnalysis {
         t(s, dir, "documents")
           .select(col("doc_id"),
             col("n_chars"),
-            round(stopR, 4).as("stop_ratio"),
-            round(punct, 4).as("punct_ratio"),
-            round(least(meanLen / lit(8.0), lit(1.0)), 4).as("len_term"),
-            round(lit(0.3) * stopR + lit(0.3) * (lit(1.0) - punct)
+            rx(stopR, 4).as("stop_ratio"),
+            rx(punct, 4).as("punct_ratio"),
+            rx(least(meanLen / lit(8.0), lit(1.0)), 4).as("len_term"),
+            rx(lit(0.3) * stopR + lit(0.3) * (lit(1.0) - punct)
               + lit(0.4) * least(meanLen / lit(8.0), lit(1.0)), 4).as("quality"))
           .orderBy("doc_id")
       }, {
         val allW = stopHitsSql(enW ++ deW ++ frW ++ esW)
+        val lenTerm =
+          s"""least(((CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS DOUBLE) - (len($toksSql) - 1)) / len($toksSql)) / 8.0, 1.0)"""
         Some(s"""SELECT doc_id, n_chars,
-          round($allW / CAST(len($toksSql) AS DOUBLE), 4) AS stop_ratio,
-          round(len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-          round(least(((CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS DOUBLE) - (len($toksSql) - 1)) / len($toksSql)) / 8.0, 1.0), 4) AS len_term,
-          round(0.3 * ($allW / CAST(len($toksSql) AS DOUBLE))
+          ${rxSql(s"$allW / CAST(len($toksSql) AS DOUBLE)", 4)} AS stop_ratio,
+          ${rxSql(s"len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE)", 4)} AS punct_ratio,
+          ${rxSql(lenTerm, 4)} AS len_term,
+          ${rxSql(
+            s"""0.3 * ($allW / CAST(len($toksSql) AS DOUBLE))
               + 0.3 * (1.0 - len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE))
-              + 0.4 * least(((CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS DOUBLE) - (len($toksSql) - 1)) / len($toksSql)) / 8.0, 1.0), 4) AS quality
+              + 0.4 * $lenTerm""", 4)} AS quality
         FROM documents ORDER BY doc_id""")
       }),
 
@@ -201,19 +207,19 @@ object TextAnalysis {
           Text.fingerprint(col("text")).as("fp"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("q").cast(DecimalType(18, 4))).cast("double")
+          rx(sum(col("q").cast(DecimalType(18, 4))).cast("double")
             / count(lit(1)), 4).as("avg_quality"),
-          round(sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+          rx(sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
             .cast("double") / count(lit(1)), 4).as("langid_acc"),
           count_distinct(col("fp")).as("n_unique"),
-          round(lit(1.0) - count_distinct(col("fp")).cast("double")
+          rx(lit(1.0) - count_distinct(col("fp")).cast("double")
             / count(lit(1)), 4).as("dup_rate"))
         .orderBy("source"),
       Some(s"""SELECT source, count(*) AS n_docs,
-          round(CAST(sum(CAST($qualitySql AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_quality,
-          round(sum(CASE WHEN $predSql = lang THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS langid_acc,
+          ${rxSql(s"CAST(sum(CAST($qualitySql AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 4)} AS avg_quality,
+          ${rxSql(s"sum(CASE WHEN $predSql = lang THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 4)} AS langid_acc,
           count(DISTINCT substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16)) AS n_unique,
-          round(1.0 - count(DISTINCT substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16)) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+          ${rxSql(s"1.0 - count(DISTINCT substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16)) / CAST(count(*) AS DOUBLE)", 4)} AS dup_rate
         FROM documents GROUP BY source ORDER BY source""")),
 
     QDef("text_fingerprint",
