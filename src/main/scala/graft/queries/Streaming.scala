@@ -227,6 +227,61 @@ object Streaming {
          AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '5 minutes'
         ORDER BY c.user_id, click_id, purch_id""")),
 
+    QDef("stream_stream_left_join",
+      // Left-outer stream-stream join: unmatched clicks are
+      // null-emitted only once the watermark proves no future purchase
+      // can match (state expiry), in the final no-new-data micro-batch.
+      // The query watermark is the MIN of the two sides' watermarks;
+      // a click expires when its join window [c_ts, c_ts+5min] falls
+      // fully below it. Clicks younger than that stay in state and are
+      // never emitted — the oracle computes exactly that set.
+      (s, dir) => {
+        val clicks = eventsStream(s, dir, "sslj", 4, None)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "10 minutes")
+        val purchases = eventsStream(s, dir, "sslj2", 4, None)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purch_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "10 minutes")
+        val j = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"),
+          "left_outer")
+        StreamRuns.runToMemory(s,
+            j.select(col("user_id"), col("click_id"), col("purch_id")),
+            "append", "sslj")
+          .orderBy(col("user_id"), col("click_id"),
+            col("purch_id").asc_nulls_first)
+      },
+      Some("""WITH c AS (
+          SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS c_ts
+          FROM events WHERE event_type = 'click'),
+        p AS (
+          SELECT user_id, event_id AS purch_id, CAST(ts AS TIMESTAMP) AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+        wmf AS (
+          SELECT least((SELECT max(c_ts) FROM c), (SELECT max(p_ts) FROM p))
+                 - INTERVAL '10 minutes' AS w),
+        matched AS (
+          SELECT c.user_id, c.click_id, p.purch_id
+          FROM c JOIN p ON c.user_id = p.user_id
+           AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL '5 minutes'),
+        unmatched AS (
+          SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purch_id
+          FROM c, wmf
+          WHERE NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL '5 minutes')
+            AND c.c_ts + INTERVAL '5 minutes' < wmf.w)
+        SELECT user_id, click_id, purch_id FROM matched
+        UNION ALL SELECT user_id, click_id, purch_id FROM unmatched
+        ORDER BY user_id, click_id, purch_id NULLS FIRST""")),
+
     QDef("stream_late_data",
       // Watermark drop/accept semantics via a two-phase MemoryStream:
       // phase 1 feeds event_id % 3 <> 0, advancing the watermark to
