@@ -447,6 +447,43 @@ object Relational {
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    QDef("join_skew_salted",
+      (s, dir) => {
+        // Skew-mitigated join: collapse users < 50 onto one hot key (as
+        // in agg_skew_salted), then join events to a per-user dimension
+        // WITHOUT a hot partition — the fact side salts its key
+        // deterministically (event_id mod R), the dim side replicates
+        // each row R ways, and the join key becomes (k, salt), so the
+        // hot key's rows spread over R reducers instead of one straggler
+        // task. Identical results to the unsalted join (the oracle);
+        // this manual rewrite is the pre-AQE-era shape — AQE's skew-join
+        // split achieves it adaptively, but the explicit form also
+        // covers aggregation-free pipelines AQE cannot split.
+        val R = 8
+        val keyed = t(s, dir, "events")
+          .withColumn("k",
+            when(col("user_id") < 50, lit(0L)).otherwise(col("user_id")))
+        val dim = keyed.groupBy("k")
+          .agg(count(lit(1)).as("user_events"))
+        val saltedDim = dim.withColumn("salt",
+          explode(sequence(lit(0), lit(R - 1))))
+        keyed
+          .withColumn("salt", pmod(col("event_id"), lit(R)).cast("int"))
+          .join(saltedDim, Seq("k", "salt"))
+          .groupBy("k", "user_events")
+          .agg(count(lit(1)).as("n"), sum(money(col("value"))).cast("double")
+            .as("sum_value"))
+          .orderBy("k")
+      },
+      Some("""WITH keyed AS (
+          SELECT CASE WHEN user_id < 50 THEN 0 ELSE user_id END AS k, value
+          FROM events),
+        dim AS (SELECT k, count(*) AS user_events FROM keyed GROUP BY k)
+        SELECT keyed.k, dim.user_events, count(*) AS n,
+               CAST(sum(CAST(keyed.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM keyed JOIN dim ON keyed.k = dim.k
+        GROUP BY 1, 2 ORDER BY keyed.k""")),
+
     QDef("agg_percentile",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
