@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.functions.Text
 
 /** North-star deduplication operators (BASELINE.json north_star): exact,
-  * MinHash+LSH banding, SimHash signatures, blocked n-gram Jaccard, and
-  * blocked embedding-cosine near-dup. All hashes are md5-derived 32-bit
-  * ints (`Text.md5Hash32`) so every value is integer-exact in any engine
-  * — no reliance on Spark-private murmur3 — and every pairwise stage is
-  * *blocked* (LSH band buckets / (source, lang) / label) so no query
-  * ever materializes the full O(n²) cross product: the shuffle key is
-  * the block, which is how the same plan survives 100 TB.
+  * MinHash+LSH banding, SimHash signatures, n-gram Jaccard, and
+  * embedding-cosine near-dup. All hashes are md5-derived 32-bit ints
+  * (`Text.md5Hash32`) so every value is integer-exact in any engine —
+  * no reliance on Spark-private murmur3 — and every pairwise stage is
+  * VERIFY-ON-CANDIDATES: candidate pairs come from an LSH bucket
+  * equi-join (MinHash bands for text, random hyperplanes for vectors)
+  * and the exact measure (Jaccard / cosine) rescores only those pairs.
+  * No stage is quadratic in the corpus — index build is linear, the
+  * bucket join is bucket-local, verify is linear in candidates — which
+  * is how the same plan survives 100 TB.
   */
 object Dedup {
   import QDef._
@@ -179,78 +182,75 @@ object Dedup {
     }),
 
     QDef("dedup_ngram_jaccard",
-      // Blocked n-gram Jaccard over HASHED shingles: candidate pairs
-      // only within a (source, lang) block, intersections on md5-derived
-      // 32-bit ints (primitive array_intersect, no per-pair string
-      // hashing), similarity from integer set sizes — engine-exact, the
-      // oracle hashes identically. Blocks bound the pair count; an
-      // inverted-index join is NOT the right shape for this corpus (hot
-      // shingles in a ~30-word vocab make per-shingle co-grouping
-      // quadratic).
+      // n-gram Jaccard as VERIFY-ON-CANDIDATES: the pair list comes
+      // from the LSH band buckets (candidatePairs above — the same
+      // index dedup_minhash_pairs checks), and the exact Jaccard is
+      // computed only for those pairs via two hash joins on doc_id.
+      // No stage is quadratic in the corpus: the index build is linear,
+      // the bucket join is band-local, and the verify stage is linear
+      // in the candidate count — the canonical 100 TB near-dup plan.
+      // Intersections run on md5-derived 32-bit ints (engine-exact;
+      // the oracle hashes identically), sorted at prep so the verify
+      // uses the zero-allocation merge-count kernel
+      // (SortedInterCountExpr) instead of a per-pair hash set.
+      // Candidates always have >= 1 shingle per side (a shingle-less
+      // doc emits no bands), so the 0/0-NaN guard the all-pairs form
+      // needed is structurally impossible here.
       (s, dir) => {
         // tks bound first — see minhashBands on lambda re-evaluation.
-        // Staged: the self-join below evaluates each side independently,
-        // so without persistence the corpus is shingled+hashed twice.
-        // Sorted at prep so the pairwise stage uses the zero-allocation
-        // merge-count kernel (SortedInterCountExpr) instead of
-        // array_intersect's per-pair hash set; set SIZE is
-        // order-invariant, so the oracle needs no sort.
         val sets = graft.pipeline.Staged(s, dir, "ngram_sets") {
           t(s, dir, "documents")
             .withColumn("tks", toks)
             .withColumn("sh", shingles(col("tks"), 3))
-            .select(col("doc_id"), col("source"), col("lang"),
+            .select(col("doc_id"),
               sort_array(array_distinct(transform(col("sh"), x => Text.md5Hash32(x))))
                 .as("ss"))
         }
         val inter = graft.functions.SortedInterCountExpr
-          .interCount(col("a.ss"), col("b.ss")).cast("int")
+          .interCount(col("ss_a"), col("ss_b")).cast("int")
         val ja = inter.cast("double") /
-          (size(col("a.ss")) + size(col("b.ss")) - inter).cast("double")
-        // Guard the empty∩empty pair: 0/0 is NaN, which Spark's `>= 0.05`
-        // rejects but DuckDB (NaN sorts greatest) would accept — exclude
-        // it explicitly on BOTH sides so the engines agree by
-        // construction, not by data accident.
-        sets.as("a").join(sets.as("b"),
-            col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
-              col("a.doc_id") < col("b.doc_id") &&
-              (size(col("a.ss")) + size(col("b.ss"))) > 0)
-          .select(col("a.source").as("source"), col("a.lang").as("lang"),
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            rx(ja, 4).as("jaccard"))
+          (size(col("ss_a")) + size(col("ss_b")) - inter).cast("double")
+        candidatePairs(s, dir)
+          .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), rx(ja, 4).as("jaccard"))
           .filter(col("jaccard") >= 0.05)
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH sets AS (
-          SELECT doc_id, source, lang,
+      Some(s"""WITH $minhashBandsSql,
+        $candidatePairsSql,
+        sets AS (
+          SELECT doc_id,
                  list_distinct(list_transform($shSql, x -> ${h32Sql("x")})) AS ss
           FROM documents)
-        SELECT a.source AS source, a.lang AS lang,
-               a.doc_id AS doc_a, b.doc_id AS doc_b,
+        SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
                ${rxSql("""CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
                      / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))""", 4)} AS jaccard
-        FROM sets a JOIN sets b
-          ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-            AND (len(a.ss) + len(b.ss)) > 0
+        FROM cpairs c
+        JOIN sets a ON a.doc_id = c.doc_a
+        JOIN sets b ON b.doc_id = c.doc_b
         WHERE ${rxSql("""CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
                     / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))""", 4)} >= 0.05
         ORDER BY doc_a, doc_b""")),
 
     QDef("dedup_embedding_cosine",
-      // Embedding near-dup, blocked by label (IVF-style partition-local
-      // scan): explicit in-order double dot/norm folds so both engines
-      // sum identically; similarity rounded to 6 before thresholding.
+      // Embedding near-dup as VERIFY-ON-CANDIDATES: candidate pairs
+      // come from the random-hyperplane LSH bucket equi-join (the same
+      // staged index sim_ann_lsh probes — Similarity.bucketedVecs),
+      // then the EXACT cosine rescores each candidate and thresholds.
+      // The shuffle key is the 8-bit bucket, never an all-pairs block,
+      // so the pair count is bucket-local and the plan is unchanged at
+      // 100 TB. Dots are in-order double folds (codegen'd ArrayDotExpr
+      // ≙ DuckDB list_sum/list_transform), norms precomputed per
+      // vector, similarity rounded to 6 before thresholding.
       (s, dir) => {
         def dot(a: Column, b: Column): Column =
           graft.functions.ArrayDotExpr.dot(a, b)
-        // Norms precomputed per vector, not per pair (same IEEE ops as
-        // the oracle's sqrt(dot), 3x fewer flops in the pairwise stage);
-        // the staged vector table is shared with the similarity queries.
-        val e = Similarity.vecs(s, dir)
+        val e = Similarity.bucketedVecs(s, dir)
         val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
         e.as("a").join(e.as("b"),
-            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.label").as("label"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.bucket").as("bucket"),
             col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             rx(cos, 6).as("cos"))
           .filter(col("cos") >= 0.25)
@@ -258,10 +258,14 @@ object Dedup {
       }, {
         val dotSql = (x: String, y: String) =>
           s"list_sum(list_transform(range(64), i -> CAST($x.embedding[i+1] AS DOUBLE) * CAST($y.embedding[i+1] AS DOUBLE)))"
-        Some(s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        Some(s"""WITH bk AS (
+            SELECT vec_id, embedding,
+                   CAST(${Similarity.lshBucketSql} AS BIGINT) AS bucket
+            FROM embeddings)
+          SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
             ${rxSql(s"""${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")}))""", 6)} AS cos
-          FROM embeddings a JOIN embeddings b
-            ON a.label = b.label AND a.vec_id < b.vec_id
+          FROM bk a JOIN bk b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           WHERE ${rxSql(s"""${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")}))""", 6)} >= 0.25
           ORDER BY vec_a, vec_b""")
       })

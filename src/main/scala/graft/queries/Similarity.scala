@@ -74,13 +74,13 @@ object Similarity {
   }
 
   /** 8-bit LSH bucket of a double-vector column, from literal planes. */
-  private def lshBucket(v: Column): Column =
+  private[queries] def lshBucket(v: Column): Column =
     (0 until Planes).map { p =>
       val plane = typedLit((0 until Dims).map(planeWeight(p, _)))
       when(dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _).cast("long")
 
-  private val lshBucketSql: String = (0 until Planes).map { p =>
+  private[queries] val lshBucketSql: String = (0 until Planes).map { p =>
     val planeDot =
       s"list_sum(list_transform(range($Dims), i -> CAST(embedding[i+1] AS DOUBLE) * ((${h32(s"'$p:' || i")}) % 2001 - 1000) / 1000.0))"
     s"(CASE WHEN $planeDot > 0 THEN ${1L << p} ELSE 0 END)"
@@ -88,6 +88,17 @@ object Similarity {
 
   private def h32(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+  /** [[vecs]] with the LSH bucket attached — the shared candidate-
+    * generation index: `sim_ann_lsh`, `join_knn_rescored`, and
+    * `dedup_embedding_cosine` all join on this bucket instead of any
+    * all-pairs block, so the one staged build amortizes across the
+    * whole similarity/near-dup family.
+    */
+  private[queries] def bucketedVecs(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "emb_vecs_bucketed") {
+      vecs(s, dir).withColumn("bucket", lshBucket(col("v")))
+    }
 
   val all: Seq[QDef] = Seq(
 
@@ -123,9 +134,15 @@ object Similarity {
         ORDER BY q_id, rank""")),
 
     QDef("join_cross_topk_similarity",
-      // Label-blocked KNN join: every vector's top-3 neighbours within
-      // its label partition. The cross product exists only inside each
-      // block; shuffle key = label.
+      // Label-blocked KNN join — the EXACT-RECALL BASELINE, kept
+      // deliberately brute-force so `join_knn_rescored` (the scale
+      // path below) has a ground truth to measure recall against.
+      // The cross product exists only inside each label block; shuffle
+      // key = label. Pairs grow with the square of the block size, so
+      // at 100 TB this runs only on bounded blocks (e.g. a sampled
+      // eval slice or a per-tenant partition) — unbounded corpora use
+      // join_knn_rescored, whose candidates come from the LSH bucket
+      // join and whose scores are the same exact cosine.
       (s, dir) => {
         val e = vecs(s, dir)
         val w = Window.partitionBy("vec_a")
@@ -151,6 +168,43 @@ object Similarity {
                       row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rank
                FROM pairs)
         SELECT label, vec_a, rank, vec_b, cos FROM rk WHERE rank <= 3
+        ORDER BY vec_a, rank""")),
+
+    QDef("join_knn_rescored",
+      // Scale-path KNN join: candidates from the LSH bucket equi-join
+      // (never an all-pairs block), rescored with the EXACT cosine,
+      // top-3 per vector within its candidate set. This is the
+      // verify-on-candidates shape — pair count is bucket-local, the
+      // shuffle key is the 8-bit bucket, and the plan is identical at
+      // 100 TB. Recall vs the exact baseline is measurable by joining
+      // against join_cross_topk_similarity on (vec_a, vec_b).
+      (s, dir) => {
+        val e = bucketedVecs(s, dir)
+        val w = Window.partitionBy("vec_a")
+          .orderBy(col("cos").desc, col("vec_b").asc)
+        e.as("a").join(e.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.bucket").as("bucket"), col("a.vec_id").as("vec_a"),
+            col("b.vec_id").as("vec_b"),
+            rx(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6)
+              .as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("bucket"), col("vec_a"),
+            col("rank").cast("long").as("rank"), col("vec_b"), col("cos"))
+          .orderBy("vec_a", "rank")
+      },
+      Some(s"""WITH b AS (
+          SELECT vec_id, embedding, CAST($lshBucketSql AS BIGINT) AS bucket
+          FROM embeddings),
+        pairs AS (
+          SELECT a.bucket AS bucket, a.vec_id AS vec_a, e.vec_id AS vec_b,
+                 ${rxSql(cosSql("a", "e"), 6)} AS cos
+          FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id <> e.vec_id),
+        rk AS (SELECT bucket, vec_a, vec_b, cos,
+                      row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rank
+               FROM pairs)
+        SELECT bucket, vec_a, rank, vec_b, cos FROM rk WHERE rank <= 3
         ORDER BY vec_a, rank""")),
 
     QDef("sim_ann_ivf",
@@ -227,7 +281,7 @@ object Similarity {
       // constants); the oracle rebuilds identical planes from the same
       // md5 formula in-query.
       (s, dir) => {
-        val e = vecs(s, dir).withColumn("bucket", lshBucket(col("v")))
+        val e = bucketedVecs(s, dir)
         val q = e.filter(col("vec_id") < QueryVecs)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nrm").as("qnrm"), col("bucket").as("q_bucket"))
