@@ -30,6 +30,7 @@ object Similarity {
   private val K = 5
   private val Cents = 8
   private val NProbe = 2
+  private val LloydIters = 2
 
   /** Native codegen'd kernel; same in-order fold as the HOF chain
     * `aggregate(zip_with(...))` and DuckDB's list_sum(list_transform).
@@ -99,6 +100,170 @@ object Similarity {
     graft.pipeline.Staged(s, dir, "emb_vecs_bucketed") {
       vecs(s, dir).withColumn("bucket", lshBucket(col("v")))
     }
+
+  /** [[vecs]] plus `vq`: each element quantized to an exact int64
+    * (`floor(x·1e6 + 0.5)`). Centroid means are then sums of LONGS —
+    * order-independent and bit-identical in any engine — which is what
+    * makes a multi-round Lloyd quantizer oracle-replayable at all:
+    * summing raw doubles would make the centroids (and every
+    * downstream assignment) depend on reduction order.
+    */
+  private def quantVecs(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "ivf_quant") {
+      vecs(s, dir).withColumn("vq",
+        transform(col("v"), x => floor(x * lit(1e6) + lit(0.5)).cast("long")))
+    }
+
+  /** Trained IVF coarse quantizer: k-means with deterministic seeding
+    * (centroids 0..Cents-1 = the quantized first vectors) and
+    * [[LloydIters]] Lloyd rounds. Each round is one broadcast
+    * cross-join (k rows broadcast against the corpus — the standard
+    * distributed k-means step, linear per round) + one 64-column exact
+    * aggregate; nothing is collected to the driver. Assignments rank
+    * by cosine rounded to 6 (engine-exact `rx`) with c_id tie-break,
+    * and centroid means divide an exact integer sum, so DuckDB replays
+    * the identical training trajectory from the same CTE chain.
+    * A centroid that loses all members drops out (consistently in
+    * both engines). Staged: lists, probes, and the recall query all
+    * reuse the one trained table.
+    */
+  private def ivfCents(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "ivf_cents") {
+      val ve = quantVecs(s, dir)
+      def withNorm(c: DataFrame): DataFrame =
+        c.withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+      def nearest(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("c_sim").desc, col("c_id").asc)
+        ve.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("c_id"),
+            rx(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6).as("c_sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select("vec_id", "c_id")
+      }
+      def recompute(assign: DataFrame): DataFrame = {
+        val sums = (0 until Dims).map(d => sum(element_at(col("vq"), d + 1)).as(s"s$d"))
+        withNorm(ve.join(assign, "vec_id")
+          .groupBy("c_id")
+          .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+          .select(col("c_id"),
+            array((0 until Dims).map(d =>
+              col(s"s$d").cast("double") / (lit(1e6) * col("n"))): _*).as("cv")))
+      }
+      var cents = withNorm(ve.filter(col("vec_id") < Cents)
+        .select(col("vec_id").as("c_id"),
+          transform(col("vq"), x => x.cast("double") / lit(1e6)).as("cv")))
+      for (_ <- 1 to LloydIters) cents = recompute(nearest(cents))
+      cents
+    }
+
+  /** The IVF probe: top-3 neighbours of each query vector among the
+    * members of its NProbe nearest inverted lists (shared by
+    * `sim_ann_ivf` and `sim_ann_ivf_recall`).
+    */
+  private def ivfTop3(s: SparkSession, dir: String): DataFrame = {
+    val ve = quantVecs(s, dir)
+    val cents = ivfCents(s, dir)
+    def assigned(rank: Int): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("c_sim").desc, col("c_id").asc)
+      ve.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+          rx(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6).as("c_sim"))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= rank)
+    }
+    val lists = assigned(1).select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
+    val probes = assigned(NProbe).filter(col("vec_id") < QueryVecs)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("c_id"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(lists, Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
+  }
+
+  /** Oracle replay of the Lloyd trajectory + probe as one CTE chain:
+    * `vn` (vectors + exact int64 quantization + norm), `cn0` (seeded
+    * centroids), then per round t: `a{t}` (nearest centroid, rx-rounded
+    * cosine, c_id tie-break) and `cn{t}` (exact integer mean). The
+    * final chain exposes `rk` = (q_id, vec_id, cos, rank).
+    */
+  private def ivfTopSqlCtes: String = {
+    def cosLC(n: String, c: String) =
+      s"list_sum(list_transform(range($Dims), i -> $n.v[i+1] * $c.cv[i+1])) / ($n.nrm * $c.cnrm)"
+    def cnorm(src: String) =
+      s"""SELECT c_id, cv,
+             sqrt(list_sum(list_transform(range($Dims), i -> cv[i+1] * cv[i+1]))) AS cnrm
+          FROM $src"""
+    val rounds = (1 to LloydIters).map { t =>
+      s"""a$t AS (
+          SELECT vec_id, c_id FROM (
+            SELECT n.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY n.vec_id
+                                      ORDER BY ${rxSql(cosLC("n", "c"), 6)} DESC, c.c_id) AS rk
+            FROM vn n CROSS JOIN cn${t - 1} c) WHERE rk = 1),
+        cent$t AS (
+          SELECT c_id, list(cd ORDER BY d) AS cv FROM (
+            SELECT a.c_id, ds.d,
+                   CAST(sum(n.vq[ds.d + 1]) AS DOUBLE) / (1e6 * count(*)) AS cd
+            FROM a$t a JOIN vn n USING (vec_id),
+                 (SELECT unnest(range($Dims)) AS d) ds
+            GROUP BY a.c_id, ds.d)
+          GROUP BY c_id),
+        cn$t AS (${cnorm(s"cent$t")})"""
+    }.mkString(",\n        ")
+    s"""ve AS (
+          SELECT vec_id,
+                 list_transform(range($Dims), i -> CAST(embedding[i+1] AS DOUBLE)) AS v,
+                 list_transform(range($Dims),
+                   i -> CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS vq
+          FROM embeddings),
+        vn AS (
+          SELECT vec_id, v, vq,
+                 sqrt(list_sum(list_transform(range($Dims), i -> v[i+1] * v[i+1]))) AS nrm
+          FROM ve),
+        cent0 AS (
+          SELECT vec_id AS c_id,
+                 list_transform(vq, x -> CAST(x AS DOUBLE) / 1e6) AS cv
+          FROM ve WHERE vec_id < $Cents),
+        cn0 AS (${cnorm("cent0")}),
+        $rounds,
+        ca AS (
+          SELECT n.vec_id, c.c_id,
+                 ${rxSql(cosLC("n", "c"), 6)} AS c_sim
+          FROM vn n CROSS JOIN cn$LloydIters c),
+        crk AS (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY c_sim DESC, c_id) AS crk
+          FROM ca),
+        lists AS (SELECT c_id, vec_id FROM crk WHERE crk = 1),
+        probes AS (SELECT vec_id AS q_id, c_id FROM crk
+                   WHERE crk <= $NProbe AND vec_id < $QueryVecs),
+        cand AS (
+          SELECT DISTINCT p.q_id, l.vec_id
+          FROM probes p JOIN lists l ON p.c_id = l.c_id
+          WHERE p.q_id <> l.vec_id),
+        scored AS (
+          SELECT cand.q_id, cand.vec_id,
+                 ${rxSql(cosSql("q", "e"), 6)} AS cos
+          FROM cand
+          JOIN embeddings q ON q.vec_id = cand.q_id
+          JOIN embeddings e ON e.vec_id = cand.vec_id),
+        rk AS (SELECT q_id, vec_id, cos,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos DESC, vec_id) AS rank
+               FROM scored)"""
+  }
 
   val all: Seq[QDef] = Seq(
 
@@ -208,71 +373,66 @@ object Similarity {
         ORDER BY vec_a, rank""")),
 
     QDef("sim_ann_ivf",
-      // IVF-style ANN: a deterministic coarse quantizer (centroids = the
-      // first Cents vectors; production swaps in k-means means under the
-      // same plan) assigns every vector to its nearest centroid's
+      // IVF ANN with a TRAINED coarse quantizer: k-means centroids
+      // ([[ivfCents]] — deterministic seed + LloydIters exact-integer
+      // Lloyd rounds) assign every vector to its nearest centroid's
       // inverted list; a query probes its NProbe nearest lists and
-      // brute-forces only those. The probed-list join shuffles on the
-      // centroid id — the partition-local scan that survives when the
-      // corpus is 100 TB and a full cross product is impossible.
-      (s, dir) => {
-        val e = vecs(s, dir)
-        val cents = e.filter(col("vec_id") < Cents)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-        def assigned(rank: Int): DataFrame = {
-          val w = Window.partitionBy("vec_id")
-            .orderBy(col("c_sim").desc, col("c_id").asc)
-          e.crossJoin(broadcast(cents))
-            .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-              rx(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6).as("c_sim"))
-            .withColumn("crk", row_number().over(w))
-            .filter(col("crk") <= rank)
-        }
-        val lists = assigned(1).select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
-        val probes = assigned(NProbe).filter(col("vec_id") < QueryVecs)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("nrm").as("qnrm"), col("c_id"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("cos").desc, col("vec_id").asc)
-        probes.join(lists, Seq("c_id"))
-          .filter(col("q_id") =!= col("vec_id"))
-          .select(col("q_id"), col("vec_id"),
-            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
-          .distinct()
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("q_id"), col("rank").cast("long").as("rank"),
-            col("vec_id"), col("cos"))
-          .orderBy("q_id", "rank")
-      },
-      Some(s"""WITH ca AS (
-          SELECT e.vec_id, c.vec_id AS c_id,
-                 ${rxSql(cosSql("e", "c"), 6)} AS c_sim
-          FROM embeddings e JOIN embeddings c ON c.vec_id < $Cents),
-        crk AS (
-          SELECT vec_id, c_id,
-                 row_number() OVER (PARTITION BY vec_id
-                                    ORDER BY c_sim DESC, c_id) AS crk
-          FROM ca),
-        lists AS (SELECT c_id, vec_id FROM crk WHERE crk = 1),
-        probes AS (SELECT vec_id AS q_id, c_id FROM crk
-                   WHERE crk <= $NProbe AND vec_id < $QueryVecs),
-        cand AS (
-          SELECT DISTINCT p.q_id, l.vec_id
-          FROM probes p JOIN lists l ON p.c_id = l.c_id
-          WHERE p.q_id <> l.vec_id),
-        scored AS (
-          SELECT cand.q_id, cand.vec_id,
-                 ${rxSql(cosSql("q", "e"), 6)} AS cos
-          FROM cand
-          JOIN embeddings q ON q.vec_id = cand.q_id
-          JOIN embeddings e ON e.vec_id = cand.vec_id),
-        rk AS (SELECT q_id, vec_id, cos,
-                      row_number() OVER (PARTITION BY q_id
-                                         ORDER BY cos DESC, vec_id) AS rank
-               FROM scored)
+      // brute-forces only those. Each training round and the probe are
+      // broadcast joins against k rows; the probed-list join shuffles
+      // on the centroid id — the partition-local scan that survives
+      // when the corpus is 100 TB and a full cross product is
+      // impossible. The oracle replays the identical Lloyd trajectory
+      // as a CTE chain (see [[ivfTopSqlCtes]]).
+      (s, dir) => ivfTop3(s, dir).orderBy("q_id", "rank"),
+      Some(s"""WITH $ivfTopSqlCtes
         SELECT q_id, rank, vec_id, cos FROM rk WHERE rank <= 3
         ORDER BY q_id, rank""")),
+
+    QDef("sim_ann_ivf_recall",
+      // Recall@3 of the trained-IVF probe against the exact
+      // brute-force top-3 — the metric that justifies the ANN path:
+      // at 100 TB you run the probe, and this query (on a sampled
+      // slice) tells you what the probe is giving up. Exact side =
+      // broadcast nested-loop over the query set (same shape as
+      // sim_cosine_topk); hits = |IVF∩exact| per query.
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val q = e.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val exact = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("q_id", "vec_id")
+        val ivf = ivfTop3(s, dir).select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        exact.join(ivf, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("q_id"), col("hits"),
+            rx(col("hits").cast("double") / lit(3.0), 6).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $ivfTopSqlCtes,
+        ivf AS (SELECT q_id, vec_id FROM rk WHERE rank <= 3),
+        ex_pairs AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 ${rxSql(cosSql("q", "e"), 6)} AS cos
+          FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+          WHERE q.vec_id < $QueryVecs),
+        ex AS (SELECT q_id, vec_id FROM (
+                 SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, vec_id) AS rnk
+                 FROM ex_pairs) WHERE rnk <= 3)
+        SELECT ex.q_id, count(i.vec_id) AS hits,
+               ${rxSql("CAST(count(i.vec_id) AS DOUBLE) / 3.0", 6)} AS recall
+        FROM ex LEFT JOIN ivf i ON ex.q_id = i.q_id AND ex.vec_id = i.vec_id
+        GROUP BY ex.q_id
+        ORDER BY ex.q_id""")),
 
     QDef("sim_ann_lsh",
       // Scale-path ANN: 8 deterministic random-hyperplane sign bits →
