@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * directly into the generated Java. Cross-checked against the HOF
   * chain in ScaleOpsSpec.
   *
-  * Null contract: null array -> null; elements are assumed non-null
-  * (embedding vectors), matching the HOF chain on the same data.
+  * Null contract: null array -> null; a null ELEMENT in either slot ->
+  * null result, exactly what the HOF chain yields (`zip_with`'s `x * y`
+  * is null for a null operand and the `+` fold absorbs it) — reading
+  * the raw slot instead would silently contribute 0.0/garbage.
   */
 case class ArrayDotExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -27,13 +29,21 @@ case class ArrayDotExpr(left: Expression, right: Expression)
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
+  // Nullable even over non-null arrays: a null element nulls the fold.
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayDotExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.ArrayDotExpr$$.MODULE$$.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r =
+        graft.functions.ArrayDotExpr$$.MODULE$$.compute($a, $b);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r.doubleValue();
+      }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDotExpr =
@@ -43,13 +53,15 @@ case class ArrayDotExpr(left: Expression, right: Expression)
 object ArrayDotExpr {
 
   /** Shared kernel for the interpreted and codegen paths: strict
-    * in-order fold, truncated to the shorter array.
+    * in-order fold, truncated to the shorter array; null on the first
+    * null slot (the HOF-equivalent absorbing null).
     */
-  def compute(x: ArrayData, y: ArrayData): Double = {
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }

@@ -3,25 +3,60 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Connected components by iterative min-label propagation — the
-  * clustering step a dedup pipeline runs over its candidate-pair graph
-  * (cluster id = component-min node, the deterministic keeper).
+/** Connected components by min-label propagation WITH pointer jumping —
+  * the clustering step a dedup pipeline runs over its candidate-pair
+  * graph (cluster id = component-min node, the deterministic keeper).
   *
-  * Each round is one shuffle join plus one min-aggregate; rounds are
-  * bounded by the component diameter. Duplicate clusters are near-cliques
-  * (every member collides with most others in some LSH band), so 2-3
-  * rounds converge in practice; the alternating large-star/small-star
-  * formulation gives O(log n) worst case on pathological chains and
-  * drops in under the same loop shape. The driver carries only a
+  * Each round does two monotone label-lowering steps:
+  *   1. propagate: label(u) <- min(label(u), min over neighbours v of
+  *      label(v)) — one shuffle join plus one min-aggregate;
+  *   2. shortcut (pointer jumping): label(u) <- label(label(u)) — one
+  *      self-join on the label. Every label value is itself a node id
+  *      in the same component (invariant: labels only ever take values
+  *      of in-component node ids, and label(x) <= x), so the jump is
+  *      always defined and only lowers labels.
+  *
+  * Shortcutting is what turns the O(diameter) plain propagation into
+  * O(log n) worst case: on a path graph the reach roughly doubles per
+  * round (same asymptotic bound as the alternating large-star/
+  * small-star formulation, with one fewer shuffle per round — both are
+  * the standard MapReduce-CC constructions, cf. Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14).
+  * Duplicate clusters are near-cliques (every member collides with most
+  * others in some LSH band) and converge in 2-3 rounds regardless; the
+  * log bound is for pathological chains. The driver carries only a
   * convergence bit per round — never data.
+  *
+  * At a fixpoint the labels ARE the component minima: step 1 at a
+  * fixpoint forces label(u) <= label(v) across every (symmetric) edge,
+  * hence label constant per component; the constant is an in-component
+  * id <= the component min, hence exactly the min.
   */
 object ConnectedComponents {
 
   /** `pairs`: two long columns (a, b), undirected edges. Returns
     * (id, cluster) for every node appearing in at least one pair.
+    *
+    * @throws IllegalStateException if maxRounds elapse without reaching
+    *         a fixpoint (never silently-wrong labels — the DuckDB
+    *         oracle computes the true components recursively).
     */
   def clusters(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
       maxRounds: Int = 50): DataFrame = {
+    val (labels, rounds, converged) = clustersDetailed(pairs, a, b, maxRounds)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $rounds rounds " +
+          s"(maxRounds=$maxRounds); with pointer jumping this needs " +
+          "~log2(n) rounds — the input graph is larger than maxRounds allows")
+    labels
+  }
+
+  /** [[clusters]] plus the round count and convergence bit — the spec
+    * surface for asserting the O(log n) bound on chain graphs.
+    */
+  def clustersDetailed(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
+      maxRounds: Int = 50): (DataFrame, Int, Boolean) = {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .persist()
@@ -33,19 +68,36 @@ object ConnectedComponents {
     while (!converged && rounds < maxRounds) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-      // Carry old + new in one frame so the convergence probe needs no
-      // second join: one action per round, reading the freshly cached
-      // `next`.
-      val next = labels.join(prop, col("id") === col("src"), "left_outer")
+      // Step 1: min over self + neighbours. Persisted because step 2
+      // self-joins it (Spark shares no subtree between self-join sides).
+      val stepped = labels.join(prop, col("id") === col("src"), "left_outer")
         .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("mid"))
         .persist()
+      // Step 2: pointer jump label <- label(label). Both steps only
+      // lower labels, so "nothing changed across the composite round"
+      // implies a fixpoint of step 1 alone — the convergence probe
+      // (carrying old + new in one frame, one action per round) is
+      // sound for the combined round.
+      val parent = stepped.select(col("id").as("pid"), col("mid").as("plabel"))
+      // Eager localCheckpoint, not persist: each round's plan references
+      // the previous round's TWICE (the self-join), so without lineage
+      // truncation the logical plan doubles per round and a log2(n)-round
+      // run OOMs the driver on plan bookkeeping alone. Checkpointing
+      // per iteration is the standard iterative-algorithm shape (cf.
+      // GraphFrames' checkpointInterval); blocks live in executor
+      // storage, the driver still carries only the convergence bit.
+      val next = stepped.join(parent, col("mid") === col("pid"), "left_outer")
+        .select(col("id"), col("old"),
+          coalesce(col("plabel"), col("mid")).as("label"))
+        .localCheckpoint(true)
       converged = next.filter(col("label") =!= col("old")).limit(1).count() == 0L
+      stepped.unpersist()
       labels.unpersist()
       labels = next
       rounds += 1
     }
     edges.unpersist()
-    labels.select(col("id"), col("label").as("cluster"))
+    (labels.select(col("id"), col("label").as("cluster")), rounds, converged)
   }
 }

@@ -45,7 +45,8 @@ object Stages {
 
   private val cache = new ConcurrentHashMap[String, PipelineStages]()
 
-  def apply(s: SparkSession, dir: String): PipelineStages =
+  def apply(s: SparkSession, dir: String): PipelineStages = {
+    StageCache.hookCleanup(s)
     cache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
       def p(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
       val docs = p(Corpus.flatDocs(s, dir))
@@ -57,6 +58,50 @@ object Stages {
       val nodes = p(Graph.nodes(docs, labeled))
       PipelineStages(docs, triples, nested, known, api, labeled, nodes)
     })
+  }
+
+  /** Drop (and best-effort unpersist) every entry whose key starts with
+    * `prefix` ("{identityHashCode}|" drops one session's entries; ""
+    * drops all). Wired to application end by [[StageCache.hookCleanup]]
+    * so stopped-session DataFrames don't accumulate in a long-lived JVM.
+    */
+  def clear(prefix: String = ""): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) {
+        val st = e.getValue
+        Seq(st.docs, st.triples, st.known, st.api, st.labeled, st.nodes)
+          .foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+        it.remove()
+      }
+    }
+  }
+}
+
+/** Session-lifecycle hook shared by the two stage caches: on the first
+  * cache touch per session, registers a SparkListener that evicts that
+  * session's entries at application end — persisted blocks die with the
+  * context, but the map entries (and the stopped-session DataFrames
+  * they pin) would otherwise live as long as the JVM.
+  */
+private[pipeline] object StageCache {
+  private val hooked = ConcurrentHashMap.newKeySet[Int]()
+
+  def hookCleanup(s: SparkSession): Unit = {
+    val id = System.identityHashCode(s)
+    if (hooked.add(id)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          Stages.clear(s"$id|")
+          Staged.clear(s"$id|")
+          hooked.remove(id)
+          ()
+        }
+      })
+    }
+  }
 }
 
 /** Generic memoized persist for any staged intermediate keyed by
@@ -70,7 +115,21 @@ object Stages {
 object Staged {
   private val cache = new ConcurrentHashMap[String, DataFrame]()
 
-  def apply(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame =
+  def apply(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
+    StageCache.hookCleanup(s)
     cache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir|$tag",
       _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Same contract as [[Stages.clear]] for the generic staged cache. */
+  def clear(prefix: String = ""): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) {
+        try e.getValue.unpersist(false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
 }

@@ -48,14 +48,22 @@ object Relational {
       (s, dir) => {
         // CSV source: round-trip the document metadata through Spark's
         // CSV writer/reader with an explicit schema (headers on, types
-        // re-asserted on read — CSV carries none).
+        // re-asserted on read — CSV carries none). nullValue is pinned
+        // to a sentinel on BOTH sides so null and empty string survive
+        // the trip distinctly: with the default ("" both ways) an empty
+        // string comes back as NULL and the oracle — which reads the
+        // original table — would diverge on fixture data, not engine
+        // behavior.
         val out = scratch(s"scan_csv_docs_${new java.io.File(dir).getName}")
         t(s, dir, "documents")
           .select("doc_id", "lang", "source", "n_chars")
-          .write.mode("overwrite").option("header", "true").csv(out)
+          .write.mode("overwrite")
+          .option("header", "true").option("nullValue", "\\N")
+          .csv(out)
         s.read
           .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
-          .option("header", "true")
+          .option("header", "true").option("nullValue", "\\N")
+          .option("emptyValue", "")
           .csv(out)
           .orderBy("doc_id")
       },
@@ -391,18 +399,20 @@ object Relational {
       // HLL sketch values differ across engines, so the oracle checks
       // the sketch's CONTRACT instead of its bits: the query emits the
       // exact distinct count plus whether the HLL estimate landed within
-      // its 5% error envelope, which the oracle asserts as a constant.
-      // The ScalaTest spec additionally pins the relative-error bound.
+      // a 3-sigma error envelope (default rsd 0.05 is ONE standard
+      // deviation — asserting 1-sigma as a constant would flip on an
+      // unlucky group at a new scale factor), which the oracle asserts
+      // as a constant. The ScalaTest spec pins the same bound.
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(count_distinct(col("l_partkey")).as("exact_parts"),
           (abs(approx_count_distinct(col("l_partkey")) -
               count_distinct(col("l_partkey"))).cast("double") /
-            count_distinct(col("l_partkey")) <= 0.05).as("within_5pct"))
+            count_distinct(col("l_partkey")) <= 0.15).as("within_3sigma"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
           count(DISTINCT l_partkey) AS exact_parts,
-          true AS within_5pct
+          true AS within_3sigma
         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
 
     QDef("agg_rollup_cube",

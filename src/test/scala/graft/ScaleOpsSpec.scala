@@ -48,6 +48,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L))
   }
 
+  test("cc pointer jumping converges on a 1024-node path in O(log n) rounds") {
+    // Worst case for plain min-propagation (diameter n-1 would need ~n
+    // rounds); pointer jumping must close it in ~log2(n). The bound
+    // asserted is log2(n)+3 — generous slack over the doubling
+    // recurrence, far below the linear round count it replaces.
+    import spark.implicits._
+    val n = 1024
+    val dir = graft.streaming.StreamRuns.fresh("cc-path")
+    (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b").write.mode("overwrite").parquet(dir)
+    val (labels, rounds, converged) = graft.operators.ConnectedComponents
+      .clustersDetailed(spark.read.parquet(dir))
+    assert(converged, s"did not converge in $rounds rounds")
+    val maxLog = (math.log(n) / math.log(2)).toInt + 3
+    assert(rounds <= maxLog, s"took $rounds rounds, expected <= $maxLog")
+    val distinctClusters = labels.select("cluster").distinct().collect()
+    assert(distinctClusters.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(labels.count() == n.toLong)
+  }
+
   test("ArrayDotExpr matches the built-in higher-order fold bit-for-bit") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"),
