@@ -22,6 +22,15 @@ import graft.pipeline.{Classify, Corpus, Graph, NestedEnrich, Stages, XmlDocs}
 object Pipeline {
   import QDef._
 
+  /** The reference's NER system prompt, verbatim role (O16,
+    * json_classification.py:288-296) — constant payload of every batch
+    * request's system message.
+    */
+  private val NerPrompt =
+    "You are an NER system that classifies terms into PERSON, PLACE, " +
+      "ORGANIZATION, or TERM. Return {classification: 'example_class'} " +
+      "as a json object, one term per line."
+
   private def uriSql(e: String): String =
     s"'r' || CAST(CAST(('0x' || substr(sha256(regexp_replace(lower($e), '[ ,]', '', 'g')), 1, 8)) AS BIGINT) % 100000000 AS VARCHAR)"
 
@@ -111,6 +120,71 @@ object Pipeline {
     QDef("pipeline_terms_classify",
       (s, dir) => stages(s, dir).api.orderBy("norm"),
       Some(prelude + "SELECT norm, type FROM api ORDER BY norm")),
+
+    QDef("pipeline_batch_envelope",
+      // O16 (json_classification.py:120-149, 196-215): per unclassified
+      // term, build the OpenAI Batch request envelope — custom_id
+      // `task-{i}`, method, url, body{model, temperature,
+      // response_format, system+user messages} — write the JSONL batch
+      // file, read it back, and reconstruct the reference's input_dict
+      // (custom_id -> messages[1].content) joined with the
+      // classification keyed by custom_id. Faithful quirk: the
+      // reference enumerates the FULL term list and skips known
+      // entities AFTER enumeration, so task indexes keep gaps where
+      // known terms sat; enumeration order here is sorted-by-term (the
+      // deterministic stand-in for Python list order). The term set is
+      // dimension-sized, so the single-partition enumeration window and
+      // the JSONL file are bounded — the fact-sized corpus never
+      // flows through this query.
+      (s, dir) => {
+        val st = stages(s, dir)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("term")
+        // api holds exactly the non-known normalized terms, so the
+        // inner join below reproduces the known-entities skip (O15)
+        // without a second anti join.
+        val tasks = Classify.allTerms(st.triples)
+          .withColumn("idx", row_number().over(w) - 1)
+          .join(broadcast(st.api.select(col("norm"))),
+            Text.normTerm(col("term")) === col("norm"))
+          .select(
+            concat(lit("task-"), col("idx")).as("custom_id"),
+            lit("POST").as("method"),
+            lit("/v1/chat/completions").as("url"),
+            struct(
+              lit("gpt-4o-mini").as("model"),
+              lit(0.1).as("temperature"),
+              struct(lit("json_object").as("type")).as("response_format"),
+              array(
+                struct(lit("system").as("role"), lit(NerPrompt).as("content")),
+                struct(lit("user").as("role"), col("term").as("content")))
+                .as("messages")).as("body"))
+        val out = scratch(s"batch_tasks_${new java.io.File(dir).getName}")
+        tasks.select(to_json(struct(col("custom_id"), col("method"),
+            col("url"), col("body"))).as("value"))
+          .write.mode("overwrite").text(out)
+        val parsed = s.read.schema(
+            "custom_id STRING, method STRING, url STRING, " +
+              "body STRUCT<model: STRING, temperature: DOUBLE, " +
+              "response_format: STRUCT<type: STRING>, " +
+              "messages: ARRAY<STRUCT<role: STRING, content: STRING>>>")
+          .json(out)
+        val input = parsed.select(col("custom_id"),
+          element_at(col("body.messages"), 2).getField("content").as("content"))
+        // Mock batch output: the rule classifier's label plays the
+        // parsed response body, matched back on custom_id exactly like
+        // the reference's input_dict/output_dict zip.
+        input
+          .join(broadcast(st.api.withColumnRenamed("type", "classification")),
+            Text.normTerm(col("content")) === col("norm"))
+          .select("custom_id", "content", "classification")
+          .orderBy("custom_id")
+      },
+      Some(prelude + """
+        SELECT 'task-' || CAST(rn - 1 AS VARCHAR) AS custom_id,
+               t.term AS content, api.type AS classification
+        FROM (SELECT term, row_number() OVER (ORDER BY term) AS rn FROM terms) t
+        JOIN api ON api.norm = lower(trim(regexp_replace(t.term, '\s+', ' ', 'g')))
+        ORDER BY custom_id""")),
 
     QDef("pipeline_label_precedence",
       (s, dir) => stages(s, dir).labeled
