@@ -8,11 +8,12 @@ import graft.functions.{ConvertNameExpr, Text}
 /** Graph-build stage (json_to_db.py, SURVEY O23-O29): the labeled
   * property graph as two DataFrames — nodes(label, key, uri) and
   * edges(src, dst, type) — with MERGE semantics as key-based dedup, so
-  * re-running the build is idempotent (SURVEY §2.3-7). Written as
-  * partitioned parquet by the sink; a live Bolt writer would be a
-  * foreachPartition behind a sink trait with batched UNWIND statements
-  * (the reference's 1-tx-per-statement pattern is the anti-pattern we
-  * do not port, json_to_db.py:81-127).
+  * re-running the build is idempotent (SURVEY §2.3-7). Sinks implement
+  * [[GraphSink]]: partitioned parquet ([[ParquetGraphSink]]) for the
+  * offline pipeline, and [[BoltGraphSink]] — foreachPartition with
+  * batched UNWIND statements behind an injected connection factory
+  * (the reference's 1-tx-per-statement pattern, json_to_db.py:81-127,
+  * is the anti-pattern we do not port).
   *
   * Faithful trap semantics:
   *   - Term nodes carry no uri (generate_uri.py:43-45, json_to_db.py:35-38);
