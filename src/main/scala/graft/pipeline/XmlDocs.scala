@@ -121,66 +121,41 @@ object XmlDocs {
         col("t.midsub").as("midsub"),
         col("t.sub").as("sub"))
 
-  /** Serialize the synthetic corpus as reference-shaped XML (one root,
-    * N <document> elements) so the XML scan is exercised on real data.
-    * Driver-side by design: this is a bounded test-input generator
-    * (limit rows first), not a data-path operator.
+  /** Serialize the corpus as reference-shaped XML (per-file root, N
+    * <document> elements) via Spark's native XML writer — the executors
+    * shape and write partitions in parallel (entity escaping is the
+    * StAX writer's job), so the round-trip is symmetric with [[read]]
+    * and the same code path scales past test inputs; nothing passes
+    * through the driver. `path` is a directory the file-source [[read]]
+    * scans as-is.
+    *
+    * Null scalars are written as omitted elements where the old driver
+    * writer emitted empty ones — both read back as null under
+    * [[xmlSchema]], so the round-trip semantics are unchanged.
     */
   def writeCorpusXml(flatDocs: DataFrame, triples: DataFrame, path: String): Unit = {
     val trip = triples.groupBy("documentID")
       .agg(sort_array(collect_list(struct(col("main"), col("midsub"), col("sub")))).as("ts"))
-    val rows = flatDocs.join(trip, Seq("documentID"), "left_outer")
-      .orderBy("documentID")
-      .collect()
-    // Escape the five XML entities — an unescaped '&'/'<'/'>' in a field
-    // would produce malformed XML that the PERMISSIVE reader turns into
-    // silently nulled rows.
-    def esc(s: String): String = {
-      val b = new StringBuilder(s.length)
-      s.foreach {
-        case '&'  => b.append("&amp;")
-        case '<'  => b.append("&lt;")
-        case '>'  => b.append("&gt;")
-        case '"'  => b.append("&quot;")
-        case '\'' => b.append("&apos;")
-        case c    => b.append(c)
-      }
-      b.toString
-    }
-    val sb = new StringBuilder("<root>\n")
-    rows.foreach { r =>
-      def g(n: String) = esc(Option(r.getAs[String](n)).getOrElse(""))
-      sb.append("<document>")
-        .append(s"<documentID>${g("documentID")}</documentID>")
-        .append(s"<documentTitle>${g("documentTitle")}</documentTitle>")
-        .append("<projectInfo>")
-        .append(s"<publicationName>${g("publicationName")}</publicationName>")
-        .append(s"<seriesName>${g("seriesName")}</seriesName>")
-        .append(s"<volumeInfo>${g("volumeInfo")}</volumeInfo>")
-        .append(s"<publisher>${g("publisher")}</publisher>")
-        .append("<formats><type>print</type><type>digital</type></formats>")
-        .append("</projectInfo>")
-        .append(s"<authors><author>${g("author")}</author></authors>")
-        .append(s"<recipients><recipient>${g("recipient")}</recipient></recipients>")
-        .append("<dates>")
-        .append(s"<date-from>${g("date_from")}</date-from>")
-        .append(s"<date-to>${g("date_to")}</date-to>")
-        .append("</dates>")
-        .append(s"<location><placeName>${g("loc")}</placeName></location>")
-        .append("<repositories><repository>Library</repository></repositories>")
-        .append("<indexing>")
-      val ts = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ts")
-      if (ts != null) ts.foreach { t =>
-        sb.append("<indexTerm>")
-          .append(s"<main>${esc(t.getString(0))}</main>")
-          .append(s"<midsub>${esc(t.getString(1))}</midsub>")
-          .append(s"<sub>${esc(t.getString(2))}</sub>")
-          .append("</indexTerm>")
-      }
-      sb.append("</indexing></document>\n")
-    }
-    sb.append("</root>\n")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+    flatDocs.join(trip, Seq("documentID"), "left_outer")
+      .select(
+        col("documentID"),
+        col("documentTitle"),
+        struct(
+          col("publicationName"), col("seriesName"),
+          col("volumeInfo"), col("publisher"),
+          struct(array(lit("print"), lit("digital")).as("type")).as("formats"))
+          .as("projectInfo"),
+        struct(array(col("author")).as("author")).as("authors"),
+        struct(array(col("recipient")).as("recipient")).as("recipients"),
+        struct(col("date_from").as("date-from"), col("date_to").as("date-to"))
+          .as("dates"),
+        struct(col("loc").as("placeName")).as("location"),
+        struct(array(lit("Library")).as("repository")).as("repositories"),
+        struct(col("ts").as("indexTerm")).as("indexing"))
+      .write.mode("overwrite")
+      .format("xml")
+      .option("rootTag", "root")
+      .option("rowTag", "document")
+      .save(path)
   }
 }

@@ -60,7 +60,7 @@ object Pipeline {
         val trip = st.triples
           .join(docs.select("documentID"), Seq("documentID"))
         val path = scratch(
-          s"xml_docs_${new java.io.File(dir).getName}/corpus.xml")
+          s"xml_docs_${new java.io.File(dir).getName}/corpus_xml")
         XmlDocs.writeCorpusXml(docs, trip, path)
         XmlDocs.toDocModel(XmlDocs.read(s, path))
           .select(col("documentID"), col("documentTitle"),
