@@ -39,6 +39,7 @@ object Stages {
       triples: DataFrame,
       nested: DataFrame,
       known: DataFrame,
+      terms: DataFrame,
       api: DataFrame,
       labeled: DataFrame,
       nodes: DataFrame)
@@ -53,10 +54,13 @@ object Stages {
       val triples = p(Corpus.indexTriples(s, dir))
       val nested = Corpus.nestedDocsFrom(docs, triples)
       val known = p(Classify.knownEntities(docs))
-      val api = p(Classify.apiMap(Classify.allTerms(triples), known, Classify.RuleClassifier))
+      // The distinct-term set feeds both the classify map and the batch
+      // envelope; one persisted distinct instead of one per consumer.
+      val terms = p(Classify.allTerms(triples))
+      val api = p(Classify.apiMap(terms, known, Classify.RuleClassifier))
       val labeled = p(Classify.labelTriples(triples, known, api))
       val nodes = p(Graph.nodes(docs, labeled))
-      PipelineStages(docs, triples, nested, known, api, labeled, nodes)
+      PipelineStages(docs, triples, nested, known, terms, api, labeled, nodes)
     })
   }
 
@@ -71,7 +75,7 @@ object Stages {
       val e = it.next()
       if (e.getKey.startsWith(prefix)) {
         val st = e.getValue
-        Seq(st.docs, st.triples, st.known, st.api, st.labeled, st.nodes)
+        Seq(st.docs, st.triples, st.known, st.terms, st.api, st.labeled, st.nodes)
           .foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
         it.remove()
       }

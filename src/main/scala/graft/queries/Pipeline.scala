@@ -142,7 +142,7 @@ object Pipeline {
         // api holds exactly the non-known normalized terms, so the
         // inner join below reproduces the known-entities skip (O15)
         // without a second anti join.
-        val tasks = Classify.allTerms(st.triples)
+        val tasks = st.terms
           .withColumn("idx", row_number().over(w) - 1)
           .join(broadcast(st.api.select(col("norm"))),
             Text.normTerm(col("term")) === col("norm"))

@@ -139,6 +139,32 @@ object Relational {
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    QDef("scan_partition_pruned",
+      // 100 TB scan discipline in one query: the layout partitions on
+      // the dimension queries filter by (event_type), so the partition
+      // filter prunes whole directories at listing time — non-matching
+      // partitions are never read — while the residual data filter and
+      // the 3-column projection reach the parquet reader as
+      // PushedFilters / ReadSchema. PartitionPruneSpec asserts all
+      // three in the executed plan. The staged partitioned layout is
+      // written once per session+dir (the same pay-at-write,
+      // amortize-per-read contract as join_bucketed).
+      (s, dir) => {
+        val out = scratch(s"events_part_${new java.io.File(dir).getName}")
+        graft.pipeline.Staged(s, dir, "events_partitioned") {
+          t(s, dir, "events").write.mode("overwrite")
+            .partitionBy("event_type").parquet(out)
+          s.range(1).toDF("ok") // marker: layout staged once per session+dir
+        }
+        s.read.parquet(out)
+          .filter(col("event_type") === "click" && col("value") > 100.0)
+          .select("event_id", "user_id", "value")
+          .orderBy("event_id", "user_id", "value")
+      },
+      Some("""SELECT event_id, user_id, value
+        FROM events WHERE event_type = 'click' AND value > 100.0
+        ORDER BY event_id, user_id, value""")),
+
     QDef("project_docs",
       (s, dir) => t(s, dir, "documents")
         // Build the nested doc-model shape (SURVEY §1.1) in flight, then
