@@ -277,6 +277,87 @@ object TextAnalysis {
       Some(s"""SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tok,
           CAST(floor((sum(len($toksSql)) OVER (PARTITION BY source ORDER BY doc_id
                         ROWS UNBOUNDED PRECEDING) - len($toksSql)) / 512) AS BIGINT) AS bin
-        FROM documents ORDER BY source, doc_id"""))
+        FROM documents ORDER BY source, doc_id""")),
+
+    QDef("sample_hash_split",
+      // Deterministic train/valid/test assignment: bucket =
+      // md5-derived hash of the doc id mod 100, split by 80/10/10
+      // bucket ranges. Hash-based splitting is THE scalable sampling
+      // primitive — no global shuffle, no seed state, stable under
+      // re-runs and corpus growth (a doc's split never changes when
+      // other docs arrive), trivially stratifiable by any column. The
+      // md5 hash is engine-portable, so the oracle reproduces the exact
+      // assignment row by row.
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          pmod(Text.md5Hash32(col("doc_id").cast("string")), lit(100))
+            .as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+          CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+               ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id""")),
+
+    QDef("text_tfidf",
+      // Corpus-weighted term relevance: tf = in-doc count / doc length,
+      // idf = the rational variant (N+1)/(df+1) — ln() is deliberately
+      // avoided because transcendental libm results are not required to
+      // be correctly rounded and may differ across engines by an ulp;
+      // +,-,*,/ are IEEE-exact in both, so the score is bit-portable.
+      // Two linear passes (per-doc counts, corpus df) joined on the
+      // term; the df side is vocabulary-sized and broadcast. Top-3
+      // terms per doc by score, ties on term.
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("term"))
+          .filter(length(col("term")) > 0)
+        val tf = tok.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("len", sum(col("cnt"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        val df = tok.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        // Corpus size as a broadcast 1-row aggregate, not a driver-side
+        // count(): the scalar stays inside the distributed plan.
+        val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+        tf.join(broadcast(df), "term")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            rx((col("cnt").cast("double") / col("len")) *
+              ((col("n") + 1).cast("double") / (col("df") + 1).cast("double")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            col("term"), col("tfidf"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH tok AS (
+          SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+        tf AS (
+          SELECT doc_id, term, count(*) AS cnt,
+                 sum(count(*)) OVER (PARTITION BY doc_id) AS len
+          FROM tok2 GROUP BY doc_id, term),
+        docfreq AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 ${rxSql("(CAST(tf.cnt AS DOUBLE) / tf.len) * (CAST(n.n + 1 AS DOUBLE) / CAST(docfreq.df + 1 AS DOUBLE))", 6)} AS tfidf
+          FROM tf JOIN docfreq USING (term), n),
+        rk AS (SELECT doc_id, term, tfidf,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rank
+               FROM scored)
+        SELECT doc_id, rank, term, tfidf FROM rk WHERE rank <= 3
+        ORDER BY doc_id, rank"""))
   )
 }
