@@ -151,6 +151,54 @@ object Dedup {
         SELECT a AS doc_id, min(b) AS cluster FROM reach
         GROUP BY a ORDER BY doc_id""")),
 
+    QDef("sample_leakage_safe_split",
+      // Group-aware train/valid/test split: near-duplicates MUST land
+      // in the same split or the held-out sets leak training data (the
+      // classic eval-contamination failure). Cluster id = connected
+      // components over the LSH pair graph (unpaired docs are singleton
+      // clusters), and the deterministic md5-bucket split is taken on
+      // the CLUSTER id so every member inherits one assignment —
+      // dedup_cluster_cc composed with sample_hash_split's mechanism.
+      // Cost on top of clustering: one left join + a per-row hash.
+      (s, dir) => {
+        val cc = graft.operators.ConnectedComponents
+          .clusters(candidatePairs(s, dir))
+          .select(col("id").as("doc_id"), col("cluster"))
+        t(s, dir, "documents").select("doc_id")
+          .join(cc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .withColumn("bucket",
+            pmod(Text.md5Hash32(col("cluster").cast("string")), lit(100)))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "valid")
+              .otherwise("test"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $minhashBandsSql,
+        $candidatePairsSql,
+        cedges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cpairs
+          UNION SELECT doc_b, doc_a FROM cpairs),
+        reach(a, b) AS (
+          SELECT src, src FROM cedges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cedges e ON r.b = e.src),
+        cc AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+        wc AS (
+          SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
+          FROM documents d LEFT JOIN cc USING (doc_id)),
+        bk AS (
+          SELECT doc_id, cluster,
+                 ${h32Sql("CAST(cluster AS VARCHAR)")} % 100 AS bucket
+          FROM wc)
+        SELECT doc_id, cluster, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM bk ORDER BY doc_id""")),
+
     QDef("dedup_simhash", {
       // 32-bit SimHash: per-token md5 hash, per-bit ±1 vote, sign →
       // bit. One explode + one hash-aggregate per document; the 32 bit
