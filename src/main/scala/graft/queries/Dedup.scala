@@ -79,6 +79,17 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected-components labels over the LSH pair graph, staged: the
+    * multi-round loop runs once per session+dir and both the cluster
+    * query and the leakage-safe split reuse the persisted labels.
+    */
+  private def ccLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "cc_labels") {
+      graft.operators.ConnectedComponents
+        .clusters(candidatePairs(s, dir))
+        .select(col("id").as("doc_id"), col("cluster"))
+    }
+
   private val candidatePairsSql =
     """cpairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -135,10 +146,7 @@ object Dedup {
       // The dedup step AFTER candidate generation: connected components
       // over the LSH pair graph (see operators.ConnectedComponents),
       // cluster id = component-min doc_id (the deterministic keeper).
-      (s, dir) => graft.operators.ConnectedComponents
-        .clusters(candidatePairs(s, dir))
-        .select(col("id").as("doc_id"), col("cluster"))
-        .orderBy("doc_id"),
+      (s, dir) => ccLabels(s, dir).orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $minhashBandsSql,
         $candidatePairsSql,
         cedges AS (
@@ -161,11 +169,8 @@ object Dedup {
       // dedup_cluster_cc composed with sample_hash_split's mechanism.
       // Cost on top of clustering: one left join + a per-row hash.
       (s, dir) => {
-        val cc = graft.operators.ConnectedComponents
-          .clusters(candidatePairs(s, dir))
-          .select(col("id").as("doc_id"), col("cluster"))
         t(s, dir, "documents").select("doc_id")
-          .join(cc, Seq("doc_id"), "left_outer")
+          .join(ccLabels(s, dir), Seq("doc_id"), "left_outer")
           .select(col("doc_id"),
             coalesce(col("cluster"), col("doc_id")).as("cluster"))
           .withColumn("bucket",
