@@ -29,7 +29,7 @@ object Bench {
     // staging cost and per-query numbers migrate between rounds as map
     // order shifts; the one-time cost is reported as its own
     // staging_sec field instead.
-    val stagers = Seq("pipeline_known_entities", "dedup_minhash_sig",
+    val stagers = Seq("pipeline_node_counts", "dedup_minhash_sig",
       "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf", "join_bucketed")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
