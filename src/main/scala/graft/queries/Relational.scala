@@ -121,6 +121,56 @@ object Relational {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1 ORDER BY 1""")),
 
+    QDef("join_bloom_pruned",
+      // Runtime row-level pruning for the fact-fact join at 100 TB:
+      // when one join side carries a selective filter, Catalyst's
+      // InjectRuntimeFilter builds a bloom filter from it at runtime
+      // and pushes a might-contain probe into the OTHER side's scan —
+      // fact rows that cannot join die at the reader instead of
+      // travelling through the shuffle. Thresholds are session-scoped
+      // down for local data sizes (at cluster scale the defaults
+      // trigger on their own); BloomPruneSpec asserts the probe is in
+      // the executed plan. The merge hint keeps the join a shuffle SMJ
+      // — a broadcast join would prune via its own hash table and hide
+      // the demo.
+      (s, dir) => {
+        val confs = Map(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          // Local-mode sizes make every dim broadcastable, and the rule
+          // only injects for probably-shuffle joins — the exact join
+          // this models at fact-fact scale.
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          // Selective predicate on a NON-key column only: a key-column
+          // predicate would be inferred onto the fact side through the
+          // join equality, and InjectRuntimeFilter skips application
+          // sides that already look selective.
+          val urgent = t(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+          val df = t(s, dir, "lineitem").hint("merge")
+            .join(urgent, col("l_orderkey") === col("o_orderkey"))
+            .agg(count(lit(1)).as("n"),
+              sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+          // Optimization (where InjectRuntimeFilter runs) is lazy;
+          // force it while the thresholds are still set, then restore —
+          // the Dataset caches its QueryExecution, so the injected
+          // filter survives the conf reset.
+          df.queryExecution.optimizedPlan
+          df
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'""")),
+
     QDef("sink_parquet_partitioned",
       (s, dir) => {
         // Partitioned parquet sink (graph-sink analog, json_to_db.py
@@ -534,6 +584,30 @@ object Relational {
           ${rxSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS median_price,
           ${rxSql("quantile_cont(l_extendedprice, 0.95)", 4)} AS p95_price,
           ${rxSql("quantile_cont(l_quantity, 0.25)", 4)} AS q1_qty
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    QDef("agg_approx_percentile",
+      // Sketch quantiles for the 100 TB path: exact percentile needs a
+      // full sort per group; approx_percentile is a mergeable
+      // fixed-size sketch (one pass, map-side combinable). Like
+      // agg_approx_distinct, the oracle asserts the sketch's CONTRACT,
+      // not its bits: the estimate must land between the exact p40 and
+      // p60 values (the rank-error guarantee at default accuracy is
+      // far tighter; the wide envelope keeps the constant-true oracle
+      // safe across scale factors).
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          rx(percentile(col("l_extendedprice"), lit(0.5)), 4).as("exact_p50"),
+          (approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+            .between(
+              percentile(col("l_extendedprice"), lit(0.4)),
+              percentile(col("l_extendedprice"), lit(0.6))))
+            .as("within_decile"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+          ${rxSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS exact_p50,
+          true AS within_decile
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     QDef("agg_pivot",
