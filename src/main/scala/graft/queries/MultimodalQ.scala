@@ -65,6 +65,44 @@ object MultimodalQ {
               END) AS avg_width,
           CAST(max(1 + octet_length(encode(text)) // 1024) AS BIGINT) AS max_frames,
           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_feature_mass
-        FROM documents GROUP BY 1 ORDER BY kind"""))
+        FROM documents GROUP BY 1 ORDER BY kind""")),
+
+    QDef("multimodal_frame_sample",
+      // Frame sampling: each payload splits into fixed 256-byte frames,
+      // every 2nd frame is kept, each sampled frame is digested — the
+      // 1-to-N expansion shape (explode over a computed frame index)
+      // that video/audio ingestion needs, with costs proportional to
+      // SAMPLED frames, not payload size. Frames are sliced on the hex
+      // encoding so the per-frame digest is plain-ASCII-safe in any
+      // engine (slicing raw UTF-8 bytes mid-codepoint would make a
+      // varchar digest engine-dependent). greatest(1, …) gives empty
+      // payloads one empty frame in both engines.
+      (s, dir) => {
+        val m = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+        m.withColumn("hx", hex(col("payload")))
+          .withColumn("n_frames",
+            greatest(lit(1), ceil(length(col("hx")) / 512.0)).cast("int"))
+          .select(col("media_id"), col("kind"), col("hx"),
+            explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
+          .filter(pmod(col("frame_no"), lit(2)) === 0)
+          .select(col("media_id"), col("kind"),
+            col("frame_no").cast("long").as("frame_no"),
+            md5(col("hx").substr(col("frame_no") * 512 + 1, lit(512)))
+              .as("frame_md5"))
+          .orderBy("media_id", "frame_no")
+      },
+      Some("""WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN lang = 'zh' THEN 'audio' ELSE 'image' END AS kind,
+                 hex(encode(text)) AS hx
+          FROM documents),
+        f AS (
+          SELECT media_id, kind, hx,
+                 unnest(range(greatest(1, CAST(ceil(length(hx) / 512.0) AS BIGINT)))) AS frame_no
+          FROM m)
+        SELECT media_id, kind, CAST(frame_no AS BIGINT) AS frame_no,
+               md5(substring(hx, CAST(frame_no * 512 + 1 AS INT), 512)) AS frame_md5
+        FROM f WHERE frame_no % 2 = 0
+        ORDER BY media_id, frame_no"""))
   )
 }
