@@ -390,6 +390,43 @@ object Relational {
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
         GROUP BY 1 ORDER BY 1""")),
 
+    QDef("join_range_binned",
+      // The interval join's 100 TB shape: bin timestamps into
+      // window-sized buckets and make the bin part of the EQUI key.
+      // Each left event probes its own bin and the next (b in
+      // (a, a+5m] spans at most 2 window-sized bins — exact integer
+      // argument on microseconds), the join is a plain hash join on
+      // (user_id, bin), and the precise range predicate filters the
+      // bin-local candidates. Same result as join_theta_range, but the
+      // per-key candidate set is bounded by 2 bins' occupancy instead
+      // of the user's whole history — the difference between a
+      // partitionable join and a per-key quadratic blowup when keys
+      // are hot or absent. Each true pair matches exactly once (b's
+      // bin is fixed; a's two probe bins are distinct).
+      (s, dir) => {
+        val binUs = 5L * 60L * 1000000L
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("ts"),
+            expr(s"unix_micros(ts) div $binUs").as("bin"))
+        val a = e.select(col("user_id"), col("ts").as("a_ts"),
+          explode(array(col("bin"), col("bin") + 1)).as("bin"))
+        val b = e.select(col("user_id"), col("ts").as("b_ts"), col("bin"))
+        a.join(b, Seq("user_id", "bin"))
+          .filter(col("b_ts") > col("a_ts")
+            && col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      // Same closed form as join_theta_range: binning is an execution
+      // strategy, not a semantics change.
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        SELECT a.user_id, count(*) AS n_pairs
+        FROM ev a JOIN ev b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        GROUP BY 1 ORDER BY 1""")),
+
     QDef("join_asof",
       (s, dir) => {
         // As-of join (the family the reference's key-lookups never
