@@ -267,6 +267,35 @@ object Pipeline {
           UNION ALL SELECT main, sub, 'SUB' FROM labeled WHERE main_type = 'term' AND sub IS NOT NULL AND sub <> '')
         ORDER BY type, src, dst""")),
 
+    QDef("graph_term_cooccur",
+      // Graph analytics over the built edges: top co-occurring
+      // term-typed index terms. The self-join is blocked by documentID
+      // — per-document term lists are bounded (the reference's
+      // indexing arrays), so pair count is linear in docs times a
+      // small constant squared, never corpus-quadratic; the shuffle
+      // key is the document. The canonical co-occurrence shape at
+      // 100 TB.
+      (s, dir) => {
+        val dt = stages(s, dir).labeled
+          .filter(col("main_type") === "term")
+          .select(col("documentID"), col("main").as("term"))
+          .distinct()
+        dt.as("a").join(dt.as("b"),
+            col("a.documentID") === col("b.documentID") &&
+              col("a.term") < col("b.term"))
+          .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("n_docs").desc, col("term_a"), col("term_b"))
+          .limit(20)
+      },
+      Some(prelude + """
+        SELECT a.main AS term_a, b.main AS term_b, count(*) AS n_docs
+        FROM (SELECT DISTINCT documentID, main FROM labeled WHERE main_type = 'term') a
+        JOIN (SELECT DISTINCT documentID, main FROM labeled WHERE main_type = 'term') b
+          ON a.documentID = b.documentID AND a.main < b.main
+        GROUP BY a.main, b.main
+        ORDER BY n_docs DESC, term_a, term_b LIMIT 20""")),
+
     QDef("pipeline_node_counts",
       (s, dir) => stages(s, dir).nodes
         .groupBy("label").agg(count(lit(1)).as("n"))
