@@ -314,15 +314,21 @@ object TextAnalysis {
       // term; the df side is vocabulary-sized and broadcast. Top-3
       // terms per doc by score, ties on term.
       (s, dir) => {
-        val tok = t(s, dir, "documents")
-          .select(col("doc_id"), explode(toks).as("term"))
-          .filter(length(col("term")) > 0)
-        val tf = tok.groupBy("doc_id", "term")
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("len", sum(col("cnt"))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-        val df = tok.select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
+        // ONE tokenize pass: the per-(doc, term) counts are staged, and
+        // document frequency is derived from them (each (doc, term)
+        // appears once in tf, so df = tf row-count per term) — without
+        // the persist, Spark's no-common-subtree planning would explode
+        // and shuffle the whole corpus once per consumer.
+        val tf0 = graft.pipeline.Staged(s, dir, "tfidf_tf") {
+          t(s, dir, "documents")
+            .select(col("doc_id"), explode(toks).as("term"))
+            .filter(length(col("term")) > 0)
+            .groupBy("doc_id", "term")
+            .agg(count(lit(1)).as("cnt"))
+        }
+        val tf = tf0.withColumn("len", sum(col("cnt"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        val df = tf0.groupBy("term").agg(count(lit(1)).as("df"))
         // Corpus size as a broadcast 1-row aggregate, not a driver-side
         // count(): the scalar stays inside the distributed plan.
         val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
