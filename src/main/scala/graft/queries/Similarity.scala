@@ -162,18 +162,24 @@ object Similarity {
     * members of its NProbe nearest inverted lists (shared by
     * `sim_ann_ivf` and `sim_ann_ivf_recall`).
     */
-  private def ivfTop3(s: SparkSession, dir: String): DataFrame = {
+  /** Nearest-`rank` trained centroids per vector: one broadcast pass
+    * of the corpus against the k-row centroid table (shared by the
+    * probe, the inverted lists, and the semantic-cluster query).
+    */
+  private def ivfAssigned(s: SparkSession, dir: String, rank: Int): DataFrame = {
     val ve = quantVecs(s, dir)
     val cents = ivfCents(s, dir)
-    def assigned(rank: Int): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("c_sim").desc, col("c_id").asc)
-      ve.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-          rx(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6).as("c_sim"))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= rank)
-    }
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("c_sim").desc, col("c_id").asc)
+    ve.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        rx(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6).as("c_sim"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= rank)
+  }
+
+  private def ivfTop3(s: SparkSession, dir: String): DataFrame = {
+    def assigned(rank: Int): DataFrame = ivfAssigned(s, dir, rank)
     val lists = assigned(1).select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
     val probes = assigned(NProbe).filter(col("vec_id") < QueryVecs)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -433,6 +439,23 @@ object Similarity {
         FROM ex LEFT JOIN ivf i ON ex.q_id = i.q_id AND ex.vec_id = i.vec_id
         GROUP BY ex.q_id
         ORDER BY ex.q_id""")),
+
+    QDef("dedup_semantic_cluster",
+      // Semantic dedup at corpus scale: the trained IVF quantizer
+      // doubles as a coarse semantic clusterer — every vector joins its
+      // nearest centroid's cluster, and each cluster keeps its min-id
+      // member as the deterministic representative (the same keeper
+      // rule as exact/CC dedup). Cost = the one broadcast
+      // nearest-centroid pass the IVF index already pays; downstream,
+      // near-dup verification runs within clusters only.
+      (s, dir) => ivfAssigned(s, dir, 1)
+        .groupBy("c_id")
+        .agg(count(lit(1)).as("n_members"),
+          min(col("vec_id")).as("representative"))
+        .orderBy("c_id"),
+      Some(s"""WITH $ivfTopSqlCtes
+        SELECT c_id, count(*) AS n_members, min(vec_id) AS representative
+        FROM lists GROUP BY c_id ORDER BY c_id""")),
 
     QDef("sim_ann_lsh",
       // Scale-path ANN: 8 deterministic random-hyperplane sign bits →
