@@ -70,6 +70,47 @@ object Relational {
       Some("""SELECT doc_id, lang, source, n_chars
         FROM documents ORDER BY doc_id""")),
 
+    QDef("scan_orc_docs",
+      // ORC source round-trip — the other columnar stage-boundary
+      // format (same IPC family as the parquet/CSV/JSON scans); type
+      // fidelity re-asserted on read.
+      (s, dir) => {
+        val out = scratch(s"scan_orc_docs_${new java.io.File(dir).getName}")
+        t(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars
+        FROM documents ORDER BY doc_id""")),
+
+    QDef("scan_json_corrupt",
+      // Malformed-input discipline: a JSONL batch with known-bad lines
+      // read in PERMISSIVE mode with a corrupt-record column — bad
+      // lines become rows with the raw text captured instead of
+      // failing the job or silently vanishing (the property a 100 TB
+      // ingest needs when one file in a million is truncated). The
+      // oracle knows the corpus count and the injected-bad count.
+      (s, dir) => {
+        val out = scratch(s"scan_json_corrupt_${new java.io.File(dir).getName}")
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(to_json(struct(col("doc_id"), col("lang"))).as("value"))
+          .union(Seq("{not json", "[3, 4", "{\"doc_id\": oops}").toDF("value"))
+          .write.mode("overwrite").text(out)
+        s.read
+          .schema("doc_id BIGINT, lang STRING, _bad STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .json(out)
+          .agg(
+            count(col("doc_id")).as("n_good"),
+            count(col("_bad")).cast("long").as("n_bad"))
+      },
+      Some("""SELECT count(*) AS n_good, CAST(3 AS BIGINT) AS n_bad
+        FROM documents""")),
+
     QDef("join_bucketed",
       (s, dir) => {
         // Bucketed co-located join: both sides written bucketed+sorted
