@@ -112,4 +112,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       brute.get(key).foreach(c => assert(c == r.getDouble(3)))
     }
   }
+
+  test("binned range join is exactly the theta range join") {
+    // The binning is an execution strategy, not a semantics change:
+    // identical (user_id, n_pairs) output on real data.
+    val theta = SparkEntry.queries("join_theta_range")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val binned = SparkEntry.queries("join_range_binned")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(theta.nonEmpty && binned == theta)
+  }
+
+  test("leakage-safe split: every LSH candidate pair shares a split") {
+    val split = SparkEntry.queries("sample_leakage_safe_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      val (a, b) = (p.getLong(0), p.getLong(1))
+      assert(split(a) == split(b),
+        s"near-dup pair ($a, $b) split across ${split(a)}/${split(b)}")
+    }
+  }
 }
