@@ -30,7 +30,8 @@ object Bench {
     // order shifts; the one-time cost is reported as its own
     // staging_sec field instead.
     val stagers = Seq("pipeline_node_counts", "dedup_minhash_sig",
-      "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf", "join_bucketed")
+      "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf", "join_bucketed",
+      "dedup_cluster_cc", "scan_partition_pruned", "text_tfidf")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     stagers.foreach { n =>
