@@ -664,6 +664,30 @@ object Relational {
           ${rxSql("quantile_cont(l_quantity, 0.25)", 4)} AS q1_qty
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    QDef("agg_cube_sets",
+      // The other multi-dimensional grouping shapes next to
+      // agg_rollup_cube's rollup: full cube over (returnflag,
+      // linestatus) restricted by GROUPING SETS semantics — here the
+      // cube's own four grouping sets, emitted by one pass with
+      // grouping_id disambiguating levels (NULL data values vs NULL
+      // subtotal markers).
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy(col("gid"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          count(*) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
     QDef("agg_approx_percentile",
       // Sketch quantiles for the 100 TB path: exact percentile needs a
       // full sort per group; approx_percentile is a mergeable
