@@ -79,6 +79,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-document 32-bit SimHash signatures, staged: the signature
+    * query and the banded pair query share one build.
+    */
+  private def simhashSigs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "simhash_sigs") {
+      val votes = (0 until 32).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+      val sig = (0 until 32).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .select(col("doc_id"), Text.md5Hash32(col("tok")).as("h"))
+        .groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), sig.cast("long").as("simhash"))
+    }
+
+  /** DuckDB CTE chain ending in `sigs(doc_id, simhash)` ≙ [[simhashSigs]]. */
+  private val simhashSqlCtes: String = {
+    val votes = (0 until 32)
+      .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
+    val sig = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""th AS (
+          SELECT doc_id, ${h32Sql("tok")} AS h
+          FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)),
+        v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+        sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v)"""
+  }
+
   /** Connected-components labels over the LSH pair graph, staged: the
     * multi-round loop runs once per session+dir and both the cluster
     * query and the leakage-safe split reuse the persisted labels.
@@ -204,35 +235,51 @@ object Dedup {
                     ELSE 'test' END AS split
         FROM bk ORDER BY doc_id""")),
 
-    QDef("dedup_simhash", {
+    QDef("dedup_simhash",
       // 32-bit SimHash: per-token md5 hash, per-bit ±1 vote, sign →
       // bit. One explode + one hash-aggregate per document; the 32 bit
       // sums are columns of a single aggregate, not 32 passes.
+      (s, dir) => simhashSigs(s, dir).orderBy("doc_id"),
+      Some(s"""WITH $simhashSqlCtes
+        SELECT doc_id, simhash FROM sigs ORDER BY doc_id""")),
+
+    QDef("dedup_simhash_pairs",
+      // SimHash near-dup pairing, verify-on-candidates like the
+      // minhash path: the 32-bit signature splits into 4 byte bands;
+      // candidates share at least one band (pigeonhole: any pair
+      // within Hamming distance 3 must share a band — the exact guarantee for radius 3),
+      // and the exact Hamming distance (one xor + popcount, both
+      // codegen'd built-ins) verifies each candidate. Shuffle key =
+      // (band, byte): bucket-local, never all-pairs.
       (s, dir) => {
-        val votes = (0 until 32).map(b =>
-          sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
-        val sig = (0 until 32).map(b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        t(s, dir, "documents")
-          .select(col("doc_id"), explode(toks).as("tok"))
-          .select(col("doc_id"), Text.md5Hash32(col("tok")).as("h"))
-          .groupBy("doc_id").agg(votes.head, votes.tail: _*)
-          .select(col("doc_id"), sig.cast("long").as("simhash"))
-          .orderBy("doc_id")
-      }
-    }, {
-      val votes = (0 until 32)
-        .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
-      val sig = (0 until 32)
-        .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
-        .mkString(" + ")
-      Some(s"""WITH th AS (
-          SELECT doc_id, ${h32Sql("tok")} AS h
-          FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)),
-        v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id)
-        SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v ORDER BY doc_id""")
-    }),
+        val sigs = simhashSigs(s, dir)
+        val bands = sigs.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("band"),
+              shiftright(col("simhash"), i * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
+            .as("x"))
+          .select(col("doc_id"), col("simhash"),
+            col("x.band").as("band"), col("x.bv").as("bv"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $simhashSqlCtes,
+        bands AS (
+          SELECT doc_id, simhash, i AS band, (simhash >> (i * 8)) & 255 AS bv
+          FROM sigs, (SELECT unnest(range(4)) AS i)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""")),
 
     QDef("dedup_ngram_jaccard",
       // n-gram Jaccard as VERIFY-ON-CANDIDATES: the pair list comes
