@@ -830,6 +830,47 @@ object Relational {
     // Sorts / top-k
     // ------------------------------------------------------------------
 
+    QDef("win_sessionize",
+      // Batch sessionization — the gaps-and-islands algebra the
+      // streaming session window applies incrementally, as one windowed
+      // pass: a session opens where the gap to the previous same-user
+      // event is >= 5 minutes, the cumulative open-count is the session
+      // id, then one aggregate per (user, session). Two shuffles total
+      // (user_id window + group), linear at any scale.
+      (s, dir) => {
+        val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 300000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_sess")).over(wUser.rowsBetween(Long.MinValue, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(money(col("value"))).cast("double").as("session_value"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        marked AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 300000000 THEN 1
+                      ELSE 0 END AS new_sess
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
+
     QDef("sort_limit",
       // TakeOrderedAndProject: per-partition top-k then merge, never a
       // full global sort of the table.
