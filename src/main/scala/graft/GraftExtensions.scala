@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((id, info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.LowerClassifyTerm)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 
@@ -55,5 +56,7 @@ object GraftExtensions {
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LowerClassifyTerm))
       spark.experimental.extraOptimizations ++= Seq(graft.plans.LowerClassifyTerm)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
+      spark.experimental.extraStrategies ++= Seq(graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -1,0 +1,133 @@
+package graft.plans
+
+import java.util.{Comparator, PriorityQueue}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** The full custom-operator ladder (SURVEY §4.3 rung c): a logical
+  * node + planner strategy + two physical operators implementing
+  * top-k-per-group WITHOUT a sort — per-partition bounded heaps prune
+  * to k rows per (partition, group) first, THEN one shuffle on the
+  * group key merges the survivors. A window `row_number` plan must
+  * shuffle every row and sort whole partitions; this moves k rows per
+  * group per partition and sorts nothing — the difference is the whole
+  * input at 100 TB. Rank order is (orderCol DESC, tieCol ASC), the
+  * same total order the window spelling uses, so results are
+  * deterministic and oracle-checkable.
+  *
+  * Registered through `GraftExtensions` (injectPlannerStrategy) and
+  * `spark.experimental.extraStrategies`.
+  */
+case class TopKPerGroupPlan(
+    groupCols: Seq[Attribute],
+    orderCol: Attribute,
+    tieCol: Attribute,
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
+    copy(child = newChild)
+}
+
+object TopKPerGroup {
+
+  /** `df` limited to the k best rows per group under
+    * (`order` DESC, `tie` ASC); `tie` must be unique within a group
+    * for a deterministic result.
+    */
+  def apply(df: DataFrame, group: Seq[String], order: String, tie: String,
+      k: Int): DataFrame = {
+    val lp = GraftShim.analyzed(df)
+    def attr(n: String): Attribute = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n in ${lp.output.map(_.name)}"))
+    GraftShim.ofRows(df.sparkSession,
+      TopKPerGroupPlan(group.map(attr), attr(order), attr(tie), k, lp))
+  }
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(g, o, t, k, child) =>
+      // Partial below the exchange (pruning per input partition),
+      // final above it (exact per co-located group) — the same
+      // partial/final split as hash aggregation.
+      TopKPerGroupExec(g, o, t, k,
+        TopKPerGroupPartialExec(g, o, t, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Shared bounded-heap kernel: one pass, a k-element min-heap per
+  * group keyed by the unsafe group projection; the heap root is the
+  * WORST retained row (smallest value, then largest tie), evicted when
+  * a better row arrives.
+  */
+private[plans] trait TopKKernel { self: UnaryExecNode =>
+  def groupCols: Seq[Attribute]
+  def orderCol: Attribute
+  def tieCol: Attribute
+  def k: Int
+
+  override def output: Seq[Attribute] = child.output
+
+  private final case class Entry(v: Any, t: Any, row: InternalRow)
+
+  protected def topKIter(iter: Iterator[InternalRow]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(groupCols.map(_.asInstanceOf[Expression]), child.output)
+    val ob = BindReferences.bindReference(orderCol.asInstanceOf[Expression], child.output)
+    val tb = BindReferences.bindReference(tieCol.asInstanceOf[Expression], child.output)
+    val vOrd = TypeUtils.getInterpretedOrdering(orderCol.dataType)
+    val tOrd = TypeUtils.getInterpretedOrdering(tieCol.dataType)
+    def nullLow(o: Ordering[Any], a: Any, b: Any): Int =
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else o.compare(a, b)
+    val worstFirst: Comparator[Entry] = (a: Entry, b: Entry) => {
+      val c = nullLow(vOrd, a.v, b.v)
+      if (c != 0) c else -nullLow(tOrd, a.t, b.t)
+    }
+    val heaps = mutable.LinkedHashMap.empty[UnsafeRow, PriorityQueue[Entry]]
+    iter.foreach { row =>
+      val key = keyProj(row)
+      val pq = heaps.getOrElseUpdate(key.copy(), new PriorityQueue[Entry](k + 1, worstFirst))
+      val e = Entry(ob.eval(row), tb.eval(row), null)
+      if (pq.size < k) pq.add(e.copy(row = row.copy()))
+      else if (worstFirst.compare(e, pq.peek()) > 0) {
+        pq.poll(); pq.add(e.copy(row = row.copy())); ()
+      }
+    }
+    heaps.valuesIterator.flatMap(_.iterator().asScala.map(_.row))
+  }
+}
+
+case class TopKPerGroupPartialExec(
+    groupCols: Seq[Attribute], orderCol: Attribute, tieCol: Attribute, k: Int,
+    child: SparkPlan) extends UnaryExecNode with TopKKernel {
+  override def outputPartitioning = child.outputPartitioning
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions(topKIter, preservesPartitioning = true)
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupPartialExec =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(
+    groupCols: Seq[Attribute], orderCol: Attribute, tieCol: Attribute, k: Int,
+    child: SparkPlan) extends UnaryExecNode with TopKKernel {
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(groupCols.map(_.asInstanceOf[Expression])))
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions(topKIter, preservesPartitioning = true)
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}

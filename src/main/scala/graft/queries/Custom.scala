@@ -149,6 +149,35 @@ object Custom {
         SELECT p_partkey, 'midsub', p_brand FROM part WHERE p_size % 7 <> 0
         UNION ALL
         SELECT p_partkey, 'sub', p_type FROM part WHERE p_size > 25
-        ORDER BY p_partkey, level, term"""))
+        ORDER BY p_partkey, level, term""")),
+
+    QDef("topk_per_group_native",
+      // The full custom-operator stack (§4.3 rung c): TopKPerGroupPlan
+      // (logical) -> TopKPerGroupStrategy (planner) -> partial/final
+      // bounded-heap SparkPlans with an exchange only between them —
+      // top-3 parts per brand WITHOUT sorting anything: each input
+      // partition prunes to <= 3 rows per brand before the shuffle,
+      // where the window row_number spelling (topk_per_group) shuffles
+      // and sorts every row. Same total order (price DESC, partkey
+      // ASC), same oracle; the window over the pruned survivors only
+      // re-derives the rank column for output parity.
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        val base = t(s, dir, "part")
+          .select("p_brand", "p_partkey", "p_retailprice")
+        val top = graft.plans.TopKPerGroup(
+          base, Seq("p_brand"), "p_retailprice", "p_partkey", 3)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        top.withColumn("rk", row_number().over(w).cast("long"))
+          .select("p_brand", "rk", "p_partkey", "p_retailprice")
+          .orderBy("p_brand", "rk")
+      },
+      Some("""SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 CAST(row_number() OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk
+          FROM part) WHERE rk <= 3 ORDER BY p_brand, rk"""))
   )
 }

@@ -18,6 +18,17 @@ object GraftShim {
   /** Unwrap a Column to its analyzed-later Catalyst expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Analyzed logical plan of a DataFrame (for wrapping in custom
+    * logical nodes).
+    */
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Wrap a (custom) logical plan back into the public DataFrame API. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register an expression builder in an EXISTING session's function
     * registry (idempotent). `GraftExtensions` is the front door for
     * sessions built with `spark.sql.extensions`; this path serves
