@@ -67,6 +67,47 @@ object MultimodalQ {
           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_feature_mass
         FROM documents GROUP BY 1 ORDER BY kind""")),
 
+    QDef("multimodal_resize_stub",
+      // The resize step of the decode pipeline: nearest-neighbour
+      // downsample as a deterministic byte stride — every 4th payload
+      // byte survives, and the resampled content is digested and
+      // measured. The real thing swaps the stride for a pixel kernel
+      // behind the same per-row plumbing; cost is proportional to the
+      // RESIZED size. Strides slice the hex encoding (2 chars = 1
+      // byte) so the resampled digest is ASCII-safe and
+      // engine-portable; empty payloads clamp to one empty sample in
+      // both engines.
+      (s, dir) => {
+        val m = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+        m.withColumn("hx", hex(col("payload")))
+          .withColumn("resized",
+            concat_ws("", transform(
+              sequence(lit(0),
+                greatest(lit(1), ceil(length(col("hx")) / 8.0).cast("int")) - 1),
+              i => col("hx").substr(i * 8 + 1, lit(2)))))
+          .select(col("media_id"), col("kind"),
+            (length(col("hx")) / 2).cast("long").as("n_bytes"),
+            (length(col("resized")) / 2).cast("long").as("r_bytes"),
+            md5(col("resized")).as("resized_md5"))
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN lang = 'zh' THEN 'audio' ELSE 'image' END AS kind,
+                 hex(encode(text)) AS hx
+          FROM documents),
+        r AS (
+          SELECT media_id, kind, hx,
+                 array_to_string(list_transform(
+                   range(greatest(1, CAST(ceil(length(hx) / 8.0) AS BIGINT))),
+                   i -> substr(hx, CAST(i * 8 + 1 AS INT), 2)), '') AS resized
+          FROM m)
+        SELECT media_id, kind,
+               CAST(length(hx) / 2 AS BIGINT) AS n_bytes,
+               CAST(length(resized) / 2 AS BIGINT) AS r_bytes,
+               md5(resized) AS resized_md5
+        FROM r ORDER BY media_id""")),
+
     QDef("multimodal_frame_sample",
       // Frame sampling: each payload splits into fixed 256-byte frames,
       // every 2nd frame is kept, each sampled frame is digested — the
