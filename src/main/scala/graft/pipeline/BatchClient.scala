@@ -61,8 +61,17 @@ final class BatchClassifier(
             polls += 1
             st = tr.status(job)
           }
-          if (st == "completed") result = Some(tr.fetch(job))
-          attempt += 1
+          st match {
+            case "completed" => result = Some(tr.fetch(job))
+            case "failed" => attempt += 1 // terminal: safe to resubmit
+            case other =>
+              // NOT terminal: the job may still be running server-side.
+              // Resubmitting would classify the batch twice — surface
+              // the distinct condition instead of calling it a failure.
+              throw new IllegalStateException(
+                s"batch job $job still '$other' after $mp polls — " +
+                  "raise maxPollAttempts; not resubmitting a possibly-live job")
+          }
         }
         result.getOrElse(throw new IllegalStateException(
           s"batch job still failed after $mr resubmissions"))

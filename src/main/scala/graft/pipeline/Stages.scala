@@ -48,7 +48,15 @@ object Stages {
 
   def apply(s: SparkSession, dir: String): PipelineStages = {
     StageCache.hookCleanup(s)
-    cache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+    val key = s"${System.identityHashCode(s)}|$dir"
+    // Build OUTSIDE any map-mutating callback: stage builds nest (a
+    // staged build may touch another staged entry), and a recursive
+    // computeIfAbsent on one ConcurrentHashMap can throw "Recursive
+    // update" or livelock when the keys share a bin. Lost races build
+    // twice and unpersist the loser — harmless.
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
       def p(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
       val docs = p(Corpus.flatDocs(s, dir))
       val triples = p(Corpus.indexTriples(s, dir))
@@ -60,8 +68,14 @@ object Stages {
       val api = p(Classify.apiMap(terms, known, Classify.RuleClassifier))
       val labeled = p(Classify.labelTriples(triples, known, api))
       val nodes = p(Graph.nodes(docs, labeled))
-      PipelineStages(docs, triples, nested, known, terms, api, labeled, nodes)
-    })
+      val built = PipelineStages(docs, triples, nested, known, terms, api, labeled, nodes)
+      val prev = cache.putIfAbsent(key, built)
+      if (prev != null) {
+        Seq(docs, triples, known, terms, api, labeled, nodes)
+          .foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+        prev
+      } else built
+    }
   }
 
   /** Drop (and best-effort unpersist) every entry whose key starts with
@@ -121,8 +135,20 @@ object Staged {
 
   def apply(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
     StageCache.hookCleanup(s)
-    cache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir|$tag",
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+    val key = s"${System.identityHashCode(s)}|$dir|$tag"
+    // See Stages.apply: builds nest (bucketedVecs -> vecs, ivf_cents ->
+    // ivf_quant, cc_labels -> minhash_bands), so never compute inside
+    // computeIfAbsent — a same-bin recursive update throws or hangs.
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
+      val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = cache.putIfAbsent(key, built)
+      if (prev != null) {
+        try built.unpersist(false) catch { case _: Throwable => () }
+        prev
+      } else built
+    }
   }
 
   /** Same contract as [[Stages.clear]] for the generic staged cache. */

@@ -98,13 +98,32 @@ private[plans] trait TopKKernel { self: UnaryExecNode =>
       if (c != 0) c else -nullLow(tOrd, a.t, b.t)
     }
     val heaps = mutable.LinkedHashMap.empty[UnsafeRow, PriorityQueue[Entry]]
+    // Admitted entries re-evaluate value/tie from their own COPIED row:
+    // eval of a non-primitive type (string/binary/array) on a reused
+    // codegen row returns a view into the transient buffer, so a stored
+    // Entry referencing it would silently mutate as iteration advances.
+    // The probe entry's transient values are compared immediately and
+    // discarded, so it can read the live row. The group key is copied
+    // only on first sight of the group, not per input row.
+    def admitted(row: InternalRow): Entry = {
+      val c = row.copy()
+      Entry(ob.eval(c), tb.eval(c), c)
+    }
     iter.foreach { row =>
       val key = keyProj(row)
-      val pq = heaps.getOrElseUpdate(key.copy(), new PriorityQueue[Entry](k + 1, worstFirst))
-      val e = Entry(ob.eval(row), tb.eval(row), null)
-      if (pq.size < k) pq.add(e.copy(row = row.copy()))
-      else if (worstFirst.compare(e, pq.peek()) > 0) {
-        pq.poll(); pq.add(e.copy(row = row.copy())); ()
+      val pq = heaps.get(key) match {
+        case Some(p) => p
+        case None =>
+          val p = new PriorityQueue[Entry](k + 1, worstFirst)
+          heaps.put(key.copy(), p)
+          p
+      }
+      if (pq.size < k) pq.add(admitted(row))
+      else {
+        val probe = Entry(ob.eval(row), tb.eval(row), null)
+        if (worstFirst.compare(probe, pq.peek()) > 0) {
+          pq.poll(); pq.add(admitted(row)); ()
+        }
       }
     }
     heaps.valuesIterator.flatMap(_.iterator().asScala.map(_.row))

@@ -175,17 +175,14 @@ object Relational {
       // — a broadcast join would prune via its own hash table and hide
       // the demo.
       (s, dir) => {
-        val confs = Map(
+        graft.SparkConfs.withConfs(s, Map(
           "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
           "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
           "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
           // Local-mode sizes make every dim broadcastable, and the rule
           // only injects for probably-shuffle joins — the exact join
           // this models at fact-fact scale.
-          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-        val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
-        confs.foreach { case (k, v) => s.conf.set(k, v) }
-        try {
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
           // Selective predicate on a NON-key column only: a key-column
           // predicate would be inferred onto the fact side through the
           // join equality, and InjectRuntimeFilter skips application
@@ -197,14 +194,11 @@ object Relational {
             .agg(count(lit(1)).as("n"),
               sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
           // Optimization (where InjectRuntimeFilter runs) is lazy;
-          // force it while the thresholds are still set, then restore —
-          // the Dataset caches its QueryExecution, so the injected
-          // filter survives the conf reset.
+          // force it while the thresholds are still set — the Dataset
+          // caches its QueryExecution, so the injected filter survives
+          // the conf restore.
           df.queryExecution.optimizedPlan
           df
-        } finally prev.foreach {
-          case (k, Some(v)) => s.conf.set(k, v)
-          case (k, None) => s.conf.unset(k)
         }
       },
       Some("""SELECT count(*) AS n,

@@ -158,30 +158,35 @@ object Similarity {
       cents
     }
 
-  /** The IVF probe: top-3 neighbours of each query vector among the
-    * members of its NProbe nearest inverted lists (shared by
-    * `sim_ann_ivf` and `sim_ann_ivf_recall`).
+  /** Nearest-NProbe trained centroids per vector, STAGED: one broadcast
+    * pass of the corpus against the k-row centroid table plus one
+    * per-vector window, computed once per session+dir. The inverted
+    * lists are the crk = 1 slice, probe sets are crk <= NProbe, and the
+    * semantic-cluster query reuses the same frame — no consumer pays
+    * the assignment pass twice.
     */
-  /** Nearest-`rank` trained centroids per vector: one broadcast pass
-    * of the corpus against the k-row centroid table (shared by the
-    * probe, the inverted lists, and the semantic-cluster query).
-    */
-  private def ivfAssigned(s: SparkSession, dir: String, rank: Int): DataFrame = {
-    val ve = quantVecs(s, dir)
-    val cents = ivfCents(s, dir)
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("c_sim").desc, col("c_id").asc)
-    ve.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-        rx(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6).as("c_sim"))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= rank)
-  }
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "ivf_assign") {
+      val ve = quantVecs(s, dir)
+      val cents = ivfCents(s, dir)
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("c_sim").desc, col("c_id").asc)
+      ve.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+          rx(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")), 6).as("c_sim"))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= NProbe)
+    }
 
+  /** Top-3 neighbours of each query vector among the members of its
+    * NProbe nearest inverted lists (shared by `sim_ann_ivf` and
+    * `sim_ann_ivf_recall`).
+    */
   private def ivfTop3(s: SparkSession, dir: String): DataFrame = {
-    def assigned(rank: Int): DataFrame = ivfAssigned(s, dir, rank)
-    val lists = assigned(1).select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
-    val probes = assigned(NProbe).filter(col("vec_id") < QueryVecs)
+    val assigned = ivfAssigned(s, dir)
+    val lists = assigned.filter(col("crk") === 1)
+      .select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
+    val probes = assigned.filter(col("vec_id") < QueryVecs)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("c_id"))
     val w = Window.partitionBy("q_id")
@@ -448,7 +453,7 @@ object Similarity {
       // rule as exact/CC dedup). Cost = the one broadcast
       // nearest-centroid pass the IVF index already pays; downstream,
       // near-dup verification runs within clusters only.
-      (s, dir) => ivfAssigned(s, dir, 1)
+      (s, dir) => ivfAssigned(s, dir).filter(col("crk") === 1)
         .groupBy("c_id")
         .agg(count(lit(1)).as("n_members"),
           min(col("vec_id")).as("representative"))

@@ -55,16 +55,9 @@ object StreamRuns {
     * conf at start(), so this scopes the overrides to the stream
     * without perturbing batch queries.
     */
-  def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
-    val overrides =
-      StateStoreConf + ("spark.sql.shuffle.partitions" -> StreamShufflePartitions.toString)
-    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+  def withStreamPartitions[T](spark: SparkSession)(body: => T): T =
+    graft.SparkConfs.withConfs(spark,
+      StateStoreConf + ("spark.sql.shuffle.partitions" -> StreamShufflePartitions.toString))(body)
 
   /** Run `build`'s streaming DataFrame into an in-memory sink until no
     * input remains; returns the final result table.

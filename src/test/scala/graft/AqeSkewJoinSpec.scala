@@ -22,9 +22,7 @@ class AqeSkewJoinSpec extends AnyFunSuite {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    graft.SparkConfs.withConfs(spark, confs) {
       // 90% of left rows share one key; right side is uniform.
       val dir = graft.streaming.StreamRuns.fresh("skew-src")
       spark.range(200000)
@@ -50,9 +48,6 @@ class AqeSkewJoinSpec extends AnyFunSuite {
         s"expected OptimizeSkewedJoin to mark the join skewed:\n$tree")
       assert(tree.contains("skewed"),
         s"expected an AQEShuffleRead with skewed splits:\n$tree")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 }
