@@ -279,6 +279,37 @@ object TextAnalysis {
                         ROWS UNBOUNDED PRECEDING) - len($toksSql)) / 512) AS BIGINT) AS bin
         FROM documents ORDER BY source, doc_id""")),
 
+    QDef("text_bigram_freq",
+      // Corpus n-gram statistics (LM dataset profiling / contamination
+      // checks): top-20 bigrams by document frequency and total count.
+      // One explode + one hash aggregate — the bigram space is
+      // vocabulary², but the aggregate is map-side combined and only
+      // the top-k survive the final limit, so the full result never
+      // materializes anywhere.
+      (s, dir) => {
+        val bg = t(s, dir, "documents")
+          .withColumn("tks", toks)
+          .select(col("doc_id"),
+            explode(when(size(col("tks")) >= 2,
+              transform(sequence(lit(0), size(col("tks")) - 2),
+                i => concat_ws(" ", get(col("tks"), i), get(col("tks"), i + 1))))
+              .otherwise(array().cast("array<string>"))).as("bigram"))
+        bg.groupBy("bigram")
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS tks FROM documents),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(
+            range(greatest(len(tks) - 1, 0)),
+            i -> tks[i+1] || ' ' || tks[i+2])) AS bigram
+          FROM tk)
+        SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 20""")),
+
     QDef("sample_hash_split",
       // Deterministic train/valid/test assignment: bucket =
       // md5-derived hash of the doc id mod 100, split by 80/10/10
