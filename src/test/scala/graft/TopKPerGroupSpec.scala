@@ -47,4 +47,25 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(native == windowed)
     assert(native.nonEmpty)
   }
+
+  test("string-typed order column: values must not alias the reused codegen row") {
+    // Regression guard: eval of a non-primitive order/tie type on a
+    // reused UnsafeRow returns a buffer view; stored heap entries must
+    // re-evaluate from their own copied row or comparisons corrupt.
+    GraftExtensions.ensureRegistered(spark)
+    val base = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_brand", "p_partkey", "p_name")
+    val native = graft.plans.TopKPerGroup(
+        base, Seq("p_brand"), "p_name", "p_partkey", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand"))
+      .orderBy(col("p_name").desc, col("p_partkey"))
+    val windowed = base
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(native == windowed)
+    assert(native.nonEmpty)
+  }
 }
