@@ -47,6 +47,8 @@ object TopKPerGroup {
     */
   def apply(df: DataFrame, group: Seq[String], order: String, tie: String,
       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(group.nonEmpty, "at least one group column is required")
     val lp = GraftShim.analyzed(df)
     def attr(n: String): Attribute = lp.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"no column $n in ${lp.output.map(_.name)}"))
