@@ -70,6 +70,30 @@ object Relational {
       Some("""SELECT doc_id, lang, source, n_chars
         FROM documents ORDER BY doc_id""")),
 
+    QDef("scan_parquet_schema_merge",
+      // Schema drift at ingest: two parquet batches written at
+      // different pipeline epochs — the later one carries an extra
+      // column — read as one dataset with mergeSchema; rows from the
+      // old epoch surface NULL for the new column instead of failing
+      // the scan or silently dropping the field. The 100 TB reality:
+      // a corpus is never written under one schema.
+      (s, dir) => {
+        val out = scratch(s"schema_merge_${new java.io.File(dir).getName}")
+        val docs = t(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "lang")
+          .write.mode("overwrite").parquet(s"$out/epoch=0")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$out/epoch=1")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+          CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+        FROM documents ORDER BY doc_id""")),
+
     QDef("scan_orc_docs",
       // ORC source round-trip — the other columnar stage-boundary
       // format (same IPC family as the parquet/CSV/JSON scans); type
@@ -908,6 +932,24 @@ object Relational {
         UNION SELECT s_name FROM supplier
         UNION SELECT n_name FROM nation
         ORDER BY name""")),
+
+    QDef("setop_union_byname",
+      // Position-independent union: two feeds exposing the same logical
+      // record with different column orders and one missing column —
+      // unionByName(allowMissingColumns) aligns by NAME and null-fills,
+      // where positional union would silently cross-wire columns. The
+      // standard shape for merging heterogeneous ingest feeds.
+      (s, dir) => {
+        val a = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("source"))
+        val b = t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+          .select(col("source"), col("doc_id")) // reordered, lang missing
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN lang END AS lang, source
+        FROM documents ORDER BY doc_id""")),
 
     QDef("setop_intersect_except",
       (s, dir) => {
