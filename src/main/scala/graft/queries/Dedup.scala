@@ -79,6 +79,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-document sorted distinct 3-gram hash sets, staged — the
+    * verify side of the Jaccard query and the decontamination overlap
+    * both read it. tks bound first — see minhashBands on lambda
+    * re-evaluation.
+    */
+  private def ngramSets(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "ngram_sets") {
+      t(s, dir, "documents")
+        .withColumn("tks", toks)
+        .withColumn("sh", shingles(col("tks"), 3))
+        .select(col("doc_id"),
+          sort_array(array_distinct(transform(col("sh"), x => Text.md5Hash32(x))))
+            .as("ss"))
+    }
+
   /** Per-document 32-bit SimHash signatures, staged: the signature
     * query and the banded pair query share one build.
     */
@@ -297,15 +312,7 @@ object Dedup {
       // doc emits no bands), so the 0/0-NaN guard the all-pairs form
       // needed is structurally impossible here.
       (s, dir) => {
-        // tks bound first — see minhashBands on lambda re-evaluation.
-        val sets = graft.pipeline.Staged(s, dir, "ngram_sets") {
-          t(s, dir, "documents")
-            .withColumn("tks", toks)
-            .withColumn("sh", shingles(col("tks"), 3))
-            .select(col("doc_id"),
-              sort_array(array_distinct(transform(col("sh"), x => Text.md5Hash32(x))))
-                .as("ss"))
-        }
+        val sets = ngramSets(s, dir)
         val inter = graft.functions.SortedInterCountExpr
           .interCount(col("ss_a"), col("ss_b")).cast("int")
         val ja = inter.cast("double") /
@@ -332,6 +339,39 @@ object Dedup {
         WHERE ${rxSql("""CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
                     / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))""", 4)} >= 0.05
         ORDER BY doc_a, doc_b""")),
+
+    QDef("dedup_decontaminate",
+      // Benchmark decontamination — the eval-overlap sweep every LLM
+      // training pipeline runs: flag corpus documents sharing >= 5
+      // distinct 3-gram hashes with any document of the (small) eval
+      // set. The eval side's shingle sets are BROADCAST and each
+      // corpus document runs the codegen'd sorted merge-count against
+      // them — linear in corpus x eval-set size, embarrassingly
+      // parallel, no shuffle of the corpus at all. (A large eval set
+      // would switch to the inverted-index join on shingle hash; the
+      // broadcast nested loop is the right plan while eval fits in a
+      // broadcast, which 'benchmarks' do.)
+      (s, dir) => {
+        val sets = ngramSets(s, dir)
+        val evalSet = sets.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("eval_id"), col("ss").as("ss_eval"))
+        val shared = graft.functions.SortedInterCountExpr
+          .interCount(col("ss"), col("ss_eval")).cast("long")
+        sets.filter(col("doc_id") >= 20)
+          .crossJoin(broadcast(evalSet))
+          .select(col("doc_id"), col("eval_id"), shared.as("n_shared"))
+          .filter(col("n_shared") >= 5)
+          .orderBy("doc_id", "eval_id")
+      },
+      Some(s"""WITH sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform($shSql, x -> ${h32Sql("x")})) AS ss
+          FROM documents)
+        SELECT c.doc_id, e.doc_id AS eval_id,
+               CAST(len(list_intersect(c.ss, e.ss)) AS BIGINT) AS n_shared
+        FROM sets c JOIN sets e ON c.doc_id >= 20 AND e.doc_id < 20
+        WHERE len(list_intersect(c.ss, e.ss)) >= 5
+        ORDER BY c.doc_id, eval_id""")),
 
     QDef("dedup_embedding_cosine",
       // Embedding near-dup as VERIFY-ON-CANDIDATES: candidate pairs
