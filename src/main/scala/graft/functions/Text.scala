@@ -39,6 +39,16 @@ object Text {
   /** Whitespace tokenization used by the text-analysis operators. */
   def tokens(c: Column): Column = split(c, "\\s+")
 
+  /** n-token shingles of a token-array column (empty when under n).
+    * The size guard is load-bearing: `sequence(0, -1)` yields a
+    * DESCENDING [0, -1] (default step -1), not an empty array.
+    */
+  def shingles(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", (0 until n).map(j => get(ts, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** Document fingerprint: first 16 hex chars of md5 of the normalized text.
     * (North-star text analysis; md5 is available and identical in DuckDB
     * for oracle parity.)

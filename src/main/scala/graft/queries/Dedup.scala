@@ -20,12 +20,8 @@ import graft.functions.Text
 object Dedup {
   import QDef._
 
-  /** n-token shingles of a token-array column (empty when under n). */
-  private def shingles(ts: Column, n: Int): Column =
-    when(size(ts) >= n,
-      transform(sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", (0 until n).map(j => get(ts, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
+  /** n-token shingles — shared guarded idiom, see [[Text.shingles]]. */
+  private def shingles(ts: Column, n: Int): Column = Text.shingles(ts, n)
 
   private def toks: Column = Text.tokens(Text.normTerm(col("text")))
   private val toksSql =

@@ -281,19 +281,16 @@ object TextAnalysis {
 
     QDef("text_bigram_freq",
       // Corpus n-gram statistics (LM dataset profiling / contamination
-      // checks): top-20 bigrams by document frequency and total count.
-      // One explode + one hash aggregate — the bigram space is
-      // vocabulary², but the aggregate is map-side combined and only
+      // checks): top-20 bigrams by TOTAL COUNT (doc frequency reported
+      // alongside). One explode + one hash aggregate — the bigram space
+      // is vocabulary², but the aggregate is map-side combined and only
       // the top-k survive the final limit, so the full result never
       // materializes anywhere.
       (s, dir) => {
         val bg = t(s, dir, "documents")
           .withColumn("tks", toks)
           .select(col("doc_id"),
-            explode(when(size(col("tks")) >= 2,
-              transform(sequence(lit(0), size(col("tks")) - 2),
-                i => concat_ws(" ", get(col("tks"), i), get(col("tks"), i + 1))))
-              .otherwise(array().cast("array<string>"))).as("bigram"))
+            explode(Text.shingles(col("tks"), 2)).as("bigram"))
         bg.groupBy("bigram")
           .agg(count(lit(1)).as("n"),
             count_distinct(col("doc_id")).as("n_docs"))
