@@ -21,6 +21,29 @@ object BatchClient {
     def status(jobId: String): String
     def fetch(jobId: String): Seq[(String, String)]
   }
+
+  /** Deterministic offline transport: completes immediately and labels
+    * each term with the md5-derived rule (`Classify.RuleClassifier`'s
+    * formula computed JVM-side), so the full submit/poll/fetch client
+    * machinery can run inside an oracle-checked query — the transport
+    * analog of MockClassifier's test_mode role.
+    */
+  def ruleTransport(): Transport = new Transport {
+    private var batches = Map.empty[String, Seq[String]]
+    private var n = 0
+    override def submit(batch: Seq[String]): String = {
+      n += 1; val id = s"job-$n"; batches += id -> batch; id
+    }
+    override def status(jobId: String): String = "completed"
+    override def fetch(jobId: String): Seq[(String, String)] =
+      batches(jobId).map { term =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(term.getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+        val h = java.lang.Long.parseLong(hex, 16)
+        term -> Seq("person", "place", "organization", "term")((h % 4).toInt)
+      }
+  }
 }
 
 /** O17 as a stateful service call at scale: each partition groups its

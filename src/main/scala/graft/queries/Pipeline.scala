@@ -267,6 +267,24 @@ object Pipeline {
           UNION ALL SELECT main, sub, 'SUB' FROM labeled WHERE main_type = 'term' AND sub IS NOT NULL AND sub <> '')
         ORDER BY type, src, dst""")),
 
+    QDef("pipeline_batch_classify",
+      // O17 through the REAL client machinery: the unclassified
+      // normalized terms flow through BatchClassifier — per-partition
+      // batching, submit/poll/fetch, retry control flow — against the
+      // deterministic rule transport, and the result must equal the
+      // api map the plan-native classifier produces. The same query
+      // against a live vendor transport is the production path; only
+      // the injected factory changes.
+      (s, dir) => {
+        val st = stages(s, dir)
+        new graft.pipeline.BatchClassifier(
+            () => graft.pipeline.BatchClient.ruleTransport(),
+            batchSize = 50, sleeper = _ => ())
+          .classify(st.api.select("norm"))
+          .orderBy("norm")
+      },
+      Some(prelude + "SELECT norm, type FROM api ORDER BY norm")),
+
     QDef("graph_term_cooccur",
       // Graph analytics over the built edges: top co-occurring
       // term-typed index terms. The self-join is blocked by documentID
