@@ -48,6 +48,18 @@ class PropertySpec extends AnyFunSuite {
     assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
   }
 
+  test("Text.shingles equals the sliding-window reference for n=2..4") {
+    val lists = Gen.listOfN(150,
+      Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "bb", "c", "d1"))))
+      .pureApply(Gen.Parameters.default, Seed(11L))
+    for (n <- 2 to 4) {
+      val expected = lists.map(_.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq)
+      val got = lists.toDF("tks")
+        .select(Text.shingles(col("tks"), n)).as[Seq[String]].collect().toSeq
+      got.zip(expected).foreach { case (g, e) => assert(g == e, s"n=$n") }
+    }
+  }
+
   test("array_distinct preserves first-occurrence order (first-wins dedup)") {
     val lists = Gen.listOfN(200,
       Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))))
