@@ -682,6 +682,23 @@ object Relational {
           ${rxSql("quantile_cont(l_quantity, 0.25)", 4)} AS q1_qty
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    QDef("agg_histogram",
+      // Distribution profiling — the first query run against any new
+      // corpus: fixed-width histogram of document lengths per source
+      // (bucket = n_chars div 100), one hash aggregate, map-side
+      // combined; bucket count is bounded by the value range, not the
+      // corpus.
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("source"),
+          (col("n_chars") / 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source", "bucket"),
+      Some("""SELECT source, n_chars // 100 AS bucket, count(*) AS n,
+          min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     QDef("agg_cube_sets",
       // The other multi-dimensional grouping shapes next to
       // agg_rollup_cube's rollup: full cube over (returnflag,
