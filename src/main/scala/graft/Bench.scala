@@ -37,7 +37,13 @@ object Bench {
     val s0 = System.nanoTime()
     stagers.foreach { n =>
       try { SparkEntry.queries(n)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      catch {
+        // A broken stager must be visible, or its staging cost silently
+        // migrates back into whichever timed query touches the stage
+        // first — the drift staging_sec exists to prevent.
+        case t: Throwable =>
+          System.err.println(s"[bench] stager '$n' failed: ${t.getMessage}")
+      }
     }
     val staging = r3((System.nanoTime() - s0) / 1e9)
     val results = SparkEntry.queries

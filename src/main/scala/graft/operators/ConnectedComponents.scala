@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Connected components by min-label propagation WITH pointer jumping —
@@ -65,6 +67,14 @@ object ConnectedComponents {
       .persist()
     var converged = false
     var rounds = 0
+    // The checkpointed RDD backing the previous round's labels frame.
+    // localCheckpoint persists outside the cache manager, so
+    // Dataset.unpersist() is a no-op on it; without an explicit
+    // RDD.unpersist each round's blocks linger in executor storage until
+    // the ContextCleaner GCs the dropped reference — unbounded across a
+    // long run. We extract it from the LogicalRDD leaf and release it as
+    // soon as the next round has materialized.
+    var prevCheckpointed: Option[RDD[_]] = None
     while (!converged && rounds < maxRounds) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr"))
@@ -93,7 +103,13 @@ object ConnectedComponents {
         .localCheckpoint(true)
       converged = next.filter(col("label") =!= col("old")).limit(1).count() == 0L
       stepped.unpersist()
-      labels.unpersist()
+      labels.unpersist() // round 0's plain persist; no-op once checkpointed
+      // `next` is eagerly materialized (localCheckpoint(true)), so the
+      // previous round's checkpoint blocks are no longer referenced.
+      prevCheckpointed.foreach(_.unpersist(blocking = false))
+      prevCheckpointed = next.queryExecution.analyzed.collectFirst {
+        case r: LogicalRDD => r.rdd
+      }
       labels = next
       rounds += 1
     }

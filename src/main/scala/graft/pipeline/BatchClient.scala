@@ -80,7 +80,10 @@ final class BatchClassifier(
           var polls = 0
           var st = tr.status(job)
           while (st != "completed" && st != "failed" && polls < mp) {
-            sl(math.min(5000L, 100L << polls))
+            // Clamp the shift: the 5 s cap is reached at polls = 6, and an
+            // unclamped `100L << polls` overflows Long at polls >= 57,
+            // turning min() negative and crashing Thread.sleep.
+            sl(math.min(5000L, 100L << math.min(polls, 6)))
             polls += 1
             st = tr.status(job)
           }

@@ -80,6 +80,17 @@ private[plans] trait TopKKernel { self: UnaryExecNode =>
   def tieCol: Attribute
   def k: Int
 
+  /** Max distinct groups held in memory before the kernel flushes its
+    * heaps to the output iterator and resets. The partial exec flushes
+    * (emitting possibly > k candidate rows per group — the final exec
+    * re-prunes, so the result is unchanged) to bound memory at
+    * O(k × flushGroups) regardless of per-partition group cardinality.
+    * The final exec must be exact — one pruned heap per group — so it
+    * never flushes early; its bound is O(k × groups-per-reducer), which
+    * the shuffle partition count controls.
+    */
+  def flushGroups: Int
+
   override def output: Seq[Attribute] = child.output
 
   private final case class Entry(v: Any, t: Any, row: InternalRow)
@@ -111,7 +122,7 @@ private[plans] trait TopKKernel { self: UnaryExecNode =>
       val c = row.copy()
       Entry(ob.eval(c), tb.eval(c), c)
     }
-    iter.foreach { row =>
+    def process(row: InternalRow): Unit = {
       val key = keyProj(row)
       val pq = heaps.get(key) match {
         case Some(p) => p
@@ -128,13 +139,40 @@ private[plans] trait TopKKernel { self: UnaryExecNode =>
         }
       }
     }
-    heaps.valuesIterator.flatMap(_.iterator().asScala.map(_.row))
+    // Heaps are snapshotted then cleared so the next fill round builds
+    // fresh state while the drained iterator is still being consumed.
+    def drain(): Iterator[InternalRow] = {
+      val snapshot = heaps.values.toArray
+      heaps.clear()
+      snapshot.iterator.flatMap(_.iterator().asScala.map(_.row))
+    }
+    new Iterator[InternalRow] {
+      private var out: Iterator[InternalRow] = Iterator.empty
+      override def hasNext: Boolean = {
+        while (!out.hasNext && (iter.hasNext || heaps.nonEmpty)) {
+          while (iter.hasNext && heaps.size < flushGroups) process(iter.next())
+          out = drain()
+        }
+        out.hasNext
+      }
+      override def next(): InternalRow =
+        if (hasNext) out.next() else throw new NoSuchElementException("empty")
+    }
   }
+}
+
+object TopKPerGroupPartialExec {
+  /** 64k groups × (k+1) entries bounds partial-side memory; beyond it
+    * the kernel emits candidates early and the final exec re-prunes.
+    */
+  val DefaultFlushGroups: Int = 1 << 16
 }
 
 case class TopKPerGroupPartialExec(
     groupCols: Seq[Attribute], orderCol: Attribute, tieCol: Attribute, k: Int,
-    child: SparkPlan) extends UnaryExecNode with TopKKernel {
+    child: SparkPlan,
+    flushGroups: Int = TopKPerGroupPartialExec.DefaultFlushGroups)
+  extends UnaryExecNode with TopKKernel {
   override def outputPartitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(topKIter, preservesPartitioning = true)
@@ -145,6 +183,8 @@ case class TopKPerGroupPartialExec(
 case class TopKPerGroupExec(
     groupCols: Seq[Attribute], orderCol: Attribute, tieCol: Attribute, k: Int,
     child: SparkPlan) extends UnaryExecNode with TopKKernel {
+  // Exactness requires one surviving heap per group — never flush early.
+  override val flushGroups: Int = Int.MaxValue
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(groupCols.map(_.asInstanceOf[Expression])))
   override protected def doExecute(): RDD[InternalRow] =

@@ -48,6 +48,45 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("partial exec flush path: early-emitted candidates still re-prune exactly") {
+    // Force the memory-bound flush (heaps drained every 2 distinct
+    // groups): the partial may emit MORE than k rows per group, but the
+    // union of segment top-k's must still contain the true top-k — a
+    // global re-prune of the candidates equals the window spelling.
+    GraftExtensions.ensureRegistered(spark)
+    val base = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_brand", "p_retailprice", "p_partkey")
+    base.count()
+    val child = base.queryExecution.executedPlan
+    def attr(n: String) = child.output.find(_.name == n).get
+    val partial = graft.plans.TopKPerGroupPartialExec(
+      Seq(attr("p_brand")), attr("p_retailprice"), attr("p_partkey"), 3,
+      child, flushGroups = 2)
+    val candidates = partial.execute().map(_.copy()).collect().map { r =>
+      (r.getUTF8String(0).toString, r.getDouble(1), r.getLong(2))
+    }
+    val repruned = candidates.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.distinct.sortBy { case (_, v, t) => (-v, t) }.take(3).toSeq
+    }.map { case (b, _, t) => (b, t) }.toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    val windowed = base
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(repruned == windowed)
+    assert(repruned.nonEmpty)
+    // The flush actually happened: an unflushed partial emits at most
+    // k rows per (partition, group); 2-group segments over ~25
+    // interleaved brands force groups to span segments and emit more.
+    val unflushed = graft.plans.TopKPerGroupPartialExec(
+      Seq(attr("p_brand")), attr("p_retailprice"), attr("p_partkey"), 3, child)
+      .execute().map(_.copy()).collect()
+    assert(candidates.length > unflushed.length,
+      s"expected early-flushed duplicates beyond ${unflushed.length}")
+  }
+
   test("string-typed order column: values must not alias the reused codegen row") {
     // Regression guard: eval of a non-primitive order/tie type on a
     // reused UnsafeRow returns a buffer view; stored heap entries must
