@@ -20,6 +20,8 @@ object SparkEntry {
     Pipeline.all,
     Custom.all,
     TextAnalysis.all,
+    Curation.all,
+    Analytics.all,
     Dedup.all,
     Similarity.all,
     Streaming.all,

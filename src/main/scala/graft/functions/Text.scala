@@ -61,4 +61,17 @@ object Text {
     */
   def md5Hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Email-shaped token pattern — shared Java/RE2 syntax (no capture
+    * groups, no backtracking constructs) so Spark and DuckDB match the
+    * identical spans.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII redaction: email-shaped tokens then digit runs replaced with
+    * typed placeholders. Emails are masked FIRST so their digits are
+    * not split by the number pass.
+    */
+  def maskPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
 }

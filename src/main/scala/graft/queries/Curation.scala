@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingest and packing: repetition-based quality filtering
+  * (the Gopher/MassiveText rules' shape), PII redaction, mixture
+  * (per-language rate) sampling, and exact heavy-hitter vocabulary
+  * statistics. All per-document work is codegen'd built-ins — narrow,
+  * shuffle-free scans that scale linearly; the only shuffles are the
+  * final ORDER BY (driver-compare requirement) and the heavy-hitter
+  * aggregate, which is map-side combined on a vocabulary-sized key
+  * space.
+  */
+object Curation {
+  import QDef._
+
+  private val toksSql =
+    """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
+
+  val all: Seq[QDef] = Seq(
+
+    QDef("text_gopher_repetition",
+      // Repetition-based quality signals (the Gopher rules' shape):
+      // duplicate-token / duplicate-bigram / duplicate-trigram
+      // fractions plus symbol density, and the keep/drop decision a
+      // curation sweep applies. Ratios compare rx-rounded values so the
+      // threshold decision is bit-identical across engines. Arrays are
+      // bound with withColumn BEFORE any size/distinct use — inlining a
+      // computed array into repeated accesses re-evaluates the whole
+      // split per element.
+      (s, dir) => {
+        def dupRatio(c: String) =
+          when(size(col(c)) === 0, 0.0)
+            .otherwise((size(col(c)) - size(array_distinct(col(c))))
+              .cast("double") / size(col(c)).cast("double"))
+        t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .withColumn("bg", Text.shingles(col("tks"), 2))
+          .withColumn("tg", Text.shingles(col("tks"), 3))
+          .select(col("doc_id"),
+            size(col("tks")).cast("long").as("n_tok"),
+            rx(dupRatio("tks"), 4).as("dup_tok_ratio"),
+            rx(dupRatio("bg"), 4).as("dup_bigram_ratio"),
+            rx(dupRatio("tg"), 4).as("dup_trigram_ratio"),
+            rx(size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+              .cast("double") / length(col("text")).cast("double"), 4)
+              .as("symbol_ratio"))
+          .withColumn("keep",
+            col("dup_trigram_ratio") <= 0.85 && col("symbol_ratio") <= 0.1)
+          .orderBy("doc_id")
+      }, {
+        def dupSql(l: String) =
+          s"CASE WHEN len($l) = 0 THEN 0.0 ELSE (len($l) - len(list_distinct($l))) / CAST(len($l) AS DOUBLE) END"
+        val bgSql =
+          s"list_transform(range(greatest(len(tks) - 1, 0)), i -> tks[i+1] || ' ' || tks[i+2])"
+        val tgSql =
+          s"list_transform(range(greatest(len(tks) - 2, 0)), i -> tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3])"
+        Some(s"""WITH base AS (
+            SELECT doc_id, text, $toksSql AS tks FROM documents),
+          arr AS (
+            SELECT doc_id, text, tks, $bgSql AS bg, $tgSql AS tg FROM base),
+          scored AS (
+            SELECT doc_id,
+              len(tks) AS n_tok,
+              ${rxSql(dupSql("tks"), 4)} AS dup_tok_ratio,
+              ${rxSql(dupSql("bg"), 4)} AS dup_bigram_ratio,
+              ${rxSql(dupSql("tg"), 4)} AS dup_trigram_ratio,
+              ${rxSql(s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / CAST(length(text) AS DOUBLE)", 4)} AS symbol_ratio
+            FROM arr)
+          SELECT *, (dup_trigram_ratio <= 0.85 AND symbol_ratio <= 0.1) AS keep
+          FROM scored ORDER BY doc_id""")
+      }),
+
+    QDef("text_pii_mask",
+      // PII redaction: email-shaped and digit-run tokens replaced with
+      // typed placeholders, hit counts kept for the audit trail. Run
+      // over the events props payload (the only free-text column with
+      // digits in the synthetic corpus); the regexes are shared
+      // Java/RE2 syntax so both engines replace identically. Pure
+      // per-row string work — linear, shuffle-free.
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(col("event_id"), col("props"),
+            Text.maskPii(col("props")).as("masked"),
+            size(regexp_extract_all(col("props"), lit(Text.EmailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+              .cast("long").as("n_nums"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, props,
+          regexp_replace(regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS masked,
+          len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          len(regexp_extract_all(props, '[0-9]+')) AS n_nums
+        FROM events ORDER BY event_id""")),
+
+    QDef("sample_mixture",
+      // Data-mixing by per-language target rates (downsample the
+      // dominant language, keep the rare ones): deterministic
+      // md5-derived uniform in [0, 10000) per doc, keep iff below the
+      // language's rate. Hash sampling is the scalable mixing
+      // primitive — stateless, seedless, stable under corpus growth,
+      // and the oracle reproduces the exact row set. The "mix:" salt
+      // decorrelates this draw from sample_hash_split's buckets.
+      (s, dir) => {
+        val u = pmod(
+          Text.md5Hash32(concat(lit("mix:"), col("doc_id").cast("string"))),
+          lit(10000))
+        val rate = when(col("lang") === "en", 2500)
+          .when(col("lang") === "de" || col("lang") === "fr", 5000)
+          .when(col("lang") === "es", 7500)
+          .otherwise(10000)
+        t(s, dir, "documents")
+          .withColumn("u", u)
+          .withColumn("rate_bp", rate.cast("long"))
+          .filter(col("u") < col("rate_bp"))
+          .select(col("doc_id"), col("lang"), col("u"), col("rate_bp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH drawn AS (
+          SELECT doc_id, lang,
+            CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS u,
+            CASE WHEN lang = 'en' THEN 2500
+                 WHEN lang IN ('de', 'fr') THEN 5000
+                 WHEN lang = 'es' THEN 7500
+                 ELSE 10000 END AS rate_bp
+          FROM documents)
+        SELECT doc_id, lang, u, rate_bp FROM drawn
+        WHERE u < rate_bp ORDER BY doc_id""")),
+
+    QDef("agg_heavy_hitters",
+      // Exact corpus heavy hitters: terms whose global frequency share
+      // is >= 0.5%. Map-side-combined count on the vocabulary-sized
+      // term key, total as a broadcast 1-row aggregate (never a
+      // driver-side count), share compared UNROUNDED — one division of
+      // identical longs is IEEE-exact in both engines.
+      (s, dir) => {
+        val tf = t(s, dir, "documents")
+          .select(explode(Text.tokens(Text.normTerm(col("text")))).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy("term").agg(count(lit(1)).as("n"))
+        val total = tf.agg(sum(col("n")).as("tot"))
+        tf.crossJoin(broadcast(total))
+          .filter(col("n").cast("double") / col("tot").cast("double") >= 0.005)
+          .select(col("term"), col("n"),
+            rx(col("n").cast("double") / col("tot").cast("double"), 6)
+              .as("share"))
+          .orderBy(col("n").desc, col("term"))
+      },
+      Some(s"""WITH tok AS (
+          SELECT unnest($toksSql) AS term FROM documents),
+        tf AS (
+          SELECT term, count(*) AS n FROM tok WHERE length(term) > 0 GROUP BY term),
+        tot AS (SELECT sum(n) AS tot FROM tf)
+        SELECT term, n, ${rxSql("n / CAST(tot AS DOUBLE)", 6)} AS share
+        FROM tf, tot
+        WHERE n / CAST(tot AS DOUBLE) >= 0.005
+        ORDER BY n DESC, term"""))
+  )
+}
