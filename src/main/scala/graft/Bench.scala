@@ -36,8 +36,12 @@ object Bench {
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     stagers.foreach { n =>
-      try { SparkEntry.queries(n)(spark, sfDir).count() }
-      catch {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(n)(spark, sfDir).count()
+        System.err.println(
+          s"[bench] stager '$n': ${r3((System.nanoTime() - t0) / 1e9)}s")
+      } catch {
         // A broken stager must be visible, or its staging cost silently
         // migrates back into whichever timed query touches the stage
         // first — the drift staging_sec exists to prevent.

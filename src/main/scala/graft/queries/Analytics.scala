@@ -2,14 +2,17 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Warehouse-analytics operators over the relational tables: funnel
   * (staged-conversion) analysis, dataset profiling, SCD2 dimension
-  * history, and Z-order layout keys. Each is one shuffle (or none):
-  * funnel and SCD2 partition once per entity key and reuse that
-  * partitioning across their window passes; profiling is a single
-  * global aggregate; the Z-value is pure row arithmetic feeding a
-  * range partitioner.
+  * history, Z-order layout keys, MERGE-shaped upsert, iterative
+  * PageRank, feature bucketization, and decimal-exact correlation.
+  * Each is one shuffle (or none) per logical step: funnel and SCD2
+  * partition once per entity key and reuse that partitioning across
+  * their window passes; profiling and correlation are single global
+  * aggregates; the Z-value is pure row arithmetic feeding a range
+  * partitioner; PageRank shuffles once per round on the edge key.
   */
 object Analytics {
   import QDef._
