@@ -173,6 +173,9 @@ case class TopKPerGroupPartialExec(
     child: SparkPlan,
     flushGroups: Int = TopKPerGroupPartialExec.DefaultFlushGroups)
   extends UnaryExecNode with TopKKernel {
+  // flushGroups <= 0 would make topKIter spin forever: the fill loop
+  // could never admit a row while drain() keeps returning empty.
+  require(flushGroups > 0, s"flushGroups must be positive, got $flushGroups")
   override def outputPartitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(topKIter, preservesPartitioning = true)

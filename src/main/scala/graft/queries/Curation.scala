@@ -45,8 +45,9 @@ object Curation {
             rx(dupRatio("tks"), 4).as("dup_tok_ratio"),
             rx(dupRatio("bg"), 4).as("dup_bigram_ratio"),
             rx(dupRatio("tg"), 4).as("dup_trigram_ratio"),
-            rx(size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
-              .cast("double") / length(col("text")).cast("double"), 4)
+            rx(when(length(col("text")) === 0, 0.0)
+              .otherwise(size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+                .cast("double") / length(col("text")).cast("double")), 4)
               .as("symbol_ratio"))
           .withColumn("keep",
             col("dup_trigram_ratio") <= 0.85 && col("symbol_ratio") <= 0.1)
@@ -68,7 +69,7 @@ object Curation {
               ${rxSql(dupSql("tks"), 4)} AS dup_tok_ratio,
               ${rxSql(dupSql("bg"), 4)} AS dup_bigram_ratio,
               ${rxSql(dupSql("tg"), 4)} AS dup_trigram_ratio,
-              ${rxSql(s"len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / CAST(length(text) AS DOUBLE)", 4)} AS symbol_ratio
+              ${rxSql(s"CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / CAST(length(text) AS DOUBLE) END", 4)} AS symbol_ratio
             FROM arr)
           SELECT *, (dup_trigram_ratio <= 0.85 AND symbol_ratio <= 0.1) AS keep
           FROM scored ORDER BY doc_id""")
@@ -136,12 +137,17 @@ object Curation {
       // is >= 0.5%. Map-side-combined count on the vocabulary-sized
       // term key, total as a broadcast 1-row aggregate (never a
       // driver-side count), share compared UNROUNDED — one division of
-      // identical longs is IEEE-exact in both engines.
+      // identical longs is IEEE-exact in both engines. tf is staged
+      // (memoized persist) because both the broadcast total and the
+      // filtered output consume it — unpersisted, the 1-row total
+      // aggregate would re-run the whole tokenize+shuffle subtree.
       (s, dir) => {
-        val tf = t(s, dir, "documents")
-          .select(explode(Text.tokens(Text.normTerm(col("text")))).as("term"))
-          .filter(length(col("term")) > 0)
-          .groupBy("term").agg(count(lit(1)).as("n"))
+        val tf = graft.pipeline.Staged(s, dir, "heavy_hitters_tf") {
+          t(s, dir, "documents")
+            .select(explode(Text.tokens(Text.normTerm(col("text")))).as("term"))
+            .filter(length(col("term")) > 0)
+            .groupBy("term").agg(count(lit(1)).as("n"))
+        }
         val total = tf.agg(sum(col("n")).as("tot"))
         tf.crossJoin(broadcast(total))
           .filter(col("n").cast("double") / col("tot").cast("double") >= 0.005)
