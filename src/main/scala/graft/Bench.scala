@@ -57,10 +57,37 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> r3((System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"queries":$qs,"sf":"$sfDir"}""")
+    // The downstream report collector keeps only the LAST 2000 characters
+    // of stdout (observed across five rounds: every full 113-query line
+    // was head-truncated and unparseable). Budget the line to fit: emit
+    // the slowest queries individually, fold the remainder into one
+    // "others" rollup, and write the complete per-query map to a sidecar
+    // file for humans.
+    val sorted = results.toSeq.sortBy { case (n, s) => (-s, n) }
+    val full = sorted.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sidecar = java.nio.file.Paths.get("target/bench_full.json")
+    java.nio.file.Files.createDirectories(sidecar.getParent)
+    java.nio.file.Files.write(sidecar,
+      s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"nq":${results.size},"queries":$full,"sf":"$sfDir"}\n"""
+        .getBytes("UTF-8"))
+    val budget = 1500 // chars for the inline queries map
+    val shown = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 2
+    var full_ = false
+    sorted.foreach { case (k, v) =>
+      val frag = s"\"" + k + "\":" + v
+      // Stop at the first non-fit so `shown` stays a strict prefix of the
+      // slowest-first ordering (the rollup below relies on that).
+      if (!full_ && used + frag.length + 1 <= budget) {
+        shown += frag; used += frag.length + 1
+      } else full_ = true
+    }
+    val cut = sorted.size - shown.size
+    val cutSec = r3(sorted.drop(shown.size).map(_._2).sum)
+    val qs = shown.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"nq":${results.size},"others":{"n":$cut,"sec":$cutSec},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
