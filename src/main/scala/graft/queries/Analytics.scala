@@ -6,13 +6,16 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Warehouse-analytics operators over the relational tables: funnel
   * (staged-conversion) analysis, dataset profiling, SCD2 dimension
-  * history, Z-order layout keys, MERGE-shaped upsert, iterative
-  * PageRank, feature bucketization, and decimal-exact correlation.
-  * Each is one shuffle (or none) per logical step: funnel and SCD2
-  * partition once per entity key and reuse that partitioning across
-  * their window passes; profiling and correlation are single global
-  * aggregates; the Z-value is pure row arithmetic feeding a range
-  * partitioner; PageRank shuffles once per round on the edge key.
+  * history, Z-order layout keys, MERGE-shaped CDC upsert, cohort
+  * retention, feature bucketization, decimal-exact correlation, and
+  * integer-arithmetic iterative PageRank.
+  * Each is one shuffle (or none) per logical step: funnel, SCD2 and
+  * retention partition once per entity key and reuse that partitioning
+  * across their window passes; profiling, bucketization and
+  * correlation are single map-side-combined aggregates; the merge is
+  * one co-partitioned full-outer join on its key; the Z-value is pure
+  * row arithmetic feeding a range partitioner; PageRank shuffles once
+  * per round on the edge key.
   */
 object Analytics {
   import QDef._
@@ -148,6 +151,220 @@ object Analytics {
                                       ORDER BY o_orderdate, o_orderkey) IS NULL)
             AS is_current
         FROM orders ORDER BY o_custkey, version""")),
+
+    QDef("pipeline_merge_upsert",
+      // MERGE-shaped CDC upsert: a change feed (updates, inserts and
+      // deletes keyed on o_orderkey) merged into a base snapshot in ONE
+      // full-outer equi-join on the key — the lakehouse MERGE INTO
+      // plan. Unmatched base rows are kept, 'U' changes update-or-
+      // insert, 'D' changes delete. Both inputs derive from the orders
+      // table by key arithmetic so the oracle reproduces the exact
+      // feed; prices move through DECIMAL(18,2) so the +100 restatement
+      // is exact in both engines. At scale the join co-partitions both
+      // sides on the merge key — the one unavoidable shuffle.
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val base = orders.filter(col("o_orderkey") % 4 =!= 3)
+          .select(col("o_orderkey"), col("o_orderstatus").as("b_status"),
+            money(col("o_totalprice")).as("b_price"))
+        val changes = orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"),
+            col("o_orderstatus").as("c_status"),
+            (money(col("o_totalprice")) + lit(100)).as("c_price"))
+        base.join(changes, Seq("o_orderkey"), "full_outer")
+          .filter(col("op").isNull || col("op") === "U")
+          .select(col("o_orderkey"),
+            when(col("op").isNull, "kept")
+              .when(col("b_price").isNotNull, "updated")
+              .otherwise("inserted").as("action"),
+            coalesce(col("c_status"), col("b_status")).as("status"),
+            when(col("op") === "U", col("c_price")).otherwise(col("b_price"))
+              .cast("double").as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_orderstatus AS b_status,
+            CAST(o_totalprice AS DECIMAL(18,2)) AS b_price
+          FROM orders WHERE o_orderkey % 4 <> 3),
+        chg AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+            o_orderstatus AS c_status,
+            CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS c_price
+          FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT o_orderkey,
+          CASE WHEN op IS NULL THEN 'kept'
+               WHEN b_price IS NOT NULL THEN 'updated'
+               ELSE 'inserted' END AS action,
+          COALESCE(c_status, b_status) AS status,
+          CAST(CASE WHEN op = 'U' THEN c_price ELSE b_price END AS DOUBLE)
+            AS price
+        FROM base FULL OUTER JOIN chg USING (o_orderkey)
+        WHERE op IS NULL OR op = 'U'
+        ORDER BY o_orderkey""")),
+
+    QDef("win_retention",
+      // Cohort retention: users grouped by first-activity day, distinct
+      // active users counted per (cohort, day offset) — the engagement
+      // curve every product warehouse computes. One window partitioning
+      // on user_id derives the cohort, the distinct collapses repeat
+      // events, one aggregate counts; both shuffles key on columns a
+      // 100 TB events table is naturally distributed by.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        t(s, dir, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .withColumn("cohort", min(col("day")).over(w))
+          .select(col("user_id"), col("cohort"),
+            datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+          .distinct()
+          .groupBy("cohort", "day_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+          FROM events),
+        c AS (
+          SELECT user_id, day,
+            min(day) OVER (PARTITION BY user_id) AS cohort FROM e),
+        d AS (
+          SELECT DISTINCT user_id, cohort,
+            date_diff('day', cohort, day) AS day_offset FROM c)
+        SELECT cohort, day_offset, count(*) AS n_users
+        FROM d GROUP BY cohort, day_offset
+        ORDER BY cohort, day_offset""")),
+
+    QDef("agg_bucketize",
+      // Feature bucketization: fixed-width histogram buckets over a
+      // continuous feature (order price, width 50k, top bucket
+      // clamped), count + exact decimal sum per bucket. The bucket id
+      // is floor of one double division — identical IEEE arithmetic in
+      // both engines — and bounds the aggregate key space regardless of
+      // data volume, so the shuffle moves at most n_buckets rows per
+      // map task.
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("bucket",
+          least(lit(9L), floor(col("o_totalprice") / lit(50000.0)).cast("long")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).cast("double").as("sum_price"))
+        .withColumn("lo", (col("bucket") * 50000L).cast("double"))
+        .select("bucket", "lo", "n", "sum_price")
+        .orderBy("bucket"),
+      Some("""WITH b AS (
+          SELECT least(9, CAST(floor(o_totalprice / 50000.0) AS BIGINT)) AS bucket,
+            CAST(o_totalprice AS DECIMAL(18,2)) AS p
+          FROM orders)
+        SELECT bucket, CAST(bucket * 50000 AS DOUBLE) AS lo,
+          count(*) AS n, CAST(sum(p) AS DOUBLE) AS sum_price
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    QDef("agg_corr_decimal",
+      // Decimal-exact Pearson correlation (quantity vs extended price
+      // per return flag): the five sufficient statistics are summed as
+      // DECIMAL — exact, order-independent, mergeable (the map-side
+      // combine property a 100 TB aggregate needs) — and only the final
+      // closed-form combination runs in doubles, where +,-,*,/ and sqrt
+      // on identical inputs are IEEE-exact in both engines. Never
+      // corr() over raw doubles: its running sums are fold-order-
+      // dependent under shuffle.
+      (s, dir) => {
+        val wide = DecimalType(38, 4)
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            money(col("l_quantity")).as("x"),
+            money(col("l_extendedprice")).as("y"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("y")).cast("double").as("sy"),
+            sum((col("x") * col("x")).cast(wide)).cast("double").as("sxx"),
+            sum((col("y") * col("y")).cast(wide)).cast("double").as("syy"),
+            sum((col("x") * col("y")).cast(wide)).cast("double").as("sxy"))
+          .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+            rx((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH st AS (
+          SELECT l_returnflag,
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+            CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+            CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+          ${rxSql("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))", 6)} AS corr_qty_price
+        FROM st ORDER BY l_returnflag""")),
+
+    QDef("graph_pagerank",
+      // Iterative PageRank over the symmetric part<->supplier
+      // co-occurrence graph, in INTEGER arithmetic: ranks are scaled
+      // to 1e6 and every step is bigint floor-division and summation —
+      // exact and fold-order-free, so a fixed iteration count is
+      // bit-reproducible in any engine (double PageRank is not: the
+      // per-node contribution sum is order-dependent). One shuffle per
+      // round on the edge destination; edges+degrees are staged once
+      // and reused by every round. Three rounds here; the round count
+      // is the only thing that changes at scale.
+      (s, dir) => {
+        val ew = graft.pipeline.Staged(s, dir, "pagerank_edges") {
+          val po = t(s, dir, "lineitem")
+            .select(col("l_partkey").as("src"),
+              (col("l_suppkey") + 1000000L).as("dst"))
+            .distinct()
+          // Part ids < 1e6 and supplier ids > 1e6 are disjoint, so the
+          // reversed edge set is disjoint from the forward one and the
+          // union needs no second distinct.
+          val sym = po.union(po.select(col("dst").as("src"), col("src").as("dst")))
+          val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+          sym.join(deg, "src")
+        }
+        val nodes = ew.select(col("src").as("node_id")).distinct()
+        var ranks = nodes.withColumn("pr", lit(1000000L))
+        for (_ <- 1 to 3) {
+          // USING-column joins (not df("col") conditions): every round's
+          // plan re-references the nodes subtree, and attribute-id
+          // conditions across that shared lineage trip ambiguous-self-
+          // join resolution.
+          val contrib = ew.join(ranks.withColumnRenamed("node_id", "src"), "src")
+            .select(col("dst").as("node_id"), expr("pr div outdeg").as("c"))
+            .groupBy("node_id").agg(sum(col("c")).as("contrib"))
+          ranks = nodes.join(contrib, Seq("node_id"), "left")
+            .select(col("node_id"),
+              expr("150000 + (85 * coalesce(contrib, cast(0 as bigint))) div 100")
+                .as("pr"))
+        }
+        ranks.orderBy("node_id")
+      }, {
+        val rounds = (1 to 3).map { i =>
+          s"""c$i AS (
+              SELECT ew.dst AS node_id, sum(r${i - 1}.pr // ew.outdeg) AS contrib
+              FROM ew JOIN r${i - 1} ON r${i - 1}.node_id = ew.src
+              GROUP BY ew.dst),
+            r$i AS (
+              SELECT n.node_id,
+                150000 + (85 * COALESCE(c$i.contrib, 0)) // 100 AS pr
+              FROM n LEFT JOIN c$i USING (node_id))"""
+        }.mkString(",\n")
+        Some(s"""WITH e0 AS (
+            SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+            FROM lineitem),
+          e AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+          ew AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+          n AS (SELECT DISTINCT src AS node_id FROM e),
+          r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS pr FROM n),
+          $rounds
+          SELECT node_id, pr FROM r3 ORDER BY node_id""")
+      }),
 
     QDef("layout_zorder",
       // Z-order (Morton) layout key over two dimensions — the data

@@ -132,6 +132,44 @@ object Curation {
         SELECT doc_id, lang, u, rate_bp FROM drawn
         WHERE u < rate_bp ORDER BY doc_id""")),
 
+    QDef("sample_reservoir_group",
+      // Deterministic per-group "reservoir": the k=10 docs with the
+      // smallest salted md5 draw per source — a uniform
+      // without-replacement sample per domain (the per-host cap a C4-
+      // style corpus applies), seedless and stable under corpus growth.
+      // Runs on the native bounded-heap top-k operator
+      // (plans.TopKPerGroup): each input partition prunes to <= k rows
+      // per source BEFORE the shuffle, where a window row_number would
+      // shuffle and sort the whole corpus — at 100 TB that pruning is
+      // the operator. The heap keeps the LARGEST order values, so the
+      // negated draw selects the smallest; the tiny window afterwards
+      // re-derives the rank over <= k rows per group for output parity.
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        val drawn = t(s, dir, "documents")
+          .withColumn("h",
+            Text.md5Hash32(concat(lit("res:"), col("doc_id").cast("string"))))
+          .withColumn("negh", -col("h"))
+          .select("source", "doc_id", "h", "negh")
+        val top = graft.plans.TopKPerGroup(
+          drawn, Seq("source"), "negh", "doc_id", 10)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        top.withColumn("rk", row_number().over(w).cast("long"))
+          .select(col("source"), col("rk"), col("doc_id"), col("h"))
+          .orderBy("source", "rk")
+      },
+      Some("""WITH drawn AS (
+          SELECT source, doc_id,
+            CAST(('0x' || substr(md5('res:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+          FROM documents),
+        ranked AS (
+          SELECT source, doc_id, h,
+            row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+          FROM drawn)
+        SELECT source, rk, doc_id, h FROM ranked
+        WHERE rk <= 10 ORDER BY source, rk""")),
+
     QDef("agg_heavy_hitters",
       // Exact corpus heavy hitters: terms whose global frequency share
       // is >= 0.5%. Map-side-combined count on the vocabulary-sized
