@@ -274,6 +274,53 @@ object Relational {
         FROM events WHERE event_type = 'click' AND value > 100.0
         ORDER BY event_id, user_id, value""")),
 
+    QDef("join_dpp",
+      // Dynamic partition pruning — the RUNTIME variant of
+      // scan_partition_pruned's static pruning: the fact side is
+      // partitioned on the join key, the dim side carries the selective
+      // predicate (category = 'conv'), and the optimizer injects a
+      // dynamic partition filter on the fact scan fed by the dim's
+      // broadcast, so only the partitions the filtered dim actually
+      // joins to are listed and read. At 100 TB this is the difference
+      // between scanning 2 partitions and scanning all of them when
+      // the selective predicate lives on the dimension, not the fact.
+      // DppSpec asserts the DynamicPruningExpression in the scan.
+      (s, dir) => {
+        import s.implicits._
+        val out = scratch(s"events_part_${new java.io.File(dir).getName}")
+        val dimOut = scratch(s"event_dim_${new java.io.File(dir).getName}")
+        graft.pipeline.Staged(s, dir, "events_partitioned") {
+          t(s, dir, "events").write.mode("overwrite")
+            .partitionBy("event_type").parquet(out)
+          s.range(1).toDF("ok") // marker: layout staged once per session+dir
+        }
+        graft.pipeline.Staged(s, dir, "event_dim") {
+          // The dim must be FILE-backed for the pruning rule to see a
+          // selective Filter: a local relation folds the predicate into
+          // its rows at optimization time and DPP never triggers.
+          Seq(("view", "browse"), ("click", "conv"), ("purchase", "conv"),
+            ("signup", "acct"), ("error", "ops"))
+            .toDF("event_type", "category")
+            .write.mode("overwrite").parquet(dimOut)
+          s.range(1).toDF("ok")
+        }
+        val dim = s.read.parquet(dimOut)
+        s.read.parquet(out)
+          .join(dim.filter(col("category") === "conv"), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(money(col("value"))).cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim(event_type, category) AS (
+          VALUES ('view', 'browse'), ('click', 'conv'), ('purchase', 'conv'),
+                 ('signup', 'acct'), ('error', 'ops'))
+        SELECT e.event_type, count(*) AS n,
+          CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        WHERE d.category = 'conv'
+        GROUP BY e.event_type ORDER BY e.event_type""")),
+
     QDef("project_docs",
       (s, dir) => t(s, dir, "documents")
         // Build the nested doc-model shape (SURVEY §1.1) in flight, then
@@ -586,6 +633,47 @@ object Relational {
           count(DISTINCT l_partkey) AS exact_parts,
           true AS within_3sigma
         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    QDef("agg_hll_union",
+      // MERGEABLE sketches — the property that makes approximate
+      // distinct counting work at 100 TB: per-group HLL sketches
+      // (datasketches-backed hll_sketch_agg) are built in one pass,
+      // then UNIONED into the global sketch with hll_union_agg — no
+      // second scan of the data, which is how rollups over sketches
+      // compose across partitions, days, or tenants. Sketch bits are
+      // engine-specific, so the oracle checks the CONTRACT (estimate
+      // within 5% / ±5 of exact, trivially tight at lgK=12) like
+      // agg_approx_distinct does.
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val per = graft.pipeline.Staged(s, dir, "hll_per_type") {
+          e.groupBy("event_type")
+            .agg(hll_sketch_agg(col("user_id")).as("sk"),
+              count_distinct(col("user_id")).as("n_exact"))
+        }
+        val globExact = e.agg(count_distinct(col("user_id")).as("n_exact"))
+        val glob = per.agg(hll_union_agg(col("sk")).as("sk"))
+          .crossJoin(broadcast(globExact))
+          .select(lit("ALL").as("event_type"), col("n_exact"),
+            hll_sketch_estimate(col("sk")).as("est"))
+        per.select(col("event_type"), col("n_exact"),
+            hll_sketch_estimate(col("sk")).as("est"))
+          .union(glob)
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("est") - col("n_exact")).cast("double") <=
+              greatest(lit(5.0), col("n_exact").cast("double") * 0.05))
+              .as("est_ok"))
+          .orderBy("event_type")
+      },
+      Some("""WITH per AS (
+          SELECT event_type, count(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY event_type),
+        tot AS (
+          SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS n_exact
+          FROM events)
+        SELECT event_type, n_exact, TRUE AS est_ok
+        FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+        ORDER BY event_type""")),
 
     QDef("agg_rollup_cube",
       (s, dir) => t(s, dir, "lineitem")

@@ -29,7 +29,8 @@ object StreamRuns {
     * value is sized to executor count; state partitioning is fixed at
     * first checkpoint, which is why it must be set before start().
     */
-  val StreamShufflePartitions = 8
+  val StreamShufflePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(8)
 
   /** RocksDB state store + changelog checkpointing unless
     * SPARK_GRAFT_STATE_STORE=hdfs opts back into the default provider.
