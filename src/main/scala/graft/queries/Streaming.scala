@@ -78,6 +78,74 @@ object Streaming {
           substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16) AS fp
         FROM documents ORDER BY doc_id""")),
 
+    QDef("stream_foreach_batch_upsert",
+      // Incremental CDC apply — pipeline_merge_upsert's change feed
+      // arriving as a stream: file source, two files per micro-batch,
+      // and each batch MERGEs into a parquet base snapshot inside
+      // foreachBatch (read snapshot, full-outer join the batch on the
+      // key, rewrite). Every change key appears once in the feed, so
+      // the final snapshot is independent of batch boundaries — which
+      // is what makes the incremental application oracle-checkable in
+      // closed form against the one-shot merge. At 100 TB the
+      // read-modify-rewrite step becomes a lakehouse MERGE INTO
+      // (copy-on-write over the touched files only); the foreachBatch
+      // + keyed-merge plan is unchanged.
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val snap = StreamRuns.fresh("upsert-snap")
+        orders.filter(col("o_orderkey") % 4 =!= 3)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            money(col("o_totalprice")).as("price"))
+          .write.mode("overwrite").parquet(snap)
+        val changes = orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"),
+            col("o_orderstatus").as("c_status"),
+            (money(col("o_totalprice")) + lit(100)).as("c_price"))
+        val src = StreamRuns.stageAsFiles(changes, "upsert-feed", 4)
+        val q = s.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", 2).parquet(src)
+          .writeStream
+          .option("checkpointLocation", StreamRuns.fresh("upsert-ckpt"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val merged = s.read.parquet(snap)
+              .join(b, Seq("o_orderkey"), "full_outer")
+              .filter(col("op").isNull || col("op") === "U")
+              .select(col("o_orderkey"),
+                coalesce(col("c_status"), col("status")).as("status"),
+                when(col("op") === "U", col("c_price")).otherwise(col("price"))
+                  .as("price"))
+              // Materialize BEFORE overwriting the path the plan reads.
+              .localCheckpoint(true)
+            merged.write.mode("overwrite").parquet(snap)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(snap)
+          .select(col("o_orderkey"), col("status"),
+            col("price").cast("double").as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_orderstatus AS b_status,
+            CAST(o_totalprice AS DECIMAL(18,2)) AS b_price
+          FROM orders WHERE o_orderkey % 4 <> 3),
+        chg AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+            o_orderstatus AS c_status,
+            CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS c_price
+          FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT o_orderkey,
+          COALESCE(c_status, b_status) AS status,
+          CAST(CASE WHEN op = 'U' THEN c_price ELSE b_price END AS DOUBLE)
+            AS price
+        FROM base FULL OUTER JOIN chg USING (o_orderkey)
+        WHERE op IS NULL OR op = 'U'
+        ORDER BY o_orderkey""")),
+
     QDef("stream_tumbling_window",
       // 5-minute tumbling windows per event type, exact decimal sums;
       // complete mode so every window reaches the sink regardless of
