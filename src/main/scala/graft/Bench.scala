@@ -32,7 +32,8 @@ object Bench {
     val stagers = Seq("pipeline_node_counts", "dedup_minhash_sig",
       "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf", "join_bucketed",
       "dedup_cluster_cc", "scan_partition_pruned", "text_tfidf",
-      "dedup_ngram_jaccard", "dedup_simhash", "graph_pagerank")
+      "dedup_ngram_jaccard", "dedup_simhash", "graph_pagerank",
+      "sim_ann_pq")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     stagers.foreach { n =>

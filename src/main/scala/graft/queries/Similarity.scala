@@ -276,7 +276,187 @@ object Similarity {
                FROM scored)"""
   }
 
+  private val SubDims = 16
+  private val MSub = 4
+  private val PqIters = 2
+
+  /** Per-(vector, subspace) training points for the PQ codebook: the
+    * 64-dim vector split into [[MSub]] contiguous 16-dim subvectors,
+    * each with its exact int64 quantization (same 1e6 grid as IVF — the
+    * property that makes the Lloyd trajectory oracle-replayable).
+    */
+  private def pqSubs(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "pq_subs") {
+      vecs(s, dir).select(col("vec_id"),
+          posexplode(array((0 until MSub).map(m =>
+            slice(col("v"), m * SubDims + 1, SubDims)): _*)).as(Seq("m", "sv")))
+        .withColumn("svq",
+          transform(col("sv"), x => floor(x * lit(1e6) + lit(0.5)).cast("long")))
+    }
+
+  /** Nearest codebook entry per (vector, subspace) under squared L2 —
+    * the PQ assignment step. d2 = (sv·sv − 2·sv·cv) + cv·cv with the
+    * identical association in the oracle, rx-rounded, c_id tie-break.
+    */
+  private def pqNearest(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2").asc, col("c_id").asc)
+    subs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("m"), col("c_id"),
+        rx(dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cv")) +
+          dot(col("cv"), col("cv")), 6).as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "m", "c_id")
+  }
+
+  /** Shared-codebook PQ quantizer: 8 centroids over ALL subvectors
+    * (seeded from the first two vectors' subspaces, c_id = vec_id·4+m),
+    * [[PqIters]] Lloyd rounds with exact-integer means — the same
+    * deterministic-training contract as [[ivfCents]], on 16-dim
+    * subspace points keyed by (vec_id, m).
+    */
+  private def pqCents(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "pq_cents") {
+      val subs = pqSubs(s, dir)
+      def recompute(assign: DataFrame): DataFrame = {
+        val sums = (0 until SubDims).map(d =>
+          sum(element_at(col("svq"), d + 1)).as(s"s$d"))
+        subs.join(assign, Seq("vec_id", "m"))
+          .groupBy("c_id")
+          .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+          .select(col("c_id"),
+            array((0 until SubDims).map(d =>
+              col(s"s$d").cast("double") / (lit(1e6) * col("n"))): _*).as("cv"))
+      }
+      var cents = subs.filter(col("vec_id") < 2)
+        .select((col("vec_id") * MSub + col("m")).as("c_id"),
+          transform(col("svq"), x => x.cast("double") / lit(1e6)).as("cv"))
+      for (_ <- 1 to PqIters) cents = recompute(pqNearest(subs, cents))
+      cents
+    }
+
+  /** Oracle replay of the PQ codebook training + encode as CTEs:
+    * `psubs` (subvectors + quantization), `pc0` (seeds), per round t
+    * `pa{t}`/`pc{t}`, and `codes` (final assignment). Exposed names:
+    * psubs, pc[[PqIters]], codes.
+    */
+  private def pqSqlCtes: String = {
+    def d2(sRef: String, cRef: String) = {
+      def ls(x: String, y: String) =
+        s"list_sum(list_transform(range($SubDims), i -> $x[i+1] * $y[i+1]))"
+      s"${ls(s"$sRef.sv", s"$sRef.sv")} - 2 * ${ls(s"$sRef.sv", s"$cRef.cv")} + ${ls(s"$cRef.cv", s"$cRef.cv")}"
+    }
+    def assignSql(prev: String) =
+      s"""SELECT vec_id, m, c_id FROM (
+            SELECT s.vec_id, s.m, c.c_id,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY ${rxSql(d2("s", "c"), 6)} ASC, c.c_id) AS rk
+            FROM psubs s CROSS JOIN $prev c) WHERE rk = 1"""
+    val rounds = (1 to PqIters).map { t =>
+      s"""pa$t AS (${assignSql(s"pc${t - 1}")}),
+        pc$t AS (
+          SELECT c_id, list(cd ORDER BY d) AS cv FROM (
+            SELECT a.c_id, ds.d,
+                   CAST(sum(s.svq[ds.d + 1]) AS DOUBLE) / (1e6 * count(*)) AS cd
+            FROM pa$t a JOIN psubs s USING (vec_id, m),
+                 (SELECT unnest(range($SubDims)) AS d) ds
+            GROUP BY a.c_id, ds.d)
+          GROUP BY c_id)"""
+    }.mkString(",\n        ")
+    s"""psubs AS (
+          SELECT vec_id, ms.m AS m,
+            list_transform(range($SubDims),
+              i -> CAST(embedding[ms.m * $SubDims + i + 1] AS DOUBLE)) AS sv,
+            list_transform(range($SubDims),
+              i -> CAST(floor(CAST(embedding[ms.m * $SubDims + i + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS svq
+          FROM embeddings, (SELECT unnest(range($MSub)) AS m) ms),
+        pc0 AS (
+          SELECT vec_id * $MSub + m AS c_id,
+                 list_transform(svq, x -> CAST(x AS DOUBLE) / 1e6) AS cv
+          FROM psubs WHERE vec_id < 2),
+        $rounds,
+        codes AS (${assignSql(s"pc$PqIters")})"""
+  }
+
   val all: Seq[QDef] = Seq(
+
+    QDef("sim_ann_pq",
+      // Product quantization ANN — the third ANN family next to LSH
+      // buckets and IVF lists, and the one that changes the MEMORY
+      // story at 100 TB: each vector is encoded as MSub codebook ids
+      // (4 bytes here vs 256 for the raw floats), and queries score
+      // against CODES ONLY via asymmetric distance computation — a
+      // per-query lookup table (query-subvector x codebook dots,
+      // 10 x 8 x 4 rows, broadcast) joined to the code table, summed,
+      // normalized by the code-approximated vector norm. The original
+      // vectors are never touched after encoding. Lookup values are
+      // floor-quantized to int64 before the per-(q, x) sum, so the
+      // 4-term aggregation is exact and fold-order-free (a raw double
+      // sum would hash-mismatch under shuffle). Codebook training is
+      // the same deterministic exact-integer Lloyd contract as IVF,
+      // on 16-dim subspace points; the oracle replays training,
+      // encoding, and ADC from the identical CTE chain.
+      (s, dir) => {
+        val subs = pqSubs(s, dir)
+        val cents = pqCents(s, dir)
+        val codes = graft.pipeline.Staged(s, dir, "pq_codes") {
+          pqNearest(subs, cents)
+        }
+        val lut = subs.filter(col("vec_id") < QueryVecs)
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id").as("q_id"), col("m"), col("c_id"),
+            floor(dot(col("sv"), col("cv")) * lit(1e6) + lit(0.5)).cast("long")
+              .as("qdot_q"),
+            floor(dot(col("cv"), col("cv")) * lit(1e6) + lit(0.5)).cast("long")
+              .as("cn2_q"))
+        val qn = vecs(s, dir).filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("nrm").as("qnrm"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("vec_id").asc)
+        codes.join(broadcast(lut), Seq("m", "c_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("qdot_q")).as("sq"), sum(col("cn2_q")).as("sn"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .join(broadcast(qn), "q_id")
+          .select(col("q_id"), col("vec_id"),
+            rx((col("sq").cast("double") / lit(1e6)) /
+              (col("qnrm") * sqrt(col("sn").cast("double") / lit(1e6))), 6)
+              .as("score"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("score"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $pqSqlCtes,
+        lut AS (
+          SELECT s.vec_id AS q_id, s.m, c.c_id,
+            CAST(floor(list_sum(list_transform(range($SubDims), i -> s.sv[i+1] * c.cv[i+1])) * 1e6 + 0.5) AS BIGINT) AS qdot_q,
+            CAST(floor(list_sum(list_transform(range($SubDims), i -> c.cv[i+1] * c.cv[i+1])) * 1e6 + 0.5) AS BIGINT) AS cn2_q
+          FROM psubs s CROSS JOIN pc$PqIters c WHERE s.vec_id < $QueryVecs),
+        qn AS (
+          SELECT vec_id AS q_id,
+            sqrt(list_sum(list_transform(range($Dims),
+              i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS qnrm
+          FROM embeddings WHERE vec_id < $QueryVecs),
+        adc AS (
+          SELECT l.q_id, cd.vec_id, sum(l.qdot_q) AS sq, sum(l.cn2_q) AS sn
+          FROM codes cd JOIN lut l ON cd.m = l.m AND cd.c_id = l.c_id
+          GROUP BY l.q_id, cd.vec_id),
+        scored AS (
+          SELECT a.q_id, a.vec_id,
+            ${rxSql("(CAST(sq AS DOUBLE) / 1e6) / (qnrm * sqrt(CAST(sn AS DOUBLE) / 1e6))", 6)} AS score
+          FROM adc a JOIN qn ON a.q_id = qn.q_id
+          WHERE a.q_id <> a.vec_id),
+        prk AS (
+          SELECT q_id, vec_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, vec_id) AS rank
+          FROM scored)
+        SELECT q_id, rank, vec_id, score FROM prk WHERE rank <= 3
+        ORDER BY q_id, rank""")),
+
 
     QDef("sim_cosine_topk",
       // Brute-force baseline: the first QueryVecs vectors as the query
