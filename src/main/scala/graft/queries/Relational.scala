@@ -274,6 +274,37 @@ object Relational {
         FROM events WHERE event_type = 'click' AND value > 100.0
         ORDER BY event_id, user_id, value""")),
 
+    QDef("scan_text_regex",
+      // Raw-log ingest — the other 100 TB source shape next to columnar
+      // scans: unstructured text lines parsed into typed columns with
+      // anchored regex extraction (one codegen'd pass per line, no
+      // shuffle). The staged log is written from events losslessly
+      // (value is exact at DECIMAL(18,2), so the string round-trip is
+      // bit-faithful) and the oracle checks the PARSED table against
+      // the original rows directly.
+      (s, dir) => {
+        val out = scratch(s"events_log_${new java.io.File(dir).getName}")
+        graft.pipeline.Staged(s, dir, "events_textlog") {
+          t(s, dir, "events")
+            .select(concat_ws("|", lit("evt"), col("event_id"),
+              col("user_id"), col("event_type"),
+              money(col("value")).cast("string")).as("value"))
+            .write.mode("overwrite").text(out)
+          s.range(1).toDF("ok") // marker: log staged once per session+dir
+        }
+        val Re = "^evt\\|(\\d+)\\|(\\d+)\\|([a-z]+)\\|([0-9]+\\.[0-9]{2})$"
+        s.read.text(out)
+          .select(
+            regexp_extract(col("value"), Re, 1).cast("long").as("event_id"),
+            regexp_extract(col("value"), Re, 2).cast("long").as("user_id"),
+            regexp_extract(col("value"), Re, 3).as("event_type"),
+            regexp_extract(col("value"), Re, 4).cast("double").as("value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type,
+          CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+        FROM events ORDER BY event_id""")),
+
     QDef("join_dpp",
       // Dynamic partition pruning — the RUNTIME variant of
       // scan_partition_pruned's static pruning: the fact side is
