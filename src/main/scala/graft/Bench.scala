@@ -68,11 +68,18 @@ object Bench {
     val sorted = results.toSeq.sortBy { case (n, s) => (-s, n) }
     val full = sorted.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sidecar = java.nio.file.Paths.get("target/bench_full.json")
-    java.nio.file.Files.createDirectories(sidecar.getParent)
-    java.nio.file.Files.write(sidecar,
-      s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"nq":${results.size},"queries":$full,"sf":"$sfDir"}\n"""
-        .getBytes("UTF-8"))
+    // Absolute path (the JVM's cwd is not guaranteed to be the repo),
+    // and never let a sidecar IO failure suppress the report line.
+    try {
+      val sidecar = java.nio.file.Paths.get("/root/repo/target/bench_full.json")
+      java.nio.file.Files.createDirectories(sidecar.getParent)
+      java.nio.file.Files.write(sidecar,
+        s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"nq":${results.size},"queries":$full,"sf":"$sfDir"}\n"""
+          .getBytes("UTF-8"))
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] sidecar write failed: ${t.getMessage}")
+    }
     val budget = 1500 // chars for the inline queries map
     val shown = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2

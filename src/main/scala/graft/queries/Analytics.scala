@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -17,6 +18,59 @@ import org.apache.spark.sql.types.DecimalType
   * row arithmetic feeding a range partitioner; PageRank shuffles once
   * per round on the edge key.
   */
+/** Shared CDC feed for `pipeline_merge_upsert` (one-shot) and
+  * `stream_foreach_batch_upsert` (incremental): base snapshot excludes
+  * keys ≡ 2 (mod 4) while the change feed covers ALL even keys, so the
+  * key classes exercise every merge arm — evens ≡ 2 (mod 4) INSERT,
+  * evens ≡ 0 (mod 10) DELETE (including deletes of absent rows, e.g.
+  * key 10), remaining evens UPDATE, and odd keys in base KEEP. The
+  * first version of this feed had every change key present in base,
+  * which left the insert arm dead — and therefore untestable — in both
+  * engines.
+  */
+private[queries] object CdcFeed {
+  import org.apache.spark.sql.functions._
+  import QDef._
+
+  def base(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 4 =!= 2)
+      .select(col("o_orderkey"), col("o_orderstatus").as("b_status"),
+        money(col("o_totalprice")).as("b_price"))
+
+  def changes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"),
+        col("o_orderstatus").as("c_status"),
+        (money(col("o_totalprice")) + lit(100)).as("c_price"))
+
+  /** One full-outer join on the merge key with delete rows dropped —
+    * survivors carry both sides' columns for the caller's projection.
+    */
+  def applied(base: DataFrame, chg: DataFrame): DataFrame =
+    base.join(chg, Seq("o_orderkey"), "full_outer")
+      .filter(col("op").isNull || col("op") === "U")
+
+  /** The merged snapshot (key, status, price as exact decimal). */
+  def merged(base: DataFrame, chg: DataFrame): DataFrame =
+    applied(base, chg).select(col("o_orderkey"),
+      coalesce(col("c_status"), col("b_status")).as("status"),
+      when(col("op") === "U", col("c_price")).otherwise(col("b_price"))
+        .as("price"))
+
+  /** Oracle CTEs mirroring [[base]]/[[changes]]. */
+  val ctesSql: String = """base AS (
+          SELECT o_orderkey, o_orderstatus AS b_status,
+            CAST(o_totalprice AS DECIMAL(18,2)) AS b_price
+          FROM orders WHERE o_orderkey % 4 <> 2),
+        chg AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+            o_orderstatus AS c_status,
+            CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS c_price
+          FROM orders WHERE o_orderkey % 2 = 0)"""
+}
+
 object Analytics {
   import QDef._
 
@@ -162,18 +216,8 @@ object Analytics {
       // feed; prices move through DECIMAL(18,2) so the +100 restatement
       // is exact in both engines. At scale the join co-partitions both
       // sides on the merge key — the one unavoidable shuffle.
-      (s, dir) => {
-        val orders = t(s, dir, "orders")
-        val base = orders.filter(col("o_orderkey") % 4 =!= 3)
-          .select(col("o_orderkey"), col("o_orderstatus").as("b_status"),
-            money(col("o_totalprice")).as("b_price"))
-        val changes = orders.filter(col("o_orderkey") % 2 === 0)
-          .select(col("o_orderkey"),
-            when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"),
-            col("o_orderstatus").as("c_status"),
-            (money(col("o_totalprice")) + lit(100)).as("c_price"))
-        base.join(changes, Seq("o_orderkey"), "full_outer")
-          .filter(col("op").isNull || col("op") === "U")
+      (s, dir) =>
+        CdcFeed.applied(CdcFeed.base(s, dir), CdcFeed.changes(s, dir))
           .select(col("o_orderkey"),
             when(col("op").isNull, "kept")
               .when(col("b_price").isNotNull, "updated")
@@ -181,18 +225,8 @@ object Analytics {
             coalesce(col("c_status"), col("b_status")).as("status"),
             when(col("op") === "U", col("c_price")).otherwise(col("b_price"))
               .cast("double").as("price"))
-          .orderBy("o_orderkey")
-      },
-      Some("""WITH base AS (
-          SELECT o_orderkey, o_orderstatus AS b_status,
-            CAST(o_totalprice AS DECIMAL(18,2)) AS b_price
-          FROM orders WHERE o_orderkey % 4 <> 3),
-        chg AS (
-          SELECT o_orderkey,
-            CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
-            o_orderstatus AS c_status,
-            CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS c_price
-          FROM orders WHERE o_orderkey % 2 = 0)
+          .orderBy("o_orderkey"),
+      Some(s"""WITH ${CdcFeed.ctesSql}
         SELECT o_orderkey,
           CASE WHEN op IS NULL THEN 'kept'
                WHEN b_price IS NOT NULL THEN 'updated'

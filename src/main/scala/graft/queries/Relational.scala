@@ -276,9 +276,9 @@ object Relational {
 
     QDef("scan_text_regex",
       // Raw-log ingest — the other 100 TB source shape next to columnar
-      // scans: unstructured text lines parsed into typed columns with
-      // anchored regex extraction (one codegen'd pass per line, no
-      // shuffle). The staged log is written from events losslessly
+      // scans: unstructured text lines validated by one anchored regex
+      // and split into typed columns, shuffle-free and codegen'd
+      // end-to-end. The staged log is written from events losslessly
       // (value is exact at DECIMAL(18,2), so the string round-trip is
       // bit-faithful) and the oracle checks the PARSED table against
       // the original rows directly.
@@ -292,13 +292,19 @@ object Relational {
             .write.mode("overwrite").text(out)
           s.range(1).toDF("ok") // marker: log staged once per session+dir
         }
-        val Re = "^evt\\|(\\d+)\\|(\\d+)\\|([a-z]+)\\|([0-9]+\\.[0-9]{2})$"
+        // ONE anchored validation match per line, then a cheap split —
+        // not one regexp_extract per field, which would re-run the
+        // whole pattern once per column (4x the per-line regex cost,
+        // and per-line cost IS this operator at log scale).
+        val Re = "^evt\\|\\d+\\|\\d+\\|[a-z]+\\|[0-9]+\\.[0-9]{2}$"
         s.read.text(out)
+          .filter(col("value").rlike(Re))
+          .withColumn("f", split(col("value"), "\\|"))
           .select(
-            regexp_extract(col("value"), Re, 1).cast("long").as("event_id"),
-            regexp_extract(col("value"), Re, 2).cast("long").as("user_id"),
-            regexp_extract(col("value"), Re, 3).as("event_type"),
-            regexp_extract(col("value"), Re, 4).cast("double").as("value"))
+            element_at(col("f"), 2).cast("long").as("event_id"),
+            element_at(col("f"), 3).cast("long").as("user_id"),
+            element_at(col("f"), 4).as("event_type"),
+            element_at(col("f"), 5).cast("double").as("value"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id, event_type,

@@ -91,17 +91,12 @@ object Streaming {
       // (copy-on-write over the touched files only); the foreachBatch
       // + keyed-merge plan is unchanged.
       (s, dir) => {
-        val orders = t(s, dir, "orders")
         val snap = StreamRuns.fresh("upsert-snap")
-        orders.filter(col("o_orderkey") % 4 =!= 3)
-          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
-            money(col("o_totalprice")).as("price"))
+        CdcFeed.base(s, dir)
+          .select(col("o_orderkey"), col("b_status").as("status"),
+            col("b_price").as("price"))
           .write.mode("overwrite").parquet(snap)
-        val changes = orders.filter(col("o_orderkey") % 2 === 0)
-          .select(col("o_orderkey"),
-            when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"),
-            col("o_orderstatus").as("c_status"),
-            (money(col("o_totalprice")) + lit(100)).as("c_price"))
+        val changes = CdcFeed.changes(s, dir)
         val src = StreamRuns.stageAsFiles(changes, "upsert-feed", 4)
         val q = s.readStream.schema(changes.schema)
           .option("maxFilesPerTrigger", 2).parquet(src)
@@ -109,15 +104,11 @@ object Streaming {
           .option("checkpointLocation", StreamRuns.fresh("upsert-ckpt"))
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, _: Long) =>
-            val merged = s.read.parquet(snap)
-              .join(b, Seq("o_orderkey"), "full_outer")
-              .filter(col("op").isNull || col("op") === "U")
-              .select(col("o_orderkey"),
-                coalesce(col("c_status"), col("status")).as("status"),
-                when(col("op") === "U", col("c_price")).otherwise(col("price"))
-                  .as("price"))
-              // Materialize BEFORE overwriting the path the plan reads.
-              .localCheckpoint(true)
+            val prev = s.read.parquet(snap)
+              .withColumnRenamed("status", "b_status")
+              .withColumnRenamed("price", "b_price")
+            // Materialize BEFORE overwriting the path the plan reads.
+            val merged = CdcFeed.merged(prev, b).localCheckpoint(true)
             merged.write.mode("overwrite").parquet(snap)
             ()
           }
@@ -128,16 +119,7 @@ object Streaming {
             col("price").cast("double").as("price"))
           .orderBy("o_orderkey")
       },
-      Some("""WITH base AS (
-          SELECT o_orderkey, o_orderstatus AS b_status,
-            CAST(o_totalprice AS DECIMAL(18,2)) AS b_price
-          FROM orders WHERE o_orderkey % 4 <> 3),
-        chg AS (
-          SELECT o_orderkey,
-            CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
-            o_orderstatus AS c_status,
-            CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS c_price
-          FROM orders WHERE o_orderkey % 2 = 0)
+      Some(s"""WITH ${CdcFeed.ctesSql}
         SELECT o_orderkey,
           COALESCE(c_status, b_status) AS status,
           CAST(CASE WHEN op = 'U' THEN c_price ELSE b_price END AS DOUBLE)

@@ -30,7 +30,13 @@ object StreamRuns {
     * first checkpoint, which is why it must be set before start().
     */
   val StreamShufflePartitions: Int =
-    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(8)
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      // Tolerant parse: a malformed value must not kill this object's
+      // initializer — that would fail every streaming query with an
+      // unrelated-looking NoClassDefFoundError.
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0)
+      .getOrElse(8)
 
   /** RocksDB state store + changelog checkpointing unless
     * SPARK_GRAFT_STATE_STORE=hdfs opts back into the default provider.
