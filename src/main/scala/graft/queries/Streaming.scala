@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.functions.Text
 import graft.streaming.StreamRuns
@@ -34,6 +34,30 @@ object Streaming {
 
   /** Snapshot emitted by the stateful function after each batch. */
   final case class UserSnap(user_id: Long, n: Long, cents: Long)
+
+  /** The Spark 4 arbitrary-state processor behind
+    * `stream_transform_state`: same per-user (count, cent-exact sum)
+    * contract as the flatMapGroupsWithState spelling, carried in a
+    * typed ValueState. State lives in the RocksDB store (the only
+    * provider transformWithState supports — which StreamRuns already
+    * configures) and is keyed per user by the runtime.
+    */
+  final class UserStatsProcessor
+      extends StatefulProcessor[Long, (Long, Double), UserSnap] {
+    @transient private var st: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("userStats",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        tv: TimerValues): Iterator[UserSnap] = {
+      var acc = if (st.exists()) st.get() else UserState(0L, 0L)
+      rows.foreach { case (_, v) =>
+        acc = UserState(acc.n + 1, acc.cents + math.floor(v * 100 + 0.5).toLong)
+      }
+      st.update(acc)
+      Iterator.single(UserSnap(key, acc.n, acc.cents))
+    }
+  }
 
   /** Stream the events table back from a staged multi-file parquet copy. */
   private def eventsStream(s: SparkSession, dir: String, tag: String,
@@ -233,6 +257,31 @@ object Streaming {
             Iterator(UserSnap(uid, st.n, st.cents))
         }
         val snaps = StreamRuns.runToMemory(s, out.toDF(), "append", "state")
+        val w = Window.partitionBy("user_id").orderBy(col("n").desc)
+        snaps.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("user_id"), col("n"), col("cents"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n,
+          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    QDef("stream_transform_state",
+      // Arbitrary stateful processing on the Spark 4 transformWithState
+      // operator (StatefulProcessor + typed ValueState — the
+      // successor API to flatMapGroupsWithState, RocksDB-backed):
+      // identical per-user contract and oracle as stream_custom_state,
+      // so the two APIs are checked against the same closed form. The
+      // final snapshot per user (max n, strictly increasing per batch)
+      // equals the batch GROUP BY only if state persisted across the
+      // >= 2 micro-batches.
+      (s, dir) => {
+        import s.implicits._
+        val src = eventsStream(s, dir, "tws", 4, Some(2))
+        val ds = src.select(col("user_id"), col("value")).as[(Long, Double)]
+        val out = ds.groupByKey(_._1).transformWithState(
+          new UserStatsProcessor, TimeMode.None(), OutputMode.Append())
+        val snaps = StreamRuns.runToMemory(s, out.toDF(), "append", "tws")
         val w = Window.partitionBy("user_id").orderBy(col("n").desc)
         snaps.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
           .select(col("user_id"), col("n"), col("cents"))
