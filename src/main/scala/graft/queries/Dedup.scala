@@ -336,6 +336,44 @@ object Dedup {
                     / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))""", 4)} >= 0.05
         ORDER BY doc_a, doc_b""")),
 
+    QDef("dedup_containment",
+      // Containment scoring on the same LSH candidate pairs:
+      // |A∩B| / min(|A|, |B|) instead of Jaccard — the metric that
+      // catches PARTIAL-overlap duplication (doc B wholly inside a much
+      // larger doc A scores ~1.0 here but near 0 on Jaccard, so a
+      // Jaccard-threshold sweep ships the duplicated payload twice).
+      // Identical plan shape to dedup_ngram_jaccard: linear index
+      // build, band-local bucket join, verify linear in candidates via
+      // the sorted merge-count kernel; only the score changes.
+      (s, dir) => {
+        val sets = ngramSets(s, dir)
+        val inter = graft.functions.SortedInterCountExpr
+          .interCount(col("ss_a"), col("ss_b")).cast("int")
+        val cont = inter.cast("double") /
+          least(size(col("ss_a")), size(col("ss_b"))).cast("double")
+        candidatePairs(s, dir)
+          .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), rx(cont, 4).as("containment"))
+          .filter(col("containment") >= 0.2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $minhashBandsSql,
+        $candidatePairsSql,
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform($shSql, x -> ${h32Sql("x")})) AS ss
+          FROM documents)
+        SELECT doc_a, doc_b, containment FROM (
+          SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+                 ${rxSql("""CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                       / least(len(a.ss), len(b.ss))""", 4)} AS containment
+          FROM cpairs c
+          JOIN sets a ON a.doc_id = c.doc_a
+          JOIN sets b ON b.doc_id = c.doc_b)
+        WHERE containment >= 0.2
+        ORDER BY doc_a, doc_b""")),
+
     QDef("dedup_decontaminate",
       // Benchmark decontamination — the eval-overlap sweep every LLM
       // training pipeline runs: flag corpus documents sharing >= 5
