@@ -35,6 +35,58 @@ object Streaming {
   /** Snapshot emitted by the stateful function after each batch. */
   final case class UserSnap(user_id: Long, n: Long, cents: Long)
 
+  /** Event row fed to the timer-session processor. */
+  final case class EvV(ts: Timestamp, user_id: Long, value: Double)
+
+  /** Per-user session state for the timer query: running (count,
+    * cent-exact sum), the session's last event time, and the currently
+    * registered timer (MinValue = none) so re-registration can delete
+    * the stale one.
+    */
+  final case class SessState(n: Long, cents: Long, lastTs: Long, timer: Long)
+
+  /** Session summary emitted when a user's inactivity timer fires. */
+  final case class SessOut(user_id: Long, n: Long, cents: Long)
+
+  /** Inactivity-timeout sessionizer on event-time timers: rows extend
+    * the current session and move the user's single timer to
+    * lastTs + gap; when the watermark passes the timer the session is
+    * emitted from handleExpiredTimer and state clears. Within a batch
+    * Spark processes input before expiring timers, but the two-phase
+    * harness never depends on that: a timer at or below the previous
+    * watermark has already fired in the no-data batch that follows
+    * every watermark advance, so no pending timer can race a same-user
+    * input batch.
+    */
+  final class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, EvV, SessOut] {
+    @transient private var st: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EvV],
+        tv: TimerValues): Iterator[SessOut] = {
+      var acc = if (st.exists()) st.get()
+        else SessState(0L, 0L, Long.MinValue, Long.MinValue)
+      rows.foreach { ev =>
+        acc = SessState(acc.n + 1,
+          acc.cents + math.floor(ev.value * 100 + 0.5).toLong,
+          math.max(acc.lastTs, ev.ts.getTime), acc.timer)
+      }
+      if (acc.timer != Long.MinValue) getHandle.deleteTimer(acc.timer)
+      val timer = acc.lastTs + gapMs
+      getHandle.registerTimer(timer)
+      st.update(acc.copy(timer = timer))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessOut] = {
+      val acc = st.get()
+      st.clear()
+      Iterator.single(SessOut(key, acc.n, acc.cents))
+    }
+  }
+
   /** The Spark 4 arbitrary-state processor behind
     * `stream_transform_state`: same per-user (count, cent-exact sum)
     * contract as the flatMapGroupsWithState spelling, carried in a
@@ -290,6 +342,89 @@ object Streaming {
       Some("""SELECT user_id, count(*) AS n,
           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    QDef("stream_timer_timeout",
+      // EVENT-TIME TIMERS (transformWithState registerTimer /
+      // handleExpiredTimer): per-user inactivity sessions with a
+      // 10-minute gap, emitted when the watermark passes
+      // lastTs + gap — the push-based timeout pattern session_window
+      // cannot express (it emits on the NEXT event; timers emit
+      // without one). Two-phase MemoryStream with a zero-delay
+      // watermark gives the closed form: after phase 1 (wm1 = max p1
+      // ts), exactly the users with p1Last + gap <= wm1 emit their
+      // phase-1 session. Phase-2 rows BELOW wm1 are dropped by the
+      // operator's late-row filter (unlike windowed aggregation there
+      // is no window-level grace — the filter is row-level), while
+      // still advancing the watermark; survivors start those users
+      // fresh or merge into the open session. After phase 2 (wm2 =
+      // max ALL ts, dropped rows included) every open session whose
+      // last activity + gap <= wm2 emits. The oracle computes the
+      // drop set and both emission sets directly.
+      (s, dir) => {
+        import s.implicits._
+        val all = t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+          .as[(Long, Timestamp, Long, Double)].collect()
+        val (p1, p2) = all.partition(_._1 % 3 != 0)
+        def evs(xs: Array[(Long, Timestamp, Long, Double)]): Seq[EvV] =
+          xs.map(x => EvV(x._2, x._3, x._4)).toSeq
+
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ms = MemoryStream[EvV]
+        val qn = "timer_" + java.util.UUID.randomUUID().toString.take(8)
+        StreamRuns.withStreamPartitions(s) {
+          val q = ms.toDF()
+            .withWatermark("ts", "0 seconds")
+            .as[EvV]
+            .groupByKey(_.user_id)
+            .transformWithState(new SessionTimeoutProcessor(10 * 60 * 1000L),
+              TimeMode.EventTime(), OutputMode.Append())
+            .toDF()
+            .writeStream.format("memory").queryName(qn).outputMode("append")
+            .option("checkpointLocation", StreamRuns.fresh("timer-ckpt"))
+            .start()
+          ms.addData(evs(p1))
+          q.processAllAvailable()
+          ms.addData(evs(p2))
+          q.processAllAvailable()
+          q.stop()
+        }
+        s.table(qn)
+          .select(col("user_id"), col("n"), col("cents"))
+          .orderBy("user_id", "n", "cents")
+      },
+      Some("""WITH e AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events),
+        p1 AS (SELECT * FROM e WHERE event_id % 3 <> 0),
+        p2 AS (SELECT * FROM e WHERE event_id % 3 = 0),
+        wm1 AS (SELECT max(ts) AS w FROM p1),
+        wm2 AS (SELECT max(ts) AS w FROM e),
+        s1 AS (
+          SELECT user_id, count(*) AS n,
+            sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents,
+            max(ts) AS last_ts
+          FROM p1 GROUP BY user_id),
+        fired1 AS (
+          SELECT s1.*, (last_ts + INTERVAL '10 minutes' <= (SELECT w FROM wm1)) AS f
+          FROM s1),
+        p2live AS (
+          SELECT * FROM p2 WHERE ts >= (SELECT w FROM wm1)),
+        sess2 AS (
+          SELECT user_id, ts, value FROM p2live
+          UNION ALL
+          SELECT p1.user_id, p1.ts, p1.value
+          FROM p1 JOIN fired1 USING (user_id) WHERE NOT fired1.f),
+        s2 AS (
+          SELECT user_id, count(*) AS n,
+            sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents,
+            max(ts) AS last_ts
+          FROM sess2 GROUP BY user_id)
+        SELECT user_id, n, cents FROM fired1 WHERE f
+        UNION ALL
+        SELECT user_id, n, cents FROM s2
+        WHERE last_ts + INTERVAL '10 minutes' <= (SELECT w FROM wm2)
+        ORDER BY user_id, n, cents""")),
 
     QDef("stream_stream_join",
       // Stream-stream inner join: clicks x purchases per user within a
