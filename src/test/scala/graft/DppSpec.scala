@@ -20,21 +20,9 @@ class DppSpec extends AnyFunSuite {
     assert(df.collect().length == 2) // click + purchase groups; finalizes AQE
     // After execution the AQE plan holds materialized QueryStageExec
     // nodes, which are LEAVES — collect() stops at them, so the tree
-    // must be flattened through stage/reuse boundaries by hand.
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val nested = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          Seq(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          Seq(r.child)
-        case _ => p.children
-      }
-      p +: nested.flatMap(flatten)
-    }
+    // must be flattened through stage/reuse boundaries (PlanFlatten).
     val plan = df.queryExecution.executedPlan
-    val scans = flatten(plan).collect {
+    val scans = PlanFlatten.flatten(plan).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.requiredSchema.fieldNames.contains("value") => f
     }
