@@ -3,7 +3,6 @@ package graft.queries
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
@@ -333,7 +332,8 @@ object Streaming {
         val ds = src.select(col("user_id"), col("value")).as[(Long, Double)]
         val out = ds.groupByKey(_._1).transformWithState(
           new UserStatsProcessor, TimeMode.None(), OutputMode.Append())
-        val snaps = StreamRuns.runToMemory(s, out.toDF(), "append", "tws")
+        val snaps = StreamRuns.runToMemory(s, out.toDF(), "append", "tws",
+          forceRocksDb = true)
         val w = Window.partitionBy("user_id").orderBy(col("n").desc)
         snaps.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
           .select(col("user_id"), col("n"), col("cents"))
@@ -352,52 +352,53 @@ object Streaming {
       // without one). Two-phase MemoryStream with a zero-delay
       // watermark gives the closed form: after phase 1 (wm1 = max p1
       // ts), exactly the users with p1Last + gap <= wm1 emit their
-      // phase-1 session. Phase-2 rows BELOW wm1 are dropped by the
-      // operator's late-row filter (unlike windowed aggregation there
-      // is no window-level grace — the filter is row-level), while
-      // still advancing the watermark; survivors start those users
-      // fresh or merge into the open session. After phase 2 (wm2 =
-      // max ALL ts, dropped rows included) every open session whose
-      // last activity + gap <= wm2 emits. The oracle computes the
-      // drop set and both emission sets directly.
+      // phase-1 session and their phase-2 rows restart a fresh one;
+      // everyone else's phase-2 rows merge into the open session
+      // (re-registering the timer). After phase 2 (wm2 = max all ts)
+      // every open session whose last activity + gap <= wm2 emits;
+      // the rest stay in state unemitted. The oracle computes both
+      // emission sets directly, with the operator's strict row-level
+      // late bound modeled explicitly.
       (s, dir) => {
         import s.implicits._
         val all = t(s, dir, "events")
           .select(col("event_id"), col("ts"), col("user_id"), col("value"))
           .as[(Long, Timestamp, Long, Double)].collect()
-        val (p1, p2) = all.partition(_._1 % 3 != 0)
+        // TIME-fraction split (first 80% of the corpus span), not a key
+        // split: an interleaved key split puts nearly every phase-2 row
+        // below wm1, where the late filter drops it — leaving the
+        // merge/re-register/fresh-restart arms structurally dead (the
+        // same dead-arm trap CdcFeedSpec pins for the CDC feed). With
+        // the time split every phase-2 row is strictly above wm1 and
+        // all arms run at every scale (TimerArms in StreamingSpec).
+        val msOf = (x: (Long, Timestamp, Long, Double)) => x._2.getTime
+        val mn = all.map(msOf).min
+        val mx = all.map(msOf).max
+        val cut = mn + math.floor((mx - mn) * 0.8).toLong
+        val (p1, p2) = all.partition(msOf(_) <= cut)
         def evs(xs: Array[(Long, Timestamp, Long, Double)]): Seq[EvV] =
           xs.map(x => EvV(x._2, x._3, x._4)).toSeq
 
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val ms = MemoryStream[EvV]
-        val qn = "timer_" + java.util.UUID.randomUUID().toString.take(8)
-        StreamRuns.withStreamPartitions(s) {
-          val q = ms.toDF()
-            .withWatermark("ts", "0 seconds")
+        StreamRuns.twoPhaseToMemory(s, "timer", evs(p1), evs(p2),
+            forceRocksDb = true) { df =>
+          df.withWatermark("ts", "0 seconds")
             .as[EvV]
             .groupByKey(_.user_id)
             .transformWithState(new SessionTimeoutProcessor(10 * 60 * 1000L),
               TimeMode.EventTime(), OutputMode.Append())
             .toDF()
-            .writeStream.format("memory").queryName(qn).outputMode("append")
-            .option("checkpointLocation", StreamRuns.fresh("timer-ckpt"))
-            .start()
-          ms.addData(evs(p1))
-          q.processAllAvailable()
-          ms.addData(evs(p2))
-          q.processAllAvailable()
-          q.stop()
         }
-        s.table(qn)
           .select(col("user_id"), col("n"), col("cents"))
           .orderBy("user_id", "n", "cents")
       },
       Some("""WITH e AS (
-          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+            epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
           FROM events),
-        p1 AS (SELECT * FROM e WHERE event_id % 3 <> 0),
-        p2 AS (SELECT * FROM e WHERE event_id % 3 = 0),
+        b AS (SELECT min(ms) AS mn, max(ms) AS mx FROM e),
+        cut AS (SELECT mn + CAST(floor((mx - mn) * 0.8) AS BIGINT) AS c FROM b),
+        p1 AS (SELECT * FROM e WHERE ms <= (SELECT c FROM cut)),
+        p2 AS (SELECT * FROM e WHERE ms > (SELECT c FROM cut)),
         wm1 AS (SELECT max(ts) AS w FROM p1),
         wm2 AS (SELECT max(ts) AS w FROM e),
         s1 AS (
@@ -409,7 +410,11 @@ object Streaming {
           SELECT s1.*, (last_ts + INTERVAL '10 minutes' <= (SELECT w FROM wm1)) AS f
           FROM s1),
         p2live AS (
-          SELECT * FROM p2 WHERE ts >= (SELECT w FROM wm1)),
+          -- STRICT bound: the operator's late filter drops rows with
+          -- eventTime <= watermark (LessThanOrEqual in
+          -- WatermarkSupport), so a row AT wm1 is dropped. With the
+          -- time split all p2 rows are strictly above wm1 anyway.
+          SELECT * FROM p2 WHERE ts > (SELECT w FROM wm1)),
         sess2 AS (
           SELECT user_id, ts, value FROM p2live
           UNION ALL
@@ -541,24 +546,11 @@ object Streaming {
         def evs(xs: Array[(Long, Timestamp, String, Long)]): Seq[Ev] =
           xs.map(x => Ev(x._2, x._3, x._4)).toSeq
 
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val ms = MemoryStream[Ev]
-        val qn = "late_" + java.util.UUID.randomUUID().toString.take(8)
-        StreamRuns.withStreamPartitions(s) {
-          val q = ms.toDF()
-            .withWatermark("ts", "10 minutes")
+        StreamRuns.twoPhaseToMemory(s, "late", evs(p1), evs(p2)) { df =>
+          df.withWatermark("ts", "10 minutes")
             .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
             .agg(count(lit(1)).as("n"))
-            .writeStream.format("memory").queryName(qn).outputMode("append")
-            .option("checkpointLocation", StreamRuns.fresh("late-ckpt"))
-            .start()
-          ms.addData(evs(p1))
-          q.processAllAvailable()
-          ms.addData(evs(p2))
-          q.processAllAvailable()
-          q.stop()
         }
-        s.table(qn)
           .select(col("window.start").as("w_start"), col("event_type"), col("n"))
           .orderBy("w_start", "event_type")
       },

@@ -48,13 +48,15 @@ object StreamRuns {
     * stream cost into noise, and on a real cluster it is also the
     * provider that keeps large state off the executor heap.
     */
+  private val RocksDbConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   private val StateStoreConf: Map[String, String] =
     if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("hdfs")) Map.empty
-    else Map(
-      "spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-        "true")
+    else RocksDbConf
 
   /** Run `body` with the session's shuffle-partition count pinned to
     * [[StreamShufflePartitions]] and the state-store provider set to
@@ -66,6 +68,16 @@ object StreamRuns {
     graft.SparkConfs.withConfs(spark,
       StateStoreConf + ("spark.sql.shuffle.partitions" -> StreamShufflePartitions.toString))(body)
 
+  /** Like [[withStreamPartitions]] but ALWAYS RocksDB: transformWithState
+    * supports no other provider, so the SPARK_GRAFT_STATE_STORE=hdfs
+    * comparison knob must not reach those queries — under it they would
+    * fail with an unrelated-looking invalid-provider error while every
+    * other stream passes.
+    */
+  def withStreamPartitionsRocksDb[T](spark: SparkSession)(body: => T): T =
+    graft.SparkConfs.withConfs(spark,
+      RocksDbConf + ("spark.sql.shuffle.partitions" -> StreamShufflePartitions.toString))(body)
+
   /** Run `build`'s streaming DataFrame into an in-memory sink until no
     * input remains; returns the final result table.
     */
@@ -73,7 +85,18 @@ object StreamRuns {
       spark: SparkSession,
       stream: DataFrame,
       mode: String,
-      tag: String): DataFrame = withStreamPartitions(spark) {
+      tag: String,
+      forceRocksDb: Boolean = false): DataFrame = {
+    def run(): DataFrame = runToMemoryBody(spark, stream, mode, tag)
+    if (forceRocksDb) withStreamPartitionsRocksDb(spark)(run())
+    else withStreamPartitions(spark)(run())
+  }
+
+  private def runToMemoryBody(
+      spark: SparkSession,
+      stream: DataFrame,
+      mode: String,
+      tag: String): DataFrame = {
     val qn = s"${tag}_${UUID.randomUUID().toString.take(8).replace("-", "")}"
     val q = stream.writeStream
       .format("memory")
@@ -83,6 +106,35 @@ object StreamRuns {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    spark.table(qn)
+  }
+
+  /** Shared two-phase MemoryStream replay harness (watermark-semantics
+    * queries): feed `p1`, drain (processAllAvailable includes the
+    * no-data batch a watermark advance schedules), feed `p2`, drain,
+    * stop; returns the append-mode memory sink. `forceRocksDb` is for
+    * transformWithState streams, which support no other provider.
+    */
+  def twoPhaseToMemory[T <: Product : org.apache.spark.sql.Encoder](
+      spark: SparkSession, tag: String, p1: Seq[T], p2: Seq[T],
+      forceRocksDb: Boolean = false)(
+      build: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
+    val qn = s"${tag}_${UUID.randomUUID().toString.take(8).replace("-", "")}"
+    def run(): Unit = {
+      val q = build(ms.toDF())
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", fresh(s"$tag-ckpt"))
+        .start()
+      ms.addData(p1)
+      q.processAllAvailable()
+      ms.addData(p2)
+      q.processAllAvailable()
+      q.stop()
+    }
+    if (forceRocksDb) withStreamPartitionsRocksDb(spark)(run())
+    else withStreamPartitions(spark)(run())
     spark.table(qn)
   }
 

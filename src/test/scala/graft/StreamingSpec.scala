@@ -49,4 +49,35 @@ class StreamingSpec extends AnyFunSuite {
     // append-mode sink must hold strictly fewer rows than events exist.
     assert(emitted > 0 && emitted < all)
   }
+
+  test("timer arms: phase-1 fires, merges, and fresh restarts all occur") {
+    // TimerArms: the dead-arm guard for stream_timer_timeout's split.
+    // Recompute the closed-form arm populations in batch and require
+    // every processor path to be reachable — fired phase-1 timers,
+    // unfired sessions that MERGE phase-2 rows (exercising deleteTimer
+    // re-registration), and fired users whose phase-2 rows restart a
+    // fresh session.
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.queries.QDef.t(spark, sf, "events")
+      .select(col("user_id"), col("ts"))
+    val Row2 = e.agg(min(unix_millis(col("ts"))).as("mn"),
+      max(unix_millis(col("ts"))).as("mx")).head()
+    val (mn, mx) = (Row2.getLong(0), Row2.getLong(1))
+    val cut = mn + math.floor((mx - mn) * 0.8).toLong
+    val p1 = e.filter(unix_millis(col("ts")) <= cut)
+    val p2 = e.filter(unix_millis(col("ts")) > cut)
+    val wm1 = p1.agg(max(col("ts"))).head().getTimestamp(0)
+    val fired1 = p1.groupBy("user_id").agg(max(col("ts")).as("last1"))
+      .withColumn("f",
+        col("last1") + expr("INTERVAL 10 MINUTES") <= lit(wm1))
+    val firedUsers = fired1.filter(col("f")).select("user_id")
+    val openUsers = fired1.filter(!col("f")).select("user_id")
+    assert(firedUsers.count() > 0, "no phase-1 timer ever fires")
+    assert(openUsers.join(p2, "user_id").count() > 0,
+      "merge arm dead: no open session receives phase-2 rows")
+    assert(firedUsers.join(p2, "user_id").count() > 0,
+      "fresh-restart arm dead: no fired user receives phase-2 rows")
+  }
 }
