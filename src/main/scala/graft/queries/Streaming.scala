@@ -110,6 +110,35 @@ object Streaming {
     }
   }
 
+  /** Per-(user, event_type) snapshot row from the MapState processor. */
+  final case class TypeSnap(user_id: Long, event_type: String, n: Long,
+      cents: Long)
+
+  /** MapState demonstrator: per-user map of event_type -> running
+    * (count, cent-exact sum), point-updated per input row and emitted
+    * as a full snapshot per batch — the keyed-sub-state shape (per-user
+    * per-type counters) that a single ValueState would have to
+    * serialize wholesale on every update, and that MapState updates
+    * one key at a time in the RocksDB store.
+    */
+  final class TypeStatsProcessor
+      extends StatefulProcessor[Long, (Long, String, Double), TypeSnap] {
+    @transient private var mp: org.apache.spark.sql.streaming.MapState[String, UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mp = getHandle.getMapState[String, UserState]("typeStats",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Double)],
+        tv: TimerValues): Iterator[TypeSnap] = {
+      rows.foreach { case (_, et, v) =>
+        val cur = if (mp.containsKey(et)) mp.getValue(et) else UserState(0L, 0L)
+        mp.updateValue(et,
+          UserState(cur.n + 1, cur.cents + math.floor(v * 100 + 0.5).toLong))
+      }
+      mp.iterator().map { case (et, st) => TypeSnap(key, et, st.n, st.cents) }
+    }
+  }
+
   /** Stream the events table back from a staged multi-file parquet copy. */
   private def eventsStream(s: SparkSession, dir: String, tag: String,
       files: Int, perTrigger: Option[Int]): DataFrame = {
@@ -342,6 +371,33 @@ object Streaming {
       Some("""SELECT user_id, count(*) AS n,
           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    QDef("stream_map_state",
+      // MapState (transformWithState keyed sub-state): per-user
+      // event_type -> (count, cent-exact sum) counters, point-updated
+      // per row and snapshot per batch. Final per-(user, type) row =
+      // max n (strictly increasing for touched keys), which equals the
+      // batch GROUP BY — proving the map entries persisted and updated
+      // independently across >= 2 micro-batches.
+      (s, dir) => {
+        import s.implicits._
+        val src = eventsStream(s, dir, "mapstate", 4, Some(2))
+        val ds = src.select(col("user_id"), col("event_type"), col("value"))
+          .as[(Long, String, Double)]
+        val out = ds.groupByKey(_._1).transformWithState(
+          new TypeStatsProcessor, TimeMode.None(), OutputMode.Append())
+        val snaps = StreamRuns.runToMemory(s, out.toDF(), "append", "mapstate",
+          forceRocksDb = true)
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("n").desc)
+        snaps.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("user_id"), col("event_type"), col("n"), col("cents"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, count(*) AS n,
+          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type""")),
 
     QDef("stream_timer_timeout",
       // EVENT-TIME TIMERS (transformWithState registerTimer /
