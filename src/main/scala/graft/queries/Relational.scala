@@ -274,6 +274,29 @@ object Relational {
         FROM events WHERE event_type = 'click' AND value > 100.0
         ORDER BY event_id, user_id, value""")),
 
+    QDef("sink_compacted",
+      // Small-files compaction — the maintenance op every file-based
+      // lake runs: range-repartition on the natural read key (source,
+      // doc_id), sort within partitions (gives parquet min/max stats a
+      // monotone layout for range pruning), and cap file size with
+      // maxRecordsPerFile. Output file count = max(range partitions,
+      // rows/cap) regardless of how fragmented the input was;
+      // CompactionSpec pins the count and the non-overlapping key
+      // ranges. The re-read is oracle-checked against the source rows.
+      (s, dir) => {
+        val out = scratch(s"compact_${new java.io.File(dir).getName}")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .repartitionByRange(2, col("source"), col("doc_id"))
+          .sortWithinPartitions("source", "doc_id")
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", 3000)
+          .parquet(out)
+        s.read.parquet(out).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, lang, n_chars
+        FROM documents ORDER BY doc_id""")),
+
     QDef("scan_text_regex",
       // Raw-log ingest — the other 100 TB source shape next to columnar
       // scans: unstructured text lines validated by one anchored regex
