@@ -15,6 +15,43 @@ object MultimodalQ {
 
   val all: Seq[QDef] = Seq(
 
+    QDef("scan_binary_files",
+      // The raw-media ingest API: spark.read.format("binaryFile") over
+      // a directory of opaque files — (path, modificationTime, length,
+      // content) per file, which is how images/audio actually enter a
+      // multimodal pipeline before becoming the binary COLUMNS the
+      // rest of this family processes. Staged once per session+dir
+      // from the first 100 docs (bounded driver staging, same contract
+      // as the XML corpus generator); the scan extracts the id from
+      // the path and digests the bytes, oracle-checked against the
+      // source rows.
+      (s, dir) => {
+        val out = scratch(s"binfiles_${new java.io.File(dir).getName}")
+        graft.pipeline.Staged(s, dir, "binary_files") {
+          val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+            .select(col("doc_id"), col("text")).collect()
+          val d = new java.io.File(out)
+          d.mkdirs()
+          docs.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"doc_${r.getLong(0)}%05d.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+          s.range(1).toDF("ok") // marker: files staged once per session+dir
+        }
+        s.read.format("binaryFile").load(out)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+              .cast("long").as("media_id"),
+            col("length").as("n_bytes"),
+            md5(col("content")).as("payload_md5"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+          octet_length(encode(text)) AS n_bytes,
+          md5(text) AS payload_md5
+        FROM documents WHERE doc_id < 100 ORDER BY media_id""")),
+
     QDef("multimodal_meta",
       // Opaque binary payload + typed metadata, all codegen'd built-ins:
       // UTF-8 byte length, payload md5, base64 prefix.

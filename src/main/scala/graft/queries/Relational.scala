@@ -1009,6 +1009,41 @@ object Relational {
                wy AS (PARTITION BY o_orderpriority ORDER BY year(o_orderdate))
         ORDER BY o_orderkey""")),
 
+    QDef("win_forward_fill",
+      // Gap imputation — forward fill: sensor-style streams carry
+      // nulls (here: error events' values masked out) that downstream
+      // features replace with the last known-good reading. One running
+      // last-non-null window per user over a total (ts, event_id)
+      // order; values move through DECIMAL so fill parity is exact,
+      // and a user's leading nulls (no prior reading) stay null in
+      // both engines.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("v0",
+            when(col("event_type") === "error", lit(null))
+              .otherwise(money(col("value"))))
+          .withColumn("v_filled", last(col("v0"), ignoreNulls = true).over(w))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("v0").cast("double").as("v_raw"),
+            col("v_filled").cast("double").as("v_filled"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+            CASE WHEN event_type = 'error' THEN NULL
+                 ELSE CAST(value AS DECIMAL(18,2)) END AS v0
+          FROM events)
+        SELECT event_id, user_id, ts,
+          CAST(v0 AS DOUBLE) AS v_raw,
+          CAST(last_value(v0 IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS v_filled
+        FROM e ORDER BY event_id""")),
+
     // ------------------------------------------------------------------
     // Sorts / top-k
     // ------------------------------------------------------------------
