@@ -30,7 +30,11 @@ object MultimodalQ {
         graft.pipeline.Staged(s, dir, "binary_files") {
           val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
             .select(col("doc_id"), col("text")).collect()
+          // Clear first: the directory outlives the JVM while the
+          // Staged marker does not — a changed staging set would
+          // otherwise read stale orphans alongside the fresh files.
           val d = new java.io.File(out)
+          if (d.exists()) d.listFiles().foreach(_.delete())
           d.mkdirs()
           docs.foreach { r =>
             java.nio.file.Files.write(

@@ -279,9 +279,10 @@ object Relational {
       // lake runs: range-repartition on the natural read key (source,
       // doc_id), sort within partitions (gives parquet min/max stats a
       // monotone layout for range pruning), and cap file size with
-      // maxRecordsPerFile. Output file count = max(range partitions,
-      // rows/cap) regardless of how fragmented the input was;
-      // CompactionSpec pins the count and the non-overlapping key
+      // maxRecordsPerFile. Output file count = sum over range
+      // partitions of ceil(partition rows / cap) — at most one more
+      // than ceil(total/cap) — regardless of how fragmented the input
+      // was; CompactionSpec pins the count and the non-overlapping key
       // ranges. The re-read is oracle-checked against the source rows.
       (s, dir) => {
         val out = scratch(s"compact_${new java.io.File(dir).getName}")

@@ -16,9 +16,13 @@ class CompactionSpec extends AnyFunSuite {
     val df = SparkEntry.queries("sink_compacted")(spark, sf)
     val n = df.count()
     assert(n > 0)
-    val out = new java.io.File(
-      s"/root/repo/target/scratch/compact_${new java.io.File(sf).getName}")
-    val files = out.listFiles().filter(_.getName.endsWith(".parquet"))
+    // Same path builder as the query, so a scratch-layout change
+    // cannot silently split the two.
+    val out = new java.io.File(graft.queries.QDef.scratch(
+      s"compact_${new java.io.File(sf).getName}"))
+    val listed = out.listFiles()
+    assert(listed != null, s"compacted output missing at $out")
+    val files = listed.filter(_.getName.endsWith(".parquet"))
     val maxFiles = math.max(2, math.ceil(n / 3000.0).toInt + 1)
     assert(files.nonEmpty && files.length <= maxFiles,
       s"expected <= $maxFiles compacted files, got ${files.length}")
