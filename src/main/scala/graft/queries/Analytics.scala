@@ -400,6 +400,107 @@ object Analytics {
           SELECT node_id, pr FROM r3 ORDER BY node_id""")
       }),
 
+    QDef("win_anomaly_mad",
+      // Robust outlier detection: per (event_type, day) lower-median
+      // and MAD (median absolute deviation), flagging rows with
+      // |v − med| > 3·MAD. Lower medians are SELECTED data values
+      // (row_number = (n+1) div 2 in (value, id) order), never
+      // interpolated — so every arithmetic step (subtraction, 3·mad,
+      // the comparison) is exact IEEE on both engines; interpolated
+      // quantiles would put an engine-specific rounding inside a
+      // threshold. Keying by (type, day) bounds every window partition
+      // (the 100 TB shape: thousands of small groups, not one giant
+      // per-type reducer); all four passes reuse the ONE (type, day)
+      // hash partitioning, so the whole query is a single shuffle.
+      (s, dir) => {
+        val keys = Seq(col("event_type"), col("day"))
+        val wAll = Window.partitionBy(keys: _*)
+        val wVal = wAll.orderBy(col("value"), col("event_id"))
+        val base = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"),
+            to_date(col("ts")).as("day"))
+          .withColumn("rn", row_number().over(wVal))
+          .withColumn("cnt", count(lit(1)).over(wAll))
+          .withColumn("med",
+            max(when(col("rn") === expr("(cnt + 1) div 2"), col("value")))
+              .over(wAll))
+          .withColumn("dev", abs(col("value") - col("med")))
+        val wDev = wAll.orderBy(col("dev"), col("event_id"))
+        base
+          .withColumn("rn2", row_number().over(wDev))
+          .withColumn("mad",
+            max(when(col("rn2") === expr("(cnt + 1) div 2"), col("dev")))
+              .over(wAll))
+          .filter(col("dev") > lit(3d) * col("mad"))
+          .select("event_id", "event_type", "day", "value", "med", "mad")
+          .orderBy("event_id")
+      },
+      Some("""WITH g AS (
+          SELECT event_id, event_type, value,
+            CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+          FROM events),
+        r AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY event_type, day
+                               ORDER BY value, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type, day) AS cnt
+          FROM g),
+        m AS (
+          SELECT *,
+            max(CASE WHEN rn = (cnt + 1) // 2 THEN value END)
+              OVER (PARTITION BY event_type, day) AS med
+          FROM r),
+        d AS (SELECT *, abs(value - med) AS dev FROM m),
+        r2 AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY event_type, day
+                               ORDER BY dev, event_id) AS rn2
+          FROM d),
+        m2 AS (
+          SELECT *,
+            max(CASE WHEN rn2 = (cnt + 1) // 2 THEN dev END)
+              OVER (PARTITION BY event_type, day) AS mad
+          FROM r2)
+        SELECT event_id, event_type, day, value, med, mad
+        FROM m2 WHERE dev > 3 * mad ORDER BY event_id""")),
+
+    QDef("layout_global_index",
+      // Global ordinal assignment over a total order WITHOUT a
+      // single-reducer sort: `row_number() OVER (ORDER BY …)` puts the
+      // whole dataset through one window partition (the driver-killer
+      // at scale); `monotonically_increasing_id` is partition-layout-
+      // dependent, not an ordinal. Instead: (1) one tiny aggregate
+      // finds the key range, (2) rows shard deterministically by
+      // key div width into 32 bounded ranges, (3) per-shard counts
+      // (map-side combined, 32 rows) cumulate into shard offsets on
+      // the driver-sized side and broadcast back, (4) idx = offset +
+      // row_number within the shard. At 100 TB the shard count scales
+      // with the cluster; every heavy operator here is per-shard.
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_id"))
+        val width = e.agg(max("event_id").as("mx"))
+          .select((expr("mx div 32") + lit(1L)).as("w"))
+        val sharded = e.crossJoin(broadcast(width))
+          .withColumn("shard", expr("event_id div w"))
+        // The offsets window is ordered without a partition, but over
+        // at most 33 aggregated rows — the single partition is the
+        // point (a driver-sized cumulative), not a data-path sort.
+        val offsets = sharded.groupBy("shard").agg(count(lit(1)).as("c"))
+          .withColumn("off",
+            coalesce(sum("c").over(Window.orderBy("shard")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("shard", "off")
+        sharded.join(broadcast(offsets), "shard")
+          .withColumn("idx",
+            col("off") + row_number().over(
+              Window.partitionBy("shard").orderBy("event_id")))
+          .select(col("event_id"), col("idx"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+          row_number() OVER (ORDER BY event_id) AS idx
+        FROM events ORDER BY event_id""")),
+
     QDef("layout_zorder",
       // Z-order (Morton) layout key over two dimensions — the data
       // CLUSTERING primitive: range-partitioning and sorting the write

@@ -314,6 +314,70 @@ object Pipeline {
         GROUP BY a.main, b.main
         ORDER BY n_docs DESC, term_a, term_b LIMIT 20""")),
 
+    QDef("graph_triangle_count",
+      // Triangle counting over the term co-occurrence graph with
+      // DEGREE-ORDERED edge orientation — the trick that makes
+      // triangle enumeration feasible at scale: orienting every edge
+      // from its lower-(degree, id) endpoint to the higher one turns
+      // the graph into a DAG where each node's out-degree is O(√m), so
+      // the wedge join (the only superlinear step) is bounded by
+      // Σ outdeg² instead of Σ deg² — hub nodes, which dominate the
+      // unoriented wedge count, get out-degree ~0. Each triangle then
+      // has exactly one pivot with two out-edges and is found once.
+      // Edge building is document-blocked (bounded per-doc term lists)
+      // and the edge/degree sides are vocabulary-bounded, hence the
+      // broadcasts. The oracle enumerates by id-orientation instead
+      // (a < b < c) — same triangle set, simpler SQL.
+      (s, dir) => {
+        val dt = stages(s, dir).labeled
+          .filter(col("main_type") === "term")
+          .select(col("documentID"), col("main").as("term"))
+          .distinct()
+        val e = dt.as("a").join(dt.as("b"),
+            col("a.documentID") === col("b.documentID") &&
+              col("a.term") < col("b.term"))
+          .select(col("a.term").as("u"), col("b.term").as("v"))
+          .distinct()
+        val deg = e.select(col("u").as("node"))
+          .union(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val fwd = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val dirE = e
+          .join(broadcast(deg.toDF("u", "du")), "u")
+          .join(broadcast(deg.toDF("v", "dv")), "v")
+          .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+            when(fwd, col("v")).otherwise(col("u")).as("dst"))
+        // Wedges (p→x, p→y, x≠y) are checked against the oriented edge
+        // set: exactly one of (x,y)/(y,x) can be an edge, so each
+        // triangle {p,x,y} matches once. USING-column joins on renamed
+        // copies — attribute-id conditions across the shared dirE
+        // lineage trip ambiguous-self-join resolution.
+        val tri = dirE.toDF("p", "x").join(dirE.toDF("p", "y"), Seq("p"))
+          .filter(col("x") =!= col("y"))
+          .join(dirE.toDF("x", "y"), Seq("x", "y"))
+        tri.select(col("p").as("term"))
+          .union(tri.select(col("x")))
+          .union(tri.select(col("y")))
+          .groupBy("term").agg(count(lit(1)).as("n_tri"))
+          .orderBy(col("n_tri").desc, col("term"))
+          .limit(25)
+      },
+      Some(prelude + """,
+        dt AS (SELECT DISTINCT documentID, main FROM labeled
+               WHERE main_type = 'term'),
+        e AS (SELECT DISTINCT a.main AS u, b.main AS v
+              FROM dt a JOIN dt b
+                ON a.documentID = b.documentID AND a.main < b.main),
+        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        corners AS (SELECT a AS term FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri)
+        SELECT term, count(*) AS n_tri FROM corners
+        GROUP BY term ORDER BY n_tri DESC, term LIMIT 25""")),
+
     QDef("pipeline_node_counts",
       (s, dir) => stages(s, dir).nodes
         .groupBy("label").agg(count(lit(1)).as("n"))

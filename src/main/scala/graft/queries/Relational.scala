@@ -642,6 +642,30 @@ object Relational {
     // Aggregations
     // ------------------------------------------------------------------
 
+    QDef("agg_argmax",
+      // Accompanying-value selection (max_by/min_by ≙ DuckDB
+      // arg_max/arg_min): per event type, the user and value carried by
+      // the highest/lowest event in the sequence order. One map-side-
+      // combined aggregate — the partial state is a single (key, value)
+      // pair per group, so it merges like min/max and never buffers
+      // rows. The ordering key (event_id) is unique, which is what
+      // makes arg-extrema deterministic; ordering by a non-unique
+      // column is the classic nondeterminism trap on both engines.
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          max_by(col("user_id"), col("event_id")).as("last_user"),
+          max_by(col("value"), col("event_id")).as("last_value"),
+          min_by(col("user_id"), col("event_id")).as("first_user"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+          arg_max(user_id, event_id) AS last_user,
+          arg_max(value, event_id) AS last_value,
+          arg_min(user_id, event_id) AS first_user,
+          count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     QDef("agg_hash_group",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
