@@ -139,6 +139,38 @@ object Streaming {
     }
   }
 
+  /** Event row (with delivery id) fed to the chained dedup→window query. */
+  final case class EvD(event_id: Long, ts: Timestamp, event_type: String)
+
+  /** Phase feed for `stream_chained_stateful`: a time-fraction split
+    * plus deliberate REDELIVERIES of phase-1 rows in phase 2 — arm A
+    * strictly above wm1 (only the dedup state carried across batches
+    * can kill these), arm B at/below wm1 (killed before the aggregate
+    * by the dedup late bound, or — where its state already expired —
+    * by the aggregate's closed-window filter; either layering leaves
+    * the same output). Output is therefore invariant to the
+    * duplicates: the exactly-once contract the oracle checks.
+    * StreamingSpec pins both arms non-empty.
+    */
+  private[graft] object ChainFeed {
+    val GapMs: Long = 10 * 60 * 1000L
+    def split(all: Array[(Long, Timestamp, String)])
+        : (Seq[EvD], Seq[EvD], Int, Int) = {
+      val msOf = (x: (Long, Timestamp, String)) => x._2.getTime
+      val mn = all.map(msOf).min
+      val mx = all.map(msOf).max
+      val cut = mn + math.floor((mx - mn) * 0.8).toLong
+      val (p1, p2o) = all.partition(msOf(_) <= cut)
+      val wm1 = p1.map(msOf).max - GapMs
+      val dupA = p1.filter(msOf(_) > wm1)
+      val dupB = p1.filter(x => msOf(x) <= wm1 && x._1 % 7 == 0)
+      def evs(xs: Array[(Long, Timestamp, String)]): Seq[EvD] =
+        xs.map(x => EvD(x._1, x._2, x._3)).toSeq
+      (evs(p1), evs(p2o) ++ evs(dupA) ++ evs(dupB),
+        dupA.length, dupB.length)
+    }
+  }
+
   /** Stream the events table back from a staged multi-file parquet copy. */
   private def eventsStream(s: SparkSession, dir: String, tag: String,
       files: Int, perTrigger: Option[Int]): DataFrame = {
@@ -632,6 +664,46 @@ object Streaming {
         agg AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
                        event_type, count(*) AS n
                 FROM kept GROUP BY 1, 2)
+        SELECT a.w_start, a.event_type, a.n FROM agg a, wm2
+        WHERE a.w_start + INTERVAL '5 minutes' <= wm2.w
+        ORDER BY a.w_start, a.event_type""")),
+
+    QDef("stream_chained_stateful",
+      // CHAINED STATEFUL OPERATORS in one streaming query (the Spark 4
+      // multi-stateful-operator surface): exactly-once ingest dedup
+      // (dropDuplicatesWithinWatermark on the unique delivery id)
+      // feeding a tumbling window aggregate, append mode, one
+      // watermark column through both state stores. Phase 2 redelivers
+      // phase-1 rows (ChainFeed arms A/B) — at-least-once delivery —
+      // and the sink must equal the duplicate-free closed form: window
+      // counts over the distinct delivery ids whose window closed
+      // under the final watermark wm2 = max(ts) − 10 min. No original
+      // row is ever late by construction (phase-2 originals sit
+      // strictly above wm1), so the dedup stage drops exactly the
+      // redeliveries and nothing else.
+      (s, dir) => {
+        import s.implicits._
+        val all = t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"))
+          .as[(Long, Timestamp, String)].collect()
+        val (p1, p2, _, _) = ChainFeed.split(all)
+        StreamRuns.twoPhaseToMemory(s, "chain", p1, p2) { df =>
+          df.withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark("event_id")
+            .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+        }
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("n"))
+          .orderBy("w_start", "event_type")
+      },
+      Some("""WITH wm2 AS (
+          SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes' AS w
+          FROM events),
+        agg AS (
+          SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+                 event_type, count(*) AS n
+          FROM events GROUP BY 1, 2)
         SELECT a.w_start, a.event_type, a.n FROM agg a, wm2
         WHERE a.w_start + INTERVAL '5 minutes' <= wm2.w
         ORDER BY a.w_start, a.event_type"""))

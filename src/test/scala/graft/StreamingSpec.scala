@@ -80,4 +80,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(firedUsers.join(p2, "user_id").count() > 0,
       "fresh-restart arm dead: no fired user receives phase-2 rows")
   }
+
+  test("chained-stateful feed redelivers on both sides of wm1") {
+    // Dead-arm guard for stream_chained_stateful: the redelivery feed
+    // must exercise BOTH kill paths — arm A (above wm1: only the dedup
+    // state carried from phase 1 can drop it) and arm B (at/below wm1:
+    // dropped by the late bound / closed-window filter). If either arm
+    // is empty the exactly-once claim is untested in that direction.
+    val spark2 = spark
+    import spark2.implicits._
+    val all = graft.queries.QDef.t(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)].collect()
+    val (p1, p2, nDupA, nDupB) = graft.queries.Streaming.ChainFeed.split(all)
+    assert(nDupA > 0, "arm A dead: no redelivery above wm1")
+    assert(nDupB > 0, "arm B dead: no redelivery at/below wm1")
+    assert(p1.nonEmpty && p2.size > nDupA + nDupB,
+      "phase 2 must also carry original (non-duplicate) rows")
+    // Redeliveries must be exact copies of phase-1 rows (same ids).
+    val ids1 = p1.map(_.event_id).toSet
+    val dupIds = p2.map(_.event_id).groupBy(identity)
+      .collect { case (id, xs) if xs.size > 1 => id }
+    assert(dupIds.isEmpty, "feed itself must not double-deliver within a phase")
+    assert(p2.map(_.event_id).count(ids1) == nDupA + nDupB)
+  }
 }
