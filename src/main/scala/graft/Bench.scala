@@ -33,7 +33,7 @@ object Bench {
       "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf", "join_bucketed",
       "dedup_cluster_cc", "scan_partition_pruned", "text_tfidf",
       "dedup_ngram_jaccard", "dedup_simhash", "graph_pagerank",
-      "sim_ann_pq")
+      "sim_ann_pq", "graph_triangle_count")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     stagers.foreach { n =>

@@ -329,25 +329,34 @@ object Pipeline {
       // broadcasts. The oracle enumerates by id-orientation instead
       // (a < b < c) — same triangle set, simpler SQL.
       (s, dir) => {
-        val dt = stages(s, dir).labeled
-          .filter(col("main_type") === "term")
-          .select(col("documentID"), col("main").as("term"))
-          .distinct()
-        val e = dt.as("a").join(dt.as("b"),
-            col("a.documentID") === col("b.documentID") &&
-              col("a.term") < col("b.term"))
-          .select(col("a.term").as("u"), col("b.term").as("v"))
-          .distinct()
-        val deg = e.select(col("u").as("node"))
-          .union(e.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("dg"))
-        val fwd = col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v"))
-        val dirE = e
-          .join(broadcast(deg.toDF("u", "du")), "u")
-          .join(broadcast(deg.toDF("v", "dv")), "v")
-          .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
-            when(fwd, col("v")).otherwise(col("u")).as("dst"))
+        // Staged + eager localCheckpoint: the oriented edge set is
+        // referenced NINE times downstream (3 wedge-join copies x 3
+        // union branches), and its raw lineage embeds the classify
+        // chain — without truncation the ANALYZED plan carries ~54
+        // copies of that chain's AST and analysis alone benched at
+        // 20+ s while the data side is 91 rows. localCheckpoint cuts
+        // the lineage to a leaf (persist alone does not).
+        val dirE = graft.pipeline.Staged(s, dir, "triangle_edges") {
+          val dt = stages(s, dir).labeled
+            .filter(col("main_type") === "term")
+            .select(col("documentID"), col("main").as("term"))
+            .distinct()
+          val e = dt.as("a").join(dt.as("b"),
+              col("a.documentID") === col("b.documentID") &&
+                col("a.term") < col("b.term"))
+            .select(col("a.term").as("u"), col("b.term").as("v"))
+            .distinct()
+          val deg = e.select(col("u").as("node"))
+            .union(e.select(col("v").as("node")))
+            .groupBy("node").agg(count(lit(1)).as("dg"))
+          val fwd = col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v"))
+          e.join(broadcast(deg.toDF("u", "du")), "u")
+            .join(broadcast(deg.toDF("v", "dv")), "v")
+            .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+              when(fwd, col("v")).otherwise(col("u")).as("dst"))
+            .localCheckpoint(true)
+        }
         // Wedges (p→x, p→y, x≠y) are checked against the oriented edge
         // set: exactly one of (x,y)/(y,x) can be an edge, so each
         // triangle {p,x,y} matches once. USING-column joins on renamed
