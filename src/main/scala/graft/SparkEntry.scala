@@ -16,6 +16,7 @@ object SparkEntry {
 
   private def groups: Seq[Seq[QDef]] = Seq(
     Relational.all,
+    SqlSurface.all,
     Scalars.all,
     Pipeline.all,
     Custom.all,

@@ -400,6 +400,59 @@ object Analytics {
           SELECT node_id, pr FROM r3 ORDER BY node_id""")
       }),
 
+    QDef("agg_countmin",
+      // Count-Min sketch: 4 x 64 counter cells from md5-affine hashes
+      // (engine-portable, deterministic), built as ONE map-side-combined
+      // aggregate over a 4-way stack — the cells are plain sums, so
+      // sketches MERGE across partitions/days/tenants by cell-wise
+      // addition (the same composition contract as agg_hll_union) while
+      // total sketch size stays 256 longs regardless of input size.
+      // Estimate per key = min over the 4 rows; CMS guarantees
+      // n_est >= n_true, and the oracle checks exact equality of both
+      // numbers per key (everything integer arithmetic).
+      (s, dir) => {
+        val hashSpec = "stack(4," +
+          " 0, (1 * b + 0) % 64," +
+          " 1, (31 * b + 7) % 64," +
+          " 2, (131 * b + 101) % 64," +
+          " 3, (65537 * b + 9973) % 64) AS (i, h)"
+        val base = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("k"),
+            graft.functions.Text.md5Hash32(col("l_partkey").cast("string"))
+              .as("b"))
+        val cells = base.selectExpr("k", hashSpec)
+          .groupBy("i", "h").agg(count(lit(1)).as("c"))
+        val keys = base.groupBy("k").agg(count(lit(1)).as("n_true"))
+        val kh = keys
+          .withColumn("b",
+            graft.functions.Text.md5Hash32(col("k").cast("string")))
+          .selectExpr("k", "n_true", hashSpec)
+        kh.join(broadcast(cells), Seq("i", "h"))
+          .groupBy("k", "n_true").agg(min(col("c")).as("n_est"))
+          .select(col("k").as("part"), col("n_true"), col("n_est"),
+            (col("n_est") - col("n_true")).as("overcount"))
+          .orderBy(col("n_true").desc, col("part")).limit(25)
+      },
+      Some("""WITH base AS (
+          SELECT l_partkey AS k,
+            CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+          FROM lineitem),
+        hashed AS (
+          SELECT k, 0 AS i, (1 * b + 0) % 64 AS h FROM base
+          UNION ALL SELECT k, 1, (31 * b + 7) % 64 FROM base
+          UNION ALL SELECT k, 2, (131 * b + 101) % 64 FROM base
+          UNION ALL SELECT k, 3, (65537 * b + 9973) % 64 FROM base),
+        cells AS (SELECT i, h, count(*) AS c FROM hashed GROUP BY i, h),
+        keys AS (SELECT k, count(*) AS n_true FROM base GROUP BY k),
+        kh AS (SELECT DISTINCT k, i, h FROM hashed),
+        est AS (
+          SELECT kh.k, min(cells.c) AS n_est
+          FROM kh JOIN cells USING (i, h) GROUP BY kh.k)
+        SELECT keys.k AS part, keys.n_true, est.n_est,
+               est.n_est - keys.n_true AS overcount
+        FROM keys JOIN est ON est.k = keys.k
+        ORDER BY n_true DESC, part LIMIT 25""")),
+
     QDef("win_anomaly_mad",
       // Robust outlier detection: per (event_type, day) lower-median
       // and MAD (median absolute deviation), flagging rows with

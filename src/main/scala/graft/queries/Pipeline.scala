@@ -267,6 +267,67 @@ object Pipeline {
           UNION ALL SELECT main, sub, 'SUB' FROM labeled WHERE main_type = 'term' AND sub IS NOT NULL AND sub <> '')
         ORDER BY type, src, dst""")),
 
+    QDef("str_fuzzy_match",
+      // Entity resolution by edit distance, SymSpell-style: a
+      // deterministic dirty feed (each known-entity norm with the
+      // md5-selected character dropped — the simulated OCR/typo
+      // corpus, same stand-in discipline as the stubbed media codec)
+      // is matched back against the clean list via its DELETION
+      // NEIGHBORHOOD — every single-char-deletion variant of every
+      // entity (≤ name-length rows per entity, linear) equi-joined
+      // against the dirty strings, then exact levenshtein confirms.
+      // The candidate step is a plain hash join on string equality, so
+      // it shards at any scale; char-prefix blocking was rejected
+      // because the entity vocabulary GROWS with the corpus here,
+      // making within-block pairs corpus-quadratic.
+      (s, dir) => {
+        val ents = stages(s, dir).known.select("norm").distinct()
+          .filter(col("norm").isNotNull && length(col("norm")) >= 1)
+        val dirty = ents
+          .withColumn("p",
+            (Text.md5Hash32(col("norm")) % length(col("norm")).cast("long"))
+              .cast("int"))
+          .select(concat(expr("substring(norm, 1, p)"),
+            expr("substring(norm, p + 2, 1000000)")).as("dirty"))
+          .distinct()
+        // Position series capped at 100 (shared with the oracle, which
+        // cannot laterally parameterize its series by length(norm)):
+        // deletion variants beyond position 100 are skipped identically
+        // on both engines.
+        val variants = ents
+          .select(col("norm"), explode(sequence(lit(1),
+            least(length(col("norm")), lit(100)))).as("i"))
+          .select(col("norm"), concat(expr("substring(norm, 1, i - 1)"),
+            expr("substring(norm, i + 1, 1000000)")).as("variant"))
+          .union(ents.select(col("norm"), col("norm").as("variant")))
+          .distinct()
+        dirty.join(variants, col("dirty") === col("variant"))
+          .select(col("dirty"), col("norm").as("entity"),
+            levenshtein(col("dirty"), col("norm")).cast("long").as("dist"))
+          .distinct()
+          .orderBy("dirty", "entity")
+      },
+      Some(prelude + """,
+        ents AS (SELECT DISTINCT norm FROM known
+                 WHERE norm IS NOT NULL AND length(norm) >= 1),
+        dirty AS (
+          SELECT DISTINCT substr(norm, 1, p) || substr(norm, p + 2) AS dirty
+          FROM (SELECT norm,
+                  CAST(CAST(('0x' || substr(md5(norm), 1, 8)) AS BIGINT)
+                       % length(norm) AS INT) AS p
+                FROM ents)),
+        pos AS (SELECT CAST(UNNEST(range(1, 101)) AS INT) AS i),
+        variants AS (
+          SELECT DISTINCT norm,
+                 substr(norm, 1, i - 1) || substr(norm, i + 1) AS variant
+          FROM ents CROSS JOIN pos WHERE pos.i <= length(norm)
+          UNION
+          SELECT norm, norm AS variant FROM ents)
+        SELECT DISTINCT dirty, norm AS entity,
+               CAST(levenshtein(dirty, norm) AS BIGINT) AS dist
+        FROM dirty JOIN variants ON dirty = variant
+        ORDER BY dirty, entity""")),
+
     QDef("pipeline_batch_classify",
       // O17 through the REAL client machinery: the unclassified
       // normalized terms flow through BatchClassifier — per-partition

@@ -35,4 +35,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) >= 150000L),
       "every rank must carry at least the teleport term")
   }
+
+  test("join_null_aware_anti plans the single-key NAAJ, not a nested loop") {
+    val df = SparkEntry.queries("join_null_aware_anti")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists {
+      case b: BroadcastHashJoinExec => b.isNullAwareAntiJoin
+      case _ => false
+    }, "NOT IN must plan as a null-aware broadcast anti join")
+    assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "NOT IN must not degrade to a broadcast nested loop")
+  }
+
+  test("layout_global_index keeps the data-path window shard-partitioned") {
+    val df = SparkEntry.queries("layout_global_index")(spark, sf)
+    assert(df.collect().length > 0)
+    val wins = PlanFlatten.flatten(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    // The idx-assigning window must partition by shard; the only
+    // unpartitioned window allowed is the 33-row offsets cumulative.
+    val idxWins = wins.filter(_.windowExpression.exists(
+      _.exists { case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+        a.name == "idx" || a.name.startsWith("row_number")
+      case _ => false }))
+    assert(wins.nonEmpty, "expected window operators in the plan")
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size <= 1,
+      "only the driver-sized offsets cumulative may be unpartitioned")
+    assert(idxWins.forall(_.partitionSpec.nonEmpty),
+      "the per-row index window must be partitioned by shard")
+  }
+
+  test("str_fuzzy_match candidates come from an equi join, never a cross product") {
+    val df = SparkEntry.queries("str_fuzzy_match")(spark, sf)
+    df.collect()
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "deletion-neighborhood matching must stay an equi join")
+  }
 }
