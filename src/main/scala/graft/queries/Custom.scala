@@ -19,6 +19,59 @@ object Custom {
 
   val all: Seq[QDef] = Seq(
 
+    QDef("join_typed_cogroup",
+      // Typed KeyValueGroupedDataset.cogroup: both sides' groups for a
+      // key delivered to ONE function invocation — the imperative
+      // "merge two sorted feeds per key" escape hatch (sessionized
+      // reconciliation, custom conflation) that a join + agg cannot
+      // always express. One co-partitioning shuffle on the key, like a
+      // sort-merge join. Money folds in integer cents so group
+      // iteration order cannot perturb the sum; the oracle is the
+      // equivalent aggregate-join.
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal")).as[(Long, Double)]
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+        c.groupByKey(_._1).cogroup(o.groupByKey(_._1)) { (k, cs, os) =>
+          val nCust = cs.size
+          if (nCust == 0) Iterator.empty // order without customer: none
+          else {
+            var n = 0L; var cents = 0L
+            os.foreach { x =>
+              n += 1; cents += math.floor(x._2 * 100 + 0.5).toLong
+            }
+            Iterator((k, nCust.toLong, n, cents))
+          }
+        }.toDF("custkey", "n_cust", "n_orders", "order_cents")
+          .orderBy("custkey")
+      },
+      Some("""WITH oc AS (
+          SELECT o_custkey, count(*) AS n_orders,
+                 sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+          FROM orders GROUP BY 1)
+        SELECT c.c_custkey AS custkey, count(*) AS n_cust,
+               coalesce(any_value(oc.n_orders), 0) AS n_orders,
+               coalesce(any_value(oc.cents), 0) AS order_cents
+        FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+        ORDER BY custkey""")),
+
+    QDef("scan_observed",
+      // The observe() metrics API: named aggregates piggyback on the
+      // query's own pass (CollectMetrics) — dataset-level audit counts
+      // at zero extra scans, the 100 TB alternative to a second
+      // count()/sum() job over the same input. The metrics do not
+      // perturb the result (oracle checks that); CustomSurfaceSpec
+      // reads them back from observedMetrics.
+      (s, dir) => t(s, dir, "documents")
+        .observe("doc_metrics", count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("total_chars"))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang"),
+      Some("SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang")),
+
     QDef("expr_catalyst",
       // O23 URI minting as a native Catalyst Expression with doGenCode
       // (graft.functions.UriHashExpr), cross-checked in the same plan

@@ -382,6 +382,27 @@ object Relational {
         WHERE d.category = 'conv'
         GROUP BY e.event_type ORDER BY e.event_type""")),
 
+    QDef("project_unpivot",
+      // Native wide→long unpivot (the Dataset `unpivot`/`melt` API,
+      // planned as Expand): two measure columns rotate into (field,
+      // val) rows in one pass — no self-union rescan of the input.
+      // Measures are cast to one exact DECIMAL type up front; unpivot
+      // requires a common value type and the cast is the lossless one
+      // for 2-decimal money and integer sizes.
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          money(col("p_retailprice")).as("retailprice"),
+          col("p_size").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .as("size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("retailprice"), col("size")), "field", "val")
+        .orderBy("p_partkey", "field"),
+      Some("""SELECT p_partkey, 'retailprice' AS field,
+            CAST(p_retailprice AS DECIMAL(18,2)) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'size', CAST(p_size AS DECIMAL(18,2)) FROM part
+        ORDER BY p_partkey, field""")),
+
     QDef("project_docs",
       (s, dir) => t(s, dir, "documents")
         // Build the nested doc-model shape (SURVEY §1.1) in flight, then

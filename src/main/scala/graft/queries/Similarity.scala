@@ -489,6 +489,62 @@ object Similarity {
         SELECT q_id, rank, vec_id, cos FROM rk WHERE rank <= $K
         ORDER BY q_id, rank""")),
 
+    QDef("sim_int8_quantized",
+      // INT8-quantized similarity serving: per-vector symmetric
+      // quantization q_i = floor(x_i · (127/max|x_i|) + 0.5), then ALL
+      // scoring in exact int64 — 4 bytes -> 1 byte per dimension, the
+      // memory-side lever that decides whether an index fits in RAM at
+      // 100 TB (the float path is sim_cosine_topk; the code-side lever
+      // is sim_ann_pq). The only FP steps — max, one divide, one
+      // multiply — are single correctly-rounded IEEE ops identical in
+      // any engine, and the integer dot folds are order-free, so the
+      // whole ranking is bit-deterministic with no rounding guard.
+      (s, dir) => {
+        val qz = graft.pipeline.Staged(s, dir, "emb_int8") {
+          vecs(s, dir).select(col("vec_id"), col("v"))
+            .withColumn("mx", aggregate(col("v"), lit(0d),
+              (acc, x) => greatest(acc, abs(x))))
+            .select(col("vec_id"),
+              transform(col("v"), x =>
+                when(col("mx") === 0d, lit(0L)).otherwise(
+                  floor(x * (lit(127d) / col("mx")) + lit(0.5)).cast("long")))
+                .as("q"))
+        }
+        val q = qz.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("q").as("qa"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("qdot").desc, col("vec_id").asc)
+        broadcast(q).join(qz, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            aggregate(zip_with(col("qa"), col("q"), (x, y) => x * y),
+              lit(0L), (acc, x) => acc + x).as("qdot"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("qdot"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH qz AS (
+          SELECT vec_id,
+            list_transform(embedding, x ->
+              CASE WHEN mx = 0 THEN 0
+                   ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS BIGINT)
+              END) AS q
+          FROM (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+                FROM embeddings)),
+        pairs AS (
+          SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+            CAST(list_sum(list_transform(range($Dims),
+              i -> a.q[i+1] * b.q[i+1])) AS BIGINT) AS qdot
+          FROM qz a JOIN qz b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < $QueryVecs),
+        rk AS (SELECT q_id, vec_id, qdot,
+                      row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, vec_id) AS rank
+               FROM pairs)
+        SELECT q_id, rank, vec_id, qdot FROM rk WHERE rank <= $K
+        ORDER BY q_id, rank""")),
+
     QDef("join_cross_topk_similarity",
       // Label-blocked KNN join — the EXACT-RECALL BASELINE, kept
       // deliberately brute-force so `join_knn_rescored` (the scale

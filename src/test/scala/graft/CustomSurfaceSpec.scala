@@ -58,4 +58,15 @@ class CustomSurfaceSpec extends AnyFunSuite {
     assert(agg.finish(merged).map(tc => (tc.term, tc.cnt)) ==
       Seq(("b", 3L), ("z", 3L)))
   }
+
+  test("scan_observed exposes audit metrics without a second scan") {
+    val sf = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("scan_observed")(spark, sf)
+    df.collect()
+    val m = df.queryExecution.observedMetrics("doc_metrics")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(m.getAs[Long]("n_rows") == docs.count())
+    assert(m.getAs[Long]("total_chars") ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+  }
 }

@@ -81,6 +81,54 @@ class StreamingSpec extends AnyFunSuite {
       "fresh-restart arm dead: no fired user receives phase-2 rows")
   }
 
+  test("streaming restart resumes from the checkpoint with state intact") {
+    // Operational contract at 100 TB: a driver restart must neither
+    // reprocess consumed input nor lose aggregation state. Run an
+    // AvailableNow pass over half the files, stop, drop the second
+    // half into the source, restart against the SAME checkpoint: the
+    // second run may read only the new files, yet its complete-mode
+    // output must equal the batch aggregate over EVERYTHING — which is
+    // only possible if the state store recovered from the checkpoint.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    val e = graft.queries.QDef.t(spark, sf, "events")
+      .select(col("event_type"), col("event_id"))
+    val h1 = e.filter(col("event_id") % 2 === 0)
+    val h2 = e.filter(col("event_id") % 2 =!= 0)
+    val src = StreamRuns.fresh("spec-restart-src")
+    val ckpt = StreamRuns.fresh("spec-restart-ckpt")
+    def dropIn(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val tmp = StreamRuns.fresh(s"spec-restart-$tag")
+      df.repartition(2).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
+        .asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.move(p,
+            java.nio.file.Paths.get(src, s"$tag-$i.parquet"))
+        }
+    }
+    def run(qn: String): Map[String, Long] =
+      StreamRuns.withStreamPartitions(spark) {
+        val q = spark.readStream.schema(e.schema).parquet(src)
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.table(qn).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    def batchCounts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    dropIn(h1, "a")
+    assert(run("restart1") == batchCounts(h1),
+      "first pass must aggregate exactly the first half")
+    dropIn(h2, "b")
+    assert(run("restart2") == batchCounts(e),
+      "restarted pass must resume state, not restart it")
+  }
+
   test("chained-stateful feed redelivers on both sides of wm1") {
     // Dead-arm guard for stream_chained_stateful: the redelivery feed
     // must exercise BOTH kill paths — arm A (above wm1: only the dedup
