@@ -248,6 +248,62 @@ object Relational {
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    QDef("sink_dynamic_overwrite",
+      // Dynamic partition overwrite: rewriting ONE partition's data
+      // replaces only the partitions the write touches (here: clicks
+      // get a +100 correction) while every other partition's files are
+      // left untouched — the idempotent partition-level backfill
+      // primitive; static overwrite mode would silently truncate the
+      // whole table to the corrected slice. Re-read proves clicks
+      // changed and everything else survived.
+      (s, dir) => {
+        val out = scratch(s"sink_dynow_${new java.io.File(dir).getName}")
+        val base = t(s, dir, "events")
+          .select(col("event_id"), col("value"), col("event_type"))
+        base.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        base.filter(col("event_type") === "click")
+          .withColumn("value", col("value") + lit(100d))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_type").parquet(out)
+        s.read.parquet(out)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type,
+            CASE WHEN event_type = 'click' THEN value + 100
+                 ELSE value END AS value
+        FROM events ORDER BY event_id""")),
+
+    QDef("scan_nested_pushdown",
+      // Nested-schema pruning + pushdown: a struct-typed layout read
+      // back selecting ONE nested leaf with a filter on a sibling leaf
+      // — the scan must read only those two leaves (ReadSchema), not
+      // the whole struct (PartitionPruneSpec asserts it). At 100 TB
+      // the difference is scanning two columns of a 200-field document
+      // struct versus all of them.
+      (s, dir) => {
+        val out = scratch(s"nested_${new java.io.File(dir).getName}")
+        graft.pipeline.Staged(s, dir, "docs_nested") {
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              struct(col("lang"),
+                struct(col("source").as("name")).as("origin"),
+                col("n_chars"), col("text")).as("meta"))
+            .write.mode("overwrite").parquet(out)
+          s.range(1).toDF("ok") // marker: layout staged once per session+dir
+        }
+        // Read OUTSIDE the staged persist: an InMemoryRelation here
+        // would satisfy the values but bypass the parquet reader —
+        // the nested-pruning claim must hit the actual scan.
+        s.read.parquet(out)
+          .filter(col("meta.lang") === "en")
+          .select(col("doc_id"), col("meta.origin.name").as("src"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source AS src FROM documents
+        WHERE lang = 'en' ORDER BY doc_id""")),
+
     QDef("scan_partition_pruned",
       // 100 TB scan discipline in one query: the layout partitions on
       // the dimension queries filter by (event_type), so the partition

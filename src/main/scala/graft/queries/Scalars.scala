@@ -181,6 +181,38 @@ object Scalars {
           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
           '{"k":' || CAST(json_extract_string(props, '$.k') AS BIGINT) || '}' AS rt
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    QDef("json_variant_extract",
+      // The Spark 4 VARIANT type: semi-structured JSON parsed ONCE into
+      // the binary variant encoding, then typed paths extracted with
+      // variant_get — schema-on-read without a declared StructType (the
+      // from_json path above needs the DDL up front; variant does not),
+      // and O(path) access instead of re-tokenizing the JSON text per
+      // field. The JSON here is built in-flight from lineitem columns,
+      // so the oracle checks the round-trip against the originals;
+      // decimals ride through the variant as exact decimal.
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          parse_json(to_json(struct(
+            col("l_orderkey").as("k"),
+            struct(money(col("l_quantity")).as("q")).as("m"),
+            array(col("l_linestatus"), col("l_returnflag")).as("tags"))))
+            .as("v"))
+        .select(col("l_returnflag"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("variant_get(v, '$.m.q', 'decimal(18,2)')").as("q"),
+          expr("variant_get(v, '$.tags[0]', 'string')").as("tag0"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).as("min_k"),
+          sum(col("q")).cast("double").as("sum_q"),
+          countDistinct(col("tag0")).as("n_status"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+          min(l_orderkey) AS min_k,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q,
+          count(DISTINCT l_linestatus) AS n_status
+        FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 }

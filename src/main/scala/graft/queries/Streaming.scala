@@ -668,6 +668,36 @@ object Streaming {
         WHERE a.w_start + INTERVAL '5 minutes' <= wm2.w
         ORDER BY a.w_start, a.event_type""")),
 
+    QDef("stream_static_join",
+      // Stream-static join: the streaming fact enriched against a
+      // STATIC dimension (per-user segment) inside the streaming
+      // query — the dim is broadcast and re-usable every micro-batch
+      // with no state store at all (contrast stream_stream_join, where
+      // both sides buffer state). The canonical enrichment shape at
+      // 100 TB: facts stream, dimensions sit still.
+      (s, dir) => {
+        // First-touch segment: the user's earliest event type in
+        // sequence order (min_by on the unique event id, so the dim is
+        // deterministic).
+        val dim = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(min_by(col("event_type"), col("event_id")).as("seg"))
+        val agg = eventsStream(s, dir, "sstatic", 4, None)
+          .join(broadcast(dim), "user_id")
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sv"))
+        StreamRuns.runToMemory(s, agg, "complete", "sstatic")
+          .select(col("seg"), col("n"), col("sv").cast("double").as("sum_value"))
+          .orderBy("seg")
+      },
+      Some("""WITH dim AS (
+          SELECT user_id, arg_min(event_type, event_id) AS seg
+          FROM events GROUP BY 1)
+        SELECT seg, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events JOIN dim USING (user_id)
+        GROUP BY seg ORDER BY seg""")),
+
     QDef("stream_chained_stateful",
       // CHAINED STATEFUL OPERATORS in one streaming query (the Spark 4
       // multi-stateful-operator surface): exactly-once ingest dedup

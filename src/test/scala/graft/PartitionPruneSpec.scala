@@ -36,4 +36,29 @@ class PartitionPruneSpec extends AnyFunSuite {
     assert(readCols == Set("event_id", "user_id", "value"),
       s"read schema must carry only the projection: $readCols")
   }
+
+  test("nested-struct scan prunes to the referenced leaves only") {
+    val df = SparkEntry.queries("scan_nested_pushdown")(spark, sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"expected a FileSourceScanExec in:\n$plan")
+    val meta = scans.head.requiredSchema.fields
+      .find(_.name == "meta").map(_.dataType)
+    val metaFields = meta match {
+      case Some(st: org.apache.spark.sql.types.StructType) =>
+        st.fieldNames.toSet
+      case other => fail(s"expected pruned struct meta, got $other")
+    }
+    // Only the filtered leaf (lang) and the projected branch (origin)
+    // may survive; reading text/n_chars would defeat nested pruning.
+    assert(metaFields == Set("lang", "origin"),
+      s"nested schema must prune to referenced leaves: $metaFields")
+  }
 }
