@@ -442,6 +442,59 @@ object Dedup {
             ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           WHERE ${rxSql(s"""${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")}))""", 6)} >= 0.25
           ORDER BY vec_a, vec_b""")
-      })
+      }),
+
+    QDef("dedup_substring",
+      // Exact-substring duplication (the token-window half of
+      // Falcon-style ExactSubstr dedup): every 10-token rolling window
+      // is hashed; a window hash seen in >= 2 distinct docs marks
+      // copied passages, and each doc reports how much of it is
+      // duplicated material. Linear everywhere — window explode is
+      // O(tokens), the offender aggregate shuffles on the window hash
+      // (synthetic-vocab 10-grams do not produce hot keys the way
+      // 3-gram shingles do), verify is one left join. Window positions
+      // are capped at 100 on BOTH engines (the oracle cannot laterally
+      // parameterize its position series; docs here are <= 100 tokens
+      // so nothing is lost).
+      (s, dir) => {
+        val W = 10
+        val wins = graft.pipeline.Staged(s, dir, "substr_windows") {
+          t(s, dir, "documents")
+            .withColumn("tks", toks)
+            .withColumn("n", size(col("tks")))
+            .select(col("doc_id"), col("tks"),
+              explode(sequence(lit(1),
+                greatest(least(col("n") - (W - 1), lit(100)), lit(1))))
+                .as("i"), col("n"))
+            .filter(col("i") <= col("n") - (W - 1))
+            .select(col("doc_id"),
+              Text.md5Hash32(
+                array_join(slice(col("tks"), col("i"), lit(W)), " "))
+                .as("h"))
+        }
+        val offenders = wins.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("h"), lit(true).as("dup"))
+        wins.join(offenders, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            count(when(col("dup"), 1)).as("n_dup"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, $toksSql AS tks FROM documents),
+        pos AS (SELECT CAST(UNNEST(range(1, 101)) AS INT) AS i),
+        w AS (
+          SELECT doc_id,
+            ${h32Sql("array_to_string(list_slice(tks, i, i + 9), ' ')")} AS h
+          FROM d CROSS JOIN pos WHERE pos.i <= len(tks) - 9),
+        com AS (
+          SELECT h FROM (
+            SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+          WHERE nd >= 2)
+        SELECT w.doc_id, count(*) AS n_windows, count(com.h) AS n_dup
+        FROM w LEFT JOIN com ON w.h = com.h
+        GROUP BY w.doc_id ORDER BY doc_id"""))
   )
 }
