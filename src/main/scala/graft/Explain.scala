@@ -2,33 +2,51 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan inspection utility: print the formatted physical plan of named
-  * queries (all when none given) — the loop used to keep scans pruned
-  * (ReadSchema), filters pushed (PushedFilters), and hot paths inside
-  * WholeStageCodegen spans.
+/** Dev tool: time the phases of one named SparkEntry query — plan
+  * construction (builder fn), analysis+optimization (explain), and two
+  * executions (first = with codegen/exchange warm-up, second = steady
+  * state) — then print the formatted physical plan. Distinguishes
+  * "the data side is slow" from "the plan side is slow" (Catalyst
+  * analysis over deeply nested lineage has dominated more than one
+  * query here; see graph_triangle_count's localCheckpoint note).
   *
-  * Usage: runMain graft.Explain <sfDir> [query ...]
+  * Usage: sbt "runMain graft.Explain <queryName> [sfDir]"
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val only = args.drop(1).toSet
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .toSeq.sortBy(_._1)
-      .foreach { case (name, fn) =>
-        println(s"\n===== $name =====")
-        try fn(spark, sfDir).explain("formatted")
-        catch { case e: Throwable => println(s"[explain] failed: ${e.getMessage}") }
-      }
+    spark.sparkContext.setLogLevel("WARN")
+    def ms(t0: Long): Long = (System.nanoTime() - t0) / 1000000
+    // Stage the family caches first so phase timings measure THIS query,
+    // not shared staging (mirrors Bench's stager discipline).
+    sys.env.get("SPARK_GRAFT_STAGERS").foreach(_.split(",").foreach { n =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, dir).count()
+      System.err.println(s"[explain] stager $n: ${ms(t0)} ms")
+    })
+    val t0 = System.nanoTime()
+    val df = SparkEntry.queries(name)(spark, dir)
+    val tBuild = ms(t0)
+    val t1 = System.nanoTime()
+    df.queryExecution.executedPlan // forces analysis + optimization + planning
+    val tPlan = ms(t1)
+    val t2 = System.nanoTime()
+    val n = df.count()
+    val tExec1 = ms(t2)
+    val t3 = System.nanoTime()
+    df.count()
+    val tExec2 = ms(t3)
+    println(s"[explain] $name rows=$n build=${tBuild}ms plan=${tPlan}ms " +
+      s"exec1=${tExec1}ms exec2=${tExec2}ms")
+    if (sys.env.get("SPARK_GRAFT_PLAN").contains("1")) df.explain("formatted")
     spark.stop()
   }
 }

@@ -400,6 +400,61 @@ object Analytics {
           SELECT node_id, pr FROM r3 ORDER BY node_id""")
       }),
 
+    QDef("graph_bfs_distance",
+      // Multi-source BFS (hop distance from a seed set) over the same
+      // symmetric part<->supplier graph — the reachability primitive
+      // under lineage tracing and contamination-spread analysis. Each
+      // round relaxes: dist' = min(dist, min over in-neighbors + 1),
+      // all-integer so it is bit-reproducible anywhere. One shuffle per
+      // round on the edge destination, reusing the staged pagerank
+      // edge set (zero extra staging). Three rounds = radius 3; at
+      // 100 TB only the round count and a frontier-only join (relax
+      // from newly-settled nodes instead of the full dist set) change —
+      // the full-set relax here keeps the oracle a literal unroll.
+      (s, dir) => {
+        val ew = graft.pipeline.Staged(s, dir, "pagerank_edges") {
+          val po = t(s, dir, "lineitem")
+            .select(col("l_partkey").as("src"),
+              (col("l_suppkey") + 1000000L).as("dst"))
+            .distinct()
+          val sym = po.union(po.select(col("dst").as("src"), col("src").as("dst")))
+          val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+          sym.join(deg, "src")
+        }
+        var dist = ew.select(col("src").as("node_id")).distinct()
+          .filter(col("node_id") < 50)
+          .withColumn("dist", lit(0L))
+        for (_ <- 1 to 3) {
+          // USING-column joins for the same ambiguous-self-join reason
+          // as pagerank: every round re-references the shared ew subtree.
+          val relax = ew.join(dist.withColumnRenamed("node_id", "src"), "src")
+            .select(col("dst").as("node_id"), (col("dist") + 1L).as("dist"))
+          dist = dist.union(relax)
+            .groupBy("node_id").agg(min(col("dist")).as("dist"))
+        }
+        dist.orderBy("node_id")
+      }, {
+        val rounds = (1 to 3).map { i =>
+          s"""f$i AS (
+              SELECT e.dst AS node_id, min(d${i - 1}.dist) + 1 AS dist
+              FROM e JOIN d${i - 1} ON d${i - 1}.node_id = e.src
+              GROUP BY e.dst),
+            d$i AS (
+              SELECT node_id, min(dist) AS dist
+              FROM (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM f$i)
+              GROUP BY node_id)"""
+        }.mkString(",\n")
+        Some(s"""WITH e0 AS (
+            SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+            FROM lineitem),
+          e AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          d0 AS (SELECT DISTINCT src AS node_id, CAST(0 AS BIGINT) AS dist
+                 FROM e WHERE src < 50),
+          $rounds
+          SELECT node_id, dist FROM d3 ORDER BY node_id""")
+      }),
+
     QDef("agg_countmin",
       // Count-Min sketch: 4 x 64 counter cells from md5-affine hashes
       // (engine-portable, deterministic), built as ONE map-side-combined

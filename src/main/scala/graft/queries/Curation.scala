@@ -202,6 +202,111 @@ object Curation {
         SELECT term, n, ${rxSql("n / CAST(tot AS DOUBLE)", 6)} AS share
         FROM tf, tot
         WHERE n / CAST(tot AS DOUBLE) >= 0.005
-        ORDER BY n DESC, term"""))
+        ORDER BY n DESC, term""")),
+
+    QDef("sample_temperature",
+      // Temperature-flattened mixture sampling (the UniMax/multilingual
+      // rebalancing shape): per-language keep rates derived FROM the
+      // corpus counts — rate_l = 10000·sqrt(min_count/count_l) basis
+      // points, i.e. α = 0.5 temperature — so the rarest language keeps
+      // everything and dominant ones are downsampled toward equal
+      // effective share. Contrast sample_mixture's hand-pinned rates:
+      // here the policy adapts as the corpus grows, which is the form a
+      // 100 TB pipeline actually ships. sqrt/divide/multiply are single
+      // IEEE ops (bit-identical in both engines — pow() would not be),
+      // and the keep decision compares integers. Two tiny aggregates
+      // broadcast; the scan stays narrow and shuffle-free.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cnt = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+        val mn = cnt.agg(min(col("nl")).as("minc"))
+        val rates = cnt.crossJoin(broadcast(mn))
+          .select(col("lang"),
+            least(lit(10000L),
+              floor(lit(10000.0) *
+                sqrt(col("minc").cast("double") / col("nl").cast("double")))
+                .cast("long")).as("rate_bp"))
+        docs
+          .withColumn("u", pmod(
+            Text.md5Hash32(concat(lit("temp:"), col("doc_id").cast("string"))),
+            lit(10000)))
+          .join(broadcast(rates), Seq("lang"))
+          .filter(col("u") < col("rate_bp"))
+          .select(col("doc_id"), col("lang"), col("u"), col("rate_bp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH cnt AS (
+          SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
+        mn AS (SELECT min(nl) AS minc FROM cnt),
+        rates AS (
+          SELECT lang,
+            least(10000, CAST(floor(10000.0 * sqrt(minc / CAST(nl AS DOUBLE))) AS BIGINT)) AS rate_bp
+          FROM cnt, mn),
+        drawn AS (
+          SELECT doc_id, lang,
+            CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS u
+          FROM documents)
+        SELECT doc_id, d.lang, u, rate_bp
+        FROM drawn d JOIN rates USING (lang)
+        WHERE u < rate_bp ORDER BY doc_id""")),
+
+    QDef("text_lm_score",
+      // Corpus-trained bigram language-model fluency score — the
+      // KenLM-shaped quality signal curation pipelines threshold on,
+      // in exact integer arithmetic: each bigram's conditional
+      // probability p(w2|w1) = c(w1 w2)/c(w1·) is floor-quantized to
+      // parts-per-million (integer division of corpus counts, exact in
+      // any engine), and a document scores the integer mean of its
+      // bigrams' ppm values — no transcendental log-probs, no
+      // fold-order-dependent double sums. The bigram/context tables
+      // are vocabulary-bounded (broadcast here; at a real 50k-token BPE
+      // vocab the q-table join shuffles on the bigram key instead —
+      // same plan, bigger dim). Per-doc work is one explode + one join
+      // + one aggregate: linear end to end.
+      (s, dir) => {
+        val bgs = graft.pipeline.Staged(s, dir, "lm_bigrams") {
+          t(s, dir, "documents")
+            .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+            .select(col("doc_id"), explode(Text.shingles(col("tks"), 2)).as("bg"))
+        }
+        val cnt = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
+        val ctx = cnt
+          .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(sum(col("c2")).as("c1"))
+        val q = cnt.join(broadcast(ctx),
+            substring_index(col("bg"), " ", 1) === col("w1"))
+          .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
+        val perDoc = bgs.join(broadcast(q), Seq("bg"))
+          .groupBy("doc_id")
+          .agg(sum(col("q")).as("s"), count(lit(1)).as("n_bigrams"))
+        t(s, dir, "documents").select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            expr("s div n_bigrams").as("score_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, $toksSql AS tks FROM documents),
+        bgs AS (
+          SELECT doc_id,
+            unnest(list_transform(range(greatest(len(tks) - 1, 0)),
+              i -> tks[i+1] || ' ' || tks[i+2])) AS bg
+          FROM d),
+        cnt AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+        ctx AS (
+          SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+          FROM cnt GROUP BY 1),
+        q AS (
+          SELECT bg, (c2 * 1000000) // c1 AS q
+          FROM cnt JOIN ctx ON split_part(bg, ' ', 1) = w1),
+        per_doc AS (
+          SELECT doc_id, sum(q) AS s, count(*) AS n_bigrams
+          FROM bgs JOIN q USING (bg) GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+               s // n_bigrams AS score_ppm
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN per_doc USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

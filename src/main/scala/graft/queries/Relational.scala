@@ -275,6 +275,45 @@ object Relational {
                  ELSE value END AS value
         FROM events ORDER BY event_id""")),
 
+    QDef("sink_csv_roundtrip",
+      // CSV sink + re-scan with the options that make text interchange
+      // lossless: an explicit nullValue sentinel (Spark's default read
+      // maps empty unquoted fields to NULL, silently conflating "" with
+      // NULL on round-trip), quoting exercised by a value containing
+      // commas and embedded quotes, a date column, and a double column
+      // (shortest-repr text round-trips bit-exact). The oracle reads
+      // the ORIGINAL parquet — so a pass proves write→read is the
+      // identity, which is the actual contract a CSV export surface
+      // owes a downstream engine.
+      (s, dir) => {
+        val out = scratch(s"sink_csv_${new java.io.File(dir).getName}")
+        val src = t(s, dir, "orders").select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")).as("status"),
+          when(col("o_orderkey") % 7 === 0, lit(""))
+            .otherwise(concat(col("o_orderpriority"), lit(", \""),
+              col("o_orderstatus"), lit("\""))).as("note"),
+          col("o_totalprice").as("price"),
+          col("o_orderdate").cast("date").as("odate"))
+        src.write.mode("overwrite")
+          .option("header", "true").option("nullValue", "\\N")
+          .csv(out)
+        s.read
+          .schema("o_orderkey BIGINT, status STRING, note STRING, " +
+            "price DOUBLE, odate DATE")
+          .option("header", "true").option("nullValue", "\\N")
+          .csv(out)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderstatus END AS status,
+          CASE WHEN o_orderkey % 7 = 0 THEN ''
+               ELSE o_orderpriority || ', "' || o_orderstatus || '"' END AS note,
+          o_totalprice AS price,
+          CAST(o_orderdate AS DATE) AS odate
+        FROM orders ORDER BY o_orderkey""")),
+
     QDef("scan_nested_pushdown",
       // Nested-schema pruning + pushdown: a struct-typed layout read
       // back selecting ONE nested leaf with a filter on a sibling leaf

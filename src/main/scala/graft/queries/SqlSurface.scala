@@ -134,6 +134,34 @@ object SqlSurface {
                           count(*) AS n
                    FROM orders GROUP BY 1) c
           ON c.cm = months.m
-        ORDER BY months.m"""))
+        ORDER BY months.m""")),
+
+    QDef("sql_lateral_join",
+      // LATERAL correlated subquery in FROM — top-2 customers by
+      // account balance per nation, the per-row-subquery shape SQL
+      // users reach for before they learn window functions. Catalyst
+      // decorrelates the correlated ORDER BY/LIMIT subquery into a
+      // window-rank plan (DecorrelateInnerQuery), so execution is the
+      // same rank-filter it would plan for row_number() — one shuffle
+      // on the correlation key, no per-row re-execution, which is why
+      // the construct survives a 100 TB probe side. Balance ties break
+      // on c_custkey so the top-2 set is deterministic in both engines.
+      (s, dir) => {
+        val n = v(s, dir, "nation")
+        val c = v(s, dir, "customer")
+        s.sql(s"""
+          SELECT n.n_name, t.c_custkey, t.c_acctbal
+          FROM $n n,
+          LATERAL (SELECT c_custkey, c_acctbal FROM $c c
+                   WHERE c.c_nationkey = n.n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          ORDER BY n_name, c_custkey""")
+      },
+      Some("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n_name, c_custkey"""))
   )
 }
