@@ -455,6 +455,112 @@ object Analytics {
           SELECT node_id, dist FROM d3 ORDER BY node_id""")
       }),
 
+    QDef("agg_kmv_sketch",
+      // K-minimum-values sketches for audience-overlap estimation: per
+      // event type, the k=64 smallest md5 hashes of its distinct
+      // (user, day) visit items form a fixed-size synopsis; any pair of
+      // sketches then yields distinct-union and distinct-intersection
+      // ESTIMATES — (k-1)·2^32 div θ over the merged k-th minimum θ,
+      // scaled by the common-hash fraction — without ever touching the
+      // raw data again. The third mergeable-sketch family member next
+      // to agg_hll_union (counts) and agg_countmin (frequencies), and
+      // the one that answers set-OVERLAP questions HLL cannot. All
+      // estimator arithmetic is bigint floor-division — bit-identical
+      // in any engine. Sketch build reuses the native bounded-heap
+      // top-k operator (k smallest = top-k by negated hash), so each
+      // scan partition prunes to ≤ k rows per type before the one
+      // shuffle; pair analysis runs on 5×64 synopsis rows. Unsaturated
+      // sketches (fewer distinct items than k) degrade to EXACT counts
+      // — the CASE arms both engines replay.
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        val k = 64
+        val th = t(s, dir, "events")
+          .select(col("event_type").as("et"),
+            (col("user_id") * 512L + dayofyear(col("ts"))).as("item"))
+          .distinct()
+          .select(col("et"),
+            graft.functions.Text.md5Hash32(
+              concat(lit("kmv:"), col("item").cast("string")))
+              .as("h"))
+          .distinct()
+        val sk = graft.pipeline.Staged(s, dir, "kmv_sketch") {
+          graft.plans.TopKPerGroup(
+            th.withColumn("nh", -col("h")), Seq("et"), "nh", "h", k)
+            .select("et", "h")
+        }
+        val ets = sk.select("et").distinct()
+        val prs = ets.toDF("ea").crossJoin(ets.toDF("eb"))
+          .filter(col("ea") < col("eb"))
+        val mrows = prs.join(sk.toDF("ea", "h"), Seq("ea"))
+          .select("ea", "eb", "h")
+          .union(prs.join(sk.toDF("eb", "h"), Seq("eb")).select("ea", "eb", "h"))
+          .distinct()
+        val mstat = mrows.groupBy("ea", "eb").agg(count(lit(1)).as("mn"))
+        val wPair = Window.partitionBy("ea", "eb").orderBy("h")
+        val theta = mrows.withColumn("rn", row_number().over(wPair))
+          .filter(col("rn") === k).select(col("ea"), col("eb"), col("h").as("th"))
+        val common = prs.join(sk.toDF("ea", "h"), Seq("ea"))
+          .join(sk.toDF("eb", "h"), Seq("eb", "h"))
+          .join(theta, Seq("ea", "eb"), "left")
+          .filter(col("th").isNull || col("h") <= col("th"))
+          .groupBy("ea", "eb").agg(count(lit(1)).as("nc"))
+        val estU = when(col("th").isNull, col("mn"))
+          .otherwise(expr(s"(${k - 1} * 4294967296) div th"))
+        prs.join(mstat, Seq("ea", "eb"))
+          .join(theta, Seq("ea", "eb"), "left")
+          .join(common, Seq("ea", "eb"), "left")
+          .select(col("ea"), col("eb"),
+            coalesce(col("nc"), lit(0L)).as("n_common"),
+            estU.as("est_union"),
+            when(col("th").isNull, coalesce(col("nc"), lit(0L)))
+              .otherwise(expr(s"(coalesce(nc, 0) * ((${k - 1} * 4294967296) div th)) div $k"))
+              .as("est_intersect"))
+          .orderBy("ea", "eb")
+      },
+      Some("""WITH items AS (
+          SELECT DISTINCT event_type AS et,
+                 user_id * 512 + CAST(dayofyear(CAST(ts AS TIMESTAMP)) AS BIGINT) AS item
+          FROM events),
+        th AS (
+          SELECT DISTINCT et,
+                 CAST(('0x' || substr(md5('kmv:' || CAST(item AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+          FROM items),
+        sk AS (
+          SELECT et, h FROM (
+            SELECT et, h, row_number() OVER (PARTITION BY et ORDER BY h) AS rn
+            FROM th) WHERE rn <= 64),
+        ets AS (SELECT DISTINCT et FROM sk),
+        prs AS (SELECT a.et AS ea, b.et AS eb FROM ets a JOIN ets b ON a.et < b.et),
+        mrows AS (
+          SELECT p.ea, p.eb, s.h FROM prs p JOIN sk s ON s.et = p.ea
+          UNION
+          SELECT p.ea, p.eb, s.h FROM prs p JOIN sk s ON s.et = p.eb),
+        mstat AS (SELECT ea, eb, count(*) AS mn FROM mrows GROUP BY 1, 2),
+        theta AS (
+          SELECT ea, eb, h AS th FROM (
+            SELECT ea, eb, h, row_number() OVER (PARTITION BY ea, eb ORDER BY h) AS rn
+            FROM mrows) WHERE rn = 64),
+        common AS (
+          SELECT p.ea, p.eb, count(*) AS nc
+          FROM prs p
+          JOIN sk sa ON sa.et = p.ea
+          JOIN sk sb ON sb.et = p.eb AND sb.h = sa.h
+          LEFT JOIN theta t ON t.ea = p.ea AND t.eb = p.eb
+          WHERE t.th IS NULL OR sa.h <= t.th
+          GROUP BY 1, 2)
+        SELECT p.ea, p.eb,
+          COALESCE(nc, 0) AS n_common,
+          CASE WHEN t.th IS NULL THEN mn
+               ELSE (63 * 4294967296) // t.th END AS est_union,
+          CASE WHEN t.th IS NULL THEN COALESCE(nc, 0)
+               ELSE (COALESCE(nc, 0) * ((63 * 4294967296) // t.th)) // 64 END AS est_intersect
+        FROM prs p
+        JOIN mstat m ON m.ea = p.ea AND m.eb = p.eb
+        LEFT JOIN theta t ON t.ea = p.ea AND t.eb = p.eb
+        LEFT JOIN common c ON c.ea = p.ea AND c.eb = p.eb
+        ORDER BY p.ea, p.eb""")),
+
     QDef("agg_countmin",
       // Count-Min sketch: 4 x 64 counter cells from md5-affine hashes
       // (engine-portable, deterministic), built as ONE map-side-combined
