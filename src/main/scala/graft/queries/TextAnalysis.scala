@@ -392,6 +392,47 @@ object TextAnalysis {
                                          ORDER BY tfidf DESC, term) AS rank
                FROM scored)
         SELECT doc_id, rank, term, tfidf FROM rk WHERE rank <= 3
-        ORDER BY doc_id, rank"""))
+        ORDER BY doc_id, rank""")),
+
+    QDef("text_chunk_overlap",
+      // Overlapping token-window chunking — the retrieval/embedding
+      // prep primitive (context-window-sized pieces, stride < size so
+      // no boundary sentence is lost): 40-token chunks every 30 tokens,
+      // plus a tail chunk pinned at n-39 so the final tokens are always
+      // covered (array_distinct absorbs it when the grid already ends
+      // there). Pure per-row explode — linear, shuffle-free, the chunk
+      // count is ~n/stride per doc. Chunks key on (doc_id, start);
+      // downstream embedding jobs join back on that pair.
+      (s, dir) => {
+        val C = 40
+        val S = 30
+        t(s, dir, "documents")
+          .withColumn("tks", toks)
+          .withColumn("n", size(col("tks")))
+          .withColumn("starts", array_distinct(concat(
+            sequence(lit(1), greatest(col("n") - (C - 1), lit(1)), lit(S)),
+            array(greatest(col("n") - (C - 1), lit(1))))))
+          .select(col("doc_id"), col("tks"), col("n"),
+            explode(col("starts")).as("start"))
+          .select(col("doc_id"), col("start").cast("long").as("start"),
+            size(slice(col("tks"), col("start"), lit(C))).cast("long")
+              .as("n_tok"),
+            array_join(slice(col("tks"), col("start"), lit(C)), " ")
+              .as("chunk"))
+          .orderBy("doc_id", "start")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, $toksSql AS tks FROM documents),
+        st AS (
+          SELECT doc_id, tks,
+            list_distinct(list_append(
+              CAST(range(1, greatest(len(tks) - 39, 1) + 1, 30) AS BIGINT[]),
+              CAST(greatest(len(tks) - 39, 1) AS BIGINT))) AS starts
+          FROM d),
+        ex AS (SELECT doc_id, tks, unnest(starts) AS start FROM st)
+        SELECT doc_id, start,
+          CAST(len(list_slice(tks, start, start + 39)) AS BIGINT) AS n_tok,
+          array_to_string(list_slice(tks, start, start + 39), ' ') AS chunk
+        FROM ex ORDER BY doc_id, start"""))
   )
 }
