@@ -49,6 +49,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "NOT IN must not degrade to a broadcast nested loop")
   }
 
+  test("sql_lateral_join decorrelates to rank pruning, not a per-row loop") {
+    val df = SparkEntry.queries("sql_lateral_join")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    // The correlated ORDER BY/LIMIT subquery must become the window
+    // top-k plan: WindowGroupLimit prunes each partition to k rows
+    // BEFORE the exchange (the thing that makes LATERAL survive a
+    // 100 TB probe side), joined back with a hash join — never a
+    // nested-loop re-execution per outer row.
+    assert(nodes.exists(_.getClass.getSimpleName == "WindowGroupLimitExec"),
+      "correlated LIMIT must plan WindowGroupLimit rank pruning")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "lateral must decorrelate to an equi join")
+    assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]) &&
+      !nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "lateral must not plan a per-row nested loop")
+  }
+
   test("layout_global_index keeps the data-path window shard-partitioned") {
     val df = SparkEntry.queries("layout_global_index")(spark, sf)
     assert(df.collect().length > 0)
