@@ -314,6 +314,31 @@ object Relational {
           CAST(o_orderdate AS DATE) AS odate
         FROM orders ORDER BY o_orderkey""")),
 
+    QDef("scan_dsv2_skipping",
+      // Custom DataSource V2 connector (graft.sources.GraftTsv): a
+      // stats-indexed TSV format read through the full V2 scan stack —
+      // TableProvider -> ScanBuilder with column pruning (readers
+      // materialize only the projected fields) and filter pushdown
+      // (doc_id ranges prune whole files against per-file min/max
+      // headers at planning time, parquet's zone-map contract on a
+      // user-defined format). The layout is range-partitioned on
+      // doc_id at write, so this selective read plans 1-2 of 8 files
+      // (GraftTsvSourceSpec pins both prunings). Pushed filters stay
+      // residual — skipping is an optimization, never correctness.
+      (s, dir) => {
+        val out = scratch(s"gtsv_${new java.io.File(dir).getName}/files")
+        graft.pipeline.Staged(s, dir, "gtsv_files") {
+          graft.sources.GraftTsv.write(t(s, dir, "documents"), out, 8)
+          s.range(1).toDF("ok") // marker: layout staged once per session+dir
+        }
+        s.read.format("graft-tsv").load(out)
+          .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id >= 100 AND doc_id < 200 ORDER BY doc_id""")),
+
     QDef("scan_nested_pushdown",
       // Nested-schema pruning + pushdown: a struct-typed layout read
       // back selecting ONE nested leaf with a filter on a sibling leaf

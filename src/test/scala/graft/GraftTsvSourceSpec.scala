@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftTsv
+
+/** The DSv2 connector's two scale contracts, pinned: file skipping
+  * against the header zone maps (a selective doc_id read must not open
+  * every file) and column pruning (the scan's output schema is the
+  * projection, so readers never materialize the text payload).
+  */
+class GraftTsvSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val dir: String = {
+    val out = "/root/repo/target/scratch/gtsv_spec/files"
+    GraftTsv.write(spark.read.parquet(s"$sf/documents.parquet"), out, 8)
+    out
+  }
+
+  test("escape round-trips tabs, newlines, and backslashes") {
+    for (s <- Seq("a\tb", "a\nb", "a\\tb", "a\\\\n", "", "plain", "\\"))
+      assert(GraftTsv.unesc(GraftTsv.esc(s)) === s, s"roundtrip of <$s>")
+  }
+
+  test("values match the parquet baseline, full scan") {
+    val got = spark.read.format("graft-tsv").load(dir)
+      .orderBy("doc_id").collect()
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+      .orderBy("doc_id").collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("doc_id range filter skips non-overlapping files") {
+    val df = spark.read.format("graft-tsv").load(dir)
+      .filter(col("doc_id") >= 10 && col("doc_id") < 15)
+    val before = GraftTsv.filesOpened.get()
+    val rows = df.collect()
+    val opened = GraftTsv.filesOpened.get() - before
+    assert(rows.length === 5)
+    // 50 docs range-partitioned into 8 files -> a 5-id range overlaps
+    // at most 2 zone maps; opening all 8 means skipping is broken.
+    assert(opened <= 2, s"opened $opened of 8 files for a 5-id range")
+  }
+
+  test("column pruning reaches the scan's read schema") {
+    val df = spark.read.format("graft-tsv").load(dir)
+      .select("doc_id", "lang")
+    df.collect()
+    val scans = PlanFlatten.flatten(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "expected a BatchScanExec")
+    assert(scans.head.output.map(_.name) === Seq("doc_id", "lang"),
+      "reader schema must be the pruned projection")
+  }
+}
