@@ -33,7 +33,8 @@ object Bench {
       "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf", "join_bucketed",
       "dedup_cluster_cc", "scan_partition_pruned", "text_tfidf",
       "dedup_ngram_jaccard", "dedup_simhash", "graph_pagerank",
-      "sim_ann_pq", "graph_triangle_count")
+      "sim_ann_pq", "graph_triangle_count", "dedup_substring",
+      "text_lm_score", "scan_dsv2_skipping", "agg_kmv_sketch")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     stagers.foreach { n =>

@@ -34,13 +34,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     re-evaluates them row-level (the parquet posture: skipping is an
   *     optimization, never a correctness dependency).
   *
-  * The format itself (write path in [[GraftTsv.write]]) is
-  * range-partitioned on doc_id before writing, so the zone maps are
-  * disjoint and selective scans really do skip most files. At 100 TB
-  * the driver-side header sweep in `planInputPartitions` becomes a
-  * manifest/footer-cache read — same plan shape, different stats
-  * medium. No compression and a fixed schema keep this honest: it is
-  * an exercise of the V2 scan contracts, not a parquet replacement.
+  * The write path is V2 as well ([[GraftTsvWrite]]): the Write
+  * declares `RequiresDistributionAndOrdering` (range on doc_id), so
+  * Catalyst plans the exchange that makes every file's zone map
+  * disjoint — the layout that skipping depends on is enforced by the
+  * sink, not caller discipline — and commits two-phase via temp-file
+  * rename. At 100 TB the driver-side header sweep in
+  * `planInputPartitions` becomes a manifest/footer-cache read — same
+  * plan shape, different stats medium. No compression and a fixed
+  * schema keep this honest: it is an exercise of the V2 connector
+  * contracts, not a parquet replacement.
   */
 object GraftTsv {
   val schema: StructType = StructType(Seq(
@@ -76,39 +79,16 @@ object GraftTsv {
     b.toString
   }
 
-  /** Distributed write: range-partition on doc_id (disjoint zone maps
-    * -> real file skipping), one header-stamped TSV file per non-empty
-    * partition. Local-FS sink by design — the read connector is the
-    * deliverable; a production write path would go through
-    * SupportsWrite against an object store.
+  /** Overwrite `outDir` through the V2 sink. The Write declares its
+    * required distribution (range on doc_id, `files` partitions), so
+    * the disjoint-zone-map layout is enforced by the connector — not by
+    * caller discipline.
     */
-  def write(df: DataFrame, outDir: String, files: Int): Unit = {
-    val dir = Paths.get(outDir)
-    if (Files.exists(dir)) {
-      Files.list(dir).iterator().asScala.foreach(Files.delete)
-    }
-    Files.createDirectories(dir)
+  def write(df: DataFrame, outDir: String, files: Int): Unit =
     df.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("text"))
-      .repartitionByRange(files, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        if (rows.hasNext) {
-          val buf = rows.map { r =>
-            s"${r.getLong(0)}\t${esc(r.getString(1))}\t${esc(r.getString(2))}\t" +
-              s"${r.getLong(3)}\t${esc(r.getString(4))}"
-          }.toVector
-          def idOf(line: String): Long = line.takeWhile(_ != '\t').toLong
-          val (mn, mx) = (idOf(buf.head), idOf(buf.last))
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val body = s"#graft-tsv\t1\t$mn\t$mx\t${buf.size}\n" +
-            buf.mkString("", "\n", "\n")
-          Files.write(Paths.get(outDir, f"part-$pid%05d.gtsv"),
-            body.getBytes(StandardCharsets.UTF_8))
-          ()
-        }
-      }
-  }
+      .write.format("graft-tsv").option("files", files.toString)
+      .mode("overwrite").save(outDir)
 
   /** [lo, hi] bound on doc_id implied by the pushed filters (None side
     * = unbounded). Only doc_id comparisons participate in skipping.
@@ -146,14 +126,20 @@ class GraftTsvProvider extends TableProvider with DataSourceRegister {
     new GraftTsvTable(properties.get("path"))
 }
 
-class GraftTsvTable(path: String) extends Table with SupportsRead {
+class GraftTsvTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "graft-tsv requires a path")
   override def name(): String = s"graft-tsv:$path"
   override def schema(): StructType = GraftTsv.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTsvScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftTsvWriteBuilder(path, info)
 }
 
 class GraftTsvScanBuilder(path: String) extends ScanBuilder
@@ -242,4 +228,122 @@ class GraftTsvReader(file: String, required: StructType)
   }
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** V2 write path. The Write declares `RequiresDistributionAndOrdering`:
+  * ordered distribution on doc_id — so CATALYST plans the range
+  * exchange + in-partition sort that makes every file's zone map
+  * disjoint. The layout contract that file skipping depends on is
+  * enforced by the sink itself, not by caller discipline (the failure
+  * mode where someone forgets repartitionByRange and silently writes
+  * overlapping zone maps cannot happen). Commit is two-phase: tasks
+  * write `_tmp-*` files, the driver's commit() renames survivors and
+  * (for truncate/overwrite) deletes the previous generation; abort()
+  * reaps temps — so readers never observe a half-written directory on
+  * a local/posix-rename filesystem.
+  */
+class GraftTsvWriteBuilder(path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val names = info.schema().fields.map(_.name).toSeq
+    val want = GraftTsv.schema.fields.map(_.name).toSeq
+    require(names == want, s"graft-tsv writes schema $want, got $names")
+    val files = Option(info.options.get("files")).map(_.toInt).getOrElse(8)
+    new GraftTsvWrite(path, doTruncate, files)
+  }
+}
+
+class GraftTsvWrite(path: String, truncate: Boolean, files: Int)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.{distributions => D}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+
+  private def order = Array(
+    Expressions.sort(Expressions.column("doc_id"), SortDirection.ASCENDING))
+  override def requiredDistribution(): D.Distribution = D.Distributions.ordered(order)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = order
+  override def requiredNumPartitions(): Int = files
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new GraftTsvWriterFactory(path)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    if (truncate) {
+      Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".gtsv"))
+        .foreach(Files.delete)
+    }
+    messages.collect { case m: GraftTsvCommit if m.tmp != null => m }
+      .foreach { m =>
+        Files.move(Paths.get(m.tmp), Paths.get(path, m.fin),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit =
+    messages.collect { case m: GraftTsvCommit if m.tmp != null => m }
+      .foreach(m => Files.deleteIfExists(Paths.get(m.tmp)))
+}
+
+case class GraftTsvCommit(tmp: String, fin: String, nRows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class GraftTsvWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftTsvWriter(path, partitionId, taskId)
+}
+
+/** Buffers its (already range-clustered, doc_id-sorted) partition and
+  * stamps the zone-map header from the first/last ids on commit.
+  */
+class GraftTsvWriter(path: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val buf = Vector.newBuilder[String]
+  private var n = 0L
+  private var mn = Long.MaxValue
+  private var mx = Long.MinValue
+
+  override def write(r: InternalRow): Unit = {
+    val id = r.getLong(0)
+    mn = math.min(mn, id); mx = math.max(mx, id); n += 1
+    buf += s"$id\t${GraftTsv.esc(r.getUTF8String(1).toString)}\t" +
+      s"${GraftTsv.esc(r.getUTF8String(2).toString)}\t${r.getLong(3)}\t" +
+      s"${GraftTsv.esc(r.getUTF8String(4).toString)}"
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+    if (n == 0) GraftTsvCommit(null, null, 0)
+    else {
+      Files.createDirectories(Paths.get(path))
+      val fin = f"part-$partitionId%05d.gtsv"
+      val tmp = Paths.get(path, s"_tmp-$fin-$taskId")
+      val body = s"#graft-tsv\t1\t$mn\t$mx\t$n\n" +
+        buf.result().mkString("", "\n", "\n")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      GraftTsvCommit(tmp.toString, fin, n)
+    }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }

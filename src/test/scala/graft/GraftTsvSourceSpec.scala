@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
@@ -45,6 +47,27 @@ class GraftTsvSourceSpec extends AnyFunSuite {
     // 50 docs range-partitioned into 8 files -> a 5-id range overlaps
     // at most 2 zone maps; opening all 8 means skipping is broken.
     assert(opened <= 2, s"opened $opened of 8 files for a 5-id range")
+  }
+
+  test("V2 write enforces disjoint zone maps and leaves no temp files") {
+    dir // force the write
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.toSeq.map(_.getFileName.toString).sorted
+    assert(files.forall(_.endsWith(".gtsv")),
+      s"two-phase commit must reap temps, saw $files")
+    assert(files.size > 1, "expected multiple files")
+    // RequiresDistributionAndOrdering (range on doc_id) is what makes
+    // these ranges disjoint — read each header zone map and check.
+    val spans = files.map { f =>
+      val h = scala.io.Source.fromFile(s"$dir/$f")
+      val parts = try h.getLines().next().split("\t") finally h.close()
+      (parts(2).toLong, parts(3).toLong)
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping zone maps: $spans")
+      case _ => ()
+    }
   }
 
   test("column pruning reaches the scan's read schema") {
