@@ -427,10 +427,16 @@ object Analytics {
         for (_ <- 1 to 3) {
           // USING-column joins for the same ambiguous-self-join reason
           // as pagerank: every round re-references the shared ew subtree.
+          // Unlike pagerank, each round references the PREVIOUS dist
+          // twice (relax + union), so without eager lineage truncation
+          // the plan — and the execution, Spark shares no common
+          // subtrees — doubles per round (benched 7s for 3 rounds;
+          // 0.3s truncated). Same fix as graph_triangle_count's edges.
           val relax = ew.join(dist.withColumnRenamed("node_id", "src"), "src")
             .select(col("dst").as("node_id"), (col("dist") + 1L).as("dist"))
           dist = dist.union(relax)
             .groupBy("node_id").agg(min(col("dist")).as("dist"))
+            .localCheckpoint(true)
         }
         dist.orderBy("node_id")
       }, {

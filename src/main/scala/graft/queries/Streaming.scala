@@ -186,6 +186,31 @@ object Streaming {
 
   val all: Seq[QDef] = Seq(
 
+    QDef("stream_dsv2_ingest",
+      // Incremental ingest through the CUSTOM V2 connector's streaming
+      // half (graft.sources.GraftTsvMicroBatchStream): the same gtsv
+      // layout scan_dsv2_skipping reads in batch mode, drained as an
+      // AvailableNow stream — offsets index the name-sorted immutable
+      // file list, maxFilesPerTrigger=2 paces admission into bounded
+      // micro-batches, and batch/stream share one reader. Stateless
+      // filter+project per batch, so sink content == the batch result
+      // over the same files, which is what the oracle checks.
+      (s, dir) => {
+        val out = scratch(s"gtsv_${new java.io.File(dir).getName}/files")
+        graft.pipeline.Staged(s, dir, "gtsv_files") {
+          graft.sources.GraftTsv.write(t(s, dir, "documents"), out, 8)
+          s.range(1).toDF("ok") // marker: layout staged once per session+dir
+        }
+        val stream = s.readStream.format("graft-tsv")
+          .option("maxFilesPerTrigger", "2").load(out)
+          .filter(col("n_chars") >= 50)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        StreamRuns.runToMemory(s, stream, "append", "gtsv_ingest")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+        WHERE n_chars >= 50 ORDER BY doc_id""")),
+
     QDef("stream_file_ingest",
       // O30-O32: incremental file-discovery ingest, two files per
       // micro-batch, batch normalization logic reused unchanged inside

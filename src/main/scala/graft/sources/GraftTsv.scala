@@ -133,16 +133,18 @@ class GraftTsvTable(path: String) extends Table
   override def schema(): StructType = GraftTsv.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftTsvScanBuilder(path)
+    new GraftTsvScanBuilder(path,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(2))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftTsvWriteBuilder(path, info)
 }
 
-class GraftTsvScanBuilder(path: String) extends ScanBuilder
+class GraftTsvScanBuilder(path: String, perTrigger: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = GraftTsv.schema
   private var pushed: Array[Filter] = Array.empty
@@ -154,13 +156,16 @@ class GraftTsvScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftTsvScan(path, required, pushed)
+  override def build(): Scan = new GraftTsvScan(path, required, pushed, perTrigger)
 }
 
-class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
+    perTrigger: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftTsvMicroBatchStream(path, required, perTrigger)
   override def description(): String =
     s"graft-tsv $path, PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
@@ -346,4 +351,59 @@ class GraftTsvWriter(path: String, partitionId: Int, taskId: Long)
 
   override def abort(): Unit = ()
   override def close(): Unit = ()
+}
+
+/** Streaming half of the connector: the gtsv directory as an
+  * incremental file source. Offsets are indexes into the name-sorted
+  * file list (files are immutable once committed — the rename in
+  * [[GraftTsvWrite.commit]] is what makes "visible implies complete"
+  * true), `maxFilesPerTrigger` paces admission, and
+  * `SupportsTriggerAvailableNow` pins the target at stream start so an
+  * AvailableNow run drains exactly the files that existed then, in
+  * bounded micro-batches, and stops. Batch and streaming share the
+  * reader factory — one parsing path to test, two execution modes.
+  */
+class GraftTsvMicroBatchStream(path: String, required: StructType,
+    perTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def allFiles(): Array[String] =
+    Files.list(Paths.get(path)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".gtsv")).toArray.sorted
+
+  @volatile private var pinned: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinned = Some(allFiles().length.toLong)
+
+  private def target: Long = pinned.getOrElse(allFiles().length.toLong)
+
+  override def initialOffset(): Offset = GraftTsvOffset(0)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit)")
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftTsvOffset].n
+    GraftTsvOffset(math.min(s + perTrigger, target))
+  }
+  override def reportLatestOffset(): Offset = GraftTsvOffset(target)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[GraftTsvOffset].n.toInt,
+      end.asInstanceOf[GraftTsvOffset].n.toInt)
+    allFiles().slice(s, e).map(f => GraftTsvPartition(f): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTsvReaderFactory(required)
+  override def deserializeOffset(json: String): Offset =
+    GraftTsvOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class GraftTsvOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
 }

@@ -70,6 +70,27 @@ class GraftTsvSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming read drains AvailableNow in bounded micro-batches") {
+    val nFiles = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(_.getFileName.toString.endsWith(".gtsv"))
+    val q = spark.readStream.format("graft-tsv")
+      .option("maxFilesPerTrigger", "3").load(dir)
+      .writeStream.format("memory").queryName("gtsv_stream_spec")
+      .outputMode("append")
+      .option("checkpointLocation",
+        graft.streaming.StreamRuns.fresh("gtsv-spec-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val want0 = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(spark.table("gtsv_stream_spec").count() === want0)
+    val fed = q.recentProgress.filter(_.numInputRows > 0)
+    val want = (nFiles + 2) / 3
+    assert(fed.length === want,
+      s"expected $want admission-paced batches over $nFiles files, " +
+        s"got ${fed.length}")
+  }
+
   test("column pruning reaches the scan's read schema") {
     val df = spark.read.format("graft-tsv").load(dir)
       .select("doc_id", "lang")
