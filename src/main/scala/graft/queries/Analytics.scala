@@ -475,9 +475,16 @@ object Analytics {
       // in any engine. Sketch build reuses the native bounded-heap
       // top-k operator (k smallest = top-k by negated hash), so each
       // scan partition prunes to ≤ k rows per type before the one
-      // shuffle; pair analysis runs on 5×64 synopsis rows. Unsaturated
-      // sketches (fewer distinct items than k) degrade to EXACT counts
-      // — the CASE arms both engines replay.
+      // shuffle; the synopsis then travels as ONE sorted-array value
+      // per type (how a sketch actually ships between jobs — merge =
+      // array_union) and the whole pair analysis is array arithmetic
+      // inside a single 5×5 cross join — one flat stage, not a
+      // join-per-statistic DAG (the relational spelling of the same
+      // math benched 8 tiny exchanges ≈ 0.7 s of pure stage latency;
+      // the DuckDB oracle keeps that relational form, pinning that
+      // both spellings agree). Unsaturated sketches (fewer distinct
+      // items than k) degrade to EXACT counts — the CASE arms both
+      // engines replay.
       (s, dir) => {
         graft.GraftExtensions.ensureRegistered(s)
         val k = 64
@@ -493,34 +500,27 @@ object Analytics {
         val sk = graft.pipeline.Staged(s, dir, "kmv_sketch") {
           graft.plans.TopKPerGroup(
             th.withColumn("nh", -col("h")), Seq("et"), "nh", "h", k)
-            .select("et", "h")
+            .groupBy("et")
+            .agg(sort_array(collect_list(col("h"))).as("hs"))
         }
-        val ets = sk.select("et").distinct()
-        val prs = ets.toDF("ea").crossJoin(ets.toDF("eb"))
-          .filter(col("ea") < col("eb"))
-        val mrows = prs.join(sk.toDF("ea", "h"), Seq("ea"))
-          .select("ea", "eb", "h")
-          .union(prs.join(sk.toDF("eb", "h"), Seq("eb")).select("ea", "eb", "h"))
-          .distinct()
-        val mstat = mrows.groupBy("ea", "eb").agg(count(lit(1)).as("mn"))
-        val wPair = Window.partitionBy("ea", "eb").orderBy("h")
-        val theta = mrows.withColumn("rn", row_number().over(wPair))
-          .filter(col("rn") === k).select(col("ea"), col("eb"), col("h").as("th"))
-        val common = prs.join(sk.toDF("ea", "h"), Seq("ea"))
-          .join(sk.toDF("eb", "h"), Seq("eb", "h"))
-          .join(theta, Seq("ea", "eb"), "left")
-          .filter(col("th").isNull || col("h") <= col("th"))
-          .groupBy("ea", "eb").agg(count(lit(1)).as("nc"))
+        val merged = array_sort(array_union(col("ha"), col("hb")))
         val estU = when(col("th").isNull, col("mn"))
           .otherwise(expr(s"(${k - 1} * 4294967296) div th"))
-        prs.join(mstat, Seq("ea", "eb"))
-          .join(theta, Seq("ea", "eb"), "left")
-          .join(common, Seq("ea", "eb"), "left")
+        sk.toDF("ea", "ha").crossJoin(sk.toDF("eb", "hb"))
+          .filter(col("ea") < col("eb"))
+          .withColumn("mg", merged)
+          .withColumn("mn", size(col("mg")).cast("long"))
+          .withColumn("th",
+            when(col("mn") >= k, element_at(col("mg"), k)))
+          .withColumn("common",
+            when(col("th").isNull, array_intersect(col("ha"), col("hb")))
+              .otherwise(filter(array_intersect(col("ha"), col("hb")),
+                h => h <= col("th"))))
           .select(col("ea"), col("eb"),
-            coalesce(col("nc"), lit(0L)).as("n_common"),
+            size(col("common")).cast("long").as("n_common"),
             estU.as("est_union"),
-            when(col("th").isNull, coalesce(col("nc"), lit(0L)))
-              .otherwise(expr(s"(coalesce(nc, 0) * ((${k - 1} * 4294967296) div th)) div $k"))
+            when(col("th").isNull, size(col("common")).cast("long"))
+              .otherwise(expr(s"(size(common) * ((${k - 1} * 4294967296) div th)) div $k"))
               .as("est_intersect"))
           .orderBy("ea", "eb")
       },
