@@ -336,6 +336,57 @@ object Dedup {
                     / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))""", 4)} >= 0.05
         ORDER BY doc_a, doc_b""")),
 
+    QDef("dedup_minhash_recall",
+      // Candidate RECALL of the LSH index — the number that justifies
+      // shipping the banded path at 100 TB (sim_ann_ivf_recall's
+      // counterpart for text dedup): ground truth = exact-Jaccard>=0.5
+      // pairs computed pairwise over a 1-in-5 doc_a sample (the audit
+      // is quadratic ONLY on the sample, run occasionally — the
+      // production path stays the linear banded join), hits = truth
+      // pairs the (band,bsig) bucket join also surfaces. The 0.5
+      // threshold is the integer test 3·|A∩B| >= |A|+|B| — no FP in
+      // the truth set. One row: truth/candidate/hit counts + recall.
+      (s, dir) => {
+        val sets = ngramSets(s, dir)
+        val inter = graft.functions.SortedInterCountExpr
+          .interCount(col("ss_a"), col("ss_b")).cast("long")
+        val truth = sets.toDF("doc_a", "ss_a")
+          .filter(col("doc_a") % 5 === 0)
+          .crossJoin(sets.toDF("doc_b", "ss_b"))
+          .filter(col("doc_a") < col("doc_b"))
+          .filter(inter * 3 >=
+            (size(col("ss_a")) + size(col("ss_b"))).cast("long"))
+          .select(col("doc_a"), col("doc_b"))
+        val cand = candidatePairs(s, dir).filter(col("doc_a") % 5 === 0)
+        truth.join(cand.withColumn("c", lit(1)), Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("c")).as("n_hit"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .select(col("n_truth"), col("n_cand"), col("n_hit"),
+            rx(col("n_hit").cast("double") / col("n_truth").cast("double"), 4)
+              .as("recall"))
+      },
+      Some(s"""WITH $minhashBandsSql,
+        $candidatePairsSql,
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform($shSql, x -> ${h32Sql("x")})) AS ss
+          FROM documents),
+        truth AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sets a JOIN sets b
+            ON a.doc_id % 5 = 0 AND a.doc_id < b.doc_id
+          WHERE 3 * len(list_intersect(a.ss, b.ss)) >= len(a.ss) + len(b.ss)),
+        cand AS (SELECT doc_a, doc_b FROM cpairs WHERE doc_a % 5 = 0),
+        j AS (
+          SELECT t.doc_a, c.doc_a AS hit
+          FROM truth t LEFT JOIN cand c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+        SELECT count(*) AS n_truth,
+               (SELECT count(*) FROM cand) AS n_cand,
+               count(hit) AS n_hit,
+               ${rxSql("count(hit) / CAST(count(*) AS DOUBLE)", 4)} AS recall
+        FROM j""")),
+
     QDef("dedup_containment",
       // Containment scoring on the same LSH candidate pairs:
       // |A∩B| / min(|A|, |B|) instead of Jaccard — the metric that
