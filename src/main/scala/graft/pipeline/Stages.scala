@@ -60,7 +60,11 @@ object Stages {
       def p(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
       val docs = p(Corpus.flatDocs(s, dir))
       val triples = p(Corpus.indexTriples(s, dir))
-      val nested = Corpus.nestedDocsFrom(docs, triples)
+      // Persisted because NestedEnrich.enrich references it TWICE (the
+      // posexplode source and the final doc re-join) — Spark shares no
+      // common subtrees, so unpersisted the nest groupBy+collect_list
+      // shuffle runs twice per enrich plan.
+      val nested = p(Corpus.nestedDocsFrom(docs, triples))
       val known = p(Classify.knownEntities(docs))
       // The distinct-term set feeds both the classify map and the batch
       // envelope; one persisted distinct instead of one per consumer.
@@ -71,7 +75,7 @@ object Stages {
       val built = PipelineStages(docs, triples, nested, known, terms, api, labeled, nodes)
       val prev = cache.putIfAbsent(key, built)
       if (prev != null) {
-        Seq(docs, triples, known, terms, api, labeled, nodes)
+        Seq(docs, triples, nested, known, terms, api, labeled, nodes)
           .foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
         prev
       } else built
@@ -89,7 +93,7 @@ object Stages {
       val e = it.next()
       if (e.getKey.startsWith(prefix)) {
         val st = e.getValue
-        Seq(st.docs, st.triples, st.known, st.terms, st.api, st.labeled, st.nodes)
+        Seq(st.docs, st.triples, st.nested, st.known, st.terms, st.api, st.labeled, st.nodes)
           .foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
         it.remove()
       }
