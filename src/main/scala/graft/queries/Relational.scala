@@ -1332,6 +1332,34 @@ object Relational {
         SELECT 'except' AS op, v FROM (
           SELECT DISTINCT o_orderstatus AS v FROM orders
           EXCEPT SELECT DISTINCT l_linestatus FROM lineitem)
-        ORDER BY op, v"""))
+        ORDER BY op, v""")),
+
+    QDef("setop_bag_ops",
+      // BAG-semantics set ops (INTERSECT ALL / EXCEPT ALL): duplicate
+      // multiplicities carry through — min(m_a, m_b) survives the
+      // intersection, max(m_a - m_b, 0) the difference — which is the
+      // semantics inventory reconciliation actually needs (three
+      // bookings vs two shipments leaves ONE open booking; the
+      // distinct forms above would say zero). Catalyst plans both as
+      // one aggregate-style shuffle on the value, no join explosion.
+      (s, dir) => {
+        val a = t(s, dir, "lineitem").filter(col("l_returnflag") === "A")
+          .select(col("l_partkey").as("k"))
+        val b = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_partkey").as("k"))
+        a.intersectAll(b).select(lit("intersect_all").as("op"), col("k"))
+          .union(a.exceptAll(b).select(lit("except_all").as("op"), col("k")))
+          .orderBy("op", "k")
+      },
+      Some("""SELECT 'intersect_all' AS op, k FROM (
+          SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A'
+          INTERSECT ALL
+          SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        UNION ALL
+        SELECT 'except_all' AS op, k FROM (
+          SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A'
+          EXCEPT ALL
+          SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        ORDER BY op, k"""))
   )
 }
