@@ -34,7 +34,8 @@ object Bench {
       "dedup_cluster_cc", "scan_partition_pruned", "text_tfidf",
       "dedup_ngram_jaccard", "dedup_simhash", "graph_pagerank",
       "sim_ann_pq", "graph_triangle_count", "dedup_substring",
-      "text_lm_score", "scan_dsv2_skipping", "agg_kmv_sketch")
+      "text_lm_score", "scan_dsv2_skipping", "agg_kmv_sketch",
+      "pipeline_nested_enrich")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     stagers.foreach { n =>
