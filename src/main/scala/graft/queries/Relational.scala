@@ -1210,6 +1210,48 @@ object Relational {
             AS v_filled
         FROM e ORDER BY event_id""")),
 
+    QDef("win_time_weighted",
+      // Time-weighted average (TWAP) — the telemetry/finance mean
+      // where each reading counts for how LONG it held, not how often
+      // it was sampled: weight = micros until the user's next event
+      // (lead over a total (ts, event_id) order; the final open-ended
+      // reading drops out). The weighted sum runs in exact arithmetic
+      // — DECIMAL(18,2) reading × bigint micros, decimal-summed — and
+      // only the final ratio goes through double division (of
+      // identical exact inputs, so both engines produce the same
+      // bits). One window + one aggregate, linear at any scale.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("dur_us",
+            unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .filter(col("dur_us").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dur_us")).as("total_us"),
+            sum(money(col("value")) * col("dur_us")).as("wsum"))
+          .select(col("user_id"), col("n_intervals"), col("total_us"),
+            rx(col("wsum").cast("double") / col("total_us").cast("double"), 6)
+              .as("twap"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                 CAST(value AS DECIMAL(18,2)) AS v
+          FROM events),
+        d AS (
+          SELECT user_id, v,
+            epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) - epoch_us(ts)
+              AS dur_us
+          FROM e)
+        SELECT user_id, count(*) AS n_intervals,
+               sum(dur_us) AS total_us,
+               floor(CAST(sum(v * dur_us) AS DOUBLE)
+                     / CAST(sum(dur_us) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS twap
+        FROM d WHERE dur_us IS NOT NULL
+        GROUP BY user_id ORDER BY user_id""")),
+
     // ------------------------------------------------------------------
     // Sorts / top-k
     // ------------------------------------------------------------------
