@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Multimodal
@@ -185,6 +186,53 @@ object MultimodalQ {
         SELECT media_id, kind, CAST(frame_no AS BIGINT) AS frame_no,
                md5(substring(hx, CAST(frame_no * 512 + 1 AS INT), 512)) AS frame_md5
         FROM f WHERE frame_no % 2 = 0
-        ORDER BY media_id, frame_no"""))
+        ORDER BY media_id, frame_no""")),
+
+    QDef("multimodal_shard_manifest",
+      // Shard-packing manifest (the WebDataset/tar-shard planning
+      // step): media payloads are packed, in deterministic id order,
+      // into ~4 KiB shards, and each item gets (shard_idx,
+      // byte_offset, n_bytes) — the random-access coordinates a
+      // training dataloader reads back. Greedy packing is an exclusive
+      // byte cumsum: shard = cum div target (a shard absorbs the item
+      // that crosses the boundary — no splitting), offset = cum minus
+      // the shard's first cum. Both windows are PARTITIONED BY source
+      // (the shard key is (source, shard_idx)), so packing
+      // parallelizes per source exactly like text_pack_sequences —
+      // no global single-partition window at 100 TB. Byte sizes are
+      // octet_length (UTF-8 bytes, not chars — zh payloads differ).
+      (s, dir) => {
+        val T = 4096L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+        val wShard = org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "shard_idx")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            octet_length(col("text")).cast("long").as("n_bytes"))
+          .withColumn("cum_excl",
+            coalesce(sum(col("n_bytes")).over(
+              w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("shard_idx", expr(s"cum_excl div $T"))
+          .withColumn("byte_offset",
+            col("cum_excl") - min(col("cum_excl")).over(wShard))
+          .select(col("doc_id"), col("source"), col("shard_idx"),
+            col("byte_offset"), col("n_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH items AS (
+          SELECT doc_id, source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_bytes,
+            COALESCE(sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+          FROM items),
+        sh AS (SELECT *, cum_excl // 4096 AS shard_idx FROM c)
+        SELECT doc_id, source, shard_idx,
+               cum_excl - min(cum_excl) OVER (PARTITION BY source, shard_idx)
+                 AS byte_offset,
+               n_bytes
+        FROM sh ORDER BY doc_id"""))
   )
 }
