@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reproducibility under re-partitioning — the 100 TB portability
+  * claim behind every "fold-order-free / engine-exact" Scaladoc in the
+  * inventory: the same query must produce byte-identical results
+  * whether the shuffle fans out over 3 partitions or 7 (a cluster
+  * resize, AQE coalesce, or spot-loss re-plan must never change an
+  * answer). Each probe query was chosen because its family is the one
+  * that BREAKS under naive spellings: double aggregation (fold order),
+  * window ties (underspecified order), iterative integer graph rounds,
+  * quantized LM scores, and array-shipped sketch synopses.
+  */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val probes = Seq(
+    "agg_hash_group",     // DECIMAL sums: fold-order-free by construction
+    "win_rank_dedup",     // window with tie-broken total order
+    "graph_pagerank",     // iterative integer rounds
+    "text_lm_score",      // integer-ppm quantized probabilities
+    "agg_kmv_sketch")     // array synopsis + floor-div estimators
+
+  private def rows(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+
+  for (name <- probes)
+    test(s"$name is invariant under shuffle-partition count") {
+      val conf = "spark.sql.shuffle.partitions"
+      val saved = spark.conf.get(conf)
+      try {
+        spark.conf.set(conf, "3")
+        val narrow = rows(name)
+        spark.conf.set(conf, "7")
+        val wide = rows(name)
+        assert(narrow === wide,
+          s"$name changed results when shuffle width changed 3 -> 7")
+        assert(narrow.nonEmpty, s"$name returned no rows")
+      } finally spark.conf.set(conf, saved)
+    }
+}
