@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Text
 
@@ -200,6 +201,81 @@ object Dedup {
           SELECT r.a, e.dst FROM reach r JOIN cedges e ON r.b = e.src)
         SELECT a AS doc_id, min(b) AS cluster FROM reach
         GROUP BY a ORDER BY doc_id""")),
+
+    QDef("dedup_keep_best",
+      // Representative selection AFTER clustering: real pipelines keep
+      // the BEST member of each duplicate cluster, not the first —
+      // here "most complete" (n_chars DESC, doc_id tiebreak), the
+      // heuristic that prefers the un-truncated copy of a near-dup
+      // group. Unpaired docs are singleton clusters and keep
+      // themselves. One left join + one per-cluster window on top of
+      // the shared CC labels — the keeper policy is a pluggable ORDER
+      // BY, nothing else changes.
+      (s, dir) => {
+        val w = Window.partitionBy("cluster")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+          .join(ccLabels(s, dir), Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"),
+            col("n_chars"))
+          .withColumn("keep", row_number().over(w) === 1)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $minhashBandsSql,
+        $candidatePairsSql,
+        cedges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cpairs
+          UNION SELECT doc_b, doc_a FROM cpairs),
+        reach(a, b) AS (
+          SELECT src, src FROM cedges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cedges e ON r.b = e.src),
+        lab AS (
+          SELECT d.doc_id,
+                 COALESCE(r.cluster, d.doc_id) AS cluster,
+                 d.n_chars
+          FROM documents d
+          LEFT JOIN (SELECT a AS doc_id, min(b) AS cluster
+                     FROM reach GROUP BY a) r USING (doc_id))
+        SELECT doc_id, cluster, n_chars,
+               (row_number() OVER (PARTITION BY cluster
+                  ORDER BY n_chars DESC, doc_id) = 1) AS keep
+        FROM lab ORDER BY doc_id""")),
+
+    QDef("dedup_ngram_novelty",
+      // Contribution scoring: what fraction of a doc's 3-gram shingles
+      // is NOVEL — first contributed by this doc under deterministic
+      // doc_id order? The dedup-aware sampling signal (a doc whose
+      // n-grams all appeared earlier adds nothing to a training mix
+      // even if no single pair crosses a near-dup threshold). One
+      // explode + one min-aggregate on the shingle hash + one join
+      // back — linear, and the n-gram ownership table is the same
+      // shuffle key space the LSH index already uses.
+      (s, dir) => {
+        val ex = ngramSets(s, dir)
+          .select(col("doc_id"), explode(col("ss")).as("h"))
+        val first = ex.groupBy("h").agg(min(col("doc_id")).as("fd"))
+        ex.join(first, Seq("h"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            count(when(col("fd") === col("doc_id"), 1)).as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            rx(col("n_novel").cast("double") / col("n_shingles").cast("double"), 4)
+              .as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform($shSql, x -> ${h32Sql("x")})) AS ss
+          FROM documents),
+        ex AS (SELECT doc_id, unnest(ss) AS h FROM sets),
+        fst AS (SELECT h, min(doc_id) AS fd FROM ex GROUP BY h)
+        SELECT e.doc_id, count(*) AS n_shingles,
+               count(CASE WHEN fd = e.doc_id THEN 1 END) AS n_novel,
+               ${rxSql("count(CASE WHEN fd = e.doc_id THEN 1 END) / CAST(count(*) AS DOUBLE)", 4)} AS novelty
+        FROM ex e JOIN fst USING (h)
+        GROUP BY e.doc_id ORDER BY doc_id""")),
 
     QDef("sample_leakage_safe_split",
       // Group-aware train/valid/test split: near-duplicates MUST land
