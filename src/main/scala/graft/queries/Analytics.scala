@@ -127,10 +127,10 @@ object Analytics {
           SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
                       OVER (PARTITION BY user_id) AS t_purchase FROM w2)
         SELECT DISTINCT user_id, t_view, t_click, t_purchase,
-          CASE WHEN t_purchase IS NOT NULL THEN 3
+          CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
                WHEN t_click IS NOT NULL THEN 2
                WHEN t_view IS NOT NULL THEN 1
-               ELSE 0 END AS stage
+               ELSE 0 END AS BIGINT) AS stage
         FROM w3 ORDER BY user_id""")),
 
     QDef("profile_column_stats",
@@ -397,7 +397,7 @@ object Analytics {
           n AS (SELECT DISTINCT src AS node_id FROM e),
           r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS pr FROM n),
           $rounds
-          SELECT node_id, pr FROM r3 ORDER BY node_id""")
+          SELECT node_id, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node_id""")
       }),
 
     QDef("graph_bfs_distance",
@@ -568,8 +568,8 @@ object Analytics {
         ORDER BY p.ea, p.eb""")),
 
     QDef("agg_countmin",
-      // Count-Min sketch: 4 x 64 counter cells from md5-affine hashes
-      // (engine-portable, deterministic), built as ONE map-side-combined
+      // Count-Min sketch: 4 x 64 counter cells from 4 independent salted
+      // md5 hashes (engine-portable, deterministic), built as ONE map-side-combined
       // aggregate over a 4-way stack — the cells are plain sums, so
       // sketches MERGE across partitions/days/tenants by cell-wise
       // addition (the same composition contract as agg_hll_union) while
@@ -578,22 +578,25 @@ object Analytics {
       // n_est >= n_true, and the oracle checks exact equality of both
       // numbers per key (everything integer arithmetic).
       (s, dir) => {
-        val hashSpec = "stack(4," +
-          " 0, (1 * b + 0) % 64," +
-          " 1, (31 * b + 7) % 64," +
-          " 2, (131 * b + 101) % 64," +
-          " 3, (65537 * b + 9973) % 64) AS (i, h)"
-        val base = t(s, dir, "lineitem")
-          .select(col("l_partkey").as("k"),
-            graft.functions.Text.md5Hash32(col("l_partkey").cast("string"))
-              .as("b"))
+        // One INDEPENDENT md5 per row (salted "cm<i>:" prefix), not
+        // affine rehashes of one digest: affine maps (a*b+c) % 64 with
+        // odd a all induce the SAME key partition mod 64, so two keys
+        // collide in every row or none and min-over-4 degenerates to
+        // d=1. Salted digests give the pairwise-independent rows the
+        // d×w error bound actually assumes.
+        def hc(i: Int, c: org.apache.spark.sql.Column) =
+          pmod(graft.functions.Text.md5Hash32(
+            concat(lit(s"cm$i:"), c.cast("string"))), lit(64L))
+        def withHashes(df: org.apache.spark.sql.DataFrame) = df.select(
+          df.columns.map(col) ++
+            (0 to 3).map(i => hc(i, col("k")).as(s"h$i")): _*)
+        val hashSpec = "stack(4, 0, h0, 1, h1, 2, h2, 3, h3) AS (i, h)"
+        val base = withHashes(t(s, dir, "lineitem").select(col("l_partkey").as("k")))
         val cells = base.selectExpr("k", hashSpec)
           .groupBy("i", "h").agg(count(lit(1)).as("c"))
-        val keys = base.groupBy("k").agg(count(lit(1)).as("n_true"))
-        val kh = keys
-          .withColumn("b",
-            graft.functions.Text.md5Hash32(col("k").cast("string")))
-          .selectExpr("k", "n_true", hashSpec)
+        val keys = t(s, dir, "lineitem").select(col("l_partkey").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_true"))
+        val kh = withHashes(keys).selectExpr("k", "n_true", hashSpec)
         kh.join(broadcast(cells), Seq("i", "h"))
           .groupBy("k", "n_true").agg(min(col("c")).as("n_est"))
           .select(col("k").as("part"), col("n_true"), col("n_est"),
@@ -601,14 +604,12 @@ object Analytics {
           .orderBy(col("n_true").desc, col("part")).limit(25)
       },
       Some("""WITH base AS (
-          SELECT l_partkey AS k,
-            CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS b
-          FROM lineitem),
+          SELECT l_partkey AS k FROM lineitem),
         hashed AS (
-          SELECT k, 0 AS i, (1 * b + 0) % 64 AS h FROM base
-          UNION ALL SELECT k, 1, (31 * b + 7) % 64 FROM base
-          UNION ALL SELECT k, 2, (131 * b + 101) % 64 FROM base
-          UNION ALL SELECT k, 3, (65537 * b + 9973) % 64 FROM base),
+          SELECT k, 0 AS i, CAST(('0x' || substr(md5('cm0:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS h FROM base
+          UNION ALL SELECT k, 1, CAST(('0x' || substr(md5('cm1:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 64 FROM base
+          UNION ALL SELECT k, 2, CAST(('0x' || substr(md5('cm2:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 64 FROM base
+          UNION ALL SELECT k, 3, CAST(('0x' || substr(md5('cm3:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 64 FROM base),
         cells AS (SELECT i, h, count(*) AS c FROM hashed GROUP BY i, h),
         keys AS (SELECT k, count(*) AS n_true FROM base GROUP BY k),
         kh AS (SELECT DISTINCT k, i, h FROM hashed),

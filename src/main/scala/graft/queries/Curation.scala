@@ -124,10 +124,10 @@ object Curation {
       Some("""WITH drawn AS (
           SELECT doc_id, lang,
             CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS u,
-            CASE WHEN lang = 'en' THEN 2500
+            CAST(CASE WHEN lang = 'en' THEN 2500
                  WHEN lang IN ('de', 'fr') THEN 5000
                  WHEN lang = 'es' THEN 7500
-                 ELSE 10000 END AS rate_bp
+                 ELSE 10000 END AS BIGINT) AS rate_bp
           FROM documents)
         SELECT doc_id, lang, u, rate_bp FROM drawn
         WHERE u < rate_bp ORDER BY doc_id""")),
@@ -304,7 +304,7 @@ object Curation {
           SELECT doc_id, sum(q) AS s, count(*) AS n_bigrams
           FROM bgs JOIN q USING (bg) GROUP BY doc_id)
         SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
-               s // n_bigrams AS score_ppm
+               CAST(s // n_bigrams AS BIGINT) AS score_ppm
         FROM (SELECT doc_id FROM documents) d
         LEFT JOIN per_doc USING (doc_id)
         ORDER BY doc_id"""))

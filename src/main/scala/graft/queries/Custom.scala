@@ -53,7 +53,7 @@ object Custom {
           FROM orders GROUP BY 1)
         SELECT c.c_custkey AS custkey, count(*) AS n_cust,
                coalesce(any_value(oc.n_orders), 0) AS n_orders,
-               coalesce(any_value(oc.cents), 0) AS order_cents
+               CAST(coalesce(any_value(oc.cents), 0) AS BIGINT) AS order_cents
         FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
         GROUP BY c.c_custkey
         ORDER BY custkey""")),

@@ -229,9 +229,9 @@ object MultimodalQ {
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
           FROM items),
         sh AS (SELECT *, cum_excl // 4096 AS shard_idx FROM c)
-        SELECT doc_id, source, shard_idx,
-               cum_excl - min(cum_excl) OVER (PARTITION BY source, shard_idx)
-                 AS byte_offset,
+        SELECT doc_id, source, CAST(shard_idx AS BIGINT) AS shard_idx,
+               CAST(cum_excl - min(cum_excl) OVER (PARTITION BY source, shard_idx)
+                 AS BIGINT) AS byte_offset,
                n_bytes
         FROM sh ORDER BY doc_id"""))
   )

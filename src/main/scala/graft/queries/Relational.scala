@@ -516,11 +516,16 @@ object Relational {
             .as("size"))
         .unpivot(Array(col("p_partkey")),
           Array(col("retailprice"), col("size")), "field", "val")
+        // Final cast to double: a DECIMAL output column round-trips as
+        // decimal128 parquet, and the gate's pandas-side repr of
+        // Decimal('907.10') != float 907.1 — same trailing-zero trap as
+        // HUGEINT sums. Exact here (2-decimal money fits a double).
+        .withColumn("val", col("val").cast("double"))
         .orderBy("p_partkey", "field"),
       Some("""SELECT p_partkey, 'retailprice' AS field,
-            CAST(p_retailprice AS DECIMAL(18,2)) AS val FROM part
+            CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS val FROM part
         UNION ALL
-        SELECT p_partkey, 'size', CAST(p_size AS DECIMAL(18,2)) FROM part
+        SELECT p_partkey, 'size', CAST(CAST(p_size AS DECIMAL(18,2)) AS DOUBLE) FROM part
         ORDER BY p_partkey, field""")),
 
     QDef("project_docs",
@@ -1246,7 +1251,7 @@ object Relational {
               AS dur_us
           FROM e)
         SELECT user_id, count(*) AS n_intervals,
-               sum(dur_us) AS total_us,
+               CAST(sum(dur_us) AS BIGINT) AS total_us,
                floor(CAST(sum(v * dur_us) AS DOUBLE)
                      / CAST(sum(dur_us) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS twap
         FROM d WHERE dur_us IS NOT NULL

@@ -538,9 +538,9 @@ object Streaming {
             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents,
             max(ts) AS last_ts
           FROM sess2 GROUP BY user_id)
-        SELECT user_id, n, cents FROM fired1 WHERE f
+        SELECT user_id, n, CAST(cents AS BIGINT) AS cents FROM fired1 WHERE f
         UNION ALL
-        SELECT user_id, n, cents FROM s2
+        SELECT user_id, n, CAST(cents AS BIGINT) AS cents FROM s2
         WHERE last_ts + INTERVAL '10 minutes' <= (SELECT w FROM wm2)
         ORDER BY user_id, n, cents""")),
 

@@ -256,6 +256,17 @@ class GraftTsvWriteBuilder(path: String,
     doTruncate = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write = {
+    // Append is rejected by contract, not just untested: a commit is a
+    // full generation whose per-file zone maps tile the doc_id range.
+    // Appending a second range-partitioned generation would (a) clobber
+    // same-numbered part-NNNNN files via REPLACE_EXISTING while leaving
+    // the rest of the old generation in place — a silent mix of
+    // generations with duplicate rows — and (b) interleave overlapping
+    // zone maps, breaking the disjointness that file skipping relies on.
+    require(doTruncate,
+      "graft-tsv batch writes require mode(\"overwrite\"): the sink " +
+        "commits whole generations with disjoint zone maps; append would " +
+        "mix generations and clobber same-numbered part files")
     val names = info.schema().fields.map(_.name).toSeq
     val want = GraftTsv.schema.fields.map(_.name).toSeq
     require(names == want, s"graft-tsv writes schema $want, got $names")
@@ -330,6 +341,17 @@ class GraftTsvWriter(path: String, partitionId: Int, taskId: Long)
   private var mx = Long.MinValue
 
   override def write(r: InternalRow): Unit = {
+    // The format has no null encoding (every cell is a mandatory field
+    // of the zone-mapped layout), so nulls are a caller error — fail
+    // with the column name instead of an NPE deep in getUTF8String.
+    var i = 0
+    while (i < GraftTsv.schema.length) {
+      if (r.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft-tsv cannot write null ${GraftTsv.schema(i).name} " +
+          s"(row $n of partition $partitionId): the format has no null " +
+          "encoding; filter or coalesce nulls before writing")
+      i += 1
+    }
     val id = r.getLong(0)
     mn = math.min(mn, id); mx = math.max(mx, id); n += 1
     buf += s"$id\t${GraftTsv.esc(r.getUTF8String(1).toString)}\t" +
@@ -379,31 +401,70 @@ class GraftTsvMicroBatchStream(path: String, required: StructType,
 
   private def target: Long = pinned.getOrElse(allFiles().length.toLong)
 
-  override def initialOffset(): Offset = GraftTsvOffset(0)
+  /** Fingerprint of the first n names of the (sorted) listing. Offsets
+    * carry it so a checkpoint restart can detect that the directory was
+    * rewritten under the checkpoint (new overwrite generation, files
+    * renamed/recounted): a bare positional index would silently remap
+    * to different files, duplicating or skipping data.
+    */
+  private def sig(fs: Array[String], n: Int): String = {
+    val names = fs.take(n).map(f => Paths.get(f).getFileName.toString)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    names.foreach(s => md.update((s + "\n").getBytes(StandardCharsets.UTF_8)))
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  override def initialOffset(): Offset = GraftTsvOffset(0, sig(Array.empty, 0))
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "admission-controlled source: latestOffset(start, limit)")
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftTsvOffset].n
-    GraftTsvOffset(math.min(s + perTrigger, target))
+    val fs = allFiles()
+    val e = math.min(s + perTrigger, target).toInt
+    GraftTsvOffset(e.toLong, sig(fs, e))
   }
-  override def reportLatestOffset(): Offset = GraftTsvOffset(target)
+  override def reportLatestOffset(): Offset = {
+    val fs = allFiles()
+    GraftTsvOffset(target, sig(fs, target.toInt))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[GraftTsvOffset].n.toInt,
-      end.asInstanceOf[GraftTsvOffset].n.toInt)
-    allFiles().slice(s, e).map(f => GraftTsvPartition(f): InputPartition)
+    val so = start.asInstanceOf[GraftTsvOffset]
+    val eo = end.asInstanceOf[GraftTsvOffset]
+    val (s, e) = (so.n.toInt, eo.n.toInt)
+    val fs = allFiles()
+    // Validate the checkpointed prefix against the live listing before
+    // trusting positional indexes (empty sig = legacy offset, unchecked).
+    def check(o: GraftTsvOffset): Unit =
+      if (o.sig.nonEmpty && o.n <= fs.length && sig(fs, o.n.toInt) != o.sig)
+        throw new IllegalStateException(
+          s"graft-tsv checkpoint mismatch at $path: offset ${o.n} was " +
+            "recorded against a different file listing (directory " +
+            "rewritten since the checkpoint?); restart with a fresh " +
+            "checkpoint instead of silently remapping offsets to files")
+    check(so); check(eo)
+    if (e > fs.length) throw new IllegalStateException(
+      s"graft-tsv checkpoint mismatch at $path: offset $e exceeds the " +
+        s"${fs.length}-file listing (files removed since the checkpoint?)")
+    fs.slice(s, e).map(f => GraftTsvPartition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftTsvReaderFactory(required)
-  override def deserializeOffset(json: String): Offset =
-    GraftTsvOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    // Legacy form: bare index. Current form: "<n>:<md5-of-name-list>".
+    t.indexOf(':') match {
+      case -1 => GraftTsvOffset(t.toLong, "")
+      case i  => GraftTsvOffset(t.substring(0, i).toLong, t.substring(i + 1))
+    }
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-case class GraftTsvOffset(n: Long)
+case class GraftTsvOffset(n: Long, sig: String = "")
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = n.toString
+  override def json(): String = if (sig.isEmpty) n.toString else s"$n:$sig"
 }

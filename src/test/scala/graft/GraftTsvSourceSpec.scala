@@ -91,6 +91,59 @@ class GraftTsvSourceSpec extends AnyFunSuite {
         s"got ${fed.length}")
   }
 
+  test("batch append is rejected: generations must not mix") {
+    dir // force the write
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    val e = intercept[Exception] {
+      src.write.format("graft-tsv").mode("append").save(dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("overwrite")),
+      s"expected the mode(\"overwrite\") contract error, got $e")
+    // The rejected append must not have disturbed the existing generation.
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(files.forall(_.endsWith(".gtsv")), s"append left temps: $files")
+  }
+
+  test("null column values fail the write with the column name") {
+    val out = "/root/repo/target/scratch/gtsv_spec/nulls"
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.when(col("doc_id") === 3L, null)
+          .otherwise(col("lang")).as("lang"),
+        col("source"), col("n_chars"), col("text"))
+    val e = intercept[Exception] {
+      src.write.format("graft-tsv").mode("overwrite").save(out)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("cannot write null lang")),
+      s"expected a named-column null error, got $e")
+  }
+
+  test("streaming offsets carry the listing fingerprint and reject remaps") {
+    import graft.sources.GraftTsvOffset
+    // json round-trip keeps the signature
+    val o = GraftTsvOffset(3, "abcd0123")
+    assert(o.json() === "3:abcd0123")
+    // A rewritten directory (different names → different sig) must fail
+    // planInputPartitions instead of silently remapping indexes.
+    val stream = new graft.sources.GraftTsvMicroBatchStream(
+      dir, GraftTsv.schema, 8)
+    val good = stream.latestOffset(stream.initialOffset(),
+      null.asInstanceOf[org.apache.spark.sql.connector.read.streaming.ReadLimit])
+    // same listing → plans fine
+    assert(stream.planInputPartitions(stream.initialOffset(), good).nonEmpty)
+    val bad = GraftTsvOffset(good.asInstanceOf[GraftTsvOffset].n, "0" * 32)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(stream.initialOffset(), bad)
+    }
+    assert(e.getMessage.contains("checkpoint mismatch"))
+  }
+
   test("column pruning reaches the scan's read schema") {
     val df = spark.read.format("graft-tsv").load(dir)
       .select("doc_id", "lang")

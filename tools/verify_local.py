@@ -49,14 +49,25 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
+        # The driver hashes value reprs, so dtype drift that compares
+        # equal still fails there: DuckDB HUGEINT (sum of BIGINT) and
+        # DECIMAL fetchdf as float64/object while Spark writes int64 —
+        # '324067.0' vs '324067'. Mirror that strictness here.
+        dt = [(c, str(exp[c].dtype), str(got[c].dtype)) for c in exp.columns
+              if str(exp[c].dtype) != str(got[c].dtype)]
+        if dt:
+            print(f"WARN {name}: dtype drift {dt} "
+                  f"(CAST the oracle aggregate — HUGEINT/DECIMAL trap)")
         mismatch = None
         for c in exp.columns:
             ev, gv = exp[c].tolist(), got[c].tolist()
             for i, (a, b) in enumerate(zip(ev, gv)):
                 if a != b and not (a != a and b != b):  # NaN==NaN ok
-                    if str(a) != str(b):
-                        mismatch = (c, i, a, b)
-                        break
+                    mismatch = (c, i, a, b)
+                    break
+                if str(a) != str(b):  # repr drift fails the hash gate
+                    mismatch = (c, i, a, b)
+                    break
             if mismatch:
                 break
         if mismatch:
