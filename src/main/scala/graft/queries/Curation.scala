@@ -307,6 +307,97 @@ object Curation {
                CAST(s // n_bigrams AS BIGINT) AS score_ppm
         FROM (SELECT doc_id FROM documents) d
         LEFT JOIN per_doc USING (doc_id)
+        ORDER BY doc_id""")),
+
+    QDef("text_pmi_collocations",
+      // Collocation mining by pointwise mutual information — the
+      // phrase-discovery pass (tokenizer vocab candidates, stopword-
+      // phrase lists) curation pipelines run corpus-wide. PMI's
+      // log() is transcendental (engine-divergent by design rule), so
+      // the score is the LIFT in exact integer parts-per-million:
+      // lift_ppm = c(w1 w2)·N·1e6 div (c(w1·)·c(·w2)) — the same
+      // ranking as PMI (log is monotone), all bigint floor division.
+      // Reuses the staged lm_bigrams explode; the aggregates are
+      // map-side-combined on the vocabulary-sized bigram key space,
+      // and the unigram/total tables are broadcast — one corpus
+      // shuffle total, the linear plan this keeps at 100 TB.
+      (s, dir) => {
+        val bgs = graft.pipeline.Staged(s, dir, "lm_bigrams") {
+          t(s, dir, "documents")
+            .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+            .select(col("doc_id"), explode(Text.shingles(col("tks"), 2)).as("bg"))
+        }
+        val cnt = bgs.groupBy("bg").agg(count(lit(1)).as("c12"))
+        val tot = cnt.agg(sum(col("c12")).cast("long").as("n_total"))
+        val c1 = cnt.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(sum(col("c12")).as("c1"))
+        val c2 = cnt.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+          .agg(sum(col("c12")).as("c2"))
+        cnt.filter(col("c12") >= 5)
+          .join(broadcast(c1), substring_index(col("bg"), " ", 1) === col("w1"))
+          .join(broadcast(c2), substring_index(col("bg"), " ", -1) === col("w2"))
+          .crossJoin(broadcast(tot))
+          .select(col("bg"), col("c12"),
+            expr("(c12 * n_total * 1000000) div (c1 * c2)").as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("bg")).limit(20)
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, $toksSql AS tks FROM documents),
+        bgs AS (
+          SELECT doc_id,
+            unnest(list_transform(range(greatest(len(tks) - 1, 0)),
+              i -> tks[i+1] || ' ' || tks[i+2])) AS bg
+          FROM d),
+        cnt AS (SELECT bg, count(*) AS c12 FROM bgs GROUP BY bg),
+        tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_total FROM cnt),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+               FROM cnt GROUP BY 1),
+        c2 AS (SELECT split_part(bg, ' ', 2) AS w2, CAST(sum(c12) AS BIGINT) AS c2
+               FROM cnt GROUP BY 1)
+        SELECT bg, c12,
+               CAST((c12 * n_total * 1000000) // (c1 * c2) AS BIGINT) AS lift_ppm
+        FROM cnt
+        JOIN c1 ON split_part(bg, ' ', 1) = w1
+        JOIN c2 ON split_part(bg, ' ', 2) = w2
+        CROSS JOIN tot
+        WHERE c12 >= 5
+        ORDER BY lift_ppm DESC, bg LIMIT 20""")),
+
+    QDef("sample_dedup_weighted",
+      // Duplicate-aware downsampling (the RefinedWeb-style soft dedup):
+      // instead of hard-keeping one representative per duplicate
+      // cluster (dedup_exact), every copy survives an independent
+      // deterministic 1/k draw, k = its cluster size — so duplicated
+      // content is down-WEIGHTED to ~one expected copy while which
+      // copy survives stays reproducible (md5 of a salted doc_id, not
+      // an RNG). The cluster key here is the 3-token PREFIX
+      // fingerprint (the URL/title-key flavor of soft dedup; this
+      // corpus has no exact-text duplicates, so the exact fp would
+      // leave the k>1 arm dead — the dead-arm trap). Plan: one shuffle
+      // on the 16-hex key to size clusters, one join back, a codegen'd
+      // filter — the linear exact-dedup shape with the keep decision
+      // swapped.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .select(col("doc_id"),
+            substring(md5(concat_ws(" ", slice(col("tks"), 1, 3))), 1, 16)
+              .as("pk"))
+        val sz = docs.groupBy("pk").agg(count(lit(1)).as("csize"))
+        docs.join(sz, "pk")
+          .filter(pmod(Text.md5Hash32(
+            concat(lit("dw:"), col("doc_id").cast("string"))), col("csize")) === 0)
+          .select(col("doc_id"), col("pk"), col("csize"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id,
+            substr(md5(coalesce(array_to_string(($toksSql)[1:3], ' '), '')), 1, 16) AS pk
+          FROM documents),
+        sz AS (SELECT pk, count(*) AS csize FROM d GROUP BY pk)
+        SELECT doc_id, d.pk AS pk, csize
+        FROM d JOIN sz USING (pk)
+        WHERE CAST(('0x' || substr(md5('dw:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % csize = 0
         ORDER BY doc_id"""))
   )
 }

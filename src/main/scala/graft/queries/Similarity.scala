@@ -279,6 +279,7 @@ object Similarity {
   private val SubDims = 16
   private val MSub = 4
   private val PqIters = 2
+  private val MatryCand = 20
 
   /** Per-(vector, subspace) training points for the PQ codebook: the
     * 64-dim vector split into [[MSub]] contiguous 16-dim subvectors,
@@ -543,6 +544,72 @@ object Similarity {
                       row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, vec_id) AS rank
                FROM pairs)
         SELECT q_id, rank, vec_id, qdot FROM rk WHERE rank <= $K
+        ORDER BY q_id, rank""")),
+
+    QDef("sim_matryoshka",
+      // Matryoshka (prefix-dimension) retrieval funnel: stage 1 ranks
+      // the corpus by cosine over only the FIRST 16 of 64 dims — 1/4
+      // of the flops and (served from an int8/fp16 store) 1/4 of the
+      // bytes — and keeps MatryCand candidates per query; stage 2
+      // rescOres just those with the exact full-dim cosine. The funnel
+      // is the standard MRL serving shape: at 100 TB the coarse pass is
+      // the only corpus-wide scan (embarrassingly parallel against the
+      // broadcast query set, same shape as sim_cosine_topk), and the
+      // exact pass touches q·MatryCand rows regardless of corpus size.
+      // Both cosines are rx-rounded with vec_id tie-breaks, so each
+      // stage's cut is deterministic in both engines.
+      (s, dir) => {
+        val ve = vecs(s, dir)
+          .withColumn("p", slice(col("v"), 1, SubDims))
+          .withColumn("pnrm", sqrt(dot(col("p"), col("p"))))
+        val probes = ve.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("p").as("qp"),
+            col("pnrm").as("qpnrm"), col("v").as("qv"), col("nrm").as("qnrm"))
+        val wP = Window.partitionBy("q_id")
+          .orderBy(col("pcos").desc, col("vec_id").asc)
+        val wF = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(probes).join(ve, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"), col("v"), col("nrm"),
+            col("qv"), col("qnrm"),
+            rx(cosine(col("qp"), col("p"), col("qpnrm"), col("pnrm")), 6)
+              .as("pcos"))
+          .withColumn("prk", row_number().over(wP))
+          .filter(col("prk") <= MatryCand)
+          .select(col("q_id"), col("vec_id"), col("pcos"),
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6)
+              .as("cos"))
+          .withColumn("rank", row_number().over(wF))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("pcos"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ve AS (
+          SELECT vec_id,
+            list_transform(range($Dims), i -> CAST(embedding[i+1] AS DOUBLE)) AS v
+          FROM embeddings),
+        vn AS (
+          SELECT vec_id, v,
+            sqrt(list_sum(list_transform(range($Dims), i -> v[i+1] * v[i+1]))) AS nrm,
+            sqrt(list_sum(list_transform(range($SubDims), i -> v[i+1] * v[i+1]))) AS pnrm
+          FROM ve),
+        prs AS (
+          SELECT q.vec_id AS q_id, e.vec_id,
+            ${rxSql(s"list_sum(list_transform(range($SubDims), i -> q.v[i+1] * e.v[i+1])) / (q.pnrm * e.pnrm)", 6)} AS pcos,
+            ${rxSql(s"list_sum(list_transform(range($Dims), i -> q.v[i+1] * e.v[i+1])) / (q.nrm * e.nrm)", 6)} AS cos
+          FROM vn q JOIN vn e ON e.vec_id <> q.vec_id
+          WHERE q.vec_id < $QueryVecs),
+        cand AS (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY pcos DESC, vec_id) AS prk
+          FROM prs),
+        topk AS (
+          SELECT q_id, vec_id, pcos, cos,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, vec_id) AS rank
+          FROM cand WHERE prk <= $MatryCand)
+        SELECT q_id, rank, vec_id, pcos, cos FROM topk WHERE rank <= $K
         ORDER BY q_id, rank""")),
 
     QDef("join_cross_topk_similarity",
