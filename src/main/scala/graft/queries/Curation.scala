@@ -398,6 +398,41 @@ object Curation {
         SELECT doc_id, d.pk AS pk, csize
         FROM d JOIN sz USING (pk)
         WHERE CAST(('0x' || substr(md5('dw:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % csize = 0
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    QDef("pipeline_dq_quarantine",
+      // Expectation-based quarantine routing (the dbt-test / DLT-
+      // expectations shape): every row is tagged with the comma-joined
+      // list of the rules it fails — too_short (n_chars < 100),
+      // unsupported_lang (not in the pipeline's allowlist; zh routes
+      // here in this corpus), too_long (n_chars > 450 — a context-
+      // window guard; the synthetic corpus is pure ASCII, so a
+      // byte-vs-char rule would be a dead arm) —
+      // and quarantined = any failure. One codegen'd projection over
+      // the scan, no shuffle but the driver-compare ORDER BY: the
+      // cheapest possible audit pass, which is why it can run inline on
+      // every 100 TB ingest instead of as a separate validation job.
+      // concat_ws skips NULL arms identically in both engines.
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(",",
+            when(col("n_chars") < 100, lit("too_short")),
+            when(!col("lang").isin("en", "de", "fr", "es"),
+              lit("unsupported_lang")),
+            when(col("n_chars") > 450, lit("too_long"))).as("reasons"))
+        .withColumn("quarantined", (col("reasons") =!= "").cast("int").cast("long"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          concat_ws(',',
+            CASE WHEN n_chars < 100 THEN 'too_short' END,
+            CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'unsupported_lang' END,
+            CASE WHEN n_chars > 450 THEN 'too_long' END)
+            AS reasons,
+          CAST(CASE WHEN concat_ws(',',
+            CASE WHEN n_chars < 100 THEN 'too_short' END,
+            CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'unsupported_lang' END,
+            CASE WHEN n_chars > 450 THEN 'too_long' END)
+            <> '' THEN 1 ELSE 0 END AS BIGINT) AS quarantined
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -308,6 +308,58 @@ object Streaming {
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
 
+    QDef("stream_update_mode",
+      // UPDATE output mode: only the (window, type) groups whose
+      // aggregate CHANGED in a micro-batch reach the sink — the
+      // incremental-refresh contract between append (finals only) and
+      // complete (re-emit everything). Two-phase MemoryStream with the
+      // deterministic time split gives the closed form: batch 1 emits
+      // every group's phase-1 count; batch 2 re-emits the TOTAL count
+      // of exactly the groups a phase-2 row touched (no watermark, so
+      // state never evicts and the update is cumulative). The memory
+      // sink accumulates update rows, so the final table is
+      // u1 ∪ {touched totals} — and a (group) present in both arms
+      // always differs in n, keeping the output order total.
+      (s, dir) => {
+        import s.implicits._
+        val all = t(s, dir, "events")
+          .select(col("ts"), col("event_type"), col("user_id"))
+          .as[Ev].collect()
+        val mn = all.map(_.ts.getTime).min
+        val mx = all.map(_.ts.getTime).max
+        val cut = mn + math.floor((mx - mn) * 0.8).toLong
+        val (p1, p2) = all.partition(_.ts.getTime <= cut)
+        StreamRuns.twoPhaseToMemory(s, "updmode", p1.toSeq, p2.toSeq,
+            mode = "update") { df =>
+          df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").as("w_start"), col("event_type"),
+              col("n"))
+        }.orderBy("w_start", "event_type", "n")
+      },
+      Some("""WITH e AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+                 epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+          FROM events),
+        b AS (SELECT min(ms) AS mn, max(ms) AS mx FROM e),
+        cut AS (SELECT mn + CAST(floor((mx - mn) * 0.8) AS BIGINT) AS c FROM b),
+        p1 AS (SELECT * FROM e WHERE ms <= (SELECT c FROM cut)),
+        p2 AS (SELECT * FROM e WHERE ms > (SELECT c FROM cut)),
+        u1 AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+                      event_type, count(*) AS n
+               FROM p1 GROUP BY 1, 2),
+        tot AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+                       event_type, count(*) AS n
+                FROM e GROUP BY 1, 2),
+        u2 AS (SELECT t.* FROM tot t
+               WHERE EXISTS (SELECT 1 FROM p2
+                             WHERE time_bucket(INTERVAL '1 hour', p2.ts) = t.w_start
+                               AND p2.event_type = t.event_type))
+        SELECT w_start, event_type, n FROM u1
+        UNION ALL
+        SELECT w_start, event_type, n FROM u2
+        ORDER BY w_start, event_type, n""")),
+
     QDef("stream_sliding_window",
       // 10-minute windows sliding by 5: every event lands in exactly
       // two windows; the oracle unions the two bucket shifts.

@@ -117,14 +117,14 @@ object StreamRuns {
     */
   def twoPhaseToMemory[T <: Product : org.apache.spark.sql.Encoder](
       spark: SparkSession, tag: String, p1: Seq[T], p2: Seq[T],
-      forceRocksDb: Boolean = false)(
+      forceRocksDb: Boolean = false, mode: String = "append")(
       build: DataFrame => DataFrame): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
     val qn = s"${tag}_${UUID.randomUUID().toString.take(8).replace("-", "")}"
     def run(): Unit = {
       val q = build(ms.toDF())
-        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .writeStream.format("memory").queryName(qn).outputMode(mode)
         .option("checkpointLocation", fresh(s"$tag-ckpt"))
         .start()
       ms.addData(p1)
