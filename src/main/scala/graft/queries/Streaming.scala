@@ -316,7 +316,10 @@ object Streaming {
       // deterministic time split gives the closed form: batch 1 emits
       // every group's phase-1 count; batch 2 re-emits the TOTAL count
       // of exactly the groups a phase-2 row touched (no watermark, so
-      // state never evicts and the update is cumulative). The memory
+      // state never evicts and the update is cumulative; 1-DAY windows,
+      // with the cut aligned to NOON of its day, so the straddling
+      // window has rows on both sides and the re-emit arm is live at
+      // every SF — a raw 0.8 cut left it dead at sf0.001). The memory
       // sink accumulates update rows, so the final table is
       // u1 ∪ {touched totals} — and a (group) present in both arms
       // always differs in n, keeping the output order total.
@@ -327,11 +330,12 @@ object Streaming {
           .as[Ev].collect()
         val mn = all.map(_.ts.getTime).min
         val mx = all.map(_.ts.getTime).max
-        val cut = mn + math.floor((mx - mn) * 0.8).toLong
+        val raw = mn + math.floor((mx - mn) * 0.8).toLong
+        val cut = raw - raw % 86400000L + 43200000L
         val (p1, p2) = all.partition(_.ts.getTime <= cut)
         StreamRuns.twoPhaseToMemory(s, "updmode", p1.toSeq, p2.toSeq,
             mode = "update") { df =>
-          df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          df.groupBy(window(col("ts"), "1 day"), col("event_type"))
             .agg(count(lit(1)).as("n"))
             .select(col("window.start").as("w_start"), col("event_type"),
               col("n"))
@@ -342,18 +346,19 @@ object Streaming {
                  epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
           FROM events),
         b AS (SELECT min(ms) AS mn, max(ms) AS mx FROM e),
-        cut AS (SELECT mn + CAST(floor((mx - mn) * 0.8) AS BIGINT) AS c FROM b),
+        braw AS (SELECT mn + CAST(floor((mx - mn) * 0.8) AS BIGINT) AS r FROM b),
+        cut AS (SELECT r - (r % 86400000) + 43200000 AS c FROM braw),
         p1 AS (SELECT * FROM e WHERE ms <= (SELECT c FROM cut)),
         p2 AS (SELECT * FROM e WHERE ms > (SELECT c FROM cut)),
-        u1 AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+        u1 AS (SELECT time_bucket(INTERVAL '1 day', ts) AS w_start,
                       event_type, count(*) AS n
                FROM p1 GROUP BY 1, 2),
-        tot AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+        tot AS (SELECT time_bucket(INTERVAL '1 day', ts) AS w_start,
                        event_type, count(*) AS n
                 FROM e GROUP BY 1, 2),
         u2 AS (SELECT t.* FROM tot t
                WHERE EXISTS (SELECT 1 FROM p2
-                             WHERE time_bucket(INTERVAL '1 hour', p2.ts) = t.w_start
+                             WHERE time_bucket(INTERVAL '1 day', p2.ts) = t.w_start
                                AND p2.event_type = t.event_type))
         SELECT w_start, event_type, n FROM u1
         UNION ALL

@@ -81,6 +81,22 @@ class StreamingSpec extends AnyFunSuite {
       "fresh-restart arm dead: no fired user receives phase-2 rows")
   }
 
+  test("update-mode arms: phase-1-only, touched-total, and re-emit all occur") {
+    // Dead-arm guard for stream_update_mode's closed form: groups that
+    // emit only in phase 1 (untouched by p2), groups that emit only in
+    // phase 2 (new windows past the cut), and at least one group
+    // emitted in BOTH batches (the window straddling the cut, whose
+    // second emission is the cumulative update append/complete cannot
+    // produce).
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("stream_update_mode")(spark, sf)
+      .groupBy("w_start", "event_type").agg(count(lit(1)).as("k"))
+    assert(out.filter(col("k") === 2).count() >= 1,
+      "re-emit arm dead: no group updated across both batches")
+    assert(out.filter(col("k") === 1).count() > 0,
+      "single-emission arm dead")
+  }
+
   test("streaming restart resumes from the checkpoint with state intact") {
     // Operational contract at 100 TB: a driver restart must neither
     // reprocess consumed input nor lose aggregation state. Run an
