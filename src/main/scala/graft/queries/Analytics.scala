@@ -591,31 +591,34 @@ object Analytics {
           df.columns.map(col) ++
             (0 to 3).map(i => hc(i, col("k")).as(s"h$i")): _*)
         val hashSpec = "stack(4, 0, h0, 1, h1, 2, h2, 3, h3) AS (i, h)"
-        val base = withHashes(t(s, dir, "lineitem").select(col("l_partkey").as("k")))
-        val cells = base.selectExpr("k", hashSpec)
-          .groupBy("i", "h").agg(count(lit(1)).as("c"))
+        // Pre-aggregate per key BEFORE hashing: the sketch increments
+        // cell (i, h(k)) once per ROW, but summing each key's count
+        // into its cells is the same arithmetic with |keys| md5 chains
+        // instead of |rows| — the map-side-combine form of the same
+        // sketch (2k digests here instead of 2.4M; the equivalence is
+        // exact, not approximate).
         val keys = t(s, dir, "lineitem").select(col("l_partkey").as("k"))
           .groupBy("k").agg(count(lit(1)).as("n_true"))
         val kh = withHashes(keys).selectExpr("k", "n_true", hashSpec)
+        val cells = kh.groupBy("i", "h").agg(sum(col("n_true")).as("c"))
         kh.join(broadcast(cells), Seq("i", "h"))
           .groupBy("k", "n_true").agg(min(col("c")).as("n_est"))
           .select(col("k").as("part"), col("n_true"), col("n_est"),
             (col("n_est") - col("n_true")).as("overcount"))
           .orderBy(col("n_true").desc, col("part")).limit(25)
       },
-      Some("""WITH base AS (
-          SELECT l_partkey AS k FROM lineitem),
+      Some("""WITH keys AS (
+          SELECT l_partkey AS k, count(*) AS n_true FROM lineitem GROUP BY 1),
         hashed AS (
-          SELECT k, 0 AS i, CAST(('0x' || substr(md5('cm0:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS h FROM base
-          UNION ALL SELECT k, 1, CAST(('0x' || substr(md5('cm1:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 64 FROM base
-          UNION ALL SELECT k, 2, CAST(('0x' || substr(md5('cm2:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 64 FROM base
-          UNION ALL SELECT k, 3, CAST(('0x' || substr(md5('cm3:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 64 FROM base),
-        cells AS (SELECT i, h, count(*) AS c FROM hashed GROUP BY i, h),
-        keys AS (SELECT k, count(*) AS n_true FROM base GROUP BY k),
-        kh AS (SELECT DISTINCT k, i, h FROM hashed),
+          SELECT k, n_true, 0 AS i, CAST(('0x' || substr(md5('cm0:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS h FROM keys
+          UNION ALL SELECT k, n_true, 1, CAST(('0x' || substr(md5('cm1:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 64 FROM keys
+          UNION ALL SELECT k, n_true, 2, CAST(('0x' || substr(md5('cm2:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 64 FROM keys
+          UNION ALL SELECT k, n_true, 3, CAST(('0x' || substr(md5('cm3:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 64 FROM keys),
+        cells AS (SELECT i, h, CAST(sum(n_true) AS BIGINT) AS c
+                  FROM hashed GROUP BY i, h),
         est AS (
-          SELECT kh.k, min(cells.c) AS n_est
-          FROM kh JOIN cells USING (i, h) GROUP BY kh.k)
+          SELECT hashed.k, min(cells.c) AS n_est
+          FROM hashed JOIN cells USING (i, h) GROUP BY hashed.k)
         SELECT keys.k AS part, keys.n_true, est.n_est,
                est.n_est - keys.n_true AS overcount
         FROM keys JOIN est ON est.k = keys.k
