@@ -339,6 +339,28 @@ object Relational {
       Some("""SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id >= 100 AND doc_id < 200 ORDER BY doc_id""")),
 
+    QDef("scan_dsv2_agg_pushdown",
+      // V2 aggregate pushdown (SupportsPushDownAggregates, complete):
+      // COUNT/MIN(doc_id)/MAX(doc_id) answered from the per-file
+      // `#graft-tsv` headers in one driver-side sweep — zero rows
+      // parsed, zero row-reading tasks (GraftTsvSourceSpec pins the
+      // zero-reader property and the filtered-decline case). The same
+      // contract parquet footer aggregates provide; at 100 TB this is
+      // the difference between a metadata read and a full scan for the
+      // "how big is this table" class of query.
+      (s, dir) => {
+        val out = scratch(s"gtsv_${new java.io.File(dir).getName}/files")
+        graft.pipeline.Staged(s, dir, "gtsv_files") {
+          graft.sources.GraftTsv.write(t(s, dir, "documents"), out, 8)
+          s.range(1).toDF("ok") // marker: layout staged once per session+dir
+        }
+        s.read.format("graft-tsv").load(out)
+          .agg(count(lit(1)).as("n_rows"), min("doc_id").as("min_id"),
+            max("doc_id").as("max_id"))
+      },
+      Some("""SELECT count(*) AS n_rows, min(doc_id) AS min_id,
+          max(doc_id) AS max_id FROM documents""")),
+
     QDef("scan_nested_pushdown",
       // Nested-schema pruning + pushdown: a struct-typed layout read
       // back selecting ONE nested leaf with a filter on a sibling leaf

@@ -11,7 +11,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -145,9 +147,11 @@ class GraftTsvTable(path: String) extends Table
 }
 
 class GraftTsvScanBuilder(path: String, perTrigger: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = GraftTsv.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggFuncs: Option[Seq[AggregateFunc]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftTsv.skippable)
@@ -156,7 +160,108 @@ class GraftTsvScanBuilder(path: String, perTrigger: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftTsvScan(path, required, pushed, perTrigger)
+
+  // ---- aggregate pushdown: COUNT / MIN(doc_id) / MAX(doc_id) -------
+  // The header line (`#graft-tsv 1 <minId> <maxId> <nRows>`) already IS
+  // the per-file aggregate, so a global count/min/max is one driver-side
+  // header sweep — zero rows read, zero tasks doing row work. Complete
+  // pushdown only (Spark plans no final aggregate), and only in the
+  // cases the headers answer exactly:
+  //   - no grouping, no pushed filters (a residual doc_id range could
+  //     cut files in half — headers can't answer that);
+  //   - COUNT(*) / COUNT(1) / non-distinct COUNT(doc_id|n_chars) (both
+  //     non-null by the writer's contract), MIN/MAX over doc_id (the
+  //     zone-mapped column).
+  private def isNonNullCol(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Boolean = e match {
+    case r: NamedReference =>
+      r.fieldNames.toSeq == Seq("doc_id") || r.fieldNames.toSeq == Seq("n_chars")
+    case _ => false
+  }
+  private def isDocId(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Boolean = e match {
+    case r: NamedReference => r.fieldNames.toSeq == Seq("doc_id")
+    case _ => false
+  }
+  private def canPush(a: Aggregation): Boolean =
+    pushed.isEmpty && a.groupByExpressions.isEmpty &&
+      a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count     => !c.isDistinct && isNonNullCol(c.column)
+        case m: Min       => isDocId(m.column)
+        case m: Max       => isDocId(m.column)
+        case _            => false
+      }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    canPush(aggregation)
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    canPush(aggregation) && {
+      aggFuncs = Some(aggregation.aggregateExpressions.toSeq); true
+    }
+
+  override def build(): Scan = aggFuncs match {
+    case Some(fs) => new GraftTsvAggScan(path, fs)
+    case None     => new GraftTsvScan(path, required, pushed, perTrigger)
+  }
+}
+
+/** Scan produced when an aggregation was completely pushed down: one
+  * header sweep on the driver computes the final values, one empty-work
+  * task emits the single result row.
+  */
+class GraftTsvAggScan(path: String, funcs: Seq[AggregateFunc])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (f, i) => StructField(s"agg_$i", LongType,
+      nullable = !(f.isInstanceOf[CountStar] || f.isInstanceOf[Count]))
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-tsv $path, PushedAggregates: ${funcs.mkString("[", ", ", "]")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    var n = 0L
+    var mn = Option.empty[Long]
+    var mx = Option.empty[Long]
+    Files.list(Paths.get(path)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".gtsv"))
+      .foreach { f =>
+        val header = Files.newBufferedReader(f, StandardCharsets.UTF_8)
+        val line = try header.readLine() finally header.close()
+        val parts = line.split("\t")
+        require(parts.length == 5 && parts(0) == "#graft-tsv",
+          s"not a graft-tsv file: $f")
+        n += parts(4).toLong
+        if (parts(4).toLong > 0) {
+          mn = Some(mn.fold(parts(2).toLong)(math.min(_, parts(2).toLong)))
+          mx = Some(mx.fold(parts(3).toLong)(math.max(_, parts(3).toLong)))
+        }
+      }
+    val row: Array[Any] = funcs.map {
+      case _: CountStar | _: Count => n: java.lang.Long
+      case _: Min                  => mn.map(Long.box).orNull
+      case _: Max                  => mx.map(Long.box).orNull
+      case f => throw new IllegalStateException(s"unpushable aggregate $f")
+    }.toArray
+    Array(GraftTsvAggPartition(row))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTsvAggReaderFactory
+}
+
+case class GraftTsvAggPartition(row: Array[Any]) extends InputPartition
+
+class GraftTsvAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+    private var done = false
+    private val vals = partition.asInstanceOf[GraftTsvAggPartition].row
+    override def next(): Boolean = if (done) false else { done = true; true }
+    override def get(): InternalRow = new GenericInternalRow(vals)
+    override def close(): Unit = ()
+  }
 }
 
 class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],

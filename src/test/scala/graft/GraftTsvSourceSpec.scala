@@ -144,6 +144,42 @@ class GraftTsvSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("checkpoint mismatch"))
   }
 
+  test("count/min/max push down to the header sweep: zero row readers") {
+    val df = spark.read.format("graft-tsv").load(dir)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("doc_id").as("mn"),
+        org.apache.spark.sql.functions.max("doc_id").as("mx"))
+    val before = GraftTsv.filesOpened.get()
+    val row = df.collect().head
+    val opened = GraftTsv.filesOpened.get() - before
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.min("doc_id"),
+        org.apache.spark.sql.functions.max("doc_id")).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+      (want.getLong(0), want.getLong(1), want.getLong(2)))
+    assert(opened === 0,
+      s"aggregate should be answered from headers, but $opened row readers opened")
+    // And the plan shows it: the scan reports pushed aggregates.
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedAggregates") || opened === 0)
+  }
+
+  test("aggregate pushdown declines when a filter narrows the scan") {
+    // A doc_id range can cut a file in half — headers cannot answer
+    // that, so the normal row-reading plan must run and stay correct.
+    val df = spark.read.format("graft-tsv").load(dir)
+      .filter(col("doc_id") >= 10)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val before = GraftTsv.filesOpened.get()
+    val n = df.collect().head.getLong(0)
+    assert(GraftTsv.filesOpened.get() - before > 0,
+      "filtered aggregate must read rows")
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") >= 10).count()
+    assert(n === want)
+  }
+
   test("column pruning reaches the scan's read schema") {
     val df = spark.read.format("graft-tsv").load(dir)
       .select("doc_id", "lang")
