@@ -265,9 +265,44 @@ class GraftTsvAggReaderFactory extends PartitionReaderFactory {
 }
 
 class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
-    perTrigger: Int) extends Scan with Batch {
+    perTrigger: Int) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Header-derived stats for the surviving (zone-map-overlapping)
+    * files: exact row count, on-disk byte size. This is what lets the
+    * planner see a selectively-filtered graft-tsv side as small enough
+    * to broadcast — the stats surface a real lake format feeds the CBO
+    * from its footer/manifest metadata.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val (lo, hi) = GraftTsv.idBounds(pushed)
+    var rows = 0L
+    var bytes = 0L
+    Files.list(Paths.get(path)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".gtsv"))
+      .foreach { f =>
+        val header = Files.newBufferedReader(f, StandardCharsets.UTF_8)
+        val line = try header.readLine() finally header.close()
+        val parts = line.split("\t")
+        if (parts.length == 5 && parts(0) == "#graft-tsv") {
+          val (mn, mx) = (parts(2).toLong, parts(3).toLong)
+          if (lo.forall(_ <= mx) && hi.forall(_ >= mn)) {
+            rows += parts(4).toLong
+            bytes += Files.size(f)
+          }
+        }
+      }
+    val (r, b) = (rows, bytes)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(r)
+    }
+  }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftTsvMicroBatchStream(path, required, perTrigger)

@@ -180,6 +180,24 @@ class GraftTsvSourceSpec extends AnyFunSuite {
     assert(n === want)
   }
 
+  test("scan reports header-derived statistics, narrowed by pushed bounds") {
+    val full = spark.read.format("graft-tsv").load(dir)
+    val fullRows = full.queryExecution.optimizedPlan.stats.rowCount
+    val want = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(fullRows.contains(BigInt(want)),
+      s"planner should see the exact header row count, got $fullRows")
+    // A selective doc_id range shrinks the estimate to the surviving
+    // files' rows — strictly fewer than the table. Read the stats off
+    // the V2 scan relation leaf: a Filter parent drops rowCount in its
+    // default (non-CBO) propagation.
+    val pruned = spark.read.format("graft-tsv").load(dir)
+      .filter(col("doc_id") >= 10 && col("doc_id") < 15)
+    val leaf = pruned.queryExecution.optimizedPlan.collectLeaves().head
+    val prunedRows = leaf.stats.rowCount
+    assert(prunedRows.isDefined && prunedRows.get < BigInt(want),
+      s"pushed bounds should narrow the scan stats, got $prunedRows of $want")
+  }
+
   test("column pruning reaches the scan's read schema") {
     val df = spark.read.format("graft-tsv").load(dir)
       .select("doc_id", "lang")
