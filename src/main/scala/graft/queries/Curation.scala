@@ -400,6 +400,47 @@ object Curation {
         WHERE CAST(('0x' || substr(md5('dw:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % csize = 0
         ORDER BY doc_id""")),
 
+    QDef("pipeline_kanon_suppress",
+      // k-anonymity suppression (the data-governance release gate): a
+      // row's quasi-identifiers (lang, source) are masked to '*' when
+      // fewer than k=10 rows share that combination — so no released
+      // row is re-identifiable to better than a k-crowd. QI here =
+      // (lang, length bucket n_chars div 50) — the classic
+      // demographic-shaped pair whose group sizes are skewed enough
+      // that BOTH arms stay live at sf0.01 AND sf0.1 (uniform QIs like
+      // (lang, source), and the low-entropy first-letter of this
+      // synthetic vocab, left one arm dead at some scale). The masked
+      // value for the bucket is -1 (its domain is non-negative). One
+      // windowed count on the QI key = one shuffle; at 100 TB with a
+      // low-cardinality QI the same plan swaps the window for a
+      // groupBy + broadcast join of the group-size table.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "lb")
+        t(s, dir, "documents")
+          .withColumn("lb", expr("n_chars div 50"))
+          .withColumn("grp_n", count(lit(1)).over(w))
+          .select(col("doc_id"),
+            when(col("grp_n") < 10, lit("*")).otherwise(col("lang"))
+              .as("lang_out"),
+            when(col("grp_n") < 10, lit(-1L)).otherwise(col("lb"))
+              .as("len_bucket_out"),
+            col("grp_n"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, lang, n_chars // 50 AS lb FROM documents),
+        gn AS (
+          SELECT doc_id, lang, lb,
+                 count(*) OVER (PARTITION BY lang, lb) AS grp_n
+          FROM g)
+        SELECT doc_id,
+          CASE WHEN grp_n < 10 THEN '*' ELSE lang END AS lang_out,
+          CAST(CASE WHEN grp_n < 10 THEN -1 ELSE lb END AS BIGINT)
+            AS len_bucket_out,
+          grp_n
+        FROM gn ORDER BY doc_id""")),
+
     QDef("pipeline_dq_quarantine",
       // Expectation-based quarantine routing (the dbt-test / DLT-
       // expectations shape): every row is tagged with the comma-joined
