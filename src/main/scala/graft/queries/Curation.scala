@@ -400,6 +400,40 @@ object Curation {
         WHERE CAST(('0x' || substr(md5('dw:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % csize = 0
         ORDER BY doc_id""")),
 
+    QDef("text_bpe_pair_counts",
+      // The inner loop of BPE tokenizer training, iteration 0: corpus
+      // frequency of every adjacent character pair. The real-impl
+      // trick is the pre-aggregation — count DISTINCT WORDS first
+      // (vocabulary-sized), then explode each word's pairs weighted by
+      // its corpus count, so pair counting costs O(vocab · word_len)
+      // instead of O(corpus chars). A pair at position i is just
+      // substr(word, i, 2) — no char-array explode needed. Top-20 by
+      // (count desc, pair) is fully deterministic.
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .select(explode(col("tks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("wn"))
+          .filter(length(col("w")) >= 2)
+        words
+          .select(col("w"), col("wn"),
+            explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+          .select(col("w").substr(col("i"), lit(2)).as("pair"), col("wn"))
+          .groupBy("pair").agg(sum(col("wn")).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(20)
+      },
+      Some(s"""WITH words AS (
+          SELECT w, count(*) AS wn FROM (
+            SELECT unnest($toksSql) AS w FROM documents)
+          GROUP BY w),
+        prs AS (
+          SELECT substr(w, CAST(i + 1 AS INT), 2) AS pair, wn
+          FROM words, unnest(range(length(w) - 1)) AS t(i)
+          WHERE length(w) >= 2)
+        SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+        FROM prs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 20""")),
+
     QDef("pipeline_kanon_suppress",
       // k-anonymity suppression (the data-governance release gate): a
       // row's quasi-identifiers (lang, source) are masked to '*' when
