@@ -185,6 +185,57 @@ object Dedup {
         $candidatePairsSql
         SELECT doc_a, doc_b FROM cpairs ORDER BY doc_a, doc_b""")),
 
+    QDef("dedup_incremental_delta",
+      // The DAILY-INGEST dedup shape: new (delta) docs are checked
+      // against the EXISTING (base) index only — delta bands equi-join
+      // base bands, never delta x delta or base x base, so each day's
+      // cost is proportional to the day's data, not the corpus. The
+      // 1-in-5 delta split is a deterministic salted-id hash; each
+      // delta doc reports its smallest band-bucket base match (dup_of,
+      // -1 = novel) and its base-candidate count. Reuses the one
+      // staged band index the whole minhash family shares.
+      (s, dir) => {
+        val b = graft.pipeline.Staged(s, dir, "minhash_bands") {
+          minhashBands(t(s, dir, "documents"))
+        }
+        val split = t(s, dir, "documents").select(col("doc_id"),
+          (pmod(Text.md5Hash32(
+            concat(lit("inc:"), col("doc_id").cast("string"))), lit(5L)) === 0)
+            .as("is_delta"))
+        val bands = b.join(split, "doc_id")
+        val matches = bands.filter(col("is_delta")).as("d")
+          .join(bands.filter(!col("is_delta")).as("b"),
+            col("d.band") === col("b.band") && col("d.bsig") === col("b.bsig"))
+          .groupBy(col("d.doc_id").as("doc_id"))
+          .agg(min(col("b.doc_id")).as("dup_of"),
+            countDistinct(col("b.doc_id")).as("n_cand"))
+        split.filter(col("is_delta")).select("doc_id")
+          .join(matches, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $minhashBandsSql,
+        split AS (
+          SELECT doc_id,
+            (CAST(('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0)
+              AS is_delta
+          FROM documents),
+        d AS (SELECT b.* FROM bands b JOIN split USING (doc_id) WHERE is_delta),
+        ba AS (SELECT b.* FROM bands b JOIN split USING (doc_id) WHERE NOT is_delta),
+        m AS (
+          SELECT d.doc_id, min(ba.doc_id) AS dup_of,
+                 count(DISTINCT ba.doc_id) AS n_cand
+          FROM d JOIN ba ON d.band = ba.band AND d.bsig = ba.bsig
+          GROUP BY d.doc_id)
+        SELECT s.doc_id,
+               CAST(coalesce(dup_of, -1) AS BIGINT) AS dup_of,
+               CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand
+        FROM (SELECT doc_id FROM split WHERE is_delta) s
+        LEFT JOIN m USING (doc_id)
+        ORDER BY s.doc_id""")),
+
     QDef("dedup_cluster_cc",
       // The dedup step AFTER candidate generation: connected components
       // over the LSH pair graph (see operators.ConnectedComponents),
