@@ -23,6 +23,7 @@ object SparkEntry {
     TextAnalysis.all,
     Curation.all,
     Analytics.all,
+    Health.all,
     Dedup.all,
     Similarity.all,
     Streaming.all,

@@ -1,0 +1,382 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Text
+
+/** Dataset-health operators a production training-data pipeline runs
+  * continuously: distribution-drift monitoring between ingest periods,
+  * set-membership sketches for join pruning, self-join-size (F2)
+  * estimation for planner statistics, chunk-level exact dedup (the C4
+  * "three-sentence span" rule's shape), decay-weighted rolling metrics,
+  * calendar densification for per-source daily health series, and
+  * class-balanced downsampling.
+  *
+  * Oracle-parity design rule for the whole file: every comparison the
+  * driver hashes is either pure integer arithmetic or a SINGLE IEEE
+  * double division of exact integers — no transcendental functions
+  * (ln/pow differ by ulps across libm builds), no multi-term double
+  * sums (order-dependent across engines). Where a decay weight is
+  * inherently FP, the weights are folded by repeated multiplication on
+  * the driver ONCE and embedded in both plans as shortest-repr double
+  * literals, so both engines consume bit-identical constants.
+  */
+object Health {
+  import QDef._
+
+  val all: Seq[QDef] = Seq(
+
+    QDef("profile_data_drift",
+      // Population drift between two ingest periods (first vs second
+      // half of the event stream), per event_type, over 10 fixed-width
+      // value buckets with +1 Laplace smoothing. The drift statistic is
+      // total-variation distance; computed over the COMMON DENOMINATOR
+      // so the per-type sum is exact 64-bit integer arithmetic:
+      //   p2-p1 = ((n2+1)*D1 - (n1+1)*D2) / (D1*D2),  D = N+10
+      // tvd_scaled = sum |…| is a long; tvd divides it once. At 100 TB
+      // this is one scan, one map-side-combined aggregate on a
+      // (type × period × bucket) key space of a few hundred rows, and a
+      // window over that tiny aggregate — the scan dominates, exactly
+      // as a drift monitor should.
+      (s, dir) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val ev = t(s, dir, "events")
+          .withColumn("b", least(floor(col("value") / 50).cast("long"), lit(9L)))
+          .groupBy(col("event_type"), col("b"))
+          .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n2"))
+        val spine = ev.select("event_type").distinct()
+          .crossJoin(s.range(10).select(col("id").as("b")))
+        val w = Window.partitionBy("event_type")
+        spine.join(ev, Seq("event_type", "b"), "left")
+          .select(col("event_type"), col("b"),
+            coalesce(col("n1"), lit(0L)).as("n1"),
+            coalesce(col("n2"), lit(0L)).as("n2"))
+          .withColumn("d1", sum("n1").over(w) + 10L)
+          .withColumn("d2", sum("n2").over(w) + 10L)
+          .withColumn("p1", (col("n1") + 1).cast("double") / col("d1").cast("double"))
+          .withColumn("p2", (col("n2") + 1).cast("double") / col("d2").cast("double"))
+          .withColumn("tvd_scaled",
+            sum(abs((col("n2") + 1) * col("d1") - (col("n1") + 1) * col("d2"))).over(w))
+          .select(col("event_type"), col("b"), col("n1"), col("n2"),
+            col("p1"), col("p2"), col("tvd_scaled"),
+            (col("tvd_scaled").cast("double") /
+              (lit(2L) * col("d1") * col("d2")).cast("double")).as("tvd"))
+          .orderBy("event_type", "b")
+      },
+      Some("""WITH ev AS (
+          SELECT event_type, least(CAST(floor(value / 50) AS BIGINT), 9) AS b,
+                 sum(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS n1,
+                 sum(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS n2
+          FROM events GROUP BY 1, 2),
+        spine AS (
+          SELECT et.event_type, r.range AS b
+          FROM (SELECT DISTINCT event_type FROM ev) et CROSS JOIN range(10) r),
+        f AS (
+          SELECT s.event_type, s.b,
+                 CAST(coalesce(e.n1, 0) AS BIGINT) AS n1,
+                 CAST(coalesce(e.n2, 0) AS BIGINT) AS n2
+          FROM spine s LEFT JOIN ev e ON e.event_type = s.event_type AND e.b = s.b),
+        g AS (
+          SELECT *, sum(n1) OVER (PARTITION BY event_type) + 10 AS d1,
+                    sum(n2) OVER (PARTITION BY event_type) + 10 AS d2
+          FROM f)
+        SELECT event_type, b, n1, n2,
+               CAST(n1 + 1 AS DOUBLE) / CAST(d1 AS DOUBLE) AS p1,
+               CAST(n2 + 1 AS DOUBLE) / CAST(d2 AS DOUBLE) AS p2,
+               CAST(sum(abs((n2 + 1) * d1 - (n1 + 1) * d2)) OVER (PARTITION BY event_type) AS BIGINT) AS tvd_scaled,
+               CAST(sum(abs((n2 + 1) * d1 - (n1 + 1) * d2)) OVER (PARTITION BY event_type) AS DOUBLE)
+                 / CAST(2 * d1 * d2 AS DOUBLE) AS tvd
+        FROM g ORDER BY event_type, b"""),
+    ),
+
+    QDef("agg_bloom_membership",
+      // Distributed Bloom filter as data, not a driver-side object:
+      // m=8192 bits, kh=4 engine-portable md5 hash rows. The built
+      // filter IS a DataFrame of set bit positions (how a filter ships
+      // between jobs / to a different engine); the probe is a left join
+      // on bit id + an all-4-matched gate. Members = customers with any
+      // order above 480k (~1/3 of customers at every SF). Zero false
+      // negatives by construction; false positives rise as n/m grows —
+      // at 100 TB you size m from an upfront approx_count_distinct
+      // exactly like Spark's own might-contain build does, and the
+      // probe stays a shuffle-free broadcast join because 8192 bit
+      // rows is nothing. All arithmetic integer; the driver-hashed
+      // columns are bools and longs.
+      (s, dir) => {
+        def bit(i: Int, key: org.apache.spark.sql.Column) =
+          pmod(Text.md5Hash32(concat(lit(s"bf$i:"), key.cast("string"))), lit(8192L))
+        val members = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 480000)
+          .select(col("o_custkey").as("k")).distinct()
+        val bits = (0 until 4).map(i => members.select(bit(i, col("k")).as("bit")))
+          .reduce(_ union _).distinct().withColumn("hit", lit(1L))
+        val probes = t(s, dir, "customer").select(col("c_custkey"))
+        val probeBits = (0 until 4).map(i =>
+          probes.select(col("c_custkey"), lit(i).as("i"), bit(i, col("c_custkey")).as("bit")))
+          .reduce(_ union _)
+        probeBits.join(broadcast(bits), Seq("bit"), "left")
+          .groupBy("c_custkey")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .join(members.withColumn("is_m", lit(true)),
+            col("c_custkey") === col("k"), "left")
+          .select(col("c_custkey"), (col("n_hit") === 4).as("predicted"),
+            coalesce(col("is_m"), lit(false)).as("actual"))
+          .withColumn("false_positive", col("predicted") && !col("actual"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH members AS (
+          SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 480000),
+        bits AS (
+          SELECT DISTINCT CAST(('0x' || substr(md5('bf' || i || ':' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 8192 AS bit
+          FROM members CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)),
+        pb AS (
+          SELECT c_custkey, i,
+                 CAST(('0x' || substr(md5('bf' || i || ':' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 8192 AS bit
+          FROM customer CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)),
+        hits AS (
+          SELECT p.c_custkey, sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS n_hit
+          FROM pb p LEFT JOIN bits b ON b.bit = p.bit GROUP BY 1)
+        SELECT h.c_custkey, h.n_hit = 4 AS predicted,
+               m.k IS NOT NULL AS actual,
+               (h.n_hit = 4) AND m.k IS NULL AS false_positive
+        FROM hits h LEFT JOIN members m ON m.k = h.c_custkey
+        ORDER BY h.c_custkey"""),
+    ),
+
+    QDef("agg_ams_f2",
+      // AMS (Alon-Matias-Szegedy) sketch of the second frequency moment
+      // of l_partkey — F2 IS the self-join size, the number a join
+      // planner wants before it picks a strategy on a skewed key. 16
+      // independent ±1 estimators from salted md5 parity; each X_i =
+      // (Σ f_k·s_i(k))² concentrates around F2. Everything is exact
+      // 64-bit integer arithmetic (counts and ±1 signs), so the
+      // estimate — INCLUDING the rank-based median — replays
+      // bit-identically in DuckDB. At 100 TB: one map-side-combined
+      // count per key, then 16 tiny signed sums; the sketch never
+      // materializes the key space on one node.
+      (s, dir) => {
+        val freq = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("f"))
+        val est = freq
+          .crossJoin(s.range(16).select(col("id").cast("int").as("i")))
+          .withColumn("sgn",
+            when(pmod(Text.md5Hash32(
+              concat(lit("ams"), col("i").cast("string"), lit(":"),
+                col("k").cast("string"))), lit(2L)) === 0, 1L).otherwise(-1L))
+          .groupBy("i").agg(sum(col("sgn") * col("f")).as("z"))
+          .withColumn("x2", col("z") * col("z"))
+        val ranked = est.withColumn("rn",
+          row_number().over(Window.orderBy(col("x2"), col("i"))))
+        val med = ranked.filter(col("rn").isin(8, 9))
+          .agg((sum("x2").cast("double") / 2.0).as("est_f2"))
+        val truth = freq.agg(sum(col("f") * col("f")).as("true_f2"))
+        ranked.crossJoin(med).crossJoin(truth)
+          .select(col("i"), col("x2"), col("est_f2"), col("true_f2"),
+            ((col("est_f2") - col("true_f2").cast("double")) /
+              col("true_f2").cast("double")).as("rel_err"))
+          .orderBy("i")
+      },
+      Some("""WITH freq AS (
+          SELECT l_partkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+        est AS (
+          SELECT i, sum(CASE WHEN CAST(('0x' || substr(md5('ams' || i || ':' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                             THEN 1 ELSE -1 END * f) AS z
+          FROM freq CROSS JOIN (SELECT unnest(range(16)) AS i) GROUP BY 1),
+        ranked AS (
+          SELECT CAST(i AS INT) AS i, CAST(z * z AS BIGINT) AS x2,
+                 row_number() OVER (ORDER BY z * z, i) AS rn
+          FROM est),
+        med AS (
+          SELECT CAST(sum(x2) AS DOUBLE) / 2.0 AS est_f2 FROM ranked WHERE rn IN (8, 9)),
+        truth AS (SELECT CAST(sum(f * f) AS BIGINT) AS true_f2 FROM freq)
+        SELECT r.i, r.x2, m.est_f2, t.true_f2,
+               (m.est_f2 - CAST(t.true_f2 AS DOUBLE)) / CAST(t.true_f2 AS DOUBLE) AS rel_err
+        FROM ranked r CROSS JOIN med m CROSS JOIN truth t
+        ORDER BY r.i"""),
+    ),
+
+    QDef("dedup_chunk_exact",
+      // Chunk-level exact dedup — the C4/RefinedWeb span rule's shape:
+      // split each doc into non-overlapping 8-token chunks, count each
+      // chunk's corpus-wide frequency by 16-hex fingerprint, and score
+      // each doc by the fraction of its chunks that appear elsewhere.
+      // Catches partial/boilerplate duplication that doc-level
+      // fingerprints miss. The chunk array is bound with withColumn
+      // BEFORE the explode (inlining a computed array re-evaluates the
+      // split per element). At 100 TB: explode → one count shuffle on
+      // the fingerprint → one join back on doc_id; chunk cardinality is
+      // ~tokens/8, so the shuffle is smaller than the input scan.
+      (s, dir) => {
+        val chunks = t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .withColumn("cks",
+            transform(sequence(lit(0), ((size(col("tks")) - 1) / 8).cast("int")),
+              j => concat_ws(" ", slice(col("tks"), j * 8 + 1, lit(8)))))
+          .select(col("doc_id"), explode(col("cks")).as("chunk"))
+          .withColumn("fp", substring(md5(col("chunk")), 1, 16))
+        val freq = chunks.groupBy("fp").agg(count(lit(1)).as("n"))
+        chunks.join(freq, "fp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_chunks").cast("double")).as("dup_frac"))
+          .withColumn("keep", col("n_dup") * 2 <= col("n_chunks"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tks
+          FROM documents),
+        chunks AS (
+          SELECT doc_id,
+                 substr(md5(array_to_string(list_slice(tks, j * 8 + 1, j * 8 + 8), ' ')), 1, 16) AS fp
+          FROM toks, unnest(range((len(tks) - 1) // 8 + 1)) AS u(j)),
+        freq AS (SELECT fp, count(*) AS n FROM chunks GROUP BY 1)
+        SELECT c.doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac,
+               CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT) * 2 <= count(*) AS keep
+        FROM chunks c JOIN freq f ON f.fp = c.fp
+        GROUP BY c.doc_id ORDER BY c.doc_id"""),
+    ),
+
+    QDef("win_ewma",
+      // Exponential decay average over the trailing 20 readings per
+      // user — the rolling health metric shape (alerting smooths, decay
+      // discounts stale points). The 20 decay weights 0.7^j are folded
+      // by repeated multiplication ON THE DRIVER and embedded in both
+      // plans as shortest-repr literals, so neither engine evaluates
+      // pow(); the per-row math is then an in-order zip-multiply fold
+      // of identical doubles — bit-identical across engines (the
+      // verified aggregate ≙ list_sum(list_transform) equivalence). At
+      // 100 TB this is one window per user partition, no extra shuffle
+      // beyond the partitioning the sort already needs.
+      (s, dir) => {
+        val wts = Iterator.iterate(1.0)(_ * 0.7).take(20).toSeq
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-19, 0)
+        t(s, dir, "events")
+          .filter(pmod(col("user_id"), lit(5L)) === 0)
+          .withColumn("vals", collect_list("value").over(w))
+          .withColumn("wr",
+            reverse(slice(array(wts.map(lit): _*), lit(1), size(col("vals")))))
+          .select(col("event_id"), col("user_id"), col("value"),
+            (aggregate(zip_with(col("vals"), col("wr"), (x, wt) => x * wt),
+              lit(0.0), (acc, x) => acc + x) /
+              aggregate(col("wr"), lit(0.0), (acc, x) => acc + x)).as("ewma"))
+          .orderBy("event_id")
+      },
+      Some {
+        val wts = Iterator.iterate(1.0)(_ * 0.7).take(20).toSeq
+        // "e0" forces DuckDB to parse each element as DOUBLE: a bare
+        // decimal list literal goes through a common DECIMAL type that
+        // drops the 17th significant digit (0.48999999999999994 came
+        // back as the NEIGHBORING double 0.4899999999999999).
+        val wlist = wts.map { w =>
+          val r = w.toString; if (r.contains("E")) r else r + "e0"
+        }.mkString("[", ", ", "]")
+        s"""WITH ev AS (
+          SELECT event_id, user_id, value,
+                 list(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+          FROM events WHERE user_id % 5 = 0)
+        SELECT event_id, user_id, value,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(len(vals)),
+                   j -> vals[j + 1] * list_reverse(list_slice($wlist, 1, len(vals)))[j + 1])),
+                 (acc, x) -> acc + x)
+               / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_reverse(list_slice($wlist, 1, len(vals)))),
+                 (acc, x) -> acc + x) AS ewma
+        FROM ev ORDER BY event_id"""
+      },
+    ),
+
+    QDef("win_gap_fill",
+      // Calendar densification: per-user daily activity series with
+      // missing days materialized as explicit zero rows — the step
+      // every health dashboard and training-data freshness monitor
+      // needs before windowed math is meaningful. The date spine is
+      // sequence()+explode against the GLOBAL min/max day (two scalar
+      // aggregates broadcast by crossJoin), not a driver loop; daily
+      // sums are DECIMAL-exact then cast. At 100 TB the spine is
+      // users × days (tiny vs events) and the left join shuffles on
+      // (user, day) — the same key the daily aggregate already
+      // produced, so AQE coalesces it into one exchange.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(pmod(col("user_id"), lit(4L)) === 0)
+          .withColumn("d", to_date(col("ts")))
+        val span = ev.agg(min("d").as("d0"), max("d").as("d1"))
+        val daily = ev.groupBy("user_id", "d")
+          .agg(count(lit(1)).as("n"),
+            sum(money(col("value"))).cast("double").as("total"))
+        ev.select("user_id").distinct()
+          .crossJoin(span)
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("d"))
+          .join(daily, Seq("user_id", "d"), "left")
+          .select(col("user_id"), col("d"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("total"), lit(0.0)).as("total"),
+            col("n").isNull.as("is_gap"))
+          .orderBy("user_id", "d")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+          FROM events WHERE user_id % 4 = 0),
+        span AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+        daily AS (
+          SELECT user_id, d, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM ev GROUP BY 1, 2),
+        spine AS (
+          SELECT u.user_id,
+                 CAST(unnest(generate_series(CAST(s.d0 AS TIMESTAMP), CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+          FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN span s)
+        SELECT s.user_id, s.d,
+               CAST(coalesce(dl.n, 0) AS BIGINT) AS n,
+               coalesce(dl.total, 0.0) AS total,
+               dl.n IS NULL AS is_gap
+        FROM spine s LEFT JOIN daily dl ON dl.user_id = s.user_id AND dl.d = s.d
+        ORDER BY s.user_id, s.d"""),
+    ),
+
+    QDef("sample_balanced",
+      // Class-balanced downsampling: every language downsampled to the
+      // smallest class's count, selection deterministic by salted md5
+      // rank (reproducible across runs/engines, no RNG state). The min
+      // class size is one tiny aggregate broadcast by crossJoin; the
+      // per-class rank is one window. At 100 TB the window sorts within
+      // each class partition only — and for heavily skewed classes the
+      // rank-k cutoff is exactly the bounded-heap top-k shape
+      // (topk_per_group_native) if the sort ever dominates.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("h", Text.md5Hash32(concat(lit("bal:"), col("doc_id").cast("string"))))
+        val m = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+          .agg(min("cnt").as("m"))
+        docs.withColumn("rn",
+          row_number().over(Window.partitionBy("lang").orderBy("h", "doc_id")))
+          .crossJoin(m)
+          .filter(col("rn") <= col("m"))
+          .select(col("doc_id"), col("lang"), col("rn"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5('bal:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+          FROM documents),
+        m AS (SELECT min(cnt) AS m FROM (SELECT count(*) AS cnt FROM docs GROUP BY lang)),
+        ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+          FROM docs)
+        SELECT r.doc_id, r.lang, CAST(r.rn AS INT) AS rn FROM ranked r CROSS JOIN m
+        WHERE r.rn <= m.m ORDER BY r.doc_id"""),
+    ),
+  )
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the dataset-health family (Health.scala)
+  * that hold at EVERY scale factor — the oracle gate pins exact values
+  * per SF; these pin the properties that make each operator what it
+  * claims to be.
+  */
+class HealthSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("bloom membership has zero false negatives and only forward errors") {
+    val rows = SparkEntry.queries("agg_bloom_membership")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val predicted = r.getAs[Boolean]("predicted")
+      val actual = r.getAs[Boolean]("actual")
+      if (actual) assert(predicted, s"false negative at ${r.get(0)}")
+      assert(r.getAs[Boolean]("false_positive") == (predicted && !actual))
+    }
+    // Proper subset at every SF (threshold chosen for ~1/3 membership):
+    // a bloom over ALL keys would make every probe trivially positive.
+    val nActual = rows.count(_.getAs[Boolean]("actual"))
+    assert(nActual > 0 && nActual < rows.length)
+  }
+
+  test("drift profile is a complete 10-bucket spine with exact-integer TVD") {
+    val rows = SparkEntry.queries("profile_data_drift")(spark, dir).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (et, rs) =>
+      assert(rs.map(_.getAs[Long]("b")).sorted.toSeq == (0L to 9L),
+        s"$et: bucket spine incomplete")
+      val tvds = rs.map(_.getAs[Double]("tvd")).distinct
+      assert(tvds.length == 1, s"$et: tvd not constant over the partition")
+      assert(tvds.head >= 0.0 && tvds.head <= 1.0)
+      // Smoothed probabilities each sum to 1 up to float addition.
+      assert(math.abs(rs.map(_.getAs[Double]("p1")).sum - 1.0) < 1e-9)
+      assert(math.abs(rs.map(_.getAs[Double]("p2")).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("AMS F2 median estimator lands within 60% of the exact self-join size") {
+    val rows = SparkEntry.queries("agg_ams_f2")(spark, dir).collect()
+    assert(rows.length == 16)
+    val relErr = rows.head.getAs[Double]("rel_err")
+    assert(math.abs(relErr) < 0.6, s"median estimate off by $relErr")
+    rows.foreach(r => assert(r.getAs[Long]("x2") >= 0))
+  }
+
+  test("balanced sample emits exactly min-class-count docs per language") {
+    val rows = SparkEntry.queries("sample_balanced")(spark, dir).collect()
+    val perLang = rows.groupBy(_.getAs[String]("lang")).map { case (_, rs) => rs.length }
+    assert(perLang.toSet.size == 1, s"unbalanced classes: $perLang")
+  }
+
+  test("ewma stays inside the trailing-window value envelope") {
+    val rows = SparkEntry.queries("win_ewma")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // A convex combination of window values cannot leave the global range.
+    val vals = rows.map(_.getAs[Double]("value"))
+    val (lo, hi) = (vals.min, vals.max)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("ewma")
+      assert(e >= lo - 1e-9 && e <= hi + 1e-9)
+    }
+  }
+
+  test("gap fill emits one row per user per day with zeroed gaps") {
+    val rows = SparkEntry.queries("win_gap_fill")(spark, dir).collect()
+    val days = rows.map(_.getAs[java.sql.Date]("d").toString).distinct.length
+    val users = rows.map(_.getAs[Long]("user_id")).distinct.length
+    assert(rows.length == days * users, "spine is not the full user x day grid")
+    rows.filter(_.getAs[Boolean]("is_gap")).foreach { r =>
+      assert(r.getAs[Long]("n") == 0 && r.getAs[Double]("total") == 0.0)
+    }
+  }
+
+  test("chunk dedup marks exact-duplicate docs as fully duplicated") {
+    val rows = SparkEntry.queries("dedup_chunk_exact")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // The synthetic corpus contains exact doc duplicates; every one of
+    // their chunks is shared, so dup_frac hits 1.0 for those docs.
+    assert(rows.exists(_.getAs[Double]("dup_frac") == 1.0))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_chunks"))
+    }
+  }
+}
