@@ -345,6 +345,177 @@ object Health {
         ORDER BY s.user_id, s.d"""),
     ),
 
+    QDef("layout_inverted_index",
+      // Retrieval-index build: term -> document-frequency + capped
+      // posting list, the layout artifact a search/RAG stack derives
+      // from the corpus. Postings are sorted doc_id arrays capped at 10
+      // (real posting lists are blocked; the cap keeps the head block
+      // the size a broadcast probe wants) and stringified for the gate.
+      // One explode + one distinct + one aggregate — at 100 TB the
+      // shuffle key is the term (vocab-bounded), and map-side combine
+      // collapses each partition's postings before the exchange.
+      (s, dir) => {
+        val posts = t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .select(col("doc_id"), explode(col("tks")).as("term"))
+          .distinct()
+        posts.groupBy("term")
+          .agg(count(lit(1)).as("df"),
+            array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 10), "|")
+              .as("head_postings"))
+          .orderBy("term")
+      },
+      Some("""WITH posts AS (
+          SELECT DISTINCT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+          FROM documents),
+        pl AS (
+          SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+                 count(*) OVER (PARTITION BY term) AS df
+          FROM posts)
+        SELECT term, CAST(any_value(df) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS head_postings
+        FROM pl WHERE rn <= 10 GROUP BY term ORDER BY term"""),
+    ),
+
+    QDef("text_feature_hash",
+      // The hashing trick: tokens bucketed into a fixed 64-dim space by
+      // salted md5 — the dimensionality-bounded featurization that
+      // needs NO vocabulary pass (the property that matters at 100 TB:
+      // a vocab dictionary is a second scan + a broadcast that grows
+      // with the corpus; the hash needs neither). Emitted as sparse
+      // (doc_id, bucket, cnt) rows — the layout a downstream trainer
+      // consumes — with an exact-rational within-doc weight. Collisions
+      // are the accepted tradeoff and are measurable here: bucket
+      // cardinality vs distinct tokens.
+      (s, dir) => {
+        t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .select(col("doc_id"), size(col("tks")).as("n_tok"),
+            explode(col("tks")).as("tok"))
+          .withColumn("bucket",
+            pmod(Text.md5Hash32(concat(lit("fh:"), col("tok"))), lit(64L)))
+          .groupBy("doc_id", "n_tok", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("doc_id"), col("bucket"), col("cnt"),
+            (col("cnt").cast("double") / col("n_tok").cast("double")).as("weight"))
+          .orderBy("doc_id", "bucket")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tks
+          FROM documents),
+        f AS (
+          SELECT doc_id, len(tks) AS n_tok,
+                 CAST(('0x' || substr(md5('fh:' || t.tok), 1, 8)) AS BIGINT) % 64 AS bucket
+          FROM toks, unnest(tks) AS t(tok))
+        SELECT doc_id, bucket, count(*) AS cnt,
+               CAST(count(*) AS DOUBLE) / CAST(any_value(n_tok) AS DOUBLE) AS weight
+        FROM f GROUP BY doc_id, bucket ORDER BY doc_id, bucket"""),
+    ),
+
+    QDef("agg_zscore_standardize",
+      // Per-group z-score standardization — the feature-prep transform
+      // every tabular trainer applies — with the two-pass mean/std
+      // folded into ONE pass: sums of cents and squared cents are exact
+      // int64, and mean/variance come out as single IEEE divisions of
+      // those integers, so the standardized values are bit-identical in
+      // any engine with no rounding guard. (int64 holds n·Σx² up to
+      // ~sf10 here; past that the same sums ride DECIMAL(38,0).) At
+      // 100 TB: one map-side-combined aggregate per group + one
+      // broadcast join back — no second scan, no window over the fact.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(pmod(col("user_id"), lit(3L)) === 0)
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+        val stats = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("xc").as("sx"),
+            sum(col("xc") * col("xc")).as("sx2"))
+          .withColumn("meanc", col("sx").cast("double") / col("n").cast("double"))
+          .withColumn("stdc",
+            sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double") /
+              (col("n").cast("double") * col("n").cast("double"))))
+        ev.join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            (col("meanc") / 100.0).as("mean_v"),
+            (col("stdc") / 100.0).as("std_v"),
+            ((col("xc").cast("double") - col("meanc")) / col("stdc")).as("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, event_type, value,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc
+          FROM events WHERE user_id % 3 = 0),
+        stats AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(xc * xc) AS BIGINT) AS sx2
+          FROM ev GROUP BY 1),
+        st AS (
+          SELECT event_type,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS meanc,
+                 sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stdc
+          FROM stats)
+        SELECT e.event_id, e.event_type, e.value,
+               s.meanc / 100.0 AS mean_v, s.stdc / 100.0 AS std_v,
+               (CAST(e.xc AS DOUBLE) - s.meanc) / s.stdc AS z
+        FROM ev e JOIN st s USING (event_type)
+        ORDER BY e.event_id"""),
+    ),
+
+    QDef("win_cusum_alert",
+      // CUSUM changepoint monitor over each event_type's value stream,
+      // entirely in exact integer cents. The one-sided CUSUM recursion
+      // S_i = max(0, S_{i-1} + d_i) is not a window sum — but its
+      // closed form IS: S_i = C_i - min(0, min_{j<=i} C_j) with C the
+      // running sum of deviations, so two stock window frames replace
+      // the sequential recursion and the monitor parallelizes per
+      // partition (the reformulation that makes CUSUM runnable as a
+      // Spark window at all). Deviations are measured against a
+      // calibration-week mean set 20% low, so S trends upward and the
+      // alert arm (top quartile of each type's peak) is structurally
+      // live at every SF.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(pmod(col("user_id"), lit(3L)) === 0)
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+        val cal = ev.filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+          .groupBy("event_type")
+          .agg(sum("xc").as("sx"), count(lit(1)).as("cnt"))
+          // `div`, not `/`: Column `/` on longs is double division, and
+          // truncating its correctly-rounded result can land one above
+          // the exact integer quotient.
+          .select(col("event_type"), expr("(sx * 8) div (cnt * 10)").as("target"))
+        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        val wAll = Window.partitionBy("event_type")
+        ev.join(broadcast(cal), "event_type")
+          .withColumn("c", sum(col("xc") - col("target")).over(w))
+          .withColumn("s",
+            col("c") - least(lit(0L), min("c").over(w)))
+          .withColumn("peak", max("s").over(wAll))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("s").as("cusum_cents"),
+            (col("s") > col("peak") / 4L).as("alert"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc
+          FROM events WHERE user_id % 3 = 0),
+        cal AS (
+          SELECT event_type, CAST((sum(xc) * 8) // (count(*) * 10) AS BIGINT) AS target
+          FROM ev WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1),
+        c AS (
+          SELECT e.event_id, e.event_type, e.value, e.ts,
+                 sum(e.xc - cal.target) OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id) AS c
+          FROM ev e JOIN cal USING (event_type)),
+        sgl AS (
+          SELECT event_id, event_type, value,
+                 c - least(0, min(c) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS s
+          FROM c)
+        SELECT event_id, event_type, value, CAST(s AS BIGINT) AS cusum_cents,
+               s > CAST(max(s) OVER (PARTITION BY event_type) AS BIGINT) // 4 AS alert
+        FROM sgl ORDER BY event_id"""),
+    ),
+
     QDef("sample_balanced",
       // Class-balanced downsampling: every language downsampled to the
       // smallest class's count, selection deterministic by salted md5

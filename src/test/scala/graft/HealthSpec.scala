@@ -77,6 +77,48 @@ class HealthSpec extends AnyFunSuite {
     }
   }
 
+  test("cusum alert keeps both arms live and S nonnegative") {
+    val rows = SparkEntry.queries("win_cusum_alert")(spark, dir).collect()
+    rows.foreach(r => assert(r.getAs[Long]("cusum_cents") >= 0))
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (et, rs) =>
+      val alerts = rs.count(_.getAs[Boolean]("alert"))
+      assert(alerts > 0 && alerts < rs.length, s"$et: dead alert arm ($alerts/${rs.length})")
+    }
+  }
+
+  test("z-scores have near-zero mean and near-unit spread per group") {
+    val rows = SparkEntry.queries("agg_zscore_standardize")(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val zs = rs.map(_.getAs[Double]("z"))
+      val m = zs.sum / zs.length
+      val v = zs.map(z => (z - m) * (z - m)).sum / zs.length
+      assert(math.abs(m) < 1e-6, s"$et: z mean $m")
+      assert(math.abs(v - 1.0) < 1e-2, s"$et: z variance $v")
+    }
+  }
+
+  test("feature hash buckets stay in [0,64) and weights sum to 1 per doc") {
+    val rows = SparkEntry.queries("text_feature_hash")(spark, dir).collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket"); assert(b >= 0 && b < 64)
+    }
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val w = rs.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(w - 1.0) < 1e-9, s"doc $id: weights sum $w")
+    }
+  }
+
+  test("inverted index df matches posting count for unsaturated terms") {
+    val rows = SparkEntry.queries("layout_inverted_index")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val n = r.getAs[String]("head_postings").split('|').length
+      assert(n == math.min(df, 10L), s"${r.get(0)}: df=$df postings=$n")
+    }
+  }
+
   test("chunk dedup marks exact-duplicate docs as fully duplicated") {
     val rows = SparkEntry.queries("dedup_chunk_exact")(spark, dir).collect()
     assert(rows.nonEmpty)
