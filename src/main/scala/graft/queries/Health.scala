@@ -516,6 +516,128 @@ object Health {
         FROM sgl ORDER BY event_id"""),
     ),
 
+    QDef("win_interpolate_linear",
+      // Linear interpolation of missing days in each user's daily mean
+      // series — the time-series repair step between gap detection
+      // (win_gap_fill) and any windowed model. Neighbors come from two
+      // IGNORE NULLS window scans (last non-null before, first after);
+      // the interpolated value is exact integer arithmetic in cents
+      // with `div` (slope numerator times day offset over day span), so
+      // edge rows fall back to nearest-neighbor and every emitted value
+      // hash-compares. At 100 TB: the spine is users x days, windows
+      // partition per user — no shuffle beyond the daily aggregate's.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(pmod(col("user_id"), lit(4L)) === 0)
+          .withColumn("d", to_date(col("ts")))
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+        val span = ev.agg(min("d").as("d0"), max("d").as("d1"))
+        val daily = ev.groupBy("user_id", "d")
+          .agg(expr("sum(xc) div count(1)").as("vc"))
+        val w = Window.partitionBy("user_id").orderBy("d")
+        val grid = ev.select("user_id").distinct()
+          .crossJoin(span)
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+          .join(daily, Seq("user_id", "d"), "left")
+          .withColumn("pv", last("vc", ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("pd", last(when(col("vc").isNotNull, col("d")), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("nv", first("vc", ignoreNulls = true)
+            .over(w.rowsBetween(0, Window.unboundedFollowing)))
+          .withColumn("nd", first(when(col("vc").isNotNull, col("d")), ignoreNulls = true)
+            .over(w.rowsBetween(0, Window.unboundedFollowing)))
+        grid.select(col("user_id"), col("d"), col("vc").isNull.as("interpolated"),
+          when(col("vc").isNotNull, col("vc"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + expr(
+                "(nv - pv) * datediff(d, pd) div datediff(nd, pd)"))
+            .when(col("pv").isNotNull, col("pv"))
+            .otherwise(col("nv")).as("vc_filled"))
+          .withColumn("v_filled", col("vc_filled").cast("double") / 100.0)
+          .orderBy("user_id", "d")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc
+          FROM events WHERE user_id % 4 = 0),
+        span AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+        daily AS (
+          SELECT user_id, d, CAST(sum(xc) // count(*) AS BIGINT) AS vc
+          FROM ev GROUP BY 1, 2),
+        spine AS (
+          SELECT u.user_id,
+                 CAST(unnest(generate_series(CAST(s.d0 AS TIMESTAMP), CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+          FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN span s),
+        g AS (
+          SELECT s.user_id, s.d, dl.vc,
+            last_value(dl.vc IGNORE NULLS) OVER
+              (PARTITION BY s.user_id ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN dl.vc IS NOT NULL THEN s.d END IGNORE NULLS) OVER
+              (PARTITION BY s.user_id ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+            first_value(dl.vc IGNORE NULLS) OVER
+              (PARTITION BY s.user_id ORDER BY s.d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN dl.vc IS NOT NULL THEN s.d END IGNORE NULLS) OVER
+              (PARTITION BY s.user_id ORDER BY s.d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+          FROM spine s LEFT JOIN daily dl ON dl.user_id = s.user_id AND dl.d = s.d)
+        SELECT user_id, d, vc IS NULL AS interpolated,
+               CAST(CASE WHEN vc IS NOT NULL THEN vc
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + ((nv - pv) * datediff('day', pd, d)) // datediff('day', pd, nd)
+                    WHEN pv IS NOT NULL THEN pv ELSE nv END AS BIGINT) AS vc_filled,
+               CAST(CASE WHEN vc IS NOT NULL THEN vc
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + ((nv - pv) * datediff('day', pd, d)) // datediff('day', pd, nd)
+                    WHEN pv IS NOT NULL THEN pv ELSE nv END AS DOUBLE) / 100.0 AS v_filled
+        FROM g ORDER BY user_id, d"""),
+    ),
+
+    QDef("pipeline_partial_agg_merge",
+      // Incremental view maintenance with ALGEBRAIC aggregate state:
+      // yesterday's per-(type, day) partials (sum_cents, n) merge with
+      // today's delta rows by ADDING STATES — the base data is never
+      // rescanned, which is the entire economics of a daily metric at
+      // 100 TB (the batch analog of streaming state, and exactly why
+      // avg must travel as sum+count, never as avg). The cut is noon
+      // mid-corpus so the straddling day exercises a true merge (both
+      // arms contribute to one key) at every SF. Output proves state
+      // merge == recompute: final avg from merged partials.
+      (s, dir) => {
+        val cut = lit("2024-01-16 12:00:00").cast("timestamp")
+        val ev = t(s, dir, "events")
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("event_type", "day")
+            .agg(sum("xc").as("sum_c"), count(lit(1)).as("n"))
+        val base = partial(ev.filter(col("ts") < cut))
+        val delta = partial(ev.filter(col("ts") >= cut))
+        base.unionByName(delta)
+          .groupBy("event_type", "day")
+          .agg(sum("sum_c").as("sum_c"), sum("n").as("n"))
+          .select(col("event_type"), col("day"), col("sum_c"), col("n"),
+            (col("sum_c").cast("double") / col("n").cast("double") / 100.0)
+              .as("avg_v"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH ev AS (
+          SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+                 CAST(ts AS TIMESTAMP) AS t
+          FROM events),
+        base AS (
+          SELECT event_type, day, sum(xc) AS sum_c, count(*) AS n FROM ev
+          WHERE t < TIMESTAMP '2024-01-16 12:00:00' GROUP BY 1, 2),
+        delta AS (
+          SELECT event_type, day, sum(xc) AS sum_c, count(*) AS n FROM ev
+          WHERE t >= TIMESTAMP '2024-01-16 12:00:00' GROUP BY 1, 2),
+        u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        SELECT event_type, day, CAST(sum(sum_c) AS BIGINT) AS sum_c,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(sum_c) AS DOUBLE) / CAST(sum(n) AS DOUBLE) / 100.0 AS avg_v
+        FROM u GROUP BY 1, 2 ORDER BY 1, 2"""),
+    ),
+
     QDef("sample_balanced",
       // Class-balanced downsampling: every language downsampled to the
       // smallest class's count, selection deterministic by salted md5

@@ -233,6 +233,80 @@ object MultimodalQ {
                CAST(cum_excl - min(cum_excl) OVER (PARTITION BY source, shard_idx)
                  AS BIGINT) AS byte_offset,
                n_bytes
-        FROM sh ORDER BY doc_id"""))
+        FROM sh ORDER BY doc_id""")),
+
+    QDef("multimodal_phash_pairs",
+      // Embedding-free media near-dup: a perceptual-hash-style 32-bit
+      // signature over the OPAQUE payload (simhash of non-overlapping
+      // 4-byte windows, read via hex — no decode step), then the same
+      // banded pigeonhole pairing as dedup_simhash_pairs: 4 byte bands
+      // generate candidates, one xor+popcount verifies Hamming <= 3.
+      // This is the dedup a media pipeline runs BEFORE it can afford
+      // embeddings: linear in payload bytes, bucket-local join, never
+      // all-pairs — and with a real codec the window hash would be the
+      // only line that changes (frame/block digests instead of raw
+      // windows). Windows at stride 4 keep the explode n_bytes/4.
+      (s, dir) => {
+        val sigs = graft.pipeline.Staged(s, dir, "phash_sigs") {
+          val votes = (0 until 32).map(b =>
+            sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+          val sig = (0 until 32).map(b =>
+            when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _)
+          Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+            .withColumn("hx", hex(col("payload")))
+            .withColumn("grams",
+              transform(sequence(lit(0), (length(col("hx")) / 8).cast("int") - 1),
+                i => substring(col("hx"), lit(1) + i * 8, lit(8))))
+            .select(col("media_id"), explode(col("grams")).as("g"))
+            .select(col("media_id"),
+              graft.functions.Text.md5Hash32(concat(lit("ph:"), col("g"))).as("h"))
+            .groupBy("media_id").agg(votes.head, votes.tail: _*)
+            .select(col("media_id"), sig.cast("long").as("phash"))
+        }
+        val bands = sigs.select(col("media_id"), col("phash"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("band"),
+              shiftright(col("phash"), i * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
+            .as("x"))
+          .select(col("media_id"), col("phash"),
+            col("x.band").as("band"), col("x.bv").as("bv"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+            expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("media_a", "media_b")
+      },
+      Some {
+        val votes = (0 until 32)
+          .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
+        val sig = (0 until 32)
+          .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH grams AS (
+          SELECT doc_id AS media_id,
+                 substr(hex(encode(text)), 1 + j * 8, 8) AS g
+          FROM documents,
+               unnest(range(octet_length(encode(text)) // 4)) AS u(j)),
+        th AS (
+          SELECT media_id,
+                 CAST(('0x' || substr(md5('ph:' || g), 1, 8)) AS BIGINT) AS h
+          FROM grams),
+        v AS (SELECT media_id, $votes FROM th GROUP BY media_id),
+        sigs AS (SELECT media_id, CAST($sig AS BIGINT) AS phash FROM v),
+        bands AS (
+          SELECT media_id, phash, i AS band, (phash >> (i * 8)) & 255 AS bv
+          FROM sigs, (SELECT unnest(range(4)) AS i)),
+        cand AS (
+          SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                 bit_count(xor(a.phash, b.phash)) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id)
+        SELECT media_a, media_b, CAST(hamming AS BIGINT) AS hamming
+        FROM cand WHERE hamming <= 3 ORDER BY media_a, media_b"""
+      })
   )
 }

@@ -119,6 +119,38 @@ class HealthSpec extends AnyFunSuite {
     }
   }
 
+  test("linear interpolation is monotone between its two neighbors") {
+    val rows = SparkEntry.queries("win_interpolate_linear")(spark, dir).collect()
+    assert(rows.exists(_.getAs[Boolean]("interpolated")))
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("vc_filled"))))
+    // Interpolated values never leave the global observed range.
+    val obs = rows.filter(!_.getAs[Boolean]("interpolated")).map(_.getAs[Long]("vc_filled"))
+    val (lo, hi) = (obs.min, obs.max)
+    rows.filter(_.getAs[Boolean]("interpolated")).foreach { r =>
+      val v = r.getAs[Long]("vc_filled")
+      assert(v >= lo && v <= hi)
+    }
+  }
+
+  test("partial-aggregate merge equals a direct recompute") {
+    val merged = SparkEntry.queries("pipeline_partial_agg_merge")(spark, dir).collect()
+    val direct = {
+      import org.apache.spark.sql.functions._
+      graft.queries.QDef.t(spark, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+        .groupBy("event_type", "day")
+        .agg(sum("xc").as("sum_c"), count(lit(1)).as("n"))
+        .orderBy("event_type", "day")
+        .collect()
+    }
+    assert(merged.length == direct.length)
+    merged.zip(direct).foreach { case (m, d) =>
+      assert(m.getAs[Long]("sum_c") == d.getAs[Long]("sum_c"))
+      assert(m.getAs[Long]("n") == d.getAs[Long]("n"))
+    }
+  }
+
   test("chunk dedup marks exact-duplicate docs as fully duplicated") {
     val rows = SparkEntry.queries("dedup_chunk_exact")(spark, dir).collect()
     assert(rows.nonEmpty)
