@@ -673,6 +673,50 @@ object Dedup {
           WHERE nd >= 2)
         SELECT w.doc_id, count(*) AS n_windows, count(com.h) AS n_dup
         FROM w LEFT JOIN com ON w.h = com.h
-        GROUP BY w.doc_id ORDER BY doc_id"""))
+        GROUP BY w.doc_id ORDER BY doc_id""")),
+
+    QDef("sample_contrastive_triplets",
+      // Contrastive-training triplet mining from the dedup machinery
+      // itself: anchors are docs with an LSH near-dup, the POSITIVE is
+      // the smallest-id candidate partner (a genuine near-duplicate —
+      // no labels needed), the NEGATIVE is the anchor's successor on a
+      // same-language salted-md5 hash ring (deterministic, uniform,
+      // wrap-around at the partition end). The rare ring collision
+      // with a true near-dup is the accepted false-negative rate every
+      // in-batch-negatives trainer already tolerates. Reuses the
+      // staged band index: mining cost = one group-by over candidate
+      // pairs + one window over docs, nothing quadratic.
+      (s, dir) => {
+        val pos = candidatePairs(s, dir)
+          .groupBy(col("doc_a").as("anchor"))
+          .agg(min("doc_b").as("positive"))
+        val w = Window.partitionBy("lang")
+          .orderBy("h", "doc_id")
+        val ring = t(s, dir, "documents")
+          .withColumn("h",
+            Text.md5Hash32(concat(lit("neg:"), col("doc_id").cast("string"))))
+          .withColumn("negative",
+            coalesce(lead("doc_id", 1).over(w), first("doc_id").over(w)))
+          .select(col("doc_id"), col("lang"), col("negative"))
+        pos.join(ring, pos("anchor") === ring("doc_id"))
+          .select(col("anchor"), col("positive"), col("negative"), col("lang"))
+          .orderBy("anchor")
+      },
+      Some(s"""WITH $minhashBandsSql,
+        $candidatePairsSql,
+        pos AS (
+          SELECT doc_a AS anchor, min(doc_b) AS positive FROM cpairs GROUP BY 1),
+        ring AS (
+          SELECT doc_id, lang,
+                 COALESCE(
+                   lead(doc_id, 1) OVER (PARTITION BY lang ORDER BY h, doc_id),
+                   first_value(doc_id) OVER (PARTITION BY lang ORDER BY h, doc_id))
+                   AS negative
+          FROM (SELECT doc_id, lang,
+                       ${h32Sql("'neg:' || CAST(doc_id AS VARCHAR)")} AS h
+                FROM documents))
+        SELECT p.anchor, p.positive, r.negative, r.lang
+        FROM pos p JOIN ring r ON r.doc_id = p.anchor
+        ORDER BY p.anchor"""))
   )
 }

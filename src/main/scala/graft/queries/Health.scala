@@ -638,6 +638,97 @@ object Health {
         FROM u GROUP BY 1, 2 ORDER BY 1, 2"""),
     ),
 
+    QDef("join_temporal_scd2",
+      // Point-in-interval consumption of an SCD2 dimension — the query
+      // every versioned-dim warehouse runs: each purchase resolves the
+      // signup version active AT ITS TIMESTAMP (half-open validity, so
+      // boundary instants match exactly one version). The SCALABLE plan
+      // is the equi-join on the entity key with the interval predicate
+      // as a join filter — co-partitions on user_id (versions per user
+      // are few), NOT a broadcast range join (the dim grows with the
+      // data) and NOT a BNL. Pre-signup purchases keep the left arm
+      // live with version 0.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val dim = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("valid_from"), col("event_id"))
+          .withColumn("version", row_number().over(
+            Window.partitionBy("user_id").orderBy("valid_from", "event_id"))
+            .cast("long"))
+          .withColumn("valid_to",
+            lead("valid_from", 1).over(
+              Window.partitionBy("user_id").orderBy("valid_from", "event_id")))
+        val fact = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        fact.join(dim,
+            fact("user_id") === dim("user_id") &&
+              fact("ts") >= dim("valid_from") &&
+              (dim("valid_to").isNull || fact("ts") < dim("valid_to")),
+            "left")
+          .select(fact("event_id"), fact("user_id"), fact("value"),
+            coalesce(col("version"), lit(0L)).as("version"),
+            coalesce(datediff(to_date(fact("ts")), to_date(col("valid_from"))),
+              lit(-1)).cast("long").as("days_since_signup"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+          FROM events),
+        dim AS (
+          SELECT user_id, ts AS valid_from,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+                 lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+          FROM ev WHERE event_type = 'signup'),
+        fact AS (
+          SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase')
+        SELECT f.event_id, f.user_id, f.value,
+               CAST(COALESCE(d.version, 0) AS BIGINT) AS version,
+               CAST(COALESCE(datediff('day', CAST(d.valid_from AS DATE), CAST(f.ts AS DATE)), -1) AS BIGINT)
+                 AS days_since_signup
+        FROM fact f LEFT JOIN dim d
+          ON d.user_id = f.user_id AND f.ts >= d.valid_from
+             AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        ORDER BY f.event_id"""),
+    ),
+
+    QDef("win_rolling_distinct",
+      // Trailing-7-day DISTINCT users per event_type — the windowed
+      // distinct no window frame can compute (distinct does not
+      // decompose over sliding frames). The scalable rewrite: each
+      // distinct (type, user, day) activity CONTRIBUTES itself to the
+      // 7 window endpoints it falls inside (a bounded x7 explode —
+      // cost is multiplier x distinct activity, independent of raw
+      // event volume), then one count-distinct per (type, endpoint).
+      // The naive per-day self-join over the trailing week shuffles
+      // the fact 7 times; this shuffles the (already tiny) distinct
+      // activity set once.
+      (s, dir) => {
+        val acts = t(s, dir, "events")
+          .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val span = acts.agg(max("day").as("d1"))
+        acts.crossJoin(span)
+          .select(col("event_type"), col("user_id"),
+            explode(sequence(col("day"),
+              least(date_add(col("day"), 6), col("d1")))).as("d"))
+          .groupBy("event_type", "d")
+          .agg(countDistinct("user_id").as("u7"))
+          .orderBy("event_type", "d")
+      },
+      Some("""WITH acts AS (
+          SELECT DISTINCT event_type, user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+          FROM events),
+        span AS (SELECT max(day) AS d1 FROM acts),
+        contrib AS (
+          SELECT a.event_type, a.user_id,
+                 CAST(unnest(generate_series(CAST(a.day AS TIMESTAMP),
+                   CAST(least(a.day + 6, s.d1) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+          FROM acts a CROSS JOIN span s)
+        SELECT event_type, d, count(DISTINCT user_id) AS u7
+        FROM contrib GROUP BY 1, 2 ORDER BY 1, 2"""),
+    ),
+
     QDef("sample_balanced",
       // Class-balanced downsampling: every language downsampled to the
       // smallest class's count, selection deterministic by salted md5

@@ -151,6 +151,34 @@ class HealthSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal SCD2 join resolves exactly one version with both arms live") {
+    val rows = SparkEntry.queries("join_temporal_scd2")(spark, dir).collect()
+    // One output row per purchase: the half-open intervals are disjoint.
+    assert(rows.map(_.getAs[Long]("event_id")).distinct.length == rows.length)
+    val pre = rows.count(_.getAs[Long]("version") == 0L)
+    assert(pre > 0 && pre < rows.length, s"dead arm: $pre pre-signup of ${rows.length}")
+    rows.filter(_.getAs[Long]("version") > 0L)
+      .foreach(r => assert(r.getAs[Long]("days_since_signup") >= 0))
+  }
+
+  test("rolling distinct is sandwiched between daily and total distinct") {
+    val rolling = SparkEntry.queries("win_rolling_distinct")(spark, dir).collect()
+    val ev = graft.queries.QDef.t(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    val daily = ev.select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+      .distinct().groupBy("event_type", "d").count().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    val total = ev.select("event_type", "user_id").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rolling.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d").toString)
+      val u7 = r.getAs[Long]("u7")
+      assert(u7 >= daily.getOrElse(k, 0L), s"$k: 7-day < 1-day")
+      assert(u7 <= total(k._1), s"$k: 7-day > all-time")
+    }
+  }
+
   test("chunk dedup marks exact-duplicate docs as fully duplicated") {
     val rows = SparkEntry.queries("dedup_chunk_exact")(spark, dir).collect()
     assert(rows.nonEmpty)
