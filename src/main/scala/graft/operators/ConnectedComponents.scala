@@ -116,4 +116,86 @@ object ConnectedComponents {
     edges.unpersist()
     (labels.select(col("id"), col("label").as("cluster")), rounds, converged)
   }
+
+  /** Alternating large-star / small-star connected components — the
+    * OTHER standard MapReduce-CC construction (Kiveris et al., SoCC'14,
+    * "Connected Components in MapReduce and Beyond", Alg. 2/3), kept as
+    * a first-class alternative to [[clusters]] because its costs land
+    * differently at scale: it shuffles EDGES (whose count shrinks
+    * toward a star forest each round) where label propagation shuffles
+    * a fixed node-labels table; on high-degree near-clique dup graphs
+    * the first large-star round collapses most of the edge mass onto
+    * component minima. Both converge to identical labels (pinned in
+    * ConnectedComponentsSpec).
+    *
+    * One round = large-star then small-star over canonical (u < v)
+    * edges, m = min of the closed neighborhood:
+    *   large-star(x): emit (m, y) for y in Γ(x), y > x
+    *   small-star(x): emit (m, y) for y in Γ(x) ∪ {x}, y <= x
+    * m <= y always (m is the closed-neighborhood min), so emissions are
+    * born canonical. At the fixpoint the edge set IS the star forest
+    * (root = component min); labels read off as each node's min
+    * neighbor. Each phase is eagerly localCheckpoint'ed: the
+    * symmetrize-union references the edge frame twice, so an
+    * uncheckpointed round would double both plan and execution.
+    */
+  def clustersStar(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
+      maxRounds: Int = 50): DataFrame = {
+    val (labels, rounds, converged) = clustersStarDetailed(pairs, a, b, maxRounds)
+    if (!converged)
+      throw new IllegalStateException(
+        s"large-star/small-star did not converge in $rounds rounds (maxRounds=$maxRounds)")
+    labels
+  }
+
+  /** [[clustersStar]] plus round count and convergence bit. */
+  def clustersStarDetailed(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
+      maxRounds: Int = 50): (DataFrame, Int, Boolean) = {
+    val nodes = pairs.select(col(a).as("id"))
+      .union(pairs.select(col(b).as("id"))).distinct().persist()
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val m = sym.groupBy("x").agg(least(min(col("y")), col("x")).as("m"))
+      val base = sym.join(m, "x")
+      val out =
+        if (large) base.filter(col("y") > col("x"))
+          .select(col("m").as("u"), col("y").as("v"))
+        else base.filter(col("y") <= col("x"))
+          .select(col("m").as("u"), col("y").as("v"))
+          // small-star also re-links x itself to m (the emission that
+          // keeps a node attached when all its neighbors are larger).
+          .union(m.select(col("m").as("u"), col("x").as("v")))
+      out.filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    }
+    var prev: Option[RDD[_]] = None
+    def swap(df: DataFrame): DataFrame = {
+      prev.foreach(_.unpersist(blocking = false))
+      prev = df.queryExecution.analyzed.collectFirst { case r: LogicalRDD => r.rdd }
+      df
+    }
+    var edges = swap(pairs
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val ls = phase(edges, large = true)
+      val next = phase(ls, large = false)
+      // Sound fixpoint probe: the canonical edge sets are equal. Counts
+      // first (one cached aggregate each), EXCEPT only to confirm.
+      converged = next.count() == edges.count() &&
+        next.except(edges).limit(1).count() == 0L
+      // ls's checkpoint blocks are dead once `next` materialized.
+      ls.queryExecution.analyzed.collectFirst { case r: LogicalRDD => r.rdd }
+        .foreach(_.unpersist(blocking = false))
+      edges = swap(next)
+      rounds += 1
+    }
+    val roots = edges.groupBy(col("v").as("id")).agg(min("u").as("root"))
+    val labels = nodes.join(roots, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
+    nodes.unpersist()
+    (labels, rounds, converged)
+  }
 }

@@ -253,6 +253,31 @@ object Dedup {
         SELECT a AS doc_id, min(b) AS cluster FROM reach
         GROUP BY a ORDER BY doc_id""")),
 
+    QDef("dedup_cluster_cc_star",
+      // The SAME clustering by the OTHER standard MapReduce-CC
+      // construction: alternating large-star/small-star (Kiveris et
+      // al., SoCC'14) — shuffles a shrinking EDGE set where label
+      // propagation shuffles a fixed node table; on near-clique dup
+      // graphs the first large-star collapses most edge mass onto
+      // component minima. Identical labels to dedup_cluster_cc by
+      // construction (and by this shared oracle; operator-level
+      // equality pinned in ScaleOpsSpec).
+      (s, dir) => graft.operators.ConnectedComponents
+        .clustersStar(candidatePairs(s, dir))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $minhashBandsSql,
+        $candidatePairsSql,
+        cedges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cpairs
+          UNION SELECT doc_b, doc_a FROM cpairs),
+        reach(a, b) AS (
+          SELECT src, src FROM cedges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cedges e ON r.b = e.src)
+        SELECT a AS doc_id, min(b) AS cluster FROM reach
+        GROUP BY a ORDER BY doc_id""")),
+
     QDef("dedup_keep_best",
       // Representative selection AFTER clustering: real pipelines keep
       // the BEST member of each duplicate cluster, not the first —

@@ -68,6 +68,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(labels.count() == n.toLong)
   }
 
+  test("large-star/small-star CC matches min-label propagation exactly") {
+    // The two standard MapReduce-CC constructions must agree label for
+    // label: on a chain (worst case for propagation), a separate small
+    // component, and the real LSH candidate-pair graph.
+    import spark.implicits._
+    val dir = graft.streaming.StreamRuns.fresh("cc-star-chain")
+    ((0L until 63L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (101L, 102L)))
+      .toDF("doc_a", "doc_b").write.mode("overwrite").parquet(dir)
+    val pairs = spark.read.parquet(dir)
+    val prop = graft.operators.ConnectedComponents.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (starLabels, rounds, converged) =
+      graft.operators.ConnectedComponents.clustersStarDetailed(pairs)
+    assert(converged, s"star variant did not converge in $rounds rounds")
+    val star = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+
+    val lsh = SparkEntry.queries("dedup_minhash_pairs")(
+      spark, "/root/testdata/sf0.01")
+      .select("doc_a", "doc_b")
+    val propLsh = graft.operators.ConnectedComponents.clusters(lsh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val starLsh = graft.operators.ConnectedComponents.clustersStar(lsh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starLsh == propLsh)
+  }
+
   test("ArrayDotExpr matches the built-in higher-order fold bit-for-bit") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"),
