@@ -800,6 +800,111 @@ object Similarity {
                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
                FROM pairs)
         SELECT q_id, bucket, rank, vec_id, cos FROM rk WHERE rank <= 3
-        ORDER BY q_id, rank"""))
+        ORDER BY q_id, rank""")),
+
+    QDef("sim_hybrid_retrieval",
+      // The RAG serving shape: lexical first-stage retrieval (a
+      // BM25-shaped score over the shared tf stage) keeps 20 candidates
+      // per query, dense rerank (exact cosine over the aligned
+      // embedding) keeps 5. The BM25 idf is the RATIONAL variant
+      // (N-df+.5)/(df+.5) — ln() deliberately avoided (libm ulp drift,
+      // same reasoning as text_tfidf) — and per-term scores are
+      // floor-quantized to int64 MICROS before the per-(q,d) sum, so
+      // the lexical ranking is exact under any shuffle order. At
+      // 100 TB: stage 1 joins query terms against the tf table on the
+      // term key (posting-list bounded, df-skew handled like any hot
+      // key), and only 20 candidates/query ever touch an embedding —
+      // the entire point of hybrid over dense-only.
+      (s, dir) => {
+        val tf0 = graft.pipeline.Staged(s, dir, "tfidf_tf") {
+          t(s, dir, "documents")
+            .select(col("doc_id"), explode(
+              graft.functions.Text.tokens(
+                graft.functions.Text.normTerm(col("text")))).as("term"))
+            .filter(length(col("term")) > 0)
+            .groupBy("doc_id", "term")
+            .agg(count(lit(1)).as("cnt"))
+        }
+        val lens = tf0.groupBy("doc_id").agg(sum("cnt").as("len"))
+        val stats = lens.agg(count(lit(1)).as("nd"), sum("len").as("toks"))
+          .select(col("nd"), (col("toks").cast("double") / col("nd").cast("double")).as("avglen"))
+        val dft = tf0.groupBy("term").agg(count(lit(1)).as("df"))
+        val qterms = tf0.filter(pmod(col("doc_id"), lit(100L)) === 7)
+          .select(col("doc_id").as("q_id"), col("term"))
+        val scored = qterms
+          .join(tf0.filter(pmod(col("doc_id"), lit(100L)) =!= 7), "term")
+          .join(broadcast(dft), "term")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            (col("nd").cast("double") - col("df").cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5))
+          .withColumn("sat",
+            (col("cnt").cast("double") * 2.2) /
+              (col("cnt").cast("double") +
+                lit(1.2) * (lit(0.25) + lit(0.75) * (col("len").cast("double") / col("avglen")))))
+          .withColumn("micro", floor(col("idf") * col("sat") * 1e6).cast("long"))
+          .groupBy("q_id", "doc_id")
+          .agg(sum("micro").as("lex_micro"))
+        val wLex = Window.partitionBy("q_id")
+          .orderBy(col("lex_micro").desc, col("doc_id").asc)
+        val cands = scored.withColumn("lrank", row_number().over(wLex))
+          .filter(col("lrank") <= 20)
+        val e = vecs(s, dir)
+        val wCos = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("doc_id").asc)
+        cands
+          .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), "q_id")
+          .join(e.select(col("vec_id").as("doc_id"), col("v"), col("nrm")), "doc_id")
+          .select(col("q_id"), col("doc_id"), col("lex_micro"),
+            rx(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cos"))
+          .withColumn("rank", row_number().over(wCos))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("doc_id"), col("lex_micro"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH tf AS (
+          SELECT doc_id, term, count(*) AS cnt FROM (
+            SELECT doc_id,
+                   unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+            FROM documents)
+          WHERE len(term) > 0 GROUP BY 1, 2),
+        lens AS (SELECT doc_id, sum(cnt) AS len FROM tf GROUP BY 1),
+        stats AS (
+          SELECT count(*) AS nd, CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen
+          FROM lens),
+        qterms AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id % 100 = 7),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT q.q_id, t.doc_id,
+                 CAST(sum(floor(
+                   ((CAST(s.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                   * ((CAST(t.cnt AS DOUBLE) * 2.2) /
+                      (CAST(t.cnt AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l.len AS DOUBLE) / s.avglen))))
+                   * 1e6)) AS BIGINT) AS lex_micro
+          FROM qterms q
+          JOIN tf t ON t.term = q.term AND t.doc_id % 100 <> 7
+          JOIN dft d ON d.term = q.term
+          JOIN lens l ON l.doc_id = t.doc_id
+          CROSS JOIN stats s
+          GROUP BY 1, 2),
+        cands AS (
+          SELECT q_id, doc_id, lex_micro,
+                 row_number() OVER (PARTITION BY q_id ORDER BY lex_micro DESC, doc_id) AS lrank
+          FROM scored),
+        rr AS (
+          SELECT c.q_id, c.doc_id, c.lex_micro,
+                 ${rxSql(cosSql("qe", "de"), 6)} AS cos
+          FROM cands c
+          JOIN embeddings qe ON qe.vec_id = c.q_id
+          JOIN embeddings de ON de.vec_id = c.doc_id
+          WHERE c.lrank <= 20),
+        rk AS (
+          SELECT q_id, doc_id, lex_micro, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
+          FROM rr)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, lex_micro, cos
+        FROM rk WHERE rank <= $K ORDER BY q_id, rank"""))
   )
 }
