@@ -361,6 +361,36 @@ object Relational {
       Some("""SELECT count(*) AS n_rows, min(doc_id) AS min_id,
           max(doc_id) AS max_id FROM documents""")),
 
+    QDef("join_dsv2_runtime_prune",
+      // DSv2 runtime filtering (SupportsRuntimeFiltering): the dim
+      // side's selective NON-KEY predicate becomes a join-fed IN-list
+      // that BatchScanExec pushes into the graft-tsv scan AFTER the
+      // broadcast materializes, re-planning input partitions against
+      // the file zone maps — DPP semantics reaching a custom source's
+      // file level instead of hive partition directories
+      // (GraftTsvSourceSpec pins 1-of-8 files opened). The dim is the
+      // short-docs slice of the corpus: derived, so the oracle
+      // replays it exactly.
+      (s, dir) => {
+        val out = scratch(s"gtsv_${new java.io.File(dir).getName}/files")
+        graft.pipeline.Staged(s, dir, "gtsv_files") {
+          graft.sources.GraftTsv.write(t(s, dir, "documents"), out, 8)
+          s.range(1).toDF("ok") // marker: layout staged once per session+dir
+        }
+        val dim = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .filter(col("n_chars") < 60)
+        s.read.format("graft-tsv").load(out)
+          .select("doc_id", "lang", "source")
+          .join(broadcast(dim), "doc_id")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT d.doc_id, d.lang, d.source, s.n_chars
+        FROM documents d JOIN (SELECT doc_id, n_chars FROM documents WHERE n_chars < 60) s
+          ON s.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     QDef("scan_nested_pushdown",
       // Nested-schema pruning + pushdown: a struct-typed layout read
       // back selecting ONE nested leaf with a filter on a sibling leaf

@@ -266,9 +266,45 @@ class GraftTsvAggReaderFactory extends PartitionReaderFactory {
 
 class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
     perTrigger: Int) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Runtime (join-fed) doc_id filter state. BatchScanExec evaluates
+    * the dynamic-pruning subquery after the build side materializes,
+    * calls [[filter]] with the resulting IN-list, then re-plans input
+    * partitions — the DSv2 analog of DPP, reaching file-level zone
+    * maps instead of hive partitions. Mutating the Scan is the
+    * designed contract (the interface is documented as narrowing this
+    * scan's partitions in place).
+    */
+  @volatile private var runtimeIds: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.collect {
+      case org.apache.spark.sql.sources.In("doc_id", vs) =>
+        vs.collect { case n: java.lang.Number => n.longValue() }.toSet
+      case EqualTo("doc_id", v: Long) => Set(v)
+    }
+    if (sets.nonEmpty) runtimeIds = Some(sets.reduce(_ intersect _))
+  }
+
+  /** True iff the zone map [mn, mx] can contain any runtime-filtered
+    * id. A dim-sized IN-list is checked exactly; a huge one (beyond a
+    * bound where per-file membership sweeps would dominate planning)
+    * degrades to its min/max envelope — coarser pruning, never wrong.
+    */
+  private def runtimeOverlaps(mn: Long, mx: Long): Boolean =
+    runtimeIds match {
+      case None => true
+      case Some(ids) if ids.isEmpty => false
+      case Some(ids) if ids.size <= 10000 => ids.exists(id => id >= mn && id <= mx)
+      case Some(ids) => ids.min <= mx && ids.max >= mn
+    }
 
   /** Header-derived stats for the surviving (zone-map-overlapping)
     * files: exact row count, on-disk byte size. This is what lets the
@@ -324,7 +360,8 @@ class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
       require(parts.length == 5 && parts(0) == "#graft-tsv",
         s"not a graft-tsv file: $f")
       val (mn, mx) = (parts(2).toLong, parts(3).toLong)
-      val overlaps = lo.forall(_ <= mx) && hi.forall(_ >= mn)
+      val overlaps = lo.forall(_ <= mx) && hi.forall(_ >= mn) &&
+        runtimeOverlaps(mn, mx)
       if (overlaps) Some(GraftTsvPartition(f.toString): InputPartition) else None
     }
   }

@@ -49,6 +49,31 @@ class GraftTsvSourceSpec extends AnyFunSuite {
     assert(opened <= 2, s"opened $opened of 8 files for a 5-id range")
   }
 
+  test("runtime join filter prunes files: DSv2 DPP reaches the zone maps") {
+    import spark.implicits._
+    val dimDir = graft.streaming.StreamRuns.fresh("gtsv-rtf-dim")
+    // The selective predicate lives on a NON-KEY dim column (a join-key
+    // predicate would be inferred onto the scan side and the runtime
+    // filter would be judged useless — the InjectRuntimeFilter trap).
+    (0L until 500L).map(i => (i, if (i >= 10 && i < 13) "hot" else "cold"))
+      .toDF("doc_id", "temp").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("temp") === "hot")
+    val fact = spark.read.format("graft-tsv").load(dir)
+    val joined = fact.join(org.apache.spark.sql.functions.broadcast(dim), "doc_id")
+    val before = GraftTsv.filesOpened.get()
+    assert(joined.collect().length === 3)
+    val opened = GraftTsv.filesOpened.get() - before
+    // 500 ids range-partitioned into 8 files: the 3 hot ids live in ONE
+    // zone. Without the runtime filter the scan has no static predicate
+    // at all and opens all 8.
+    assert(opened <= 1, s"opened $opened of 8 files under a 3-id runtime filter")
+    // And the plan really carried a runtime filter into the v2 scan.
+    val scans = PlanFlatten.flatten(joined.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+    assert(scans.exists(_.runtimeFilters.nonEmpty),
+      s"no runtime filter reached BatchScanExec:\n${joined.queryExecution.executedPlan}")
+  }
+
   test("V2 write enforces disjoint zone maps and leaves no temp files") {
     dir // force the write
     val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
