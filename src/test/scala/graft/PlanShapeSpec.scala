@@ -87,6 +87,34 @@ class PlanShapeSpec extends AnyFunSuite {
       "the per-row index window must be partitioned by shard")
   }
 
+  test("agg_zscore_standardize broadcasts the stats back, no second fact shuffle") {
+    val df = SparkEntry.queries("agg_zscore_standardize")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "per-group stats must rejoin the fact via broadcast")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("hybrid retrieval stage 1 is a term equi-join, never a cross product") {
+    val df = SparkEntry.queries("sim_hybrid_retrieval")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "lexical scoring must join on the term key, not fan out all pairs")
+  }
+
+  test("temporal SCD2 join keys on the entity, interval as join filter") {
+    val df = SparkEntry.queries("join_temporal_scd2")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "point-in-interval must ride the user_id equi-key")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "a BNL here means the equi-key was lost and the dim side exploded")
+  }
+
   test("str_fuzzy_match candidates come from an equi join, never a cross product") {
     val df = SparkEntry.queries("str_fuzzy_match")(spark, sf)
     df.collect()
