@@ -802,6 +802,127 @@ object Similarity {
         SELECT q_id, bucket, rank, vec_id, cos FROM rk WHERE rank <= 3
         ORDER BY q_id, rank""")),
 
+    QDef("sim_rrf_fusion",
+      // Reciprocal-rank fusion — the OTHER standard hybrid composition
+      // (score fusion instead of rerank-cascade): lexical and dense
+      // top-30 rankings fused as sum of 1/(60+rank), full-outer on the
+      // candidate pair so either-list-only docs still score. 1/(60+r)
+      // is a single IEEE division of integers, so fused scores are
+      // bit-exact and need no rounding guard — the reason RRF is
+      // stated on RANKS, not raw scores, is the same reason it
+      // oracle-checks trivially. At 100 TB each ranking is its own
+      // bounded pipeline (term-keyed join / broadcast nested loop) and
+      // fusion touches only 2x30 rows per query.
+      (s, dir) => {
+        val tf0 = graft.pipeline.Staged(s, dir, "tfidf_tf") {
+          t(s, dir, "documents")
+            .select(col("doc_id"), explode(
+              graft.functions.Text.tokens(
+                graft.functions.Text.normTerm(col("text")))).as("term"))
+            .filter(length(col("term")) > 0)
+            .groupBy("doc_id", "term")
+            .agg(count(lit(1)).as("cnt"))
+        }
+        val lens = tf0.groupBy("doc_id").agg(sum("cnt").as("len"))
+        val stats = lens.agg(count(lit(1)).as("nd"), sum("len").as("toks"))
+          .select(col("nd"), (col("toks").cast("double") / col("nd").cast("double")).as("avglen"))
+        val dft = tf0.groupBy("term").agg(count(lit(1)).as("df"))
+        val qterms = tf0.filter(pmod(col("doc_id"), lit(100L)) === 7)
+          .select(col("doc_id").as("q_id"), col("term"))
+        val lex = qterms
+          .join(tf0.filter(pmod(col("doc_id"), lit(100L)) =!= 7), "term")
+          .join(broadcast(dft), "term")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("micro", floor(
+            ((col("nd").cast("double") - col("df").cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5)) *
+              ((col("cnt").cast("double") * 2.2) /
+                (col("cnt").cast("double") +
+                  lit(1.2) * (lit(0.25) + lit(0.75) * (col("len").cast("double") / col("avglen"))))) *
+              1e6).cast("long"))
+          .groupBy("q_id", "doc_id")
+          .agg(sum("micro").as("lex_micro"))
+          .withColumn("lrank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("lex_micro").desc, col("doc_id").asc)))
+          .filter(col("lrank") <= 30)
+          .select(col("q_id"), col("doc_id"), col("lrank"))
+        val e = vecs(s, dir)
+        val q = e.filter(pmod(col("vec_id"), lit(100L)) === 7)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val dense = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id").as("doc_id"),
+            rx(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cos"))
+          .withColumn("drank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos").desc, col("doc_id").asc)))
+          .filter(col("drank") <= 30)
+          .select(col("q_id"), col("doc_id"), col("drank"))
+        val fused = lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("lrank")).cast("double"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("drank")).cast("double"), lit(0.0)))
+        fused.withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id").asc)))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank").cast("long").as("rank"), col("doc_id"),
+            coalesce(col("lrank"), lit(0)).cast("long").as("lrank"),
+            coalesce(col("drank"), lit(0)).cast("long").as("drank"),
+            col("rrf"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH tf AS (
+          SELECT doc_id, term, count(*) AS cnt FROM (
+            SELECT doc_id,
+                   unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+            FROM documents)
+          WHERE len(term) > 0 GROUP BY 1, 2),
+        lens AS (SELECT doc_id, sum(cnt) AS len FROM tf GROUP BY 1),
+        stats AS (
+          SELECT count(*) AS nd, CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen
+          FROM lens),
+        qterms AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id % 100 = 7),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        lexs AS (
+          SELECT q.q_id, t.doc_id,
+                 CAST(sum(floor(
+                   ((CAST(s.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                   * ((CAST(t.cnt AS DOUBLE) * 2.2) /
+                      (CAST(t.cnt AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l.len AS DOUBLE) / s.avglen))))
+                   * 1e6)) AS BIGINT) AS lex_micro
+          FROM qterms q
+          JOIN tf t ON t.term = q.term AND t.doc_id % 100 <> 7
+          JOIN dft d ON d.term = q.term
+          JOIN lens l ON l.doc_id = t.doc_id
+          CROSS JOIN stats s
+          GROUP BY 1, 2),
+        lex AS (
+          SELECT q_id, doc_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY lex_micro DESC, doc_id) AS lrank
+          FROM lexs QUALIFY lrank <= 30),
+        dense AS (
+          SELECT q_id, doc_id, drank FROM (
+            SELECT qe.vec_id AS q_id, de.vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY qe.vec_id
+                     ORDER BY ${rxSql(cosSql("qe", "de"), 6)} DESC, de.vec_id) AS drank
+            FROM embeddings qe JOIN embeddings de ON qe.vec_id <> de.vec_id
+            WHERE qe.vec_id % 100 = 7)
+          WHERE drank <= 30),
+        fused AS (
+          SELECT COALESCE(l.q_id, d.q_id) AS q_id,
+                 COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                 l.lrank, d.drank,
+                 COALESCE(1.0 / CAST(60 + l.lrank AS DOUBLE), 0.0)
+                   + COALESCE(1.0 / CAST(60 + d.drank AS DOUBLE), 0.0) AS rrf
+          FROM lex l FULL OUTER JOIN dense d
+            ON d.q_id = l.q_id AND d.doc_id = l.doc_id)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
+               CAST(COALESCE(lrank, 0) AS BIGINT) AS lrank,
+               CAST(COALESCE(drank, 0) AS BIGINT) AS drank, rrf
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+              FROM fused)
+        WHERE rank <= $K ORDER BY q_id, rank"""),
+    ),
+
     QDef("sim_hybrid_retrieval",
       // The RAG serving shape: lexical first-stage retrieval (a
       // BM25-shaped score over the shared tf stage) keeps 20 candidates
