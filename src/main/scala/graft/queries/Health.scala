@@ -729,6 +729,192 @@ object Health {
         FROM contrib GROUP BY 1, 2 ORDER BY 1, 2"""),
     ),
 
+    QDef("profile_content_digest",
+      // Content-addressed dataset versioning: per-source row count +
+      // ORDER-FREE content digest (sum of row fingerprints mod 2^31 —
+      // commutative, so any shuffle/partitioning yields the same
+      // digest, which is the whole trick; a concat-then-hash digest
+      // would need a total sort first). The regression check every
+      // pipeline re-run wants: same digest = bit-identical content,
+      // no row-by-row diff. Per-group row counts here stay far under
+      // the int64 headroom; a 100 TB run aggregates the same mod-2^31
+      // terms through DECIMAL(38,0) instead.
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("source"),
+            pmod(Text.md5Hash32(concat_ws("\u0001",
+              col("doc_id").cast("string"), col("text"), col("lang"))),
+              lit(2147483648L)).as("h"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_rows"),
+            pmod(sum("h"), lit(2147483648L)).as("content_digest"))
+          .orderBy("source")
+      },
+      Some("""WITH h AS (
+          SELECT source,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang), 1, 8)) AS BIGINT) % 2147483648 AS h
+          FROM documents)
+        SELECT source, count(*) AS n_rows,
+               CAST(sum(h) % 2147483648 AS BIGINT) AS content_digest
+        FROM h GROUP BY source ORDER BY source"""),
+    ),
+
+    QDef("join_interval_overlap",
+      // Interval x interval overlap join — the shape point-in-interval
+      // (join_temporal_scd2) cannot cover: user activity sessions vs
+      // overlapping 5-day campaign windows. The scalable plan is DAY
+      // BINNING: each interval explodes to the days it touches, the
+      // join is an equi-join on the bin, and the exact overlap
+      // predicate verifies each binned candidate once (distinct) — no
+      // BNL, no theta join, cost = interval-days + bin-local pairs.
+      // Overlap is reported in exact epoch minutes.
+      (s, dir) => {
+        val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = t(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 3600000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_sess")).over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+        val camp = t(s, dir, "events").agg(to_date(min("ts")).as("d0"))
+          .select(explode(sequence(lit(0L), lit(4L))).as("campaign_id"), col("d0"))
+          .select(col("campaign_id"),
+            date_add(col("d0"), (col("campaign_id") * 7).cast("int"))
+              .cast("timestamp").as("c_start"),
+            date_add(col("d0"), (col("campaign_id") * 7 + 5).cast("int"))
+              .cast("timestamp").as("c_end"))
+        val sessDays = sess.select(col("user_id"), col("session_id"),
+          col("s_start"), col("s_end"),
+          explode(sequence(to_date(col("s_start")), to_date(col("s_end")))).as("day"))
+        val campDays = camp.select(col("campaign_id"), col("c_start"), col("c_end"),
+          explode(sequence(to_date(col("c_start")),
+            date_sub(to_date(col("c_end")), 1))).as("day"))
+        sessDays.join(campDays, "day")
+          .filter(col("s_start") < col("c_end") && col("c_start") <= col("s_end"))
+          .withColumn("omicro",
+            least(unix_micros(col("s_end")), unix_micros(col("c_end"))) -
+              greatest(unix_micros(col("s_start")), unix_micros(col("c_start"))))
+          .select(col("user_id"), col("session_id"),
+            col("campaign_id").cast("long").as("campaign_id"),
+            expr("omicro div 60000000").as("overlap_min"))
+          .distinct()
+          .orderBy("user_id", "session_id", "campaign_id")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        marked AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 3600000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ev),
+        sess AS (
+          SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end FROM (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+            FROM marked)
+          GROUP BY 1, 2),
+        d0 AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM ev),
+        camp AS (
+          SELECT k AS campaign_id,
+                 CAST(d0.d0 + CAST(k * 7 AS INT) AS TIMESTAMP) AS c_start,
+                 CAST(d0.d0 + CAST(k * 7 + 5 AS INT) AS TIMESTAMP) AS c_end
+          FROM d0, (SELECT unnest(range(5)) AS k)),
+        sdays AS (
+          SELECT user_id, session_id, s_start, s_end,
+                 CAST(unnest(generate_series(CAST(CAST(s_start AS DATE) AS TIMESTAMP),
+                   CAST(CAST(s_end AS DATE) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+          FROM sess),
+        cdays AS (
+          SELECT campaign_id, c_start, c_end,
+                 CAST(unnest(generate_series(CAST(CAST(c_start AS DATE) AS TIMESTAMP),
+                   CAST(CAST(c_end AS DATE) - 1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+          FROM camp)
+        SELECT DISTINCT s.user_id, CAST(s.session_id AS BIGINT) AS session_id,
+               CAST(c.campaign_id AS BIGINT) AS campaign_id,
+               CAST((least(epoch_us(s.s_end), epoch_us(c.c_end)) -
+                     greatest(epoch_us(s.s_start), epoch_us(c.c_start))) // 60000000 AS BIGINT)
+                 AS overlap_min
+        FROM sdays s JOIN cdays c USING (day)
+        WHERE s.s_start < c.c_end AND c.c_start <= s.s_end
+        ORDER BY user_id, session_id, campaign_id"""),
+    ),
+
+    QDef("agg_quantile_merge",
+      // Mergeable-quantile state: per-(type, day) partial histograms
+      // (10 fixed cent buckets) merged by ADDING COUNTS — the quantile
+      // analog of pipeline_partial_agg_merge, and why approximate
+      // quantiles at scale travel as histograms/sketches, never as raw
+      // values. The merged histogram answers p50 as the first bucket
+      // whose cumulative count crosses N/2 (pure integers), reported
+      // next to the EXACT rank-based median so the bucket-resolution
+      // error is visible and bounded by construction.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("b", least(floor(col("xc") / 5000).cast("long"), lit(9L)))
+        val partials = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"), col("b"))
+          .agg(count(lit(1)).as("n"))
+        val merged = partials.groupBy("event_type", "b")
+          .agg(sum("n").as("n"))
+          .withColumn("cum", sum("n").over(
+            Window.partitionBy("event_type").orderBy("b")))
+          .withColumn("total", sum("n").over(Window.partitionBy("event_type")))
+        val estP50 = merged.filter(col("cum") * 2 >= col("total"))
+          .groupBy("event_type").agg(min("b").as("p50_bucket"))
+          .withColumn("p50_upper_v", ((col("p50_bucket") + 1) * 5000).cast("double") / 100.0)
+        val wRank = Window.partitionBy("event_type").orderBy("xc", "event_id")
+        val exact = ev.withColumn("rn", row_number().over(wRank))
+          .withColumn("total", count(lit(1)).over(Window.partitionBy("event_type")))
+          .filter(col("rn") * 2 === col("total") || col("rn") * 2 === col("total") + 1)
+          .groupBy("event_type").agg(min("xc").as("exact_p50_c"))
+          .withColumn("exact_p50_v", col("exact_p50_c").cast("double") / 100.0)
+        estP50.join(exact, "event_type")
+          .select(col("event_type"), col("p50_bucket"), col("p50_upper_v"),
+            col("exact_p50_v"))
+          .withColumn("within_bucket",
+            col("exact_p50_v") <= col("p50_upper_v") &&
+              col("exact_p50_v") > col("p50_upper_v") - 50.0)
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+          SELECT event_type, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+                 least(CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT) / 5000) AS BIGINT), 9) AS b,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+          FROM events),
+        partials AS (
+          SELECT event_type, day, b, count(*) AS n FROM ev GROUP BY 1, 2, 3),
+        merged AS (
+          SELECT event_type, b, sum(n) AS n,
+                 sum(sum(n)) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+                 sum(sum(n)) OVER (PARTITION BY event_type) AS total
+          FROM partials GROUP BY 1, 2),
+        est AS (
+          SELECT event_type, min(b) AS p50_bucket,
+                 CAST((min(b) + 1) * 5000 AS DOUBLE) / 100.0 AS p50_upper_v
+          FROM merged WHERE cum * 2 >= total GROUP BY 1),
+        ranked AS (
+          SELECT event_type, xc,
+                 row_number() OVER (PARTITION BY event_type ORDER BY xc, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS total
+          FROM ev),
+        exact AS (
+          SELECT event_type, min(xc) AS exact_p50_c,
+                 CAST(min(xc) AS DOUBLE) / 100.0 AS exact_p50_v
+          FROM ranked WHERE rn * 2 = total OR rn * 2 = total + 1 GROUP BY 1)
+        SELECT e.event_type, CAST(s.p50_bucket AS BIGINT) AS p50_bucket,
+               s.p50_upper_v, e.exact_p50_v,
+               e.exact_p50_v <= s.p50_upper_v AND e.exact_p50_v > s.p50_upper_v - 50.0
+                 AS within_bucket
+        FROM est s JOIN exact e USING (event_type)
+        ORDER BY e.event_type"""),
+    ),
+
     QDef("sample_balanced",
       // Class-balanced downsampling: every language downsampled to the
       // smallest class's count, selection deterministic by salted md5
