@@ -24,6 +24,7 @@ object SparkEntry {
     Curation.all,
     Analytics.all,
     Health.all,
+    Selection.all,
     Dedup.all,
     Similarity.all,
     Streaming.all,

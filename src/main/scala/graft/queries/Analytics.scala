@@ -461,6 +461,69 @@ object Analytics {
           SELECT node_id, dist FROM d3 ORDER BY node_id""")
       }),
 
+    QDef("graph_bipartite_cf",
+      // Bipartite common-neighbor scoring over the part<->supplier
+      // graph — item-item collaborative filtering / link prediction:
+      // for a TARGET SLICE of suppliers (every 25th key — the batch of
+      // "queries"), rank the 5 most substitutable peers by Jaccard
+      // over co-supplied part sets, in exact integer micros. The
+      // all-pairs version is a Σ deg² wedge explosion (18M wedges at
+      // sf0.1 already); restricting one join side to the target slice
+      // is the standard query-batching shape — candidates come from an
+      // equi-join on the shared part, so cost is Σ_p deg_target(p) ×
+      // deg(p), linear in the probe side, and only pairs sharing ≥1
+      // part are ever materialized. Degrees broadcast back
+      // (supplier-dimension-sized); top-5 per target is one bounded
+      // window. At 100 TB the slice IS the unit of work — score
+      // batches of queries per pass, never the full pair matrix.
+      (s, dir) => {
+        val e = t(s, dir, "lineitem")
+          .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+          .distinct()
+        val deg = e.groupBy("s").agg(count(lit(1)).as("dg"))
+        val cand = e.filter(expr("s % 25 = 0"))
+          .select(col("s").as("s_target"), col("p"))
+          .join(e.select(col("s").as("s_other"), col("p")), Seq("p"))
+          .filter(col("s_other") =!= col("s_target"))
+          .groupBy("s_target", "s_other")
+          .agg(count(lit(1)).as("n_common"))
+        cand
+          .join(broadcast(deg.toDF("s_target", "dg_t")), "s_target")
+          .join(broadcast(deg.toDF("s_other", "dg_o")), "s_other")
+          .withColumn("jaccard_micro",
+            expr("(n_common * 1000000) div (dg_t + dg_o - n_common)"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("s_target")
+              .orderBy(col("jaccard_micro").desc, col("n_common").desc,
+                col("s_other"))).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("s_target"), col("rk"), col("s_other"),
+            col("n_common"), col("dg_t"), col("dg_o"), col("jaccard_micro"))
+          .orderBy("s_target", "rk")
+      },
+      Some("""WITH e AS (
+          SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        deg AS (SELECT s, count(*) AS dg FROM e GROUP BY 1),
+        cand AS (
+          SELECT a.s AS s_target, b.s AS s_other, count(*) AS n_common
+          FROM e a JOIN e b ON a.p = b.p AND b.s <> a.s
+          WHERE a.s % 25 = 0
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT c.s_target, c.s_other, c.n_common,
+                 dt.dg AS dg_t, do_.dg AS dg_o,
+                 CAST((c.n_common * 1000000) // (dt.dg + do_.dg - c.n_common) AS BIGINT) AS jaccard_micro
+          FROM cand c
+          JOIN deg dt ON dt.s = c.s_target
+          JOIN deg do_ ON do_.s = c.s_other)
+        SELECT s_target, CAST(rk AS BIGINT) AS rk, s_other,
+               n_common, dg_t, dg_o, jaccard_micro
+        FROM (SELECT *, row_number() OVER (PARTITION BY s_target
+                ORDER BY jaccard_micro DESC, n_common DESC, s_other) AS rk
+              FROM scored)
+        WHERE rk <= 5 ORDER BY s_target, rk"""),
+    ),
+
     QDef("agg_kmv_sketch",
       // K-minimum-values sketches for audience-overlap estimation: per
       // event type, the k=64 smallest md5 hashes of its distinct

@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Text
+
+/** Data-selection and secondary-index operators: importance-weighted
+  * corpus selection (the DSIR shape), grid-binned spatial containment
+  * joins, and bitmap (bitset-per-segment) co-occurrence indexes.
+  *
+  * Shared oracle-parity discipline (see Health.scala): every hashed
+  * comparison is exact int64 arithmetic or a single IEEE division of
+  * exact integers. Importance ratios are floor-quantized to integer
+  * micros BEFORE any sum so scores are shuffle-order-exact; distances
+  * are squared-integer (no sqrt needed for ranking); bitmaps are
+  * 32-bit-per-word longs so no shift ever touches the sign bit.
+  */
+object Selection {
+  import QDef._
+
+  val all: Seq[QDef] = Seq(
+
+    QDef("sample_importance_dsir",
+      // Importance-resampling selection (the DSIR shape, Xie et al.
+      // 2023): score every raw document by how target-like its hashed
+      // bigram features are, then keep the top 20% per language. The
+      // feature space is the hashing trick (128 salted-md5 buckets — no
+      // vocabulary pass, the same reason as text_feature_hash), the
+      // per-bucket importance ratio is the Laplace-smoothed
+      //   (t_b+1)/(T+128) over (r_b+1)/(R+128)
+      // cross-multiplied into ONE integer floor-division to micros, and
+      // a doc's score is the int64 SUM of its grams' ratio-micros — so
+      // ranking is bit-exact under any shuffle order (the log-sum of
+      // real DSIR would drag in ln(); the rational ratio keeps the
+      // same ordering signal hash-checkable). At 100 TB: one corpus
+      // scan builds the 128-row bucket table (map-side combined), the
+      // table broadcasts back, the second pass is scan + broadcast join
+      // + one window per language over doc-level rows. int64 holds
+      // (t_b+1)*(R+128)*1e6 up to ~1e5 target x 1e8 raw grams; past
+      // that the same quantization rides DECIMAL(38,0).
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .filter(size(col("tks")) >= 2)
+        val grams = toks
+          .select(col("doc_id"), col("lang"),
+            explode(Text.shingles(col("tks"), 2)).as("g"))
+          .withColumn("b",
+            pmod(Text.md5Hash32(concat(lit("ds:"), col("g"))), lit(128L)))
+          .withColumn("tgt", pmod(col("doc_id"), lit(10L)) === 3)
+        val bc = grams.groupBy("b").agg(
+          sum(when(col("tgt"), 1L).otherwise(0L)).as("tb"),
+          sum(when(col("tgt"), 0L).otherwise(1L)).as("rb"))
+        val tot = bc.agg(sum("tb").as("tt"), sum("rb").as("rt"))
+        val ratio = bc.crossJoin(broadcast(tot))
+          .withColumn("rm",
+            expr("((tb + 1) * (rt + 128) * 1000000) div ((rb + 1) * (tt + 128))"))
+          .select("b", "rm")
+        val scored = grams.filter(!col("tgt"))
+          .join(broadcast(ratio), "b")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_grams"), sum("rm").as("score_micro"))
+        val wl = Window.partitionBy("lang")
+        scored
+          .withColumn("rank", row_number().over(
+            wl.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+          .withColumn("n_lang", count(lit(1)).over(wl))
+          .withColumn("keep", col("rank") <= expr("(n_lang + 4) div 5"))
+          .select(col("doc_id"), col("lang"), col("n_grams"),
+            col("score_micro"), col("rank"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, lang,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tks
+          FROM documents),
+        t2 AS (SELECT doc_id, lang, tks FROM toks WHERE len(tks) >= 2),
+        grams AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5('ds:' || g), 1, 8)) AS BIGINT) % 128 AS b,
+                 doc_id % 10 = 3 AS tgt
+          FROM (SELECT doc_id, lang,
+                       unnest(list_transform(range(len(tks) - 1),
+                         i -> tks[i+1] || ' ' || tks[i+2])) AS g
+                FROM t2)),
+        bc AS (
+          SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tb,
+                 sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS rb
+          FROM grams GROUP BY 1),
+        tot AS (SELECT sum(tb) AS tt, sum(rb) AS rt FROM bc),
+        ratio AS (
+          SELECT b, CAST(((tb + 1) * (rt + 128) * 1000000) // ((rb + 1) * (tt + 128)) AS BIGINT) AS rm
+          FROM bc CROSS JOIN tot),
+        scored AS (
+          SELECT g.doc_id, g.lang, count(*) AS n_grams,
+                 CAST(sum(r.rm) AS BIGINT) AS score_micro
+          FROM grams g JOIN ratio r USING (b)
+          WHERE NOT g.tgt GROUP BY 1, 2),
+        ranked AS (
+          SELECT doc_id, lang, n_grams, score_micro,
+                 CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+                 count(*) OVER (PARTITION BY lang) AS n_lang
+          FROM scored)
+        SELECT doc_id, lang, n_grams, score_micro, rank,
+               rank <= (n_lang + 4) // 5 AS keep
+        FROM ranked ORDER BY doc_id"""),
+    ),
+
+    QDef("join_spatial_radius",
+      // Grid-binned spatial radius join — the 2-D generalization of
+      // join_range_binned: every customer within Euclidean distance R
+      // of a facility, without a cross join. Coordinates are the
+      // deterministic md5 stand-in for a geocoding stage (same
+      // discipline as the stubbed media codec): integer positions on a
+      // 1000x1000 grid, so distances compare in EXACT int64 squared
+      // form — no sqrt, no FP. Binning: cell = coord div R; any point
+      // within R of (x,y) lies in the 3x3 cell neighborhood, so the
+      // facility side (the small one) explodes x9 into its neighbor
+      // cells and the customer side joins on ITS OWN single cell —
+      // fact-side rows are never amplified, which is the posture that
+      // matters when the probe side is 100 TB. Each binned candidate
+      // is verified once by the exact predicate; per-customer nearest =
+      // one window over the (bounded) verified matches.
+      (s, dir) => {
+        val R = 100L
+        def gcoord(salt: String, k: org.apache.spark.sql.Column) =
+          pmod(Text.md5Hash32(concat(lit(salt), k.cast("string"))), lit(1000L))
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"),
+            gcoord("gx:", col("c_custkey")).as("cx"),
+            gcoord("gy:", col("c_custkey")).as("cy"))
+          .withColumn("cellx", expr(s"cx div $R"))
+          .withColumn("celly", expr(s"cy div $R"))
+        val supp = t(s, dir, "supplier")
+          .select(col("s_suppkey"),
+            gcoord("sgx:", col("s_suppkey")).as("sx"),
+            gcoord("sgy:", col("s_suppkey")).as("sy"))
+        val sCells = supp
+          .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
+          .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
+          .select(col("s_suppkey"), col("sx"), col("sy"),
+            (expr(s"sx div $R") + col("dx")).as("cellx"),
+            (expr(s"sy div $R") + col("dy")).as("celly"))
+        val matches = cust.join(broadcast(sCells), Seq("cellx", "celly"))
+          .withColumn("d2",
+            (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+              (col("cy") - col("sy")) * (col("cy") - col("sy")))
+          .filter(col("d2") <= R * R)
+        matches
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("c_custkey").orderBy(col("d2"), col("s_suppkey"))))
+          .withColumn("n_near",
+            count(lit(1)).over(Window.partitionBy("c_custkey")))
+          .filter(col("rn") === 1)
+          .select(col("c_custkey"), col("n_near"),
+            col("s_suppkey").as("nearest_supp"), col("d2").as("d2_min"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH c AS (
+          SELECT c_custkey,
+                 CAST(('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS cx,
+                 CAST(('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS cy
+          FROM customer),
+        s AS (
+          SELECT s_suppkey,
+                 CAST(('0x' || substr(md5('sgx:' || CAST(s_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS sx,
+                 CAST(('0x' || substr(md5('sgy:' || CAST(s_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS sy
+          FROM supplier),
+        p AS (
+          SELECT c.c_custkey, s.s_suppkey,
+                 (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2
+          FROM c CROSS JOIN s
+          WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 10000)
+        SELECT c_custkey, n_near, s_suppkey AS nearest_supp, d2 AS d2_min
+        FROM (SELECT *,
+                     row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn,
+                     count(*) OVER (PARTITION BY c_custkey) AS n_near
+              FROM p)
+        WHERE rn = 1 ORDER BY c_custkey"""),
+    ),
+
+    QDef("layout_bitmap_index",
+      // Bitmap co-occurrence index — the compressed-bitset counterpart
+      // of layout_inverted_index: per (term, 32-doc word block), one
+      // long whose bits mark the docs containing the term (bit_or is
+      // idempotent, so no distinct pass is needed). Co-occurrence of
+      // any term pair is then Σ bit_count(a & b) over word-aligned
+      // blocks — a join on the word key plus popcount, never an
+      // explode of per-doc pairs, and the bitmap for a segment is
+      // ~n_docs/8 bytes regardless of term frequency. Words are 32
+      // bits inside a long so no shift ever reaches the sign bit
+      // (DuckDB range-checks << on BIGINT). The exact per-pair distinct
+      // count is computed alongside and must EQUAL the bitmap count —
+      // the index is lossless, which is the whole point over sketches.
+      // At 100 TB the bitmap build is one map-side-combined aggregate
+      // keyed (term, doc_id div 32); pair scoring touches only the
+      // top-K vocabulary's bitmaps.
+      (s, dir) => {
+        val td = t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .select(col("doc_id"), explode(col("tks")).as("term"))
+          .filter(length(col("term")) > 0)
+        val top = td.groupBy("term").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("term")).limit(10)
+          .select("term")
+        val bm = td.join(broadcast(top), "term")
+          .withColumn("w", expr("doc_id div 32"))
+          .groupBy("term", "w")
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(doc_id, 32) AS INT)))").as("bits"))
+        val dt = td.join(broadcast(top), "term").distinct()
+        val pairs = top.select(col("term").as("term_a"))
+          .crossJoin(top.select(col("term").as("term_b")))
+          .filter(col("term_a") < col("term_b"))
+        val co = bm.select(col("term").as("term_a"), col("w"), col("bits").as("ba"))
+          .join(bm.select(col("term").as("term_b"), col("w"), col("bits").as("bb")), Seq("w"))
+          .filter(col("term_a") < col("term_b"))
+          .groupBy("term_a", "term_b")
+          .agg(count(lit(1)).as("n_words"),
+            sum(expr("bit_count(ba & bb)")).as("co_docs"))
+        val ex = dt.select(col("term").as("term_a"), col("doc_id"))
+          .join(dt.select(col("term").as("term_b"), col("doc_id")), Seq("doc_id"))
+          .filter(col("term_a") < col("term_b"))
+          .groupBy("term_a", "term_b")
+          .agg(count(lit(1)).as("exact_docs"))
+        pairs.join(co, Seq("term_a", "term_b"), "left")
+          .join(ex, Seq("term_a", "term_b"), "left")
+          .select(col("term_a"), col("term_b"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("co_docs"), lit(0L)).as("co_docs"),
+            coalesce(col("exact_docs"), lit(0L)).as("exact_docs"))
+          .orderBy("term_a", "term_b")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+          FROM documents),
+        td0 AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+        top AS (
+          SELECT term FROM (SELECT term, count(*) AS c FROM td0 GROUP BY 1)
+          ORDER BY c DESC, term LIMIT 10),
+        td AS (SELECT DISTINCT t.doc_id, t.term FROM td0 t JOIN top USING (term)),
+        bm AS (
+          SELECT term, doc_id // 32 AS w,
+                 bit_or(CAST(1 AS BIGINT) << CAST(doc_id % 32 AS INT)) AS bits
+          FROM td GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.term AS term_a, b.term AS term_b
+          FROM top a JOIN top b ON a.term < b.term),
+        co AS (
+          SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_words,
+                 CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS co_docs
+          FROM bm a JOIN bm b ON a.w = b.w AND a.term < b.term
+          GROUP BY 1, 2),
+        ex AS (
+          SELECT a.term AS term_a, b.term AS term_b, count(*) AS exact_docs
+          FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.term < b.term
+          GROUP BY 1, 2)
+        SELECT p.term_a, p.term_b,
+               CAST(COALESCE(co.n_words, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(co.co_docs, 0) AS BIGINT) AS co_docs,
+               CAST(COALESCE(ex.exact_docs, 0) AS BIGINT) AS exact_docs
+        FROM pairs p
+        LEFT JOIN co USING (term_a, term_b)
+        LEFT JOIN ex USING (term_a, term_b)
+        ORDER BY term_a, term_b"""),
+    ),
+
+    QDef("select_pareto_skyline",
+      // Pareto-skyline selection per order priority: orders not
+      // dominated on (totalprice, orderdate) — maximize both. The
+      // scale property is ALGEBRAIC: skylines compose (skyline(A∪B) =
+      // skyline(skyline(A) ∪ skyline(B))), so phase 1 computes a LOCAL
+      // skyline inside each of 32 hash shards (a per-shard window —
+      // fully parallel, removes ~all dominated rows), and only the
+      // surviving sliver reaches the per-priority merge window. The
+      // single-window form would serialize each priority through one
+      // reducer at 100 TB; the shard pre-filter makes the final window
+      // see O(skyline) rows, not O(n). Dominance is tested with two
+      // RANGE frames over exact int64 cents/epoch-days: the max date
+      // among STRICTLY-higher prices (desc range .. -1) and among
+      // EQUAL prices (range 0..0) — dominated iff either beats this
+      // row's date. Ties on both axes stay on the skyline (no strict
+      // dominator exists), matching the textbook definition. The
+      // oracle runs the one-window form: the pre-filter provably
+      // never changes the result set (any dominator of a dropped row
+      // itself survives its shard's local skyline, by transitivity).
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            (money(col("o_totalprice")) * 100).cast("long").as("price_c"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")).cast("long").as("epoch_day"))
+        def skyline(df: org.apache.spark.sql.DataFrame, parts: org.apache.spark.sql.Column*) = {
+          val base = Window.partitionBy(parts: _*).orderBy(col("price_c").desc)
+          val hi = base.rangeBetween(Window.unboundedPreceding, -1)
+          val eq = base.rangeBetween(Window.currentRow, Window.currentRow)
+          df.withColumn("mx_hi", max(col("epoch_day")).over(hi))
+            .withColumn("mx_eq", max(col("epoch_day")).over(eq))
+            .filter(!(coalesce(col("mx_hi") >= col("epoch_day"), lit(false)) ||
+              col("mx_eq") > col("epoch_day")))
+            .drop("mx_hi", "mx_eq")
+        }
+        val local = skyline(
+          o.withColumn("shard", pmod(col("o_orderkey"), lit(32L))),
+          col("o_orderpriority"), col("shard")).drop("shard")
+        skyline(local, col("o_orderpriority"))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            (col("price_c").cast("double") / 100).as("price"),
+            col("epoch_day"))
+          .orderBy(col("o_orderpriority"), col("price_c").desc, col("o_orderkey"))
+      },
+      Some("""WITH o AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day
+          FROM orders),
+        f AS (
+          SELECT *,
+            max(epoch_day) OVER (PARTITION BY o_orderpriority ORDER BY price_c DESC
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx_hi,
+            max(epoch_day) OVER (PARTITION BY o_orderpriority ORDER BY price_c DESC
+              RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS mx_eq
+          FROM o)
+        SELECT o_orderkey, o_orderpriority,
+               CAST(price_c AS DOUBLE) / 100 AS price, epoch_day
+        FROM f
+        WHERE NOT (COALESCE(mx_hi >= epoch_day, FALSE) OR mx_eq > epoch_day)
+        ORDER BY o_orderpriority, price_c DESC, o_orderkey"""),
+    ),
+  )
+}

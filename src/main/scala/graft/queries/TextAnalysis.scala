@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -433,6 +434,86 @@ object TextAnalysis {
         SELECT doc_id, start,
           CAST(len(list_slice(tks, start, start + 39)) AS BIGINT) AS n_tok,
           array_to_string(list_slice(tks, start, start + 39), ' ') AS chunk
-        FROM ex ORDER BY doc_id, start"""))
+        FROM ex ORDER BY doc_id, start""")),
+
+    QDef("text_rake_keywords", {
+      // RAKE keyword extraction (Rose et al. 2010): candidate phrases
+      // are maximal stopword-free token runs (gaps-and-islands over the
+      // position stream — grp = pos − row_number, the same rewrite as
+      // win_sessionize), a word scores degree/frequency where degree =
+      // Σ phrase-length over its occurrences (co-occurrence credit),
+      // and a phrase scores the sum of its words' scores. All scores
+      // are exact integer micros (deg·1e6 div freq, then int64 sums) —
+      // no FP, so ranking is engine-portable. The plan is linear: one
+      // posexplode, two vocabulary aggregates, word scores broadcast
+      // back onto occurrences, one phrase aggregate; phrase text is
+      // rebuilt with an order-pinned sort_array(struct(pos, term)) —
+      // collect_list alone is shuffle-order-nondeterministic. The
+      // top-25 ranking tie-breaks on the phrase text itself.
+      (s, dir) => {
+        val stops = enW ++ deW ++ frW ++ esW
+        val tk = t(s, dir, "documents")
+          .withColumn("tks", toks)
+          .select(col("doc_id"), posexplode(col("tks")).as(Seq("pos", "term")))
+        val content = tk
+          .filter(!(col("term").isInCollection(stops) ||
+            length(col("term")) === 0))
+          .withColumn("grp", col("pos") - row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")))
+        val freq = content.groupBy("term").agg(count(lit(1)).as("freq"))
+        val plen = content.groupBy("doc_id", "grp")
+          .agg(count(lit(1)).as("plen"))
+        val deg = content.join(plen, Seq("doc_id", "grp"))
+          .groupBy("term").agg(sum("plen").as("deg"))
+        val wscore = freq.join(deg, "term")
+          .withColumn("wscore", expr("(deg * 1000000) div freq"))
+          .select("term", "wscore")
+        content.join(broadcast(wscore), "term")
+          .groupBy("doc_id", "grp")
+          .agg(
+            array_join(transform(
+              sort_array(collect_list(struct(col("pos"), col("term")))),
+              x => x.getField("term")), " ").as("phrase"),
+            sum("wscore").as("score_micro"))
+          .groupBy("phrase", "score_micro")
+          .agg(count(lit(1)).as("n_occur"))
+          .orderBy(col("score_micro").desc, col("phrase"))
+          .limit(25)
+      }
+    }, {
+      val stops = (enW ++ deW ++ frW ++ esW)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      Some(s"""WITH d AS (
+          SELECT doc_id, $toksSql AS tks FROM documents),
+        tk AS (
+          SELECT doc_id, u.pos AS pos, u.term AS term
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(len(tks)),
+                         i -> {'pos': i, 'term': tks[i+1]})) AS u
+                FROM d)),
+        content AS (
+          SELECT doc_id, pos, term,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM tk
+          WHERE NOT (list_contains($stops, term) OR length(term) = 0)),
+        freq AS (SELECT term, count(*) AS freq FROM content GROUP BY 1),
+        plen AS (SELECT doc_id, grp, count(*) AS plen
+                 FROM content GROUP BY 1, 2),
+        deg AS (SELECT c.term, sum(p.plen) AS deg
+                FROM content c JOIN plen p USING (doc_id, grp) GROUP BY 1),
+        wscore AS (
+          SELECT f.term,
+                 CAST((d2.deg * 1000000) // f.freq AS BIGINT) AS wscore
+          FROM freq f JOIN deg d2 USING (term)),
+        phrases AS (
+          SELECT c.doc_id, c.grp,
+                 string_agg(c.term, ' ' ORDER BY c.pos) AS phrase,
+                 CAST(sum(w.wscore) AS BIGINT) AS score_micro
+          FROM content c JOIN wscore w USING (term)
+          GROUP BY 1, 2)
+        SELECT phrase, score_micro, count(*) AS n_occur
+        FROM phrases GROUP BY 1, 2
+        ORDER BY score_micro DESC, phrase LIMIT 25""")
+    })
   )
 }
