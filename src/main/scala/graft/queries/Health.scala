@@ -461,6 +461,85 @@ object Health {
         ORDER BY e.event_id"""),
     ),
 
+    QDef("agg_welch_ttest",
+      // Welch two-sample t-test per event type — the drift-significance
+      // companion to agg_drift_tvd: is the second half-month's value
+      // distribution different from the first's? Both halves fold to
+      // (n, Σcents, Σcents²) in ONE conditional aggregate over one
+      // scan (exact int64, map-side combined; int64 holds n·Σx² to
+      // ~sf1, past that the same sums ride DECIMAL(38,0)). Mean,
+      // sample variance and the t statistic are then a fixed tree of
+      // single IEEE ops (+,−,×,÷,sqrt — all correctly rounded, so both
+      // engines compute the identical doubles from the identical
+      // integers; no transcendentals, which are NOT cross-engine
+      // stable). The mid-month cut keeps both arms populated at every
+      // SF. |t| > 2 flags drift — df is ≫30 here so the normal
+      // threshold stands in for the t quantile.
+      (s, dir) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val ev = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("h", col("ts") < cut)
+        def half(flag: Boolean, suffix: String) = Seq(
+          sum(when(col("h") === flag, 1L).otherwise(0L)).as(s"n_$suffix"),
+          sum(when(col("h") === flag, col("xc")).otherwise(0L))
+            .as(s"sx_$suffix"),
+          sum(when(col("h") === flag, col("xc") * col("xc")).otherwise(0L))
+            .as(s"sx2_$suffix"))
+        val st = ev.groupBy("event_type")
+          .agg((half(true, "a") ++ half(false, "b")).head,
+            (half(true, "a") ++ half(false, "b")).tail: _*)
+        def mean(p: String) =
+          col(s"sx_$p").cast("double") / col(s"n_$p").cast("double")
+        def svar(p: String) =
+          (col(s"n_$p") * col(s"sx2_$p") - col(s"sx_$p") * col(s"sx_$p"))
+            .cast("double") /
+            (col(s"n_$p") * (col(s"n_$p") - 1L)).cast("double")
+        val tstat = (mean("a") - mean("b")) /
+          sqrt(svar("a") / col("n_a").cast("double") +
+            svar("b") / col("n_b").cast("double"))
+        st.select(col("event_type"), col("n_a"), col("n_b"),
+            rx(mean("a") / 100.0, 4).as("mean_a"),
+            rx(mean("b") / 100.0, 4).as("mean_b"),
+            rx(tstat, 4).as("t_stat"),
+            (abs(tstat) > 2.0).as("drift"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+                 CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' AS h
+          FROM events),
+        st AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN h THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN h THEN xc ELSE 0 END) AS BIGINT) AS sx_a,
+                 CAST(sum(CASE WHEN NOT h THEN xc ELSE 0 END) AS BIGINT) AS sx_b,
+                 CAST(sum(CASE WHEN h THEN xc * xc ELSE 0 END) AS BIGINT) AS sx2_a,
+                 CAST(sum(CASE WHEN NOT h THEN xc * xc ELSE 0 END) AS BIGINT) AS sx2_b
+          FROM ev GROUP BY 1),
+        m AS (
+          SELECT event_type, n_a, n_b,
+            CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+            CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+            CAST(n_a * sx2_a - sx_a * sx_a AS DOUBLE)
+              / CAST(n_a * (n_a - 1) AS DOUBLE) AS va,
+            CAST(n_b * sx2_b - sx_b * sx_b AS DOUBLE)
+              / CAST(n_b * (n_b - 1) AS DOUBLE) AS vb
+          FROM st),
+        tt AS (
+          SELECT event_type, n_a, n_b, ma, mb,
+            (ma - mb) / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) AS t
+          FROM m)
+        SELECT event_type, n_a, n_b,
+               ${rxSql("ma / 100.0", 4)} AS mean_a,
+               ${rxSql("mb / 100.0", 4)} AS mean_b,
+               ${rxSql("t", 4)} AS t_stat,
+               abs(t) > 2.0 AS drift
+        FROM tt ORDER BY event_type"""),
+    ),
+
     QDef("win_cusum_alert",
       // CUSUM changepoint monitor over each event_type's value stream,
       // entirely in exact integer cents. The one-sided CUSUM recursion

@@ -5,9 +5,11 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Text
 
-/** Data-selection and secondary-index operators: importance-weighted
-  * corpus selection (the DSIR shape), grid-binned spatial containment
-  * joins, and bitmap (bitset-per-segment) co-occurrence indexes.
+/** Data-selection, entity-resolution and secondary-index operators:
+  * importance-weighted corpus selection (the DSIR shape), grid-binned
+  * spatial containment joins, bitmap (bitset-per-segment)
+  * co-occurrence indexes, shard-composed Pareto skylines, and
+  * multi-pass blocked record linkage.
   *
   * Shared oracle-parity discipline (see Health.scala): every hashed
   * comparison is exact int64 arithmetic or a single IEEE division of
@@ -328,6 +330,108 @@ object Selection {
         FROM f
         WHERE NOT (COALESCE(mx_hi >= epoch_day, FALSE) OR mx_eq > epoch_day)
         ORDER BY o_orderpriority, price_c DESC, o_orderkey"""),
+    ),
+
+    QDef("join_record_linkage",
+      // Entity resolution with MULTI-PASS EXACT BLOCKING and
+      // Fellegi-Sunter-style integer agreement weights: link the
+      // customer table against a deterministically perturbed snapshot
+      // of itself (every 7th name truncated, every 13th nation bumped,
+      // every balance jittered ±50 cents by salted md5 — the
+      // reproducible stand-in for a second source system). Candidates
+      // come ONLY from two equi-join blocking passes — exact normalized
+      // name, then (nation, shifted-cents div 1000) — never a cross
+      // join, so each pass is a hash join on a high-cardinality key and
+      // the pair universe stays linear; union + distinct merges the
+      // passes (the standard multi-pass recall trick: what one key
+      // misses the other catches). Every candidate scores three field
+      // agreements with fixed integer log-odds stand-ins (+40/−20
+      // name, +30/−25 balance-within-60¢, +10/−15 nation) and
+      // thresholds into match / possible / nonmatch; ground truth
+      // (same key) is known by construction, so the output reports
+      // per-decision pair and true-pair counts — the
+      // precision-per-threshold table an ER pipeline actually ships.
+      // Cents are shifted +100000 before the div-1000 bucket so the
+      // quotient never goes negative (Spark div truncates toward
+      // zero, DuckDB // floors — they disagree below zero).
+      (s, dir) => {
+        val a = t(s, dir, "customer").select(
+          col("c_custkey").as("key_a"),
+          lower(col("c_name")).as("name_a"),
+          col("c_nationkey").cast("long").as("nat_a"),
+          (money(col("c_acctbal")) * 100).cast("long").as("cents_a"))
+        val b = t(s, dir, "customer").select(
+          col("c_custkey").as("key_b"),
+          when(pmod(col("c_custkey"), lit(7L)) === 0,
+            expr("substring(lower(c_name), 1, length(c_name) - 1)"))
+            .otherwise(lower(col("c_name"))).as("name_b"),
+          (col("c_nationkey").cast("long") +
+            when(pmod(col("c_custkey"), lit(13L)) === 0, 1L).otherwise(0L))
+            .as("nat_b"),
+          ((money(col("c_acctbal")) * 100).cast("long") +
+            pmod(Text.md5Hash32(
+              concat(lit("pert:"), col("c_custkey").cast("string"))),
+              lit(101L)) - 50L).as("cents_b"))
+        val p1 = a.join(b, col("name_a") === col("name_b"))
+        val p2 = a.join(b, col("nat_a") === col("nat_b") &&
+          expr("(cents_a + 100000) div 1000") ===
+            expr("(cents_b + 100000) div 1000"))
+        val scored = p1.union(p2).distinct()
+          .withColumn("score",
+            (when(col("name_a") === col("name_b"), 40L).otherwise(-20L) +
+              when(abs(col("cents_a") - col("cents_b")) <= 60L, 30L)
+                .otherwise(-25L) +
+              when(col("nat_a") === col("nat_b"), 10L).otherwise(-15L))
+              .cast("long"))
+          .withColumn("decision",
+            when(col("score") >= 60, "match")
+              .when(col("score") >= 20, "possible")
+              .otherwise("nonmatch"))
+        scored.groupBy("decision")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("key_a") === col("key_b"), 1L).otherwise(0L))
+              .as("n_true"),
+            min("score").as("min_score"), max("score").as("max_score"))
+          .orderBy("decision")
+      },
+      Some("""WITH a AS (
+          SELECT c_custkey AS key_a, lower(c_name) AS name_a,
+                 CAST(c_nationkey AS BIGINT) AS nat_a,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents_a
+          FROM customer),
+        b AS (
+          SELECT c_custkey AS key_b,
+                 CASE WHEN c_custkey % 7 = 0
+                      THEN substr(lower(c_name), 1, length(c_name) - 1)
+                      ELSE lower(c_name) END AS name_b,
+                 CAST(c_nationkey AS BIGINT)
+                   + CASE WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END AS nat_b,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   + CAST(('0x' || substr(md5('pert:' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 101
+                   - 50 AS cents_b
+          FROM customer),
+        cand AS (
+          SELECT DISTINCT * FROM (
+            SELECT a.*, b.* FROM a JOIN b ON name_a = name_b
+            UNION ALL
+            SELECT a.*, b.* FROM a JOIN b
+              ON nat_a = nat_b
+             AND (cents_a + 100000) // 1000 = (cents_b + 100000) // 1000)),
+        scored AS (
+          SELECT *,
+            CAST(CASE WHEN name_a = name_b THEN 40 ELSE -20 END
+               + CASE WHEN abs(cents_a - cents_b) <= 60 THEN 30 ELSE -25 END
+               + CASE WHEN nat_a = nat_b THEN 10 ELSE -15 END AS BIGINT) AS score
+          FROM cand),
+        dec AS (
+          SELECT *, CASE WHEN score >= 60 THEN 'match'
+                         WHEN score >= 20 THEN 'possible'
+                         ELSE 'nonmatch' END AS decision
+          FROM scored)
+        SELECT decision, count(*) AS n_pairs,
+               CAST(sum(CASE WHEN key_a = key_b THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               min(score) AS min_score, max(score) AS max_score
+        FROM dec GROUP BY 1 ORDER BY decision"""),
     ),
   )
 }
