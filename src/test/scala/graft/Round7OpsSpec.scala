@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan shapes and data invariants of the round-7 selection / ER /
+  * index operators: every scale claim a Scaladoc makes (binned
+  * equi-joins, broadcast-back stats, lossless bitmaps, shard-composed
+  * skylines) is asserted here against the executed plan or recomputed
+  * brute-force, so a refactor that silently degrades one fails at test
+  * time instead of at 100 TB.
+  */
+class Round7OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def noPairwiseBlowup(nodes: Seq[org.apache.spark.sql.execution.SparkPlan], what: String): Unit = {
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"$what must stay an equi join, never a cross/nested-loop product")
+  }
+
+  test("sample_importance_dsir broadcasts the 128-bucket ratio table; keeps top 20% per language") {
+    val df = SparkEntry.queries("sample_importance_dsir")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the bucket-ratio table must rejoin grams via broadcast")
+    // The only non-equi join allowed is the broadcast of the ONE-ROW
+    // totals onto the 128-row bucket table (a scalar attach); the
+    // gram-side joins must never plan a cartesian product.
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "DSIR gram scoring must never plan a cartesian product")
+    // keep == rank <= ceil(n_lang / 5), exactly.
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rs) =>
+      val n = rs.length
+      val kept = rs.count(_.getBoolean(5))
+      assert(kept == (n + 4) / 5, s"$lang kept $kept of $n, want ceil(n/5)")
+    }
+  }
+
+  test("join_spatial_radius is a binned equi join; every match is within R") {
+    val df = SparkEntry.queries("join_spatial_radius")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    noPairwiseBlowup(PlanFlatten.flatten(df.queryExecution.executedPlan),
+      "grid-binned radius matching")
+    assert(rows.forall(_.getLong(3) <= 100L * 100L),
+      "d2_min must satisfy the exact radius predicate")
+  }
+
+  test("layout_bitmap_index is lossless: popcount co-occurrence equals exact distinct count") {
+    val rows = SparkEntry.queries("layout_bitmap_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(4),
+        s"bitmap co_docs ${r.getLong(3)} != exact ${r.getLong(4)} for ${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
+  test("select_pareto_skyline equals the brute-force skyline (shard pre-filter is invisible)") {
+    val df = SparkEntry.queries("select_pareto_skyline")(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // Brute-force reference: O(n^2) dominance per priority over the
+    // exact (cents, epoch-day) coordinates the query uses.
+    import org.apache.spark.sql.functions._
+    import graft.queries.QDef
+    import QDef.money
+    val base = QDef.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (money(col("o_totalprice")) * 100).cast("long").as("p"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = base.filter { case (_, pri, p, d) =>
+      !base.exists { case (_, pri2, p2, d2) =>
+        pri2 == pri && p2 >= p && d2 >= d && (p2 > p || d2 > d)
+      }
+    }.map(t => (t._1, t._2)).toSet
+    assert(got == want, s"skyline mismatch: got ${got.size}, want ${want.size}")
+  }
+
+  test("graph_bipartite_cf: equi-join candidates, top-5 per target, jaccard bounded") {
+    val df = SparkEntry.queries("graph_bipartite_cf")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    noPairwiseBlowup(PlanFlatten.flatten(df.queryExecution.executedPlan),
+      "co-supply candidate generation")
+    assert(rows.forall(_.getLong(1) <= 5L), "rk must be capped at 5")
+    assert(rows.forall(r => r.getLong(6) >= 0L && r.getLong(6) <= 1000000L),
+      "jaccard micros must lie in [0, 1e6]")
+  }
+
+  test("text_rake_keywords broadcasts word scores back onto occurrences") {
+    val df = SparkEntry.queries("text_rake_keywords")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "vocabulary-sized word scores must rejoin via broadcast")
+    noPairwiseBlowup(nodes, "RAKE scoring")
+    assert(rows.forall(_.getLong(2) >= 1L), "every phrase occurs at least once")
+  }
+
+  test("join_record_linkage: blocking is equi-join only; match arm is exact-truth") {
+    val df = SparkEntry.queries("join_record_linkage")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    noPairwiseBlowup(PlanFlatten.flatten(df.queryExecution.executedPlan),
+      "multi-pass blocking")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_true cannot exceed n_pairs")
+      if (r.getString(0) == "match")
+        assert(r.getLong(2) == r.getLong(1),
+          "the +40 name agreement only fires on true pairs here, so match precision must be 1.0")
+    }
+  }
+
+  test("agg_welch_ttest folds both halves in one scan of events, no join") {
+    val df = SparkEntry.queries("agg_welch_ttest")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1,
+      s"conditional aggregation must read events once, saw ${scans.size} scans")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Join")),
+      "the two-sample fold must not plan any join")
+    // n_a + n_b together cover every event of the type; both arms live.
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0),
+      "mid-month cut must populate both halves at every SF")
+  }
+}
