@@ -434,6 +434,74 @@ object Curation {
         FROM prs GROUP BY pair
         ORDER BY n DESC, pair LIMIT 20""")),
 
+    QDef("text_bpe_merge_apply",
+      // BPE training, iteration 1: pick the argmax pair from iteration
+      // 0 (count desc, pair tie-break), APPLY the merge to the word
+      // vocabulary, and recount pairs over the merged symbol
+      // sequences — the loop step every tokenizer trainer repeats 30k
+      // times. The merge itself is literal string replace of the pair
+      // with a one-char sentinel (chr(1), outside the corpus
+      // alphabet): replace() is left-to-right and non-overlapping in
+      // both engines, which is exactly BPE's greedy merge semantics
+      // ('aaa' + merge 'aa' -> ['aa','a']); the merged symbol then
+      // participates in the recount as an ordinary character, so
+      // sentinel-adjacent pairs (merged+x, even merged+merged) emerge
+      // naturally. Everything runs on the DISTINCT-WORD table weighted
+      // by corpus count — per-iteration cost is O(vocab · word_len),
+      // never a corpus rescan, which is why BPE training at 100 TB is
+      // one corpus pass + 30k vocabulary-sized iterations. The 1-row
+      // argmax attaches via broadcast; display maps the sentinel back
+      // to "{pair}".
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .select(explode(col("tks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("wn"))
+          .filter(length(col("w")) >= 2)
+        val top1 = words
+          .select(col("w"), col("wn"),
+            explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+          .select(col("w").substr(col("i"), lit(2)).as("mp"), col("wn"))
+          .groupBy("mp").agg(sum(col("wn")).as("n0"))
+          .orderBy(col("n0").desc, col("mp")).limit(1)
+          .select("mp")
+        words.crossJoin(broadcast(top1))
+          .withColumn("w2", expr("replace(w, mp, chr(1))"))
+          .filter(length(col("w2")) >= 2)
+          .select(col("w2"), col("wn"), col("mp"),
+            explode(sequence(lit(1), length(col("w2")) - 1)).as("i"))
+          .select(col("w2").substr(col("i"), lit(2)).as("p2"),
+            col("wn"), col("mp"))
+          .groupBy("p2", "mp").agg(sum(col("wn")).as("n"))
+          .select(expr("replace(p2, chr(1), '{' || mp || '}')").as("pair"),
+            col("mp").as("merged"), col("n"))
+          .orderBy(col("n").desc, col("pair")).limit(20)
+      },
+      Some(s"""WITH words AS (
+          SELECT w, count(*) AS wn FROM (
+            SELECT unnest($toksSql) AS w FROM documents)
+          GROUP BY w),
+        w2s AS (SELECT w, wn FROM words WHERE length(w) >= 2),
+        prs0 AS (
+          SELECT substr(w, CAST(i + 1 AS INT), 2) AS mp, wn
+          FROM w2s, unnest(range(length(w) - 1)) AS t(i)),
+        top1 AS (
+          SELECT mp FROM (SELECT mp, sum(wn) AS n0 FROM prs0 GROUP BY 1)
+          ORDER BY n0 DESC, mp LIMIT 1),
+        merged AS (
+          SELECT replace(w, mp, chr(1)) AS w2, wn, mp
+          FROM w2s CROSS JOIN top1),
+        m2 AS (SELECT w2, wn, mp FROM merged WHERE length(w2) >= 2),
+        prs AS (
+          SELECT substr(w2, CAST(i + 1 AS INT), 2) AS p2, wn, mp
+          FROM m2, unnest(range(length(w2) - 1)) AS t(i)),
+        agg AS (
+          SELECT p2, mp, CAST(sum(wn) AS BIGINT) AS n
+          FROM prs GROUP BY 1, 2)
+        SELECT replace(p2, chr(1), '{' || mp || '}') AS pair,
+               mp AS merged, n
+        FROM agg ORDER BY n DESC, pair LIMIT 20""")),
+
     QDef("pipeline_kanon_suppress",
       // k-anonymity suppression (the data-governance release gate): a
       // row's quasi-identifiers (lang, source) are masked to '*' when

@@ -1026,6 +1026,122 @@ object Similarity {
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
           FROM rr)
         SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, lex_micro, cos
-        FROM rk WHERE rank <= $K ORDER BY q_id, rank"""))
+        FROM rk WHERE rank <= $K ORDER BY q_id, rank""")),
+
+    QDef("sim_graph_route",
+      // Graph-routed ANN — the navigable-small-world shape (layer 0 of
+      // HNSW): a bounded-degree neighbor graph (top-4 out-edges per
+      // vector, candidates from the shared LSH bucket index) is built
+      // ONCE, then every query routes by beam search — start at a
+      // fixed entry vector, expand the beam's out-neighbors, keep the
+      // 4 best by exact cosine, three hops. Routing touches
+      // O(rounds · beam · degree) vectors per query instead of the
+      // corpus — the property that makes graph indexes the serving
+      // default at scale; the index build is one bucket-local join +
+      // one per-node window, and each hop is an equi-join of the
+      // (queries × beam)-sized frontier against the adjacency table —
+      // the fact side streams, nothing quadratic. Every ranking uses
+      // rx-rounded cosines with id tie-breaks and the beam update is
+      // re-referenced per round, so rounds are eagerly
+      // localCheckpoint'd (the BFS lesson: Spark shares no common
+      // subtrees). The oracle replays the build and all three hops as
+      // an unrolled CTE chain. The query itself may enter its own beam
+      // (it is a legitimate routing hub); it is excluded only from the
+      // final report.
+      (s, dir) => {
+        val e = bucketedVecs(s, dir)
+        val adj = graft.pipeline.Staged(s, dir, "nsw_adj") {
+          val wadj = Window.partitionBy("src")
+            .orderBy(col("cos").desc, col("dst").asc)
+          e.select(col("vec_id").as("src"), col("bucket"),
+              col("v").as("sv"), col("nrm").as("snrm"))
+            .join(e.select(col("vec_id").as("dst"), col("bucket"),
+              col("v").as("dv"), col("nrm").as("dnrm")), Seq("bucket"))
+            .filter(col("src") =!= col("dst"))
+            .select(col("src"), col("dst"),
+              rx(cosine(col("sv"), col("dv"), col("snrm"), col("dnrm")), 6)
+                .as("cos"))
+            .withColumn("rk", row_number().over(wadj))
+            .filter(col("rk") <= 4)
+            .select("src", "dst")
+            .localCheckpoint(true)
+        }
+        val q = e.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
+        def score(fr: DataFrame): DataFrame = fr
+          .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+          .join(broadcast(q), Seq("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6)
+              .as("cos"))
+        var beam = q.select(col("q_id")).withColumn("vec_id", lit(0L))
+        for (_ <- 1 to 3) {
+          val fr = beam.union(
+              beam.join(adj.toDF("vec_id", "dst"), Seq("vec_id"))
+                .select(col("q_id"), col("dst").as("vec_id")))
+            .distinct()
+          beam = score(fr)
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("q_id")
+                .orderBy(col("cos").desc, col("vec_id").asc)))
+            .filter(col("rk") <= 4)
+            .select("q_id", "vec_id")
+            .localCheckpoint(true)
+        }
+        score(beam.filter(col("vec_id") =!= col("q_id")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+          .orderBy("q_id", "rank")
+      }, {
+        val rounds = (1 to 3).map { t =>
+          s"""fr$t AS (
+              SELECT DISTINCT q_id, cand FROM (
+                SELECT q_id, cand FROM bm${t - 1}
+                UNION ALL
+                SELECT m.q_id, a.dst AS cand
+                FROM bm${t - 1} m JOIN adj a ON a.src = m.cand)),
+            sc$t AS (
+              SELECT f.q_id, f.cand, ${rxSql(cosSql("qq", "e"), 6)} AS cos
+              FROM fr$t f
+              JOIN b e ON e.vec_id = f.cand
+              JOIN b qq ON qq.vec_id = f.q_id),
+            bm$t AS (
+              SELECT q_id, cand FROM (
+                SELECT q_id, cand, row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, cand) AS rk
+                FROM sc$t) WHERE rk <= 4)"""
+        }.mkString(",\n        ")
+        Some(s"""WITH b AS (
+            SELECT vec_id, embedding, CAST($lshBucketSql AS BIGINT) AS bucket
+            FROM embeddings),
+          adjp AS (
+            SELECT s.vec_id AS src, e.vec_id AS dst,
+                   ${rxSql(cosSql("s", "e"), 6)} AS cos
+            FROM b s JOIN b e ON s.bucket = e.bucket AND s.vec_id <> e.vec_id),
+          adj AS (
+            SELECT src, dst FROM (
+              SELECT src, dst, row_number() OVER (PARTITION BY src
+                ORDER BY cos DESC, dst) AS rk
+              FROM adjp) WHERE rk <= 4),
+          bm0 AS (
+            SELECT vec_id AS q_id, CAST(0 AS BIGINT) AS cand
+            FROM embeddings WHERE vec_id < $QueryVecs),
+          $rounds,
+          fin AS (
+            SELECT m.q_id, m.cand, ${rxSql(cosSql("qq", "e"), 6)} AS cos
+            FROM bm3 m
+            JOIN b e ON e.vec_id = m.cand
+            JOIN b qq ON qq.vec_id = m.q_id
+            WHERE m.cand <> m.q_id)
+          SELECT q_id, CAST(rank AS BIGINT) AS rank, cand AS vec_id, cos
+          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, cand) AS rank
+                FROM fin)
+          WHERE rank <= 3 ORDER BY q_id, rank""")
+      })
   )
 }
