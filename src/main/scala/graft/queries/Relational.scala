@@ -391,6 +391,48 @@ object Relational {
           ON s.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 
+    QDef("join_spj_colocated",
+      // Storage-partitioned join (SupportsReportPartitioning +
+      // KeyGroupedPartitioning + HasPartitionKey): two graft-tsv
+      // generations written key-grouped on lang (one single-lang file
+      // set per lang, v2-stamped headers) report identity(lang)
+      // partitioning from the scan, so with v2 bucketing enabled the
+      // whole DAG — both per-lang aggregates AND the join — plans with
+      // ZERO shuffle exchanges (GraftTsvSpjSpec pins it; only the
+      // final presentation sort exchanges). This is the Iceberg-style
+      // SPJ contract on a custom source: at 100 TB the join's shuffle
+      // of both fact sides simply does not exist, because the layout
+      // already IS the distribution the join needs.
+      (s, dir) => {
+        val base = scratch(s"gtsv_spj_${new java.io.File(dir).getName}")
+        val (outA, outB) = (s"$base/a", s"$base/b")
+        graft.pipeline.Staged(s, dir, "gtsv_spj") {
+          graft.sources.GraftTsv.writePartitioned(
+            t(s, dir, "documents"), outA, 4)
+          graft.sources.GraftTsv.writePartitioned(
+            t(s, dir, "documents")
+              .filter(pmod(col("doc_id"), lit(2L)) === 0), outB, 4)
+          s.range(1).toDF("ok") // marker: layout staged once per session+dir
+        }
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val left = s.read.format("graft-tsv").load(outA)
+          .groupBy("lang").agg(count(lit(1)).as("n_all"),
+            sum("n_chars").as("chars_all"))
+        val right = s.read.format("graft-tsv").load(outB)
+          .groupBy("lang").agg(count(lit(1)).as("n_even"),
+            max("n_chars").as("max_even_chars"))
+        left.join(right, Seq("lang")).orderBy("lang")
+      },
+      Some("""WITH a AS (
+          SELECT lang, count(*) AS n_all,
+                 CAST(sum(n_chars) AS BIGINT) AS chars_all
+          FROM documents GROUP BY 1),
+        b AS (
+          SELECT lang, count(*) AS n_even, max(n_chars) AS max_even_chars
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1)
+        SELECT a.lang, n_all, chars_all, n_even, max_even_chars
+        FROM a JOIN b USING (lang) ORDER BY lang""")),
+
     QDef("scan_nested_pushdown",
       // Nested-schema pruning + pushdown: a struct-typed layout read
       // back selecting ONE nested leaf with a filter on a sibling leaf

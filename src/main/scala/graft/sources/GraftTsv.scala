@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
@@ -92,6 +93,43 @@ object GraftTsv {
       .write.format("graft-tsv").option("files", files.toString)
       .mode("overwrite").save(outDir)
 
+  /** Overwrite `outDir` key-grouped on `lang`: the Write declares a
+    * CLUSTERED distribution on lang, the writer emits one single-lang
+    * file per (task, lang) with the lang stamped in a v2 header, and
+    * the read side then reports `KeyGroupedPartitioning(identity(lang))`
+    * — the layout contract behind storage-partitioned joins.
+    */
+  def writePartitioned(df: DataFrame, outDir: String, files: Int): Unit =
+    df.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+      .write.format("graft-tsv").option("files", files.toString)
+      .option("partitionBy", "lang")
+      .mode("overwrite").save(outDir)
+
+  /** Parsed `#graft-tsv` header. v1: `ver mn mx n`; v2 adds the
+    * escaped partition value (the file's single lang) as a 6th field.
+    */
+  private[sources] case class Header(ver: Int, mn: Long, mx: Long, n: Long,
+      pv: Option[String])
+
+  private[sources] def readHeader(f: Path): Header = {
+    val r = Files.newBufferedReader(f, StandardCharsets.UTF_8)
+    val line = try r.readLine() finally r.close()
+    val parts = line.split("\t")
+    require(parts.length >= 5 && parts(0) == "#graft-tsv",
+      s"not a graft-tsv file: $f")
+    Header(parts(1).toInt, parts(2).toLong, parts(3).toLong, parts(4).toLong,
+      if (parts.length >= 6) Some(unesc(parts(5))) else None)
+  }
+
+  private[sources] def listGtsv(path: String): Seq[Path] = {
+    val p = Paths.get(path)
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".gtsv"))
+      .toSeq.sortBy(_.toString)
+  }
+
   /** [lo, hi] bound on doc_id implied by the pushed filters (None side
     * = unbounded). Only doc_id comparisons participate in skipping.
     */
@@ -133,6 +171,17 @@ class GraftTsvTable(path: String) extends Table
   require(path != null, "graft-tsv requires a path")
   override def name(): String = s"graft-tsv:$path"
   override def schema(): StructType = GraftTsv.schema
+  /** identity(lang) when every committed file is lang-stamped (a
+    * writePartitioned generation) — the table-level half of the
+    * storage-partitioned-join contract.
+    */
+  override def partitioning(): Array[Transform] = {
+    val hs = GraftTsv.listGtsv(path).map(GraftTsv.readHeader)
+    if (hs.nonEmpty && hs.forall(_.pv.isDefined))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .identity("lang"))
+    else Array.empty
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -225,20 +274,14 @@ class GraftTsvAggScan(path: String, funcs: Seq[AggregateFunc])
     var n = 0L
     var mn = Option.empty[Long]
     var mx = Option.empty[Long]
-    Files.list(Paths.get(path)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".gtsv"))
-      .foreach { f =>
-        val header = Files.newBufferedReader(f, StandardCharsets.UTF_8)
-        val line = try header.readLine() finally header.close()
-        val parts = line.split("\t")
-        require(parts.length == 5 && parts(0) == "#graft-tsv",
-          s"not a graft-tsv file: $f")
-        n += parts(4).toLong
-        if (parts(4).toLong > 0) {
-          mn = Some(mn.fold(parts(2).toLong)(math.min(_, parts(2).toLong)))
-          mx = Some(mx.fold(parts(3).toLong)(math.max(_, parts(3).toLong)))
-        }
+    GraftTsv.listGtsv(path).foreach { f =>
+      val h = GraftTsv.readHeader(f)
+      n += h.n
+      if (h.n > 0) {
+        mn = Some(mn.fold(h.mn)(math.min(_, h.mn)))
+        mx = Some(mx.fold(h.mx)(math.max(_, h.mx)))
       }
+    }
     val row: Array[Any] = funcs.map {
       case _: CountStar | _: Count => n: java.lang.Long
       case _: Min                  => mn.map(Long.box).orNull
@@ -267,6 +310,7 @@ class GraftTsvAggReaderFactory extends PartitionReaderFactory {
 class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
     perTrigger: Int) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -281,8 +325,15 @@ class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
     */
   @volatile private var runtimeIds: Option[Set[Long]] = None
 
+  /** Only advertise doc_id while it survives column pruning: the DPP
+    * rule RESOLVES these refs against this scan's (pruned) output and
+    * throws on a miss — a projection that drops doc_id must simply opt
+    * out of runtime filtering, not break planning.
+    */
   override def filterAttributes(): Array[NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+    if (required.fieldNames.contains("doc_id"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit = {
     val sets = filters.collect {
@@ -317,20 +368,13 @@ class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
     val (lo, hi) = GraftTsv.idBounds(pushed)
     var rows = 0L
     var bytes = 0L
-    Files.list(Paths.get(path)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".gtsv"))
-      .foreach { f =>
-        val header = Files.newBufferedReader(f, StandardCharsets.UTF_8)
-        val line = try header.readLine() finally header.close()
-        val parts = line.split("\t")
-        if (parts.length == 5 && parts(0) == "#graft-tsv") {
-          val (mn, mx) = (parts(2).toLong, parts(3).toLong)
-          if (lo.forall(_ <= mx) && hi.forall(_ >= mn)) {
-            rows += parts(4).toLong
-            bytes += Files.size(f)
-          }
-        }
+    GraftTsv.listGtsv(path).foreach { f =>
+      val h = GraftTsv.readHeader(f)
+      if (lo.forall(_ <= h.mx) && hi.forall(_ >= h.mn)) {
+        rows += h.n
+        bytes += Files.size(f)
       }
+    }
     val (r, b) = (rows, bytes)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -345,35 +389,97 @@ class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
   override def description(): String =
     s"graft-tsv $path, PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
-  /** One partition per surviving file: the header zone map is checked
-    * against the pushed doc_id bounds and non-overlapping files never
-    * become tasks.
+  /** Surviving (file, header) pairs: the header zone map is checked
+    * against the pushed doc_id bounds (and any runtime IN-list) and
+    * non-overlapping files never become tasks.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def survivors(): Seq[(String, GraftTsv.Header)] = {
     val (lo, hi) = GraftTsv.idBounds(pushed)
-    val files = Files.list(Paths.get(path)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".gtsv")).toArray.sortBy(_.toString)
-    files.flatMap { f =>
-      val header = Files.newBufferedReader(f, StandardCharsets.UTF_8)
-      val line = try header.readLine() finally header.close()
-      val parts = line.split("\t")
-      require(parts.length == 5 && parts(0) == "#graft-tsv",
-        s"not a graft-tsv file: $f")
-      val (mn, mx) = (parts(2).toLong, parts(3).toLong)
-      val overlaps = lo.forall(_ <= mx) && hi.forall(_ >= mn) &&
-        runtimeOverlaps(mn, mx)
-      if (overlaps) Some(GraftTsvPartition(f.toString): InputPartition) else None
+    GraftTsv.listGtsv(path).flatMap { f =>
+      val h = GraftTsv.readHeader(f)
+      val overlaps = lo.forall(_ <= h.mx) && hi.forall(_ >= h.mn) &&
+        runtimeOverlaps(h.mn, h.mx)
+      if (overlaps) Some(f.toString -> h) else None
     }
   }
+
+  /** Key-grouped read is reported only when every surviving file is
+    * lang-stamped AND lang survives column pruning (the partitioning
+    * expression must resolve against this scan's output).
+    */
+  private def keyGrouped(ss: Seq[(String, GraftTsv.Header)]): Boolean =
+    ss.nonEmpty && ss.forall(_._2.pv.isDefined) &&
+      required.fieldNames.contains("lang")
+
+  /** One partition per surviving file — or, for a lang-partitioned
+    * generation, one per lang carrying all of its files plus the
+    * partition KEY, which is what lets Spark plan storage-partitioned
+    * joins and shuffle-free aggregates over this source.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ss = survivors()
+    if (keyGrouped(ss))
+      ss.groupBy(_._2.pv.get).toSeq.sortBy(_._1)
+        .map { case (pv, fs) =>
+          GraftTsvGroupPartition(fs.map(_._1), pv): InputPartition
+        }.toArray
+    else ss.map { case (f, _) => GraftTsvPartition(f): InputPartition }.toArray
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val ss = survivors()
+    if (keyGrouped(ss))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("lang")),
+        ss.groupBy(_._2.pv.get).size)
+    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+      ss.size)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftTsvReaderFactory(required)
 }
 
 case class GraftTsvPartition(file: String) extends InputPartition
 
+/** All files of one lang of a partitioned generation; the partition
+  * key is what the storage-partitioned-join machinery clusters on.
+  */
+case class GraftTsvGroupPartition(files: Seq[String], pv: String)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(pv)))
+}
+
 class GraftTsvReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftTsvReader(partition.asInstanceOf[GraftTsvPartition].file, required)
+    partition match {
+      case p: GraftTsvPartition => new GraftTsvReader(p.file, required)
+      case g: GraftTsvGroupPartition => new GraftTsvChainReader(g.files, required)
+    }
+}
+
+/** Sequential reader over one key group's files. */
+class GraftTsvChainReader(files: Seq[String], required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val it = files.iterator
+  private var cur: GraftTsvReader = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = new GraftTsvReader(it.next(), required)
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false
+  }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Line reader materializing ONLY the pruned columns (projection
@@ -448,11 +554,18 @@ class GraftTsvWriteBuilder(path: String,
     val want = GraftTsv.schema.fields.map(_.name).toSeq
     require(names == want, s"graft-tsv writes schema $want, got $names")
     val files = Option(info.options.get("files")).map(_.toInt).getOrElse(8)
-    new GraftTsvWrite(path, doTruncate, files)
+    val partitioned = Option(info.options.get("partitionBy")) match {
+      case None => false
+      case Some("lang") => true
+      case Some(o) => throw new IllegalArgumentException(
+        s"graft-tsv supports partitionBy=lang only, got $o")
+    }
+    new GraftTsvWrite(path, doTruncate, files, partitioned)
   }
 }
 
-class GraftTsvWrite(path: String, truncate: Boolean, files: Int)
+class GraftTsvWrite(path: String, truncate: Boolean, files: Int,
+    partitioned: Boolean)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
     with org.apache.spark.sql.connector.write.BatchWrite {
@@ -461,7 +574,15 @@ class GraftTsvWrite(path: String, truncate: Boolean, files: Int)
 
   private def order = Array(
     Expressions.sort(Expressions.column("doc_id"), SortDirection.ASCENDING))
-  override def requiredDistribution(): D.Distribution = D.Distributions.ordered(order)
+  /** Plain generations range-cluster on doc_id (disjoint zone maps);
+    * lang-partitioned generations cluster on lang so each task sees
+    * whole langs, and the writer splits per lang within the task.
+    * In-partition doc_id ordering holds in both modes.
+    */
+  override def requiredDistribution(): D.Distribution =
+    if (partitioned) D.Distributions.clustered(
+      Array(Expressions.column("lang")))
+    else D.Distributions.ordered(order)
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = order
   override def requiredNumPartitions(): Int = files
@@ -470,7 +591,7 @@ class GraftTsvWrite(path: String, truncate: Boolean, files: Int)
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new GraftTsvWriterFactory(path)
+    new GraftTsvWriterFactory(path, partitioned)
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
@@ -482,40 +603,50 @@ class GraftTsvWrite(path: String, truncate: Boolean, files: Int)
         .filter(_.getFileName.toString.endsWith(".gtsv"))
         .foreach(Files.delete)
     }
-    messages.collect { case m: GraftTsvCommit if m.tmp != null => m }
-      .foreach { m =>
-        Files.move(Paths.get(m.tmp), Paths.get(path, m.fin),
+    messages.collect { case m: GraftTsvCommit => m }
+      .foreach(_.moves.foreach { case (tmp, fin) =>
+        Files.move(Paths.get(tmp), Paths.get(path, fin),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
+      })
   }
 
   override def abort(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
       : Unit =
-    messages.collect { case m: GraftTsvCommit if m.tmp != null => m }
-      .foreach(m => Files.deleteIfExists(Paths.get(m.tmp)))
+    messages.collect { case m: GraftTsvCommit => m }
+      .foreach(_.moves.foreach { case (tmp, _) =>
+        Files.deleteIfExists(Paths.get(tmp))
+      })
 }
 
-case class GraftTsvCommit(tmp: String, fin: String, nRows: Long)
+case class GraftTsvCommit(moves: Seq[(String, String)], nRows: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-class GraftTsvWriterFactory(path: String)
+class GraftTsvWriterFactory(path: String, partitioned: Boolean)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new GraftTsvWriter(path, partitionId, taskId)
+    new GraftTsvWriter(path, partitionId, taskId, partitioned)
 }
 
-/** Buffers its (already range-clustered, doc_id-sorted) partition and
-  * stamps the zone-map header from the first/last ids on commit.
+/** Buffers its (already clustered, doc_id-sorted) partition — one
+  * buffer per lang when partitioned (each becomes its own single-lang
+  * v2-stamped file) or a single buffer otherwise — and stamps the
+  * zone-map header from the observed min/max ids on commit.
   */
-class GraftTsvWriter(path: String, partitionId: Int, taskId: Long)
+class GraftTsvWriter(path: String, partitionId: Int, taskId: Long,
+    partitioned: Boolean)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  private val buf = Vector.newBuilder[String]
-  private var n = 0L
-  private var mn = Long.MaxValue
-  private var mx = Long.MinValue
+  private final class Buf {
+    val rows = Vector.newBuilder[String]
+    var n = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+  }
+  // Insertion-ordered so file numbering is deterministic per task.
+  private val bufs = mutable.LinkedHashMap.empty[String, Buf]
+  private def key(lang: String): String = if (partitioned) lang else ""
 
   override def write(r: InternalRow): Unit = {
     // The format has no null encoding (every cell is a mandatory field
@@ -525,28 +656,36 @@ class GraftTsvWriter(path: String, partitionId: Int, taskId: Long)
     while (i < GraftTsv.schema.length) {
       if (r.isNullAt(i)) throw new IllegalArgumentException(
         s"graft-tsv cannot write null ${GraftTsv.schema(i).name} " +
-          s"(row $n of partition $partitionId): the format has no null " +
+          s"(partition $partitionId): the format has no null " +
           "encoding; filter or coalesce nulls before writing")
       i += 1
     }
     val id = r.getLong(0)
-    mn = math.min(mn, id); mx = math.max(mx, id); n += 1
-    buf += s"$id\t${GraftTsv.esc(r.getUTF8String(1).toString)}\t" +
+    val lang = r.getUTF8String(1).toString
+    val b = bufs.getOrElseUpdate(key(lang), new Buf)
+    b.mn = math.min(b.mn, id); b.mx = math.max(b.mx, id); b.n += 1
+    b.rows += s"$id\t${GraftTsv.esc(lang)}\t" +
       s"${GraftTsv.esc(r.getUTF8String(2).toString)}\t${r.getLong(3)}\t" +
       s"${GraftTsv.esc(r.getUTF8String(4).toString)}"
   }
 
-  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
-    if (n == 0) GraftTsvCommit(null, null, 0)
-    else {
-      Files.createDirectories(Paths.get(path))
-      val fin = f"part-$partitionId%05d.gtsv"
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    Files.createDirectories(Paths.get(path))
+    val moves = bufs.toSeq.zipWithIndex.map { case ((k, b), i) =>
+      val fin =
+        if (partitioned) f"part-$partitionId%05d-$i%02d.gtsv"
+        else f"part-$partitionId%05d.gtsv"
       val tmp = Paths.get(path, s"_tmp-$fin-$taskId")
-      val body = s"#graft-tsv\t1\t$mn\t$mx\t$n\n" +
-        buf.result().mkString("", "\n", "\n")
+      val header =
+        if (partitioned)
+          s"#graft-tsv\t2\t${b.mn}\t${b.mx}\t${b.n}\t${GraftTsv.esc(k)}"
+        else s"#graft-tsv\t1\t${b.mn}\t${b.mx}\t${b.n}"
+      val body = header + "\n" + b.rows.result().mkString("", "\n", "\n")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-      GraftTsvCommit(tmp.toString, fin, n)
+      tmp.toString -> fin
     }
+    GraftTsvCommit(moves, bufs.valuesIterator.map(_.n).sum)
+  }
 
   override def abort(): Unit = ()
   override def close(): Unit = ()
