@@ -502,6 +502,155 @@ object Curation {
                mp AS merged, n
         FROM agg ORDER BY n DESC, pair LIMIT 20""")),
 
+    QDef("pipeline_curation_e2e", {
+      // The curation funnel as ONE lazy plan — the end-to-end
+      // composition a training-data team actually ships, with the
+      // per-stage survivor counts that make the funnel auditable:
+      //   raw -> quality (Gopher repetition + symbol rules) ->
+      //   exact dedup (min-doc_id per normalized-text fingerprint) ->
+      //   language evidence (>=1 stopword hit) -> train split
+      //   (md5 bucket < 80).
+      // Every stage reuses the exact formula its standalone query
+      // established (text_gopher_repetition, dedup_exact,
+      // sample_hash_split), so the funnel IS the composition of
+      // independently-verified parts; Catalyst fuses the whole chain
+      // into one scan + one fingerprint window + five metadata-sized
+      // aggregates. At 100 TB this shape matters because each stage's
+      // selectivity compounds — the dedup window runs on quality
+      // survivors only, the split hash on deduped docs only; ordering
+      // filters by decreasing cost-per-row is the optimization the
+      // stage counts let you reason about.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        def dupRatio(c: String) =
+          when(size(col(c)) === 0, 0.0)
+            .otherwise((size(col(c)) - size(array_distinct(col(c))))
+              .cast("double") / size(col(c)).cast("double"))
+        val stops = Seq("the", "and", "of", "to", "in", "is",
+          "der", "die", "und", "das", "ist", "nicht",
+          "le", "la", "les", "et", "est", "une",
+          "el", "los", "las", "y", "es", "una")
+        val d0 = t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .withColumn("tg", Text.shingles(col("tks"), 3))
+          // Token-level repetition (median ~0.54 on this corpus, so the
+          // 0.6 gate is live at every SF) plus the standalone gopher
+          // rules; the fingerprint is the 3-token-prefix cluster key
+          // sample_dedup_weighted established — this corpus has no
+          // byte-identical duplicates, but prefix-key near-dups exist
+          // at every SF, so the dedup stage provably filters.
+          .withColumn("qual",
+            rx(dupRatio("tks"), 4) <= 0.6 &&
+              rx(dupRatio("tg"), 4) <= 0.85 &&
+              rx(when(length(col("text")) === 0, 0.0)
+                .otherwise(size(regexp_extract_all(col("text"),
+                  lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+                  length(col("text")).cast("double")), 4) <= 0.1)
+          .withColumn("fp",
+            substring(md5(array_join(slice(col("tks"), 1, 3), " ")), 1, 16))
+          .withColumn("grounded",
+            size(filter(col("tks"), t => t.isInCollection(stops))) >= 1)
+          .withColumn("bucket",
+            pmod(Text.md5Hash32(col("doc_id").cast("string")), lit(100)))
+        val s1 = d0.filter(col("qual"))
+        val s2 = s1.withColumn("mn",
+            min("doc_id").over(Window.partitionBy("fp")))
+          .filter(col("doc_id") === col("mn"))
+        val s3 = s2.filter(col("grounded"))
+        val s4 = s3.filter(col("bucket") < 80)
+        def stage(df: org.apache.spark.sql.DataFrame, ord: Long, name: String) =
+          df.agg(count(lit(1)).as("n_docs"),
+              sum("n_chars").as("chars_sum"))
+            .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+              col("n_docs"), col("chars_sum"))
+        stage(d0, 1, "raw")
+          .union(stage(s1, 2, "quality"))
+          .union(stage(s2, 3, "dedup"))
+          .union(stage(s3, 4, "lang_evidence"))
+          .union(stage(s4, 5, "train"))
+          .orderBy("stage_ord")
+      }
+    }, {
+      val stops = Seq("the", "and", "of", "to", "in", "is",
+        "der", "die", "und", "das", "ist", "nicht",
+        "le", "la", "les", "et", "est", "une",
+        "el", "los", "las", "y", "es", "una")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val tgSql =
+        "list_transform(range(greatest(len(tks) - 2, 0)), i -> tks[i+1] || ' ' || tks[i+2] || ' ' || tks[i+3])"
+      def dupOf(l: String) =
+        s"CASE WHEN len($l) = 0 THEN 0.0 ELSE (len($l) - len(list_distinct($l))) / CAST(len($l) AS DOUBLE) END"
+      val symSql =
+        """CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / CAST(length(text) AS DOUBLE) END"""
+      Some(s"""WITH d0 AS (
+          SELECT doc_id, n_chars, text, $toksSql AS tks FROM documents),
+        flags AS (
+          SELECT doc_id, n_chars,
+            (${rxSql(dupOf("tks"), 4)} <= 0.6
+              AND ${rxSql(dupOf(tgSql), 4)} <= 0.85
+              AND ${rxSql(symSql, 4)} <= 0.1) AS qual,
+            substr(md5(coalesce(array_to_string(list_slice(tks, 1, 3), ' '), '')), 1, 16) AS fp,
+            len(list_filter(tks, t -> list_contains($stops, t))) >= 1 AS grounded,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+          FROM d0),
+        s1 AS (SELECT * FROM flags WHERE qual),
+        s2 AS (SELECT * FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY fp) AS mn FROM s1)
+          WHERE doc_id = mn),
+        s3 AS (SELECT * FROM s2 WHERE grounded),
+        s4 AS (SELECT * FROM s3 WHERE bucket < 80)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS stage_ord, 'raw' AS stage,
+                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+          FROM flags
+          UNION ALL SELECT 2, 'quality', count(*), CAST(sum(n_chars) AS BIGINT) FROM s1
+          UNION ALL SELECT 3, 'dedup', count(*), CAST(sum(n_chars) AS BIGINT) FROM s2
+          UNION ALL SELECT 4, 'lang_evidence', count(*), CAST(sum(n_chars) AS BIGINT) FROM s3
+          UNION ALL SELECT 5, 'train', count(*), CAST(sum(n_chars) AS BIGINT) FROM s4)
+        ORDER BY stage_ord""")
+    }),
+
+    QDef("agg_vocab_hhi",
+      // Vocabulary concentration per source — the Herfindahl-Hirschman
+      // index of the token distribution, in exact integer micros:
+      // HHI = Σ cnt² / T², and its reciprocal is the EFFECTIVE
+      // vocabulary size (how many equally-likely types would produce
+      // the same concentration) — the scalar a corpus-balance monitor
+      // tracks per source/shard to catch boilerplate floods that raw
+      // distinct counts miss (a million types led by one 40% token is
+      // still degenerate). Entropy would need ln(); the HHI carries
+      // the same concentration signal as pure integer arithmetic, so
+      // it is hash-exact in any engine. One explode + one
+      // (source, term) aggregate + one source aggregate — all
+      // map-side combinable, nothing quadratic.
+      (s, dir) => {
+        val tf = t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .select(col("source"), explode(col("tks")).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+        tf.groupBy("source")
+          .agg(sum("cnt").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(col("cnt") * col("cnt")).as("s2"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            expr("(s2 * 1000000) div (n_tokens * n_tokens)").as("hhi_micro"),
+            expr("(n_tokens * n_tokens) div s2").as("effective_types"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tf AS (
+          SELECT source, term, count(*) AS cnt FROM (
+            SELECT source, unnest($toksSql) AS term FROM documents)
+          WHERE len(term) > 0 GROUP BY 1, 2),
+        st AS (
+          SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                 count(*) AS n_types, CAST(sum(cnt * cnt) AS BIGINT) AS s2
+          FROM tf GROUP BY 1)
+        SELECT source, n_tokens, n_types,
+               CAST((s2 * 1000000) // (n_tokens * n_tokens) AS BIGINT) AS hhi_micro,
+               CAST((n_tokens * n_tokens) // s2 AS BIGINT) AS effective_types
+        FROM st ORDER BY source""")),
+
     QDef("pipeline_kanon_suppress",
       // k-anonymity suppression (the data-governance release gate): a
       // row's quasi-identifiers (lang, source) are masked to '*' when
