@@ -433,6 +433,33 @@ object Relational {
         SELECT a.lang, n_all, chars_all, n_even, max_even_chars
         FROM a JOIN b USING (lang) ORDER BY lang""")),
 
+    QDef("scan_spj_pruned",
+      // Partition pruning on the key-grouped layout: a lang equality
+      // pushed into the graft-tsv scan prunes whole single-lang FILES
+      // by their header partition value — hive-style partition pruning
+      // without directories, from the same v2 headers that drive the
+      // storage-partitioned join (GraftTsvSpjSpec pins that only the
+      // matching lang's files are opened). The filter stays residual,
+      // so pruning is an optimization, never correctness; v1 files
+      // without a stamp are simply never pruned.
+      (s, dir) => {
+        val base = scratch(s"gtsv_spj_${new java.io.File(dir).getName}")
+        graft.pipeline.Staged(s, dir, "gtsv_spj") {
+          graft.sources.GraftTsv.writePartitioned(
+            t(s, dir, "documents"), s"$base/a", 4)
+          graft.sources.GraftTsv.writePartitioned(
+            t(s, dir, "documents")
+              .filter(pmod(col("doc_id"), lit(2L)) === 0), s"$base/b", 4)
+          s.range(1).toDF("ok") // marker: layout staged once per session+dir
+        }
+        s.read.format("graft-tsv").load(s"$base/a")
+          .filter(col("lang") === "en")
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+        WHERE lang = 'en' ORDER BY doc_id""")),
+
     QDef("scan_nested_pushdown",
       // Nested-schema pruning + pushdown: a struct-typed layout read
       // back selecting ONE nested leaf with a filter on a sibling leaf

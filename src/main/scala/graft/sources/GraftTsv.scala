@@ -109,10 +109,10 @@ object GraftTsv {
   /** Parsed `#graft-tsv` header. v1: `ver mn mx n`; v2 adds the
     * escaped partition value (the file's single lang) as a 6th field.
     */
-  private[sources] case class Header(ver: Int, mn: Long, mx: Long, n: Long,
+  private[graft] case class Header(ver: Int, mn: Long, mx: Long, n: Long,
       pv: Option[String])
 
-  private[sources] def readHeader(f: Path): Header = {
+  private[graft] def readHeader(f: Path): Header = {
     val r = Files.newBufferedReader(f, StandardCharsets.UTF_8)
     val line = try r.readLine() finally r.close()
     val parts = line.split("\t")
@@ -122,7 +122,7 @@ object GraftTsv {
       if (parts.length >= 6) Some(unesc(parts(5))) else None)
   }
 
-  private[sources] def listGtsv(path: String): Seq[Path] = {
+  private[graft] def listGtsv(path: String): Seq[Path] = {
     val p = Paths.get(path)
     if (!Files.isDirectory(p)) Seq.empty
     else Files.list(p).iterator().asScala
@@ -153,7 +153,23 @@ object GraftTsv {
     case GreaterThanOrEqual("doc_id", _: Long) | GreaterThan("doc_id", _: Long) |
         LessThanOrEqual("doc_id", _: Long) | LessThan("doc_id", _: Long) |
         EqualTo("doc_id", _: Long) => true
+    case EqualTo("lang", _: String) => true
+    case org.apache.spark.sql.sources.In("lang", _) => true
     case _ => false
+  }
+
+  /** Lang values allowed by the pushed filters (None = unconstrained).
+    * Used to prune whole single-lang files of a partitioned generation
+    * by their header partition value — partition pruning on the
+    * key-grouped layout.
+    */
+  private[sources] def langSet(filters: Array[Filter]): Option[Set[String]] = {
+    val sets = filters.collect {
+      case EqualTo("lang", v: String) => Set(v)
+      case org.apache.spark.sql.sources.In("lang", vs) =>
+        vs.collect { case s: String => s }.toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 }
 
@@ -395,10 +411,15 @@ class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
     */
   private def survivors(): Seq[(String, GraftTsv.Header)] = {
     val (lo, hi) = GraftTsv.idBounds(pushed)
+    val langs = GraftTsv.langSet(pushed)
     GraftTsv.listGtsv(path).flatMap { f =>
       val h = GraftTsv.readHeader(f)
+      // v1 files carry no partition value and can never be lang-pruned;
+      // a stamped file is pruned when its lang is outside the pushed
+      // set (the filter stays residual, so this is never correctness).
+      val langOk = h.pv.forall(pv => langs.forall(_.contains(pv)))
       val overlaps = lo.forall(_ <= h.mx) && hi.forall(_ >= h.mn) &&
-        runtimeOverlaps(h.mn, h.mx)
+        langOk && runtimeOverlaps(h.mn, h.mx)
       if (overlaps) Some(f.toString -> h) else None
     }
   }

@@ -60,4 +60,27 @@ class GraftTsvSpjSpec extends AnyFunSuite {
       assert(joinNodes.nonEmpty, "expected a join operator")
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
+
+  test("lang equality prunes whole files by header partition value") {
+    import org.apache.spark.sql.functions._
+    val (a, _) = stage()
+    val hs = graft.sources.GraftTsv.listGtsv(a)
+      .map(graft.sources.GraftTsv.readHeader)
+    assert(hs.nonEmpty && hs.forall(_.pv.isDefined),
+      "partitioned generation must stamp every file")
+    val enFiles = hs.count(_.pv.contains("en"))
+    assert(enFiles >= 1 && enFiles < hs.size,
+      "need a pruning opportunity: some but not all files are en")
+
+    val before = graft.sources.GraftTsv.filesOpened.get()
+    val rows = spark.read.format("graft-tsv").load(a)
+      .filter(col("lang") === "en")
+      .select("doc_id", "lang", "n_chars").collect()
+    val opened = graft.sources.GraftTsv.filesOpened.get() - before
+    assert(opened == enFiles,
+      s"expected only the $enFiles en files opened, saw $opened")
+    val want = graft.queries.QDef.t(spark, sf, "documents")
+      .filter(col("lang") === "en").count()
+    assert(rows.length == want)
+  }
 }
