@@ -540,6 +540,97 @@ object Health {
         FROM tt ORDER BY event_type"""),
     ),
 
+    QDef("win_bollinger_bands", {
+      // Bollinger-band anomaly monitor: each reading against the
+      // trailing-20 rolling mean ± 2σ of its event type. Both window
+      // sums (Σcents, Σcents²) are exact int64 over a ROWS frame, and
+      // the ALERT DECISION is pure integer algebra — |x−S/n| > 2σ
+      // rewritten as (n·x − S)² > 4·(n·Q − S²) — so the flag needs no
+      // rounding guard at all; only the DISPLAYED mean/σ are IEEE (and
+      // rx-rounded). The rolling version of agg_zscore_standardize's
+      // global standardization: two window aggregates per row, one
+      // shuffle on the type key, embarrassingly parallel per type.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+        t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sc", sum("xc").over(w))
+          .withColumn("qc", sum(col("xc") * col("xc")).over(w))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("n"),
+            rx(col("sc").cast("double") / col("n").cast("double") / 100.0, 4)
+              .as("roll_mean"),
+            rx(sqrt((col("n") * col("qc") - col("sc") * col("sc")).cast("double") /
+              (col("n") * col("n")).cast("double")) / 100.0, 4).as("roll_sigma"),
+            ((col("n") * col("xc") - col("sc")) * (col("n") * col("xc") - col("sc")) >
+              lit(4L) * (col("n") * col("qc") - col("sc") * col("sc")))
+              .as("alert"))
+          .orderBy("event_id")
+      }
+    }, Some(s"""WITH ev AS (
+          SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc
+          FROM events),
+        r AS (
+          SELECT event_id, event_type, value, xc,
+            count(*) OVER w AS n,
+            CAST(sum(xc) OVER w AS BIGINT) AS sc,
+            CAST(sum(xc * xc) OVER w AS BIGINT) AS qc
+          FROM ev
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        SELECT event_id, event_type, value, n,
+               ${rxSql("CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0", 4)} AS roll_mean,
+               ${rxSql("sqrt(CAST(n * qc - sc * sc AS DOUBLE) / CAST(n * n AS DOUBLE)) / 100.0", 4)} AS roll_sigma,
+               (n * xc - sc) * (n * xc - sc) > 4 * (n * qc - sc * sc) AS alert
+        FROM r ORDER BY event_id""")),
+
+    QDef("agg_gini_inequality",
+      // Gini coefficient of the value distribution per event type —
+      // the inequality scalar a data-balance monitor tracks next to
+      // the HHI (concentration over CATEGORIES) — from the rank
+      // formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
+      // ascending-sorted exact cents: one rank window + one aggregate,
+      // ALL integer until the final basis-point floor-division, so the
+      // result is hash-exact with no FP anywhere. Ties share a value,
+      // so rank assignment among them cannot change Σi·xᵢ — the
+      // event_id tie-break is for determinism of the window, not the
+      // result. (int64 holds 2e4·Σi·xᵢ here; past ~sf1 the same
+      // sums ride DECIMAL(38,0).)
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("xc"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("xc").as("s"),
+            sum(col("i") * col("xc")).as("a"))
+          .select(col("event_type"), col("n"),
+            (col("s").cast("double") / 100.0).as("total_value"),
+            expr("((2 * a - (n + 1) * s) * 10000) div (n * s)").as("gini_bp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH r AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT), event_id)
+                   AS BIGINT) AS i
+          FROM events),
+        st AS (
+          SELECT event_type, count(*) AS n, CAST(sum(xc) AS BIGINT) AS s,
+                 CAST(sum(i * xc) AS BIGINT) AS a
+          FROM r GROUP BY 1)
+        SELECT event_type, n, CAST(s AS DOUBLE) / 100.0 AS total_value,
+               CAST(((2 * a - (n + 1) * s) * 10000) // (n * s) AS BIGINT) AS gini_bp
+        FROM st ORDER BY event_type"""),
+    ),
+
     QDef("win_cusum_alert",
       // CUSUM changepoint monitor over each event_type's value stream,
       // entirely in exact integer cents. The one-sided CUSUM recursion
