@@ -552,22 +552,34 @@ object Curation {
             size(filter(col("tks"), t => t.isInCollection(stops))) >= 1)
           .withColumn("bucket",
             pmod(Text.md5Hash32(col("doc_id").cast("string")), lit(100)))
-        val s1 = d0.filter(col("qual"))
-        val s2 = s1.withColumn("mn",
-            min("doc_id").over(Window.partitionBy("fp")))
-          .filter(col("doc_id") === col("mn"))
-        val s3 = s2.filter(col("grounded"))
-        val s4 = s3.filter(col("bucket") < 80)
-        def stage(df: org.apache.spark.sql.DataFrame, ord: Long, name: String) =
-          df.agg(count(lit(1)).as("n_docs"),
-              sum("n_chars").as("chars_sum"))
-            .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-              col("n_docs"), col("chars_sum"))
-        stage(d0, 1, "raw")
-          .union(stage(s1, 2, "quality"))
-          .union(stage(s2, 3, "dedup"))
-          .union(stage(s3, 4, "lang_evidence"))
-          .union(stage(s4, 5, "train"))
+        // Survivor-of-stage-k as a FLAG, not a filtered frame: the
+        // dedup keeper among quality survivors is min(when(qual,
+        // doc_id)) over the fingerprint partition, so the whole funnel
+        // is ONE scan + ONE window + ONE conditional aggregate —
+        // five filtered sub-plans would recompute the token/ratio
+        // work per stage (benched 21s vs ~4s at sf0.1).
+        val flagged = d0
+          .withColumn("mn_q", min(when(col("qual"), col("doc_id")))
+            .over(Window.partitionBy("fp")))
+          .withColumn("k_dedup", col("qual") && col("doc_id") === col("mn_q"))
+          .withColumn("k_lang", col("k_dedup") && col("grounded"))
+          .withColumn("k_train", col("k_lang") && col("bucket") < 80)
+        def nOf(c: org.apache.spark.sql.Column, a: String) =
+          sum(when(c, 1L).otherwise(0L)).as(s"n$a")
+        def cOf(c: org.apache.spark.sql.Column, a: String) =
+          sum(when(c, col("n_chars")).otherwise(0L)).as(s"c$a")
+        flagged.agg(
+            count(lit(1)).as("n1"), sum("n_chars").as("c1"),
+            nOf(col("qual"), "2"), cOf(col("qual"), "2"),
+            nOf(col("k_dedup"), "3"), cOf(col("k_dedup"), "3"),
+            nOf(col("k_lang"), "4"), cOf(col("k_lang"), "4"),
+            nOf(col("k_train"), "5"), cOf(col("k_train"), "5"))
+          .selectExpr("""stack(5,
+              1L, 'raw', n1, c1,
+              2L, 'quality', n2, c2,
+              3L, 'dedup', n3, c3,
+              4L, 'lang_evidence', n4, c4,
+              5L, 'train', n5, c5) AS (stage_ord, stage, n_docs, chars_sum)""")
           .orderBy("stage_ord")
       }
     }, {

