@@ -286,7 +286,7 @@ object Similarity {
   private val NswDeg = 4
   private val NswBeam = 8
   private val NswHops = 5
-  private val NswSample = 8
+  private val NswSample = 4
 
   /** Per-(vector, subspace) training points for the PQ codebook: the
     * 64-dim vector split into [[MSub]] contiguous 16-dim subvectors,

@@ -121,6 +121,58 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_curation_e2e: stage counts are monotone decreasing and every stage filters") {
+    val rows = SparkEntry.queries("pipeline_curation_e2e")(spark, sf).collect()
+    assert(rows.length == 5)
+    val counts = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    counts.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, s"every funnel stage must filter: saw $a -> $b")
+    }
+  }
+
+  test("sim_mips_topk: every augmented vector is unit norm, ranking follows raw dot") {
+    val rows = SparkEntry.queries("sim_mips_topk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(5) - 1.0) < 1e-9,
+      s"aug_norm must be exactly 1.0 after rounding, got ${r.getDouble(5)}"))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      byRank.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    }
+  }
+
+  test("sim_recall_graph_route: one row per query, recall consistent with hits") {
+    val rows = SparkEntry.queries("sim_recall_graph_route")(spark, sf).collect()
+    assert(rows.length == 10, "one audit row per query vector")
+    rows.foreach { r =>
+      val (hits, bp) = (r.getLong(1), r.getLong(2))
+      assert(hits >= 0 && hits <= 3)
+      assert(bp == hits * 10000 / 3, "recall_bp must be derived from n_hit")
+    }
+    // The tuned router must beat the broken-edge baseline by a wide
+    // margin in aggregate (the audit's reason to exist).
+    val mean = rows.map(_.getLong(1)).sum / 10.0 / 3.0
+    assert(mean >= 0.5, s"mean recall@3 regressed to $mean")
+  }
+
+  test("win_bollinger_bands: integer alert decision matches the displayed bands") {
+    val rows = SparkEntry.queries("win_bollinger_bands")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val alerts = rows.count(_.getBoolean(6))
+    assert(alerts > 0 && alerts < rows.length,
+      "both alert arms must be populated")
+    rows.foreach { r =>
+      val (v, mean, sigma) = (r.getDouble(2), r.getDouble(4), r.getDouble(5))
+      val flagged = r.getBoolean(6)
+      val margin = math.abs(v - mean) - 2 * sigma
+      // Displayed values are rounded to 4 places; only assert when the
+      // margin is clearly outside the rounding noise.
+      if (math.abs(margin) > 1e-3)
+        assert(flagged == margin > 0,
+          s"alert=$flagged disagrees with |$v-$mean| vs 2*$sigma")
+    }
+  }
+
   test("agg_welch_ttest folds both halves in one scan of events, no join") {
     val df = SparkEntry.queries("agg_welch_ttest")(spark, sf)
     val rows = df.collect()
