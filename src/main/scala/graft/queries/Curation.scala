@@ -502,6 +502,87 @@ object Curation {
                mp AS merged, n
         FROM agg ORDER BY n DESC, pair LIMIT 20""")),
 
+    QDef("text_bpe_train3", {
+      // Three chained BPE training iterations — the merge TABLE, which
+      // is the artifact tokenizer training actually ships (the merge
+      // list, in order, with the pair count that won each round). Each
+      // round r replaces the argmax pair with sentinel chr(r) over the
+      // weighted distinct-word table and recounts; later merges can
+      // absorb earlier sentinels (merged symbols pair like any other
+      // character), and the display resolves sentinels back to nested
+      // {..} spellings. Per-round cost stays O(vocab · word_len); the
+      // corpus is scanned exactly once, which is why 30k-merge
+      // trainers are feasible at 100 TB. Rounds re-reference the
+      // previous vocabulary twice (argmax + rewrite), so each round is
+      // eagerly localCheckpoint'd — the same lineage lesson as BFS.
+      (s, dir) => {
+        def pairsOf(words: org.apache.spark.sql.DataFrame) = words
+          .select(col("w"), col("wn"),
+            explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+          .select(col("w").substr(col("i"), lit(2)).as("p"), col("wn"))
+          .groupBy("p").agg(sum("wn").as("n"))
+        var words = t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .select(explode(col("tks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("wn"))
+          .filter(length(col("w")) >= 2)
+          .localCheckpoint(true)
+        val tops = (1 to 3).map { r =>
+          val top = pairsOf(words)
+            .orderBy(col("n").desc, col("p")).limit(1)
+            .select(col("p").as(s"m$r"), col("n").as(s"n$r"))
+            .localCheckpoint(true)
+          words = words.crossJoin(broadcast(top.select(col(s"m$r"))))
+            .withColumn("w", expr(s"replace(w, m$r, chr($r))"))
+            .drop(s"m$r")
+            .filter(length(col("w")) >= 2)
+            .localCheckpoint(true)
+          top
+        }
+        tops(0).crossJoin(tops(1)).crossJoin(tops(2))
+          .withColumn("d1", col("m1"))
+          .withColumn("d2", expr("replace(m2, chr(1), '{' || m1 || '}')"))
+          .withColumn("d3", expr(
+            "replace(replace(m3, chr(2), '{' || replace(m2, chr(1), '{' || m1 || '}') || '}'), chr(1), '{' || m1 || '}')"))
+          .selectExpr("""stack(3,
+              1L, d1, n1,
+              2L, d2, n2,
+              3L, d3, n3) AS (round, merge, pair_count)""")
+          .orderBy("round")
+      }
+    }, Some(s"""WITH words AS (
+          SELECT w, count(*) AS wn FROM (
+            SELECT unnest($toksSql) AS w FROM documents)
+          GROUP BY w),
+        w0 AS (SELECT w, wn FROM words WHERE length(w) >= 2),
+        p1 AS (SELECT substr(w, CAST(i + 1 AS INT), 2) AS p, wn
+               FROM w0, unnest(range(length(w) - 1)) AS t(i)),
+        a1 AS (SELECT p, CAST(sum(wn) AS BIGINT) AS n FROM p1 GROUP BY 1),
+        t1 AS (SELECT p AS m1, n AS n1 FROM a1 ORDER BY n DESC, p LIMIT 1),
+        w1 AS (SELECT replace(w, m1, chr(1)) AS w, wn FROM w0 CROSS JOIN t1
+               WHERE length(replace(w, m1, chr(1))) >= 2),
+        p2 AS (SELECT substr(w, CAST(i + 1 AS INT), 2) AS p, wn
+               FROM w1, unnest(range(length(w) - 1)) AS t(i)),
+        a2 AS (SELECT p, CAST(sum(wn) AS BIGINT) AS n FROM p2 GROUP BY 1),
+        t2 AS (SELECT p AS m2, n AS n2 FROM a2 ORDER BY n DESC, p LIMIT 1),
+        w2 AS (SELECT replace(w, m2, chr(2)) AS w, wn FROM w1 CROSS JOIN t2
+               WHERE length(replace(w, m2, chr(2))) >= 2),
+        p3 AS (SELECT substr(w, CAST(i + 1 AS INT), 2) AS p, wn
+               FROM w2, unnest(range(length(w) - 1)) AS t(i)),
+        a3 AS (SELECT p, CAST(sum(wn) AS BIGINT) AS n FROM p3 GROUP BY 1),
+        t3 AS (SELECT p AS m3, n AS n3 FROM a3 ORDER BY n DESC, p LIMIT 1)
+        SELECT CAST(round AS BIGINT) AS round, merge, pair_count FROM (
+          SELECT 1 AS round, m1 AS merge, n1 AS pair_count FROM t1
+          UNION ALL
+          SELECT 2, replace(m2, chr(1), '{' || m1 || '}'), n2 FROM t1, t2
+          UNION ALL
+          SELECT 3,
+                 replace(replace(m3, chr(2),
+                   '{' || replace(m2, chr(1), '{' || m1 || '}') || '}'),
+                   chr(1), '{' || m1 || '}'),
+                 n3 FROM t1, t2, t3)
+        ORDER BY round""")),
+
     QDef("pipeline_curation_e2e", {
       // The curation funnel as ONE lazy plan — the end-to-end
       // composition a training-data team actually ships, with the
