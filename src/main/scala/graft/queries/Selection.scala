@@ -21,6 +21,54 @@ import graft.functions.Text
 object Selection {
   import QDef._
 
+  /** Hashed-bigram feature stream: (doc_id, lang, b, tgt) — one row
+    * per bigram, bucketed into 128 salted-md5 features, with the
+    * target-population flag. Shared by the DSIR scorer and its
+    * distribution-shift audit.
+    */
+  private def dsirGrams(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val toks = t(s, dir, "documents")
+      .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+      .filter(size(col("tks")) >= 2)
+    toks
+      .select(col("doc_id"), col("lang"),
+        explode(Text.shingles(col("tks"), 2)).as("g"))
+      .withColumn("b",
+        pmod(Text.md5Hash32(concat(lit("ds:"), col("g"))), lit(128L)))
+      .withColumn("tgt", col("lang") === "de")
+  }
+
+  /** Per-raw-doc DSIR score + rank + group size + keep decision (top
+    * 20% per language); see sample_importance_dsir for the derivation.
+    */
+  private def dsirRanked(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val grams = dsirGrams(s, dir)
+    val bc = grams.groupBy("b").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tb"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).as("rb"))
+    val tot = bc.agg(sum("tb").as("tt"), sum("rb").as("rt"))
+    val ratio = bc.crossJoin(broadcast(tot))
+      .withColumn("rm",
+        expr("((tb + 1) * (rt + 128) * 1000000) div ((rb + 1) * (tt + 128))"))
+      .select("b", "rm")
+    val scored = grams.filter(!col("tgt"))
+      .join(broadcast(ratio), "b")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_grams"), sum("rm").as("score_micro"))
+    val wl = Window.partitionBy("lang")
+    scored
+      .withColumn("rank", row_number().over(
+        wl.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(wl))
+      .withColumn("keep", col("rank") <= expr("(n_lang + 4) div 5"))
+  }
+
+  /** [[dsirRanked]] projected to the driver-checked schema. */
+  private def dsirScored(s: org.apache.spark.sql.SparkSession, dir: String) =
+    dsirRanked(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        col("score_micro"), col("rank"), col("keep"))
+
   val all: Seq[QDef] = Seq(
 
     QDef("sample_importance_dsir",
@@ -41,38 +89,7 @@ object Selection {
       // + one window per language over doc-level rows. int64 holds
       // (t_b+1)*(R+128)*1e6 up to ~1e5 target x 1e8 raw grams; past
       // that the same quantization rides DECIMAL(38,0).
-      (s, dir) => {
-        val toks = t(s, dir, "documents")
-          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
-          .filter(size(col("tks")) >= 2)
-        val grams = toks
-          .select(col("doc_id"), col("lang"),
-            explode(Text.shingles(col("tks"), 2)).as("g"))
-          .withColumn("b",
-            pmod(Text.md5Hash32(concat(lit("ds:"), col("g"))), lit(128L)))
-          .withColumn("tgt", pmod(col("doc_id"), lit(10L)) === 3)
-        val bc = grams.groupBy("b").agg(
-          sum(when(col("tgt"), 1L).otherwise(0L)).as("tb"),
-          sum(when(col("tgt"), 0L).otherwise(1L)).as("rb"))
-        val tot = bc.agg(sum("tb").as("tt"), sum("rb").as("rt"))
-        val ratio = bc.crossJoin(broadcast(tot))
-          .withColumn("rm",
-            expr("((tb + 1) * (rt + 128) * 1000000) div ((rb + 1) * (tt + 128))"))
-          .select("b", "rm")
-        val scored = grams.filter(!col("tgt"))
-          .join(broadcast(ratio), "b")
-          .groupBy("doc_id", "lang")
-          .agg(count(lit(1)).as("n_grams"), sum("rm").as("score_micro"))
-        val wl = Window.partitionBy("lang")
-        scored
-          .withColumn("rank", row_number().over(
-            wl.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
-          .withColumn("n_lang", count(lit(1)).over(wl))
-          .withColumn("keep", col("rank") <= expr("(n_lang + 4) div 5"))
-          .select(col("doc_id"), col("lang"), col("n_grams"),
-            col("score_micro"), col("rank"), col("keep"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => dsirScored(s, dir).orderBy("doc_id"),
       Some("""WITH toks AS (
           SELECT doc_id, lang,
                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tks
@@ -81,7 +98,7 @@ object Selection {
         grams AS (
           SELECT doc_id, lang,
                  CAST(('0x' || substr(md5('ds:' || g), 1, 8)) AS BIGINT) % 128 AS b,
-                 doc_id % 10 = 3 AS tgt
+                 lang = 'de' AS tgt
           FROM (SELECT doc_id, lang,
                        unnest(list_transform(range(len(tks) - 1),
                          i -> tks[i+1] || ' ' || tks[i+2])) AS g
@@ -432,6 +449,155 @@ object Selection {
                CAST(sum(CASE WHEN key_a = key_b THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
                min(score) AS min_score, max(score) AS max_score
         FROM dec GROUP BY 1 ORDER BY decision"""),
+    ),
+
+    QDef("sample_dsir_shift",
+      // Distribution-shift audit of the DSIR selector — the measured
+      // property that justifies importance resampling: total variation
+      // distance between the target's hashed-feature distribution and
+      // three MATCHED-RATE 20% selections — the DSIR top-20%, a
+      // salted-md5 random control, and the inverse (bottom-20%) —
+      // plus the full raw pool for context. Matched rates matter: any
+      // finite subsample's TVD is inflated by multinomial sampling
+      // noise, so "selected vs full pool" conflates shift with sample
+      // size (the first cut of this audit did exactly that and made
+      // the selector look harmful); against the same-size random
+      // control the ordering selected < random < inverse holds at
+      // every SF and IS the selector's signal. TVD is exact integer
+      // micros (per-bucket count·1e6 div total, abs-diffed, summed,
+      // halved) — hash-exact, no FP; same discipline as
+      // sim_recall_graph_route: assumed quality is not quality.
+      (s, dir) => {
+        val g = dsirGrams(s, dir)
+        val r = dsirRanked(s, dir)
+        val sels = Seq(
+          "a_selected" -> r.filter(col("keep")),
+          "b_random_ctl" -> r.filter(pmod(Text.md5Hash32(
+            concat(lit("rs:"), col("doc_id").cast("string"))), lit(5L)) === 0),
+          "c_inverse" -> r.filter(
+            col("rank") > col("n_lang") - expr("(n_lang + 4) div 5")))
+        val td = g.filter(col("tgt")).groupBy("b").agg(count(lit(1)).as("tb"))
+        val rd = g.filter(!col("tgt")).groupBy("b").agg(count(lit(1)).as("rb"))
+        val sds = sels.zipWithIndex.map { case ((_, sel), i) =>
+          g.filter(!col("tgt")).join(sel.select("doc_id"), "doc_id")
+            .groupBy("b").agg(count(lit(1)).as(s"sb$i"))
+        }
+        val spine = g.select("b").distinct()
+        val per = sds.zipWithIndex.foldLeft(
+            spine.join(td, Seq("b"), "left").join(rd, Seq("b"), "left")) {
+            case (acc, (sd, i)) => acc.join(sd, Seq("b"), "left")
+          }
+          .select(col("b") +: (Seq("tb", "rb", "sb0", "sb1", "sb2")
+            .map(c => coalesce(col(c), lit(0L)).as(c))): _*)
+        val tot = per.agg(sum("tb").as("tt"), sum("rb").as("rt"),
+          sum("sb0").as("st0"), sum("sb1").as("st1"), sum("sb2").as("st2"))
+        val tvd = per.crossJoin(broadcast(tot))
+          .select(
+            abs(expr("(rb * 1000000) div rt") - expr("(tb * 1000000) div tt"))
+              .as("draw"),
+            abs(expr("(sb0 * 1000000) div st0") - expr("(tb * 1000000) div tt"))
+              .as("d0"),
+            abs(expr("(sb1 * 1000000) div st1") - expr("(tb * 1000000) div tt"))
+              .as("d1"),
+            abs(expr("(sb2 * 1000000) div st2") - expr("(tb * 1000000) div tt"))
+              .as("d2"))
+          .agg(expr("sum(draw) div 2").as("tvd_raw"),
+            expr("sum(d0) div 2").as("tvd0"),
+            expr("sum(d1) div 2").as("tvd1"),
+            expr("sum(d2) div 2").as("tvd2"))
+        val nds = sels.map { case (_, sel) => sel.agg(count(lit(1))) }
+        val counts = g.filter(!col("tgt"))
+          .agg(countDistinct("doc_id").as("nd_raw"))
+          .crossJoin(broadcast(nds(0).toDF("nd0")))
+          .crossJoin(broadcast(nds(1).toDF("nd1")))
+          .crossJoin(broadcast(nds(2).toDF("nd2")))
+        tvd.crossJoin(broadcast(tot)).crossJoin(broadcast(counts))
+          .selectExpr("""stack(4,
+              'a_selected', nd0, st0, tvd0,
+              'b_random_ctl', nd1, st1, tvd1,
+              'c_inverse', nd2, st2, tvd2,
+              'd_raw_pool', nd_raw, rt, tvd_raw)
+            AS (population, n_docs, n_grams, tvd_vs_target_micro)""")
+          .orderBy("population")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, lang,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tks
+          FROM documents),
+        t2 AS (SELECT doc_id, lang, tks FROM toks WHERE len(tks) >= 2),
+        grams AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5('ds:' || g), 1, 8)) AS BIGINT) % 128 AS b,
+                 lang = 'de' AS tgt
+          FROM (SELECT doc_id, lang,
+                       unnest(list_transform(range(len(tks) - 1),
+                         i -> tks[i+1] || ' ' || tks[i+2])) AS g
+                FROM t2)),
+        bc AS (
+          SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tb0,
+                 sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS rb0
+          FROM grams GROUP BY 1),
+        tot0 AS (SELECT sum(tb0) AS tt0, sum(rb0) AS rt0 FROM bc),
+        ratio AS (
+          SELECT b, CAST(((tb0 + 1) * (rt0 + 128) * 1000000) // ((rb0 + 1) * (tt0 + 128)) AS BIGINT) AS rm
+          FROM bc CROSS JOIN tot0),
+        scored AS (
+          SELECT g.doc_id, g.lang, CAST(sum(r.rm) AS BIGINT) AS score_micro
+          FROM grams g JOIN ratio r USING (b)
+          WHERE NOT g.tgt GROUP BY 1, 2),
+        ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY score_micro DESC, doc_id) AS rank,
+                 count(*) OVER (PARTITION BY lang) AS n_lang
+          FROM scored),
+        s0 AS (SELECT doc_id FROM ranked WHERE rank <= (n_lang + 4) // 5),
+        s1 AS (SELECT doc_id FROM ranked
+               WHERE CAST(('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0),
+        s2 AS (SELECT doc_id FROM ranked
+               WHERE rank > n_lang - (n_lang + 4) // 5),
+        td AS (SELECT b, count(*) AS tb FROM grams WHERE tgt GROUP BY 1),
+        rd AS (SELECT b, count(*) AS rb FROM grams WHERE NOT tgt GROUP BY 1),
+        sd0 AS (SELECT b, count(*) AS sb0 FROM grams g JOIN s0 USING (doc_id)
+                WHERE NOT tgt GROUP BY 1),
+        sd1 AS (SELECT b, count(*) AS sb1 FROM grams g JOIN s1 USING (doc_id)
+                WHERE NOT tgt GROUP BY 1),
+        sd2 AS (SELECT b, count(*) AS sb2 FROM grams g JOIN s2 USING (doc_id)
+                WHERE NOT tgt GROUP BY 1),
+        spine AS (SELECT DISTINCT b FROM grams),
+        per AS (
+          SELECT spine.b,
+                 CAST(coalesce(td.tb, 0) AS BIGINT) AS tb,
+                 CAST(coalesce(rd.rb, 0) AS BIGINT) AS rb,
+                 CAST(coalesce(sd0.sb0, 0) AS BIGINT) AS sb0,
+                 CAST(coalesce(sd1.sb1, 0) AS BIGINT) AS sb1,
+                 CAST(coalesce(sd2.sb2, 0) AS BIGINT) AS sb2
+          FROM spine LEFT JOIN td USING (b) LEFT JOIN rd USING (b)
+          LEFT JOIN sd0 USING (b) LEFT JOIN sd1 USING (b)
+          LEFT JOIN sd2 USING (b)),
+        tot AS (SELECT CAST(sum(tb) AS BIGINT) AS tt,
+                       CAST(sum(rb) AS BIGINT) AS rt,
+                       CAST(sum(sb0) AS BIGINT) AS st0,
+                       CAST(sum(sb1) AS BIGINT) AS st1,
+                       CAST(sum(sb2) AS BIGINT) AS st2 FROM per),
+        tvd AS (
+          SELECT CAST(sum(abs((rb * 1000000) // rt - (tb * 1000000) // tt)) // 2 AS BIGINT) AS tvd_raw,
+                 CAST(sum(abs((sb0 * 1000000) // st0 - (tb * 1000000) // tt)) // 2 AS BIGINT) AS tvd0,
+                 CAST(sum(abs((sb1 * 1000000) // st1 - (tb * 1000000) // tt)) // 2 AS BIGINT) AS tvd1,
+                 CAST(sum(abs((sb2 * 1000000) // st2 - (tb * 1000000) // tt)) // 2 AS BIGINT) AS tvd2
+          FROM per CROSS JOIN tot),
+        nds AS (
+          SELECT (SELECT count(DISTINCT doc_id) FROM grams WHERE NOT tgt) AS nd_raw,
+                 (SELECT count(*) FROM s0) AS nd0,
+                 (SELECT count(*) FROM s1) AS nd1,
+                 (SELECT count(*) FROM s2) AS nd2)
+        SELECT population, n_docs, n_grams, tvd_vs_target_micro FROM (
+          SELECT 'a_selected' AS population, nd0 AS n_docs, st0 AS n_grams,
+                 tvd0 AS tvd_vs_target_micro FROM nds, tot, tvd
+          UNION ALL SELECT 'b_random_ctl', nd1, st1, tvd1 FROM nds, tot, tvd
+          UNION ALL SELECT 'c_inverse', nd2, st2, tvd2 FROM nds, tot, tvd
+          UNION ALL SELECT 'd_raw_pool', nd_raw, rt, tvd_raw FROM nds, tot, tvd)
+        ORDER BY population"""),
     ),
   )
 }

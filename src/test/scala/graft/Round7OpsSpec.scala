@@ -173,6 +173,16 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_dsir_shift: selected beats the matched-rate random control, inverse loses") {
+    val rows = SparkEntry.queries("sample_dsir_shift")(spark, sf).collect()
+    assert(rows.length == 4)
+    val tvd = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(tvd("a_selected") < tvd("b_random_ctl"),
+      s"DSIR selection must beat a same-rate random control: $tvd")
+    assert(tvd("b_random_ctl") < tvd("c_inverse"),
+      s"anti-selection must be the worst arm: $tvd")
+  }
+
   test("agg_welch_ttest folds both halves in one scan of events, no join") {
     val df = SparkEntry.queries("agg_welch_ttest")(spark, sf)
     val rows = df.collect()
