@@ -177,6 +177,107 @@ object Analytics {
         Some(selects.mkString("", " UNION ALL ", " ORDER BY col_name"))
       }),
 
+    QDef("profile_join_health",
+      // Referential-integrity profiling of the star schema's three
+      // FK edges in ONE pass per edge: child rows, orphan rows (FK
+      // with no parent — LEFT ANTI semantics via left join + null
+      // test folded into a conditional aggregate), and the match rate
+      // in exact basis points. This is the pre-commit gate a 100 TB
+      // ingest runs before publishing a snapshot — broadcast the
+      // parent key sets (dimension-sized), one conditional aggregate
+      // per fact, no shuffle of the fact side beyond the scan.
+      (s, dir) => {
+        def edge(rel: String, child: org.apache.spark.sql.DataFrame,
+            fk: String, parent: org.apache.spark.sql.DataFrame, pk: String) =
+          child.select(col(fk))
+            .join(broadcast(parent.select(col(pk).as("__pk")).distinct()),
+              col(fk) === col("__pk"), "left")
+            .agg(count(lit(1)).as("n_child"),
+              sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+            .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"),
+              expr("((n_child - n_orphans) * 10000) div n_child")
+                .as("match_bp"))
+        edge("lineitem_part", t(s, dir, "lineitem"), "l_partkey",
+            t(s, dir, "part"), "p_partkey")
+          .union(edge("lineitem_supplier", t(s, dir, "lineitem"), "l_suppkey",
+            t(s, dir, "supplier"), "s_suppkey"))
+          .union(edge("orders_customer", t(s, dir, "orders"), "o_custkey",
+            t(s, dir, "customer"), "c_custkey"))
+          .orderBy("relation")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'lineitem_part' AS relation, count(*) AS n_child,
+                 CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+                 CAST(((count(*) - sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)) * 10000) // count(*) AS BIGINT) AS match_bp
+          FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+            ON l.l_partkey = p.p_partkey
+          UNION ALL
+          SELECT 'lineitem_supplier', count(*),
+                 CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(((count(*) - sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)) * 10000) // count(*) AS BIGINT)
+          FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+            ON l.l_suppkey = s.s_suppkey
+          UNION ALL
+          SELECT 'orders_customer', count(*),
+                 CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(((count(*) - sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)) * 10000) // count(*) AS BIGINT)
+          FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            ON o.o_custkey = c.c_custkey)
+        ORDER BY relation""")),
+
+    QDef("agg_benford_first_digit",
+      // Benford's-law first-digit screen over order totals — the
+      // classic forged-data / broken-generator detector a DQ suite
+      // runs on money columns: observed first-digit shares vs the
+      // Benford expectation log10(1+1/d), with the expectation baked
+      // in as nine DRIVER-SIDE double literals (shortest-repr, so
+      // both engines compare against bit-identical constants — no
+      // cross-engine log10 at query time). Shares and deviations are
+      // exact integer basis points; one scan, a 9-row aggregate, and
+      // the total |obs−exp| L1 deviation attached to every row. The
+      // uniform synthetic prices do NOT follow Benford — the screen
+      // fires, which is the point: the gate proves the detector
+      // detects.
+      (s, dir) => {
+        val exp = (1 to 9).map(d =>
+          d -> math.round(math.log10(1.0 + 1.0 / d) * 10000))
+        val expCol = exp.tail.foldLeft(
+          when(col("d") === exp.head._1, lit(exp.head._2))) {
+          case (acc, (d, bp)) => acc.when(col("d") === d, lit(bp))
+        }
+        val digits = t(s, dir, "orders")
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).cast("long").as("d"))
+          .groupBy("d").agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum("n").as("nt"))
+        val scored = digits.crossJoin(broadcast(tot))
+          .withColumn("obs_bp", expr("(n * 10000) div nt"))
+          .withColumn("exp_bp", expCol)
+          .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+        val l1 = scored.agg(sum("dev_bp").as("l1_dev_bp"))
+        scored.crossJoin(broadcast(l1))
+          .select(col("d"), col("n"), col("obs_bp"), col("exp_bp"),
+            col("dev_bp"), col("l1_dev_bp"))
+          .orderBy("d")
+      }, {
+        val expSql = (1 to 9).map(d =>
+          s"WHEN $d THEN ${math.round(math.log10(1.0 + 1.0 / d) * 10000)}")
+          .mkString("CASE d ", " ", " END")
+        Some(s"""WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d,
+                   count(*) AS n
+            FROM orders GROUP BY 1),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM digits),
+          scored AS (
+            SELECT d, n, CAST((n * 10000) // nt AS BIGINT) AS obs_bp,
+                   CAST($expSql AS BIGINT) AS exp_bp
+            FROM digits CROSS JOIN tot),
+          dev AS (SELECT *, abs(obs_bp - exp_bp) AS dev_bp FROM scored),
+          l1 AS (SELECT CAST(sum(dev_bp) AS BIGINT) AS l1_dev_bp FROM dev)
+          SELECT d, n, obs_bp, exp_bp, dev_bp, l1_dev_bp
+          FROM dev CROSS JOIN l1 ORDER BY d""")
+      }),
+
     QDef("pipeline_scd2_history",
       // Slowly-changing-dimension (type 2) history: each customer's
       // order states become versioned rows with half-open validity
