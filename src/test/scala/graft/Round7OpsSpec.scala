@@ -183,6 +183,22 @@ class Round7OpsSpec extends AnyFunSuite {
       s"anti-selection must be the worst arm: $tvd")
   }
 
+  test("DQ pair: clean star schema profiles 100% match; uniform prices fail Benford") {
+    val edges = SparkEntry.queries("profile_join_health")(spark, sf).collect()
+    assert(edges.length == 3)
+    edges.foreach { r =>
+      assert(r.getLong(2) == 0 && r.getLong(3) == 10000,
+        s"synthetic FK edges are referentially clean: $r")
+    }
+    val benford = SparkEntry.queries("agg_benford_first_digit")(spark, sf).collect()
+    assert(benford.nonEmpty)
+    val l1 = benford.head.getLong(5)
+    assert(l1 > 1000,
+      s"uniform prices must deviate clearly from Benford, l1=$l1 bp")
+    assert(benford.forall(_.getLong(5) == l1),
+      "the L1 total must be the same scalar on every row")
+  }
+
   test("agg_welch_ttest folds both halves in one scan of events, no join") {
     val df = SparkEntry.queries("agg_welch_ttest")(spark, sf)
     val rows = df.collect()
