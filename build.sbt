@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output: inherit this process's stdout/stderr directly.
+// sbt's default LoggedOutput strategy prefixes every forked-stdout line
+// with "[info] " — which made graft.Bench's machine-readable report
+// line start with "[info] {" instead of "{", unparseable by any
+// line-starts-with-JSON collector (observed as parsed:null for seven
+// consecutive BENCH_r*.json despite the complete line sitting in the
+// captured tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // See Verify: SPJ planning flag belongs in session defaults, not
+      // inside a query builder.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,12 +41,13 @@ object Bench {
       "pipeline_nested_enrich")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
+    val stagerSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     stagers.foreach { n =>
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(n)(spark, sfDir).count()
-        System.err.println(
-          s"[bench] stager '$n': ${r3((System.nanoTime() - t0) / 1e9)}s")
+        stagerSecs(n) = r3((System.nanoTime() - t0) / 1e9)
+        System.err.println(s"[bench] stager '$n': ${stagerSecs(n)}s")
       } catch {
         // A broken stager must be visible, or its staging cost silently
         // migrates back into whichever timed query touches the stage
@@ -75,14 +79,16 @@ object Bench {
     try {
       val sidecar = java.nio.file.Paths.get("/root/repo/target/bench_full.json")
       java.nio.file.Files.createDirectories(sidecar.getParent)
+      val stagingMap = stagerSecs
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.write(sidecar,
-        s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"nq":${results.size},"queries":$full,"sf":"$sfDir"}\n"""
+        s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"staging":$stagingMap,"nq":${results.size},"queries":$full,"sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
     } catch {
       case t: Throwable =>
         System.err.println(s"[bench] sidecar write failed: ${t.getMessage}")
     }
-    val budget = 1500 // chars for the inline queries map
+    val budget = 950 // chars for the inline queries map (line total <=1200)
     val shown = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2
     var full_ = false
@@ -97,7 +103,18 @@ object Bench {
     val cut = sorted.size - shown.size
     val cutSec = r3(sorted.drop(shown.size).map(_._2).sum)
     val qs = shown.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"nq":${results.size},"others":{"n":$cut,"sec":$cutSec},"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"nq":${results.size},"others":{"n":$cut,"sec":$cutSec},"queries":$qs,"sf":"$sfDir"}"""
+    // Print once now, and once more from a shutdown hook: after
+    // spark.stop() completes, Spark's shutdown logging (stderr) is done,
+    // so the hook's copy is the last stdout line of the forked JVM —
+    // the most collector-friendly position available.
+    println(line)
+    System.out.flush()
+    sys.addShutdownHook {
+      println(line)
+      System.out.flush()
+    }
     spark.stop()
   }
 }

@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Session-wide, not per-query: storage-partitioned-join planning
+      // for the V2 connector (join_spj_colocated). Setting it inside a
+      // query builder would leak planner config into every later query
+      // in the session, making plans order-dependent.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -338,7 +338,14 @@ object Curation {
           .join(broadcast(c2), substring_index(col("bg"), " ", -1) === col("w2"))
           .crossJoin(broadcast(tot))
           .select(col("bg"), col("c12"),
-            expr("(c12 * n_total * 1000000) div (c1 * c2)").as("lift_ppm"))
+            // Headroom: c12·n_total·1e6 overflows int64 near
+            // c12·n_total ≈ 9.2e12 (a 1% top bigram of a ~1e6-bigram
+            // corpus is already ~1e16) — and Spark (non-ANSI) would
+            // wrap silently while DuckDB errors. Route the product
+            // through DECIMAL(38,0) (~1e30 at corpus scale stays in
+            // range); `div` on decimals still returns BIGINT.
+            expr("(cast(c12 as decimal(38,0)) * n_total * 1000000) div (c1 * c2)")
+              .as("lift_ppm"))
           .orderBy(col("lift_ppm").desc, col("bg")).limit(20)
       },
       Some(s"""WITH d AS (
@@ -355,7 +362,7 @@ object Curation {
         c2 AS (SELECT split_part(bg, ' ', 2) AS w2, CAST(sum(c12) AS BIGINT) AS c2
                FROM cnt GROUP BY 1)
         SELECT bg, c12,
-               CAST((c12 * n_total * 1000000) // (c1 * c2) AS BIGINT) AS lift_ppm
+               CAST((CAST(c12 AS HUGEINT) * n_total * 1000000) // (c1 * c2) AS BIGINT) AS lift_ppm
         FROM cnt
         JOIN c1 ON split_part(bg, ' ', 1) = w1
         JOIN c2 ON split_part(bg, ' ', 2) = w2

@@ -211,6 +211,11 @@ object Health {
       (s, dir) => {
         val chunks = t(s, dir, "documents")
           .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          // Guard the empty token array: (size-1)/8 = 0 would yield
+          // sequence(0,0) = one empty chunk in Spark where the oracle's
+          // range() yields zero chunks — drop the row on both engines'
+          // shared semantics (the doc then has no chunk rows at all).
+          .filter(size(col("tks")) >= 1)
           .withColumn("cks",
             transform(sequence(lit(0), ((size(col("tks")) - 1) / 8).cast("int")),
               j => concat_ws(" ", slice(col("tks"), j * 8 + 1, lit(8)))))

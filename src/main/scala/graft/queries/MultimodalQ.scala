@@ -255,6 +255,12 @@ object MultimodalQ {
             .reduce(_ + _)
           Multimodal.mediaFromDocuments(t(s, dir, "documents"))
             .withColumn("hx", hex(col("payload")))
+            // Guard the degenerate payload (<4 bytes): Spark's
+            // sequence(0, -1) is DESCENDING ([0,-1] — spurious grams,
+            // one with a negative index) while the oracle's range()
+            // emits none. Dropping the row matches the oracle, which
+            // produces zero grams and hence no signature for it.
+            .filter(length(col("hx")) >= 8)
             .withColumn("grams",
               transform(sequence(lit(0), (length(col("hx")) / 8).cast("int") - 1),
                 i => substring(col("hx"), lit(1) + i * 8, lit(8))))

@@ -414,7 +414,11 @@ object Relational {
               .filter(pmod(col("doc_id"), lit(2L)) === 0), outB, 4)
           s.range(1).toDF("ok") // marker: layout staged once per session+dir
         }
-        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        // spark.sql.sources.v2.bucketing.enabled is a SESSION default
+        // (set by Verify/Bench/SparkTestSession builders): mutating it
+        // here would change planner config for every later query in the
+        // session. Without the flag this query is still correct — the
+        // join simply plans with shuffles instead of SPJ.
         val left = s.read.format("graft-tsv").load(outA)
           .groupBy("lang").agg(count(lit(1)).as("n_all"),
             sum("n_chars").as("chars_all"))

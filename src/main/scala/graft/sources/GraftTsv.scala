@@ -357,7 +357,12 @@ class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
         vs.collect { case n: java.lang.Number => n.longValue() }.toSet
       case EqualTo("doc_id", v: Long) => Set(v)
     }
-    if (sets.nonEmpty) runtimeIds = Some(sets.reduce(_ intersect _))
+    if (sets.nonEmpty) {
+      runtimeIds = Some(sets.reduce(_ intersect _))
+      // The survivor snapshot predates the runtime filter — recompute so
+      // the re-planned partitions see the narrowed set.
+      survivorCache = null
+    }
   }
 
   /** True iff the zone map [mn, mx] can contain any runtime-filtered
@@ -405,6 +410,24 @@ class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
   override def description(): String =
     s"graft-tsv $path, PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
+  /** Memoized survivor set: [[outputPartitioning]] and
+    * [[planInputPartitions]] must see ONE listing instant — each
+    * recomputing against the live directory (and mutable runtime-filter
+    * state) could report a partitioning that disagrees with the planned
+    * partitions. Invalidated by [[filter]] so runtime pruning still
+    * reaches the re-planned partitions.
+    */
+  @volatile private var survivorCache: Seq[(String, GraftTsv.Header)] = null
+
+  private def survivorSnapshot(): Seq[(String, GraftTsv.Header)] = {
+    var s = survivorCache
+    if (s == null) synchronized {
+      if (survivorCache == null) survivorCache = survivors()
+      s = survivorCache
+    }
+    s
+  }
+
   /** Surviving (file, header) pairs: the header zone map is checked
     * against the pushed doc_id bounds (and any runtime IN-list) and
     * non-overlapping files never become tasks.
@@ -426,11 +449,19 @@ class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
 
   /** Key-grouped read is reported only when every surviving file is
     * lang-stamped AND lang survives column pruning (the partitioning
-    * expression must resolve against this scan's output).
+    * expression must resolve against this scan's output) AND nothing
+    * can narrow the file set per-file within a lang group: a runtime
+    * IN-list or pushed doc_id bound could prune ALL files of one lang,
+    * making the reported group count disagree with what the SPJ
+    * machinery later observes on the other join side — so those scans
+    * decline key-grouping (losing only the shuffle elision, never
+    * correctness).
     */
   private def keyGrouped(ss: Seq[(String, GraftTsv.Header)]): Boolean =
     ss.nonEmpty && ss.forall(_._2.pv.isDefined) &&
-      required.fieldNames.contains("lang")
+      required.fieldNames.contains("lang") &&
+      runtimeIds.isEmpty &&
+      GraftTsv.idBounds(pushed) == ((None, None))
 
   /** One partition per surviving file — or, for a lang-partitioned
     * generation, one per lang carrying all of its files plus the
@@ -438,7 +469,7 @@ class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
     * joins and shuffle-free aggregates over this source.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val ss = survivors()
+    val ss = survivorSnapshot()
     if (keyGrouped(ss))
       ss.groupBy(_._2.pv.get).toSeq.sortBy(_._1)
         .map { case (pv, fs) =>
@@ -449,7 +480,7 @@ class GraftTsvScan(path: String, required: StructType, pushed: Array[Filter],
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    val ss = survivors()
+    val ss = survivorSnapshot()
     if (keyGrouped(ss))
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -738,16 +769,26 @@ class GraftTsvMicroBatchStream(path: String, required: StructType,
 
   private def target: Long = pinned.getOrElse(allFiles().length.toLong)
 
-  /** Fingerprint of the first n names of the (sorted) listing. Offsets
+  /** Fingerprint of the first n files of the (sorted) listing. Offsets
     * carry it so a checkpoint restart can detect that the directory was
     * rewritten under the checkpoint (new overwrite generation, files
     * renamed/recounted): a bare positional index would silently remap
-    * to different files, duplicating or skipping data.
+    * to different files, duplicating or skipping data. The digest folds
+    * in each file's CONTENT identity — header zone map (mn, mx, n,
+    * partition value) and byte size — not just its name: the writer
+    * emits deterministic part-NNNNN names, so an overwrite generation
+    * with the same file count reproduces the name list exactly and a
+    * name-only digest would wave the rewrite through.
     */
   private def sig(fs: Array[String], n: Int): String = {
-    val names = fs.take(n).map(f => Paths.get(f).getFileName.toString)
     val md = java.security.MessageDigest.getInstance("MD5")
-    names.foreach(s => md.update((s + "\n").getBytes(StandardCharsets.UTF_8)))
+    fs.take(n).foreach { f =>
+      val p = Paths.get(f)
+      val h = GraftTsv.readHeader(p)
+      val line = s"${p.getFileName}\t${h.ver}\t${h.mn}\t${h.mx}\t${h.n}\t" +
+        s"${h.pv.getOrElse("")}\t${Files.size(p)}\n"
+      md.update(line.getBytes(StandardCharsets.UTF_8))
+    }
     md.digest().map(b => f"$b%02x").mkString
   }
 

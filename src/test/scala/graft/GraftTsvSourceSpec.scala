@@ -169,6 +169,29 @@ class GraftTsvSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("checkpoint mismatch"))
   }
 
+  test("same-name same-count rewrite is detected by the fingerprint") {
+    // The writer's names are deterministic (part-NNNNN.gtsv), so an
+    // overwrite generation with the SAME file count reproduces the name
+    // list exactly — only a digest folding per-file content identity
+    // (header zone map + size) catches it. A name-only fingerprint
+    // waved this rewrite through and offsets silently remapped to the
+    // new generation's data.
+    val out = "/root/repo/target/scratch/gtsv_spec/rewrite"
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    GraftTsv.write(src, out, 4)
+    val stream = new graft.sources.GraftTsvMicroBatchStream(
+      out, GraftTsv.schema, 8)
+    val o = stream.latestOffset(stream.initialOffset(),
+      null.asInstanceOf[org.apache.spark.sql.connector.read.streaming.ReadLimit])
+    // New generation: same 4 files, same names, different contents.
+    GraftTsv.write(src.filter(col("doc_id") % 2 === 0), out, 4)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(stream.initialOffset(), o)
+    }
+    assert(e.getMessage.contains("checkpoint mismatch"))
+  }
+
   test("count/min/max push down to the header sweep: zero row readers") {
     val df = spark.read.format("graft-tsv").load(dir)
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),

@@ -30,6 +30,9 @@ class GraftTsvSpjSpec extends AnyFunSuite {
   test("partitioned generation: single-lang files, key-grouped scan, no-shuffle SPJ") {
     import org.apache.spark.sql.functions._
     val (a, b) = stage()
+    // Save/restore rather than unset: the flag is a session DEFAULT now
+    // (SparkTestSession), and unsetting would strip it for later suites.
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     try {
       val left = spark.read.format("graft-tsv").load(a)
@@ -58,7 +61,10 @@ class GraftTsvSpjSpec extends AnyFunSuite {
         s"expected only the output sort exchange, saw ${shuffles.size}")
       val joinNodes = nodes.filter(_.getClass.getSimpleName.contains("Join"))
       assert(joinNodes.nonEmpty, "expected a join operator")
-    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
   }
 
   test("lang equality prunes whole files by header partition value") {
