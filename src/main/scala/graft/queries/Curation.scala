@@ -180,7 +180,7 @@ object Curation {
       // filtered output consume it — unpersisted, the 1-row total
       // aggregate would re-run the whole tokenize+shuffle subtree.
       (s, dir) => {
-        val tf = graft.pipeline.Staged(s, dir, "heavy_hitters_tf") {
+        val tf = graft.pipeline.Staged.disk(s, dir, "heavy_hitters_tf") {
           t(s, dir, "documents")
             .select(explode(Text.tokens(Text.normTerm(col("text")))).as("term"))
             .filter(length(col("term")) > 0)
@@ -264,7 +264,7 @@ object Curation {
       // same plan, bigger dim). Per-doc work is one explode + one join
       // + one aggregate: linear end to end.
       (s, dir) => {
-        val bgs = graft.pipeline.Staged(s, dir, "lm_bigrams") {
+        val bgs = graft.pipeline.Staged.disk(s, dir, "lm_bigrams") {
           t(s, dir, "documents")
             .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
             .select(col("doc_id"), explode(Text.shingles(col("tks"), 2)).as("bg"))
@@ -322,12 +322,18 @@ object Curation {
       // and the unigram/total tables are broadcast — one corpus
       // shuffle total, the linear plan this keeps at 100 TB.
       (s, dir) => {
-        val bgs = graft.pipeline.Staged(s, dir, "lm_bigrams") {
+        val bgs = graft.pipeline.Staged.disk(s, dir, "lm_bigrams") {
           t(s, dir, "documents")
             .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
             .select(col("doc_id"), explode(Text.shingles(col("tks"), 2)).as("bg"))
         }
+        // Materialize the vocabulary-sized bigram counts ONCE: four
+        // branches (main, c1, c2, tot) reference this subtree, and
+        // Spark shares no common subtrees — uncheckpointed, each
+        // branch re-runs the corpus shuffle (measured: 7 exchanges vs
+        // 4, pinned in PlanShapeSpec).
         val cnt = bgs.groupBy("bg").agg(count(lit(1)).as("c12"))
+          .localCheckpoint(true)
         val tot = cnt.agg(sum(col("c12")).cast("long").as("n_total"))
         val c1 = cnt.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
           .agg(sum(col("c12")).as("c1"))

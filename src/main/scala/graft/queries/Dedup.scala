@@ -66,7 +66,7 @@ object Dedup {
     * pair query and the cluster query.
     */
   private def candidatePairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val b = graft.pipeline.Staged(s, dir, "minhash_bands") {
+    val b = graft.pipeline.Staged.disk(s, dir, "minhash_bands") {
       minhashBands(t(s, dir, "documents"))
     }
     b.as("a").join(b.as("b"),
@@ -82,7 +82,7 @@ object Dedup {
     * re-evaluation.
     */
   private def ngramSets(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.pipeline.Staged(s, dir, "ngram_sets") {
+    graft.pipeline.Staged.disk(s, dir, "ngram_sets") {
       t(s, dir, "documents")
         .withColumn("tks", toks)
         .withColumn("sh", shingles(col("tks"), 3))
@@ -95,7 +95,7 @@ object Dedup {
     * query and the banded pair query share one build.
     */
   private def simhashSigs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.pipeline.Staged(s, dir, "simhash_sigs") {
+    graft.pipeline.Staged.disk(s, dir, "simhash_sigs") {
       val votes = (0 until 32).map(b =>
         sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
       val sig = (0 until 32).map(b =>
@@ -125,9 +125,13 @@ object Dedup {
   /** Connected-components labels over the LSH pair graph, staged: the
     * multi-round loop runs once per session+dir and both the cluster
     * query and the leakage-safe split reuse the persisted labels.
+    * diskKeyed (not disk): the loop localCheckpoints per round, so the
+    * RESULT plan is an unstable LogicalRDD — the cross-JVM artifact is
+    * keyed by the declarative candidate-pair INPUT plan instead, and a
+    * cache hit skips the whole propagation loop.
     */
   private def ccLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.pipeline.Staged(s, dir, "cc_labels") {
+    graft.pipeline.Staged.diskKeyed(s, dir, "cc_labels")(candidatePairs(s, dir)) {
       graft.operators.ConnectedComponents
         .clusters(candidatePairs(s, dir))
         .select(col("id").as("doc_id"), col("cluster"))
@@ -171,7 +175,7 @@ object Dedup {
       // The MinHash+LSH index itself: 16 md5-seeded min-hashes over
       // 3-token shingles, banded 4×4. Rows = docs × 4 bands. Staged:
       // the candidate-pair query self-joins this same index.
-      (s, dir) => graft.pipeline.Staged(s, dir, "minhash_bands") {
+      (s, dir) => graft.pipeline.Staged.disk(s, dir, "minhash_bands") {
         minhashBands(t(s, dir, "documents"))
       }.orderBy("doc_id", "band"),
       Some(s"""WITH $minhashBandsSql
@@ -195,7 +199,7 @@ object Dedup {
       // -1 = novel) and its base-candidate count. Reuses the one
       // staged band index the whole minhash family shares.
       (s, dir) => {
-        val b = graft.pipeline.Staged(s, dir, "minhash_bands") {
+        val b = graft.pipeline.Staged.disk(s, dir, "minhash_bands") {
           minhashBands(t(s, dir, "documents"))
         }
         val split = t(s, dir, "documents").select(col("doc_id"),
@@ -661,7 +665,7 @@ object Dedup {
       // so nothing is lost).
       (s, dir) => {
         val W = 10
-        val wins = graft.pipeline.Staged(s, dir, "substr_windows") {
+        val wins = graft.pipeline.Staged.disk(s, dir, "substr_windows") {
           t(s, dir, "documents")
             .withColumn("tks", toks)
             .withColumn("n", size(col("tks")))

@@ -247,7 +247,7 @@ object MultimodalQ {
       // only line that changes (frame/block digests instead of raw
       // windows). Windows at stride 4 keep the explode n_bytes/4.
       (s, dir) => {
-        val sigs = graft.pipeline.Staged(s, dir, "phash_sigs") {
+        val sigs = graft.pipeline.Staged.disk(s, dir, "phash_sigs") {
           val votes = (0 until 32).map(b =>
             sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
           val sig = (0 until 32).map(b =>

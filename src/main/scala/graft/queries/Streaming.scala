@@ -22,6 +22,73 @@ import graft.streaming.StreamRuns
   * demonstrates the watermark actually evicting; nothing buffers the
   * unbounded input.
   */
+/** Touched-bucket streaming CDC merge, shared by the
+  * `stream_foreach_batch_upsert` QDef and the StreamingSpec
+  * copy-on-write pin (which needs the base/feed/result phases
+  * separately to assert untouched buckets keep their files).
+  */
+private[graft] object StreamCdc {
+  val NBuckets = 16L
+  private def bk(c: org.apache.spark.sql.Column) = pmod(c, lit(NBuckets))
+
+  /** Base snapshot, hive-partitioned by the key bucket. */
+  def writeBase(s: SparkSession, dir: String, snap: String): Unit =
+    CdcFeed.base(s, dir)
+      .select(col("o_orderkey"), col("b_status").as("status"),
+        col("b_price").as("price"))
+      .withColumn("bk", bk(col("o_orderkey")))
+      .write.mode("overwrite").partitionBy("bk").parquet(snap)
+
+  /** Stream the change feed in 2-file micro-batches; each batch merges
+    * copy-on-write over the touched buckets only.
+    */
+  def applyFeed(s: SparkSession, dir: String, snap: String): Unit = {
+    val changes = CdcFeed.changes(s, dir)
+    val src = StreamRuns.stageAsFiles(changes, "upsert-feed", 4)
+    val q = s.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", 2).parquet(src)
+      .writeStream
+      .option("checkpointLocation", StreamRuns.fresh("upsert-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // Driver-side bucket list: ≤ NBuckets longs by construction.
+        val bks = b.select(bk(col("o_orderkey")).as("bk"))
+          .distinct().collect().map(_.getLong(0))
+        val prev = s.read.parquet(snap)
+          .filter(col("bk").isin(bks: _*))
+          .drop("bk")
+          .withColumnRenamed("status", "b_status")
+          .withColumnRenamed("price", "b_price")
+        // Materialize BEFORE overwriting the paths the plan reads.
+        val merged = CdcFeed.merged(prev, b)
+          .withColumn("bk", bk(col("o_orderkey")))
+          .localCheckpoint(true)
+        graft.SparkConfs.withConfs(s,
+          Map("spark.sql.sources.partitionOverwriteMode" -> "dynamic")) {
+          merged.write.mode("overwrite").partitionBy("bk").parquet(snap)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  def result(s: SparkSession, snap: String): DataFrame =
+    s.read.parquet(snap)
+      .select(col("o_orderkey"), col("status"),
+        col("price").cast("double").as("price"))
+      .orderBy("o_orderkey")
+
+  /** The one-shot merge closed form the incremental application must
+    * equal regardless of batch boundaries.
+    */
+  def oneShot(s: SparkSession, dir: String): DataFrame =
+    CdcFeed.merged(CdcFeed.base(s, dir), CdcFeed.changes(s, dir))
+      .select(col("o_orderkey"), col("status"),
+        col("price").cast("double").as("price"))
+      .orderBy("o_orderkey")
+}
+
 object Streaming {
   import QDef._
 
@@ -242,43 +309,25 @@ object Streaming {
     QDef("stream_foreach_batch_upsert",
       // Incremental CDC apply — pipeline_merge_upsert's change feed
       // arriving as a stream: file source, two files per micro-batch,
-      // and each batch MERGEs into a parquet base snapshot inside
-      // foreachBatch (read snapshot, full-outer join the batch on the
-      // key, rewrite). Every change key appears once in the feed, so
-      // the final snapshot is independent of batch boundaries — which
-      // is what makes the incremental application oracle-checkable in
-      // closed form against the one-shot merge. At 100 TB the
-      // read-modify-rewrite step becomes a lakehouse MERGE INTO
-      // (copy-on-write over the touched files only); the foreachBatch
-      // + keyed-merge plan is unchanged.
+      // and each batch MERGEs into a key-bucketed parquet base
+      // snapshot inside foreachBatch, copy-on-write over the TOUCHED
+      // buckets only: the snapshot is hive-partitioned by a key
+      // bucket, the batch's distinct buckets are collected (bounded by
+      // the bucket count, never the data), the read back filters to
+      // those buckets (partition pruning — untouched files are never
+      // opened), and the dynamic-partition-overwrite replaces only
+      // those directories. IO per batch ∝ touched buckets, not the
+      // snapshot — the lakehouse MERGE INTO shape, built from the same
+      // primitive sink_dynamic_overwrite proves. Every change key
+      // appears once in the feed, so the final snapshot is independent
+      // of batch boundaries — which is what makes the incremental
+      // application oracle-checkable in closed form against the
+      // one-shot merge.
       (s, dir) => {
         val snap = StreamRuns.fresh("upsert-snap")
-        CdcFeed.base(s, dir)
-          .select(col("o_orderkey"), col("b_status").as("status"),
-            col("b_price").as("price"))
-          .write.mode("overwrite").parquet(snap)
-        val changes = CdcFeed.changes(s, dir)
-        val src = StreamRuns.stageAsFiles(changes, "upsert-feed", 4)
-        val q = s.readStream.schema(changes.schema)
-          .option("maxFilesPerTrigger", 2).parquet(src)
-          .writeStream
-          .option("checkpointLocation", StreamRuns.fresh("upsert-ckpt"))
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            val prev = s.read.parquet(snap)
-              .withColumnRenamed("status", "b_status")
-              .withColumnRenamed("price", "b_price")
-            // Materialize BEFORE overwriting the path the plan reads.
-            val merged = CdcFeed.merged(prev, b).localCheckpoint(true)
-            merged.write.mode("overwrite").parquet(snap)
-            ()
-          }
-          .start()
-        q.awaitTermination()
-        s.read.parquet(snap)
-          .select(col("o_orderkey"), col("status"),
-            col("price").cast("double").as("price"))
-          .orderBy("o_orderkey")
+        StreamCdc.writeBase(s, dir, snap)
+        StreamCdc.applyFeed(s, dir, snap)
+        StreamCdc.result(s, snap)
       },
       Some(s"""WITH ${CdcFeed.ctesSql}
         SELECT o_orderkey,

@@ -115,6 +115,66 @@ class PlanShapeSpec extends AnyFunSuite {
       "a BNL here means the equi-key was lost and the dim side exploded")
   }
 
+  test("NSW NN-descent build round: any cross-shaped join has a 1-row side") {
+    // The round-8 fix for the last corpus-quadratic stage: the index
+    // build must propose candidates from neighbors-of-neighbors
+    // equi-joins, never an all-pairs product. The only nested-loop
+    // joins allowed are the 1-row max(vec_id) broadcasts; a future
+    // regression to crossJoin(e, e) puts corpus-sized rows on both
+    // sides and fails here.
+    val df = graft.queries.Similarity.nswBuildRoundForSpec(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "NN-descent must never plan a cartesian product")
+    nodes.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.foreach { b =>
+      val sideRows = b.children.map { c =>
+        PlanFlatten.flatten(c)
+          .flatMap(_.metrics.get("numOutputRows").map(_.value))
+          .headOption.getOrElse(0L)
+      }
+      assert(sideRows.min <= 1,
+        s"nested-loop join with side rows $sideRows: all-pairs regression")
+    }
+  }
+
+  test("sim_graph_route beam search plans equi-joins only") {
+    val df = SparkEntry.queries("sim_graph_route")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "routing must expand the frontier by equi-join, never a product")
+  }
+
+  test("text_pmi_collocations: bounded shuffles, no cartesian") {
+    val df = SparkEntry.queries("text_pmi_collocations")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "PMI joins ride the word keys (1-row total is a broadcast)")
+    val shuffles = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles <= 6,
+      s"PMI grew to $shuffles shuffles — the one-corpus-shuffle plan regressed")
+  }
+
+  test("graph_bfs_distance relax rounds stay equi-joins") {
+    val df = SparkEntry.queries("graph_bfs_distance")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "min-relax must join on edge dst, never a product")
+  }
+
+  test("pipeline_graph_edges plans no cartesian product") {
+    val df = SparkEntry.queries("pipeline_graph_edges")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
   test("str_fuzzy_match candidates come from an equi join, never a cross product") {
     val df = SparkEntry.queries("str_fuzzy_match")(spark, sf)
     df.collect()

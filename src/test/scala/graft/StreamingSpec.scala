@@ -168,4 +168,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(dupIds.isEmpty, "feed itself must not double-deliver within a phase")
     assert(p2.map(_.event_id).count(ids1) == nDupA + nDupB)
   }
+
+  test("CDC upsert is copy-on-write: untouched buckets keep their files") {
+    import graft.queries.StreamCdc
+    val snap = graft.streaming.StreamRuns.fresh("upsert-spec-snap")
+    StreamCdc.writeBase(spark, sf, snap)
+    // Change keys are EVEN (o_orderkey % 2 = 0), so with 16 key
+    // buckets every touched bucket is even — the 8 odd buckets must
+    // come through the whole stream byte-identical (same part files),
+    // or the merge has regressed to a full-snapshot rewrite.
+    def files(b: Long): Map[String, Long] = {
+      val d = new java.io.File(s"$snap/bk=$b")
+      assert(d.isDirectory, s"bucket dir bk=$b missing")
+      d.listFiles().filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = (1L to 15L by 2).map(b => b -> files(b)).toMap
+    StreamCdc.applyFeed(spark, sf, snap)
+    (1L to 15L by 2).foreach { b =>
+      assert(files(b) == before(b),
+        s"bucket bk=$b was rewritten by a batch that touched no key in it")
+    }
+    // And the incremental application equals the one-shot merge.
+    val got = StreamCdc.result(spark, snap).collect().toSeq
+    val want = StreamCdc.oneShot(spark, sf).collect().toSeq
+    assert(got == want, "incremental CDC diverged from the one-shot merge")
+  }
 }
