@@ -26,22 +26,25 @@ object Selection {
     * target-population flag. Shared by the DSIR scorer and its
     * distribution-shift audit.
     */
-  private def dsirGrams(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val toks = t(s, dir, "documents")
-      .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
-      .filter(size(col("tks")) >= 2)
-    toks
-      .select(col("doc_id"), col("lang"),
-        explode(Text.shingles(col("tks"), 2)).as("g"))
-      .withColumn("b",
-        pmod(Text.md5Hash32(concat(lit("ds:"), col("g"))), lit(128L)))
-      .withColumn("tgt", col("lang") === "de")
-  }
+  private def dsirGrams(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.pipeline.Staged.disk(s, dir, "dsir_grams") {
+      val toks = t(s, dir, "documents")
+        .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+        .filter(size(col("tks")) >= 2)
+      toks
+        .select(col("doc_id"), col("lang"),
+          explode(Text.shingles(col("tks"), 2)).as("g"))
+        .withColumn("b",
+          pmod(Text.md5Hash32(concat(lit("ds:"), col("g"))), lit(128L)))
+        .withColumn("tgt", col("lang") === "de")
+        .drop("g")
+    }
 
   /** Per-raw-doc DSIR score + rank + group size + keep decision (top
     * 20% per language); see sample_importance_dsir for the derivation.
     */
-  private def dsirRanked(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def dsirRanked(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.pipeline.Staged(s, dir, "dsir_ranked") {
     val grams = dsirGrams(s, dir)
     val bc = grams.groupBy("b").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("tb"),
@@ -61,7 +64,7 @@ object Selection {
         wl.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
       .withColumn("n_lang", count(lit(1)).over(wl))
       .withColumn("keep", col("rank") <= expr("(n_lang + 4) div 5"))
-  }
+    }
 
   /** [[dsirRanked]] projected to the driver-checked schema. */
   private def dsirScored(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -468,27 +471,32 @@ object Selection {
       // halved) — hash-exact, no FP; same discipline as
       // sim_recall_graph_route: assumed quality is not quality.
       (s, dir) => {
+        // One pass, not six: the three selections are FLAGS on the
+        // per-doc ranked table (one row per raw doc), joined onto the
+        // gram stream once and counted with conditional sums — the
+        // funnel-flags shape. Locally the doc-level flag side
+        // auto-broadcasts; at 100 TB it outgrows broadcast and the same
+        // plan degrades gracefully to one shuffle-hash join on doc_id,
+        // still a single scan of the gram stream (vs the previous
+        // 3-join + 3-groupBy form that re-aggregated it five times).
         val g = dsirGrams(s, dir)
-        val r = dsirRanked(s, dir)
-        val sels = Seq(
-          "a_selected" -> r.filter(col("keep")),
-          "b_random_ctl" -> r.filter(pmod(Text.md5Hash32(
-            concat(lit("rs:"), col("doc_id").cast("string"))), lit(5L)) === 0),
-          "c_inverse" -> r.filter(
-            col("rank") > col("n_lang") - expr("(n_lang + 4) div 5")))
-        val td = g.filter(col("tgt")).groupBy("b").agg(count(lit(1)).as("tb"))
-        val rd = g.filter(!col("tgt")).groupBy("b").agg(count(lit(1)).as("rb"))
-        val sds = sels.zipWithIndex.map { case ((_, sel), i) =>
-          g.filter(!col("tgt")).join(sel.select("doc_id"), "doc_id")
-            .groupBy("b").agg(count(lit(1)).as(s"sb$i"))
-        }
-        val spine = g.select("b").distinct()
-        val per = sds.zipWithIndex.foldLeft(
-            spine.join(td, Seq("b"), "left").join(rd, Seq("b"), "left")) {
-            case (acc, (sd, i)) => acc.join(sd, Seq("b"), "left")
-          }
-          .select(col("b") +: (Seq("tb", "rb", "sb0", "sb1", "sb2")
-            .map(c => coalesce(col(c), lit(0L)).as(c))): _*)
+        val flags = dsirRanked(s, dir).select(
+          col("doc_id"),
+          col("keep").as("f0"),
+          (pmod(Text.md5Hash32(
+            concat(lit("rs:"), col("doc_id").cast("string"))), lit(5L)) === 0)
+            .as("f1"),
+          (col("rank") > col("n_lang") - expr("(n_lang + 4) div 5")).as("f2"))
+        // Every non-target doc in the gram stream has a ranked row, so
+        // the left join's null flags occur exactly on target-doc grams,
+        // which the !tgt conditions exclude anyway.
+        val per = g.join(broadcast(flags), Seq("doc_id"), "left")
+          .groupBy("b").agg(
+            sum(when(col("tgt"), 1L).otherwise(0L)).as("tb"),
+            sum(when(!col("tgt"), 1L).otherwise(0L)).as("rb"),
+            sum(when(!col("tgt") && col("f0"), 1L).otherwise(0L)).as("sb0"),
+            sum(when(!col("tgt") && col("f1"), 1L).otherwise(0L)).as("sb1"),
+            sum(when(!col("tgt") && col("f2"), 1L).otherwise(0L)).as("sb2"))
         val tot = per.agg(sum("tb").as("tt"), sum("rb").as("rt"),
           sum("sb0").as("st0"), sum("sb1").as("st1"), sum("sb2").as("st2"))
         val tvd = per.crossJoin(broadcast(tot))
@@ -505,12 +513,13 @@ object Selection {
             expr("sum(d0) div 2").as("tvd0"),
             expr("sum(d1) div 2").as("tvd1"),
             expr("sum(d2) div 2").as("tvd2"))
-        val nds = sels.map { case (_, sel) => sel.agg(count(lit(1))) }
-        val counts = g.filter(!col("tgt"))
-          .agg(countDistinct("doc_id").as("nd_raw"))
-          .crossJoin(broadcast(nds(0).toDF("nd0")))
-          .crossJoin(broadcast(nds(1).toDF("nd1")))
-          .crossJoin(broadcast(nds(2).toDF("nd2")))
+        // flags has one row per non-target doc in the gram stream, so
+        // its row count IS nd_raw and the selection sizes are flag sums.
+        val counts = flags.agg(
+          count(lit(1)).as("nd_raw"),
+          sum(when(col("f0"), 1L).otherwise(0L)).as("nd0"),
+          sum(when(col("f1"), 1L).otherwise(0L)).as("nd1"),
+          sum(when(col("f2"), 1L).otherwise(0L)).as("nd2"))
         tvd.crossJoin(broadcast(tot)).crossJoin(broadcast(counts))
           .selectExpr("""stack(4,
               'a_selected', nd0, st0, tvd0,
