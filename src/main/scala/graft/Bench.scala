@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // See Verify: SPJ planning flag belongs in session defaults, not
       // inside a query builder.
@@ -57,14 +58,23 @@ object Bench {
       }
     }
     val staging = r3((System.nanoTime() - s0) / 1e9)
+    // A throwing query is excluded from the timing map and reported in a
+    // `failed` list instead: recording it as ~0 s (round 8's catch-all)
+    // poisoned the headline — 53 broken queries "ran" in milliseconds and
+    // the total read as a 4.4x win it was not.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+      .flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> r3((System.nanoTime() - t0) / 1e9)
+      try { fn(spark, sfDir).count(); Some(name -> r3((System.nanoTime() - t0) / 1e9)) }
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] '$name' failed: ${t.getMessage}")
+        failed += name; None
+      }
     }
     val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The downstream report collector keeps only the LAST 2000 characters
     // of stdout (observed across five rounds: every full 113-query line
     // was head-truncated and unparseable). Budget the line to fit: emit
@@ -82,7 +92,7 @@ object Bench {
       val stagingMap = stagerSecs
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.write(sidecar,
-        s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"staging":$stagingMap,"nq":${results.size},"queries":$full,"sf":"$sfDir"}\n"""
+        s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"staging":$stagingMap,"nq":${results.size},"failed":$failedJson,"queries":$full,"sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
     } catch {
       case t: Throwable =>
@@ -104,7 +114,7 @@ object Bench {
     val cutSec = r3(sorted.drop(shown.size).map(_._2).sum)
     val qs = shown.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"nq":${results.size},"others":{"n":$cut,"sec":$cutSec},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"nq":${results.size},"failed":$failedJson,"others":{"n":$cut,"sec":$cutSec},"queries":$qs,"sf":"$sfDir"}"""
     // Print once now, and once more from a shutdown hook: after
     // spark.stop() completes, Spark's shutdown logging (stderr) is done,
     // so the hook's copy is the last stdout line of the forked JVM —

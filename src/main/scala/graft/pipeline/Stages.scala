@@ -201,16 +201,50 @@ object Staged {
       build: => DataFrame): DataFrame =
     apply(s, dir, tag) { spillThrough(s, dir, tag)(key)(build) }
 
+  /** Cache root: overridable via system property / env for test
+    * isolation and non-repo JVMs; defaults to the process cwd's target
+    * dir (sbt forks run in the repo root).
+    */
+  private[pipeline] def cacheRoot: String =
+    sys.props.get("graft.stagecache.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_STAGECACHE"))
+      .getOrElse(new java.io.File("target/stagecache").getAbsolutePath)
+
+  /** Fingerprint of the INPUT DATA under `dir`: every file's path, byte
+    * size, and mtime, folded in sorted order. The plan semanticHash alone
+    * is not enough for a cross-JVM cache key — an in-place regeneration
+    * of the testdata (observed: the driver rewrote /root/testdata between
+    * rounds) leaves every build plan identical and would silently serve
+    * staged parquet computed from the OLD data. Size+mtime is the same
+    * contract filesystems use for cheap change detection; a rewrite that
+    * preserves both to the millisecond is not a case the driver produces.
+    */
+  private[pipeline] def inputFingerprint(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) {
+        val kids = f.listFiles()
+        if (kids != null) kids.sortBy(_.getName).foreach(walk)
+      } else md.update(
+        s"${f.getAbsolutePath}\t${f.length}\t${f.lastModified}\n".getBytes("UTF-8"))
+    val root = new java.io.File(dir)
+    if (root.exists()) walk(root)
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
   /** The raw spill-through (no session memoization): hash the `key`
-    * plan, write `build` once per (sf, tag, hash) generation, read the
-    * parquet back. [[Stages.apply]] uses this directly because it owns
-    * its own memo map and unpersist lifecycle.
+    * plan AND the input-data fingerprint, write `build` once per
+    * (sf, tag, plan-hash, data-fingerprint) generation, read the parquet
+    * back. [[Stages.apply]] uses this directly because it owns its own
+    * memo map and unpersist lifecycle. Stale generations (old plan hash
+    * or old data fingerprint) are simply never read again.
     */
   private[pipeline] def spillThrough(s: SparkSession, dir: String, tag: String)(
       key: => DataFrame)(build: => DataFrame): DataFrame = {
     val h = key.queryExecution.logical.semanticHash() & 0x7fffffff
+    val fp = inputFingerprint(dir)
     val sfName = new java.io.File(dir).getName
-    val path = s"/root/repo/target/stagecache/$sfName/$tag-$h"
+    val path = s"$cacheRoot/$sfName/$tag-$h-$fp"
     if (!new java.io.File(path, "_SUCCESS").exists())
       build.write.mode("overwrite").parquet(path)
     s.read.parquet(path)

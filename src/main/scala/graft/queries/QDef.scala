@@ -18,16 +18,31 @@ final case class QDef(
 
 object QDef {
   /** Read one of the driver-generated tables (TESTDATA.md). The events
-    * table stores TIMESTAMP(NANOS) parquet, which Spark cannot represent:
-    * read the raw nanos as long and floor-divide to micros — DuckDB's
-    * `CAST(ts AS TIMESTAMP)` truncates identically, so oracles reference
-    * the cast form.
+    * table's `ts` physical encoding has varied across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark can only read as a raw
+    * long under the legacy flag) and plain timestamp[us] (which resolves
+    * as TIMESTAMP_NTZ) have both been observed — so the loader adapts to
+    * the RESOLVED type instead of assuming one encoding:
+    *   - LongType (legacy nanos): floor-divide to micros; DuckDB's
+    *     `CAST(ts AS TIMESTAMP)` truncates identically.
+    *   - TIMESTAMP_NTZ (micros, not UTC-adjusted): cast to the session
+    *     TimestampType — identity on the stored micros under the UTC
+    *     session timezone every entry point sets.
+    *   - TimestampType: already what every query expects; pass through.
+    * The nanosAsLong flag is harmless for non-nanos files (it only
+    * changes how TIMESTAMP(NANOS) columns resolve), so it is set
+    * unconditionally before the read rather than probing the footer.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Exact-decimal view of a 2-decimal money/measure double. Summing

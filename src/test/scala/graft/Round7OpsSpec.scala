@@ -25,7 +25,11 @@ class Round7OpsSpec extends AnyFunSuite {
     val df = SparkEntry.queries("sample_importance_dsir")(spark, sf)
     val rows = df.collect()
     assert(rows.nonEmpty)
-    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    // The ratio join now lives inside the Staged(...) persist boundary
+    // (round 8 staged the gram stream), so the pin must look through
+    // InMemoryRelation.cachedPlan — the executed plan's own nodes only
+    // show the table-cache scan.
+    val nodes = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
     assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
       "the bucket-ratio table must rejoin grams via broadcast")
     // The only non-equi join allowed is the broadcast of the ONE-ROW
