@@ -22,6 +22,7 @@ object SparkEntry {
     Custom.all,
     TextAnalysis.all,
     Curation.all,
+    WebCuration.all,
     Analytics.all,
     Health.all,
     Selection.all,

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Web-provenance curation operators a crawl-fed training-data pipeline
+  * runs before text curation: URL canonicalization + exact URL-level
+  * dedup, per-domain mixture statistics, and domain-blocklist
+  * filtering. The reference pipeline carries document URIs as opaque
+  * strings (generate_uri.py:12-19 hashes them verbatim); at crawl scale
+  * the same page arrives under many URL spellings (case, default port,
+  * tracking params, fragments, trailing slash), so canonicalization IS
+  * the dedup key — these operators make that first-class.
+  *
+  * The corpus has no URL column, so each document's URL is SYNTHESIZED
+  * deterministically from (doc_id, source) with md5-derived variant
+  * bits (case/port/slash/utm/fragment) — both engines derive the
+  * identical string, so the oracle replays the whole family exactly.
+  *
+  * Scale posture (100 TB): everything per-document is codegen'd
+  * built-ins in one narrow projection — no UDFs, no joins for the
+  * canonicalization itself. The only shuffles are the canonical-key
+  * aggregate (map-side combined, key space bounded by distinct
+  * canonical URLs) and the blocklist anti join, whose probe side is an
+  * exploded host-suffix set BOUNDED by the host's label count (<= 4
+  * here) — the equi-join form that scales to a million-entry blocklist,
+  * never a per-row LIKE scan over the blocklist.
+  */
+object WebCuration {
+  import QDef._
+
+  // ---- deterministic URL synthesis (Spark side) --------------------
+
+  /** Five md5-derived variant bits per doc, one hash evaluation. */
+  private def withUrl(df: DataFrame): DataFrame = df
+    .withColumn("hs", pmod(Text.md5Hash32(
+      concat(lit("url:"), col("doc_id").cast("string"))), lit(32L)))
+    .withColumn("base",
+      concat(lit("www."), col("source"), lit(".example.com")))
+    .withColumn("url", concat(
+      lit("https://"),
+      when(col("hs") % 2 === 1, upper(col("base"))).otherwise(col("base")),
+      when(expr("(hs div 2) % 2") === 1, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), expr("(doc_id div 20) % 7").cast("string"),
+      when(expr("(hs div 4) % 2") === 1, lit("/")).otherwise(lit("")),
+      when(expr("(hs div 8) % 2") === 1,
+        lit("?utm_source=feed&v=2&utm_campaign=x")).otherwise(lit("?v=2")),
+      when(expr("(hs div 16) % 2") === 1, lit("#top")).otherwise(lit(""))))
+    .drop("hs", "base")
+
+  // ---- canonicalization (Spark side) -------------------------------
+
+  /** Canonical form of an arbitrary http(s) URL string: strip fragment,
+    * lowercase scheme+host, drop the https default port and a leading
+    * `www.`, strip the path's trailing slash (root stays `/`), drop
+    * tracking params (`utm_*`, `ref`, `fbclid`) and sort the
+    * survivors. Pure string built-ins — codegen'd, shuffle-free.
+    */
+  private def canonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val qs = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val noQs = regexp_replace(noFrag, "\\?.*$", "")
+    val hostPart = lower(regexp_extract(noQs, "^[Hh][Tt][Tt][Pp][Ss]?://[^/]*", 0))
+    val host = regexp_replace(
+      regexp_replace(hostPart, ":443$", ""), "^(https://)www\\.", "$1")
+    val path0 = regexp_replace(noQs, "^[Hh][Tt][Tt][Pp][Ss]?://[^/]*", "")
+    val path = when(path0 === "/", lit("/"))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val keep = array_sort(filter(split(qs, "&"), x =>
+      x =!= "" && !x.startsWith("utm_") && !x.startsWith("ref=") &&
+        !x.startsWith("fbclid=")))
+    val q = array_join(keep, "&")
+    concat(host, path, when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+  }
+
+  /** documents + url + canonical + canonical host, the shared scan all
+    * three queries project from (cheap: one pass, no shuffle — not
+    * worth staging).
+    */
+  private def canon(s: SparkSession, dir: String): DataFrame =
+    withUrl(t(s, dir, "documents"))
+      .withColumn("canonical", canonicalize(col("url")))
+      .withColumn("host", regexp_extract(col("canonical"), "^https://([^/]+)", 1))
+
+  // ---- oracle SQL building blocks ----------------------------------
+
+  /** DuckDB replay of the synthesis + canonicalization, as a CTE
+    * exposing (doc_id, lang, source, n_chars, url, canonical, host).
+    * DuckDB spellings: `//` for div, `\\1` group refs, list_* for the
+    * param filter/sort; array_to_string('' on the empty list via the
+    * CASE guard, never NULL). Concatenation operators sit at LINE ENDS:
+    * SparkEntry.oracleSql stripMargins every oracle, so a line starting
+    * with `||` would lose a bar and break the SQL.
+    */
+  private val urlsCte = """
+    |WITH raw AS (
+    |  SELECT doc_id, lang, source, n_chars,
+    |         CAST(('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS hs,
+    |         'www.' || source || '.example.com' AS base
+    |  FROM documents
+    |), urls0 AS (
+    |  SELECT doc_id, lang, source, n_chars,
+    |         'https://' ||
+    |         CASE WHEN hs % 2 = 1 THEN upper(base) ELSE base END ||
+    |         CASE WHEN (hs // 2) % 2 = 1 THEN ':443' ELSE '' END ||
+    |         '/docs/' || CAST((doc_id // 20) % 7 AS VARCHAR) ||
+    |         CASE WHEN (hs // 4) % 2 = 1 THEN '/' ELSE '' END ||
+    |         CASE WHEN (hs // 8) % 2 = 1 THEN '?utm_source=feed&v=2&utm_campaign=x' ELSE '?v=2' END ||
+    |         CASE WHEN (hs // 16) % 2 = 1 THEN '#top' ELSE '' END AS url
+    |  FROM raw
+    |), parts AS (
+    |  SELECT *, regexp_replace(url, '#.*$', '') AS nofrag FROM urls0
+    |), parts2 AS (
+    |  SELECT *, regexp_extract(nofrag, '\?(.*)$', 1) AS qs,
+    |         regexp_replace(nofrag, '\?.*$', '') AS noqs
+    |  FROM parts
+    |), parts3 AS (
+    |  SELECT *,
+    |    regexp_replace(regexp_replace(lower(regexp_extract(noqs, '^[Hh][Tt][Tt][Pp][Ss]?://[^/]*', 0)), ':443$', ''), '^(https://)www\.', '\1') AS chost,
+    |    regexp_replace(noqs, '^[Hh][Tt][Tt][Pp][Ss]?://[^/]*', '') AS path0
+    |  FROM parts2
+    |), parts4 AS (
+    |  SELECT *,
+    |    CASE WHEN path0 = '/' THEN '/' ELSE regexp_replace(path0, '/$', '') END AS cpath,
+    |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+    |      x -> x <> '' AND NOT starts_with(x, 'utm_') AND NOT starts_with(x, 'ref=') AND NOT starts_with(x, 'fbclid='))), '&') AS cq
+    |  FROM parts3
+    |), urls AS (
+    |  SELECT doc_id, lang, source, n_chars, url,
+    |         chost || cpath || CASE WHEN length(cq) > 0 THEN '?' || cq ELSE '' END AS canonical,
+    |         regexp_extract(chost || cpath, '^https://([^/]+)', 1) AS host
+    |  FROM parts4
+    |)""".stripMargin.trim
+
+  private val Blocklist = Seq("src4.example.com", "src13.example.com",
+    "blocked.example.net")
+
+  val all: Seq[QDef] = Seq(
+
+    QDef("web_url_canonical",
+      // URL-level exact dedup on the canonical form: every synthesized
+      // spelling variant of the same (source, path) collapses to one
+      // canonical URL; keep-first (min doc_id) is the reference's own
+      // first-wins dedup discipline (json_classification.py:330-334).
+      // Map-side-combined aggregate on a key space bounded by distinct
+      // canonical URLs (sources x paths), independent of corpus size.
+      (s, dir) => canon(s, dir)
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+        .orderBy("canonical"),
+      Some(s"""$urlsCte
+        |SELECT canonical, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        |FROM urls GROUP BY canonical ORDER BY canonical""".stripMargin)),
+
+    QDef("web_domain_stats",
+      // Per-domain mixture table: doc/char mass and language breadth
+      // per canonical host, plus each host's share of total chars —
+      // the table a mixture-design pass samples against. The 1-row
+      // total attaches via broadcast (no driver-side collect; the
+      // scalar-attach pattern used across the engine).
+      (s, dir) => {
+        val c = canon(s, dir)
+        val perHost = c.groupBy("host").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          countDistinct("lang").as("n_langs"))
+        val total = perHost.agg(sum("chars").as("total_chars"))
+        perHost.crossJoin(broadcast(total))
+          .select(col("host"), col("n_docs"), col("chars"), col("n_langs"),
+            rx(col("chars").cast("double") / col("total_chars").cast("double"), 6)
+              .as("char_share"))
+          .orderBy("host")
+      },
+      Some(s"""$urlsCte, per_host AS (
+        |  SELECT host, count(*) AS n_docs, sum(n_chars) AS chars,
+        |         count(DISTINCT lang) AS n_langs
+        |  FROM urls GROUP BY host
+        |)
+        |SELECT host, n_docs, CAST(chars AS BIGINT) AS chars, n_langs,
+        |       ${rxSql("CAST(chars AS DOUBLE) / CAST(t.total_chars AS DOUBLE)", 6)} AS char_share
+        |FROM per_host CROSS JOIN (SELECT sum(chars) AS total_chars FROM per_host) t
+        |ORDER BY host""".stripMargin)),
+
+    QDef("web_blocklist_filter",
+      // Domain-blocklist filter with SUFFIX semantics (an entry blocks
+      // the domain and every subdomain): each host explodes into its
+      // bounded suffix set (one per DNS label), a broadcast left-semi
+      // equi join against the blocklist dim marks blocked docs, and a
+      // left-anti on doc_id keeps the rest. The equi-join form is the
+      // one that survives a million-entry blocklist — a per-row LIKE
+      // over the list would be a nested loop.
+      (s, dir) => {
+        import s.implicits._
+        val c = canon(s, dir)
+        val block = Blocklist.toDF("entry")
+        val sfx = c.select(col("doc_id"), split(col("host"), "\\.").as("parts"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(parts)), i -> array_join(slice(parts, i, size(parts) - i + 1), '.'))"))
+            .as("sfx"))
+        val blocked = sfx.join(broadcast(block), col("sfx") === col("entry"),
+          "left_semi").select("doc_id").distinct()
+        c.join(blocked, Seq("doc_id"), "left_anti")
+          .select("doc_id", "host", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""$urlsCte, sfx AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(len(string_split(host, '.'))),
+        |           i -> array_to_string(string_split(host, '.')[i+1:], '.'))) AS sfx
+        |  FROM urls
+        |), blocked AS (
+        |  SELECT DISTINCT doc_id FROM sfx
+        |  WHERE sfx IN (${Blocklist.map(e => s"'$e'").mkString(", ")})
+        |)
+        |SELECT doc_id, host, lang FROM urls
+        |WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
+        |ORDER BY doc_id""".stripMargin))
+  )
+}

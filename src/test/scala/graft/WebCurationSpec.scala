@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the web-curation family: canonicalization actually
+  * collapses the synthesized spelling variants, the blocklist filter is
+  * an equi join (the form that survives a million-entry blocklist),
+  * and suffix semantics block subdomains.
+  */
+class WebCurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("canonicalization collapses variants: groups outnumber 1 doc, keys are clean") {
+    val rows = SparkEntry.queries("web_url_canonical")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // The synthesized corpus has ~25+ docs per (source, path) group at
+    // any SF (documents don't scale below sf0.01) — dedup must bite.
+    assert(rows.exists(_.getLong(1) > 1), "no canonical group has >1 doc")
+    // Canonical keys carry none of the synthesized noise.
+    rows.map(_.getString(0)).foreach { c =>
+      assert(c == c.toLowerCase, s"canonical not lowercased: $c")
+      assert(!c.contains(":443") && !c.contains("#") && !c.contains("utm_") &&
+        !c.contains("www."), s"canonical retains noise: $c")
+      assert(!c.endsWith("/"), s"canonical retains trailing slash: $c")
+    }
+    // Keep-first discipline: the kept doc is the minimum id, so group
+    // counts must sum back to the corpus size.
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "canonical group sizes must partition the corpus")
+  }
+
+  test("domain stats: shares sum to 1, one row per host") {
+    val rows = SparkEntry.queries("web_domain_stats")(spark, sf).collect()
+    assert(rows.length == rows.map(_.getString(0)).distinct.length)
+    val share = rows.map(_.getDouble(4)).sum
+    assert(math.abs(share - 1.0) < 1e-4, s"char shares sum to $share, want ~1")
+  }
+
+  test("blocklist filter is an equi anti join; suffix semantics hold") {
+    val df = SparkEntry.queries("web_blocklist_filter")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "blocklist matching must stay an equi join, never a per-row LIKE scan")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the blocklist dim must broadcast")
+    // Suffix semantics: a blocked registrable domain removes the host
+    // and every subdomain; survivors never sit under a blocked entry.
+    val blocked = Seq("src4.example.com", "src13.example.com")
+    rows.map(_.getString(1)).foreach { h =>
+      blocked.foreach(b => assert(h != b && !h.endsWith("." + b),
+        s"surviving host $h is under blocked entry $b"))
+    }
+    // And the filter actually removed the blocked sources' docs.
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("source").isin("src4", "src13")).count()
+    assert(total > 0 && rows.length ==
+      spark.read.parquet(s"$sf/documents.parquet").count() - total,
+      "blocked-source docs must be exactly the removed set")
+  }
+}
