@@ -1187,7 +1187,93 @@ object Similarity {
         SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, ip, aug_dim, aug_norm
         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
                 ORDER BY ip DESC, vec_id) AS rank FROM pairs)
-        WHERE rank <= $K ORDER BY q_id, rank"""))
+        WHERE rank <= $K ORDER BY q_id, rank""")),
+
+    QDef("sim_bitext_margin",
+      // Bitext mining with the margin criterion (the ratio-margin of
+      // Artetxe & Schwenk, the selection rule behind CCMatrix-scale
+      // parallel-corpus mining): a candidate pair (a, b) is scored not
+      // by raw cosine but by cos(a,b) relative to the mean of each
+      // side's k-nearest cosines — margin = 2k·cos(a,b) / (Σtop-k(a) +
+      // Σtop-k(b)) — which cancels hubness (a vector that is close to
+      // EVERYTHING mines nothing). Sides are the even/odd label halves
+      // (the two "languages"); queries are the bounded a-side set, and
+      // the backward normalizer runs over the mined batch — the
+      // retrieval-time margin. Cosines are floor-quantized to int64
+      // micros BEFORE any sum, so both engines rank and normalize on
+      // identical integers (shuffle-order-exact, the hybrid-retrieval
+      // discipline); the margin itself is then ONE division of exact
+      // ints. At corpus scale the forward pass plugs the IVF/LSH/NSW
+      // candidate indexes above (the augmentation trick makes them
+      // interchangeable) — the margin stage itself stays a group-by +
+      // two equi joins over candidates, nothing quadratic.
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val k = 4
+        val qa = e.filter(col("vec_id") < 40 && pmod(col("label"), lit(2)) === 0)
+          .select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+        val cb = e.filter(pmod(col("label"), lit(2)) === 1)
+          .select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+        val pairs = cb.crossJoin(broadcast(qa))
+          .select(col("a_id"), col("b_id"),
+            floor(cosine(col("av"), col("bv"), col("an"), col("bn")) * lit(1e6))
+              .cast("long").as("qcos"))
+        val fwd = pairs.withColumn("rf", row_number().over(
+            Window.partitionBy("a_id").orderBy(col("qcos").desc, col("b_id").asc)))
+        val favg = fwd.filter(col("rf") <= k)
+          .groupBy("a_id").agg(sum("qcos").as("sf"))
+        val bavg = pairs.withColumn("rb", row_number().over(
+            Window.partitionBy("b_id").orderBy(col("qcos").desc, col("a_id").asc)))
+          .filter(col("rb") <= k)
+          .groupBy("b_id").agg(sum("qcos").as("sb"))
+        fwd.filter(col("rf") <= k)
+          .join(favg, Seq("a_id")).join(bavg, Seq("b_id"))
+          .withColumn("margin",
+            lit(2.0 * k) * col("qcos") / (col("sf") + col("sb")).cast("double"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("a_id")
+              .orderBy(col("margin").desc, col("b_id").asc)).cast("long"))
+          .filter(col("rank") <= 2)
+          .select(col("a_id"), col("rank"), col("b_id"),
+            (col("qcos").cast("double") / lit(1e6)).as("cos_q"),
+            rx(col("margin"), 6).as("margin"),
+            (col("margin") >= 1.05).as("accept"))
+          .orderBy("a_id", "rank")
+      },
+      Some(s"""WITH qa AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id < 40 AND label % 2 = 0),
+        cb AS (
+          SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+        pairs AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 CAST(floor((${cosSql("a", "b")}) * 1e6) AS BIGINT) AS qcos
+          FROM qa a CROSS JOIN cb b),
+        fwd AS (
+          SELECT *, row_number() OVER (PARTITION BY a_id
+            ORDER BY qcos DESC, b_id) AS rf FROM pairs),
+        favg AS (
+          SELECT a_id, CAST(sum(qcos) AS BIGINT) AS sf
+          FROM fwd WHERE rf <= 4 GROUP BY a_id),
+        bavg AS (
+          SELECT b_id, CAST(sum(qcos) AS BIGINT) AS sb
+          FROM (SELECT *, row_number() OVER (PARTITION BY b_id
+                  ORDER BY qcos DESC, a_id) AS rb FROM pairs)
+          WHERE rb <= 4 GROUP BY b_id),
+        scored AS (
+          SELECT f.a_id, f.b_id, f.qcos,
+                 8.0 * f.qcos / CAST(v.sf + w.sb AS DOUBLE) AS margin
+          FROM fwd f
+          JOIN favg v ON f.a_id = v.a_id
+          JOIN bavg w ON f.b_id = w.b_id
+          WHERE f.rf <= 4)
+        SELECT a_id, CAST(rank AS BIGINT) AS rank, b_id,
+               CAST(qcos AS DOUBLE) / 1e6 AS cos_q,
+               ${rxSql("margin", 6)} AS margin,
+               margin >= 1.05 AS accept
+        FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+                ORDER BY margin DESC, b_id) AS rank FROM scored)
+        WHERE rank <= 2 ORDER BY a_id, rank"""))
   )
 
   /** The NSW routing result (q_id, rank, vec_id, cos), rank <= 3 —
