@@ -21,7 +21,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "win_rank_dedup",     // window with tie-broken total order
     "graph_pagerank",     // iterative integer rounds
     "text_lm_score",      // integer-ppm quantized probabilities
-    "agg_kmv_sketch")     // array synopsis + floor-div estimators
+    "agg_kmv_sketch",     // array synopsis + floor-div estimators
+    "sim_bitext_margin",  // quantized-int margin normalizers (round 9)
+    "web_url_canonical")  // canonical-key keep-first aggregate (round 9)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
