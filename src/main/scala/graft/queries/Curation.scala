@@ -22,6 +22,54 @@ object Curation {
 
   val all: Seq[QDef] = Seq(
 
+    QDef("text_classifier_score",
+      // Model-based quality filtering — the learned-classifier slot
+      // (the fastText filter of CCNet/LLaMA-style pipelines) as
+      // distinct from the heuristic text_quality_score: each token is
+      // feature-hashed into D=1024 buckets and scored by that bucket's
+      // linear weight, the doc's logit is the mean token weight, and
+      // keep = logit > 0. Weights here are md5-derived integer millis
+      // (a stand-in for trained parameters — the scoring plumbing, not
+      // the training, is the operator); the token sum is therefore an
+      // EXACT integer fold (shuffle-order-free, and in fact shuffle-
+      // free: one projection with an in-array aggregate, no explode).
+      // The keep decision compares the integer sum, never a float. At
+      // 100 TB this is a codegen'd linear scan — the cheapest filter
+      // shape there is; swapping real trained weights in changes the
+      // lookup table, not the plan.
+      (s, dir) => {
+        val bucket = (tk: org.apache.spark.sql.Column) =>
+          pmod(Text.md5Hash32(concat(lit("fh:"), tk)), lit(1024L))
+        val weight = (b: org.apache.spark.sql.Column) =>
+          pmod(Text.md5Hash32(concat(lit("w:"), b.cast("string"))),
+            lit(2001L)) - lit(1000L)
+        t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .withColumn("milli", aggregate(
+            transform(col("tks"), tk => weight(bucket(tk))),
+            lit(0L), (acc, x) => acc + x))
+          .select(col("doc_id"), size(col("tks")).cast("long").as("n_tok"),
+            rx(when(size(col("tks")) === 0, lit(0.0))
+              .otherwise(col("milli").cast("double") /
+                (lit(1000.0) * size(col("tks")).cast("double"))), 6)
+              .as("logit"),
+            (col("milli") > 0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $toksSql AS tks FROM documents),
+        m AS (
+          SELECT doc_id, tks,
+            CAST(coalesce(list_sum(list_transform(tks, t ->
+              CAST(('0x' || substr(md5('w:' ||
+                CAST(CAST(('0x' || substr(md5('fh:' || t), 1, 8)) AS BIGINT) % 1024 AS VARCHAR)
+              ), 1, 8)) AS BIGINT) % 2001 - 1000)), 0) AS BIGINT) AS milli
+          FROM tk)
+        SELECT doc_id, CAST(len(tks) AS BIGINT) AS n_tok,
+               ${rxSql("CASE WHEN len(tks) = 0 THEN 0.0 ELSE CAST(milli AS DOUBLE) / (1000.0 * len(tks)) END", 6)} AS logit,
+               milli > 0 AS keep
+        FROM m ORDER BY doc_id""")),
+
     QDef("text_gopher_repetition",
       // Repetition-based quality signals (the Gopher rules' shape):
       // duplicate-token / duplicate-bigram / duplicate-trigram

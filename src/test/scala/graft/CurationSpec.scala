@@ -55,4 +55,40 @@ class CurationSpec extends AnyFunSuite {
       if qx2 > qx && qy2 > qy
     } assert(zmax < zmin2, s"($qx,$qy) max $zmax !< ($qx2,$qy2) min $zmin2")
   }
+
+  test("classifier score equals the brute-force hash-weight recompute; no shuffle before the sort") {
+    val sf = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("text_classifier_score")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)),
+      "keep threshold must split the corpus (both arms live)")
+
+    // Driver-side reference for a sample of docs: identical md5-derived
+    // bucket weights over the identical normalization.
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(25).foreach { r =>
+      val toks = texts(r.getLong(0)).trim.toLowerCase
+        .replaceAll("\\s+", " ").split("\\s+", -1)
+      val milli = toks.map(t => h32("w:" + (h32("fh:" + t) % 1024)) % 2001 - 1000).sum
+      assert(r.getBoolean(3) == (milli > 0),
+        s"doc ${r.getLong(0)}: keep disagrees with integer-sum recompute")
+      val want = math.floor(milli.toDouble / (1000.0 * toks.length) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(2) == want,
+        s"doc ${r.getLong(0)}: logit ${r.getDouble(2)} != $want")
+    }
+
+    // One linear scan: the only exchange in the plan is the final
+    // total-order sort the driver compare requires.
+    val exchanges = PlanFlatten.flatten(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(exchanges <= 1, s"classifier scan must not shuffle, saw $exchanges exchanges")
+  }
 }
