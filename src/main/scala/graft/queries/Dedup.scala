@@ -704,6 +704,76 @@ object Dedup {
         FROM w LEFT JOIN com ON w.h = com.h
         GROUP BY w.doc_id ORDER BY doc_id""")),
 
+    QDef("dedup_span_exact",
+      // Span-LEVEL exact-substring dedup — the other half of
+      // ExactSubstr (Lee et al., "Deduplicating Training Data Makes
+      // Language Models Better"): where dedup_substring reports how
+      // much of each doc is duplicated, this emits the duplicated
+      // SPANS themselves — (doc_id, span_start, span_end) token
+      // ranges — the coordinates a surgical-removal pass cuts.
+      // Distributed shape: fixed-k anchor grams (k=8) replace the
+      // suffix array — every position's 8-gram is fingerprinted
+      // (linear explode), a fingerprint occurring >= 2 times anywhere
+      // (across OR within docs — self-repetition is also cut) marks
+      // its positions, and per-doc maximal runs of marked positions
+      // merge into spans via one gaps-and-islands window. Shuffles:
+      // the map-side-combined fingerprint count and the join-back on
+      // the fingerprint — both on the gram key, nothing quadratic,
+      // the same shape at 100 TB.
+      (s, dir) => {
+        val k = 8
+        val grams = t(s, dir, "documents")
+          .withColumn("tks", toks)
+          .filter(size(col("tks")) >= k)
+          .select(col("doc_id"), explode(transform(
+              sequence(lit(0), size(col("tks")) - k),
+              i => struct(i.cast("long").as("pos"),
+                md5(array_join(slice(col("tks"), i + 1, lit(k)), " ")).as("fp"))))
+            .as("g"))
+          .select(col("doc_id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
+        val dup = grams.groupBy("fp")
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("fp")
+        val marked = grams.join(dup, Seq("fp")).select("doc_id", "pos")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        marked
+          .withColumn("prev_end", max(col("pos") + lit(k - 1)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("brk", when(
+            col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+            .otherwise(0L))
+          .withColumn("grp", sum("brk").over(w))
+          .groupBy("doc_id", "grp")
+          .agg(min("pos").as("span_start"),
+            (max("pos") + lit(k - 1)).as("span_end"),
+            count(lit(1)).as("n_dup_grams"))
+          .select("doc_id", "span_start", "span_end", "n_dup_grams")
+          .orderBy("doc_id", "span_start")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $toksSql AS tks FROM documents),
+        tk2 AS (SELECT * FROM tk WHERE len(tks) >= 8),
+        grams AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 md5(array_to_string(tks[i+1:i+8], ' ')) AS fp
+          FROM tk2, unnest(range(len(tks) - 7)) AS u(i)),
+        dup AS (SELECT fp FROM grams GROUP BY fp HAVING count(*) >= 2),
+        marked AS (SELECT doc_id, pos FROM grams JOIN dup USING (fp)),
+        isl AS (
+          SELECT doc_id, pos,
+                 max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM marked),
+        grp AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM isl)
+        SELECT doc_id, min(pos) AS span_start,
+               CAST(max(pos) + 7 AS BIGINT) AS span_end,
+               count(*) AS n_dup_grams
+        FROM grp GROUP BY doc_id, grp ORDER BY doc_id, span_start""")),
+
     QDef("sample_contrastive_triplets",
       // Contrastive-training triplet mining from the dedup machinery
       // itself: anchors are docs with an LSH near-dup, the POSITIVE is
