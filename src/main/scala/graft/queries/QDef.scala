@@ -17,33 +17,55 @@ final case class QDef(
     oracle: Option[String])
 
 object QDef {
-  /** Read one of the driver-generated tables (TESTDATA.md). The events
-    * table's `ts` physical encoding has varied across testdata
-    * generations — TIMESTAMP(NANOS) (which Spark can only read as a raw
-    * long under the legacy flag) and plain timestamp[us] (which resolves
-    * as TIMESTAMP_NTZ) have both been observed — so the loader adapts to
-    * the RESOLVED type instead of assuming one encoding:
-    *   - LongType (legacy nanos): floor-divide to micros; DuckDB's
-    *     `CAST(ts AS TIMESTAMP)` truncates identically.
-    *   - TIMESTAMP_NTZ (micros, not UTC-adjusted): cast to the session
-    *     TimestampType — identity on the stored micros under the UTC
-    *     session timezone every entry point sets.
-    *   - TimestampType: already what every query expects; pass through.
+  /** Timestamp-bearing columns per table, with the resolved Spark type
+    * every downstream query (and every green oracle hash) expects.
+    * events.ts flows as the session TimestampType (the shape the
+    * original nanos loader produced); the TPC-H date columns flow as
+    * TIMESTAMP_NTZ (what today's timestamp[us] files resolve to).
+    */
+  private val TsCols: Map[String, Seq[(String, String)]] = Map(
+    "events" -> Seq("ts" -> "timestamp"),
+    "orders" -> Seq("o_orderdate" -> "timestamp_ntz"),
+    "lineitem" -> Seq("l_shipdate" -> "timestamp_ntz"))
+
+  /** Read one of the driver-generated tables (TESTDATA.md). The
+    * timestamp columns' parquet physical encoding has varied across
+    * testdata generations — TIMESTAMP(NANOS) (which Spark can only read
+    * as a raw long under the legacy flag) and plain timestamp[us]
+    * (which resolves as TIMESTAMP_NTZ) have both been observed on
+    * events.ts, and the round-8 loader's hard-wired nanos assumption
+    * broke 53 queries when the encoding flipped. So every
+    * timestamp-bearing table adapts to the RESOLVED type and normalizes
+    * to the per-column target in [[TsCols]]:
+    *   - LongType (legacy nanos): floor-divide to micros — DuckDB's
+    *     `CAST(.. AS TIMESTAMP)` truncates identically — then cast to
+    *     the target type.
+    *   - any timestamp type: cast to the target (identity on the stored
+    *     micros under the UTC session timezone every entry point sets;
+    *     a no-op cast when the resolved type already matches).
     * The nanosAsLong flag is harmless for non-nanos files (it only
     * changes how TIMESTAMP(NANOS) columns resolve), so it is set
     * unconditionally before the read rather than probing the footer.
+    * Columns absent from the file (a fixture or future schema change)
+    * are skipped. EventsLoaderSpec pins all eras on golden fixtures.
     */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val tsCols = TsCols.getOrElse(name, Nil)
+    if (tsCols.isEmpty) spark.read.parquet(s"$dir/$name.parquet")
+    else {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case org.apache.spark.sql.types.TimestampType => raw
-        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      tsCols.foldLeft(raw) { case (df, (c, target)) =>
+        if (!df.schema.fieldNames.contains(c)) df
+        else df.schema(c).dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn(c, timestamp_micros(expr(s"$c div 1000")).cast(target))
+          case dt if dt.typeName == target => df
+          case _ => df.withColumn(c, col(c).cast(target))
+        }
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
 
   /** Exact-decimal view of a 2-decimal money/measure double. Summing
     * doubles is order-dependent and would break DuckDB hash-parity at

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.QDef
@@ -64,5 +64,24 @@ class EventsLoaderSpec extends AnyFunSuite {
       "nanos and micros eras must load to identical rows")
     assert(b.exceptAll(c).isEmpty && c.exceptAll(b).isEmpty,
       "NTZ and UTC-adjusted eras must load to identical rows")
+  }
+
+  test("orders/lineitem date columns normalize to TIMESTAMP_NTZ in every era") {
+    // The TPC-H date columns share events.ts's risk class (the same
+    // testdata regeneration rewrites them); their target type is NTZ —
+    // what today's timestamp[us] files resolve to and what every green
+    // oracle hash was taken against.
+    for ((tbl, c) <- Seq("orders" -> "o_orderdate", "lineitem" -> "l_shipdate")) {
+      val n = QDef.t(spark, s"$golden/nanos", tbl)
+      val m = QDef.t(spark, s"$golden/micros", tbl)
+      assert(n.schema(c).dataType == TimestampNTZType &&
+        m.schema(c).dataType == TimestampNTZType,
+        s"$tbl.$c must normalize to TIMESTAMP_NTZ")
+      assert(n.exceptAll(m).isEmpty && m.exceptAll(n).isEmpty,
+        s"$tbl.$c eras must load to identical rows")
+      val v = m.orderBy("id").collect().head.getAs[java.time.LocalDateTime](c)
+      assert(v.toInstant(java.time.ZoneOffset.UTC).toEpochMilli == micros / 1000,
+        s"$tbl.$c must hold the fixture instant")
+    }
   }
 }
