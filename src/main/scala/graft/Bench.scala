@@ -75,6 +75,18 @@ object Bench {
     }
     val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Stdout copy of the failed list is BUDGETED like the queries map:
+    // the collector keeps only the last 2000 chars, and an unbudgeted
+    // list (53 failures ≈ 1.2k chars in the round-8 scenario) would
+    // push the line head — the headline metric — off the tail exactly
+    // when many queries fail. Full list stays in the sidecar.
+    val failedStdout = {
+      val shownNames = failed.take(8)
+      val extra = failed.size - shownNames.size
+      val items = shownNames.map("\"" + _ + "\"") ++
+        (if (extra > 0) Seq("\"+" + extra + " more\"") else Nil)
+      s"""{"n":${failed.size},"names":${items.mkString("[", ",", "]")}}"""
+    }
     // The downstream report collector keeps only the LAST 2000 characters
     // of stdout (observed across five rounds: every full 113-query line
     // was head-truncated and unparseable). Budget the line to fit: emit
@@ -114,7 +126,7 @@ object Bench {
     val cutSec = r3(sorted.drop(shown.size).map(_._2).sum)
     val qs = shown.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"nq":${results.size},"failed":$failedJson,"others":{"n":$cut,"sec":$cutSec},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"nq":${results.size},"failed":$failedStdout,"others":{"n":$cut,"sec":$cutSec},"queries":$qs,"sf":"$sfDir"}"""
     // Print once now, and once more from a shutdown hook: after
     // spark.stop() completes, Spark's shutdown logging (stderr) is done,
     // so the hook's copy is the last stdout line of the forked JVM —

@@ -202,13 +202,30 @@ object Staged {
     apply(s, dir, tag) { spillThrough(s, dir, tag)(key)(build) }
 
   /** Cache root: overridable via system property / env for test
-    * isolation and non-repo JVMs; defaults to the process cwd's target
-    * dir (sbt forks run in the repo root).
+    * isolation; otherwise anchored to the compiled classes' location
+    * (target/scala-N/classes resolves to target/stagecache), NOT the
+    * process cwd — the driver may launch Verify/Bench from any
+    * directory, and a cwd-relative cache would recompute every staged
+    * build per run (or fail outright on an unwritable cwd). Falls back
+    * to cwd only when the code source is unresolvable (e.g. a jar-less
+    * custom loader).
     */
   private[pipeline] def cacheRoot: String =
     sys.props.get("graft.stagecache.dir")
       .orElse(sys.env.get("SPARK_GRAFT_STAGECACHE"))
-      .getOrElse(new java.io.File("target/stagecache").getAbsolutePath)
+      .getOrElse {
+        val anchored =
+          try {
+            val loc = new java.io.File(getClass.getProtectionDomain
+              .getCodeSource.getLocation.toURI)
+            // classes dir target/scala-2.13/classes and packaged jar
+            // target/scala-2.13/x.jar both sit two levels under target.
+            Option(loc.getParentFile).flatMap(p => Option(p.getParentFile))
+              .filter(_.getName == "target")
+              .map(t => new java.io.File(t, "stagecache").getAbsolutePath)
+          } catch { case _: Throwable => None }
+        anchored.getOrElse(new java.io.File("target/stagecache").getAbsolutePath)
+      }
 
   /** Fingerprint of the INPUT DATA under `dir`: every file's path, byte
     * size, and mtime, folded in sorted order. The plan semanticHash alone
@@ -244,10 +261,29 @@ object Staged {
     val h = key.queryExecution.logical.semanticHash() & 0x7fffffff
     val fp = inputFingerprint(dir)
     val sfName = new java.io.File(dir).getName
-    val path = s"$cacheRoot/$sfName/$tag-$h-$fp"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    val entry = s"$tag-$h-$fp"
+    val parent = new java.io.File(s"$cacheRoot/$sfName")
+    val path = new java.io.File(parent, entry).getPath
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      // Evict this tag's stale generations BEFORE writing the new one:
+      // every testdata regeneration (or plan edit) mints a new
+      // fingerprinted path, and without pruning the cache grows by a
+      // full corpus-derived artifact set per generation until the disk
+      // fills. The "$tag-" prefix cannot cross tags (tags contain no
+      // '-' before the hash, and a tag that prefixes another is always
+      // followed by '_' there, never '-').
+      Option(parent.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(s"$tag-") && f.getName != entry)
+        .foreach(deleteRecursively)
       build.write.mode("overwrite").parquet(path)
+    }
     s.read.parquet(path)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 
   /** Same contract as [[Stages.clear]] for the generic staged cache. */

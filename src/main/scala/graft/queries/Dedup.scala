@@ -722,15 +722,21 @@ object Dedup {
       // the same shape at 100 TB.
       (s, dir) => {
         val k = 8
-        val grams = t(s, dir, "documents")
-          .withColumn("tks", toks)
-          .filter(size(col("tks")) >= k)
-          .select(col("doc_id"), explode(transform(
-              sequence(lit(0), size(col("tks")) - k),
-              i => struct(i.cast("long").as("pos"),
-                md5(array_join(slice(col("tks"), i + 1, lit(k)), " ")).as("fp"))))
-            .as("g"))
-          .select(col("doc_id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
+        // Staged: the gram stream (the dominant O(tokens) explode+md5)
+        // feeds both the fingerprint aggregate and the join-back probe,
+        // and Spark shares no common subtree — unstaged it would
+        // execute twice (the substr_windows discipline).
+        val grams = graft.pipeline.Staged.disk(s, dir, "span_grams") {
+          t(s, dir, "documents")
+            .withColumn("tks", toks)
+            .filter(size(col("tks")) >= k)
+            .select(col("doc_id"), explode(transform(
+                sequence(lit(0), size(col("tks")) - k),
+                i => struct(i.cast("long").as("pos"),
+                  md5(array_join(slice(col("tks"), i + 1, lit(k)), " ")).as("fp"))))
+              .as("g"))
+            .select(col("doc_id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
+        }
         val dup = grams.groupBy("fp")
           .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("fp")
         val marked = grams.join(dup, Seq("fp")).select("doc_id", "pos")

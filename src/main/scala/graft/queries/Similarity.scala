@@ -1214,10 +1214,16 @@ object Similarity {
           .select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
         val cb = e.filter(pmod(col("label"), lit(2)) === 1)
           .select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
-        val pairs = cb.crossJoin(broadcast(qa))
-          .select(col("a_id"), col("b_id"),
-            floor(cosine(col("av"), col("bv"), col("an"), col("bn")) * lit(1e6))
-              .cast("long").as("qcos"))
+        // Staged: the scored matrix feeds three consumers partitioned
+        // on DIFFERENT keys (fwd windows on a_id, bavg on b_id, the
+        // final join) — no exchange reuse applies, so unpersisted the
+        // crossJoin cosines (the dominant cost) evaluate 2-3x.
+        val pairs = graft.pipeline.Staged(s, dir, "bitext_pairs") {
+          cb.crossJoin(broadcast(qa))
+            .select(col("a_id"), col("b_id"),
+              floor(cosine(col("av"), col("bv"), col("an"), col("bn")) * lit(1e6))
+                .cast("long").as("qcos"))
+        }
         val fwd = pairs.withColumn("rf", row_number().over(
             Window.partitionBy("a_id").orderBy(col("qcos").desc, col("b_id").asc)))
         val favg = fwd.filter(col("rf") <= k)

@@ -35,12 +35,14 @@ class StageCacheSpec extends AnyFunSuite {
       assert(r2.head.getLong(0) == 60L,
         s"cache served stale generation: got ${r2.head.getLong(0)}, want 60")
 
-      // And the first generation's artifact is simply never read again:
-      // both generations coexist under distinct fingerprinted paths.
+      // And the stale generation was evicted when the new one was
+      // written — the cache holds exactly the live fingerprinted entry
+      // (unbounded growth across testdata regenerations would fill the
+      // disk at sf0.1 artifact sizes).
       val entries = new java.io.File(s"$cacheDir/${new java.io.File(dir).getName}")
         .listFiles()
-      assert(entries != null && entries.length == 2,
-        s"expected two cache generations, got ${Option(entries).map(_.length)}")
+      assert(entries != null && entries.length == 1,
+        s"expected one live cache generation, got ${Option(entries).map(_.length)}")
     } finally {
       prev match {
         case Some(v) => sys.props("graft.stagecache.dir") = v
