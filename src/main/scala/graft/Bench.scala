@@ -12,6 +12,8 @@ object Bench {
       // See Verify: SPJ planning flag belongs in session defaults, not
       // inside a query builder.
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // See Verify: anchored warehouse, never cwd-relative.
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

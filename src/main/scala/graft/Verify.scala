@@ -20,6 +20,10 @@ object Verify {
       // query builder would leak planner config into every later query
       // in the session, making plans order-dependent.
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // Anchored warehouse: the default is cwd-relative, and the
+      // driver's launch directory is not guaranteed writable or stable
+      // across runs (same class of failure as the stage-cache root).
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,8 @@ object SparkTestSession {
       // Matches Verify/Bench session defaults (SPJ planning for the V2
       // connector) so specs exercise the same planner config.
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // Matches Verify/Bench: anchored warehouse, never cwd-relative.
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
