@@ -18,8 +18,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/scan paths so the first timed query does not
-    // absorb session startup.
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // absorb session startup. Guarded: an unreadable warmup table must
+    // not kill the run before the report line — the per-query loop
+    // records each failure individually.
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] warmup scan failed: ${t.getMessage}")
+    }
     spark.range(1000).selectExpr("sum(id)").collect()
     // Millisecond precision keeps the one-line JSON compact enough to
     // survive log-tail truncation by downstream report collectors.
