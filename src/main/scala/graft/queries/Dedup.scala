@@ -780,6 +780,102 @@ object Dedup {
                count(*) AS n_dup_grams
         FROM grp GROUP BY doc_id, grp ORDER BY doc_id, span_start""")),
 
+    QDef("dedup_threshold_sweep",
+      // Threshold calibration — the table read BEFORE committing a
+      // near-dup threshold: for each candidate similarity cutoff, how
+      // many candidate pairs verify at >= t and how many docs they
+      // touch. One pass over the SAME scored candidates the verify
+      // stage already computes (LSH candidates + exact Jaccard); the
+      // 5-row threshold dim attaches by broadcast (bounded, the
+      // scalar-attach pattern), and absent thresholds keep their row
+      // via the left join back to the dim — a zero count is a
+      // calibration answer, not a missing row. Cost: candidates x 5,
+      // linear in the candidate count at any corpus size.
+      (s, dir) => {
+        import s.implicits._
+        val sets = ngramSets(s, dir)
+        val inter = graft.functions.SortedInterCountExpr
+          .interCount(col("ss_a"), col("ss_b")).cast("int")
+        val ja = inter.cast("double") /
+          (size(col("ss_a")) + size(col("ss_b")) - inter).cast("double")
+        val scored = candidatePairs(s, dir)
+          .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), rx(ja, 4).as("ja"))
+        val th = Seq(0.85, 0.9, 0.95, 0.98, 1.0).toDF("t")
+        val hits = scored.crossJoin(broadcast(th)).filter(col("ja") >= col("t"))
+        val pairCounts = hits.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+        val docCounts = hits
+          .select(col("t"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+          .groupBy("t").agg(countDistinct("d").as("n_docs"))
+        th.join(pairCounts, Seq("t"), "left").join(docCounts, Seq("t"), "left")
+          .select(col("t"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+          .orderBy("t")
+      },
+      Some(s"""WITH $minhashBandsSql,
+        $candidatePairsSql,
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform($shSql, x -> ${h32Sql("x")})) AS ss
+          FROM documents),
+        scored AS (
+          SELECT c.doc_a, c.doc_b,
+                 ${rxSql("""CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                       / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))""", 4)} AS ja
+          FROM cpairs c
+          JOIN sets a ON a.doc_id = c.doc_a
+          JOIN sets b ON b.doc_id = c.doc_b),
+        th AS (SELECT unnest([0.85e0, 0.9e0, 0.95e0, 0.98e0, 1.0e0]) AS t),
+        hits AS (SELECT th.t, s.doc_a, s.doc_b FROM th JOIN scored s ON s.ja >= th.t),
+        pc AS (SELECT t, count(*) AS n_pairs FROM hits GROUP BY t),
+        dc AS (SELECT t, count(DISTINCT d) AS n_docs
+               FROM (SELECT t, unnest([doc_a, doc_b]) AS d FROM hits) GROUP BY t)
+        SELECT th.t, CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(dc.n_docs, 0) AS BIGINT) AS n_docs
+        FROM th LEFT JOIN pc ON th.t = pc.t LEFT JOIN dc ON th.t = dc.t
+        ORDER BY th.t""")),
+
+    QDef("dedup_cluster_size_hist",
+      // The dedup report card: the duplicate-cluster size distribution
+      // (how many singletons, how many small clusters, how big is the
+      // worst offender) — the headline numbers every dedup sweep
+      // quotes. Docs absent from the pair graph are their own
+      // singleton clusters (coalesce to doc_id, the same keeper rule
+      // as the CC labels); two bounded aggregates over the staged
+      // labels, key spaces = clusters then distinct sizes.
+      (s, dir) => {
+        val labeled = t(s, dir, "documents").select(col("doc_id"))
+          .join(ccLabels(s, dir), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        labeled.groupBy("cluster").agg(count(lit(1)).as("sz"))
+          .groupBy("sz")
+          .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
+          .select(col("sz").as("cluster_size"), col("n_clusters"),
+            col("n_docs").cast("long").as("n_docs"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $minhashBandsSql,
+        $candidatePairsSql,
+        cedges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cpairs
+          UNION SELECT doc_b, doc_a FROM cpairs),
+        reach(a, b) AS (
+          SELECT src, src FROM cedges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cedges e ON r.b = e.src),
+        labels AS (
+          SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+        labeled AS (
+          SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+          FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+        sizes AS (SELECT cluster, count(*) AS sz FROM labeled GROUP BY cluster)
+        SELECT sz AS cluster_size, count(*) AS n_clusters,
+               CAST(sum(sz) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY sz ORDER BY cluster_size""")),
+
     QDef("sample_contrastive_triplets",
       // Contrastive-training triplet mining from the dedup machinery
       // itself: anchors are docs with an LSH near-dup, the POSITIVE is
