@@ -46,7 +46,8 @@ object Bench {
       "dedup_ngram_jaccard", "dedup_simhash", "graph_pagerank",
       "sim_ann_pq", "graph_triangle_count", "dedup_substring",
       "text_lm_score", "scan_dsv2_skipping", "agg_kmv_sketch",
-      "pipeline_nested_enrich", "sim_graph_route", "sample_importance_dsir")
+      "pipeline_nested_enrich", "sim_graph_route", "sample_importance_dsir",
+      "dedup_span_exact", "sim_bitext_margin")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     val stagerSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
