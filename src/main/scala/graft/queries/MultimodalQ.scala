@@ -188,6 +188,72 @@ object MultimodalQ {
         FROM f WHERE frame_no % 2 = 0
         ORDER BY media_id, frame_no""")),
 
+    QDef("multimodal_vad_segments",
+      // Activity-segment detection — the VAD / scene-split shape
+      // (silence removal for audio, shot boundaries for video): every
+      // 32-byte frame gets a per-frame statistic, frames above the
+      // activity threshold are kept, and maximal runs of consecutive
+      // active frames merge into (seg_start, seg_end) segments via the
+      // gaps-and-islands window — the coordinates a trim/split pass
+      // cuts, exactly the span-removal shape at the media layer. The
+      // statistic here is an md5-derived energy stub (the decoder is
+      // stubbed throughout this family; the framing, thresholding, and
+      // merging plumbing is the operator — a real RMS energy swaps into
+      // the same slot). Costs are linear in frames; the only shuffle is
+      // the per-media window, partitioned by media_id so segmentation
+      // parallelizes across the corpus.
+      (s, dir) => {
+        val m = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+        val w = Window.partitionBy("media_id").orderBy("fno")
+        val act = m.withColumn("hx", hex(col("payload")))
+          .withColumn("nf",
+            greatest(lit(1), ceil(length(col("hx")) / 64.0)).cast("int"))
+          .select(col("media_id"), col("kind"), col("hx"),
+            explode(sequence(lit(0), col("nf") - 1)).as("fno"))
+          .select(col("media_id"), col("kind"), col("fno").cast("long").as("fno"),
+            pmod(graft.functions.Text.md5Hash32(
+              col("hx").substr(col("fno") * 64 + 1, lit(64))), lit(100L))
+              .as("energy"))
+          .filter(col("energy") < 45)
+        act
+          .withColumn("brk", when(lag(col("fno"), 1).over(w).isNull ||
+            col("fno") > lag(col("fno"), 1).over(w) + 1, 1L).otherwise(0L))
+          .withColumn("grp", sum("brk").over(w))
+          .groupBy("media_id", "kind", "grp")
+          .agg(min("fno").as("seg_start"), max("fno").as("seg_end"),
+            count(lit(1)).as("n_frames"))
+          .select("media_id", "kind", "seg_start", "seg_end", "n_frames")
+          .orderBy("media_id", "seg_start")
+      },
+      Some("""WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN lang = 'zh' THEN 'audio' ELSE 'image' END AS kind,
+                 hex(encode(text)) AS hx
+          FROM documents),
+        f AS (
+          SELECT media_id, kind, hx,
+                 unnest(range(greatest(1, CAST(ceil(length(hx) / 64.0) AS BIGINT)))) AS fno
+          FROM m),
+        e AS (
+          SELECT media_id, kind, CAST(fno AS BIGINT) AS fno,
+                 CAST(('0x' || substr(md5(substring(hx, CAST(fno * 64 + 1 AS INT), 64)), 1, 8)) AS BIGINT) % 100 AS energy
+          FROM f),
+        a AS (SELECT * FROM e WHERE energy < 45),
+        b AS (
+          SELECT media_id, kind, fno,
+                 CASE WHEN lag(fno) OVER (PARTITION BY media_id ORDER BY fno) IS NULL
+                      OR fno > lag(fno) OVER (PARTITION BY media_id ORDER BY fno) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM a),
+        g AS (
+          SELECT media_id, kind, fno,
+                 sum(brk) OVER (PARTITION BY media_id ORDER BY fno) AS grp
+          FROM b)
+        SELECT media_id, kind, min(fno) AS seg_start, max(fno) AS seg_end,
+               count(*) AS n_frames
+        FROM g GROUP BY media_id, kind, grp
+        ORDER BY media_id, seg_start""")),
+
     QDef("multimodal_shard_manifest",
       // Shard-packing manifest (the WebDataset/tar-shard planning
       // step): media payloads are packed, in deterministic id order,

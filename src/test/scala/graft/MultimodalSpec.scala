@@ -47,4 +47,25 @@ class MultimodalSpec extends AnyFunSuite {
       .count()
     assert(mismatch == 0)
   }
+
+  test("VAD segments are dense consecutive runs with true gaps between them") {
+    val rows = SparkEntry.queries("multimodal_vad_segments")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, s, e, n) =>
+      // Islands merge only CONSECUTIVE active frames, so every frame in
+      // [start, end] is active: the count is exactly the width.
+      assert(n == e - s + 1, s"segment [$s,$e] claims $n frames")
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 + 1, s"segments [$e1] and [$s2] should have merged")
+        case _ =>
+      }
+    }
+    // Multi-frame segments must exist or the merge is untested.
+    assert(rows.exists(_._4 > 1), "no multi-frame segment on this corpus")
+  }
 }
