@@ -82,19 +82,27 @@ object Bench {
       }
     }
     val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Stdout copy of the failed list is BUDGETED like the queries map:
-    // the collector keeps only the last 2000 chars, and an unbudgeted
-    // list (53 failures ≈ 1.2k chars in the round-8 scenario) would
-    // push the line head — the headline metric — off the tail exactly
-    // when many queries fail. Full list stays in the sidecar.
-    val failedStdout = {
-      val shownNames = failed.take(8)
-      val extra = failed.size - shownNames.size
-      val items = shownNames.map("\"" + _ + "\"") ++
+    // ONE schema for `failed` in both outputs — {"n":N,"names":[...]} —
+    // so a collector parsing sidecar and stdout under one shape never
+    // breaks (the r9 advisor flagged the array-vs-object split). The
+    // sidecar carries the complete name list; the stdout copy is
+    // BUDGETED like the queries map: the collector keeps only the last
+    // 2000 chars, and an unbudgeted list (53 failures ≈ 1.2k chars in
+    // the round-8 scenario) would push the line head — the headline
+    // metric — off the tail exactly when many queries fail.
+    def failedObj(names: Seq[String], totalN: Int): String = {
+      val extra = totalN - names.size
+      val items = names.map("\"" + _ + "\"") ++
         (if (extra > 0) Seq("\"+" + extra + " more\"") else Nil)
-      s"""{"n":${failed.size},"names":${items.mkString("[", ",", "]")}}"""
+      s"""{"n":$totalN,"names":${items.mkString("[", ",", "]")}}"""
     }
+    val failedJson = failedObj(failed.toSeq, failed.size)
+    val failedStdout = failedObj(failed.take(8).toSeq, failed.size)
+    // Cross-JVM stage-cache telemetry: staging_sec was ~33% of r9 wall;
+    // without hit/miss counts the driver cannot tell a cold round (real
+    // recompute) from a warm one (parquet read-back) or a regression.
+    val (scHits, scMisses) = graft.pipeline.Staged.diskCacheStats
+    val stagingCache = s"""{"hits":$scHits,"misses":$scMisses}"""
     // The downstream report collector keeps only the LAST 2000 characters
     // of stdout (observed across five rounds: every full 113-query line
     // was head-truncated and unparseable). Budget the line to fit: emit
@@ -112,7 +120,7 @@ object Bench {
       val stagingMap = stagerSecs
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.write(sidecar,
-        s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"staging":$stagingMap,"nq":${results.size},"failed":$failedJson,"queries":$full,"sf":"$sfDir"}\n"""
+        s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"staging_cache":$stagingCache,"staging":$stagingMap,"nq":${results.size},"failed":$failedJson,"queries":$full,"sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
     } catch {
       case t: Throwable =>
@@ -134,7 +142,7 @@ object Bench {
     val cutSec = r3(sorted.drop(shown.size).map(_._2).sum)
     val qs = shown.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"nq":${results.size},"failed":$failedStdout,"others":{"n":$cut,"sec":$cutSec},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"staging_cache":$stagingCache,"nq":${results.size},"failed":$failedStdout,"others":{"n":$cut,"sec":$cutSec},"queries":$qs,"sf":"$sfDir"}"""
     // Print once now, and once more from a shutdown hook: after
     // spark.stop() completes, Spark's shutdown logging (stderr) is done,
     // so the hook's copy is the last stdout line of the forked JVM —

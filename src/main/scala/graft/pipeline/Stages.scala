@@ -149,6 +149,17 @@ private[pipeline] object StageCache {
 object Staged {
   private val cache = new ConcurrentHashMap[String, DataFrame]()
 
+  // Cross-JVM cache observability: one hit/miss tick per spillThrough
+  // _SUCCESS probe. The bench reports these so the driver can tell a
+  // cold round (staging_sec dominated by misses → real compute) from a
+  // warm one (all hits → staging_sec is mostly parquet read-back) —
+  // without it a warm-cache run and a staging regression look alike.
+  private val diskHits = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val diskMisses = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** (hits, misses) of the cross-JVM parquet cache since JVM start. */
+  def diskCacheStats: (Int, Int) = (diskHits.get(), diskMisses.get())
+
   def apply(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
     StageCache.hookCleanup(s)
     val key = s"${System.identityHashCode(s)}|$dir|$tag"
@@ -264,18 +275,25 @@ object Staged {
     val entry = s"$tag-$h-$fp"
     val parent = new java.io.File(s"$cacheRoot/$sfName")
     val path = new java.io.File(parent, entry).getPath
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      // Evict this tag's stale generations BEFORE writing the new one:
-      // every testdata regeneration (or plan edit) mints a new
-      // fingerprinted path, and without pruning the cache grows by a
-      // full corpus-derived artifact set per generation until the disk
-      // fills. The "$tag-" prefix cannot cross tags (tags contain no
-      // '-' before the hash, and a tag that prefixes another is always
-      // followed by '_' there, never '-').
+    val committed = new java.io.File(path, "_SUCCESS").exists()
+    if (committed) diskHits.incrementAndGet() else diskMisses.incrementAndGet()
+    if (!committed) {
+      // Write the NEW generation first; prune stale generations only
+      // after its _SUCCESS exists. Evict-before-write had two failure
+      // modes (advisor, r9): a throwing write left the tag with NO valid
+      // generation (forced recompute next run), and a concurrent second
+      // JVM sharing the cache root could have the generation it was
+      // lazily reading deleted mid-query. Deleting after keeps exactly
+      // one committed generation live at all times; the disk high-water
+      // mark is briefly two generations of one tag, not unbounded growth
+      // (every path still gets pruned once the replacement commits).
+      build.write.mode("overwrite").parquet(path)
+      // The "$tag-" prefix cannot cross tags (tags contain no '-' before
+      // the hash, and a tag that prefixes another is always followed by
+      // '_' there, never '-').
       Option(parent.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith(s"$tag-") && f.getName != entry)
         .foreach(deleteRecursively)
-      build.write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
   }

@@ -802,13 +802,19 @@ object Dedup {
           .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
           .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
           .select(col("doc_a"), col("doc_b"), rx(ja, 4).as("ja"))
-        val th = Seq(0.85, 0.9, 0.95, 0.98, 1.0).toDF("t")
+        // Group/join on an INTEGER index, not the double threshold: the
+        // double-keyed version was correct only because identical binary
+        // literals flowed to both sides, and fragile to any arithmetic
+        // on t or a config-sourced threshold (advisor, r9). The double
+        // rides along as a payload column and resurfaces in the output.
+        val th = Seq(0.85, 0.9, 0.95, 0.98, 1.0).zipWithIndex
+          .map { case (t, i) => (i, t) }.toDF("ti", "t")
         val hits = scored.crossJoin(broadcast(th)).filter(col("ja") >= col("t"))
-        val pairCounts = hits.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+        val pairCounts = hits.groupBy("ti").agg(count(lit(1)).as("n_pairs"))
         val docCounts = hits
-          .select(col("t"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
-          .groupBy("t").agg(countDistinct("d").as("n_docs"))
-        th.join(pairCounts, Seq("t"), "left").join(docCounts, Seq("t"), "left")
+          .select(col("ti"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+          .groupBy("ti").agg(countDistinct("d").as("n_docs"))
+        th.join(pairCounts, Seq("ti"), "left").join(docCounts, Seq("ti"), "left")
           .select(col("t"),
             coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
             coalesce(col("n_docs"), lit(0L)).as("n_docs"))

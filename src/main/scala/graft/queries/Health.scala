@@ -209,18 +209,26 @@ object Health {
       // the fingerprint → one join back on doc_id; chunk cardinality is
       // ~tokens/8, so the shuffle is smaller than the input scan.
       (s, dir) => {
-        val chunks = t(s, dir, "documents")
-          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
-          // Guard the empty token array: (size-1)/8 = 0 would yield
-          // sequence(0,0) = one empty chunk in Spark where the oracle's
-          // range() yields zero chunks — drop the row on both engines'
-          // shared semantics (the doc then has no chunk rows at all).
-          .filter(size(col("tks")) >= 1)
-          .withColumn("cks",
-            transform(sequence(lit(0), ((size(col("tks")) - 1) / 8).cast("int")),
-              j => concat_ws(" ", slice(col("tks"), j * 8 + 1, lit(8)))))
-          .select(col("doc_id"), explode(col("cks")).as("chunk"))
-          .withColumn("fp", substring(md5(col("chunk")), 1, 16))
+        // Staged: the chunk stream (tokenize + normalize + chunk explode
+        // + md5 — the dominant cost) feeds both the freq aggregate and
+        // the join-back probe with no common subtree, so unstaged Spark
+        // executes the whole explode twice (the substr_windows/span_grams
+        // discipline; flagged as the r9 double-scan).
+        val chunks = graft.pipeline.Staged.disk(s, dir, "chunk_fps") {
+          t(s, dir, "documents")
+            .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+            // Guard the empty token array: (size-1)/8 = 0 would yield
+            // sequence(0,0) = one empty chunk in Spark where the oracle's
+            // range() yields zero chunks — drop the row on both engines'
+            // shared semantics (the doc then has no chunk rows at all).
+            .filter(size(col("tks")) >= 1)
+            .withColumn("cks",
+              transform(sequence(lit(0), ((size(col("tks")) - 1) / 8).cast("int")),
+                j => concat_ws(" ", slice(col("tks"), j * 8 + 1, lit(8)))))
+            .select(col("doc_id"), explode(col("cks")).as("chunk"))
+            .withColumn("fp", substring(md5(col("chunk")), 1, 16))
+            .select("doc_id", "fp")
+        }
         val freq = chunks.groupBy("fp").agg(count(lit(1)).as("n"))
         chunks.join(freq, "fp")
           .groupBy("doc_id")

@@ -175,6 +175,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
   }
 
+  test("dedup_chunk_exact stages the chunk stream: documents scanned at most once") {
+    // The r9 double-scan: unstaged, the tokenize+chunk+md5 explode fed
+    // both the freq aggregate and the join-back probe as two separate
+    // documents.parquet scans. Staged (Staged.disk "chunk_fps"), the
+    // final plan reads the staged artifact/cache and the raw documents
+    // table appears at most once anywhere behind the cache boundary.
+    val df = SparkEntry.queries("dedup_chunk_exact")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
+    val docScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => f
+    }
+    assert(docScans.size <= 1,
+      s"chunk stream must be staged — found ${docScans.size} documents scans")
+  }
+
   test("str_fuzzy_match candidates come from an equi join, never a cross product") {
     val df = SparkEntry.queries("str_fuzzy_match")(spark, sf)
     df.collect()
