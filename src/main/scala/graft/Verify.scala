@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -27,16 +27,36 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }.toSeq
+    val errors = run(spark, sfDir, outDir, queries, SparkEntry.oracleSql)
+    spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+
+  /** The dump loop, separated from [[main]] so the fail-loud contract
+    * is spec-exercisable END TO END (VerifyFailLoudSpec injects a
+    * deliberately-throwing query and asserts the sidecars): every
+    * query's result → `outDir/<name>` parquet, the oracle map →
+    * `oracle_sql.json`, every failure → `_errors.json`. Returns the
+    * error map; main exits nonzero iff it is non-empty. A throwing
+    * query must poison the run visibly — round 8 lost 53 queries to a
+    * loader regression that only printed one stderr line per query and
+    * exited 0, and the partial dump read as a clean round until the
+    * judge counted entries.
+    */
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      oracles: Map[String, String]): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
-    // A throwing query must poison the run visibly: collect every
-    // failure, write them as a sidecar the driver/builder can diff, and
-    // exit nonzero. Round 8 lost 53 queries to a loader regression that
-    // only printed one stderr line per query and exited 0 — the partial
-    // dump read as a clean round until the judge counted entries.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -57,16 +77,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
-    spark.stop()
-    if (errors.nonEmpty) {
-      System.err.println(s"[verify] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
-      sys.exit(1)
-    }
+    errors.toMap
   }
 }

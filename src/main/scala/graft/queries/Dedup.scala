@@ -34,6 +34,23 @@ object Dedup {
   private val MinhashK = 16
   private val BandRows = 4
 
+  /** Band-sweep configurations (index, bands, rows-per-band, t*): every
+    * b×r factorization of K=16 except r=1 (see dedup_band_sweep's
+    * Scaladoc). t* = (1/b)^(1/r) is evaluated here ONCE and flows to
+    * both engines as the same literal — one Seq, no pow at query time.
+    */
+  private val BandSweepCfgs: Seq[(Int, Int, Int, Double)] =
+    Seq((0, 8, 2), (1, 4, 4), (2, 2, 8), (3, 1, 16)).map { case (i, b, r) =>
+      (i, b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+
+  /** DuckDB VALUES list ≙ [[BandSweepCfgs]]; `e0` exponent form forces
+    * DOUBLE (a bare decimal literal list parses as DECIMAL and loses
+    * the 17th significant digit).
+    */
+  private val bandSweepValuesSql = BandSweepCfgs
+    .map { case (i, b, r, t) => s"($i, $b, $r, ${t}e0)" }.mkString(", ")
+
   /** doc_id → (band, band-signature) rows: the LSH index build.
     *
     * One md5 per shingle; the K hash families are affine rehashes
@@ -881,6 +898,92 @@ object Dedup {
         SELECT sz AS cluster_size, count(*) AS n_clusters,
                CAST(sum(sz) AS BIGINT) AS n_docs
         FROM sizes GROUP BY sz ORDER BY cluster_size""")),
+
+    QDef("dedup_band_sweep",
+      // LSH banding calibration — the b×r sensitivity table read
+      // alongside dedup_threshold_sweep before committing a banding:
+      // for each (bands, rows-per-band) split of the SAME K=16
+      // signature matrix, the candidate-pair volume and docs touched,
+      // plus the banding's S-curve inflection t* ≈ (1/b)^(1/r) (the
+      // similarity where detection probability turns on). t* is
+      // computed HOST-side once and embedded as the identical literal
+      // in both engines — pow is transcendental and must never be
+      // evaluated per-engine for a hash-compared column. Configs span
+      // r = 2..16; r = 1 is deliberately absent: single-hash buckets
+      // collect every doc sharing one common shingle minimum, a
+      // collision set that grows with the corpus — the one banding
+      // that goes quadratic at 100 TB, excluded from the sweep the
+      // same way the suite excludes all-pairs stages. Cost: the raw
+      // signature matrix is staged once (docs × 16 rows), banding is
+      // one aggregate per config over it, and each config's self-join
+      // is bucket-local on (config, band, bsig) — linear in docs plus
+      // candidate volume, the threshold-sweep discipline.
+      (s, dir) => {
+        import s.implicits._
+        val sig16 = graft.pipeline.Staged.disk(s, dir, "minhash_sig16") {
+          t(s, dir, "documents")
+            .withColumn("tks", toks)
+            .select(col("doc_id"), explode(shingles(col("tks"), 3)).as("shingle"))
+            .select(col("doc_id"), Text.md5Hash32(col("shingle")).as("h0"))
+            .select(col("doc_id"), col("h0"),
+              explode(lit((0 until MinhashK).toArray)).as("k"))
+            .select(col("doc_id"), col("k"),
+              ((col("h0") * (col("k") * 2 + 1) + col("k") * lit(2654435761L))
+                % lit(2147483647L)).as("hv"))
+            .groupBy("doc_id", "k").agg(min("hv").as("h"))
+        }
+        val cfgs = BandSweepCfgs.toDF("ci", "b", "r", "t_star")
+        val banded = sig16.crossJoin(broadcast(cfgs))
+          .withColumn("band", (col("k") / col("r")).cast("int"))
+          .groupBy("ci", "doc_id", "band")
+          .agg(concat_ws(",",
+            transform(sort_array(collect_list(struct(col("k"), col("h")))),
+              x => x.getField("h").cast("string"))).as("bsig"))
+        val pairs = banded.as("a").join(banded.as("b"),
+            col("a.ci") === col("b.ci") && col("a.band") === col("b.band") &&
+              col("a.bsig") === col("b.bsig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.ci").as("ci"),
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val pc = pairs.groupBy("ci").agg(count(lit(1)).as("n_pairs"))
+        val dc = pairs
+          .select(col("ci"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+          .groupBy("ci").agg(countDistinct("d").as("n_docs"))
+        cfgs.join(pc, Seq("ci"), "left").join(dc, Seq("ci"), "left")
+          .select(col("b").cast("long").as("b"), col("r").cast("long").as("r"),
+            col("t_star"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+          .orderBy("b")
+      },
+      Some(s"""WITH sig AS (
+          SELECT doc_id, k,
+                 min((h0 * (k * 2 + 1) + k * 2654435761) % 2147483647) AS h
+          FROM (SELECT doc_id, ${h32Sql("shingle")} AS h0
+                FROM (SELECT doc_id, unnest($shSql) AS shingle FROM documents)),
+               (SELECT unnest(range($MinhashK)) AS k)
+          GROUP BY doc_id, k),
+        cfg AS (SELECT * FROM (VALUES $bandSweepValuesSql) c(ci, b, r, t_star)),
+        banded AS (
+          SELECT ci, doc_id, CAST(k // r AS INT) AS band,
+                 string_agg(h, ',' ORDER BY k) AS bsig
+          FROM sig CROSS JOIN cfg
+          GROUP BY ci, doc_id, k // r),
+        cpair AS (
+          SELECT DISTINCT a.ci, a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.ci = b.ci AND a.band = b.band AND a.bsig = b.bsig
+               AND a.doc_id < b.doc_id),
+        pc AS (SELECT ci, count(*) AS n_pairs FROM cpair GROUP BY ci),
+        dc AS (SELECT ci, count(DISTINCT d) AS n_docs
+               FROM (SELECT ci, unnest([doc_a, doc_b]) AS d FROM cpair)
+               GROUP BY ci)
+        SELECT CAST(c.b AS BIGINT) AS b, CAST(c.r AS BIGINT) AS r, c.t_star,
+               CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(dc.n_docs, 0) AS BIGINT) AS n_docs
+        FROM cfg c LEFT JOIN pc ON c.ci = pc.ci LEFT JOIN dc ON c.ci = dc.ci
+        ORDER BY b""")),
 
     QDef("sample_contrastive_triplets",
       // Contrastive-training triplet mining from the dedup machinery
