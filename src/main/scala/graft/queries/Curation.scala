@@ -20,6 +20,63 @@ object Curation {
   private val toksSql =
     """string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')"""
 
+  /** Per-doc bigram-LM fluency scores — (doc_id, n_bigrams, score_ppm),
+    * unordered; text_lm_score is this plus an ORDER BY, and
+    * text_perplexity_buckets stratifies on it. See text_lm_score's
+    * Scaladoc for the exact-integer design; the bigram explode is
+    * disk-staged under "lm_bigrams" and shared with PMI.
+    */
+  private def lmScorePerDoc(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val bgs = graft.pipeline.Staged.disk(s, dir, "lm_bigrams") {
+      t(s, dir, "documents")
+        .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+        .select(col("doc_id"), explode(Text.shingles(col("tks"), 2)).as("bg"))
+    }
+    val cnt = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val ctx = cnt
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val q = cnt.join(broadcast(ctx),
+        substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
+    val perDoc = bgs.join(broadcast(q), Seq("bg"))
+      .groupBy("doc_id")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n_bigrams"))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        expr("s div n_bigrams").as("score_ppm"))
+  }
+
+  /** DuckDB CTE chain ≙ [[lmScorePerDoc]] ending in
+    * `lm_scores(doc_id, n_bigrams, score_ppm)`; shared by the
+    * text_lm_score and text_perplexity_buckets oracles.
+    */
+  private val lmScoreCtesSql = s"""d AS (
+          SELECT doc_id, $toksSql AS tks FROM documents),
+        bgs AS (
+          SELECT doc_id,
+            unnest(list_transform(range(greatest(len(tks) - 1, 0)),
+              i -> tks[i+1] || ' ' || tks[i+2])) AS bg
+          FROM d),
+        cnt AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+        ctx AS (
+          SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+          FROM cnt GROUP BY 1),
+        q AS (
+          SELECT bg, (c2 * 1000000) // c1 AS q
+          FROM cnt JOIN ctx ON split_part(bg, ' ', 1) = w1),
+        per_doc AS (
+          SELECT doc_id, sum(q) AS s, count(*) AS n_bigrams
+          FROM bgs JOIN q USING (bg) GROUP BY doc_id),
+        lm_scores AS (
+          SELECT d0.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+                 CAST(s // n_bigrams AS BIGINT) AS score_ppm
+          FROM (SELECT doc_id FROM documents) d0
+          LEFT JOIN per_doc USING (doc_id))"""
+
   val all: Seq[QDef] = Seq(
 
     QDef("text_classifier_score",
@@ -311,51 +368,57 @@ object Curation {
       // vocab the q-table join shuffles on the bigram key instead —
       // same plan, bigger dim). Per-doc work is one explode + one join
       // + one aggregate: linear end to end.
-      (s, dir) => {
-        val bgs = graft.pipeline.Staged.disk(s, dir, "lm_bigrams") {
-          t(s, dir, "documents")
-            .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
-            .select(col("doc_id"), explode(Text.shingles(col("tks"), 2)).as("bg"))
-        }
-        val cnt = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
-        val ctx = cnt
-          .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-          .agg(sum(col("c2")).as("c1"))
-        val q = cnt.join(broadcast(ctx),
-            substring_index(col("bg"), " ", 1) === col("w1"))
-          .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
-        val perDoc = bgs.join(broadcast(q), Seq("bg"))
-          .groupBy("doc_id")
-          .agg(sum(col("q")).as("s"), count(lit(1)).as("n_bigrams"))
-        t(s, dir, "documents").select(col("doc_id"))
-          .join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-            expr("s div n_bigrams").as("score_ppm"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH d AS (
-          SELECT doc_id, $toksSql AS tks FROM documents),
-        bgs AS (
-          SELECT doc_id,
-            unnest(list_transform(range(greatest(len(tks) - 1, 0)),
-              i -> tks[i+1] || ' ' || tks[i+2])) AS bg
-          FROM d),
-        cnt AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
-        ctx AS (
-          SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
-          FROM cnt GROUP BY 1),
-        q AS (
-          SELECT bg, (c2 * 1000000) // c1 AS q
-          FROM cnt JOIN ctx ON split_part(bg, ' ', 1) = w1),
-        per_doc AS (
-          SELECT doc_id, sum(q) AS s, count(*) AS n_bigrams
-          FROM bgs JOIN q USING (bg) GROUP BY doc_id)
-        SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
-               CAST(s // n_bigrams AS BIGINT) AS score_ppm
-        FROM (SELECT doc_id FROM documents) d
-        LEFT JOIN per_doc USING (doc_id)
+      (s, dir) => lmScorePerDoc(s, dir).orderBy("doc_id"),
+      Some(s"""WITH $lmScoreCtesSql
+        SELECT doc_id, n_bigrams, score_ppm FROM lm_scores
         ORDER BY doc_id""")),
+
+    QDef("text_perplexity_buckets",
+      // LM-score stratification — the CCNet discipline: per language,
+      // rank documents by bigram-LM fluency and cut into head/middle/
+      // tail terciles (CCNet buckets on KenLM perplexity; score_ppm is
+      // the same ordering with the sign flipped — higher = more
+      // fluent), then report each stratum's doc count, char mass, and
+      // score range — the table a mixture designer samples "head-only"
+      // or "head+middle" from. ntile(3) over (score DESC, doc_id) is
+      // the standard-SQL tercile — identical extra-row placement in
+      // both engines, deterministic under the total order. One window
+      // over the scored docs (partitioned by language, so it
+      // parallelizes) + one bounded aggregate (langs × 3 rows);
+      // the score reuses the staged lm_bigrams explode.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("score_ppm").desc, col("doc_id"))
+        lmScorePerDoc(s, dir)
+          .filter(col("n_bigrams") > 0)
+          .join(t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+            Seq("doc_id"))
+          .withColumn("tercile", ntile(3).over(w))
+          .withColumn("bucket", element_at(
+            array(lit("head"), lit("middle"), lit("tail")), col("tercile")))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("chars"),
+            min("score_ppm").as("min_score"),
+            max("score_ppm").as("max_score"))
+          .orderBy("lang", "bucket")
+      },
+      Some(s"""WITH $lmScoreCtesSql,
+        scored AS (
+          SELECT l.doc_id, l.score_ppm, doc.lang, doc.n_chars
+          FROM lm_scores l JOIN documents doc USING (doc_id)
+          WHERE l.n_bigrams > 0),
+        terc AS (
+          SELECT lang, n_chars, score_ppm,
+                 ntile(3) OVER (PARTITION BY lang
+                   ORDER BY score_ppm DESC, doc_id) AS tercile
+          FROM scored)
+        SELECT lang,
+               CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+               min(score_ppm) AS min_score, max(score_ppm) AS max_score
+        FROM terc GROUP BY 1, 2 ORDER BY lang, bucket""")),
 
     QDef("text_pmi_collocations",
       // Collocation mining by pointwise mutual information — the

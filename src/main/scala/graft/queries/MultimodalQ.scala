@@ -14,6 +14,25 @@ import graft.functions.Multimodal
 object MultimodalQ {
   import QDef._
 
+  private val h32Sql = (e: String) =>
+    s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+  /** Canonical aspect buckets (name, p, q) for multimodal_aspect_bucket;
+    * the integer argmin uses 144 = lcm of the qs as the common
+    * denominator, so every distance is exact. Bucket count must stay
+    * < 8 (the idx packs into the low 3 bits of the argmin key).
+    */
+  private val AspectBuckets: Seq[(String, Int, Int)] = Seq(
+    ("1:1", 1, 1), ("4:3", 4, 3), ("3:4", 3, 4), ("16:9", 16, 9),
+    ("9:16", 9, 16), ("3:2", 3, 2), ("2:3", 2, 3))
+
+  private val aspectKeysSql = AspectBuckets.zipWithIndex
+    .map { case ((_, p, q), i) => s"abs($p * h - $q * w) * ${144 / q} * 8 + $i" }
+    .mkString(", ")
+
+  private val aspectCaseSql = AspectBuckets.zipWithIndex
+    .map { case ((n, _, _), i) => s"WHEN $i THEN '$n'" }.mkString(" ")
+
   val all: Seq[QDef] = Seq(
 
     QDef("scan_binary_files",
@@ -286,6 +305,50 @@ object MultimodalQ {
                count(*) AS n_frames
         FROM g GROUP BY media_id, kind, grp
         ORDER BY media_id, seg_start""")),
+
+    QDef("multimodal_aspect_bucket",
+      // Aspect-ratio bucketing — the batch-shaping operator image/video
+      // training pipelines (SDXL-style) run so each batch holds
+      // same-shape items: every media item is assigned the nearest of
+      // 7 canonical aspect ratios. (w, h) are synthesized
+      // deterministically per item (the decode stub's stand-in — a real
+      // decoder fills the same two columns). Nearest-ratio selection is
+      // ALL-INTEGER: |p/q - w/h| ordering is preserved under the common
+      // denominator 144·h (lcm of the qs), so each candidate's distance
+      // is the exact int |p·h - q·w|·(144/q), and the argmin is
+      // list-min over keys dist·8+idx — no FP anywhere, bit-identical
+      // in any engine. Shuffle-free: one codegen'd projection with an
+      // in-row array min; the only exchange is the driver-compare sort.
+      (s, dir) => {
+        val m = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+          .withColumn("w", lit(64L) + pmod(graft.functions.Text.md5Hash32(
+            concat(lit("w:"), col("media_id").cast("string"))), lit(961L)))
+          .withColumn("h", lit(64L) + pmod(graft.functions.Text.md5Hash32(
+            concat(lit("h:"), col("media_id").cast("string"))), lit(961L)))
+        val keys = AspectBuckets.zipWithIndex.map { case ((_, p, q), i) =>
+          (abs(lit(p.toLong) * col("h") - lit(q.toLong) * col("w"))
+            * lit((144 / q).toLong) * lit(8L) + lit(i.toLong)).as(s"k$i")
+        }
+        val names = array(AspectBuckets.map { case (n, _, _) => lit(n) }: _*)
+        m.withColumn("key", array_min(array(keys: _*)))
+          .select(col("media_id"), col("kind"), col("w"), col("h"),
+            element_at(names, (pmod(col("key"), lit(8L)) + 1).cast("int"))
+              .as("bucket"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN lang = 'zh' THEN 'audio' ELSE 'image' END AS kind,
+                 64 + ${h32Sql("'w:' || CAST(doc_id AS VARCHAR)")} % 961 AS w,
+                 64 + ${h32Sql("'h:' || CAST(doc_id AS VARCHAR)")} % 961 AS h
+          FROM documents),
+        k AS (
+          SELECT media_id, kind, w, h,
+                 list_min([$aspectKeysSql]) AS key
+          FROM m)
+        SELECT media_id, kind, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+               CASE key % 8 $aspectCaseSql END AS bucket
+        FROM k ORDER BY media_id""")),
 
     QDef("multimodal_shard_manifest",
       // Shard-packing manifest (the WebDataset/tar-shard planning

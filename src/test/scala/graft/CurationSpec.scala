@@ -14,6 +14,32 @@ import graft.queries.Analytics
 class CurationSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("perplexity buckets: terciles are contiguous score strata per language") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("text_perplexity_buckets")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      val byB = g.map(t => t._2 -> t).toMap
+      assert(byB.keySet == Set("head", "middle", "tail"),
+        s"$lang missing a tercile: ${byB.keySet}")
+      // Strata are contiguous and ordered: head holds the highest
+      // scores, tail the lowest; tercile sizes differ by at most one.
+      assert(byB("head")._4 >= byB("middle")._5,
+        s"$lang: head min below middle max")
+      assert(byB("middle")._4 >= byB("tail")._5,
+        s"$lang: middle min below tail max")
+      val sizes = g.map(_._3)
+      assert(sizes.max - sizes.min <= 1,
+        s"$lang tercile sizes $sizes differ by more than one")
+    }
+    // Bucket populations sum to the docs that actually scored.
+    val scored = SparkEntry.queries("text_lm_score")(spark, sf)
+      .filter(col("n_bigrams") > 0).count()
+    assert(rows.map(_._3).sum == scored,
+      "tercile populations must partition the scored docs")
+  }
+
   test("maskPii masks emails before digit runs and counts both") {
     import spark.implicits._
     val rows = Seq(

@@ -48,6 +48,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mismatch == 0)
   }
 
+  test("aspect buckets match a brute-force nearest-ratio recompute") {
+    val buckets = Seq(("1:1", 1, 1), ("4:3", 4, 3), ("3:4", 3, 4),
+      ("16:9", 16, 9), ("9:16", 9, 16), ("3:2", 3, 2), ("2:3", 2, 3))
+    val rows = SparkEntry.queries("multimodal_aspect_bucket")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, h, got) =>
+      // Rational nearest-ratio: minimize |p/q - w/h|, first bucket wins
+      // ties — recomputed here in exact BigDecimal arithmetic,
+      // independently of the engine's integer-key encoding.
+      val want = buckets.minBy { case (_, p, q) =>
+        ((BigDecimal(p) / q) - (BigDecimal(w) / BigDecimal(h))).abs
+      }._1
+      assert(got == want, s"media $id (${w}x$h): got $got, want $want")
+    }
+    // The synthesized dims must actually spread across the grid.
+    assert(rows.map(_._4).distinct.length >= 5,
+      "bucketing degenerated — synthesized aspect ratios too uniform")
+  }
+
   test("VAD segments are dense consecutive runs with true gaps between them") {
     val rows = SparkEntry.queries("multimodal_vad_segments")(
         spark, "/root/testdata/sf0.001").collect()
