@@ -228,25 +228,21 @@ object MultimodalQ {
       (s, dir) => {
         val m = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
         val w = Window.partitionBy("media_id").orderBy("fno")
-        val act = m.withColumn("hx", hex(col("payload")))
-          .withColumn("nf",
-            greatest(lit(1), ceil(length(col("hx")) / 64.0)).cast("int"))
-          .select(col("media_id"), col("kind"), col("hx"),
-            explode(sequence(lit(0), col("nf") - 1)).as("fno"))
-          // Bind the frame hex BEFORE the transform lambda (inlining a
-          // computed string re-evaluates the substr per element).
-          .withColumn("fhx", col("hx").substr(col("fno") * 64 + 1, lit(64)))
-          .withColumn("nb", (length(col("fhx")) / 2).cast("long"))
-          .filter(col("nb") >= 1)
-          .withColumn("sumsq", aggregate(
-            transform(sequence(lit(0), (col("nb") - 1).cast("int")),
-              i => {
-                val b = conv(col("fhx").substr(i * 2 + 1, lit(2)), 16, 10)
-                  .cast("long") - lit(128L)
-                b * b
-              }),
-            lit(0L), (acc, x) => acc + x))
-          .select(col("media_id"), col("kind"), col("fno").cast("long").as("fno"),
+        // Per-frame sum((b-128)^2) via the native codegen'd expression
+        // (one primitive loop over the raw bytes) instead of the
+        // hex + 32×conv(substr) built-in chain — identical exact-int64
+        // values (MultimodalSpec pins the parity), ~7× less CPU at
+        // sf0.1. The last frame may be short: its byte count comes
+        // from the payload length, and an empty payload yields no
+        // frames at all (matching the oracle's hex-length guard).
+        val act = m
+          .select(col("media_id"), col("kind"),
+            length(col("payload")).cast("long").as("plen"),
+            posexplode(graft.functions.PcmEnergyExpr
+              .frameEnergies(col("payload"), lit(32))).as(Seq("fno", "sumsq")))
+          .withColumn("fno", col("fno").cast("long"))
+          .withColumn("nb", least(lit(32L), col("plen") - col("fno") * 32))
+          .select(col("media_id"), col("kind"), col("fno"),
             sqrt(col("sumsq").cast("double") / col("nb").cast("double"))
               .as("energy"))
           // Active = loud frames. On this corpus's byte distribution

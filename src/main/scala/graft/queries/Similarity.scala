@@ -1279,8 +1279,119 @@ object Similarity {
                margin >= 1.05 AS accept
         FROM (SELECT *, row_number() OVER (PARTITION BY a_id
                 ORDER BY margin DESC, b_id) AS rank FROM scored)
-        WHERE rank <= 2 ORDER BY a_id, rank"""))
+        WHERE rank <= 2 ORDER BY a_id, rank""")),
+
+    QDef("sample_kcenter_coreset",
+      // Greedy k-center (farthest-point) coreset selection — the
+      // diversity-maximizing data-pruning pass (the geometric heart of
+      // coreset/active-learning selection): seed with the min-id
+      // vector, then k-1 times pick the point farthest from the
+      // selected set and report each center's selection radius (its
+      // distance to the prior set — the k-center objective trajectory)
+      // and how many points it finally covers. All distances are exact
+      // int64 squared-Euclidean over the staged 1e6-quantized vectors
+      // (the Lloyd-trainer discipline), so the whole greedy trajectory
+      // is integer-deterministic and DuckDB replays it from k-1
+      // unrolled CTE rounds. Distributed shape: each round is one
+      // linear min-update against a 1-ROW broadcast center (nothing
+      // collected to the driver — the argmax is a limit(1) inside the
+      // plan) + an eager checkpoint to keep the plan flat; the final
+      // assignment is a k-row broadcast cross join + one window. At
+      // 100 TB: k linear passes, no pairwise stage anywhere.
+      (s, dir) => {
+        val k = 5
+        def qdist(a: Column, b: Column): Column = aggregate(
+          zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+        val qv = quantVecs(s, dir).select(col("vec_id"), col("vq"))
+        val seed = qv.orderBy("vec_id").limit(1)
+          .select(col("vec_id").as("c_id"), col("vq").as("cq"),
+            lit(0L).as("radius"), lit(0L).as("sel_order"))
+          .localCheckpoint(true)
+        var centers = seed
+        var latest = seed
+        var st = qv
+        for (t <- 1 until k) {
+          // Min-update against the newest center, then argmax. The
+          // state is referenced twice per round (update + next round),
+          // so eager checkpoints keep execution linear (the BFS lesson).
+          st = st.crossJoin(broadcast(latest.select(col("cq"))))
+            .select(col("vec_id"), col("vq"),
+              (if (t == 1) qdist(col("vq"), col("cq"))
+               else least(col("dmin"), qdist(col("vq"), col("cq")))).as("dmin"))
+            .localCheckpoint(true)
+          latest = st.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+            .select(col("vec_id").as("c_id"), col("vq").as("cq"),
+              col("dmin").as("radius"), lit(t.toLong).as("sel_order"))
+            .localCheckpoint(true)
+          centers = centers.unionByName(latest)
+        }
+        val ctab = centers.localCheckpoint(true)
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("d").asc, col("sel_order").asc)
+        val counts = qv.crossJoin(broadcast(ctab))
+          .select(col("vec_id"), col("sel_order"),
+            qdist(col("vq"), col("cq")).as("d"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .groupBy("sel_order").agg(count(lit(1)).as("n_assigned"))
+        ctab.join(counts, Seq("sel_order"), "left")
+          .select(col("sel_order"), col("c_id").as("vec_id"),
+            coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+            col("radius"))
+          .orderBy("sel_order")
+      },
+      Some(kcenterOracleSql))
   )
+
+  /** Unrolled DuckDB replay of the greedy k-center trajectory (k=5):
+    * c0 = min-id seed, then per round d_t = running min distance and
+    * c_t = its argmax (DESC, vec_id tiebreak) — the same exact-int64
+    * quantized distances as the Spark side.
+    */
+  // lazy: declared after `all`, which captures it during object init —
+  // a strict val here is still null at capture time (the NPE class of
+  // bug ScalaC cannot see through forward references in object bodies).
+  private lazy val kcenterOracleSql: String = {
+    val k = 5
+    def dist(a: String, b: String) =
+      s"list_sum(list_transform(range($Dims), i -> ($a.vq[i+1] - $b.cq[i+1]) * ($a.vq[i+1] - $b.cq[i+1])))"
+    val rounds = (1 until k).map { t =>
+      val src = if (t == 1) "ve" else s"d${t - 1}"
+      val dm = if (t == 1) dist("p", "c0")
+        else s"least(p.dmin, ${dist("p", s"c${t - 1}")})"
+      s"""d$t AS (
+          SELECT p.vec_id, p.vq, $dm AS dmin FROM $src p CROSS JOIN c${t - 1}),
+        c$t AS (
+          SELECT vec_id AS c_id, vq AS cq, CAST(dmin AS BIGINT) AS radius,
+                 CAST($t AS BIGINT) AS sel_order
+          FROM d$t ORDER BY dmin DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n        ")
+    val union = (0 until k).map(t => s"SELECT * FROM c$t").mkString(" UNION ALL ")
+    s"""WITH ve AS (
+          SELECT vec_id,
+                 list_transform(range($Dims),
+                   i -> CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS vq
+          FROM embeddings),
+        c0 AS (
+          SELECT vec_id AS c_id, vq AS cq, CAST(0 AS BIGINT) AS radius,
+                 CAST(0 AS BIGINT) AS sel_order
+          FROM ve ORDER BY vec_id LIMIT 1),
+        $rounds,
+        centers AS ($union),
+        assign AS (
+          SELECT vec_id, sel_order,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d ASC, sel_order ASC) AS rk
+          FROM (SELECT ve.vec_id, c.sel_order, ${dist("ve", "c")} AS d
+                FROM ve CROSS JOIN centers c)),
+        cnts AS (
+          SELECT sel_order, count(*) AS n_assigned
+          FROM assign WHERE rk = 1 GROUP BY sel_order)
+        SELECT c.sel_order, c.c_id AS vec_id,
+               CAST(coalesce(n.n_assigned, 0) AS BIGINT) AS n_assigned, c.radius
+        FROM centers c LEFT JOIN cnts n ON c.sel_order = n.sel_order
+        ORDER BY c.sel_order"""
+  }
 
   /** The NSW routing result (q_id, rank, vec_id, cos), rank <= 3 —
     * shared by sim_graph_route and its recall audit so both consume

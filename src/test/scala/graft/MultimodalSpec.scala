@@ -48,6 +48,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mismatch == 0)
   }
 
+  test("PcmEnergyExpr matches the hex/conv built-in spelling frame for frame") {
+    import org.apache.spark.sql.functions._
+    val m = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val native = m.select(col("doc_id"),
+        posexplode(graft.functions.PcmEnergyExpr
+          .frameEnergies(col("payload"), lit(32))).as(Seq("fno", "sumsq")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val builtin = m.withColumn("hx", hex(col("payload")))
+      .withColumn("nf", greatest(lit(1), ceil(length(col("hx")) / 64.0)).cast("int"))
+      .select(col("doc_id"), col("hx"),
+        explode(sequence(lit(0), col("nf") - 1)).as("fno"))
+      .withColumn("fhx", col("hx").substr(col("fno") * 64 + 1, lit(64)))
+      .withColumn("nb", (length(col("fhx")) / 2).cast("int"))
+      .filter(col("nb") >= 1)
+      .withColumn("sumsq", aggregate(
+        transform(sequence(lit(0), col("nb") - 1),
+          i => {
+            val b = conv(col("fhx").substr(i * 2 + 1, lit(2)), 16, 10)
+              .cast("long") - lit(128L)
+            b * b
+          }),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"), col("fno"), col("sumsq"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(native == builtin,
+      "native PCM energies diverge from the built-in hex/conv spelling")
+    assert(native.nonEmpty)
+  }
+
   test("aspect buckets match a brute-force nearest-ratio recompute") {
     val buckets = Seq(("1:1", 1, 1), ("4:3", 4, 3), ("3:4", 3, 4),
       ("16:9", 16, 9), ("9:16", 9, 16), ("3:2", 3, 2), ("2:3", 2, 3))

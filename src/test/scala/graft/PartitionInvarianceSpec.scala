@@ -23,7 +23,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "text_lm_score",      // integer-ppm quantized probabilities
     "agg_kmv_sketch",     // array synopsis + floor-div estimators
     "sim_bitext_margin",  // quantized-int margin normalizers (round 9)
-    "web_url_canonical")  // canonical-key keep-first aggregate (round 9)
+    "web_url_canonical",  // canonical-key keep-first aggregate (round 9)
+    "dedup_band_sweep",          // per-config bucket self-joins (round 10)
+    "text_perplexity_buckets",   // ntile over tie-broken total order (round 10)
+    "multimodal_vad_segments",   // RMS doubles from exact-int sums (round 10)
+    "multimodal_aspect_bucket")  // in-row integer argmin (round 10)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
