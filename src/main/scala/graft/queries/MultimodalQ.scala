@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,6 +33,37 @@ object MultimodalQ {
 
   private val aspectCaseSql = AspectBuckets.zipWithIndex
     .map { case ((n, _, _), i) => s"WHEN $i THEN '$n'" }.mkString(" ")
+
+  /** Oracle CTE chain for the phash family, through `cand`
+    * (media_a, media_b, hamming) — UNFILTERED on the Hamming radius so
+    * callers state their own threshold.
+    */
+  private val phashCandSql: String = {
+    val votes = (0 until 32)
+      .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
+    val sig = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""grams AS (
+          SELECT doc_id AS media_id,
+                 substr(hex(encode(text)), 1 + j * 8, 8) AS g
+          FROM documents,
+               unnest(range(octet_length(encode(text)) // 4)) AS u(j)),
+        th AS (
+          SELECT media_id,
+                 CAST(('0x' || substr(md5('ph:' || g), 1, 8)) AS BIGINT) AS h
+          FROM grams),
+        v AS (SELECT media_id, $votes FROM th GROUP BY media_id),
+        sigs AS (SELECT media_id, CAST($sig AS BIGINT) AS phash FROM v),
+        bands AS (
+          SELECT media_id, phash, i AS band, (phash >> (i * 8)) & 255 AS bv
+          FROM sigs, (SELECT unnest(range(4)) AS i)),
+        cand AS (
+          SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                 bit_count(xor(a.phash, b.phash)) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id)"""
+  }
 
   val all: Seq[QDef] = Seq(
 
@@ -404,73 +436,92 @@ object MultimodalQ {
       // all-pairs — and with a real codec the window hash would be the
       // only line that changes (frame/block digests instead of raw
       // windows). Windows at stride 4 keep the explode n_bytes/4.
-      (s, dir) => {
-        val sigs = graft.pipeline.Staged.disk(s, dir, "phash_sigs") {
-          val votes = (0 until 32).map(b =>
-            sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
-          val sig = (0 until 32).map(b =>
-            when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _)
-          Multimodal.mediaFromDocuments(t(s, dir, "documents"))
-            .withColumn("hx", hex(col("payload")))
-            // Guard the degenerate payload (<4 bytes): Spark's
-            // sequence(0, -1) is DESCENDING ([0,-1] — spurious grams,
-            // one with a negative index) while the oracle's range()
-            // emits none. Dropping the row matches the oracle, which
-            // produces zero grams and hence no signature for it.
-            .filter(length(col("hx")) >= 8)
-            .withColumn("grams",
-              transform(sequence(lit(0), (length(col("hx")) / 8).cast("int") - 1),
-                i => substring(col("hx"), lit(1) + i * 8, lit(8))))
-            .select(col("media_id"), explode(col("grams")).as("g"))
-            .select(col("media_id"),
-              graft.functions.Text.md5Hash32(concat(lit("ph:"), col("g"))).as("h"))
-            .groupBy("media_id").agg(votes.head, votes.tail: _*)
-            .select(col("media_id"), sig.cast("long").as("phash"))
-        }
-        val bands = sigs.select(col("media_id"), col("phash"),
-          explode(array((0 until 4).map(i =>
-            struct(lit(i).as("band"),
-              shiftright(col("phash"), i * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
-            .as("x"))
-          .select(col("media_id"), col("phash"),
-            col("x.band").as("band"), col("x.bv").as("bv"))
-        bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-              col("a.media_id") < col("b.media_id"))
-          .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
-            expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 3)
-          .orderBy("media_a", "media_b")
-      },
-      Some {
-        val votes = (0 until 32)
-          .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
-        val sig = (0 until 32)
-          .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH grams AS (
-          SELECT doc_id AS media_id,
-                 substr(hex(encode(text)), 1 + j * 8, 8) AS g
-          FROM documents,
-               unnest(range(octet_length(encode(text)) // 4)) AS u(j)),
-        th AS (
-          SELECT media_id,
-                 CAST(('0x' || substr(md5('ph:' || g), 1, 8)) AS BIGINT) AS h
-          FROM grams),
-        v AS (SELECT media_id, $votes FROM th GROUP BY media_id),
-        sigs AS (SELECT media_id, CAST($sig AS BIGINT) AS phash FROM v),
-        bands AS (
-          SELECT media_id, phash, i AS band, (phash >> (i * 8)) & 255 AS bv
-          FROM sigs, (SELECT unnest(range(4)) AS i)),
-        cand AS (
-          SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
-                 bit_count(xor(a.phash, b.phash)) AS hamming
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id)
+      (s, dir) => phashPairs(s, dir).orderBy("media_a", "media_b"),
+      Some(s"""WITH $phashCandSql
         SELECT media_a, media_b, CAST(hamming AS BIGINT) AS hamming
-        FROM cand WHERE hamming <= 3 ORDER BY media_a, media_b"""
-      })
+        FROM cand WHERE hamming <= 3 ORDER BY media_a, media_b""")),
+
+    QDef("multimodal_phash_clusters",
+      // Media dedup group assembly: connected components over the
+      // verified phash pair graph (the SAME distributed CC operator
+      // the text dedup family runs — operators.ConnectedComponents,
+      // O(log n) propagate+shortcut rounds), cluster id = component-min
+      // media_id. This is what turns "these pairs look alike" into
+      // "keep one per group" for images/audio: a transitive chain
+      // a~b~c lands in ONE cluster even though (a,c) never paired.
+      // Only media that appear in some pair are listed (singletons
+      // keep themselves by definition). Reuses the staged phash
+      // signatures — the pair graph costs one bucket-local join, the
+      // CC rounds shuffle only the shrinking (node, label) table.
+      // Labels are disk-staged keyed on the pair graph (the cc_labels
+      // discipline from the text dedup family): the CC rounds' fixed
+      // per-stage latency is paid once per session+corpus, downstream
+      // reads are a parquet scan, and a changed pair graph invalidates
+      // the stage.
+      (s, dir) => graft.pipeline.Staged
+        .diskKeyed(s, dir, "phash_cc_labels")(phashPairs(s, dir)) {
+          graft.operators.ConnectedComponents
+            .clusters(phashPairs(s, dir), "media_a", "media_b")
+            .select(col("id").as("media_id"), col("cluster"))
+        }
+        .orderBy("media_id"),
+      Some(s"""WITH RECURSIVE $phashCandSql,
+        pairs AS (
+          SELECT media_a, media_b FROM cand WHERE hamming <= 3),
+        cedges AS (
+          SELECT media_a AS src, media_b AS dst FROM pairs
+          UNION SELECT media_b, media_a FROM pairs),
+        reach(a, b) AS (
+          SELECT src, src FROM cedges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cedges e ON r.b = e.src)
+        SELECT a AS media_id, min(b) AS cluster FROM reach
+        GROUP BY a ORDER BY media_id"""))
   )
+
+  /** Staged 32-bit simhash signatures over the opaque payloads plus the
+    * banded candidate join, verified to Hamming <= 3 — the pair graph
+    * both multimodal_phash_pairs and multimodal_phash_clusters read.
+    * No global order (each caller sorts).
+    */
+  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.pipeline.Staged.disk(s, dir, "phash_sigs") {
+      val votes = (0 until 32).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+      val sig = (0 until 32).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+        .withColumn("hx", hex(col("payload")))
+        // Guard the degenerate payload (<4 bytes): Spark's
+        // sequence(0, -1) is DESCENDING ([0,-1] — spurious grams,
+        // one with a negative index) while the oracle's range()
+        // emits none. Dropping the row matches the oracle, which
+        // produces zero grams and hence no signature for it.
+        .filter(length(col("hx")) >= 8)
+        .withColumn("grams",
+          transform(sequence(lit(0), (length(col("hx")) / 8).cast("int") - 1),
+            i => substring(col("hx"), lit(1) + i * 8, lit(8))))
+        .select(col("media_id"), explode(col("grams")).as("g"))
+        .select(col("media_id"),
+          graft.functions.Text.md5Hash32(concat(lit("ph:"), col("g"))).as("h"))
+        .groupBy("media_id").agg(votes.head, votes.tail: _*)
+        .select(col("media_id"), sig.cast("long").as("phash"))
+    }
+    val bands = sigs.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("phash"), i * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
+        .as("x"))
+      .select(col("media_id"), col("phash"),
+        col("x.band").as("band"), col("x.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
 }

@@ -525,6 +525,92 @@ object TextAnalysis {
         SELECT phrase, score_micro, count(*) AS n_occur
         FROM phrases GROUP BY 1, 2
         ORDER BY score_micro DESC, phrase LIMIT 25""")
-    })
+    }),
+
+    QDef("text_line_dedup",
+      // Line-level boilerplate removal, the CCNet/RefinedWeb discipline:
+      // a "line" repeated across many documents (nav bars, footers,
+      // cookie banners) is boilerplate and is cut from every doc that
+      // carries it. Lines here are the non-overlapping 3-token windows
+      // of the normalized text (one regexp_extract_all pass — no
+      // array-slice re-evaluation per line), keyed by a 32-bit md5
+      // fingerprint so the doc-frequency shuffle moves 8-byte keys, not
+      // strings. A line in >= 3 distinct docs is boilerplate; each doc
+      // reports its line count, boilerplate count, and exact-integer
+      // kept_ppm — the per-doc retained-mass signal a curation pass
+      // thresholds on. The line stream feeds both the DF aggregate and
+      // the join-back probe, so it is disk-staged once (the
+      // chunk_fps/span_grams discipline — never two corpus scans).
+      // Scale: explode is linear in tokens/3; both shuffles key on the
+      // bounded fingerprint space; nothing quadratic.
+      (s, dir) => {
+        val lines = graft.pipeline.Staged.disk(s, dir, "line_keys") {
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              explode(regexp_extract_all(Text.normTerm(col("text")),
+                lit("\\S+ \\S+ \\S+"), lit(0))).as("line"))
+            .select(col("doc_id"),
+              Text.md5Hash32(concat(lit("ld:"), col("line"))).as("lk"))
+        }
+        val lf = lines.groupBy("lk")
+          .agg(countDistinct("doc_id").as("df"))
+        lines.join(lf, "lk")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+          .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+            expr("(n_lines - n_boiler) * 1000000 div n_lines").as("kept_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH raw AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                   '\\S+ \\S+ \\S+')) AS line
+          FROM documents),
+        lines AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('ld:' || line), 1, 8)) AS BIGINT) AS lk
+          FROM raw),
+        lf AS (SELECT lk, count(DISTINCT doc_id) AS df FROM lines GROUP BY lk)
+        SELECT doc_id, count(*) AS n_lines,
+               CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+               CAST((count(*) - sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END)) * 1000000
+                 // count(*) AS BIGINT) AS kept_ppm
+        FROM lines JOIN lf USING (lk)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    QDef("profile_token_budget",
+      // The token-budget table a mixture designer reads first: per
+      // language, document count, whitespace-token mass, exact-ppm
+      // share of the corpus, and the repetition factor ("epochs",
+      // x100) that language needs to fill a budget of half the corpus
+      // tokens if sampled alone — small languages repeat, big ones
+      // subsample (the Chinchilla/UniMax budgeting arithmetic). All
+      // integers (div / ppm), so the hash is exact. One aggregate on
+      // the 5-value lang key + a 1-row broadcast total attach — the
+      // scalar-attach pattern, no driver collect, no second scan.
+      (s, dir) => {
+        val per = t(s, dir, "documents")
+          .select(col("lang"), size(toks).cast("long").as("n"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
+        val tot = per.agg(sum("tokens").as("total_tokens"))
+        per.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"), col("tokens"),
+            expr("tokens * 1000000 div total_tokens").as("share_ppm"),
+            expr("((total_tokens div 2) * 100) div tokens").as("epochs_x100"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH per AS (
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(len($toksSql)) AS BIGINT) AS tokens
+          FROM documents GROUP BY lang)
+        SELECT lang, n_docs, tokens,
+               CAST(tokens * 1000000 // t.total_tokens AS BIGINT) AS share_ppm,
+               CAST(((t.total_tokens // 2) * 100) // tokens AS BIGINT) AS epochs_x100
+        FROM per CROSS JOIN
+          (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per) t
+        ORDER BY lang"""))
   )
 }

@@ -284,6 +284,51 @@ object WebCuration {
         |)
         |SELECT CAST(id AS BIGINT) AS id,
         |       chost || cpath || CASE WHEN length(cq) > 0 THEN '?' || cq ELSE '' END AS canonical
-        |FROM hp4 ORDER BY id""".stripMargin))
+        |FROM hp4 ORDER BY id""".stripMargin)),
+
+    QDef("web_path_template",
+      // Crawler-trap detection by URL-path templating: digit runs in
+      // the path collapse to 'N' ('/docs/3/item-41' -> '/docs/N/item-N')
+      // and a template whose distinct-page count per host is excessive
+      // marks a parameterized page family — the calendar/session-id
+      // pattern a crawl either rate-limits or drops. Paths here carry a
+      // per-doc item id plus a small static set ('/about', '/contact')
+      // so both arms of the trap flag are live at every SF. One narrow
+      // codegen projection + one aggregate keyed on (host, template) —
+      // map-side combined, key space bounded by distinct templates
+      // (independent of corpus size); the distinct-page count is
+      // Spark's standard two-phase partial-distinct aggregate.
+      (s, dir) => {
+        val paths = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("host", concat(col("source"), lit(".example.com")))
+          .withColumn("path",
+            when(col("doc_id") % 11 === 0, lit("/about"))
+              .when(col("doc_id") % 11 === 1, lit("/contact"))
+              .otherwise(concat(lit("/docs/"),
+                expr("(doc_id div 20) % 7").cast("string"),
+                lit("/item-"), col("doc_id").cast("string"))))
+          .withColumn("template", regexp_replace(col("path"), "[0-9]+", "N"))
+        paths.groupBy("host", "template")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("path").as("n_pages"),
+            min("path").as("sample_path"))
+          .withColumn("trap", col("n_pages") >= 10)
+          .orderBy("host", "template")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id, source || '.example.com' AS host,
+        |         CASE WHEN doc_id % 11 = 0 THEN '/about'
+        |              WHEN doc_id % 11 = 1 THEN '/contact'
+        |              ELSE '/docs/' || CAST((doc_id // 20) % 7 AS VARCHAR) ||
+        |                   '/item-' || CAST(doc_id AS VARCHAR) END AS path
+        |  FROM documents
+        |), tpl AS (
+        |  SELECT *, regexp_replace(path, '[0-9]+', 'N', 'g') AS template FROM p
+        |)
+        |SELECT host, template, count(*) AS n_docs,
+        |       count(DISTINCT path) AS n_pages, min(path) AS sample_path,
+        |       (count(DISTINCT path) >= 10) AS trap
+        |FROM tpl GROUP BY host, template ORDER BY host, template""".stripMargin))
   )
 }

@@ -27,7 +27,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "dedup_band_sweep",          // per-config bucket self-joins (round 10)
     "text_perplexity_buckets",   // ntile over tie-broken total order (round 10)
     "multimodal_vad_segments",   // RMS doubles from exact-int sums (round 10)
-    "multimodal_aspect_bucket")  // in-row integer argmin (round 10)
+    "multimodal_aspect_bucket",  // in-row integer argmin (round 10)
+    "text_line_dedup",           // staged explode + DF join-back (round 10)
+    "profile_token_budget",      // broadcast-total ppm shares (round 10)
+    "web_path_template",         // partial-distinct template agg (round 10)
+    "multimodal_phash_clusters") // iterative CC over banded pairs (round 10)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force and invariant pins for the round-10 additions:
+  * line-level boilerplate dedup, the token-budget table, URL-path
+  * template trap detection, and phash connected components.
+  */
+class Round10OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("text_line_dedup matches a whole-corpus brute-force recompute") {
+    // Independent recompute on the driver: normalize exactly as
+    // Text.normTerm does, cut non-overlapping 3-token lines, count
+    // distinct-doc frequency, threshold at 3.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val linesPerDoc = docs.map { case (id, text) =>
+      val toks = text.trim.replaceAll("\\s+", " ").toLowerCase.split(" ")
+      id -> toks.grouped(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    }.toMap
+    val df = linesPerDoc.toSeq
+      .flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.size }
+    val want = linesPerDoc.collect { case (id, ls) if ls.nonEmpty =>
+      val nBoiler = ls.count(l => df(l) >= 3)
+      id -> ((ls.size.toLong, nBoiler.toLong,
+        (ls.size - nBoiler).toLong * 1000000L / ls.size))
+    }.toMap
+
+    val got = SparkEntry.queries("text_line_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want, "line-dedup drift vs brute force")
+    // Both arms live: some boilerplate exists, and not everything is.
+    assert(got.values.exists(_._2 > 0), "no boilerplate line found — dead arm")
+    assert(got.values.exists(_._2 == 0), "every doc boilerplate — dead arm")
+  }
+
+  test("profile_token_budget is internally consistent") {
+    val rows = SparkEntry.queries("profile_token_budget")(spark, sf).collect()
+    assert(rows.length >= 2, "expected multiple languages")
+    val tokens = rows.map(_.getLong(2))
+    val total = tokens.sum
+    rows.foreach { r =>
+      val (t, share, epochs) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(share == t * 1000000L / total, s"share_ppm drift for ${r.getString(0)}")
+      assert(epochs == (total / 2) * 100L / t, s"epochs_x100 drift for ${r.getString(0)}")
+    }
+    // Floor-division shares under-count by at most one ppm per row.
+    assert(tokens.indices.map(i => tokens(i) * 1000000L / total).sum
+      > 1000000L - rows.length)
+  }
+
+  test("web_path_template: templates are digit-free and both trap arms live") {
+    val rows = SparkEntry.queries("web_path_template")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tpl = r.getString(1)
+      assert(!tpl.exists(_.isDigit), s"template retains digits: $tpl")
+      assert(r.getLong(3) <= r.getLong(2), "n_pages must not exceed n_docs")
+    }
+    val traps = rows.filter(_.getBoolean(5))
+    val clean = rows.filterNot(_.getBoolean(5))
+    assert(traps.nonEmpty, "no trap template flagged — dead arm")
+    assert(clean.nonEmpty, "every template flagged — dead arm")
+    // The parameterized item family is the trap; static pages are not.
+    assert(traps.forall(_.getString(1).contains("/item-N")))
+    assert(clean.forall(r =>
+      r.getString(1) == "/about" || r.getString(1) == "/contact"))
+  }
+
+  test("multimodal_phash_clusters equals union-find over the verified pairs") {
+    val pairs = SparkEntry.queries("multimodal_phash_pairs")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(pairs.nonEmpty, "phash pair graph empty — nothing to cluster")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = nodes.map(n => n -> find(n)).toMap
+    val got = SparkEntry.queries("multimodal_phash_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "phash CC labels drift vs union-find")
+    // Labels are component minima, so every cluster id labels itself.
+    assert(got.filter { case (id, c) => id == c }.keySet == got.values.toSet)
+  }
+}
