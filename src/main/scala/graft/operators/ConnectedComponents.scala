@@ -62,9 +62,84 @@ object ConnectedComponents {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist()
+    // Size the LOOP's shuffle width to the graph, not the session
+    // default: an iterative job re-pays fixed per-stage latency every
+    // round × every shuffle, so a long-diameter graph (log2(diam)
+    // rounds of 4 shuffles each) over few edges drowns in scheduling
+    // at the session's width — the same right-sizing AQE applies to
+    // one-shot plans, done once here for the whole loop (AQE cannot
+    // see across localCheckpoint'd rounds). Never raised ABOVE the
+    // session conf: a 10^12-edge graph keeps the cluster's width.
+    val spark = pairs.sparkSession
+    val confKey = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(confKey)
+    val loopWidth = math.max(1L,
+      math.min(saved.toLong, edges.count() / EdgesPerPartition + 1))
+    spark.conf.set(confKey, loopWidth.toString)
+    try clustersLoop(edges, loopWidth.toInt, maxRounds)
+    finally spark.conf.set(confKey, saved)
+  }
+
+  /** Edges per shuffle partition in the iterative loops: ~16 bytes per
+    * (src, dst) row puts this at the standard 64-256 MB partition
+    * target.
+    */
+  private val EdgesPerPartition = 4000000L
+
+  /** Partition-local union-find seed labels — the two-phase CC
+    * contraction: each partition solves its OWN subgraph exactly in one
+    * imperative pass (union by min, path compression), so the
+    * distributed rounds that follow only have to bridge
+    * CROSS-partition chains. A path that never leaves its partition
+    * costs zero rounds; the worst case drops from log2(graph diameter)
+    * to log2(cross-partition diameter). This is the one place the
+    * engine runs per-partition imperative logic — the standard
+    * large-graph CC trick (partition-local contraction before the
+    * message rounds), impossible to express relationally without
+    * paying the rounds it exists to avoid.
+    *
+    * Invariants the propagate+shortcut loop needs still hold: every
+    * seed label is an in-component node id (the local component's
+    * minimum), and label(x) <= x. A node split across partitions gets
+    * the min of its local roots. Node ids must be integral (every
+    * caller keys on long ids).
+    */
+  private def localSeed(edges: DataFrame, loopWidth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.coalesce(math.max(1, loopWidth))
+      .select(col("src").cast("long").as("_1"),
+        col("dst").cast("long").as("_2"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        parent.keysIterator.map(k => (k, find(k)))
+      }
+      .toDF("id", "label")
+      .groupBy("id").agg(min(col("label")).as("label"))
+  }
+
+  private def clustersLoop(edges: DataFrame, loopWidth: Int,
+      maxRounds: Int): (DataFrame, Int, Boolean) = {
+    var labels = localSeed(edges, loopWidth).persist()
     var converged = false
     var rounds = 0
     // The checkpointed RDD backing the previous round's labels frame.
@@ -179,7 +254,15 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true))
     var converged = false
     var rounds = 0
-    while (!converged && rounds < maxRounds) {
+    // Same loop-scoped shuffle right-sizing as [[clustersDetailed]]:
+    // never above the session conf, ~4M edges per partition below it.
+    val spark = pairs.sparkSession
+    val confKey = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(confKey)
+    val loopWidth = math.max(1L,
+      math.min(saved.toLong, edges.count() / EdgesPerPartition + 1))
+    spark.conf.set(confKey, loopWidth.toString)
+    try while (!converged && rounds < maxRounds) {
       val ls = phase(edges, large = true)
       val next = phase(ls, large = false)
       // Sound fixpoint probe: the canonical edge sets are equal. Counts
@@ -191,7 +274,7 @@ object ConnectedComponents {
         .foreach(_.unpersist(blocking = false))
       edges = swap(next)
       rounds += 1
-    }
+    } finally spark.conf.set(confKey, saved)
     val roots = edges.groupBy(col("v").as("id")).agg(min("u").as("root"))
     val labels = nodes.join(roots, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))

@@ -1131,5 +1131,52 @@ object Health {
         SELECT r.doc_id, r.lang, CAST(r.rn AS INT) AS rn FROM ranked r CROSS JOIN m
         WHERE r.rn <= m.m ORDER BY r.doc_id"""),
     ),
+
+    QDef("pipeline_snapshot_diff",
+      // Dataset-versioning diff — profile_content_digest's counterpart
+      // when the digests DISAGREE and you need to know why: two corpus
+      // snapshots (synthesized deterministically: v1 drops ids
+      // ≡3 mod 17, v2 drops ids ≡7 mod 19 and mutates text on ids
+      // ≡5 mod 13, so added/removed/changed/unchanged are ALL live at
+      // every SF) compared by per-row content digest, reported as
+      // per-source status counts. The full-outer join keys on doc_id —
+      // the sort-merge (or bucket-colocated) shape at scale — and
+      // compares 32-char digests computed in the scan projection, never
+      // full text; the status aggregate's key space is sources × 4.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val v1 = docs.filter(col("doc_id") % 17 =!= 3)
+          .select(col("doc_id"), col("source").as("src1"),
+            md5(col("text")).as("d1"))
+        val v2 = docs.filter(col("doc_id") % 19 =!= 7)
+          .select(col("doc_id"), col("source").as("src2"),
+            md5(when(col("doc_id") % 13 === 5, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("d2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("src1"), col("src2")).as("source"),
+            when(col("d1").isNull, "added")
+              .when(col("d2").isNull, "removed")
+              .when(col("d1") =!= col("d2"), "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy("source", "status")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("source", "status")
+      },
+      Some("""WITH v1 AS (
+          SELECT doc_id, source AS src1, md5(text) AS d1
+          FROM documents WHERE doc_id % 17 <> 3),
+        v2 AS (
+          SELECT doc_id, source AS src2,
+                 md5(CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END) AS d2
+          FROM documents WHERE doc_id % 19 <> 7),
+        j AS (
+          SELECT coalesce(src1, src2) AS source,
+                 CASE WHEN d1 IS NULL THEN 'added'
+                      WHEN d2 IS NULL THEN 'removed'
+                      WHEN d1 <> d2 THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        SELECT source, status, count(*) AS n FROM j
+        GROUP BY source, status ORDER BY source, status""")),
   )
 }

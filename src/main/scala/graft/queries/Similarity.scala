@@ -514,6 +514,63 @@ object Similarity {
         SELECT q_id, rank, vec_id, cos FROM rk WHERE rank <= $K
         ORDER BY q_id, rank""")),
 
+    QDef("join_knn_classify",
+      // Weak labeling by kNN majority vote — the semi-supervised
+      // annotation pass a labeling pipeline runs to extend a small
+      // labeled set: probe vectors (treated as unlabeled) take the
+      // majority label of their cosine top-K labeled neighbours, ties
+      // broken toward the smallest label id. The probe set is the
+      // bounded broadcast side (1-in-100 ids); the labeled base
+      // STREAMS — O(q·n), embarrassingly parallel over the big side,
+      // and at real scale the brute-force scoring swaps for the LSH
+      // bucket index (join_knn_rescored) with this vote stage
+      // unchanged. Cosines go through rx(6) before ranking (engine-
+      // exact), votes and both rank windows are integer-deterministic.
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val probes = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"), col("label").as("true_label"))
+        val base = e.filter(col("vec_id") % 100 =!= 0)
+        val wTop = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val wVote = Window.partitionBy("q_id")
+          .orderBy(col("votes").desc, col("label").asc)
+        broadcast(probes).join(base, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= K)
+          .groupBy("q_id", "true_label", "label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("r", row_number().over(wVote))
+          .filter(col("r") === 1)
+          .select(col("q_id").as("vec_id"),
+            col("label").cast("long").as("pred_label"),
+            col("votes"),
+            col("true_label").cast("long").as("true_label"),
+            (col("label") === col("true_label")).as("correct"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH pairs AS (
+          SELECT q.vec_id AS q_id, q.label AS true_label,
+                 e.vec_id AS vec_id, e.label AS label,
+                 ${rxSql(cosSql("q", "e"), 6)} AS cos
+          FROM embeddings q JOIN embeddings e
+            ON q.vec_id % 100 = 0 AND e.vec_id % 100 <> 0),
+        rk AS (SELECT q_id, true_label, vec_id, label, cos,
+                      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+               FROM pairs),
+        votes AS (SELECT q_id, true_label, label, count(*) AS votes
+                  FROM rk WHERE rank <= $K GROUP BY q_id, true_label, label),
+        win AS (SELECT q_id, true_label, label, votes,
+                       row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS r
+                FROM votes)
+        SELECT q_id AS vec_id, CAST(label AS BIGINT) AS pred_label, votes,
+               CAST(true_label AS BIGINT) AS true_label,
+               (label = true_label) AS correct
+        FROM win WHERE r = 1 ORDER BY vec_id""")),
+
     QDef("sim_int8_quantized",
       // INT8-quantized similarity serving: per-vector symmetric
       // quantization q_i = floor(x_i · (127/max|x_i|) + 0.5), then ALL

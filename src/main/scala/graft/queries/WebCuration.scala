@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -164,6 +165,19 @@ object WebCuration {
 
   private val hostileValuesSql = HostileUrls
     .map { case (i, u) => s"($i, '$u')" }.mkString(", ")
+
+  /** The crawl-policy rule set for web_robots_policy: (host group,
+    * path prefix, allow). '*' is the default group; a host with its
+    * own group (src4) uses only that group — real REP group selection.
+    * The '/docs/3 allow under /docs disallow' pair exercises the
+    * longest-prefix override, so allowed and blocked docs both exist
+    * in every group at every SF.
+    */
+  private val RobotsRules: Seq[(String, String, Boolean)] = Seq(
+    ("*", "/", true),
+    ("*", "/docs", false),
+    ("*", "/docs/3", true),
+    ("src4.example.com", "/", false))
 
   val all: Seq[QDef] = Seq(
 
@@ -329,6 +343,79 @@ object WebCuration {
         |SELECT host, template, count(*) AS n_docs,
         |       count(DISTINCT path) AS n_pages, min(path) AS sample_path,
         |       (count(DISTINCT path) >= 10) AS trap
-        |FROM tpl GROUP BY host, template ORDER BY host, template""".stripMargin))
+        |FROM tpl GROUP BY host, template ORDER BY host, template""".stripMargin)),
+
+    QDef("web_robots_policy",
+      // robots.txt-style crawl policy applied at corpus scale, with the
+      // REAL group-selection semantics: a host that has its own rule
+      // group uses ONLY that group, every other host falls to the '*'
+      // group; within the selected group the longest-prefix rule wins,
+      // allow beating disallow on a length tie (the published
+      // Google/REP tie-break). The scale shape mirrors the blocklist
+      // filter: each path explodes into its bounded prefix set (one per
+      // segment), a broadcast equi join on (group, prefix) finds
+      // applicable rules — never a per-row LIKE over the rule set — and
+      // one per-doc window picks the winner. Survives a million-rule
+      // policy: the join is hash-partitioned on the rule key, the
+      // explode is bounded by path depth.
+      (s, dir) => {
+        import s.implicits._
+        val rules = RobotsRules
+          .map { case (h, p, a) => (h, p, a, p.length) }
+          .toDF("r_host", "r_prefix", "allow", "spec")
+        val ownHosts = RobotsRules.map(_._1).filter(_ != "*").distinct
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("spec").desc, col("allow").desc, col("r_prefix"))
+        canon(s, dir)
+          .withColumn("path0",
+            regexp_extract(col("canonical"), "^https://[^/]+(/[^?]*)", 1))
+          .withColumn("path",
+            when(col("path0") === "", lit("/")).otherwise(col("path0")))
+          .withColumn("grp",
+            when(col("host").isin(ownHosts: _*), col("host")).otherwise(lit("*")))
+          .withColumn("parts", split(col("path"), "/"))
+          .withColumn("prefix", explode(concat(array(lit("/")), expr(
+            "transform(sequence(1, size(parts) - 1), i -> concat('/', array_join(slice(parts, 2, i), '/')))"))))
+          .join(broadcast(rules),
+            col("grp") === col("r_host") && col("prefix") === col("r_prefix"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("host"), col("path"),
+            col("r_prefix").as("matched_prefix"), col("allow").as("allowed"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val valuesSql = RobotsRules
+          .map { case (h, p, a) => s"('$h', '$p', $a, ${p.length})" }
+          .mkString(", ")
+        val ownSql = RobotsRules.map(_._1).filter(_ != "*").distinct
+          .map(h => s"'$h'").mkString(", ")
+        s"""$urlsCte, rules AS (
+        |  SELECT * FROM (VALUES $valuesSql) r(r_host, r_prefix, allow, spec)
+        |), u AS (
+        |  SELECT doc_id, host,
+        |         CASE WHEN regexp_extract(canonical, '^https://[^/]+(/[^?]*)', 1) = ''
+        |              THEN '/'
+        |              ELSE regexp_extract(canonical, '^https://[^/]+(/[^?]*)', 1) END AS path
+        |  FROM urls
+        |), g AS (
+        |  SELECT *, CASE WHEN host IN ($ownSql) THEN host ELSE '*' END AS grp,
+        |         string_split(path, '/') AS parts
+        |  FROM u
+        |), pfx AS (
+        |  SELECT doc_id, host, path, grp,
+        |         unnest(list_concat(['/'], list_transform(range(1, len(parts)),
+        |           i -> '/' || array_to_string(parts[2:i+1], '/')))) AS prefix
+        |  FROM g
+        |), m AS (
+        |  SELECT p.doc_id, p.host, p.path, r.r_prefix, r.allow,
+        |         row_number() OVER (PARTITION BY p.doc_id
+        |           ORDER BY r.spec DESC, r.allow DESC, r.r_prefix) AS rn
+        |  FROM pfx p JOIN rules r ON p.grp = r.r_host AND p.prefix = r.r_prefix
+        |)
+        |SELECT doc_id, host, path, r_prefix AS matched_prefix, allow AS allowed
+        |FROM m WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      })
   )
+
 }

@@ -94,4 +94,67 @@ class Round10OpsSpec extends AnyFunSuite {
     // Labels are component minima, so every cluster id labels itself.
     assert(got.filter { case (id, c) => id == c }.keySet == got.values.toSet)
   }
+
+  test("join_knn_classify matches a brute-force vote and hits both arms") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        (r.getLong(0), v, r.getInt(2))
+      }
+    def rx6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.indices.map(i => a(i) * a(i)).sum) *
+        math.sqrt(b.indices.map(i => b(i) * b(i)).sum))
+    }
+    val probes = e.filter(_._1 % 100 == 0)
+    val base = e.filter(_._1 % 100 != 0)
+    val want = probes.map { case (qid, qv, tl) =>
+      val top = base.map { case (id, v, l) => (rx6(cos(qv, v)), id, l) }
+        .sortBy { case (c, id, _) => (-c, id) }.take(5)
+      val (label, votes) = top.groupBy(_._3).map { case (l, xs) => (l, xs.size) }
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head
+      qid -> ((label.toLong, votes.toLong, tl.toLong, label == tl))
+    }.toMap
+    val got = SparkEntry.queries("join_knn_classify")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got == want, s"knn vote drift:\n got=$got\nwant=$want")
+    assert(got.nonEmpty)
+  }
+
+  test("pipeline_snapshot_diff: all four statuses live, counts partition the union") {
+    val rows = SparkEntry.queries("pipeline_snapshot_diff")(spark, sf).collect()
+    val byStatus = rows.groupBy(_.getString(1))
+      .map { case (st, rs) => st -> rs.map(_.getLong(2)).sum }
+    assert(byStatus.keySet == Set("added", "removed", "changed", "unchanged"),
+      s"missing diff arm: $byStatus")
+    // The diff partitions v1 ∪ v2 exactly.
+    val n = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("count(*) n", "sum(if(doc_id % 17 = 3 and doc_id % 19 = 7, 1, 0)) both_gone")
+      .collect().head
+    assert(byStatus.values.sum == n.getLong(0) - n.getLong(1))
+  }
+
+  test("web_robots_policy: group selection, longest prefix, section override") {
+    val rows = SparkEntry.queries("web_robots_policy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, host, path, pfx, allowed) =>
+      if (host == "src4.example.com") {
+        // Own rule group: the '*' rules (incl. the /docs/3 allow) must
+        // not apply — everything on this host is blocked at prefix '/'.
+        assert(!allowed && pfx == "/", s"doc $id on src4 not blocked by its group")
+      } else if (path.startsWith("/docs/3") && !path.startsWith("/docs/3/")) {
+        assert(allowed && pfx == "/docs/3", s"doc $id section-3 override lost")
+      } else if (path.startsWith("/docs")) {
+        assert(!allowed && pfx == "/docs", s"doc $id /docs not disallowed")
+      } else {
+        assert(allowed, s"doc $id default-allow lost")
+      }
+    }
+    assert(rows.exists(_._5) && rows.exists(!_._5), "one-armed policy")
+  }
 }
