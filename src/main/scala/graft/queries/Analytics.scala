@@ -501,6 +501,79 @@ object Analytics {
           SELECT node_id, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node_id""")
       }),
 
+    QDef("graph_label_propagation",
+      // Community detection by synchronous label propagation (LPA,
+      // Raghavan et al.): label(u) starts as u, each round every node
+      // takes the most frequent label among its neighbours, ties to the
+      // SMALLEST label — the modularity-free community pass a graph
+      // curation pipeline runs when Louvain is too expensive. Exactly 3
+      // synchronous rounds, not convergence: sync LPA can oscillate on
+      // bipartite graphs (this one is part<->supplier), so production
+      // variants go async/semi-sync — the fixed-round sync form is the
+      // deterministic, oracle-replayable choice, and the per-round plan
+      // (one equi join on the edge dst + one count aggregate + one
+      // tie-broken window) is identical either way. Reuses the staged
+      // pagerank edge set; one shuffle pair per round, cost linear in
+      // edges, labels carried as a node-sized table like pagerank's
+      // ranks.
+      (s, dir) => {
+        val ew = graft.pipeline.Staged(s, dir, "pagerank_edges") {
+          val po = t(s, dir, "lineitem")
+            .select(col("l_partkey").as("src"),
+              (col("l_suppkey") + 1000000L).as("dst"))
+            .distinct()
+          val sym = po.union(po.select(col("dst").as("src"), col("src").as("dst")))
+          val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+          sym.join(deg, "src")
+        }
+        var labels = ew.select(col("src").as("node_id")).distinct()
+          .withColumn("lbl", col("node_id"))
+        val w = Window.partitionBy("node_id")
+          .orderBy(col("n").desc, col("lbl").asc)
+        for (_ <- 1 to 3) {
+          // USING-column joins for the same ambiguous-self-join reason
+          // as pagerank; single reference to the previous labels per
+          // round, so no per-round checkpoint is needed (the pagerank
+          // rule, not the bfs one).
+          labels = ew.join(labels.withColumnRenamed("node_id", "dst"), "dst")
+            .groupBy(col("src").as("node_id"), col("lbl"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("r", row_number().over(w))
+            .filter(col("r") === 1)
+            .select(col("node_id"), col("lbl"))
+        }
+        val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+        labels.join(sizes, "lbl")
+          .select(col("node_id"), col("lbl").as("community"),
+            col("community_size"))
+          .orderBy("node_id")
+      }, {
+        val rounds = (1 to 3).map { i =>
+          s"""c$i AS (
+              SELECT e.src AS node_id, l${i - 1}.lbl, count(*) AS n
+              FROM e JOIN l${i - 1} ON l${i - 1}.node_id = e.dst
+              GROUP BY e.src, l${i - 1}.lbl),
+            l$i AS (
+              SELECT node_id, lbl FROM (
+                SELECT node_id, lbl,
+                       row_number() OVER (PARTITION BY node_id
+                         ORDER BY n DESC, lbl) AS r
+                FROM c$i)
+              WHERE r = 1)"""
+        }.mkString(",\n")
+        Some(s"""WITH e0 AS (
+            SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+            FROM lineitem),
+          e AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          l0 AS (SELECT DISTINCT src AS node_id, src AS lbl FROM e),
+          $rounds,
+          sizes AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl)
+          SELECT l3.node_id, l3.lbl AS community,
+                 CAST(sizes.community_size AS BIGINT) AS community_size
+          FROM l3 JOIN sizes USING (lbl) ORDER BY node_id""")
+      }),
+
     QDef("graph_bfs_distance",
       // Multi-source BFS (hop distance from a seed set) over the same
       // symmetric part<->supplier graph — the reachability primitive

@@ -95,6 +95,22 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got.filter { case (id, c) => id == c }.keySet == got.values.toSet)
   }
 
+  test("graph_label_propagation: labels are node ids, communities form") {
+    val rows = SparkEntry.queries("graph_label_propagation")(spark, sf).collect()
+    val nodes = rows.map(_.getLong(0)).toSet
+    val communities = rows.map(_.getLong(1)).toSet
+    // Every community label is itself a node (labels only ever take
+    // node-id values), and propagation actually merged some nodes.
+    assert(communities.subsetOf(nodes), "LPA label outside the node set")
+    assert(communities.size < nodes.size, "no community ever merged")
+    // community_size is consistent with the label column.
+    val byLbl = rows.groupBy(_.getLong(1))
+    rows.foreach { r =>
+      assert(r.getLong(2) == byLbl(r.getLong(1)).length.toLong,
+        s"community_size drift for label ${r.getLong(1)}")
+    }
+  }
+
   test("join_knn_classify matches a brute-force vote and hits both arms") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .collect().map { r =>
