@@ -355,6 +355,60 @@ object Curation {
         FROM drawn d JOIN rates USING (lang)
         WHERE u < rate_bp ORDER BY doc_id""")),
 
+    QDef("sample_mixture_epochs",
+      // The per-doc UPSAMPLING PLAN that operationalizes the token
+      // budget (profile_token_budget's consumer): each language's x100
+      // repetition factor against a half-corpus budget, capped at 3
+      // epochs (the data-repeat ceiling the repeated-data literature
+      // puts at ~4 before returns collapse; the corpus's own shares
+      // put every non-dominant language above it), becomes per-doc copy
+      // counts — every doc gets floor(epochs) copies and the
+      // fractional remainder is realized by a salted-hash draw, so the
+      // realized language token mass converges to the budget share
+      // without any randomness or coordination. This is the table a
+      // training dataloader materializes shards from. Pure integers;
+      // the 5-row rate dim broadcasts; one narrow scan, shuffle-free.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val per = docs
+          .select(col("lang"), size(Text.tokens(Text.normTerm(col("text"))))
+            .cast("long").as("ntok"))
+          .groupBy("lang").agg(sum("ntok").as("tokens"))
+        val tot = per.agg(sum("tokens").as("total_tokens"))
+        val rates = per.crossJoin(broadcast(tot))
+          .select(col("lang"),
+            least(expr("((total_tokens div 2) * 100) div tokens"), lit(300L))
+              .as("epochs_x100"))
+        docs
+          .withColumn("draw", pmod(
+            Text.md5Hash32(concat(lit("ep:"), col("doc_id").cast("string"))),
+            lit(100L)))
+          .join(broadcast(rates), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("epochs_x100"),
+            (expr("epochs_x100 div 100")
+              + when(col("draw") < col("epochs_x100") % 100, 1L).otherwise(0L))
+              .as("n_copies"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH per AS (
+          SELECT lang,
+            CAST(sum(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS BIGINT) AS tokens
+          FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per),
+        rates AS (
+          SELECT lang,
+            least(((total_tokens // 2) * 100) // tokens, 300) AS epochs_x100
+          FROM per CROSS JOIN tot),
+        drawn AS (
+          SELECT doc_id, lang,
+            CAST(('0x' || substr(md5('ep:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS draw
+          FROM documents)
+        SELECT doc_id, d.lang, CAST(epochs_x100 AS BIGINT) AS epochs_x100,
+               CAST(epochs_x100 // 100
+                 + CASE WHEN draw < epochs_x100 % 100 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM drawn d JOIN rates USING (lang)
+        ORDER BY doc_id""")),
+
     QDef("text_lm_score",
       // Corpus-trained bigram language-model fluency score — the
       // KenLM-shaped quality signal curation pipelines threshold on,

@@ -201,4 +201,41 @@ class PlanShapeSpec extends AnyFunSuite {
         _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
       "deletion-neighborhood matching must stay an equi join")
   }
+
+  test("web_robots_policy rule matching is a broadcast equi join, never a LIKE loop") {
+    val df = SparkEntry.queries("web_robots_policy")(spark, sf)
+    df.collect()
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "rule lookup must be a broadcast hash join on (group, prefix)")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "rule matching must never degrade to a nested loop over the rules")
+  }
+
+  test("pipeline_snapshot_diff keys the full outer on doc_id, no cartesian") {
+    val df = SparkEntry.queries("pipeline_snapshot_diff")(spark, sf)
+    df.collect()
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "snapshot diff must stay a keyed join")
+  }
+
+  test("text_line_dedup stages the line stream: documents scanned at most once") {
+    // Same discipline as dedup_chunk_exact: the line explode feeds both
+    // the DF aggregate and the join-back probe, so it must come from
+    // the one staged artifact, never two corpus scans.
+    val df = SparkEntry.queries("text_line_dedup")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
+    val docScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => f
+    }
+    assert(docScans.size <= 1,
+      s"line stream must be staged — found ${docScans.size} documents scans")
+  }
 }

@@ -95,6 +95,28 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got.filter { case (id, c) => id == c }.keySet == got.values.toSet)
   }
 
+  test("sample_mixture_epochs realizes the budget rates exactly") {
+    val rows = SparkEntry.queries("sample_mixture_epochs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // Replay the salted draw and check every copy count in closed form.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (id, _, ep, copies) =>
+      val hex = md.digest(s"ep:$id".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      val draw = java.lang.Long.parseLong(hex, 16) % 100
+      val want = ep / 100 + (if (draw < ep % 100) 1L else 0L)
+      assert(copies == want, s"doc $id: n_copies $copies != $want")
+      assert(ep <= 300L, s"doc $id escaped the 3-epoch cap")
+    }
+    // Both regimes live: a capped language (uniform 3 copies) and an
+    // uncapped one whose fractional remainder splits its docs.
+    val byLang = rows.groupBy(_._2)
+    assert(byLang.values.exists(_.forall(_._4 == 3L)), "no language at the cap")
+    assert(byLang.values.exists(rs => rs.map(_._4).distinct.size > 1),
+      "no language realizes a fractional epoch")
+  }
+
   test("graph_label_propagation: labels are node ids, communities form") {
     val rows = SparkEntry.queries("graph_label_propagation")(spark, sf).collect()
     val nodes = rows.map(_.getLong(0)).toSet
