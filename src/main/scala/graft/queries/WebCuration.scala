@@ -351,7 +351,7 @@ object WebCuration {
       // group uses ONLY that group, every other host falls to the '*'
       // group; within the selected group the longest-prefix rule wins,
       // allow beating disallow on a length tie (the published
-      // Google/REP tie-break). The scale shape mirrors the blocklist
+      // RFC 9309 tie-break). The scale shape mirrors the blocklist
       // filter: each path explodes into its bounded prefix set (one per
       // segment), a broadcast equi join on (group, prefix) finds
       // applicable rules — never a per-row LIKE over the rule set — and
