@@ -224,6 +224,30 @@ class PlanShapeSpec extends AnyFunSuite {
       "snapshot diff must stay a keyed join")
   }
 
+  test("join_knn_classify broadcasts the bounded probe side") {
+    // The intended shape IS a broadcast nested loop (the probe side is
+    // the bounded 1-in-100 sample; every base row must be scored) —
+    // what must never happen is a shuffled cartesian of the two sides.
+    val df = SparkEntry.queries("join_knn_classify")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "probe scoring must broadcast the bounded probe side")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "probe scoring must never plan a shuffled cartesian")
+  }
+
+  test("sample_mixture_epochs attaches rates by broadcast, scan stays shuffle-free") {
+    val df = SparkEntry.queries("sample_mixture_epochs")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the 5-row rate dim must attach via broadcast hash join")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "the mixture plan must never plan a cartesian")
+  }
+
   test("text_line_dedup stages the line stream: documents scanned at most once") {
     // Same discipline as dedup_chunk_exact: the line explode feeds both
     // the DF aggregate and the join-back probe, so it must come from
