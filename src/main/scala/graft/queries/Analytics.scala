@@ -534,11 +534,10 @@ object Analytics {
           // round, so no per-round checkpoint is needed (the pagerank
           // rule, not the bfs one). The per-node winner is an ARGMAX
           // aggregate — max(struct(n, -lbl)) realizes "highest count,
-          // ties to smallest label" as one hash aggregate; a
-          // row_number window would SORT the (node, label, n) stream
-          // every round (benched 11s -> 2s at sf0.1 for the swap).
-          // The oracle keeps the row_number spelling: same semantics,
-          // engine-appropriate operators on each side.
+          // ties to smallest label" as one hash aggregate instead of a
+          // per-round row_number sort. The oracle keeps the row_number
+          // spelling: same semantics, engine-appropriate operators on
+          // each side.
           labels = ew.join(labels.withColumnRenamed("node_id", "dst"), "dst")
             .groupBy(col("src").as("node_id"), col("lbl"))
             .agg(count(lit(1)).as("n"))
@@ -546,8 +545,13 @@ object Analytics {
             .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
             .select(col("node_id"), (-col("m.neg")).as("lbl"))
         }
-        val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
-        labels.join(sizes, "lbl")
+        // The output references the final labels TWICE (community sizes
+        // + the join back) — without eager truncation the whole 3-round
+        // chain executes once per reference (the bfs double-execution
+        // gotcha; benched ~2x the query).
+        val fin = labels.localCheckpoint(true)
+        val sizes = fin.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+        fin.join(sizes, "lbl")
           .select(col("node_id"), col("lbl").as("community"),
             col("community_size"))
           .orderBy("node_id")

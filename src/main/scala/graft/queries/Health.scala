@@ -1178,5 +1178,47 @@ object Health {
           FROM v1 FULL OUTER JOIN v2 USING (doc_id))
         SELECT source, status, count(*) AS n FROM j
         GROUP BY source, status ORDER BY source, status""")),
+
+    QDef("win_seasonal_baseline",
+      // Seasonality-adjusted anomaly detection — win_anomaly_mad's
+      // counterpart when the signal has a KNOWN period: each
+      // (event_type, date, hour) bucket compares against its
+      // hour-of-day baseline across all days (the diurnal profile), and
+      // flags buckets above 1.5x their seasonal mean. The comparison is
+      // pure integers — cnt·n_days·100 > total·150 is exactly
+      // cnt > 1.5·mean with no division — so the flag is bit-identical
+      // in any engine and under any partitioning. Two map-side-combined
+      // aggregates (bucket counts, then the 24·types baseline) + one
+      // equi join back; the baseline side is dimension-sized and
+      // broadcasts.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("d"),
+            hour(col("ts")).as("h"))
+        val cnts = ev.groupBy("event_type", "d", "h")
+          .agg(count(lit(1)).as("cnt"))
+        val base = cnts.groupBy("event_type", "h")
+          .agg(sum("cnt").as("tot"), count(lit(1)).as("n_days"))
+        cnts.join(broadcast(base), Seq("event_type", "h"))
+          .select(col("event_type"), col("d"), col("h").cast("long").as("h"),
+            col("cnt"), col("tot"), col("n_days"),
+            (col("cnt") * col("n_days") * 100 > col("tot") * 150).as("anomaly"))
+          .orderBy("event_type", "d", "h")
+      },
+      Some("""WITH e AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 hour(CAST(ts AS TIMESTAMP)) AS h
+          FROM events),
+        c AS (
+          SELECT event_type, d, h, count(*) AS cnt
+          FROM e GROUP BY event_type, d, h),
+        b AS (
+          SELECT event_type, h, CAST(sum(cnt) AS BIGINT) AS tot,
+                 count(*) AS n_days
+          FROM c GROUP BY event_type, h)
+        SELECT event_type, d, CAST(h AS BIGINT) AS h, cnt, tot, n_days,
+               (cnt * n_days * 100 > tot * 150) AS anomaly
+        FROM c JOIN b USING (event_type, h)
+        ORDER BY event_type, d, h""")),
   )
 }
