@@ -526,6 +526,18 @@ object Analytics {
           val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
           sym.join(deg, "src")
         }
+        // Pre-partition AND pre-sort the static edge side on the join
+        // key ONCE (memoized persist keeps the ordering in the cached
+        // plan): every round's sort-merge join against the fact-sized
+        // label table then reuses the exchange and the sort instead of
+        // re-shuffling+re-sorting the edges per round — the standard
+        // iterated-join discipline (sort once, join k times), and the
+        // label side stays a shuffle (it is fact-sized at 100 TB, never
+        // a broadcast).
+        val ewd = graft.pipeline.Staged(s, dir, "lpa_edges_bydst") {
+          ew.select(col("src"), col("dst"))
+            .repartition(col("dst")).sortWithinPartitions("dst")
+        }
         var labels = ew.select(col("src").as("node_id")).distinct()
           .withColumn("lbl", col("node_id"))
         for (_ <- 1 to 3) {
@@ -538,7 +550,7 @@ object Analytics {
           // per-round row_number sort. The oracle keeps the row_number
           // spelling: same semantics, engine-appropriate operators on
           // each side.
-          labels = ew.join(labels.withColumnRenamed("node_id", "dst"), "dst")
+          labels = ewd.join(labels.withColumnRenamed("node_id", "dst"), "dst")
             .groupBy(col("src").as("node_id"), col("lbl"))
             .agg(count(lit(1)).as("n"))
             .groupBy("node_id")

@@ -1206,7 +1206,7 @@ object Health {
           .orderBy("event_type", "d", "h")
       },
       Some("""WITH e AS (
-          SELECT event_type, CAST(ts AS DATE) AS d,
+          SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
                  hour(CAST(ts AS TIMESTAMP)) AS h
           FROM events),
         c AS (
