@@ -47,7 +47,13 @@ object Bench {
       "sim_ann_pq", "graph_triangle_count", "dedup_substring",
       "text_lm_score", "scan_dsv2_skipping", "agg_kmv_sketch",
       "pipeline_nested_enrich", "sim_graph_route", "sample_importance_dsir",
-      "dedup_span_exact", "sim_bitext_margin")
+      "dedup_span_exact", "sim_bitext_margin",
+      // Round-10 staged families: chunk fingerprints, line keys, phash
+      // signatures then the CC labels keyed on them (pairs BEFORE
+      // clusters), and LPA's sorted edge copy.
+      "dedup_chunk_exact", "text_line_dedup",
+      "multimodal_phash_pairs", "multimodal_phash_clusters",
+      "graph_label_propagation")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     val stagerSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
