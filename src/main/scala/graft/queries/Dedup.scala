@@ -631,6 +631,58 @@ object Dedup {
         WHERE len(list_intersect(c.ss, e.ss)) >= 5
         ORDER BY c.doc_id, eval_id""")),
 
+    QDef("text_canary_scan",
+      // Literal-substring memorization probe — dedup_decontaminate's
+      // counterpart at the string level: each eval-set document
+      // contributes a canary needle (its first 3-token prefix), plus
+      // two PLANTED canaries that exist nowhere in the corpus (the
+      // unique-string tracer a leak audit seeds a dataset with), and
+      // the training split is scanned for literal containment. Reports
+      // per needle the hit count and first hitting doc (-1 = clean) —
+      // zero-hit needles are the audit's success arm, hit needles its
+      // finding. The bounded needle set BROADCASTS and the corpus
+      // streams ONCE through a codegen'd per-row contains; at a
+      // million needles the kernel swaps for an Aho-Corasick
+      // mapPartitions pass or decontaminate's n-gram equi-join — the
+      // report shape stays.
+      (s, dir) => {
+        import s.implicits._
+        val nt = t(s, dir, "documents")
+          .select(col("doc_id"), Text.normTerm(col("text")).as("tnorm"))
+        val real = nt.filter(col("doc_id") % 25 === 7)
+          .select(col("doc_id").as("src_doc"),
+            array_join(slice(Text.tokens(col("tnorm")), 1, 3), " ").as("needle"))
+        val planted = Seq((-1L, "canary eaf3 planted"),
+          (-2L, "canary 77b2 planted")).toDF("src_doc", "needle")
+        val train = nt.filter(col("doc_id") % 25 =!= 7)
+        broadcast(real.unionByName(planted))
+          .join(train, col("tnorm").contains(col("needle")), "left")
+          .groupBy("src_doc", "needle")
+          .agg(sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)).as("hits"),
+            coalesce(min("doc_id"), lit(-1L)).as("first_hit"))
+          .orderBy("src_doc")
+      },
+      Some("""WITH nt AS (
+          SELECT doc_id,
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tnorm
+          FROM documents),
+        rl AS (
+          SELECT doc_id AS src_doc,
+                 array_to_string((string_split(tnorm, ' '))[1:3], ' ') AS needle
+          FROM nt WHERE doc_id % 25 = 7),
+        needles AS (
+          SELECT * FROM rl
+          UNION ALL
+          SELECT * FROM (VALUES (-1, 'canary eaf3 planted'),
+                                (-2, 'canary 77b2 planted')) v(src_doc, needle)),
+        train AS (SELECT doc_id, tnorm FROM nt WHERE doc_id % 25 <> 7)
+        SELECT CAST(n.src_doc AS BIGINT) AS src_doc, n.needle,
+               CAST(count(t.doc_id) AS BIGINT) AS hits,
+               CAST(coalesce(min(t.doc_id), -1) AS BIGINT) AS first_hit
+        FROM needles n LEFT JOIN train t ON contains(t.tnorm, n.needle)
+        GROUP BY n.src_doc, n.needle
+        ORDER BY src_doc""")),
+
     QDef("dedup_embedding_cosine",
       // Embedding near-dup as VERIFY-ON-CANDIDATES: candidate pairs
       // come from the random-hyperplane LSH bucket equi-join (the same

@@ -33,7 +33,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "web_path_template",         // partial-distinct template agg (round 10)
     "multimodal_phash_clusters", // iterative CC over banded pairs (round 10)
     "graph_label_propagation",   // tie-broken sync LPA rounds (round 10)
-    "win_seasonal_baseline")     // integer seasonal-threshold flags (round 10)
+    "win_seasonal_baseline",     // integer seasonal-threshold flags (round 10)
+    "text_canary_scan")          // broadcast-needle containment scan (round 10)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq

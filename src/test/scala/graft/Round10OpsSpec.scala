@@ -117,6 +117,28 @@ class Round10OpsSpec extends AnyFunSuite {
       "no language realizes a fractional epoch")
   }
 
+  test("text_canary_scan: planted canaries stay clean, real needles replay") {
+    val rows = SparkEntry.queries("text_canary_scan")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // Planted tracers exist nowhere — the audit's success arm.
+    val planted = rows.filter(_._1 < 0)
+    assert(planted.length == 2 && planted.forall(r => r._3 == 0 && r._4 == -1),
+      s"planted canaries must be clean: ${planted.toSeq}")
+    // Brute-force replay of the real needles against the train split.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.replaceAll("\\s+", " ").toLowerCase)
+    val train = docs.filter(_._1 % 25 != 7)
+    rows.filter(_._1 >= 0).foreach { case (src, needle, hits, first) =>
+      val hit = train.filter(_._2.contains(needle)).map(_._1).sorted
+      assert(hits == hit.length.toLong, s"needle '$needle': hits $hits != ${hit.length}")
+      assert(first == hit.headOption.getOrElse(-1L), s"needle '$needle' first_hit drift")
+    }
+    // Both arms live among the REAL needles too.
+    assert(rows.exists(r => r._1 >= 0 && r._3 > 0), "no real needle ever leaks")
+    assert(rows.exists(r => r._1 >= 0 && r._3 == 0), "every real needle leaks")
+  }
+
   test("graph_label_propagation: labels are node ids, communities form") {
     val rows = SparkEntry.queries("graph_label_propagation")(spark, sf).collect()
     val nodes = rows.map(_.getLong(0)).toSet
