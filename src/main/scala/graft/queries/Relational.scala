@@ -543,6 +543,64 @@ object Relational {
       Some("""SELECT doc_id, source, lang, n_chars
         FROM documents ORDER BY doc_id""")),
 
+    QDef("sink_manifest_atomic",
+      // Manifest-commit publish — the atomic-visibility protocol every
+      // table format builds on (the Iceberg/Delta shape): data files
+      // land FIRST, the manifest (the list of committed files) is
+      // written LAST as one small atomic write, and readers resolve
+      // files FROM THE MANIFEST, never by directory listing — so a
+      // torn write, a crashed compaction, or a concurrent writer's
+      // uncommitted output leaves garbage in the directory that no
+      // reader ever sees. Demonstrated literally: an ORPHAN parquet
+      // file (the odd-keyed "future" rows) is planted in the data
+      // directory AFTER the commit and stays out of the manifest; the
+      // read path below — manifest -> file list -> parquet scan —
+      // returns exactly the committed snapshot (oracle-checked), while
+      // a naive directory scan would include the orphan
+      // (ManifestSinkSpec pins both). At 100 TB the manifest also
+      // carries per-file min/max for pruning — layout_global_index
+      // demonstrates that side.
+      (s, dir) => {
+        val out = scratch(s"manifest_sink_${new java.io.File(dir).getName}")
+        graft.pipeline.Staged(s, dir, "manifest_sink") {
+          def rmr(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+            f.delete(); ()
+          }
+          // The scratch directory outlives the JVM while the Staged
+          // marker does not — clear first or stale orphans accumulate.
+          rmr(new java.io.File(out))
+          val committed = t(s, dir, "documents")
+            .filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          committed.repartition(2).write.mode("overwrite").parquet(s"$out/data")
+          val files = new java.io.File(s"$out/data").listFiles()
+            .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+          // Plant the orphan AFTER the data write: a concurrent
+          // writer's uncommitted file, named like a data file so a
+          // directory listing WOULD pick it up.
+          t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$out/tmp_orphan")
+          val orphanSrc = new java.io.File(s"$out/tmp_orphan").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(orphanSrc.toPath,
+            java.nio.file.Paths.get(s"$out/data/part-orphan-uncommitted.parquet"))
+          rmr(new java.io.File(s"$out/tmp_orphan"))
+          // The commit point: the manifest write is the LAST operation.
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$out/manifest.txt"),
+            files.mkString("\n").getBytes("UTF-8"))
+          s.range(1).toDF("ok") // marker: sink staged once per session+dir
+        }
+        val committedFiles = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$out/manifest.txt")), "UTF-8")
+          .split("\n").toSeq.filter(_.nonEmpty).map(n => s"$out/data/$n")
+        s.read.parquet(committedFiles: _*).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars
+        FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""")),
+
     QDef("scan_text_regex",
       // Raw-log ingest — the other 100 TB source shape next to columnar
       // scans: unstructured text lines validated by one anchored regex

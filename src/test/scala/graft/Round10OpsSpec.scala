@@ -117,6 +117,20 @@ class Round10OpsSpec extends AnyFunSuite {
       "no language realizes a fractional epoch")
   }
 
+  test("sink_manifest_atomic: orphan invisible via manifest, visible to naive listing") {
+    val committed = SparkEntry.queries("sink_manifest_atomic")(spark, sf)
+    val viaManifest = committed.count()
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id % 2 = 0").count()
+    assert(viaManifest == want, "manifest read must be exactly the committed snapshot")
+    // The naive directory scan sees the planted orphan too — the
+    // failure mode the manifest protocol exists to prevent.
+    val dataDir = s"/root/repo/target/scratch/manifest_sink_${new java.io.File(sf).getName}/data"
+    val naive = spark.read.parquet(dataDir).count()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(naive == total, s"directory listing must include the orphan ($naive != $total)")
+  }
+
   test("text_canary_scan: planted canaries stay clean, real needles replay") {
     val rows = SparkEntry.queries("text_canary_scan")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
