@@ -438,6 +438,55 @@ object Analytics {
           ${rxSql("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))", 6)} AS corr_qty_price
         FROM st ORDER BY l_returnflag""")),
 
+    QDef("agg_ols_trend",
+      // Exact-sufficient-statistics least squares — the trend
+      // estimation a metrics pipeline runs per segment (is error value
+      // drifting day over day?), built on agg_corr_decimal's
+      // discipline: x = integer day offset, y = exact DECIMAL, the
+      // five sums are order-independent and mergeable (map-side
+      // combine), and only the closed-form slope/intercept combination
+      // runs in doubles (+,-,*,/ on identical inputs — IEEE-exact in
+      // both engines, rx(6) before compare). Never regr_slope() over
+      // raw doubles: its running sums are fold-order-dependent under
+      // shuffle. One aggregate on the 5-value type key.
+      (s, dir) => {
+        val wide = DecimalType(38, 4)
+        t(s, dir, "events")
+          .select(col("event_type"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("long").as("x"),
+            money(col("value")).as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("y")).cast("double").as("sy"),
+            sum(col("x") * col("x")).cast("double").as("sxx"),
+            sum((col("y") * col("x")).cast(wide)).cast("double").as("sxy"))
+          .select(col("event_type"), col("n").cast("long").as("n_rows"),
+            rx((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("slope_per_day"),
+            rx((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+              col("n"), 6).as("intercept"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH st AS (
+          SELECT event_type,
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(date_diff('day', DATE '2024-01-01',
+              CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(sum(date_diff('day', DATE '2024-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) *
+                     date_diff('day', DATE '2024-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS DOUBLE) AS sxx,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) *
+              date_diff('day', DATE '2024-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+          FROM events GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+          ${rxSql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS slope_per_day,
+          ${rxSql("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 6)} AS intercept
+        FROM st ORDER BY event_type""")),
+
     QDef("graph_pagerank",
       // Iterative PageRank over the symmetric part<->supplier
       // co-occurrence graph, in INTEGER arithmetic: ranks are scaled
