@@ -967,6 +967,76 @@ object Relational {
         FROM w WHERE event_type = 'click'
         ORDER BY user_id, click_ts, click_id""")),
 
+    QDef("join_asof_nearest",
+      // NEAREST as-of (the sensor-fusion / trade-quote variant):
+      // join_asof's backward match plus the symmetric forward match,
+      // then each click takes whichever purchase is closer in time,
+      // ties to the earlier (backward) side. Same one-shuffle
+      // sort-merge shape: BOTH directions are frames over the SAME
+      // (user_id; ts, kr, event_id) window ordering — one partition
+      // shuffle, one sort, two frames in a single window pass — never a
+      // pairwise |Δt| range join. Distances are exact epoch
+      // microseconds (integers in both engines), so the nearer-side
+      // decision is bit-identical anywhere.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"),
+            when(col("event_type") === "purchase", 0).otherwise(1).as("kr"))
+        val wb = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("kr"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("kr"), col("event_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        def lastP(c: org.apache.spark.sql.Column) =
+          last(when(col("event_type") === "purchase", c), ignoreNulls = true)
+            .over(wb)
+        def firstP(c: org.apache.spark.sql.Column) =
+          first(when(col("event_type") === "purchase", c), ignoreNulls = true)
+            .over(wf)
+        val takeB = col("b_id").isNotNull &&
+          (col("f_id").isNull || col("db") <= col("df"))
+        ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+            lastP(col("event_id")).as("b_id"), lastP(col("ts")).as("b_ts"),
+            firstP(col("event_id")).as("f_id"), firstP(col("ts")).as("f_ts"))
+          .filter(col("event_type") === "click")
+          .withColumn("db", unix_micros(col("ts")) - unix_micros(col("b_ts")))
+          .withColumn("df", unix_micros(col("f_ts")) - unix_micros(col("ts")))
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"),
+            when(takeB, "b").when(col("f_id").isNotNull, "f").as("side"),
+            when(takeB, col("b_id")).otherwise(col("f_id")).as("near_id"),
+            when(takeB, col("db")).otherwise(col("df")).as("delta_us"))
+          .orderBy("user_id", "click_ts", "click_id")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                 CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kr
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        w AS (SELECT user_id, event_id, ts, event_type,
+                last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS) OVER wb AS b_id,
+                last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS) OVER wb AS b_ts,
+                first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS) OVER wf AS f_id,
+                first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS) OVER wf AS f_ts
+              FROM ev
+              WINDOW wb AS (PARTITION BY user_id ORDER BY ts, kr, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY user_id ORDER BY ts, kr, event_id
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        d AS (SELECT *, epoch_us(ts) - epoch_us(b_ts) AS db,
+                     epoch_us(f_ts) - epoch_us(ts) AS df
+              FROM w WHERE event_type = 'click')
+        SELECT user_id, event_id AS click_id, ts AS click_ts,
+               CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR db <= df) THEN 'b'
+                    WHEN f_id IS NOT NULL THEN 'f' END AS side,
+               CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR db <= df) THEN b_id
+                    ELSE f_id END AS near_id,
+               CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR db <= df) THEN db
+                    ELSE df END AS delta_us
+        FROM d ORDER BY user_id, click_ts, click_id""")),
+
     // ------------------------------------------------------------------
     // Aggregations
     // ------------------------------------------------------------------
