@@ -1220,5 +1220,48 @@ object Health {
                (cnt * n_days * 100 > tot * 150) AS anomaly
         FROM c JOIN b USING (event_type, h)
         ORDER BY event_type, d, h""")),
+
+    QDef("win_rolling_median7",
+      // Sliding robust center — the rolling MEDIAN the ewma/MAD family
+      // lacks: per event type, the 7-day trailing lower median of the
+      // exact daily value mass. The median is SELECTED, never
+      // interpolated — the frame's values sort and the (n+1)/2-th
+      // element is taken, so with DECIMAL daily sums every compared
+      // value is exact and both engines pick the identical element
+      // (percentile interpolation would put an engine-variant double
+      // between two rows). The frame is BOUNDED (7 rows), so the
+      // collect-sort per row is O(7 log 7) — the window shape that
+      // stays cheap at any scale because the daily aggregate beneath
+      // it has already collapsed the fact table; one shuffle for the
+      // aggregate, the type-keyed window reuses it.
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(sum(money(col("value"))).as("v"))
+        val w = Window.partitionBy("event_type").orderBy("d")
+          .rowsBetween(-6, Window.currentRow)
+        daily
+          .withColumn("vals", collect_list(col("v")).over(w))
+          .select(col("event_type"), col("d"),
+            col("v").cast("double").as("daily_value"),
+            size(col("vals")).cast("long").as("n_win"),
+            element_at(sort_array(col("vals")),
+              expr("(size(vals) + 1) div 2").cast("int"))
+              .cast("double").as("med7"))
+          .orderBy("event_type", "d")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                 sum(CAST(value AS DECIMAL(18,2))) AS v
+          FROM events GROUP BY event_type, d),
+        win AS (
+          SELECT event_type, d, v,
+                 list(v) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vals
+          FROM daily)
+        SELECT event_type, d, CAST(v AS DOUBLE) AS daily_value,
+               CAST(len(vals) AS BIGINT) AS n_win,
+               CAST((list_sort(vals))[(len(vals) + 1) // 2] AS DOUBLE) AS med7
+        FROM win ORDER BY event_type, d""")),
   )
 }

@@ -36,7 +36,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "win_seasonal_baseline",     // integer seasonal-threshold flags (round 10)
     "text_canary_scan",          // broadcast-needle containment scan (round 10)
     "agg_ols_trend",             // decimal-exact regression sums (round 10)
-    "join_asof_nearest")         // two-frame single-sort nearest asof (round 10)
+    "join_asof_nearest",         // two-frame single-sort nearest asof (round 10)
+    "win_rolling_median7")       // selected-element rolling median (round 10)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
