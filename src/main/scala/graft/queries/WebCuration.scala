@@ -59,13 +59,13 @@ object WebCuration {
     * tracking params (`utm_*`, `ref`, `fbclid`) and sort the
     * survivors. Pure string built-ins — codegen'd, shuffle-free.
     */
-  private def canonicalize(url: Column): Column = {
+  private[graft] def canonicalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val qs = regexp_extract(noFrag, "\\?(.*)$", 1)
     val noQs = regexp_replace(noFrag, "\\?.*$", "")
     val hostPart = lower(regexp_extract(noQs, "^[Hh][Tt][Tt][Pp][Ss]?://[^/]*", 0))
     val host = regexp_replace(
-      regexp_replace(hostPart, ":443$", ""), "^(https://)www\\.", "$1")
+      regexp_replace(hostPart, ":443$", ""), "^(https://)(www\\.)+", "$1")
     val path0 = regexp_replace(noQs, "^[Hh][Tt][Tt][Pp][Ss]?://[^/]*", "")
     val path = when(path0 === "/", lit("/"))
       .otherwise(regexp_replace(path0, "/$", ""))
@@ -119,7 +119,7 @@ object WebCuration {
     |  FROM parts
     |), parts3 AS (
     |  SELECT *,
-    |    regexp_replace(regexp_replace(lower(regexp_extract(noqs, '^[Hh][Tt][Tt][Pp][Ss]?://[^/]*', 0)), ':443$', ''), '^(https://)www\.', '\1') AS chost,
+    |    regexp_replace(regexp_replace(lower(regexp_extract(noqs, '^[Hh][Tt][Tt][Pp][Ss]?://[^/]*', 0)), ':443$', ''), '^(https://)(www\.)+', '\1') AS chost,
     |    regexp_replace(noqs, '^[Hh][Tt][Tt][Pp][Ss]?://[^/]*', '') AS path0
     |  FROM parts2
     |), parts4 AS (
@@ -161,7 +161,8 @@ object WebCuration {
     9 -> "https://example.com#only-fragment",
     10 -> "https://example.com/a/?ref=abc&fbclid=z&z=1&utm_",
     11 -> "HTTPS://example.com/a?Z=1&a=2",
-    12 -> "https://example.com/%7Euser/?v=%2F&ref=x")
+    12 -> "https://example.com/%7Euser/?v=%2F&ref=x",
+    13 -> "https://www.WWW.www.Example.com/x")
 
   private val hostileValuesSql = HostileUrls
     .map { case (i, u) => s"($i, '$u')" }.mkString(", ")
@@ -286,7 +287,7 @@ object WebCuration {
         |  FROM hp
         |), hp3 AS (
         |  SELECT *,
-        |    regexp_replace(regexp_replace(lower(regexp_extract(noqs, '^[Hh][Tt][Tt][Pp][Ss]?://[^/]*', 0)), ':443$$', ''), '^(https://)www\\.', '\\1') AS chost,
+        |    regexp_replace(regexp_replace(lower(regexp_extract(noqs, '^[Hh][Tt][Tt][Pp][Ss]?://[^/]*', 0)), ':443$$', ''), '^(https://)(www\\.)+', '\\1') AS chost,
         |    regexp_replace(noqs, '^[Hh][Tt][Tt][Pp][Ss]?://[^/]*', '') AS path0
         |  FROM hp2
         |), hp4 AS (

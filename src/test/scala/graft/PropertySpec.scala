@@ -141,4 +141,33 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("URL canonicalization is idempotent on arbitrary inputs") {
+    // canonicalize o canonicalize == canonicalize: lowercase, :443
+    // strip, www strip, trailing-slash strip, and the param
+    // filter+sort are all fixpoints of their own output — so a
+    // URL-keyed dedup is stable no matter how many times a pipeline
+    // stage re-normalizes. Generated over hostile shapes (userinfo,
+    // IPv6, doubled '?', tracked params, uppercase schemes).
+    val url = for {
+      scheme <- Gen.oneOf("https://", "HTTP://", "https://www.", "https://User@")
+      host <- Gen.oneOf("Example.COM", "example.com:443", "[2001:DB8::1]",
+        "sub.www.example.org", "WWW.Example.com:443")
+      path <- Gen.listOf(token).map(ps =>
+        if (ps.isEmpty) "" else ps.mkString("/", "/", ""))
+      slash <- Gen.oneOf("", "/")
+      q <- Gen.oneOf("", "?", "?utm_a=1&b=2", "?z=1&a=2&", "?x=1?y=2",
+        "?ref=abc&fbclid=z")
+      frag <- Gen.oneOf("", "#frag", "#")
+    } yield s"$scheme$host$path$slash$q$frag"
+    val urls = Gen.listOfN(300, url).pureApply(Gen.Parameters.default, Seed(7L))
+    val bad = urls.toDF("u")
+      .select(col("u"), graft.queries.WebCuration.canonicalize(col("u")).as("c1"))
+      .select(col("u"), col("c1"),
+        graft.queries.WebCuration.canonicalize(col("c1")).as("c2"))
+      .filter(col("c1") =!= col("c2"))
+    assert(bad.count() == 0,
+      bad.collect().take(3).map(r => s"${r.get(0)} -> ${r.get(1)} -> ${r.get(2)}")
+        .mkString("; "))
+  }
 }

@@ -52,7 +52,11 @@ class WebCurationSpec extends AnyFunSuite {
       9L -> "https://example.com",
       10L -> "https://example.com/a?z=1",
       11L -> "https://example.com/a?Z=1&a=2",
-      12L -> "https://example.com/%7Euser?v=%2F")
+      12L -> "https://example.com/%7Euser?v=%2F",
+      // Repeated www labels strip COMPLETELY — the property test found
+      // the single-strip form non-idempotent (www.www.x and www.x
+      // would not share a dedup key).
+      13L -> "https://example.com/x")
     assert(got == want, s"canonicalization drift:\n got=$got\nwant=$want")
   }
 
