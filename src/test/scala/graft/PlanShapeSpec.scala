@@ -224,6 +224,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "snapshot diff must stay a keyed join")
   }
 
+  test("join_asof_nearest fuses both direction frames into ONE window pass") {
+    // The backward and forward matches share (partition, ordering), so
+    // Spark must plan a single WindowExec — a second window (or a
+    // pairwise time-distance join) would double the sort cost the
+    // operator exists to avoid. The only other sort in the plan is the
+    // driver-compare ORDER BY.
+    val df = SparkEntry.queries("join_asof_nearest")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flatten(df.queryExecution.executedPlan)
+    val wins = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(wins == 1, s"expected one fused window pass, found $wins")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "nearest asof must never plan a pairwise time join")
+  }
+
   test("join_knn_classify broadcasts the bounded probe side") {
     // The intended shape IS a broadcast nested loop (the probe side is
     // the bounded 1-in-100 sample; every base row must be scored) —
