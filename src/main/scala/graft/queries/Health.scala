@@ -1263,5 +1263,50 @@ object Health {
                CAST(len(vals) AS BIGINT) AS n_win,
                CAST((list_sort(vals))[(len(vals) + 1) // 2] AS DOUBLE) AS med7
         FROM win ORDER BY event_type, d""")),
+
+    QDef("win_collapse_runs",
+      // State-stream compression: consecutive same-state events per
+      // user collapse to one run carrying (start, length) — the
+      // run-length encoding a sessionized event log applies before
+      // storage or state-machine analysis (repeated 'view view view'
+      // is one dwell, not three transitions). One gaps-and-islands
+      // pass: change flags via lag, prefix-sum run ids, one aggregate
+      // per run — all over a SINGLE (user_id; ts, event_id) window
+      // partitioning that the aggregate's shuffle then reuses. Run ids
+      // and lengths are exact integers; tie-broken ordering makes the
+      // run segmentation bit-identical in both engines.
+      (s, dir) => {
+        val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val prior = lag(col("event_type"), 1).over(wo)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("chg",
+            when(prior.isNull || prior =!= col("event_type"), 1L).otherwise(0L))
+          .withColumn("run_id", sum(col("chg")).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "run_id")
+          .agg(min(col("event_type")).as("state"),
+            min(col("ts")).as("run_start"),
+            count(lit(1)).as("run_len"))
+          .orderBy("user_id", "run_id")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events),
+        c AS (
+          SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                           OR lag(event_type) OVER w <> event_type
+                         THEN 1 ELSE 0 END AS chg
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        r AS (
+          SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM c)
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+               min(event_type) AS state, min(ts) AS run_start,
+               count(*) AS run_len
+        FROM r GROUP BY user_id, run_id
+        ORDER BY user_id, run_id""")),
   )
 }

@@ -333,6 +333,49 @@ object TextAnalysis {
                ELSE 'test' END AS split
         FROM documents ORDER BY doc_id""")),
 
+    QDef("sample_split_exact",
+      // Quota-EXACT stratified split — sample_hash_split's counterpart
+      // when the proportions must be exact, not Bernoulli: per
+      // language, docs rank by a salted hash (random order, stable
+      // ties on doc_id) and integer thresholds cut exactly
+      // floor(0.8n)/floor(0.9n) — every stratum's split sizes are off
+      // by at most the floor rounding, a guarantee small eval strata
+      // need that per-doc hashing cannot give. rk·10 <= n·8 is pure
+      // integer arithmetic, bit-identical anywhere. Cost: both window
+      // passes (rank + stratum size) share ONE lang partitioning; at
+      // 100 TB the rank is the only global per-stratum sort — the
+      // price of exactness, which is why the Bernoulli form stays the
+      // default and this is the small-strata escape hatch.
+      (s, dir) => {
+        val wr = Window.partitionBy("lang").orderBy(col("u"), col("doc_id"))
+        val wn = Window.partitionBy("lang")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            Text.md5Hash32(concat(lit("spl:"), col("doc_id").cast("string")))
+              .as("u"))
+          .withColumn("rk", row_number().over(wr).cast("long"))
+          .withColumn("nl", count(lit(1)).over(wn))
+          .select(col("doc_id"), col("lang"), col("rk"), col("nl"),
+            when(col("rk") * 10 <= col("nl") * 8, "train")
+              .when(col("rk") * 10 <= col("nl") * 9, "valid")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5('spl:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+          FROM documents),
+        r AS (
+          SELECT doc_id, lang,
+                 CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS BIGINT) AS rk,
+                 CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+          FROM h)
+        SELECT doc_id, lang, rk, nl,
+               CASE WHEN rk * 10 <= nl * 8 THEN 'train'
+                    WHEN rk * 10 <= nl * 9 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM r ORDER BY doc_id""")),
+
     QDef("text_tfidf",
       // Corpus-weighted term relevance: tf = in-doc count / doc length,
       // idf = the rational variant (N+1)/(df+1) — ln() is deliberately

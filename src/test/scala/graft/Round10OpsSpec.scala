@@ -153,6 +153,37 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows.exists(r => r._1 >= 0 && r._3 == 0), "every real needle leaks")
   }
 
+  test("sample_split_exact: per-stratum quotas are exact to the floor") {
+    val rows = SparkEntry.queries("sample_split_exact")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(4)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val n = rs.length
+      val bySplit = rs.groupBy(_._2).map { case (k, v) => k -> v.size }
+      assert(bySplit.getOrElse("train", 0) == n * 8 / 10,
+        s"$lang train quota drift: $bySplit (n=$n)")
+      assert(bySplit.getOrElse("valid", 0) == n * 9 / 10 - n * 8 / 10,
+        s"$lang valid quota drift: $bySplit (n=$n)")
+      assert(bySplit.getOrElse("test", 0) == n - n * 9 / 10,
+        s"$lang test quota drift: $bySplit (n=$n)")
+    }
+  }
+
+  test("win_collapse_runs: run lengths partition the stream, no adjacent same-state runs") {
+    val runs = SparkEntry.queries("win_collapse_runs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(4)))
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(runs.map(_._4).sum == total, "run lengths must partition the event stream")
+    assert(runs.exists(_._4 > 1), "no run ever collapsed — dead compression arm")
+    // Adjacent runs of one user never share a state (else they'd be one run).
+    runs.groupBy(_._1).foreach { case (_, rs) =>
+      rs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._3 != b._3,
+          s"user ${a._1}: adjacent runs ${a._2}/${b._2} share state ${a._3}")
+        case _ =>
+      }
+    }
+  }
+
   test("graph_label_propagation: labels are node ids, communities form") {
     val rows = SparkEntry.queries("graph_label_propagation")(spark, sf).collect()
     val nodes = rows.map(_.getLong(0)).toSet
