@@ -1308,5 +1308,53 @@ object Health {
                count(*) AS run_len
         FROM r GROUP BY user_id, run_id
         ORDER BY user_id, run_id""")),
+
+    QDef("agg_weighted_median",
+      // Exact weighted lower median — the unweighted percentile
+      // family's counterpart for importance-weighted data (price
+      // weighted by shipped quantity per flag): weights pre-aggregate
+      // onto DISTINCT values (collapsing the fact table and making the
+      // cumulative order unique without any row tie-break), one
+      // cumulative-weight window finds the first value where
+      // 2·cum >= total, and a min-aggregate SELECTS it. Everything up
+      // to the final cast is DECIMAL — exact, order-independent under
+      // any shuffle — and the median is a data value, never an
+      // interpolation. Cost: one map-side-combined aggregate + one
+      // window over the collapsed (group, value) table.
+      (s, dir) => {
+        val perV = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            money(col("l_extendedprice")).as("v"),
+            money(col("l_quantity")).as("w"))
+          .groupBy("g", "v").agg(sum(col("w")).as("wv"))
+        val wo = Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy("g")
+        perV
+          .withColumn("cum", sum(col("wv")).over(wo))
+          .withColumn("tw", sum(col("wv")).over(tot))
+          .filter(col("cum") * 2 >= col("tw"))
+          .groupBy("g")
+          .agg(min(col("v")).cast("double").as("weighted_median"),
+            max(col("tw")).cast("double").as("total_weight"))
+          .select(col("g").as("l_returnflag"), col("weighted_median"),
+            col("total_weight"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH perv AS (
+          SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS wv
+          FROM lineitem GROUP BY g, v),
+        c AS (
+          SELECT g, v, wv,
+                 sum(wv) OVER (PARTITION BY g ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(wv) OVER (PARTITION BY g) AS tw
+          FROM perv)
+        SELECT g AS l_returnflag,
+               CAST(min(v) AS DOUBLE) AS weighted_median,
+               CAST(max(tw) AS DOUBLE) AS total_weight
+        FROM c WHERE cum * 2 >= tw
+        GROUP BY g ORDER BY l_returnflag""")),
   )
 }
