@@ -1397,7 +1397,50 @@ object Similarity {
             col("radius"))
           .orderBy("sel_order")
       },
-      Some(kcenterOracleSql))
+      Some(kcenterOracleSql)),
+
+    QDef("sim_cluster_purity",
+      // Clustering quality audit — the label-purity table next to the
+      // recall audits (sim_ann_ivf_recall, dedup_minhash_recall): per
+      // trained IVF cluster, member count, majority label, and exact
+      // purity_ppm — the number that says whether the coarse quantizer
+      // actually groups semantically-alike vectors (and hence whether
+      // dedup_semantic_cluster's within-cluster-only verification can
+      // be trusted at scale). The majority is the same argmax-by-struct
+      // hash aggregate the LPA rounds use ("highest count, ties to
+      // smallest label"), purity is integer ppm — no floats anywhere.
+      // Reuses the staged assignment; two bounded aggregates.
+      (s, dir) => {
+        val members = ivfAssigned(s, dir).filter(col("crk") === 1)
+          .select(col("vec_id"), col("c_id"))
+        val lab = vecs(s, dir).select(col("vec_id"), col("label"))
+        members.join(lab, "vec_id")
+          .groupBy("c_id", "label").agg(count(lit(1)).as("n"))
+          .groupBy("c_id")
+          .agg(sum(col("n")).as("n_members"),
+            max(struct(col("n"), (-col("label")).cast("long").as("neg"))).as("m"))
+          .select(col("c_id"), col("n_members"),
+            (-col("m.neg")).cast("long").as("majority_label"),
+            col("m.n").as("majority_n"),
+            expr("(m.n * 1000000) div n_members").as("purity_ppm"))
+          .orderBy("c_id")
+      },
+      Some(s"""WITH $ivfTopSqlCtes,
+        lc AS (
+          SELECT l.c_id, e.label, count(*) AS n
+          FROM lists l JOIN embeddings e USING (vec_id)
+          GROUP BY l.c_id, e.label),
+        maj AS (
+          SELECT c_id, label, n,
+                 row_number() OVER (PARTITION BY c_id
+                   ORDER BY n DESC, label) AS rk,
+                 sum(n) OVER (PARTITION BY c_id) AS n_members
+          FROM lc)
+        SELECT c_id, CAST(n_members AS BIGINT) AS n_members,
+               CAST(label AS BIGINT) AS majority_label,
+               CAST(n AS BIGINT) AS majority_n,
+               CAST((n * 1000000) // n_members AS BIGINT) AS purity_ppm
+        FROM maj WHERE rk = 1 ORDER BY c_id"""))
   )
 
   /** Unrolled DuckDB replay of the greedy k-center trajectory (k=5):

@@ -40,7 +40,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "win_rolling_median7",       // selected-element rolling median (round 10)
     "sample_split_exact",        // rank-threshold exact quotas (round 10)
     "win_collapse_runs",         // gaps-and-islands run encoding (round 10)
-    "agg_weighted_median")       // decimal cumulative-weight selection (round 10)
+    "agg_weighted_median",       // decimal cumulative-weight selection (round 10)
+    "sim_cluster_purity")        // argmax purity over staged IVF lists (round 10)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
