@@ -16,6 +16,43 @@ import graft.functions.Text
 object Relational {
   import QDef._
 
+  /** Bucketed+sorted CTAS of lineitem/orders on the join key, staged
+    * once per session+dir; returns the two table names. Shared by
+    * join_bucketed (co-located SMJ) and scan_bucket_pruned (bucket
+    * pruning) — the write cost amortizes over every consumer.
+    */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val tag = new java.io.File(dir).getName.replaceAll("\\W", "_")
+    val (lt, ot) = (s"graft_li_$tag", s"graft_ord_$tag")
+    graft.pipeline.Staged(s, dir, "bucketed_tables") {
+      // A fresh session's in-memory catalog does not know tables a
+      // previous JVM left in the warehouse dir — drop + clear the
+      // location or CTAS fails with LOCATION_ALREADY_EXISTS.
+      Seq(lt, ot).foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+        val loc = new java.io.File(
+          if (wh.getScheme == null) wh.toString else new java.io.File(wh).toString,
+          tbl)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (loc.exists()) rm(loc)
+      }
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      s.range(1).toDF("ok") // marker: tables staged once per session+dir
+    }
+    (lt, ot)
+  }
+
   val all: Seq[QDef] = Seq(
 
     QDef("scan_parquet",
@@ -143,34 +180,7 @@ object Relational {
         // the 100 TB fact-fact join design: pay the partitioning once
         // at write, amortize it over every downstream join.
         // BucketedJoinSpec asserts the plan is exchange-free.
-        val tag = new java.io.File(dir).getName.replaceAll("\\W", "_")
-        val (lt, ot) = (s"graft_li_$tag", s"graft_ord_$tag")
-        graft.pipeline.Staged(s, dir, "bucketed_tables") {
-          // A fresh session's in-memory catalog does not know tables a
-          // previous JVM left in the warehouse dir — drop + clear the
-          // location or CTAS fails with LOCATION_ALREADY_EXISTS.
-          Seq(lt, ot).foreach { tbl =>
-            s.sql(s"DROP TABLE IF EXISTS $tbl")
-            val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-            val loc = new java.io.File(
-              if (wh.getScheme == null) wh.toString else new java.io.File(wh).toString,
-              tbl)
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) f.listFiles().foreach(rm)
-              f.delete(); ()
-            }
-            if (loc.exists()) rm(loc)
-          }
-          t(s, dir, "lineitem")
-            .select("l_orderkey", "l_quantity", "l_extendedprice")
-            .write.mode("overwrite").format("parquet")
-            .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
-          t(s, dir, "orders")
-            .select("o_orderkey", "o_orderpriority")
-            .write.mode("overwrite").format("parquet")
-            .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
-          s.range(1).toDF("ok") // marker: tables staged once per session+dir
-        }
+        val (lt, ot) = bucketedTables(s, dir)
         // hint("merge"): at fact-fact scale neither side broadcasts; the
         // hint pins the strategy the layout was built for (local-mode
         // sizes would otherwise pick a broadcast join and hide the demo).
@@ -184,6 +194,32 @@ object Relational {
       Some("""SELECT o_orderpriority, count(*) AS n,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    QDef("scan_bucket_pruned",
+      // BUCKET pruning — the third member of the pruning trio next to
+      // partition pruning (scan_partition_pruned) and zone-map file
+      // skipping (scan_dsv2_skipping): an equality/IN predicate on the
+      // bucket column hashes each literal to its bucket, and the scan
+      // reads ONLY those buckets' files (SelectedBucketsCount in the
+      // plan, pinned in PlanShapeSpec) — a point lookup on a bucketed
+      // 100 TB fact table touches 5/8 of the layout here and 1/N in
+      // the common single-key case, no index structure needed beyond
+      // the layout itself. Reuses the one staged bucketed table the
+      // co-located join built — the write cost amortizes over every
+      // lookup AND every join.
+      (s, dir) => {
+        val (lt, _) = bucketedTables(s, dir)
+        s.table(lt)
+          .filter(col("l_orderkey").isin(1, 2, 3, 5, 7))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n"),
+            sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem WHERE l_orderkey IN (1, 2, 3, 5, 7)
         GROUP BY 1 ORDER BY 1""")),
 
     QDef("join_bloom_pruned",

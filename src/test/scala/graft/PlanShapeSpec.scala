@@ -224,6 +224,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "snapshot diff must stay a keyed join")
   }
 
+  test("scan_bucket_pruned reads a strict subset of the buckets") {
+    val df = SparkEntry.queries("scan_bucket_pruned")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val scans = PlanFlatten.flatten(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // The bucketed-table scan carries the pruned bucket set; 5 IN-list
+    // literals hash into at most 5 of the 8 buckets.
+    val pruned = scans.flatMap(_.optionalBucketSet).map(_.cardinality())
+    assert(pruned.nonEmpty, "scan must carry a pruned bucket set")
+    assert(pruned.head <= 5 && pruned.head < 8,
+      s"expected <=5 of 8 buckets selected, got ${pruned.head}")
+  }
+
   test("join_asof_nearest fuses both direction frames into ONE window pass") {
     // The backward and forward matches share (partition, ordering), so
     // Spark must plan a single WindowExec — a second window (or a
