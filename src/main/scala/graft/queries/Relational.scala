@@ -222,6 +222,32 @@ object Relational {
         FROM lineitem WHERE l_orderkey IN (1, 2, 3, 5, 7)
         GROUP BY 1 ORDER BY 1""")),
 
+    QDef("sink_jsonl_sharded",
+      // JSONL sharded export — the delivery format LLM training data
+      // actually ships in (one JSON object per line, fixed shard
+      // count, range-sharded so a dataloader can split work by file):
+      // docs range-repartition on doc_id into 4 shards, each shard
+      // written sorted (deterministic file contents, byte-stable
+      // re-runs), then the ROUND-TRIP is the oracle check — the read
+      // back must reproduce every row and type (the lossy-serialization
+      // traps live here: JSON has no int64-vs-double distinction
+      // unless the schema is applied on read, which this does). At
+      // 100 TB the shard count becomes ceil(bytes/shard_target) and
+      // nothing else changes.
+      (s, dir) => {
+        val out = scratch(s"jsonl_${new java.io.File(dir).getName}")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").json(out)
+        s.read.schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+          .json(out)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars
+        FROM documents ORDER BY doc_id""")),
+
     QDef("join_bloom_pruned",
       // Runtime row-level pruning for the fact-fact join at 100 TB:
       // when one join side carries a selective filter, Catalyst's
