@@ -53,7 +53,9 @@ object Bench {
       // clusters), and LPA's sorted edge copy.
       "dedup_chunk_exact", "text_line_dedup",
       "multimodal_phash_pairs", "multimodal_phash_clusters",
-      "graph_label_propagation")
+      "graph_label_propagation",
+      // prefix_index (the AllPairs prefix-filter join's staged index)
+      "dedup_prefix_filter")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     val stagerSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]

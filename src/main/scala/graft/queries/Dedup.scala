@@ -1079,6 +1079,90 @@ object Dedup {
                 FROM documents))
         SELECT p.anchor, p.positive, r.negative, r.lang
         FROM pos p JOIN ring r ON r.doc_id = p.anchor
-        ORDER BY p.anchor"""))
+        ORDER BY p.anchor""")),
+
+    QDef("dedup_prefix_filter",
+      // EXACT similarity self-join by prefix filtering (AllPairs,
+      // Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08) — the
+      // deterministic complement to MinHash LSH: every pair with
+      // Jaccard >= t is found, no probabilistic recall. Tokens are the
+      // same 3-gram shingle hashes as the LSH family; each doc's set is
+      // ordered by GLOBAL frequency ascending (rarest first, ties by
+      // hash — a total order), and only the first
+      // p = n - ceil(t*n) + 1 tokens are indexed. Prefix-prefix
+      // completeness is the PPJoin lemma: with the length filter
+      // t*|a| <= |b| <= |a|/t, any qualifying pair's globally-smallest
+      // common token sits inside both prefixes. All threshold math is
+      // integer (t = 4/5: ceil(4n/5) = (4n+4) div 5; the verify gate is
+      // 5*inter >= 4*union) so no FP boundary can disagree between
+      // engines. At 100 TB: the frequency table is a map-side-combined
+      // vocab aggregate; the prefix index explodes ~(1-t)*n + 1 tokens
+      // per doc (linear); the candidate equi-join is keyed on the
+      // RAREST tokens — which is exactly what bounds pair volume — and
+      // the exact verify (two-pointer SortedInterCountExpr) touches
+      // candidates only. The prefix index is staged once and read by
+      // both sides of the self-join (the minhash_bands discipline).
+      (s, dir) => {
+        val sets = ngramSets(s, dir)
+        val prefix = graft.pipeline.Staged.disk(s, dir, "prefix_index") {
+          val tok = sets.select(col("doc_id"),
+            size(col("ss")).cast("long").as("n"), explode(col("ss")).as("h"))
+          val freq = tok.groupBy("h").agg(count(lit(1)).as("f"))
+          tok.join(freq, "h")
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("doc_id").orderBy("f", "h")).cast("long"))
+            .filter(col("rn") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+            .select("doc_id", "n", "h")
+        }
+        val cand = prefix.as("a").join(prefix.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+              col("a.n") * 4 <= col("b.n") * 5 &&
+              col("b.n") * 4 <= col("a.n") * 5)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val inter = graft.functions.SortedInterCountExpr
+          .interCount(col("ss_a"), col("ss_b"))
+        cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            size(col("ss_a")).cast("long").as("size_a"),
+            size(col("ss_b")).cast("long").as("size_b"),
+            inter.as("n_inter"))
+          .filter(col("n_inter") * 5 >=
+            (col("size_a") + col("size_b") - col("n_inter")) * 4)
+          .withColumn("jac", rx(col("n_inter").cast("double") /
+            (col("size_a") + col("size_b") - col("n_inter")).cast("double"), 6))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH sets AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(list_transform($shSql, x -> ${h32Sql("x")}))) AS ss
+          FROM documents),
+        tok AS (SELECT doc_id, len(ss) AS n, unnest(ss) AS h FROM sets),
+        freq AS (SELECT h, count(*) AS f FROM tok GROUP BY 1),
+        pref AS (
+          SELECT doc_id, n, h FROM (
+            SELECT tok.doc_id, tok.n, tok.h,
+                   row_number() OVER (PARTITION BY tok.doc_id ORDER BY freq.f, tok.h) AS rn
+            FROM tok JOIN freq ON freq.h = tok.h)
+          WHERE rn <= n - (4 * n + 4) // 5 + 1),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM pref a JOIN pref b
+            ON a.h = b.h AND a.doc_id < b.doc_id
+           AND a.n * 4 <= b.n * 5 AND b.n * 4 <= a.n * 5),
+        v AS (
+          SELECT c.doc_a, c.doc_b,
+                 len(sa.ss) AS size_a, len(sb.ss) AS size_b,
+                 len(list_intersect(sa.ss, sb.ss)) AS n_inter
+          FROM cand c
+          JOIN sets sa ON sa.doc_id = c.doc_a
+          JOIN sets sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, size_a, size_b, n_inter,
+               ${rxSql("CAST(n_inter AS DOUBLE) / CAST(size_a + size_b - n_inter AS DOUBLE)", 6)} AS jac
+        FROM v
+        WHERE n_inter * 5 >= (size_a + size_b - n_inter) * 4
+        ORDER BY doc_a, doc_b"""))
   )
 }
