@@ -553,6 +553,91 @@ object Health {
         FROM tt ORDER BY event_type"""),
     ),
 
+    QDef("agg_chi2_independence",
+      // Chi-squared test of independence + Cramér's V over the
+      // segment × nation contingency table — "is market segment
+      // associated with nation?", the categorical companion to
+      // agg_welch_ttest (means) and agg_corr_decimal (numeric). One
+      // map-side-combined aggregate builds the observed cells; margins
+      // and dims are cell-table rollups (bounded by the category
+      // product, NOT the fact table), so every crossJoin here is a
+      // tiny-dim scalar attach (5 segs × 25 nations × one totals row).
+      // The FULL grid — including obs=0 cells, which still contribute
+      // their expectation — comes from the margin cross product with a
+      // left join back to the observed cells. Numeric discipline:
+      // expected counts and per-cell contributions are fixed trees of
+      // single IEEE ops on exact integers (no transcendentals), each
+      // cell is rx-rounded to 6 digits THEN summed as DECIMAL(38,6)
+      // over an unbounded window — an order-free exact sum both
+      // engines reproduce bit-identically (raw double window sums are
+      // fold-order-dependent); Cramér's V adds only IEEE-exact sqrt
+      // and division. At 100 TB the only corpus-sized stage is the
+      // first groupBy; everything after runs on ~125 rows.
+      (s, dir) => {
+        val cells = t(s, dir, "customer")
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_mktsegment").as("seg"), col("n_name").as("nat"))
+          .groupBy("seg", "nat").agg(count(lit(1)).as("obs"))
+        val rt = cells.groupBy("seg").agg(sum("obs").as("n_seg"))
+        val ct = cells.groupBy("nat").agg(sum("obs").as("n_nat"))
+        val dims = rt.agg(count(lit(1)).as("r"))
+          .crossJoin(ct.agg(count(lit(1)).as("c")))
+          .crossJoin(cells.agg(sum("obs").as("n")))
+        val grid = rt.crossJoin(ct).crossJoin(dims)
+          .join(cells, Seq("seg", "nat"), "left")
+          .withColumn("obs", coalesce(col("obs"), lit(0L)))
+        val expd = (col("n_seg") * col("n_nat")).cast("double") /
+          col("n").cast("double")
+        val contrib = rx((col("obs").cast("double") - expd) *
+          (col("obs").cast("double") - expd) / expd, 6)
+        val w = Window.partitionBy()
+        val scored = grid
+          .withColumn("exp_ct", rx(expd, 6))
+          .withColumn("cell_chi2", contrib)
+          .withColumn("chi2",
+            sum(contrib.cast("decimal(38,6)")).over(w).cast("double"))
+        scored.select(col("seg"), col("nat"), col("obs"),
+            col("exp_ct"), col("cell_chi2"), col("chi2"),
+            ((col("r") - 1) * (col("c") - 1)).as("dof"),
+            rx(sqrt(col("chi2") /
+              (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")), 6)
+              .as("cramers_v"))
+          .orderBy("seg", "nat")
+      },
+      Some(s"""WITH cn AS (
+          SELECT c_mktsegment AS seg, n_name AS nat
+          FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        cells AS (SELECT seg, nat, CAST(count(*) AS BIGINT) AS obs
+                  FROM cn GROUP BY 1, 2),
+        rt AS (SELECT seg, CAST(sum(obs) AS BIGINT) AS n_seg FROM cells GROUP BY 1),
+        ct AS (SELECT nat, CAST(sum(obs) AS BIGINT) AS n_nat FROM cells GROUP BY 1),
+        dims AS (SELECT CAST((SELECT count(*) FROM rt) AS BIGINT) AS r,
+                        CAST((SELECT count(*) FROM ct) AS BIGINT) AS c,
+                        CAST((SELECT sum(obs) FROM cells) AS BIGINT) AS n),
+        grid AS (
+          SELECT rt.seg, rt.n_seg, ct.nat, ct.n_nat, dims.r, dims.c, dims.n,
+                 COALESCE(cells.obs, 0) AS obs
+          FROM rt CROSS JOIN ct CROSS JOIN dims
+          LEFT JOIN cells ON cells.seg = rt.seg AND cells.nat = ct.nat),
+        g AS (
+          SELECT seg, nat, obs, r, c, n,
+                 CAST(n_seg * n_nat AS DOUBLE) / CAST(n AS DOUBLE) AS e
+          FROM grid),
+        g2 AS (
+          SELECT seg, nat, obs, r, c, n,
+                 ${rxSql("e", 6)} AS exp_ct,
+                 ${rxSql("(CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e", 6)} AS cell_chi2
+          FROM g),
+        g3 AS (
+          SELECT seg, nat, obs, exp_ct, cell_chi2, r, c, n,
+                 CAST(sum(CAST(cell_chi2 AS DECIMAL(38,6))) OVER () AS DOUBLE) AS chi2
+          FROM g2)
+        SELECT seg, nat, obs, exp_ct, cell_chi2, chi2,
+               CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+               ${rxSql("sqrt(chi2 / CAST(n * least(r - 1, c - 1) AS DOUBLE))", 6)} AS cramers_v
+        FROM g3 ORDER BY seg, nat"""),
+    ),
+
     QDef("win_bollinger_bands", {
       // Bollinger-band anomaly monitor: each reading against the
       // trailing-20 rolling mean ± 2σ of its event type. Both window
