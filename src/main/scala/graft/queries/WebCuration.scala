@@ -416,7 +416,53 @@ object WebCuration {
         |)
         |SELECT doc_id, host, path, r_prefix AS matched_prefix, allow AS allowed
         |FROM m WHERE rn = 1 ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    QDef("web_dedup_url_latest",
+      // Latest-capture selection per canonical URL — the CDX-index
+      // discipline a crawl pipeline applies when the same page was
+      // fetched many times: keep the NEWEST snapshot, not the first
+      // (web_url_canonical's keep-first is the in-batch rule; across
+      // recrawls freshness wins). Each doc gets a deterministic
+      // synthetic fetch hour (md5-derived, 0..719 — both engines derive
+      // the identical integer), and the keeper per canonical URL is one
+      // row_number window ordered (fetch_hour DESC, doc_id DESC) — a
+      // total order, so the keeper is unique at any scale. Reported per
+      // canonical URL: snapshot count, the kept doc and its fetch hour,
+      // and the capture-window span. One shuffle on the canonical key;
+      // the window and aggregate reuse that partitioning. Fetch time
+      // rides as a plain BIGINT hour (no timestamp casts to drift).
+      (s, dir) => {
+        val snaps = canon(s, dir)
+          .withColumn("fetch_hour", pmod(graft.functions.Text.md5Hash32(
+            concat(lit("fetch:"), col("doc_id").cast("string"))), lit(720L)))
+        val w = Window.partitionBy("canonical")
+          .orderBy(col("fetch_hour").desc, col("doc_id").desc)
+        snaps
+          .withColumn("rn", row_number().over(w))
+          .groupBy("canonical")
+          .agg(count(lit(1)).as("n_snapshots"),
+            max(when(col("rn") === 1, col("doc_id"))).as("keep_doc_id"),
+            max(when(col("rn") === 1, col("fetch_hour"))).as("keep_hour"),
+            min("fetch_hour").as("first_hour"),
+            max("fetch_hour").as("last_hour"))
+          .orderBy("canonical")
+      },
+      Some(s"""$urlsCte, snaps AS (
+        |  SELECT doc_id, canonical,
+        |         CAST(('0x' || substr(md5('fetch:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 720 AS fetch_hour
+        |  FROM urls
+        |), rk AS (
+        |  SELECT doc_id, canonical, fetch_hour,
+        |         row_number() OVER (PARTITION BY canonical
+        |           ORDER BY fetch_hour DESC, doc_id DESC) AS rn
+        |  FROM snaps
+        |)
+        |SELECT canonical, count(*) AS n_snapshots,
+        |       max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+        |       max(CASE WHEN rn = 1 THEN fetch_hour END) AS keep_hour,
+        |       min(fetch_hour) AS first_hour, max(fetch_hour) AS last_hour
+        |FROM rk GROUP BY canonical ORDER BY canonical""".stripMargin))
   )
 
 }
