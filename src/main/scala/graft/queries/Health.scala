@@ -638,6 +638,76 @@ object Health {
         FROM g3 ORDER BY seg, nat"""),
     ),
 
+    QDef("agg_moments_skew_kurt",
+      // Higher distribution moments per event type — skewness and
+      // excess kurtosis, the shape profile a drift monitor keeps next
+      // to mean/stddev (agg_welch_ttest) when tail behavior matters.
+      // One map-side-combined aggregate folds each group to exact
+      // power sums (n, ΣX, ΣX², ΣX³, ΣX⁴) of integer cents; X⁴ tops
+      // 1e19 per term so the cubic and quartic terms ride DECIMAL(38,0)
+      // in Spark ≙ HUGEINT in DuckDB — both 100% exact, and both cast
+      // to the identical nearest double at the end. The central
+      // moments, skew (m3/(√m2·m2) — no pow(), which is not
+      // correctly-rounded) and kurtosis are then the SAME fixed tree of
+      // single IEEE ops on those identical doubles in both engines,
+      // rx-rounded only at the output boundary. Corpus-sized work is
+      // exactly one scan + one bounded-key aggregate.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+        val st = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("xc").as("s1"),
+          sum(col("xc") * col("xc")).as("s2"),
+          sum(col("xc").cast("decimal(38,0)") * col("xc") * col("xc")).as("s3"),
+          sum(col("xc").cast("decimal(38,0)") * col("xc") * col("xc") * col("xc")).as("s4"))
+        val n = col("n").cast("double")
+        val mu = col("s1").cast("double") / n
+        val m2 = col("s2").cast("double") / n - mu * mu
+        val m3 = col("s3").cast("double") / n - lit(3.0) * mu *
+          (col("s2").cast("double") / n) + lit(2.0) * mu * mu * mu
+        val m4 = col("s4").cast("double") / n - lit(4.0) * mu *
+          (col("s3").cast("double") / n) + lit(6.0) * mu * mu *
+          (col("s2").cast("double") / n) - lit(3.0) * mu * mu * mu * mu
+        st.select(col("event_type"), col("n"),
+            rx(mu / 100.0, 4).as("mean"),
+            rx(sqrt(m2) / 100.0, 4).as("stddev_pop"),
+            rx(m3 / (sqrt(m2) * m2), 6).as("skewness"),
+            rx(m4 / (m2 * m2) - lit(3.0), 6).as("kurt_excess"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+          SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc
+          FROM events),
+        st AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(xc) AS BIGINT) AS s1,
+                 CAST(sum(xc * xc) AS BIGINT) AS s2,
+                 sum(CAST(xc AS HUGEINT) * xc * xc) AS s3,
+                 sum(CAST(xc AS HUGEINT) * xc * xc * xc) AS s4
+          FROM ev GROUP BY 1),
+        m AS (
+          SELECT event_type, n,
+            CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+            CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+            CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+            CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+          FROM st),
+        c AS (
+          SELECT event_type, n, mu,
+            r2 - mu * mu AS m2,
+            r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+            r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu AS m4
+          FROM m)
+        SELECT event_type, n,
+               ${rxSql("mu / 100.0", 4)} AS mean,
+               ${rxSql("sqrt(m2) / 100.0", 4)} AS stddev_pop,
+               ${rxSql("m3 / (sqrt(m2) * m2)", 6)} AS skewness,
+               ${rxSql("m4 / (m2 * m2) - 3.0", 6)} AS kurt_excess
+        FROM c ORDER BY event_type"""),
+    ),
+
     QDef("win_bollinger_bands", {
       // Bollinger-band anomaly monitor: each reading against the
       // trailing-20 rolling mean ± 2σ of its event type. Both window
