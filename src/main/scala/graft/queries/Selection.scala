@@ -608,5 +608,86 @@ object Selection {
           UNION ALL SELECT 'd_raw_pool', nd_raw, rt, tvd_raw FROM nds, tot, tvd)
         ORDER BY population"""),
     ),
+
+    QDef("sample_srm_check",
+      // Deterministic experiment assignment + sample-ratio-mismatch
+      // guard — the integrity check every A/B platform runs before
+      // reading an experiment: users hash into UNEQUAL variant arms
+      // (40/20/20/10/10 via md5 bucket ranges — sticky, coordination-
+      // free, the same assignment on any engine or rerun), observed arm
+      // counts are compared to expected under the declared split, and
+      // the chi-squared goodness-of-fit statistic flags SRM at the
+      // 0.1% critical value (18.467 for 4 dof — a literal; an SRM'd
+      // experiment's metrics are unreadable no matter how pretty).
+      // Distinct from agg_chi2_independence: that tests association
+      // between two observed columns; this tests one observed column
+      // against DECLARED weights. Numeric discipline as there: exact
+      // integer counts, expected = one IEEE division each, per-arm
+      // contributions rx-rounded then decimal-window-summed (order-free
+      // 5-row window). Corpus-sized work: one distinct + one bounded
+      // aggregate.
+      (s, dir) => {
+        val arms = Seq(("control", 0, 40), ("t1_rank", 40, 60),
+          ("t2_dedup", 60, 80), ("t3_mix", 80, 90), ("t4_pack", 90, 100))
+        val armDim = {
+          import s.implicits._
+          arms.map { case (v, lo, hi) => (v, lo, hi, hi - lo) }
+            .toDF("variant", "lo", "hi", "weight_pct")
+        }
+        val assigned = t(s, dir, "events")
+          .select(col("user_id")).distinct()
+          .withColumn("b", pmod(Text.md5Hash32(
+            concat(lit("exp1:"), col("user_id").cast("string"))), lit(100L)))
+          .join(broadcast(armDim),
+            col("b") >= col("lo") && col("b") < col("hi"))
+        val obs = assigned.groupBy("variant", "weight_pct")
+          .agg(count(lit(1)).as("n_users"))
+        val tot = obs.agg(sum("n_users").as("n"))
+        val w = Window.partitionBy()
+        val expd = (col("n") * col("weight_pct")).cast("double") / lit(100.0)
+        val contrib = rx((col("n_users").cast("double") - expd) *
+          (col("n_users").cast("double") - expd) / expd, 6)
+        obs.crossJoin(broadcast(tot))
+          .withColumn("expected", rx(expd, 2))
+          .withColumn("cell_chi2", contrib)
+          .withColumn("chi2",
+            sum(contrib.cast("decimal(38,6)")).over(w).cast("double"))
+          .select(col("variant"), col("weight_pct"), col("n_users"),
+            col("expected"), col("cell_chi2"), col("chi2"),
+            (col("chi2") > 18.467).as("srm"))
+          .orderBy("variant")
+      }, {
+        val armsSql = Seq(("control", 0, 40), ("t1_rank", 40, 60),
+          ("t2_dedup", 60, 80), ("t3_mix", 80, 90), ("t4_pack", 90, 100))
+          .map { case (v, lo, hi) => s"('$v', $lo, $hi, ${hi - lo})" }
+          .mkString(", ")
+        Some(s"""WITH arms(variant, lo, hi, weight_pct) AS (VALUES $armsSql),
+          u AS (
+            SELECT DISTINCT user_id FROM events),
+          assigned AS (
+            SELECT a.variant, a.weight_pct
+            FROM (SELECT user_id,
+                         CAST(('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+                  FROM u) h
+            JOIN arms a ON h.b >= a.lo AND h.b < a.hi),
+          obs AS (
+            SELECT variant, weight_pct, CAST(count(*) AS BIGINT) AS n_users
+            FROM assigned GROUP BY 1, 2),
+          tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS n FROM obs),
+          g AS (
+            SELECT variant, weight_pct, n_users,
+                   CAST(n * weight_pct AS DOUBLE) / 100.0 AS e
+            FROM obs CROSS JOIN tot),
+          g2 AS (
+            SELECT variant, weight_pct, n_users,
+                   ${rxSql("e", 2)} AS expected,
+                   ${rxSql("(CAST(n_users AS DOUBLE) - e) * (CAST(n_users AS DOUBLE) - e) / e", 6)} AS cell_chi2
+            FROM g)
+          SELECT variant, CAST(weight_pct AS INT) AS weight_pct, n_users,
+                 expected, cell_chi2,
+                 CAST(sum(CAST(cell_chi2 AS DECIMAL(38,6))) OVER () AS DOUBLE) AS chi2,
+                 CAST(sum(CAST(cell_chi2 AS DECIMAL(38,6))) OVER () AS DOUBLE) > 18.467 AS srm
+          FROM g2 ORDER BY variant""")
+      }),
   )
 }
