@@ -1163,6 +1163,57 @@ object Dedup {
                ${rxSql("CAST(n_inter AS DOUBLE) / CAST(size_a + size_b - n_inter AS DOUBLE)", 6)} AS jac
         FROM v
         WHERE n_inter * 5 >= (size_a + size_b - n_inter) * 4
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    QDef("dedup_lcp_adjacent",
+      // Sorted-neighborhood prefix dedup (Hernández & Stolfo's SNM,
+      // blocked): docs sort by their normalized 200-char prefix inside
+      // an 8-char blocking key, and each doc is compared ONLY to its
+      // immediate predecessor in that order — the longest-common-prefix
+      // length is the duplication signal. Catches shared boilerplate
+      // openings (crawl templates, license headers) that token-set
+      // measures dilute away, at one window pass instead of any
+      // pairwise stage: the only corpus-sized operations are one
+      // shuffle on the block key and one within-block sort, and output
+      // is at most one row per doc. Docs differing inside the first 8
+      // chars land in different blocks and are never compared — the
+      // standard SNM blocking trade, documented not hidden. The LCP
+      // itself is the native codegen'd CommonPrefixLenExpr (one O(n)
+      // scan per pair); the oracle spells the same thing as a bounded
+      // position series + min mismatch. lcp >= 16 emits the row,
+      // >= 40 flags a boilerplate duplicate.
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("k", substring(Text.normTerm(col("text")), 1, 200))
+          .withColumn("blk", substring(col("k"), 1, 8))
+        val w = Window.partitionBy("blk").orderBy("k", "doc_id")
+        d.withColumn("pk", lag("k", 1).over(w))
+          .withColumn("prev_doc_id", lag("doc_id", 1).over(w))
+          .filter(col("pk").isNotNull)
+          .withColumn("lcp",
+            graft.functions.CommonPrefixLenExpr.lcp(col("k"), col("pk")))
+          .filter(col("lcp") >= 16)
+          .select(col("doc_id"), col("prev_doc_id"), col("lcp"),
+            (col("lcp") >= 40).as("dup_prefix"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id,
+                 substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 200) AS k
+          FROM documents),
+        w AS (
+          SELECT doc_id, k,
+                 lag(k) OVER (PARTITION BY substr(k, 1, 8) ORDER BY k, doc_id) AS pk,
+                 lag(doc_id) OVER (PARTITION BY substr(k, 1, 8) ORDER BY k, doc_id) AS prev_doc_id
+          FROM d),
+        l AS (
+          SELECT doc_id, prev_doc_id,
+                 COALESCE(list_min(list_filter(range(1, least(len(k), len(pk)) + 1),
+                                               p -> k[p] <> pk[p])) - 1,
+                          least(len(k), len(pk))) AS lcp
+          FROM w WHERE pk IS NOT NULL)
+        SELECT doc_id, prev_doc_id, CAST(lcp AS BIGINT) AS lcp,
+               lcp >= 40 AS dup_prefix
+        FROM l WHERE lcp >= 16 ORDER BY doc_id"""))
   )
 }
