@@ -708,6 +708,87 @@ object Health {
         FROM c ORDER BY event_type"""),
     ),
 
+    QDef("win_kaplan_meier",
+      // Kaplan-Meier survival estimate over time-to-conversion: per
+      // user, days from first event to the first big purchase
+      // (value >= 100 — chosen so BOTH arms are populated at every SF:
+      // users who never convert are right-CENSORED at their last
+      // observed event, and a dead censor arm would make censor
+      // handling untestable). The survival table is the classic product
+      // S(t) = Π (1 - d_i/n_i) over event times <= t. Scale shape: the
+      // ONLY corpus-sized stage is the per-user aggregate; everything
+      // after runs on at most one row per distinct duration-day
+      // (bounded by the observation window, ~31 here), so the global
+      // windows and the one-row array attach are bounded by design.
+      // Cross-engine determinism of the product: both engines fold the
+      // IDENTICAL ordered factor sequence left-to-right (Spark
+      // `aggregate` over the sorted steps array ≙ DuckDB `list_reduce`
+      // over an ORDER BY list) — every factor and multiply is a single
+      // correctly-rounded IEEE op on identical inputs, so no log-sum
+      // trick and no drift; rx(10) only at the output boundary.
+      (s, dir) => {
+        val u = t(s, dir, "events").groupBy("user_id").agg(
+          min("ts").as("e0"),
+          min(when(col("event_type") === "purchase" && col("value") >= 100,
+            col("ts"))).as("ep"),
+          max("ts").as("tl"))
+        val dur = u.select(
+          datediff(coalesce(col("ep"), col("tl")).cast("date"),
+            col("e0").cast("date")).cast("long").as("t"),
+          col("ep").isNotNull.as("observed"))
+        val km = dur.groupBy("t").agg(
+          sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("observed"), 0L).otherwise(1L)).as("c"))
+        val tot = km.agg(sum(col("d") + col("c")).as("n_total"))
+        val w = Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val km2 = km.crossJoin(broadcast(tot))
+          .withColumn("n_risk", col("n_total") -
+            coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+        val steps = km2.agg(
+          sort_array(collect_list(struct(col("t"), col("d"), col("n_risk"))))
+            .as("steps"))
+        km2.crossJoin(broadcast(steps))
+          .withColumn("surv", rx(aggregate(
+            filter(col("steps"), e => e.getField("t") <= col("t")),
+            lit(1.0),
+            (acc, e) => acc * (lit(1.0) -
+              e.getField("d").cast("double") /
+                e.getField("n_risk").cast("double"))), 10))
+          .select(col("t").as("t_days"), col("d").as("n_events"),
+            col("c").as("n_censored"), col("n_risk"), col("surv"))
+          .orderBy("t_days")
+      },
+      Some(s"""WITH u AS (
+          SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS e0,
+                 min(CASE WHEN event_type = 'purchase' AND value >= 100
+                          THEN CAST(ts AS TIMESTAMP) END) AS ep,
+                 max(CAST(ts AS TIMESTAMP)) AS tl
+          FROM events GROUP BY 1),
+        dur AS (
+          SELECT CAST(date_diff('day', CAST(e0 AS DATE),
+                                CAST(COALESCE(ep, tl) AS DATE)) AS BIGINT) AS t,
+                 ep IS NOT NULL AS observed
+          FROM u),
+        km AS (
+          SELECT t, CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                 CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS c
+          FROM dur GROUP BY 1),
+        km2 AS (
+          SELECT t, d, c,
+                 CAST((SELECT sum(d + c) FROM km) -
+                      COALESCE(sum(d + c) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n_risk
+          FROM km)
+        SELECT k.t AS t_days, k.d AS n_events, k.c AS n_censored, k.n_risk,
+               ${rxSql("""(SELECT COALESCE(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                 list(CAST(1.0 AS DOUBLE) - CAST(k2.d AS DOUBLE) / CAST(k2.n_risk AS DOUBLE)
+                      ORDER BY k2.t)), (a, x) -> a * x), 1.0)
+                 FROM km2 k2 WHERE k2.t <= k.t)""", 10)} AS surv
+        FROM km2 k ORDER BY t_days"""),
+    ),
+
     QDef("win_bollinger_bands", {
       // Bollinger-band anomaly monitor: each reading against the
       // trailing-20 rolling mean ± 2σ of its event type. Both window
