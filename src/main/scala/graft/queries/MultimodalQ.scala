@@ -476,7 +476,68 @@ object MultimodalQ {
           UNION
           SELECT r.a, e.dst FROM reach r JOIN cedges e ON r.b = e.src)
         SELECT a AS media_id, min(b) AS cluster FROM reach
-        GROUP BY a ORDER BY media_id"""))
+        GROUP BY a ORDER BY media_id""")),
+
+    QDef("multimodal_container_header",
+      // Container-header metadata extraction — the technique a 100 TB
+      // image pipeline uses to get dimensions WITHOUT decoding: parse
+      // the fixed-offset header fields straight from the binary
+      // column in codegen'd built-ins (magic validation, then
+      // big-endian u32 width/height at the PNG IHDR offsets 17..24).
+      // Payloads here are synthesized PNG-shaped headers (magic +
+      // IHDR length/tag + BE dims from md5-derived ints — both
+      // engines build the identical bytes), with every 17th doc's
+      // first byte corrupted so the validation arm is live: bad magic
+      // ⇒ NULL dims, never a garbage parse. The whole query is one
+      // narrow shuffle-free projection — no UDF, no decoder; at scale
+      // this is a pure column scan. Aspect ratio is exact integer
+      // millis (1000·w div h) so no FP enters the output.
+      (s, dir) => {
+        val w = lit(320L) + pmod(graft.functions.Text.md5Hash32(
+          concat(lit("w:"), col("doc_id").cast("string"))), lit(1600L))
+        val h = lit(240L) + pmod(graft.functions.Text.md5Hash32(
+          concat(lit("h:"), col("doc_id").cast("string"))), lit(1200L))
+        val magic = when(col("doc_id") % 17 === 0, lit("00504E470D0A1A0A"))
+          .otherwise(lit("89504E470D0A1A0A"))
+        val png = unhex(concat(magic, lit("0000000D"), lit("49484452"),
+          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0")))
+        val parsed = t(s, dir, "documents")
+          .select(col("doc_id").as("media_id"), png.as("png"))
+          .withColumn("magic_ok",
+            hex(substring(col("png"), 1, 8)) === "89504E470D0A1A0A")
+          .withColumn("width", when(col("magic_ok"),
+            conv(hex(substring(col("png"), 17, 4)), 16, 10).cast("long")))
+          .withColumn("height", when(col("magic_ok"),
+            conv(hex(substring(col("png"), 21, 4)), 16, 10).cast("long")))
+        parsed.select(col("media_id"), col("magic_ok"),
+            col("width"), col("height"),
+            when(col("magic_ok"), expr("(1000 * width) div height"))
+              .as("aspect_millis"))
+          .orderBy("media_id")
+      },
+      Some("""WITH syn AS (
+          -- DuckDB substring() does not accept BLOB, so the oracle
+          -- stays on the HEX-STRING view of the identical bytes
+          -- (byte k = hex chars 2k-1..2k); Spark parses the real
+          -- binary column.
+          SELECT doc_id AS media_id,
+                 (CASE WHEN doc_id % 17 = 0 THEN '00504E470D0A1A0A'
+                       ELSE '89504E470D0A1A0A' END) ||
+                 '0000000D' || '49484452' ||
+                 lpad(to_hex(320 + CAST(('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1600), 8, '0') ||
+                 lpad(to_hex(240 + CAST(('0x' || substr(md5('h:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1200), 8, '0') AS pnghex
+          FROM documents),
+        parsed AS (
+          SELECT media_id,
+                 upper(substr(pnghex, 1, 16)) = '89504E470D0A1A0A' AS magic_ok,
+                 CAST(('0x' || substr(pnghex, 33, 8)) AS BIGINT) AS w0,
+                 CAST(('0x' || substr(pnghex, 41, 8)) AS BIGINT) AS h0
+          FROM syn)
+        SELECT media_id, magic_ok,
+               CASE WHEN magic_ok THEN w0 END AS width,
+               CASE WHEN magic_ok THEN h0 END AS height,
+               CASE WHEN magic_ok THEN (1000 * w0) // h0 END AS aspect_millis
+        FROM parsed ORDER BY media_id"""))
   )
 
   /** Staged 32-bit simhash signatures over the opaque payloads plus the
