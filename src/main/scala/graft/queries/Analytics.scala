@@ -767,6 +767,65 @@ object Analytics {
         WHERE rk <= 5 ORDER BY s_target, rk"""),
     ),
 
+    QDef("graph_resource_allocation",
+      // Resource-allocation link prediction (Zhou, Lü & Zhang 2009) —
+      // graph_bipartite_cf's complement with a different inductive
+      // bias: instead of Jaccard (which treats every shared part
+      // equally), each shared part contributes 1/deg(part), so RARE
+      // co-supplied parts dominate the score — the same
+      // inverse-frequency insight as IDF, on graphs. Same
+      // query-batching scale shape as bipartite_cf: one join side
+      // restricted to the target slice, candidates only from the
+      // shared-part equi join (cost Σ_p deg_target(p)·deg(p), linear
+      // in the probe side), part degrees attached ON THE SHARED PART
+      // before aggregation so the per-part weight is computed once per
+      // wedge. Scores are exact integer micros (10^6 div deg) — no FP
+      // sum order anywhere — and top-5 per target is one bounded
+      // window.
+      (s, dir) => {
+        val e = t(s, dir, "lineitem")
+          .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+          .distinct()
+        val pdeg = e.groupBy("p").agg(count(lit(1)).as("pd"))
+        val wedges = e.filter(expr("s % 25 = 0"))
+          .select(col("s").as("s_target"), col("p"))
+          .join(e.select(col("s").as("s_other"), col("p")), Seq("p"))
+          .filter(col("s_other") =!= col("s_target"))
+          .join(pdeg, Seq("p"))
+        wedges
+          .groupBy("s_target", "s_other")
+          .agg(count(lit(1)).as("n_common"),
+            sum(expr("1000000 div pd")).as("ra_micro"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("s_target")
+              .orderBy(col("ra_micro").desc, col("n_common").desc,
+                col("s_other"))).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("s_target"), col("rk"), col("s_other"),
+            col("n_common"), col("ra_micro"))
+          .orderBy("s_target", "rk")
+      },
+      Some("""WITH e AS (
+          SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        pdeg AS (SELECT p, count(*) AS pd FROM e GROUP BY 1),
+        wedges AS (
+          SELECT a.s AS s_target, b.s AS s_other, d.pd
+          FROM e a
+          JOIN e b ON a.p = b.p AND b.s <> a.s
+          JOIN pdeg d ON d.p = a.p
+          WHERE a.s % 25 = 0),
+        scored AS (
+          SELECT s_target, s_other,
+                 CAST(count(*) AS BIGINT) AS n_common,
+                 CAST(sum(1000000 // pd) AS BIGINT) AS ra_micro
+          FROM wedges GROUP BY 1, 2)
+        SELECT s_target, CAST(rk AS BIGINT) AS rk, s_other, n_common, ra_micro
+        FROM (SELECT *, row_number() OVER (PARTITION BY s_target
+                ORDER BY ra_micro DESC, n_common DESC, s_other) AS rk
+              FROM scored)
+        WHERE rk <= 5 ORDER BY s_target, rk"""),
+    ),
+
     QDef("agg_kmv_sketch",
       // K-minimum-values sketches for audience-overlap estimation: per
       // event type, the k=64 smallest md5 hashes of its distinct
