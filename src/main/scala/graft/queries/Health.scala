@@ -789,6 +789,81 @@ object Health {
         FROM km2 k ORDER BY t_days"""),
     ),
 
+    QDef("win_theil_sen",
+      // Theil-Sen robust trend per event type: the slope estimate a
+      // drift monitor trusts when single-day outliers poison least
+      // squares (the estimator has a 29% breakdown point vs LS's
+      // zero). Slope = MEDIAN of all pairwise day-to-day slopes of the
+      // daily revenue series. Scale discipline: the pairwise stage is
+      // quadratic in DAYS PER TYPE (bounded by the observation window,
+      // ≤ ~31 here — never in the corpus), after a corpus-sized
+      // map-side aggregate folds events to exact daily cent sums; so
+      // the plan is one scan + one bounded self-join per type. Each
+      // slope is ONE IEEE division of exact integers; the median is
+      // positional (row_number against the pair count, averaging the
+      // two middles on even counts — a commutative 2-term add, safe),
+      // so no FP fold order exists anywhere.
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("d",
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("long"))
+          .groupBy("event_type", "d").agg(sum("xc").as("y"))
+        val slopes = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.d") < col("b.d"))
+          .select(col("a.event_type").as("event_type"),
+            ((col("b.y") - col("a.y")).cast("double") /
+              (col("b.d") - col("a.d")).cast("double")).as("slope"))
+        val np = slopes.groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"))
+        val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+        val rn = row_number().over(
+          Window.partitionBy("event_type").orderBy("slope")).cast("long")
+        slopes.withColumn("rn", rn)
+          .join(np, "event_type")
+          .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
+            col("rn") === expr("(n_pairs + 2) div 2"))
+          .groupBy("event_type", "n_pairs")
+          .agg((sum("slope") / count(lit(1))).as("m"))
+          .join(nd, "event_type")
+          .select(col("event_type"), col("n_days"), col("n_pairs"),
+            rx(col("m"), 6).as("ts_slope_cents_per_day"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH daily AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                                CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS d,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        slopes AS (
+          SELECT a.event_type,
+                 CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d < b.d),
+        np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM slopes GROUP BY 1),
+        nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY 1),
+        rk AS (
+          SELECT event_type, slope,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY slope) AS BIGINT) AS rn
+          FROM slopes),
+        med AS (
+          SELECT r.event_type, n_pairs,
+                 sum(r.slope) / count(*) AS m
+          FROM rk r JOIN np ON np.event_type = r.event_type
+          WHERE r.rn = (n_pairs + 1) // 2 OR r.rn = (n_pairs + 2) // 2
+          GROUP BY 1, 2)
+        SELECT med.event_type, n_days, n_pairs,
+               ${rxSql("m", 6)} AS ts_slope_cents_per_day
+        FROM med JOIN nd ON nd.event_type = med.event_type
+        ORDER BY med.event_type"""),
+    ),
+
     QDef("win_bollinger_bands", {
       // Bollinger-band anomaly monitor: each reading against the
       // trailing-20 rolling mean ± 2σ of its event type. Both window
