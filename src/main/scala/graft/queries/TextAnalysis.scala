@@ -654,6 +654,65 @@ object TextAnalysis {
                CAST(((t.total_tokens // 2) * 100) // tokens AS BIGINT) AS epochs_x100
         FROM per CROSS JOIN
           (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per) t
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    QDef("text_ttr_mattr",
+      // Lexical diversity — MATTR (Covington & McFall's moving-average
+      // type-token ratio): plain TTR shrinks with document LENGTH
+      // (longer docs repeat more), so cross-length comparisons lie;
+      // MATTR averages TTR over fixed 50-token windows (step 25),
+      // making the signal length-invariant — the diversity filter a
+      // curation pass uses next to gopher repetition (which measures
+      // DUPLICATION, not vocabulary breadth). Entirely in-row array
+      // ops: window starts, per-window distinct counts and the
+      // integer-micro average all happen inside one codegen'd
+      // projection — a shuffle-free linear scan at any corpus size.
+      // All arithmetic is integer floor-division in micros; docs under
+      // 50 tokens fall back to one whole-doc window (standard MATTR
+      // behavior).
+      (s, dir) => {
+        val W = 50
+        val S = 25
+        val d = t(s, dir, "documents")
+          .withColumn("tks", toks)
+          .withColumn("n", size(col("tks")).cast("long"))
+          .withColumn("starts",
+            when(col("n") >= W, sequence(lit(1L), col("n") - (W - 1), lit(S.toLong)))
+              .otherwise(array(lit(1L))))
+          .withColumn("wsize", least(lit(W.toLong), col("n")))
+          .withColumn("ttrs", transform(col("starts"), i =>
+            expr(s"1000000L").cast("long") *
+              size(array_distinct(slice(col("tks"), i, lit(W)))).cast("long")))
+          .withColumn("n_windows", size(col("starts")).cast("long"))
+        d.withColumn("n_types", size(array_distinct(col("tks"))).cast("long"))
+          .select(col("doc_id"), col("n").as("n_tokens"), col("n_windows"),
+            // integer div, never Column `/` (double division truncates
+            // its ROUNDED result — can land one above the exact
+            // quotient; verify-skill gotcha)
+            expr("aggregate(ttrs, 0L, (a, x) -> a + x) div (wsize * n_windows)")
+              .as("mattr_micro"),
+            expr("(n_types * 1000000) div n").as("ttr_micro"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, $toksSql AS tks FROM documents),
+        base AS (
+          SELECT doc_id, tks, CAST(len(tks) AS BIGINT) AS n,
+                 CASE WHEN len(tks) >= 50
+                      THEN range(1, len(tks) - 49 + 1, 25)
+                      ELSE [CAST(1 AS BIGINT)] END AS starts,
+                 least(50, CAST(len(tks) AS BIGINT)) AS wsize
+          FROM d),
+        w AS (
+          SELECT doc_id, n, wsize,
+                 CAST(len(starts) AS BIGINT) AS n_windows,
+                 list_transform(starts, i ->
+                   1000000 * CAST(len(list_distinct(list_slice(tks, i, i + 49))) AS BIGINT)) AS ttrs,
+                 CAST(len(list_distinct(tks)) AS BIGINT) AS n_types
+          FROM base)
+        SELECT doc_id, n AS n_tokens, n_windows,
+               CAST(list_sum(ttrs) // (wsize * n_windows) AS BIGINT) AS mattr_micro,
+               CAST((n_types * 1000000) // n AS BIGINT) AS ttr_micro
+        FROM w ORDER BY doc_id"""))
   )
 }
