@@ -713,6 +713,47 @@ object TextAnalysis {
         SELECT doc_id, n AS n_tokens, n_windows,
                CAST(list_sum(ttrs) // (wsize * n_windows) AS BIGINT) AS mattr_micro,
                CAST((n_types * 1000000) // n AS BIGINT) AS ttr_micro
-        FROM w ORDER BY doc_id"""))
+        FROM w ORDER BY doc_id""")),
+
+    QDef("text_zipf_check",
+      // Zipf-law conformance of the corpus frequency profile: natural
+      // corpora follow f(r) ≈ f(1)/r; a corpus whose top ranks deviate
+      // hard (synthetic spam, template floods, a broken extractor)
+      // shows up immediately in the signed per-rank deviation. Top-20
+      // ranks, expected = f1 div r, deviation in ppm of f1 — ALL
+      // integer arithmetic (no log-log fit, which would drag
+      // non-correctly-rounded ln() into the gate). Scale shape: the
+      // frequency table is a map-side-combined vocab aggregate; the
+      // global (freq DESC, token) rank sorts only the vocab-sized
+      // table, and the f1 scalar attaches by broadcast. Rank order is
+      // total (token tiebreak) so top-20 is deterministic.
+      (s, dir) => {
+        val freq = t(s, dir, "documents")
+          .select(explode(toks).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("f"))
+        val top = freq
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("f").desc, col("tok"))).cast("long"))
+          .filter(col("r") <= 20)
+        val f1 = top.agg(max("f").as("f1"))
+        top.crossJoin(broadcast(f1))
+          .select(col("r").as("rank"), col("tok").as("token"), col("f").as("freq"),
+            expr("f1 div r").as("zipf_expected"),
+            expr("((f * r - f1) * 1000000) div f1").as("dev_ppm"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH freq AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS f
+          FROM (SELECT unnest($toksSql) AS tok FROM documents)
+          GROUP BY 1),
+        top AS (
+          SELECT tok, f,
+                 CAST(row_number() OVER (ORDER BY f DESC, tok) AS BIGINT) AS r
+          FROM freq QUALIFY r <= 20),
+        f1 AS (SELECT max(f) AS f1 FROM top)
+        SELECT r AS rank, tok AS token, f AS freq,
+               CAST(f1 // r AS BIGINT) AS zipf_expected,
+               CAST(((f * r - f1) * 1000000) // f1 AS BIGINT) AS dev_ppm
+        FROM top CROSS JOIN f1 ORDER BY rank"""))
   )
 }
