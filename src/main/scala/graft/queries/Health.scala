@@ -864,6 +864,96 @@ object Health {
         ORDER BY med.event_type"""),
     ),
 
+    QDef("win_changepoint_pettitt",
+      // Pettitt changepoint test per event type — the nonparametric
+      // "did the distribution SHIFT, and when?" companion to
+      // win_cusum_alert (which assumes a known baseline): U_t =
+      // ΣΣ sign(x_j − x_i) over pairs straddling cut t, the changepoint
+      // is argmax |U_t|, and significance uses the classic
+      // approximation p ≈ 2·exp(−6K²/(n³+n²)) rearranged so the GATE is
+      // integer-vs-one-multiply: 6K² ≥ C·(n³+n²) with C = −ln(0.025)
+      // evaluated HOST-side once and flowing to both engines as the
+      // same literal (keeps libm out of the gate). Everything is rank
+      // arithmetic on exact daily cent sums. Scale shape: pairs and
+      // cuts are quadratic/cubic in DAYS PER TYPE (≤ ~31, bounded by
+      // the observation window) downstream of the one corpus-sized
+      // map-side daily aggregate — the same boundedness argument as
+      // win_theil_sen, never corpus-quadratic.
+      (s, dir) => {
+        val C = 3.6888794541139363 // -ln(0.025), host-side, shared literal
+        val daily = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("d",
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("long"))
+          .groupBy("event_type", "d").agg(sum("xc").as("x"))
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.d") < col("b.d"))
+          .select(col("a.event_type").as("event_type"),
+            col("a.d").as("di"), col("b.d").as("dj"),
+            when(col("b.x") > col("a.x"), 1L)
+              .when(col("b.x") < col("a.x"), -1L).otherwise(0L).as("sgn"))
+        val cuts = daily.groupBy("event_type")
+          .agg(max("d").as("dmax"), count(lit(1)).as("n_days"))
+          .join(daily.select(col("event_type"), col("d").as("t")), "event_type")
+          .filter(col("t") < col("dmax"))
+          .select("event_type", "t", "n_days")
+        val u = cuts.join(pairs, Seq("event_type"))
+          .filter(col("di") <= col("t") && col("t") < col("dj"))
+          .groupBy("event_type", "t", "n_days")
+          .agg(sum("sgn").as("u_t"))
+        u.withColumn("rn", row_number().over(
+            Window.partitionBy("event_type")
+              .orderBy(abs(col("u_t")).desc, col("t"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("n_days"), col("t").as("cp_day"),
+            col("u_t").as("u_at_cp"), abs(col("u_t")).as("k_abs"),
+            ((col("u_t") * col("u_t") * 6).cast("double") >=
+              lit(C) * (col("n_days") * col("n_days") * col("n_days") +
+                col("n_days") * col("n_days")).cast("double"))
+              .as("significant"))
+          .orderBy("event_type")
+      }, {
+        val C = "3.6888794541139363e0"
+        Some(s"""WITH daily AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                                CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS d,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.event_type, a.d AS di, b.d AS dj,
+                 CAST(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END AS BIGINT) AS sgn
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d < b.d),
+        meta AS (
+          SELECT event_type, max(d) AS dmax, CAST(count(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY 1),
+        cuts AS (
+          SELECT daily.event_type, daily.d AS t, meta.n_days
+          FROM daily JOIN meta ON meta.event_type = daily.event_type
+          WHERE daily.d < meta.dmax),
+        u AS (
+          SELECT c.event_type, c.t, c.n_days,
+                 CAST(sum(p.sgn) AS BIGINT) AS u_t
+          FROM cuts c JOIN pairs p
+            ON p.event_type = c.event_type
+           AND p.di <= c.t AND c.t < p.dj
+          GROUP BY 1, 2, 3),
+        best AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY abs(u_t) DESC, t) AS rn
+          FROM u)
+        SELECT event_type, n_days, t AS cp_day, u_t AS u_at_cp,
+               abs(u_t) AS k_abs,
+               CAST(u_t * u_t * 6 AS DOUBLE) >=
+                 $C * CAST(n_days * n_days * n_days + n_days * n_days AS DOUBLE)
+                 AS significant
+        FROM best WHERE rn = 1 ORDER BY event_type""")
+      }),
+
     QDef("win_bollinger_bands", {
       // Bollinger-band anomaly monitor: each reading against the
       // trailing-20 rolling mean ± 2σ of its event type. Both window
