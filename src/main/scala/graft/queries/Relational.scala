@@ -376,6 +376,41 @@ object Relational {
           CAST(o_orderdate AS DATE) AS odate
         FROM orders ORDER BY o_orderkey""")),
 
+    QDef("scan_fixed_width",
+      // Fixed-width record format round trip — the mainframe/COBOL
+      // export layout that still feeds real warehouses: each order
+      // serializes to one 40-char line (key 12 zero-padded, status 1,
+      // cents 12 zero-padded, priority 15 space-padded), written
+      // through the text sink and re-parsed with pure substring/cast
+      // built-ins — no per-row UDF, the parse is a codegen'd
+      // projection, and at 100 TB a fixed-width scan splits on line
+      // boundaries exactly like any text source. Money rides as
+      // INTEGER CENTS in the record (text round-trip of doubles via
+      // fixed-width would need locale-proof formatting; cents are
+      // exact by construction). The oracle reads the ORIGINAL parquet,
+      // so a pass proves serialize→parse is the identity.
+      (s, dir) => {
+        val out = scratch(s"fixed_width_${new java.io.File(dir).getName}")
+        t(s, dir, "orders").select(concat(
+            lpad(col("o_orderkey").cast("string"), 12, "0"),
+            col("o_orderstatus"),
+            lpad(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .cast("string"), 12, "0"),
+            rpad(col("o_orderpriority"), 15, " ")).as("value"))
+          .write.mode("overwrite").text(out)
+        s.read.text(out)
+          .select(
+            substring(col("value"), 1, 12).cast("long").as("o_orderkey"),
+            substring(col("value"), 13, 1).as("status"),
+            substring(col("value"), 14, 12).cast("long").as("cents"),
+            rtrim(substring(col("value"), 26, 15)).as("priority"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus AS status,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+          o_orderpriority AS priority
+        FROM orders ORDER BY o_orderkey""")),
+
     QDef("scan_dsv2_skipping",
       // Custom DataSource V2 connector (graft.sources.GraftTsv): a
       // stats-indexed TSV format read through the full V2 scan stack —
