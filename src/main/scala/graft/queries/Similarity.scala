@@ -627,6 +627,92 @@ object Similarity {
         SELECT q_id, rank, vec_id, qdot FROM rk WHERE rank <= $K
         ORDER BY q_id, rank""")),
 
+    QDef("sim_ann_binary",
+      // Binary (1-bit sign) quantization + Hamming funnel — the third
+      // memory-side lever after int8 (8 bits/dim) and PQ (codebook):
+      // 64 dims pack into 64 SIGN BITS (two 32-bit words, same layout
+      // discipline as the phash family — no shift ever touches a sign
+      // bit), 32× smaller than float32, and stage 1 scans the corpus
+      // with ONE xor+popcount per vector against the broadcast query
+      // signatures — the cheapest whole-corpus pass any index offers
+      // at 100 TB. Top-20 Hamming candidates per query then get the
+      // EXACT full-precision cosine (candidates-only, corpus-size-
+      // independent), top-5 kept. All candidate ranking is integer
+      // (Hamming + vec_id tiebreaks); the exact stage is the shared
+      // rx-rounded cosine kernel. The signature build is staged: both
+      // the query side and the corpus side of the stage-1 join read it.
+      (s, dir) => {
+        val C = 20
+        val sigs = graft.pipeline.Staged.disk(s, dir, "emb_bin_sigs") {
+          vecs(s, dir).select(col("vec_id"),
+            (0 until 32).map(i =>
+              when(element_at(col("v"), i + 1) > 0d, lit(1L << i))
+                .otherwise(lit(0L))).reduce(_ + _).as("sig_lo"),
+            (32 until 64).map(i =>
+              when(element_at(col("v"), i + 1) > 0d, lit(1L << (i - 32)))
+                .otherwise(lit(0L))).reduce(_ + _).as("sig_hi"))
+        }
+        val q = sigs.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"),
+            col("sig_lo").as("qlo"), col("sig_hi").as("qhi"))
+        val wH = Window.partitionBy("q_id")
+          .orderBy(col("hamming").asc, col("vec_id").asc)
+        val cand = broadcast(q).join(sigs, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            (expr("bit_count(qlo ^ sig_lo)") +
+              expr("bit_count(qhi ^ sig_hi)")).cast("long").as("hamming"))
+          .withColumn("crank", row_number().over(wH))
+          .filter(col("crank") <= C)
+          .drop("crank")
+        val v = vecs(s, dir)
+        val qv = v.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val wC = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        cand.join(broadcast(qv), "q_id")
+          .join(v.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+          .withColumn("cos",
+            rx(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6))
+          .withColumn("rank", row_number().over(wC))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("hamming"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH sigs AS (
+          SELECT vec_id,
+            CAST(list_sum(list_transform(range(32), i ->
+              CASE WHEN CAST(embedding[i+1] AS DOUBLE) > 0
+                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sig_lo,
+            CAST(list_sum(list_transform(range(32), i ->
+              CASE WHEN CAST(embedding[i+33] AS DOUBLE) > 0
+                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sig_hi
+          FROM embeddings),
+        cand AS (
+          SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+                 CAST(bit_count(xor(a.sig_lo, b.sig_lo)) +
+                      bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+          FROM sigs a JOIN sigs b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < $QueryVecs),
+        topc AS (
+          SELECT q_id, vec_id, hamming,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY hamming, vec_id) AS crank
+          FROM cand),
+        resc AS (
+          SELECT t.q_id, t.vec_id, t.hamming,
+                 ${rxSql(cosSql("qa", "qb"), 6)} AS cos
+          FROM topc t
+          JOIN embeddings qa ON qa.vec_id = t.q_id
+          JOIN embeddings qb ON qb.vec_id = t.vec_id
+          WHERE t.crank <= 20)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, hamming, cos
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, vec_id) AS rank
+              FROM resc)
+        WHERE rank <= $K ORDER BY q_id, rank""")),
+
     QDef("sim_matryoshka",
       // Matryoshka (prefix-dimension) retrieval funnel: stage 1 ranks
       // the corpus by cosine over only the FIRST 16 of 64 dims — 1/4
