@@ -25,6 +25,12 @@ import graft.functions.Text
 object Health {
   import QDef._
 
+  /** c(0.05)² for the two-sample KS rejection rule — evaluated ONCE
+    * host-side so the identical double literal flows to both engines
+    * (the squaring itself must not happen per-engine).
+    */
+  private val KsC2: Double = 1.3581015157406195 * 1.3581015157406195
+
   val all: Seq[QDef] = Seq(
 
     QDef("profile_data_drift",
@@ -952,6 +958,83 @@ object Health {
                  $C * CAST(n_days * n_days * n_days + n_days * n_days AS DOUBLE)
                  AS significant
         FROM best WHERE rn = 1 ORDER BY event_type""")
+      }),
+
+    QDef("agg_ks_test",
+      // Two-sample Kolmogorov-Smirnov per event type — the
+      // distribution-SHAPE drift test next to agg_welch_ttest (means
+      // only) and win_changepoint_pettitt (shift location): D =
+      // max_x |F1(x) − F2(x)| between the first and second half-month
+      // value distributions. ENTIRELY integer: with per-value
+      // cumulative counts c1, c2 and totals n1, n2, the numerator is
+      // max |c1·n2 − c2·n1| (D = that over n1·n2), and the α=0.05
+      // rejection D ≥ c·√((n1+n2)/(n1·n2)) squares into
+      // d_num² ≥ c²·n1·n2·(n1+n2) — ONE double multiply against an
+      // exact integer, c² a host-side shared literal; libm never
+      // enters the gate. Scale shape: one map-side aggregate to
+      // (type, cent-value) cells — bounded by the value domain, not
+      // the corpus — then a per-type cumsum window over those cells.
+      (s, dir) => {
+        val cells = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("h",
+            col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+          .groupBy("event_type", "xc")
+          .agg(sum(when(col("h"), 1L).otherwise(0L)).as("a"),
+            sum(when(col("h"), 0L).otherwise(1L)).as("b"))
+        val w = Window.partitionBy("event_type").orderBy("xc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = cells
+          .withColumn("c1", sum("a").over(w))
+          .withColumn("c2", sum("b").over(w))
+        val tot = cells.groupBy("event_type")
+          .agg(sum("a").as("n1"), sum("b").as("n2"))
+        cum.join(tot, "event_type")
+          .groupBy("event_type", "n1", "n2")
+          .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+            .as("d_num"))
+          .select(col("event_type"), col("n1"), col("n2"), col("d_num"),
+            expr("(d_num * 1000000) div (n1 * n2)").as("d_ppm"),
+            // squares/products in DOUBLE (each multiply one exact-
+            // rounded IEEE op) — the int64 spelling overflows past ~sf1
+            (col("d_num").cast("double") * col("d_num").cast("double") >=
+              lit(KsC2) * (col("n1").cast("double") * col("n2").cast("double") *
+                (col("n1") + col("n2")).cast("double"))).as("reject_h0"))
+          .orderBy("event_type")
+      }, {
+        val c2 = s"${KsC2}e0"
+        Some(s"""WITH ev AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+                 CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' AS h
+          FROM events),
+        cells AS (
+          SELECT event_type, xc,
+                 CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN h THEN 0 ELSE 1 END) AS BIGINT) AS b
+          FROM ev GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, CAST(sum(a) AS BIGINT) AS n1,
+                 CAST(sum(b) AS BIGINT) AS n2
+          FROM cells GROUP BY 1),
+        cum AS (
+          SELECT event_type, xc,
+                 CAST(sum(a) OVER (PARTITION BY event_type ORDER BY xc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+                 CAST(sum(b) OVER (PARTITION BY event_type ORDER BY xc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+          FROM cells),
+        d AS (
+          SELECT c.event_type, t.n1, t.n2,
+                 CAST(max(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS BIGINT) AS d_num
+          FROM cum c JOIN tot t ON t.event_type = c.event_type
+          GROUP BY 1, 2, 3)
+        SELECT event_type, n1, n2, d_num,
+               CAST((d_num * 1000000) // (n1 * n2) AS BIGINT) AS d_ppm,
+               CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE) >=
+                 $c2 * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+                        CAST(n1 + n2 AS DOUBLE)) AS reject_h0
+        FROM d ORDER BY event_type""")
       }),
 
     QDef("win_bollinger_bands", {
