@@ -826,6 +826,110 @@ object Analytics {
         WHERE rk <= 5 ORDER BY s_target, rk"""),
     ),
 
+    QDef("win_markov_transitions",
+      // First-order Markov transition matrix over user event streams —
+      // the behavioral fingerprint a product-analytics pass derives
+      // before funnel design, and the drift object to diff release-
+      // over-release. Each user's events order by (ts, event_id) — the
+      // id tiebreak makes the sequence TOTAL under timestamp
+      // collisions, which real event streams always have — one lag
+      // window per user (shuffle on user_id), then a bounded
+      // (from × to) aggregate; row probabilities are exact integer
+      // micros against the from-state total. At 100 TB: one shuffle,
+      // one window pass, and a 25-cell output regardless of corpus
+      // size.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val tr = t(s, dir, "events")
+          .withColumn("nxt", lead("event_type", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("from_state"),
+            col("nxt").as("to_state"))
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy("from_state").agg(sum("n").as("n_from"))
+        tr.join(tot, "from_state")
+          .select(col("from_state"), col("to_state"), col("n"), col("n_from"),
+            expr("(n * 1000000) div n_from").as("p_micro"))
+          .orderBy("from_state", "to_state")
+      },
+      Some("""WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+          FROM events),
+        tr AS (
+          SELECT event_type AS from_state, nxt AS to_state,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS n_from
+                FROM tr GROUP BY 1)
+        SELECT tr.from_state, tr.to_state, tr.n, tot.n_from,
+               CAST((tr.n * 1000000) // tot.n_from AS BIGINT) AS p_micro
+        FROM tr JOIN tot ON tot.from_state = tr.from_state
+        ORDER BY tr.from_state, tr.to_state""")),
+
+    QDef("win_rfm_scoring",
+      // RFM customer scoring — the classic warehouse segmentation:
+      // recency (days from last order to the corpus's max order date),
+      // frequency (order count) and monetary (exact total cents), each
+      // quintiled with ntile(5) under a TOTAL order (custkey tiebreak —
+      // ntile is positional, so an untotalized order would make bucket
+      // membership nondeterministic at every tie), composed into the
+      // 3-digit RFM code plus the two action segments campaigns
+      // actually target. Per-customer stats are one map-side aggregate;
+      // the quintile windows sort the customer-DIMENSION-sized table
+      // (not the fact table), and the max-date scalar attaches by
+      // broadcast. All arithmetic integer.
+      (s, dir) => {
+        val perC = t(s, dir, "orders")
+          .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+            count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+        val mx = perC.agg(max("last_d").as("max_d"))
+        val base = perC.crossJoin(broadcast(mx))
+          .withColumn("recency_days",
+            datediff(col("max_d"), col("last_d")).cast("long"))
+        def q(c: String, asc: Boolean) = ntile(5).over(
+          if (asc) Window.orderBy(col(c).asc, col("custkey"))
+          else Window.orderBy(col(c).desc, col("custkey"))).cast("long")
+        base
+          .withColumn("r_q", q("recency_days", asc = false))
+          .withColumn("f_q", q("n_orders", asc = true))
+          .withColumn("m_q", q("cents", asc = true))
+          .select(col("custkey"), col("recency_days"), col("n_orders"),
+            col("cents"), col("r_q"), col("f_q"), col("m_q"),
+            (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm"),
+            when(col("r_q") === 5 && col("f_q") >= 4 && col("m_q") >= 4,
+              lit("champion"))
+              .when(col("r_q") <= 2 && col("m_q") >= 4, lit("at_risk"))
+              .otherwise(lit("other")).as("segment"))
+          .orderBy("custkey")
+      },
+      Some("""WITH per_c AS (
+          SELECT o_custkey AS custkey,
+                 max(CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) AS last_d,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        base AS (
+          SELECT custkey, n_orders, cents,
+                 CAST(date_diff('day', last_d,
+                      (SELECT max(last_d) FROM per_c)) AS BIGINT) AS recency_days
+          FROM per_c),
+        scored AS (
+          SELECT *,
+                 CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS BIGINT) AS r_q,
+                 CAST(ntile(5) OVER (ORDER BY n_orders ASC, custkey) AS BIGINT) AS f_q,
+                 CAST(ntile(5) OVER (ORDER BY cents ASC, custkey) AS BIGINT) AS m_q
+          FROM base)
+        SELECT custkey, recency_days, n_orders, cents, r_q, f_q, m_q,
+               r_q * 100 + f_q * 10 + m_q AS rfm,
+               CASE WHEN r_q = 5 AND f_q >= 4 AND m_q >= 4 THEN 'champion'
+                    WHEN r_q <= 2 AND m_q >= 4 THEN 'at_risk'
+                    ELSE 'other' END AS segment
+        FROM scored ORDER BY custkey""")),
+
     QDef("agg_kmv_sketch",
       // K-minimum-values sketches for audience-overlap estimation: per
       // event type, the k=64 smallest md5 hashes of its distinct

@@ -467,6 +467,89 @@ object Pipeline {
             UNION ALL SELECT 'Term', sub, NULL FROM labeled WHERE sub IS NOT NULL AND sub <> ''
             UNION ALL SELECT 'Date', date_from, NULL FROM docs WHERE date_from IS NOT NULL AND date_from <> ''
             UNION ALL SELECT 'Date', date_to, NULL FROM docs WHERE date_to IS NOT NULL AND date_to <> ''))
-        GROUP BY label ORDER BY label"""))
+        GROUP BY label ORDER BY label""")),
+
+    QDef("pipeline_gdpr_erasure",
+      // Right-to-be-forgotten cascade with an audit trail — the
+      // compliance pass every pipeline holding user data must run:
+      // a deterministic deletion-request set (custkey/user_id ≡ 0
+      // mod 97 stands in for the request table) erases customers,
+      // cascades to their orders, cascades again to those orders'
+      // lineitems (a key the request never names — reachable only
+      // through the FK chain, which is the part naive per-table
+      // filters miss), and independently erases the user's events.
+      // Each table reports before/removed/after counts plus LEFTOVER —
+      // requested keys still present after erasure, which the audit
+      // requires to be zero and which would catch a broken cascade.
+      // Scale shape: erasure is one anti join per table against the
+      // (small) request set — broadcastable at any corpus size — and
+      // the lineitem cascade joins on the removed-order keys, not the
+      // corpus; counts are map-side-combined conditional aggregates.
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+        val ords = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val ev = t(s, dir, "events")
+        val reqC = cust.filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("k"))
+        val remO = ords.join(reqC, col("o_custkey") === col("k"), "left_semi")
+        val remOk = remO.select(col("o_orderkey").as("ok"))
+        def audit(name: String, before: DataFrame, removed: DataFrame,
+            leftover: DataFrame) =
+          before.agg(count(lit(1)).as("n_before"))
+            .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+            .crossJoin(leftover.agg(count(lit(1)).as("leftover")))
+            .select(lit(name).as("table_name"), col("n_before"),
+              col("n_removed"),
+              (col("n_before") - col("n_removed")).as("n_after"),
+              col("leftover"))
+        val custAfter = cust.join(reqC, col("c_custkey") === col("k"), "left_anti")
+        val ordsAfter = ords.join(reqC, col("o_custkey") === col("k"), "left_anti")
+        val liAfter = li.join(remOk, col("l_orderkey") === col("ok"), "left_anti")
+        val reqU = ev.select(col("user_id")).distinct()
+          .filter(col("user_id") % 97 === 0)
+        val evAfter = ev.join(reqU, Seq("user_id"), "left_anti")
+        audit("customer", cust, cust.join(reqC, col("c_custkey") === col("k"), "left_semi"),
+            custAfter.filter(col("c_custkey") % 97 === 0))
+          .unionAll(audit("orders", ords, remO,
+            ordsAfter.join(reqC, col("o_custkey") === col("k"), "left_semi")))
+          .unionAll(audit("lineitem", li,
+            li.join(remOk, col("l_orderkey") === col("ok"), "left_semi"),
+            liAfter.join(remOk, col("l_orderkey") === col("ok"), "left_semi")))
+          .unionAll(audit("events", ev,
+            ev.filter(col("user_id") % 97 === 0),
+            evAfter.filter(col("user_id") % 97 === 0)))
+          .orderBy("table_name")
+      },
+      Some("""WITH req_c AS (
+          SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        rem_o AS (
+          SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM req_c)),
+        rows_ AS (
+          SELECT 'customer' AS table_name,
+                 (SELECT count(*) FROM customer) AS n_before,
+                 (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT k FROM req_c)) AS n_removed,
+                 0 AS leftover
+          UNION ALL
+          SELECT 'orders',
+                 (SELECT count(*) FROM orders),
+                 (SELECT count(*) FROM rem_o),
+                 0
+          UNION ALL
+          SELECT 'lineitem',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM rem_o)),
+                 0
+          UNION ALL
+          SELECT 'events',
+                 (SELECT count(*) FROM events),
+                 (SELECT count(*) FROM events WHERE user_id % 97 = 0),
+                 0)
+        SELECT table_name, CAST(n_before AS BIGINT) AS n_before,
+               CAST(n_removed AS BIGINT) AS n_removed,
+               CAST(n_before - n_removed AS BIGINT) AS n_after,
+               CAST(leftover AS BIGINT) AS leftover
+        FROM rows_ ORDER BY table_name"""))
   )
 }
