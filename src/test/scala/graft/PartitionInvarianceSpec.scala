@@ -41,7 +41,17 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "sample_split_exact",        // rank-threshold exact quotas (round 10)
     "win_collapse_runs",         // gaps-and-islands run encoding (round 10)
     "agg_weighted_median",       // decimal cumulative-weight selection (round 10)
-    "sim_cluster_purity")        // argmax purity over staged IVF lists (round 10)
+    "sim_cluster_purity",        // argmax purity over staged IVF lists (round 10)
+    "dedup_prefix_filter",       // freq-ordered prefix index + integer gate (round 10)
+    "agg_chi2_independence",     // rx-then-decimal-window-sum statistic (round 10)
+    "win_kaplan_meier",          // in-order factor fold over sorted steps (round 10)
+    "agg_moments_skew_kurt",     // decimal power sums -> IEEE tree (round 10)
+    "win_theil_sen",             // positional median of pair slopes (round 10)
+    "agg_ks_test",               // integer D numerator + squared gate (round 10)
+    "win_markov_transitions",    // (ts, event_id)-totalized lag pairs (round 10)
+    "win_rfm_scoring",           // ntile quintiles under total orders (round 10)
+    "sim_ann_binary",            // sign-bit sigs + integer Hamming funnel (round 10)
+    "dedup_lcp_adjacent")        // blocked SNM lag + native LCP kernel (round 10)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq

@@ -292,4 +292,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(docScans.size <= 1,
       s"line stream must be staged — found ${docScans.size} documents scans")
   }
+
+  test("dedup_prefix_filter self-joins the STAGED prefix index: no documents rescan") {
+    // The candidate join reads the prefix index on both sides; unstaged
+    // it would re-run tokenize + explode + freq join twice. The staged
+    // artifact means the executed plan reads parquet stage files, and
+    // the only allowed documents scan is the (also staged) ngram_sets
+    // build — i.e. zero direct documents scans in the final plan.
+    val df = SparkEntry.queries("dedup_prefix_filter")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
+    val docScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => f
+    }
+    assert(docScans.isEmpty,
+      s"prefix join must read the staged index — found ${docScans.size} documents scans")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "prefix filtering must never plan a cartesian product")
+  }
+
+  test("sim_ann_binary stage-1 scan joins against BROADCAST query signatures") {
+    val df = SparkEntry.queries("sim_ann_binary")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+      || nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the Hamming pass must broadcast the query side")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "the funnel must never plan a cartesian product")
+  }
+
+  test("pipeline_gdpr_erasure cascades via joins, never a cartesian") {
+    val df = SparkEntry.queries("pipeline_gdpr_erasure")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    // The audit contract itself: nothing requested survives erasure.
+    assert(rows.forall(_.getAs[Long]("leftover") == 0L),
+      "leftover keys after erasure — the cascade is broken")
+    val nodes = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "erasure must never plan a cartesian product")
+  }
 }
