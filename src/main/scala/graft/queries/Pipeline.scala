@@ -550,6 +550,88 @@ object Pipeline {
                CAST(n_removed AS BIGINT) AS n_removed,
                CAST(n_before - n_removed AS BIGINT) AS n_after,
                CAST(leftover AS BIGINT) AS leftover
-        FROM rows_ ORDER BY table_name"""))
+        FROM rows_ ORDER BY table_name""")),
+
+    QDef("pipeline_contract_check",
+      // Data-contract validation — the dbt-test / Great-Expectations
+      // surface a pipeline runs at every ingest boundary, one report
+      // row per declared constraint: primary-key uniqueness, two
+      // referential-integrity checks (orphan FKs via anti-join
+      // semantics), a value range, two domain enums and a timestamp
+      // window. The contract is DELIBERATELY stricter than the data in
+      // two places (value <= 500, status in (O,F)) so the FAIL arm is
+      // live at every SF — a report whose checks can only pass can't
+      // catch a regression in the checker itself (the dead-arm lesson
+      // from the CDC feed). Every check is one map-side conditional
+      // aggregate or one key-join count — each constraint touches its
+      // table once; nothing is row-materialized but the 7-row report.
+      (s, dir) => {
+        import s.implicits._
+        def row(name: String, table: String, checked: DataFrame,
+            viol: org.apache.spark.sql.Column) =
+          checked.agg(count(lit(1)).as("n_checked"),
+            sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
+            .select(lit(name).as("constraint_name"), lit(table).as("table_name"),
+              col("n_checked"), col("n_violations"),
+              (col("n_violations") === 0L).as("pass"))
+        val cust = t(s, dir, "customer")
+        val ords = t(s, dir, "orders")
+        val pkDup = cust.groupBy("c_custkey").agg(count(lit(1)).as("nk"))
+        val fkO = ords.join(cust.select(col("c_custkey")),
+          ords("o_custkey") === col("c_custkey"), "left")
+        val fkL = t(s, dir, "lineitem").join(ords.select(col("o_orderkey").as("ok")),
+          col("l_orderkey") === col("ok"), "left")
+        row("customer_pk_unique", "customer", pkDup, col("nk") > 1L)
+          .unionAll(row("orders_fk_customer", "orders", fkO,
+            col("c_custkey").isNull))
+          .unionAll(row("lineitem_fk_orders", "lineitem", fkL,
+            col("ok").isNull))
+          .unionAll(row("events_value_range", "events", t(s, dir, "events"),
+            col("value") < 0.0 || col("value") > 500.0))
+          .unionAll(row("orders_status_domain", "orders", ords,
+            !col("o_orderstatus").isInCollection(Seq("O", "F"))))
+          .unionAll(row("documents_lang_domain", "documents",
+            t(s, dir, "documents"),
+            !col("lang").isInCollection(Seq("en", "de", "fr", "es"))))
+          .unionAll(row("events_ts_window", "events", t(s, dir, "events"),
+            col("ts") < lit("2024-01-01 00:00:00").cast("timestamp") ||
+              col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp")))
+          .orderBy("constraint_name")
+      },
+      Some("""WITH rows_ AS (
+          SELECT 'customer_pk_unique' AS constraint_name, 'customer' AS table_name,
+                 (SELECT count(*) FROM (SELECT c_custkey FROM customer GROUP BY 1)) AS n_checked,
+                 (SELECT count(*) FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)) AS n_violations
+          UNION ALL
+          SELECT 'orders_fk_customer', 'orders',
+                 (SELECT count(*) FROM orders),
+                 (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+          UNION ALL
+          SELECT 'lineitem_fk_orders', 'lineitem',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          UNION ALL
+          SELECT 'events_value_range', 'events',
+                 (SELECT count(*) FROM events),
+                 (SELECT count(*) FROM events WHERE value < 0.0 OR value > 500.0)
+          UNION ALL
+          SELECT 'orders_status_domain', 'orders',
+                 (SELECT count(*) FROM orders),
+                 (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F'))
+          UNION ALL
+          SELECT 'documents_lang_domain', 'documents',
+                 (SELECT count(*) FROM documents),
+                 (SELECT count(*) FROM documents WHERE lang NOT IN ('en', 'de', 'fr', 'es'))
+          UNION ALL
+          SELECT 'events_ts_window', 'events',
+                 (SELECT count(*) FROM events),
+                 (SELECT count(*) FROM events
+                  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01 00:00:00'
+                     OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-02-01 00:00:00'))
+        SELECT constraint_name, table_name,
+               CAST(n_checked AS BIGINT) AS n_checked,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS pass
+        FROM rows_ ORDER BY constraint_name"""))
   )
 }
