@@ -1037,6 +1037,89 @@ object Health {
         FROM d ORDER BY event_type""")
       }),
 
+    QDef("win_autocorr",
+      // Sample autocorrelation (lags 1..7) of the daily revenue series
+      // per event type — the weekly-seasonality detector a monitor
+      // runs before trusting any day-over-day alert (a strong lag-7
+      // spike means "compare to last Tuesday, not yesterday"). Exact
+      // decomposition: positions come from a per-type row_number (so
+      // gaps in the calendar don't silently misalign lags), the lag
+      // pairing is one self-join on rn+k against a broadcast 7-row lag
+      // dim, and every sum (ΣxᵢxᵢŦₖ as DECIMAL ≙ HUGEINT, head/tail
+      // sums, Σx, Σx²) is exact integer — r_k is then the SAME fixed
+      // IEEE tree in both engines (the moments discipline), rx only at
+      // the boundary. Pairs are n·7 per type, bounded by the window.
+      (s, dir) => {
+        import s.implicits._
+        val daily = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("d",
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("long"))
+          .groupBy("event_type", "d").agg(sum("xc").as("x"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy("d")).cast("long"))
+        val stats = daily.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("x").as("s1"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"))
+        val ks = (1 to 7).map(_.toLong).toDF("k")
+        val lagged = daily.as("a").crossJoin(broadcast(ks))
+          .join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("b.rn") === col("a.rn") + col("k"))
+          .groupBy(col("a.event_type").as("event_type"), col("k"))
+          .agg(sum(col("a.x").cast("decimal(38,0)") * col("b.x")).as("cross"),
+            sum(col("a.x")).as("sh"), sum(col("b.x")).as("st"),
+            count(lit(1)).as("m"))
+        val mu = col("s1").cast("double") / col("n").cast("double")
+        val num = col("cross").cast("double") - mu * col("sh").cast("double") -
+          mu * col("st").cast("double") +
+          col("m").cast("double") * mu * mu
+        val den = col("s2").cast("double") -
+          mu * col("s1").cast("double")
+        lagged.join(stats, "event_type")
+          .select(col("event_type"), col("k"), col("n").as("n_days"),
+            col("m").as("n_pairs"), rx(num / den, 6).as("r_k"))
+          .orderBy("event_type", "k")
+      },
+      Some(s"""WITH daily AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                                CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS d,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        pos AS (
+          SELECT event_type, x,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS rn
+          FROM daily),
+        stats AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s1,
+                 sum(CAST(x AS HUGEINT) * x) AS s2
+          FROM pos GROUP BY 1),
+        ks AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS k),
+        lagged AS (
+          SELECT a.event_type, ks.k,
+                 sum(CAST(a.x AS HUGEINT) * b.x) AS cross_,
+                 CAST(sum(a.x) AS BIGINT) AS sh,
+                 CAST(sum(b.x) AS BIGINT) AS st,
+                 CAST(count(*) AS BIGINT) AS m
+          FROM pos a CROSS JOIN ks
+          JOIN pos b ON b.event_type = a.event_type AND b.rn = a.rn + ks.k
+          GROUP BY 1, 2),
+        j AS (
+          SELECT l.event_type, l.k, s.n, l.m,
+                 CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE) AS mu,
+                 CAST(l.cross_ AS DOUBLE) AS crossd,
+                 CAST(l.sh AS DOUBLE) AS shd, CAST(l.st AS DOUBLE) AS std_,
+                 CAST(s.s2 AS DOUBLE) AS s2d, CAST(s.s1 AS DOUBLE) AS s1d,
+                 CAST(l.m AS DOUBLE) AS md
+          FROM lagged l JOIN stats s ON s.event_type = l.event_type)
+        SELECT event_type, k, n AS n_days, m AS n_pairs,
+               ${rxSql("(crossd - mu * shd - mu * std_ + md * mu * mu) / (s2d - mu * s1d)", 6)} AS r_k
+        FROM j ORDER BY event_type, k"""),
+    ),
+
     QDef("win_bollinger_bands", {
       // Bollinger-band anomaly monitor: each reading against the
       // trailing-20 rolling mean ± 2σ of its event type. Both window
