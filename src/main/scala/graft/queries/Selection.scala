@@ -689,5 +689,81 @@ object Selection {
                  CAST(sum(CAST(cell_chi2 AS DECIMAL(38,6))) OVER () AS DOUBLE) > 18.467 AS srm
           FROM g2 ORDER BY variant""")
       }),
+
+    QDef("agg_raking_ipf",
+      // Raking / iterative proportional fitting (Deming & Stephan) —
+      // the dataset-balancing pass that reweights a skewed sample to
+      // declared marginal targets (here: uniform across segments AND
+      // uniform across nations) without touching the cells' interior
+      // association structure. Three synchronous IPF rounds, each a
+      // row-margin step then a column-margin step; every update is
+      // w ← (w · target) div current — a WIDE-integer multiply
+      // (DECIMAL(38,0) ≙ HUGEINT, the product overflows int64 past
+      // sf0.01) whose floor-divided RESULT is back in int64 micros, so
+      // the whole trajectory is integer-exact and engine-identical
+      // (double IPF would compound fold-order drift round over round).
+      // Scale shape: one corpus-sized aggregate builds the cell table;
+      // every round shuffles only the category-product-sized cells.
+      (s, dir) => {
+        val cells = t(s, dir, "customer")
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_mktsegment").as("seg"), col("n_name").as("nat"))
+          .agg(count(lit(1)).as("n"))
+        val dims = cells.agg(sum("n").as("total"),
+          countDistinct("seg").as("r"), countDistinct("nat").as("c"))
+        var w = cells.crossJoin(broadcast(dims))
+          .withColumn("w", col("n") * 1000000L)
+          .withColumn("tgt_seg", expr("(total * 1000000) div r"))
+          .withColumn("tgt_nat", expr("(total * 1000000) div c"))
+        for (_ <- 1 to 3) {
+          val rowCur = w.groupBy("seg").agg(sum("w").as("cur_seg"))
+          w = w.join(rowCur, "seg")
+            .withColumn("w",
+              expr("(cast(w as decimal(38,0)) * tgt_seg) div cur_seg"))
+            .drop("cur_seg")
+          val colCur = w.groupBy("nat").agg(sum("w").as("cur_nat"))
+          w = w.join(colCur, "nat")
+            .withColumn("w",
+              expr("(cast(w as decimal(38,0)) * tgt_nat) div cur_nat"))
+            .drop("cur_nat")
+        }
+        w.select(col("seg"), col("nat"), col("n"), col("w").as("w_micro"))
+          .orderBy("seg", "nat")
+      }, {
+        val rounds = (1 to 3).map { i =>
+          s"""rs$i AS (
+              SELECT seg, CAST(sum(w) AS BIGINT) AS cur_seg
+              FROM w${i - 1} GROUP BY 1),
+            wr$i AS (
+              SELECT w.seg, w.nat, w.n, w.tgt_seg, w.tgt_nat,
+                     CAST((CAST(w.w AS HUGEINT) * w.tgt_seg) // rs$i.cur_seg AS BIGINT) AS w
+              FROM w${i - 1} w JOIN rs$i ON rs$i.seg = w.seg),
+            cs$i AS (
+              SELECT nat, CAST(sum(w) AS BIGINT) AS cur_nat
+              FROM wr$i GROUP BY 1),
+            w$i AS (
+              SELECT w.seg, w.nat, w.n, w.tgt_seg, w.tgt_nat,
+                     CAST((CAST(w.w AS HUGEINT) * w.tgt_nat) // cs$i.cur_nat AS BIGINT) AS w
+              FROM wr$i w JOIN cs$i ON cs$i.nat = w.nat)"""
+        }.mkString(",\n")
+        Some(s"""WITH cells AS (
+            SELECT c_mktsegment AS seg, n_name AS nat,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2),
+          dims AS (
+            SELECT CAST(sum(n) AS BIGINT) AS total,
+                   CAST(count(DISTINCT seg) AS BIGINT) AS r,
+                   CAST(count(DISTINCT nat) AS BIGINT) AS c
+            FROM cells),
+          w0 AS (
+            SELECT seg, nat, n, n * 1000000 AS w,
+                   CAST((total * 1000000) // r AS BIGINT) AS tgt_seg,
+                   CAST((total * 1000000) // c AS BIGINT) AS tgt_nat
+            FROM cells CROSS JOIN dims),
+          $rounds
+          SELECT seg, nat, n, CAST(w AS BIGINT) AS w_micro
+          FROM w3 ORDER BY seg, nat""")
+      }),
   )
 }
