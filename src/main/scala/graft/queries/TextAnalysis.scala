@@ -754,6 +754,77 @@ object TextAnalysis {
         SELECT r AS rank, tok AS token, f AS freq,
                CAST(f1 // r AS BIGINT) AS zipf_expected,
                CAST(((f * r - f1) * 1000000) // f1 AS BIGINT) AS dev_ppm
-        FROM top CROSS JOIN f1 ORDER BY rank"""))
+        FROM top CROSS JOIN f1 ORDER BY rank""")),
+
+    QDef("text_dispersion_dp",
+      // Corpus dispersion DP (Gries' deviation of proportions) for the
+      // top-12 tokens: does a token spread evenly across the corpus's
+      // sources, or does it clump in a few? DP = Σ|vᵢ − sᵢ|/2 over
+      // sources, where sᵢ is the source's share of all tokens and vᵢ
+      // the source's share of THIS token — near 0 = dispersed, near
+      // 1 = bursty. Raw frequency can't tell these apart, and a
+      // clumped "frequent" token is usually boilerplate, not
+      // vocabulary. Missing (token, source) cells count as |0 − sᵢ|,
+      // so the grid is the top-token × source cross product (12×16,
+      // bounded) with a left join back to observed counts — the chi2
+      // grid discipline. Shares are single IEEE divisions of exact
+      // counts; per-cell |v−s| is rx-rounded then decimal-window-
+      // summed per token (order-free), halved (exact in IEEE), and
+      // rx'd at the boundary. Corpus-sized work: one explode+count.
+      (s, dir) => {
+        val tokSrc = t(s, dir, "documents")
+          .select(col("source"), explode(toks).as("tok"))
+          .groupBy("tok", "source").agg(count(lit(1)).as("c"))
+        val srcTot = tokSrc.groupBy("source").agg(sum("c").as("src_n"))
+        val grand = srcTot.agg(sum("src_n").as("total"))
+        val tokTot = tokSrc.groupBy("tok").agg(sum("c").as("freq"))
+        val top = tokTot
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("freq").desc, col("tok"))))
+          .filter(col("rk") <= 12).drop("rk")
+        val grid = top.crossJoin(srcTot).crossJoin(broadcast(grand))
+          .join(tokSrc, Seq("tok", "source"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        val v = col("c").cast("double") / col("freq").cast("double")
+        val sShare = col("src_n").cast("double") / col("total").cast("double")
+        val wTok = Window.partitionBy("tok")
+        grid
+          .withColumn("cell", rx(abs(v - sShare), 9))
+          .withColumn("dp",
+            sum(col("cell").cast("decimal(38,9)")).over(wTok).cast("double"))
+          .groupBy("tok", "freq")
+          .agg(max(rx(col("dp") * 0.5, 6)).as("dp"))
+          .select(col("tok").as("token"), col("freq"), col("dp"))
+          .orderBy(col("freq").desc, col("token"))
+      },
+      Some(s"""WITH tok_src AS (
+          SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+          GROUP BY 1, 2),
+        src_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS src_n
+                    FROM tok_src GROUP BY 1),
+        grand AS (SELECT CAST(sum(src_n) AS BIGINT) AS total FROM src_tot),
+        tok_tot AS (SELECT tok, CAST(sum(c) AS BIGINT) AS freq
+                    FROM tok_src GROUP BY 1),
+        top AS (
+          SELECT tok, freq FROM (
+            SELECT tok, freq,
+                   row_number() OVER (ORDER BY freq DESC, tok) AS rk
+            FROM tok_tot) WHERE rk <= 12),
+        grid AS (
+          SELECT top.tok, top.freq, st.source, st.src_n, g.total,
+                 COALESCE(ts.c, 0) AS c
+          FROM top CROSS JOIN src_tot st CROSS JOIN grand g
+          LEFT JOIN tok_src ts ON ts.tok = top.tok AND ts.source = st.source),
+        cells AS (
+          SELECT tok, freq,
+                 ${rxSql("abs(CAST(c AS DOUBLE) / CAST(freq AS DOUBLE) - CAST(src_n AS DOUBLE) / CAST(total AS DOUBLE))", 9)} AS cell
+          FROM grid),
+        dps AS (
+          SELECT tok, freq,
+                 CAST(sum(CAST(cell AS DECIMAL(38,9))) AS DOUBLE) AS dp
+          FROM cells GROUP BY 1, 2)
+        SELECT tok AS token, freq, ${rxSql("dp * 0.5", 6)} AS dp
+        FROM dps ORDER BY freq DESC, token"""))
   )
 }
