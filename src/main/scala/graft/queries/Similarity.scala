@@ -1276,6 +1276,89 @@ object Similarity {
           LEFT JOIN hits h ON h.q_id = q.q_id
           ORDER BY q.q_id""")),
 
+    QDef("graph_kcore_mutual_knn",
+      // 2-core decomposition of the MUTUAL-kNN graph — embedding-space
+      // outlier triage: an NSW out-edge is mutual only when both
+      // endpoints rank each other in their top-NswDeg, so the mutual
+      // graph keeps exactly the edges that witness dense semantic
+      // neighborhoods. Iterative peeling (3 rounds, k=2) then strips
+      // nodes that cannot sit inside such a region — round 1 removes
+      // isolated/pendant embeddings, later rounds the chains exposed by
+      // earlier removals; survivors (peel_round 0) are the dense-core
+      // candidates a semantic-dedup or coreset pass should treat as
+      // redundant-rich, the peeled rounds a selection pass should
+      // treat as rare/outlier material. Reuses the STAGED NSW
+      // adjacency (the routing index build — no new corpus work);
+      // mutualization is one self-join on the bounded-degree edge
+      // list; each peel round shuffles only the shrinking edge set and
+      // is eagerly checkpointed (the weak set is referenced three
+      // times — the BFS lesson).
+      (s, dir) => {
+        val adj = nswAdjacency(s, dir)
+        val m = adj.as("a").join(adj.as("b"),
+            col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
+              col("a.src") < col("a.dst"))
+          .select(col("a.src").as("u"), col("a.dst").as("v"))
+        var e = m.unionAll(m.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint(true)
+        var remaining = vecs(s, dir).select(col("vec_id").as("node"))
+          .localCheckpoint(true)
+        var peeled = Seq.empty[DataFrame]
+        for (r <- 1 to 3) {
+          val deg = e.groupBy("u").agg(count(lit(1)).as("dg"))
+          val weak = remaining.join(deg, remaining("node") === deg("u"), "left")
+            .filter(coalesce(col("dg"), lit(0L)) < 2)
+            .select(col("node")).localCheckpoint(true)
+          peeled = peeled :+ weak.withColumn("peel_round", lit(r.toLong))
+          remaining = remaining.join(weak, Seq("node"), "left_anti")
+            .localCheckpoint(true)
+          e = e.join(weak.withColumnRenamed("node", "u"), Seq("u"), "left_anti")
+            .join(weak.withColumnRenamed("node", "v"), Seq("v"), "left_anti")
+            .localCheckpoint(true)
+        }
+        val fdeg = e.groupBy("u").agg(count(lit(1)).as("mdeg"))
+        val survivors = remaining
+          .join(fdeg, remaining("node") === fdeg("u"), "left")
+          .select(col("node"), lit(0L).as("peel_round"),
+            coalesce(col("mdeg"), lit(0L)).as("mdeg"))
+        val out = peeled.map(_.withColumn("mdeg", lit(0L))
+            .select("node", "peel_round", "mdeg"))
+          .reduce(_ unionAll _)
+        survivors.unionAll(out).orderBy("node")
+      }, {
+        val rounds = (1 to 3).map { r =>
+          s"""d$r AS (SELECT u, count(*) AS dg FROM e${r - 1} GROUP BY 1),
+            w$r AS (
+              SELECT n.node FROM n${r - 1} n
+              LEFT JOIN d$r d ON d.u = n.node
+              WHERE COALESCE(d.dg, 0) < 2),
+            n$r AS (
+              SELECT node FROM n${r - 1}
+              WHERE node NOT IN (SELECT node FROM w$r)),
+            e$r AS (
+              SELECT u, v FROM e${r - 1}
+              WHERE u NOT IN (SELECT node FROM w$r)
+                AND v NOT IN (SELECT node FROM w$r))"""
+        }.mkString(",\n          ")
+        Some(s"""WITH $nswBuildSqlCtes,
+          m AS (
+            SELECT a.src AS u, a.dst AS v
+            FROM adj a JOIN adj b ON b.src = a.dst AND b.dst = a.src
+            WHERE a.src < a.dst),
+          e0 AS (SELECT u, v FROM m UNION ALL SELECT v AS u, u AS v FROM m),
+          n0 AS (SELECT vec_id AS node FROM b),
+          $rounds,
+          fd AS (SELECT u, count(*) AS mdeg FROM e3 GROUP BY 1),
+          outp AS (
+            SELECT n.node, CAST(0 AS BIGINT) AS peel_round,
+                   CAST(COALESCE(fd.mdeg, 0) AS BIGINT) AS mdeg
+            FROM n3 n LEFT JOIN fd ON fd.u = n.node
+            UNION ALL SELECT node, 1, 0 FROM w1
+            UNION ALL SELECT node, 2, 0 FROM w2
+            UNION ALL SELECT node, 3, 0 FROM w3)
+          SELECT node, peel_round, mdeg FROM outp ORDER BY node""")
+      }),
+
     QDef("sim_mips_topk",
       // Maximum-inner-product search with the norm-augmentation
       // reduction (Neyshabur & Srebro's simple-LSH): scale every
@@ -1583,6 +1666,20 @@ object Similarity {
     * shared by sim_graph_route and its recall audit so both consume
     * the identical index build and beam trajectory.
     */
+  /** The staged NSW adjacency (src, dst) — extracted from
+    * graphRoutedTop3 so the mutual-kNN core decomposition reuses the
+    * identical index build (and its cross-JVM stage artifact).
+    */
+  private def nswAdjacency(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged.diskKeyed(s, dir,
+        s"nsw_adj_d${NswDeg}r$NswBuildRounds")(nswSeedEdges(s, dir)) {
+      var edges = nswSeedEdges(s, dir).localCheckpoint(true)
+      for (_ <- 1 to NswBuildRounds)
+        edges = nswRefineRound(s, dir, edges, checkpoint = true)
+          .localCheckpoint(true)
+      edges
+    }
+
   private def graphRoutedTop3(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     // Bounded-degree navigable graph via NN-DESCENT — never all-pairs:
@@ -1607,14 +1704,7 @@ object Similarity {
     // LogicalRDD, so the cross-JVM artifact is keyed by the declarative
     // seed-edge plan (NswSeeds is baked into it) with the round count
     // and degree folded into the tag.
-    val adj = graft.pipeline.Staged.diskKeyed(s, dir,
-        s"nsw_adj_d${NswDeg}r$NswBuildRounds")(nswSeedEdges(s, dir)) {
-      var edges = nswSeedEdges(s, dir).localCheckpoint(true)
-      for (_ <- 1 to NswBuildRounds)
-        edges = nswRefineRound(s, dir, edges, checkpoint = true)
-          .localCheckpoint(true)
-      edges
-    }
+    val adj = nswAdjacency(s, dir)
     val q = e.filter(col("vec_id") < QueryVecs)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
@@ -1740,7 +1830,10 @@ object Similarity {
     * search; exposes `routed` (q_id, cand, cos, rank). Shared by
     * sim_graph_route and sim_recall_graph_route.
     */
-  private def routeSqlCtes: String = {
+  /** CTE chain ending in `adj(src, dst)` ≙ [[nswAdjacency]] — shared
+    * by the routing oracle and the mutual-kNN core decomposition.
+    */
+  private def nswBuildSqlCtes: String = {
     val buildRounds = (1 to NswBuildRounds).map { t =>
       s"""nu$t AS MATERIALIZED (
           SELECT DISTINCT src, dst FROM (
@@ -1768,24 +1861,6 @@ object Similarity {
             UNION ALL
             SELECT src, dst FROM ring))"""
     }.mkString(",\n        ")
-    val rounds = (1 to NswHops).map { t =>
-      s"""fr$t AS (
-          SELECT DISTINCT q_id, cand FROM (
-            SELECT q_id, cand FROM bm${t - 1}
-            UNION ALL
-            SELECT m.q_id, a.dst AS cand
-            FROM bm${t - 1} m JOIN adj a ON a.src = m.cand)),
-        sc$t AS (
-          SELECT f.q_id, f.cand, ${rxSql(cosSql("qq", "e"), 6)} AS cos
-          FROM fr$t f
-          JOIN b e ON e.vec_id = f.cand
-          JOIN b qq ON qq.vec_id = f.q_id),
-        bm$t AS MATERIALIZED (
-          SELECT q_id, cand FROM (
-            SELECT q_id, cand, row_number() OVER (PARTITION BY q_id
-              ORDER BY cos DESC, cand) AS rk
-            FROM sc$t) WHERE rk <= $NswBeam)"""
-    }.mkString(",\n        ")
     s"""b AS MATERIALIZED (
         SELECT vec_id, embedding FROM embeddings),
       nn AS (SELECT max(vec_id) + 1 AS n FROM b),
@@ -1805,7 +1880,29 @@ object Similarity {
           UNION ALL
           SELECT src, dst FROM seeds)),
       $buildRounds,
-      adj AS MATERIALIZED (SELECT src, dst FROM ne$NswBuildRounds),
+      adj AS MATERIALIZED (SELECT src, dst FROM ne$NswBuildRounds)"""
+  }
+
+  private def routeSqlCtes: String = {
+    val rounds = (1 to NswHops).map { t =>
+      s"""fr$t AS (
+          SELECT DISTINCT q_id, cand FROM (
+            SELECT q_id, cand FROM bm${t - 1}
+            UNION ALL
+            SELECT m.q_id, a.dst AS cand
+            FROM bm${t - 1} m JOIN adj a ON a.src = m.cand)),
+        sc$t AS (
+          SELECT f.q_id, f.cand, ${rxSql(cosSql("qq", "e"), 6)} AS cos
+          FROM fr$t f
+          JOIN b e ON e.vec_id = f.cand
+          JOIN b qq ON qq.vec_id = f.q_id),
+        bm$t AS MATERIALIZED (
+          SELECT q_id, cand FROM (
+            SELECT q_id, cand, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, cand) AS rk
+            FROM sc$t) WHERE rk <= $NswBeam)"""
+    }.mkString(",\n        ")
+    s"""$nswBuildSqlCtes,
       bm0 AS MATERIALIZED (
         SELECT q_id, cand FROM (
           SELECT q.vec_id AS q_id, e.vec_id AS cand,
