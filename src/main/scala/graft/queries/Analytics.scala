@@ -930,6 +930,62 @@ object Analytics {
                     ELSE 'other' END AS segment
         FROM scored ORDER BY custkey""")),
 
+    QDef("win_pareto_8020",
+      // Pareto concentration ("vital few") per event type: rank users
+      // by their exact cent contribution, walk the cumulative share,
+      // and report how many users it takes to cover 80% of value —
+      // THE concentration number behind skew-aware decisions (salting
+      // keys, capping contributors, tiering storage). The 80% crossing
+      // is an INTEGER comparison (5·cum ≥ 4·total — no FP share ever
+      // thresholded); per-user totals are one map-side aggregate, the
+      // rank/cumsum windows partition by event type over the USER
+      // dimension, and the output is one row per type. Ties on value
+      // break by user_id so the crossing rank is total-order
+      // deterministic.
+      (s, dir) => {
+        val perU = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .groupBy("event_type", "user_id").agg(sum("xc").as("cents"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("cents").desc, col("user_id"))
+        val cum = perU
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("cum", sum("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = perU.groupBy("event_type")
+          .agg(sum("cents").as("total"), count(lit(1)).as("n_users"))
+        cum.join(tot, "event_type")
+          .filter(col("cum") * 5 >= col("total") * 4)
+          .groupBy("event_type", "n_users", "total")
+          .agg(min("rk").as("users_for_80pct"))
+          .select(col("event_type"), col("n_users"), col("total").as("total_cents"),
+            col("users_for_80pct"),
+            expr("(users_for_80pct * 1000000) div n_users").as("user_share_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH per_u AS (
+          SELECT event_type, user_id,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, user_id, cents,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY cents DESC, user_id) AS BIGINT) AS rk,
+                 CAST(sum(cents) OVER (PARTITION BY event_type
+                   ORDER BY cents DESC, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM per_u),
+        tot AS (
+          SELECT event_type, CAST(sum(cents) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM per_u GROUP BY 1)
+        SELECT c.event_type, t.n_users, t.total AS total_cents,
+               CAST(min(c.rk) AS BIGINT) AS users_for_80pct,
+               CAST((min(c.rk) * 1000000) // t.n_users AS BIGINT) AS user_share_micro
+        FROM cum c JOIN tot t ON t.event_type = c.event_type
+        WHERE c.cum * 5 >= t.total * 4
+        GROUP BY 1, 2, 3 ORDER BY c.event_type""")),
+
     QDef("agg_kmv_sketch",
       // K-minimum-values sketches for audience-overlap estimation: per
       // event type, the k=64 smallest md5 hashes of its distinct
