@@ -765,5 +765,85 @@ object Selection {
           SELECT seg, nat, n, CAST(w AS BIGINT) AS w_micro
           FROM w3 ORDER BY seg, nat""")
       }),
+
+    QDef("sample_strat_neyman",
+      // Neyman-optimal stratified allocation (n_h ∝ N_h·σ_h) of a
+      // 100-doc sample across language strata — the sampling-theory
+      // upgrade over proportional allocation: variable strata get more
+      // budget, so the stratified mean's variance is minimized at the
+      // same cost. Per-stratum σ comes from exact integer power sums
+      // (population variance, the moments discipline: one IEEE tree on
+      // identical doubles); weights N_h·σ_h are rx-rounded then
+      // decimal-summed so the normalizer is order-free; and the
+      // allocation rounds with LARGEST-REMAINDER (Hamilton) so the
+      // final counts sum to EXACTLY the declared budget — floor-only
+      // allocation silently under-spends and naive rounding
+      // over-spends. Ties in the remainder ranking break by stratum
+      // key. Only the per-stratum aggregate is corpus-sized; the
+      // allocation runs on one row per stratum.
+      (s, dir) => {
+        val n = 100L
+        val st = t(s, dir, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("nh"),
+            sum("n_chars").as("s1"),
+            sum(col("n_chars") * col("n_chars")).as("s2"))
+        val mu = col("s1").cast("double") / col("nh").cast("double")
+        val sigma = sqrt(col("s2").cast("double") / col("nh").cast("double") -
+          mu * mu)
+        val withW = st.withColumn("w", rx(col("nh").cast("double") * sigma, 6))
+          .withColumn("sigma", rx(sigma, 4))
+        val wTot = withW
+          .withColumn("bigw",
+            sum(col("w").cast("decimal(38,6)")).over(Window.partitionBy())
+              .cast("double"))
+        val alloc = wTot
+          .withColumn("ideal", lit(n.toDouble) * col("w") / col("bigw"))
+          .withColumn("base", floor(col("ideal")).cast("long"))
+          .withColumn("rem", col("ideal") - col("base").cast("double"))
+          .withColumn("spent",
+            sum("base").over(Window.partitionBy()))
+          .withColumn("rrk", row_number().over(
+            Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
+        alloc
+          .select(col("lang"), col("nh").as("n_docs"), col("sigma"),
+            col("w").as("weight"), col("base"),
+            (col("base") + when(col("rrk") <= lit(n) - col("spent"), 1L)
+              .otherwise(0L)).as("alloc"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH st AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS nh,
+                 CAST(sum(n_chars) AS BIGINT) AS s1,
+                 CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+          FROM documents GROUP BY 1),
+        m AS (
+          SELECT lang, nh,
+                 CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE) AS mu,
+                 CAST(s2 AS DOUBLE) / CAST(nh AS DOUBLE) AS r2
+          FROM st),
+        w_ AS (
+          SELECT lang, nh,
+                 ${rxSql("sqrt(r2 - mu * mu)", 4)} AS sigma,
+                 ${rxSql("CAST(nh AS DOUBLE) * sqrt(r2 - mu * mu)", 6)} AS w
+          FROM m),
+        tot AS (
+          SELECT lang, nh, sigma, w,
+                 CAST(sum(CAST(w AS DECIMAL(38,6))) OVER () AS DOUBLE) AS bigw
+          FROM w_),
+        a AS (
+          SELECT lang, nh, sigma, w,
+                 100.0 * w / bigw AS ideal
+          FROM tot),
+        b AS (
+          SELECT lang, nh, sigma, w,
+                 CAST(floor(ideal) AS BIGINT) AS base,
+                 ideal - floor(ideal) AS rem,
+                 CAST(sum(CAST(floor(ideal) AS BIGINT)) OVER () AS BIGINT) AS spent,
+                 CAST(row_number() OVER (ORDER BY ideal - floor(ideal) DESC, lang) AS BIGINT) AS rrk
+          FROM a)
+        SELECT lang, nh AS n_docs, sigma, w AS weight, base,
+               base + CASE WHEN rrk <= 100 - spent THEN 1 ELSE 0 END AS alloc
+        FROM b ORDER BY lang"""),
+    ),
   )
 }
