@@ -1120,6 +1120,86 @@ object Health {
         FROM j ORDER BY event_type, k"""),
     ),
 
+    QDef("agg_cuped_adjust",
+      // CUPED variance reduction (Deng et al., WSDM'13) per event
+      // type — the experimentation-platform companion to
+      // sample_srm_check: using each user's PRE-period value (first
+      // half-month) as the covariate, the adjusted post-period metric
+      // Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) cuts metric
+      // variance by exactly ρ² — often the difference between a
+      // two-week and a two-day experiment. Everything derives from ONE
+      // map-side aggregate of exact per-user integer sums (Σx, Σy,
+      // Σxy, Σx², Σy² — the cross/square sums ride DECIMAL(38,0) ≙
+      // HUGEINT, int64 overflows past ~sf0.1); θ, ρ² and the variance
+      // pair are the same fixed IEEE tree in both engines, rx'd at the
+      // boundary. Users absent from a half carry 0 — the standard
+      // missing-pre-period convention, stated not hidden.
+      (s, dir) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val perU = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .groupBy("event_type", "user_id")
+          .agg(sum(when(col("ts") < cut, col("xc")).otherwise(0L)).as("x"),
+            sum(when(col("ts") >= cut, col("xc")).otherwise(0L)).as("y"))
+        val st = perU.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sx2"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("sy2"))
+        val nd = col("n").cast("double")
+        val mx = col("sx").cast("double") / nd
+        val my = col("sy").cast("double") / nd
+        val varX = col("sx2").cast("double") / nd - mx * mx
+        val varY = col("sy2").cast("double") / nd - my * my
+        val cov = col("sxy").cast("double") / nd - mx * my
+        val theta = cov / varX
+        val rho2 = cov * cov / (varX * varY)
+        st.select(col("event_type"), col("n").as("n_users"),
+            rx(theta, 6).as("theta"),
+            rx(varY, 2).as("var_y"),
+            rx(varY * (lit(1.0) - rho2), 2).as("var_y_adj"),
+            floor(rho2 * 1000000.0).cast("long").as("var_reduction_ppm"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+          SELECT event_type, user_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+                 CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' AS pre
+          FROM events),
+        per_u AS (
+          SELECT event_type, user_id,
+                 CAST(sum(CASE WHEN pre THEN xc ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN pre THEN 0 ELSE xc END) AS BIGINT) AS y
+          FROM ev GROUP BY 1, 2),
+        st AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sx2,
+                 sum(CAST(y AS HUGEINT) * y) AS sy2
+          FROM per_u GROUP BY 1),
+        m AS (
+          SELECT event_type, n,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                 CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+                 CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) AS rxy,
+                 CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS rx2,
+                 CAST(sy2 AS DOUBLE) / CAST(n AS DOUBLE) AS ry2
+          FROM st),
+        c AS (
+          SELECT event_type, n,
+                 rx2 - mx * mx AS var_x,
+                 ry2 - my * my AS var_y,
+                 rxy - mx * my AS cov
+          FROM m)
+        SELECT event_type, n AS n_users,
+               ${rxSql("cov / var_x", 6)} AS theta,
+               ${rxSql("var_y", 2)} AS var_y,
+               ${rxSql("var_y * (1.0 - cov * cov / (var_x * var_y))", 2)} AS var_y_adj,
+               CAST(floor(cov * cov / (var_x * var_y) * 1000000.0) AS BIGINT) AS var_reduction_ppm
+        FROM c ORDER BY event_type"""),
+    ),
+
     QDef("win_bollinger_bands", {
       // Bollinger-band anomaly monitor: each reading against the
       // trailing-20 rolling mean ± 2σ of its event type. Both window
