@@ -1200,6 +1200,73 @@ object Health {
         FROM c ORDER BY event_type"""),
     ),
 
+    QDef("agg_winsorized_mean",
+      // Winsorized mean per event type — the robust central tendency a
+      // metrics platform reports when a few whale values would swing
+      // the plain mean: values are CLAMPED (not dropped — that would be
+      // trimming) to the exact positional p5/p95 cent values, then
+      // averaged. Everything is deterministic integer work: ranks under
+      // a (value, event_id) total order, the clip bounds are the cents
+      // AT positions ⌈0.05n⌉/⌈0.95n⌉ (ceil in integer arithmetic),
+      // clamping is min/max on int64, and the mean divides an exact
+      // DECIMAL sum — no percentile interpolation, no FP threshold.
+      // Two window passes over the per-type partitioning plus one
+      // aggregate; reports both means and the clipped-row count so the
+      // robustness delta is visible.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+        val w = Window.partitionBy("event_type").orderBy("xc", "event_id")
+        val ranked = ev.withColumn("rk", row_number().over(w).cast("long"))
+        val tot = ranked.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val withK = ranked.join(tot, "event_type")
+          .withColumn("klo", greatest(lit(1L), expr("(n * 5 + 99) div 100")))
+          .withColumn("khi", expr("(n * 95 + 99) div 100"))
+        val bounds = withK.groupBy("event_type", "n")
+          .agg(max(when(col("rk") === col("klo"), col("xc"))).as("lo"),
+            max(when(col("rk") === col("khi"), col("xc"))).as("hi"))
+        withK.join(bounds.drop("n"), "event_type")
+          .withColumn("wx", greatest(col("lo"), least(col("hi"), col("xc"))))
+          .groupBy("event_type", "n", "lo", "hi")
+          .agg(sum(col("xc").cast("decimal(38,0)")).as("sraw"),
+            sum(col("wx").cast("decimal(38,0)")).as("swin"),
+            sum(when(col("wx") =!= col("xc"), 1L).otherwise(0L)).as("n_clipped"))
+          .select(col("event_type"), col("n"), col("lo").as("p5_cents"),
+            col("hi").as("p95_cents"), col("n_clipped"),
+            rx(col("sraw").cast("double") / col("n").cast("double") / 100.0, 4)
+              .as("mean_raw"),
+            rx(col("swin").cast("double") / col("n").cast("double") / 100.0, 4)
+              .as("mean_winsorized"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+          SELECT event_type, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc
+          FROM events),
+        ranked AS (
+          SELECT event_type, xc,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY xc, event_id) AS BIGINT) AS rk,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM ev),
+        bounds AS (
+          SELECT event_type, n,
+                 max(CASE WHEN rk = greatest(1, (n * 5 + 99) // 100)
+                          THEN xc END) AS lo,
+                 max(CASE WHEN rk = (n * 95 + 99) // 100 THEN xc END) AS hi
+          FROM ranked GROUP BY 1, 2),
+        clipped AS (
+          SELECT r.event_type, b.n, b.lo, b.hi, r.xc,
+                 greatest(b.lo, least(b.hi, r.xc)) AS wx
+          FROM ranked r JOIN bounds b ON b.event_type = r.event_type)
+        SELECT event_type, n, CAST(lo AS BIGINT) AS p5_cents,
+               CAST(hi AS BIGINT) AS p95_cents,
+               CAST(sum(CASE WHEN wx <> xc THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+               ${rxSql("CAST(sum(CAST(xc AS HUGEINT)) AS DOUBLE) / CAST(n AS DOUBLE) / 100.0", 4)} AS mean_raw,
+               ${rxSql("CAST(sum(CAST(wx AS HUGEINT)) AS DOUBLE) / CAST(n AS DOUBLE) / 100.0", 4)} AS mean_winsorized
+        FROM clipped GROUP BY 1, 2, 3, 4 ORDER BY event_type"""),
+    ),
+
     QDef("win_bollinger_bands", {
       // Bollinger-band anomaly monitor: each reading against the
       // trailing-20 rolling mean ± 2σ of its event type. Both window
