@@ -462,7 +462,72 @@ object WebCuration {
         |       max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
         |       max(CASE WHEN rn = 1 THEN fetch_hour END) AS keep_hour,
         |       min(fetch_hour) AS first_hour, max(fetch_hour) AS last_hour
-        |FROM rk GROUP BY canonical ORDER BY canonical""".stripMargin))
+        |FROM rk GROUP BY canonical ORDER BY canonical""".stripMargin)),
+
+    QDef("web_sitemap_coverage",
+      // Sitemap-vs-crawl coverage — the crawl-ops gap report: each
+      // host DECLARES a path set (the 7 /docs/N sections here stand in
+      // for a sitemap.xml); the fetched set is what the crawl actually
+      // canonicalized. Per host: declared/fetched counts, coverage in
+      // ppm (integer), and the MISSING paths themselves as a sorted
+      // list — the actionable output a recrawl scheduler consumes.
+      // Declared is a host × path cross product of two bounded dims;
+      // fetched is one distinct over the canonical scan; the gap is a
+      // left anti join. Nothing here scales with corpus size except
+      // the initial canonical projection.
+      (s, dir) => {
+        import s.implicits._
+        val fetched = canon(s, dir)
+          .select(col("host"),
+            regexp_extract(col("canonical"), "^https://[^/]+([^?]*)", 1)
+              .as("path"))
+          .distinct()
+        val hosts = fetched.select("host").distinct()
+        // 9 declared sections vs 7 crawlable ones: /docs/7 and /docs/8
+        // stand in for gated/never-linked content, keeping the MISSING
+        // arm live at every SF (a coverage report that can only say
+        // 100% can't catch a crawler regression — the dead-arm lesson).
+        val paths = (0 until 9).map(i => s"/docs/$i").toDF("path")
+        val declared = hosts.crossJoin(broadcast(paths))
+        val missing = declared.join(fetched, Seq("host", "path"), "left_anti")
+        val nf = fetched.groupBy("host").agg(count(lit(1)).as("n_fetched"))
+        hosts
+          .join(nf, Seq("host"), "left")
+          .join(missing.groupBy("host")
+            .agg(array_join(sort_array(collect_list("path")), ",")
+              .as("missing_paths")), Seq("host"), "left")
+          .select(col("host"), lit(9L).as("n_declared"),
+            coalesce(col("n_fetched"), lit(0L)).as("n_fetched"),
+            expr("(coalesce(n_fetched, 0) * 1000000) div 9").as("coverage_ppm"),
+            coalesce(col("missing_paths"), lit("")).as("missing_paths"))
+          .orderBy("host")
+      },
+      Some(s"""$urlsCte, fetched AS (
+        |  SELECT DISTINCT host,
+        |         regexp_extract(canonical, '^https://[^/]+([^?]*)', 1) AS path
+        |  FROM urls
+        |), hosts AS (SELECT DISTINCT host FROM fetched
+        |), declared AS (
+        |  SELECT h.host, '/docs/' || CAST(j AS VARCHAR) AS path
+        |  FROM hosts h CROSS JOIN unnest(range(9)) AS u(j)
+        |), missing AS (
+        |  SELECT d.host, d.path FROM declared d
+        |  LEFT JOIN fetched f ON f.host = d.host AND f.path = d.path
+        |  WHERE f.path IS NULL
+        |), nf AS (SELECT host, CAST(count(*) AS BIGINT) AS n_fetched
+        |          FROM fetched GROUP BY 1
+        |), mp AS (
+        |  SELECT host, array_to_string(list_sort(list(path)), ',') AS missing_paths
+        |  FROM missing GROUP BY 1
+        |)
+        |SELECT h.host, CAST(9 AS BIGINT) AS n_declared,
+        |       COALESCE(nf.n_fetched, 0) AS n_fetched,
+        |       CAST((COALESCE(nf.n_fetched, 0) * 1000000) // 9 AS BIGINT) AS coverage_ppm,
+        |       COALESCE(mp.missing_paths, '') AS missing_paths
+        |FROM hosts h
+        |LEFT JOIN nf ON nf.host = h.host
+        |LEFT JOIN mp ON mp.host = h.host
+        |ORDER BY h.host""".stripMargin))
   )
 
 }
