@@ -986,6 +986,77 @@ object Analytics {
         WHERE c.cum * 5 >= t.total * 4
         GROUP BY 1, 2, 3 ORDER BY c.event_type""")),
 
+    QDef("win_attribution_models",
+      // Multi-touch conversion attribution — first-touch, last-touch
+      // and linear credit per channel, the three models a marketing
+      // warehouse reports side by side (they disagree, and the
+      // disagreement IS the analysis). Conversion = each user's first
+      // purchase under a (ts, event_id) total order; touches = that
+      // user's earlier non-purchase events. Credit is integer MICROS
+      // per conversion: first/last give all 1e6 to one touch; linear
+      // floor-divides 1e6 across touches and assigns the remainder to
+      // the LAST touch, so every conversion's credit sums to exactly
+      // 1e6 under any engine (FP shares would not). One shuffle on
+      // user_id (conversion window + touch join share it), then a
+      // bounded per-channel aggregate.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val conv = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(min(struct(col("ts"), col("event_id"))).as("cv"))
+          .select(col("user_id"), col("cv.ts").as("cts"),
+            col("cv.event_id").as("cid"))
+        val touches = ev.join(conv, "user_id")
+          .filter(col("event_type") =!= "purchase" &&
+            (col("ts") < col("cts") ||
+              (col("ts") === col("cts") && col("event_id") < col("cid"))))
+        val w = Window.partitionBy("user_id")
+        val wAsc = w.orderBy(col("ts"), col("event_id"))
+        val scored = touches
+          .withColumn("rn", row_number().over(wAsc).cast("long"))
+          .withColumn("nt", count(lit(1)).over(w))
+          .withColumn("first_micro",
+            when(col("rn") === 1, 1000000L).otherwise(0L))
+          .withColumn("last_micro",
+            when(col("rn") === col("nt"), 1000000L).otherwise(0L))
+          .withColumn("linear_micro",
+            expr("1000000 div nt") +
+              when(col("rn") === col("nt"),
+                lit(1000000L) - expr("nt * (1000000 div nt)")).otherwise(0L))
+        scored.groupBy(col("event_type").as("channel"))
+          .agg(count(lit(1)).as("n_touches"),
+            sum("first_micro").as("first_touch_micro"),
+            sum("last_micro").as("last_touch_micro"),
+            sum("linear_micro").as("linear_micro"))
+          .orderBy("channel")
+      },
+      Some("""WITH conv AS (
+          SELECT user_id,
+                 min(struct_pack(ts := CAST(ts AS TIMESTAMP), event_id := event_id)) AS cv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        cflat AS (
+          SELECT user_id, cv.ts AS cts, cv.event_id AS cid FROM conv),
+        touches AS (
+          SELECT e.user_id, e.event_type, CAST(e.ts AS TIMESTAMP) AS ts, e.event_id
+          FROM events e JOIN cflat c ON c.user_id = e.user_id
+          WHERE e.event_type <> 'purchase'
+            AND (CAST(e.ts AS TIMESTAMP) < c.cts OR
+                 (CAST(e.ts AS TIMESTAMP) = c.cts AND e.event_id < c.cid))),
+        scored AS (
+          SELECT event_type,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nt
+          FROM touches)
+        SELECT event_type AS channel,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(CASE WHEN rn = 1 THEN 1000000 ELSE 0 END) AS BIGINT) AS first_touch_micro,
+               CAST(sum(CASE WHEN rn = nt THEN 1000000 ELSE 0 END) AS BIGINT) AS last_touch_micro,
+               CAST(sum(1000000 // nt +
+                        CASE WHEN rn = nt THEN 1000000 - nt * (1000000 // nt)
+                             ELSE 0 END) AS BIGINT) AS linear_micro
+        FROM scored GROUP BY 1 ORDER BY channel""")),
+
     QDef("agg_kmv_sketch",
       // K-minimum-values sketches for audience-overlap estimation: per
       // event type, the k=64 smallest md5 hashes of its distinct
