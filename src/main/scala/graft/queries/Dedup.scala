@@ -61,7 +61,10 @@ object Dedup {
     * passing the raw split(...) expression into `transform` would
     * re-evaluate the whole tokenization at every element access.
     */
-  private def minhashBands(docs: DataFrame): DataFrame =
+  /** The K-minhash table (doc_id, k, h) — minhashBands' pre-banding
+    * stage, also read directly by the estimator-bias audit.
+    */
+  private def minhashK(docs: DataFrame): DataFrame =
     docs
       .withColumn("tks", toks)
       .select(col("doc_id"), explode(shingles(col("tks"), 3)).as("shingle"))
@@ -72,6 +75,9 @@ object Dedup {
         ((col("h0") * (col("k") * 2 + 1) + col("k") * lit(2654435761L))
           % lit(2147483647L)).as("hv"))
       .groupBy("doc_id", "k").agg(min("hv").as("h"))
+
+  private def minhashBands(docs: DataFrame): DataFrame =
+    minhashK(docs)
       .withColumn("band", (col("k") / BandRows).cast("int"))
       .groupBy("doc_id", "band")
       .agg(concat_ws(",",
@@ -1164,6 +1170,76 @@ object Dedup {
         FROM v
         WHERE n_inter * 5 >= (size_a + size_b - n_inter) * 4
         ORDER BY doc_a, doc_b""")),
+
+    QDef("dedup_minhash_est_vs_exact",
+      // Estimator-BIAS audit of the MinHash signatures — the third leg
+      // of the LSH calibration story: dedup_minhash_recall prices what
+      // the banded index MISSES, dedup_band_sweep prices the candidate
+      // volume, and this prices how far the K=16 signature's Jaccard
+      // ESTIMATE (matching-coordinate fraction) sits from the exact
+      // Jaccard on the pairs the index actually surfaces — the number
+      // that decides whether signature-only verification is safe or
+      // the exact rescoring stage must stay. All integer: matches are
+      // coordinate equality counts, both estimate and truth ride ppm
+      // floor-division, the signed bias is their difference, and the
+      // corpus-wide MAE attaches from an unbounded window over the
+      // (candidate-sized, bounded) pair table. Cost: candidates × K
+      // join rows — linear in the candidate count.
+      (s, dir) => {
+        val mh = minhashK(t(s, dir, "documents"))
+        val sets = ngramSets(s, dir)
+        val inter = graft.functions.SortedInterCountExpr
+          .interCount(col("ss_a"), col("ss_b")).cast("long")
+        val matches = candidatePairs(s, dir)
+          .join(mh.toDF("doc_a", "k", "h_a"), "doc_a")
+          .join(mh.toDF("db2", "k2", "h_b"),
+            col("doc_b") === col("db2") && col("k") === col("k2"))
+          .groupBy("doc_a", "doc_b")
+          .agg(sum(when(col("h_a") === col("h_b"), 1L).otherwise(0L))
+            .as("n_match"))
+        val scored = matches
+          .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
+          .withColumn("n_inter", inter)
+          .withColumn("sz_a", size(col("ss_a")).cast("long"))
+          .withColumn("sz_b", size(col("ss_b")).cast("long"))
+          .select(col("doc_a"), col("doc_b"), col("n_match"),
+            expr(s"(n_match * 1000000) div $MinhashK").as("est_ppm"),
+            // integer div, never Column `/` (the double-division trap)
+            expr("(n_inter * 1000000) div (sz_a + sz_b - n_inter)")
+              .as("jac_ppm"))
+          .withColumn("bias_ppm", col("est_ppm") - col("jac_ppm"))
+        scored
+          .withColumn("mae_ppm",
+            expr("sum(abs(bias_ppm)) over () div count(1) over ()"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $minhashBandsSql,
+        $candidatePairsSql,
+        sets AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(list_transform($shSql, x -> ${h32Sql("x")}))) AS ss
+          FROM documents),
+        matches AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+          FROM cpairs c
+          JOIN mh a ON a.doc_id = c.doc_a
+          JOIN mh b ON b.doc_id = c.doc_b AND b.k = a.k
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT m.doc_a, m.doc_b, m.n_match,
+                 CAST((m.n_match * 1000000) // $MinhashK AS BIGINT) AS est_ppm,
+                 CAST((len(list_intersect(sa.ss, sb.ss)) * 1000000) //
+                      (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))
+                      AS BIGINT) AS jac_ppm
+          FROM matches m
+          JOIN sets sa ON sa.doc_id = m.doc_a
+          JOIN sets sb ON sb.doc_id = m.doc_b)
+        SELECT doc_a, doc_b, n_match, est_ppm, jac_ppm,
+               est_ppm - jac_ppm AS bias_ppm,
+               CAST(sum(abs(est_ppm - jac_ppm)) OVER () // count(*) OVER () AS BIGINT) AS mae_ppm
+        FROM scored ORDER BY doc_a, doc_b""")),
 
     QDef("dedup_lcp_adjacent",
       // Sorted-neighborhood prefix dedup (Hernández & Stolfo's SNM,
