@@ -1359,6 +1359,75 @@ object Similarity {
           SELECT node, peel_round, mdeg FROM outp ORDER BY node""")
       }),
 
+    QDef("sim_centroid_separation",
+      // Class-separability diagnostics over the embedding space: per-
+      // label centroids and every pairwise centroid cosine — the table
+      // that says whether labels occupy distinct regions (low
+      // off-diagonal cosine) before anyone trusts within-label
+      // semantic dedup or a kNN classifier on these vectors. Exactness
+      // discipline: per-dimension sums are EXACT int64 over micro-
+      // quantized components (a raw float sum would be fold-order-
+      // dependent), centroid means are single IEEE divisions, and both
+      // the norms and the pairwise dots fold the 64-dim arrays
+      // IN-ORDER (aggregate/zip_with ≙ DuckDB list_sum — the ArrayDot
+      // convention), so every cosine is bit-identical cross-engine.
+      // Scale: one posexplode scan (corpus × 64 rows), one (label,dim)
+      // aggregate; everything after runs on labels² rows.
+      (s, dir) => {
+        val comp = t(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+          .withColumn("xq", floor(col("x").cast("double") * 1000000.0 + 0.5)
+            .cast("long"))
+        val nPer = t(s, dir, "embeddings")
+          .groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        val cent = comp.groupBy("label", "d").agg(sum("xq").as("sq"))
+          .join(nPer, "label")
+          .withColumn("m", col("sq").cast("double") /
+            (col("n_vecs").cast("double") * 1000000.0))
+          .groupBy("label", "n_vecs")
+          .agg(transform(
+            sort_array(collect_list(struct(col("d"), col("m")))),
+            e => e.getField("m")).as("c"))
+        val nrm = (c: Column) => sqrt(aggregate(
+          transform(c, x => x * x), lit(0d), (a, x) => a + x))
+        cent.as("a").join(cent.as("b"), col("a.label") <= col("b.label"))
+          .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+            col("a.n_vecs").as("n_a"), col("b.n_vecs").as("n_b"),
+            rx(aggregate(zip_with(col("a.c"), col("b.c"), (x, y) => x * y),
+              lit(0d), (acc, x) => acc + x) /
+              (nrm(col("a.c")) * nrm(col("b.c"))), 6).as("centroid_cos"))
+          .orderBy("label_a", "label_b")
+      }, {
+        val fold = (l: String) =>
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (a, x) -> a + x)"
+        Some(s"""WITH comp AS (
+          SELECT label, d, CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xq
+          FROM (SELECT label, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) - 1 AS d
+                FROM embeddings)),
+        n_per AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+                  FROM embeddings GROUP BY 1),
+        sums AS (
+          SELECT c.label, c.d, CAST(sum(c.xq) AS BIGINT) AS sq
+          FROM comp c GROUP BY 1, 2),
+        cent AS (
+          SELECT s.label, n.n_vecs,
+                 list_transform(
+                   list_sort(list(struct_pack(d := s.d, m :=
+                     CAST(s.sq AS DOUBLE) / (CAST(n.n_vecs AS DOUBLE) * 1000000.0)))),
+                   e -> e.m) AS c
+          FROM sums s JOIN n_per n ON n.label = s.label
+          GROUP BY 1, 2)
+        SELECT a.label AS label_a, b.label AS label_b,
+               a.n_vecs AS n_a, b.n_vecs AS n_b,
+               ${rxSql(
+            s"""${fold("list_transform(range(64), i -> a.c[i+1] * b.c[i+1])")} /
+               (sqrt(${fold("list_transform(range(64), i -> a.c[i+1] * a.c[i+1])")}) *
+                sqrt(${fold("list_transform(range(64), i -> b.c[i+1] * b.c[i+1])")}))""", 6)} AS centroid_cos
+        FROM cent a JOIN cent b ON a.label <= b.label
+        ORDER BY label_a, label_b""")
+      }),
+
     QDef("sim_mips_topk",
       // Maximum-inner-product search with the norm-augmentation
       // reduction (Neyshabur & Srebro's simple-LSH): scale every
