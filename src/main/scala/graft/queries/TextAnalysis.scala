@@ -40,7 +40,14 @@ object TextAnalysis {
     * text_langid and the curation report; identical CASE in SQL).
     */
   private def predExpr: Column = {
-    val zh = size(regexp_extract_all(col("text"), lit("[一-鿿]"))).cast("long")
+    // Group index 0 (whole match) is load-bearing: Spark's 2-arg
+    // regexp_extract_all defaults to group 1, which only ERRORS on the
+    // FIRST ROW THAT MATCHES — the all-ASCII corpus never tripped it,
+    // and the first real CJK document would have crashed the classifier
+    // at runtime (found by the confusion-matrix harness's injected
+    // CJK marker).
+    val zh = size(regexp_extract_all(col("text"), lit("[一-鿿]"), lit(0)))
+      .cast("long")
     val (en, de, fr, es) =
       (stopHits(enW), stopHits(deW), stopHits(frW), stopHits(esW))
     when(zh >= 1, "zh")
@@ -825,6 +832,96 @@ object TextAnalysis {
                  CAST(sum(CAST(cell AS DECIMAL(38,9))) AS DOUBLE) AS dp
           FROM cells GROUP BY 1, 2)
         SELECT tok AS token, freq, ${rxSql("dp * 0.5", 6)} AS dp
-        FROM dps ORDER BY freq DESC, token"""))
+        FROM dps ORDER BY freq DESC, token""")),
+
+    QDef("text_langid_confusion",
+      // Classifier evaluation matrix for the language-ID heuristic —
+      // the table every model-based filter owes its consumers before
+      // anyone trusts per-language mixture rates built on its output:
+      // true (labeled) language × predicted language counts, per-class
+      // precision and recall in exact integer ppm, with the overall
+      // accuracy attached. The synthetic corpus carries no real
+      // language signal (every stopword list misses its vocab, so the
+      // raw heuristic degenerates to all-'en' — a one-column matrix
+      // that exercises nothing), so the EVAL HARNESS injects one
+      // deterministic marker token per doc: 2/3 of docs get their true
+      // language's marker, 1/3 get a rotating CONFUSER — every
+      // diagonal and a known off-diagonal cell is live, which is what
+      // an evaluation operator must guarantee about itself (the
+      // dead-arm lesson). The FULL true×pred grid (including zero
+      // cells — an absent confusion is a claim, not a gap) comes from
+      // the observed-label cross product, the chi2-grid discipline.
+      // One corpus-sized projection + one bounded aggregate.
+      (s, dir) => {
+        val marker = map(
+          lit("de"), lit("der"), lit("en"), lit("the"), lit("es"), lit("el"),
+          lit("fr"), lit("le"), lit("zh"), lit("一"))
+        val confuse = map(
+          lit("de"), lit("es"), lit("en"), lit("de"), lit("es"), lit("fr"),
+          lit("fr"), lit("zh"), lit("zh"), lit("en"))
+        val marked = concat(col("text"), lit(" "),
+          element_at(marker,
+            when(col("doc_id") % 3 === 0, element_at(confuse, col("lang")))
+              .otherwise(col("lang"))))
+        val scored = t(s, dir, "documents")
+          .withColumn("true_lang", col("lang"))
+          .withColumn("text", marked)
+          .select(col("true_lang"), predExpr.as("pred_lang"))
+          .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+        val trues = scored.select(col("true_lang")).distinct()
+        val preds = scored.select(col("pred_lang")).distinct()
+        val rowTot = scored.groupBy("true_lang").agg(sum("n").as("n_true"))
+        val colTot = scored.groupBy("pred_lang").agg(sum("n").as("n_pred"))
+        val acc = scored.agg(
+          sum(when(col("true_lang") === col("pred_lang"), col("n"))
+            .otherwise(0L)).as("n_correct"),
+          sum("n").as("n_total"))
+        trues.crossJoin(preds)
+          .join(scored, Seq("true_lang", "pred_lang"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .join(rowTot, "true_lang")
+          .join(colTot, "pred_lang")
+          .crossJoin(broadcast(acc))
+          .select(col("true_lang"), col("pred_lang"), col("n"),
+            expr("(n * 1000000) div n_true").as("recall_ppm"),
+            expr("(n * 1000000) div n_pred").as("precision_ppm"),
+            expr("(n_correct * 1000000) div n_total").as("accuracy_ppm"))
+          .orderBy("true_lang", "pred_lang")
+      },
+      Some(s"""WITH marked AS (
+          SELECT lang AS true_lang,
+                 text || ' ' ||
+                 CASE CASE WHEN doc_id % 3 = 0
+                           THEN CASE lang WHEN 'de' THEN 'es' WHEN 'en' THEN 'de'
+                                          WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh'
+                                          ELSE 'en' END
+                           ELSE lang END
+                      WHEN 'de' THEN 'der' WHEN 'en' THEN 'the' WHEN 'es' THEN 'el'
+                      WHEN 'fr' THEN 'le' ELSE '一' END AS text
+          FROM documents),
+        scored AS (
+          SELECT true_lang, $predSql AS pred_lang,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM marked GROUP BY 1, 2),
+        trues AS (SELECT DISTINCT true_lang FROM scored),
+        preds AS (SELECT DISTINCT pred_lang FROM scored),
+        rt AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true
+               FROM scored GROUP BY 1),
+        ct AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS n_pred
+               FROM scored GROUP BY 1),
+        acc AS (
+          SELECT CAST(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS n_correct,
+                 CAST(sum(n) AS BIGINT) AS n_total
+          FROM scored)
+        SELECT t.true_lang, p.pred_lang, COALESCE(s.n, 0) AS n,
+               CAST((COALESCE(s.n, 0) * 1000000) // rt.n_true AS BIGINT) AS recall_ppm,
+               CAST((COALESCE(s.n, 0) * 1000000) // ct.n_pred AS BIGINT) AS precision_ppm,
+               CAST((acc.n_correct * 1000000) // acc.n_total AS BIGINT) AS accuracy_ppm
+        FROM trues t CROSS JOIN preds p
+        LEFT JOIN scored s ON s.true_lang = t.true_lang AND s.pred_lang = p.pred_lang
+        JOIN rt ON rt.true_lang = t.true_lang
+        JOIN ct ON ct.pred_lang = p.pred_lang
+        CROSS JOIN acc
+        ORDER BY t.true_lang, p.pred_lang"""))
   )
 }
