@@ -1200,6 +1200,96 @@ object Health {
         FROM c ORDER BY event_type"""),
     ),
 
+    QDef("agg_mann_whitney",
+      // Mann-Whitney U (Wilcoxon rank-sum) per event type — the
+      // nonparametric LOCATION test between the half-month samples,
+      // completing the family: Welch assumes normal-ish means, KS is
+      // sensitive to any shape difference, U asks specifically "does
+      // one half stochastically dominate?". Ties (guaranteed — cents
+      // quantize) use MIDRANKS computed from per-value cumulative
+      // counts; every midrank is an integer or integer+0.5, so the
+      // rank-sum is a sum of DYADIC doubles — exact at any fold order
+      // below 2^52, no decimal detour needed (and stated, not
+      // assumed). The normal approximation carries the full tie
+      // correction Σ(t³−t); the z gate is a fixed IEEE tree with 1.96
+      // as the only constant. Same scale shape as agg_ks_test: one
+      // map-side aggregate to value cells (bounded by the cent
+      // domain), one per-type cumsum window.
+      (s, dir) => {
+        val cells = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("h",
+            col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+          .groupBy("event_type", "xc")
+          .agg(sum(when(col("h"), 1L).otherwise(0L)).as("c1"),
+            sum(when(col("h"), 0L).otherwise(1L)).as("c2"))
+          .withColumn("cnt", col("c1") + col("c2"))
+        val w = Window.partitionBy("event_type").orderBy("xc")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = cells
+          .withColumn("before", coalesce(sum("cnt").over(w), lit(0L)))
+          .withColumn("midrank",
+            col("before").cast("double") +
+              (col("cnt").cast("double") + 1.0) / 2.0)
+        val st = ranked.groupBy("event_type").agg(
+          sum("c1").as("n1"), sum("c2").as("n2"),
+          sum(col("c1").cast("double") * col("midrank")).as("r1"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_t"))
+        val n1d = col("n1").cast("double")
+        val n2d = col("n2").cast("double")
+        val nd = n1d + n2d
+        val u1 = col("r1") - n1d * (n1d + 1.0) / 2.0
+        val varU = (n1d * n2d / 12.0) *
+          ((nd + 1.0) - col("tie_t").cast("double") / (nd * (nd - 1.0)))
+        val z = (u1 - n1d * n2d / 2.0) / sqrt(varU)
+        st.select(col("event_type"), col("n1"), col("n2"),
+            rx(u1, 1).as("u1"), rx(z, 4).as("z"),
+            (abs(z) > 1.96).as("reject_h0"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+                 CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' AS h
+          FROM events),
+        cells AS (
+          SELECT event_type, xc,
+                 CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN h THEN 0 ELSE 1 END) AS BIGINT) AS c2
+          FROM ev GROUP BY 1, 2),
+        ranked AS (
+          SELECT event_type, c1, c2, c1 + c2 AS cnt,
+                 CAST(COALESCE(sum(c1 + c2) OVER (PARTITION BY event_type
+                   ORDER BY xc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS DOUBLE) +
+                 (CAST(c1 + c2 AS DOUBLE) + 1.0) / 2.0 AS midrank
+          FROM cells),
+        st AS (
+          SELECT event_type,
+                 CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2,
+                 sum(CAST(c1 AS DOUBLE) * midrank) AS r1,
+                 CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+          FROM ranked GROUP BY 1),
+        m AS (
+          SELECT event_type, n1, n2,
+                 CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+                 CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd,
+                 r1, CAST(tie_t AS DOUBLE) AS td
+          FROM st),
+        c AS (
+          SELECT event_type, n1, n2,
+                 r1 - n1d * (n1d + 1.0) / 2.0 AS u1,
+                 (r1 - n1d * (n1d + 1.0) / 2.0 - n1d * n2d / 2.0) /
+                   sqrt((n1d * n2d / 12.0) *
+                        ((nd + 1.0) - td / (nd * (nd - 1.0)))) AS z
+          FROM m)
+        SELECT event_type, n1, n2,
+               ${rxSql("u1", 1)} AS u1, ${rxSql("z", 4)} AS z,
+               abs(z) > 1.96 AS reject_h0
+        FROM c ORDER BY event_type"""),
+    ),
+
     QDef("agg_winsorized_mean",
       // Winsorized mean per event type — the robust central tendency a
       // metrics platform reports when a few whale values would swing
