@@ -267,9 +267,32 @@ object Staged {
     * memo map and unpersist lifecycle. Stale generations (old plan hash
     * or old data fingerprint) are simply never read again.
     */
+  /** JVM-stable fingerprint of a logical plan: md5 of the CANONICALIZED
+    * tree's string rendering. `semanticHash()` is NOT stable across
+    * JVMs for plans containing file relations (LogicalRelation's hash
+    * folds in the FileIndex object's identity hashCode), which made
+    * every new JVM a cache MISS that then evicted the previous
+    * generation — the cross-JVM disk cache never hit once, and bench
+    * rounds silently recomputed the full staging set (observed:
+    * back-to-back runs produced minhash_bands-1929031131 then
+    * minhash_bands-146685999 over identical inputs). The canonicalized
+    * treeString normalizes exprIds and renders literals, so it is
+    * stable across JVMs and still changes when the build logic
+    * changes. Known blind spot: LocalRelation row DATA is not rendered
+    * — a staged build keyed solely by in-memory literal ROWS (none
+    * today; constants live in expressions, which do render) would need
+    * its values folded into the tag.
+    */
+  private[pipeline] def planFingerprint(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(plan.canonicalized.treeString.getBytes("UTF-8"))
+    val b = md.digest()
+    (math.abs(java.nio.ByteBuffer.wrap(b, 0, 8).getLong) & 0x7fffffff).toString
+  }
+
   private[pipeline] def spillThrough(s: SparkSession, dir: String, tag: String)(
       key: => DataFrame)(build: => DataFrame): DataFrame = {
-    val h = key.queryExecution.logical.semanticHash() & 0x7fffffff
+    val h = planFingerprint(key.queryExecution.logical)
     val fp = inputFingerprint(dir)
     val sfName = new java.io.File(dir).getName
     val entry = s"$tag-$h-$fp"
