@@ -55,7 +55,9 @@ object Bench {
       "multimodal_phash_pairs", "multimodal_phash_clusters",
       "graph_label_propagation",
       // prefix_index (the AllPairs prefix-filter join's staged index)
-      "dedup_prefix_filter")
+      "dedup_prefix_filter",
+      // emb_bin_sigs (the sign-bit signature table)
+      "sim_ann_binary")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     val stagerSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]

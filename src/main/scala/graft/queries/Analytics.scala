@@ -1057,6 +1057,75 @@ object Analytics {
                              ELSE 0 END) AS BIGINT) AS linear_micro
         FROM scored GROUP BY 1 ORDER BY channel""")),
 
+    QDef("win_cohort_ltv",
+      // Cohort LTV curves — win_retention's revenue twin: DAILY signup
+      // cohorts × day offset, cumulative revenue per cohort and
+      // cumulative revenue PER USER (the number payback math runs on).
+      // The cohort anchor is each user's first SIGNUP event, not first
+      // activity — first-activity weeks put every user in cohort 0 on
+      // this corpus (a one-cohort table answers nothing; the dead-arm
+      // lesson), while first-signup days spread users across ~10+ live
+      // cohorts at every SF. Only post-signup revenue counts
+      // (offset >= 0 — the standard LTV convention, stated). Exact
+      // cents end to end: the (cohort, offset) grid is bounded by the
+      // observation window squared, the cumulative sum is one ordered
+      // window over that bounded grid, and per-user LTV is integer
+      // division by the cohort population. Only the per-user and
+      // per-cell aggregates are corpus-sized.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("d",
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("long"))
+        val firstD = ev
+          .filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("d").as("cohort_day"))
+        val cohortN = firstD.groupBy("cohort_day")
+          .agg(countDistinct("user_id").as("n_users"))
+        val cells = ev.join(firstD, "user_id")
+          .withColumn("offset_day", col("d") - col("cohort_day"))
+          .filter(col("offset_day") >= 0)
+          .groupBy("cohort_day", "offset_day")
+          .agg(sum("xc").as("cents"))
+        val w = Window.partitionBy("cohort_day").orderBy("offset_day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells
+          .withColumn("cum_cents", sum("cents").over(w))
+          .join(cohortN, "cohort_day")
+          .select(col("cohort_day"), col("offset_day"), col("n_users"),
+            col("cents"), col("cum_cents"),
+            expr("cum_cents div n_users").as("ltv_cents_per_user"))
+          .orderBy("cohort_day", "offset_day")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS d
+          FROM events),
+        first_d AS (
+          SELECT user_id, min(d) AS cohort_day
+          FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        cohort_n AS (
+          SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM first_d GROUP BY 1),
+        cells AS (
+          SELECT f.cohort_day, e.d - f.cohort_day AS offset_day,
+                 CAST(sum(e.xc) AS BIGINT) AS cents
+          FROM ev e JOIN first_d f ON f.user_id = e.user_id
+          WHERE e.d - f.cohort_day >= 0
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT cohort_day, offset_day, cents,
+                 CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY offset_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+          FROM cells)
+        SELECT c.cohort_day, c.offset_day, n.n_users, c.cents, c.cum_cents,
+               CAST(c.cum_cents // n.n_users AS BIGINT) AS ltv_cents_per_user
+        FROM cum c JOIN cohort_n n ON n.cohort_day = c.cohort_day
+        ORDER BY c.cohort_day, c.offset_day""")),
+
     QDef("agg_kmv_sketch",
       // K-minimum-values sketches for audience-overlap estimation: per
       // event type, the k=64 smallest md5 hashes of its distinct
