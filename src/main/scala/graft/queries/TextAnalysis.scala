@@ -63,6 +63,51 @@ object TextAnalysis {
          WHEN ${stopHitsSql(deW)} > ${stopHitsSql(enW)} THEN 'de'
          ELSE 'en' END"""
 
+  /** The marked-corpus true×pred grid shared by the confusion matrix
+    * and Cohen's kappa: one deterministic marker token per doc (2/3
+    * true-language, 1/3 rotating confuser — the synthetic corpus
+    * carries no real language signal, so unmarked evaluation
+    * degenerates to an all-'en' one-column matrix).
+    */
+  private def markedScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val marker = map(
+      lit("de"), lit("der"), lit("en"), lit("the"), lit("es"), lit("el"),
+      lit("fr"), lit("le"), lit("zh"), lit("一"))
+    val confuse = map(
+      lit("de"), lit("es"), lit("en"), lit("de"), lit("es"), lit("fr"),
+      lit("fr"), lit("zh"), lit("zh"), lit("en"))
+    val marked = concat(col("text"), lit(" "),
+      element_at(marker,
+        when(col("doc_id") % 3 === 0, element_at(confuse, col("lang")))
+          .otherwise(col("lang"))))
+    t(s, dir, "documents")
+      .withColumn("true_lang", col("lang"))
+      .withColumn("text", marked)
+      .select(col("true_lang"), predExpr.as("pred_lang"))
+      .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB CTE chain ending in `scored(true_lang, pred_lang, n)`
+    * ≙ [[markedScored]]. Declared ABOVE `all` (object-init order:
+    * oracles interpolate eagerly).
+    */
+  private val markedScoredSql: String = s"""marked AS (
+          SELECT lang AS true_lang,
+                 text || ' ' ||
+                 CASE CASE WHEN doc_id % 3 = 0
+                           THEN CASE lang WHEN 'de' THEN 'es' WHEN 'en' THEN 'de'
+                                          WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh'
+                                          ELSE 'en' END
+                           ELSE lang END
+                      WHEN 'de' THEN 'der' WHEN 'en' THEN 'the' WHEN 'es' THEN 'el'
+                      WHEN 'fr' THEN 'le' ELSE '一' END AS text
+          FROM documents),
+        scored AS (
+          SELECT true_lang, $predSql AS pred_lang,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM marked GROUP BY 1, 2)"""
+
   /** Composite quality score rounded to 4 places (shared by
     * text_quality_score and the curation report).
     */
@@ -853,21 +898,7 @@ object TextAnalysis {
       // the observed-label cross product, the chi2-grid discipline.
       // One corpus-sized projection + one bounded aggregate.
       (s, dir) => {
-        val marker = map(
-          lit("de"), lit("der"), lit("en"), lit("the"), lit("es"), lit("el"),
-          lit("fr"), lit("le"), lit("zh"), lit("一"))
-        val confuse = map(
-          lit("de"), lit("es"), lit("en"), lit("de"), lit("es"), lit("fr"),
-          lit("fr"), lit("zh"), lit("zh"), lit("en"))
-        val marked = concat(col("text"), lit(" "),
-          element_at(marker,
-            when(col("doc_id") % 3 === 0, element_at(confuse, col("lang")))
-              .otherwise(col("lang"))))
-        val scored = t(s, dir, "documents")
-          .withColumn("true_lang", col("lang"))
-          .withColumn("text", marked)
-          .select(col("true_lang"), predExpr.as("pred_lang"))
-          .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+        val scored = markedScored(s, dir)
         val trues = scored.select(col("true_lang")).distinct()
         val preds = scored.select(col("pred_lang")).distinct()
         val rowTot = scored.groupBy("true_lang").agg(sum("n").as("n_true"))
@@ -888,21 +919,7 @@ object TextAnalysis {
             expr("(n_correct * 1000000) div n_total").as("accuracy_ppm"))
           .orderBy("true_lang", "pred_lang")
       },
-      Some(s"""WITH marked AS (
-          SELECT lang AS true_lang,
-                 text || ' ' ||
-                 CASE CASE WHEN doc_id % 3 = 0
-                           THEN CASE lang WHEN 'de' THEN 'es' WHEN 'en' THEN 'de'
-                                          WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh'
-                                          ELSE 'en' END
-                           ELSE lang END
-                      WHEN 'de' THEN 'der' WHEN 'en' THEN 'the' WHEN 'es' THEN 'el'
-                      WHEN 'fr' THEN 'le' ELSE '一' END AS text
-          FROM documents),
-        scored AS (
-          SELECT true_lang, $predSql AS pred_lang,
-                 CAST(count(*) AS BIGINT) AS n
-          FROM marked GROUP BY 1, 2),
+      Some(s"""WITH $markedScoredSql,
         trues AS (SELECT DISTINCT true_lang FROM scored),
         preds AS (SELECT DISTINCT pred_lang FROM scored),
         rt AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true
@@ -922,6 +939,59 @@ object TextAnalysis {
         JOIN rt ON rt.true_lang = t.true_lang
         JOIN ct ON ct.pred_lang = p.pred_lang
         CROSS JOIN acc
-        ORDER BY t.true_lang, p.pred_lang"""))
+        ORDER BY t.true_lang, p.pred_lang""")),
+
+    QDef("text_cohens_kappa",
+      // Cohen's kappa for the langid classifier — chance-corrected
+      // agreement, the honesty adjustment raw accuracy lacks: a
+      // classifier that always predicts the majority class scores high
+      // accuracy but kappa ≈ 0. Fully RATIONAL decomposition:
+      // kappa = (n·n_correct − Σ_c n_true_c·n_pred_c) /
+      // (n² − Σ_c n_true_c·n_pred_c) — exact integer numerator and
+      // denominator from the same marked grid as the confusion matrix
+      // (shared helper), ONE IEEE division at the end (no ppm
+      // floor-division here: the numerator can be negative and
+      // Spark's div truncates toward zero while DuckDB's // floors —
+      // a sign-dependent off-by-one the single division avoids).
+      // Margins join on the class key (full outer, absent side 0).
+      (s, dir) => {
+        val scored = markedScored(s, dir)
+        val rt = scored.groupBy(col("true_lang").as("cls"))
+          .agg(sum("n").as("n_true"))
+        val ct = scored.groupBy(col("pred_lang").as("cls"))
+          .agg(sum("n").as("n_pred"))
+        val pe = rt.join(ct, Seq("cls"), "full_outer")
+          .agg(sum(coalesce(col("n_true"), lit(0L)) *
+            coalesce(col("n_pred"), lit(0L))).as("pe_num"))
+        val acc = scored.agg(
+          sum(when(col("true_lang") === col("pred_lang"), col("n"))
+            .otherwise(0L)).as("n_correct"),
+          sum("n").as("n_total"))
+        acc.crossJoin(pe)
+          .select(col("n_total"), col("n_correct"),
+            expr("(n_correct * 1000000) div n_total").as("po_ppm"),
+            expr("(pe_num * 1000000) div (n_total * n_total)").as("pe_ppm"),
+            rx((col("n_total") * col("n_correct") - col("pe_num"))
+              .cast("double") /
+              (col("n_total") * col("n_total") - col("pe_num")).cast("double"),
+              6).as("kappa"))
+      },
+      Some(s"""WITH $markedScoredSql,
+        rt AS (SELECT true_lang AS cls, CAST(sum(n) AS BIGINT) AS n_true
+               FROM scored GROUP BY 1),
+        ct AS (SELECT pred_lang AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+               FROM scored GROUP BY 1),
+        pe AS (
+          SELECT CAST(sum(COALESCE(rt.n_true, 0) * COALESCE(ct.n_pred, 0)) AS BIGINT) AS pe_num
+          FROM rt FULL OUTER JOIN ct ON ct.cls = rt.cls),
+        acc AS (
+          SELECT CAST(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS n_correct,
+                 CAST(sum(n) AS BIGINT) AS n_total
+          FROM scored)
+        SELECT n_total, n_correct,
+               CAST((n_correct * 1000000) // n_total AS BIGINT) AS po_ppm,
+               CAST((pe_num * 1000000) // (n_total * n_total) AS BIGINT) AS pe_ppm,
+               ${rxSql("CAST(n_total * n_correct - pe_num AS DOUBLE) / CAST(n_total * n_total - pe_num AS DOUBLE)", 6)} AS kappa
+        FROM acc CROSS JOIN pe"""))
   )
 }
