@@ -1064,6 +1064,77 @@ object Relational {
         FROM w WHERE event_type = 'click'
         ORDER BY user_id, click_ts, click_id""")),
 
+    QDef("join_asof_tolerance",
+      // TOLERANCE as-of — the third member of the family (backward,
+      // nearest, and now bounded-staleness): a backward match older
+      // than the tolerance (1 hour here) is WORSE than no match — a
+      // trade priced against an hour-old quote is mispriced, a click
+      // attributed to a stale purchase is misattributed — so the stale
+      // arm nulls out exactly like the no-match arm, but keeps the
+      // MATCHED flag and the gap so consumers can distinguish "never
+      // saw a purchase" (gap null) from "saw one, too old" (matched
+      // false, gap real). Same single (user_id) shuffle + running
+      // last-non-null plan as join_asof; the tolerance test is one
+      // integer epoch-second comparison, and both the within and
+      // too-stale arms are live at every SF (inter-event gaps straddle
+      // the hour).
+      (s, dir) => {
+        val TolS = 3600L
+        val ev = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"),
+            when(col("event_type") === "purchase", 0).otherwise(1).as("kr"))
+        val win = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("kr"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def lastP(c: org.apache.spark.sql.Column) =
+          last(when(col("event_type") === "purchase", c), ignoreNulls = true)
+            .over(win)
+        ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+            lastP(col("event_id")).as("p_id0"),
+            lastP(col("ts")).as("p_ts0"),
+            lastP(col("value")).as("p_value0"))
+          .filter(col("event_type") === "click")
+          // epoch MICROS on both sides (unix_micros ≙ epoch_us): DuckDB's
+          // epoch() is a rounding double while Spark's unix_timestamp
+          // floors — sub-second timestamps would disagree at the
+          // boundary. gap reported in whole seconds via integer div.
+          .withColumn("gap_s",
+            expr("(unix_micros(ts) - unix_micros(p_ts0)) div 1000000"))
+          .withColumn("matched",
+            col("p_ts0").isNotNull && col("gap_s") <= TolS)
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"),
+            when(col("matched"), col("p_id0")).as("p_id"),
+            when(col("matched"), col("p_value0")).as("p_value"),
+            col("gap_s"), col("matched"))
+          .orderBy("user_id", "click_ts", "click_id")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+                 CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kr
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        w AS (SELECT user_id, event_id, ts, event_type,
+                last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS) OVER win AS p_id0,
+                last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS) OVER win AS p_ts0,
+                last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER win AS p_value0
+              FROM ev
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, kr, event_id
+                             ROWS UNBOUNDED PRECEDING)),
+        g AS (
+          SELECT user_id, event_id, ts, p_id0, p_ts0, p_value0,
+                 (epoch_us(ts) - epoch_us(p_ts0)) // 1000000 AS gap_s,
+                 p_ts0 IS NOT NULL AND
+                   (epoch_us(ts) - epoch_us(p_ts0)) // 1000000 <= 3600
+                   AS matched
+          FROM w WHERE event_type = 'click')
+        SELECT user_id, event_id AS click_id, ts AS click_ts,
+               CASE WHEN matched THEN p_id0 END AS p_id,
+               CASE WHEN matched THEN p_value0 END AS p_value,
+               gap_s, matched
+        FROM g ORDER BY user_id, click_ts, click_id""")),
+
     QDef("join_asof_nearest",
       // NEAREST as-of (the sensor-fusion / trade-quote variant):
       // join_asof's backward match plus the symmetric forward match,
