@@ -1126,6 +1126,72 @@ object Analytics {
         FROM cum c JOIN cohort_n n ON n.cohort_day = c.cohort_day
         ORDER BY c.cohort_day, c.offset_day""")),
 
+    QDef("win_rsi",
+      // Relative-strength index over daily revenue per event type —
+      // the bounded momentum oscillator (Wilder's RSI, simple-average
+      // form) a monitoring surface uses to flag overheated/collapsed
+      // series symmetrically (a raw day-over-day delta has no scale;
+      // RSI normalizes by total movement). Exact integers end to end:
+      // day-over-day deltas of exact cent sums split into gain/loss
+      // magnitudes, trailing-14 sums are ROWS-frame window sums, and
+      // the index rides as rsi_micro = 10^6·G/(G+L) by integer
+      // floor-division — the standard 0..100 RSI times 10^4, with the
+      // 70/30 bands as integer comparisons. Flat-market degenerate
+      // case (G+L=0) reports NULL rather than a fake 50. One daily
+      // aggregate + one per-type ordered window pass.
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("d",
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("long"))
+          .groupBy("event_type", "d").agg(sum("xc").as("x"))
+        val wLag = Window.partitionBy("event_type").orderBy("d")
+        val w14 = wLag.rowsBetween(-13, Window.currentRow)
+        daily
+          .withColumn("delta", col("x") - lag("x", 1).over(wLag))
+          .filter(col("delta").isNotNull)
+          .withColumn("gain", greatest(col("delta"), lit(0L)))
+          .withColumn("loss", greatest(-col("delta"), lit(0L)))
+          .withColumn("g14", sum("gain").over(w14))
+          .withColumn("l14", sum("loss").over(w14))
+          .select(col("event_type"), col("d"), col("delta"),
+            when(col("g14") + col("l14") > 0,
+              expr("(g14 * 1000000) div (g14 + l14)")).as("rsi_micro"))
+          .withColumn("overbought", col("rsi_micro") >= 700000L)
+          .withColumn("oversold", col("rsi_micro") <= 300000L)
+          .orderBy("event_type", "d")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS d,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        dd AS (
+          SELECT event_type, d,
+                 x - lag(x) OVER (PARTITION BY event_type ORDER BY d) AS delta
+          FROM daily),
+        gl AS (
+          SELECT event_type, d, delta,
+                 greatest(delta, 0) AS gain, greatest(-delta, 0) AS loss
+          FROM dd WHERE delta IS NOT NULL),
+        s14 AS (
+          SELECT event_type, d, delta,
+                 CAST(sum(gain) OVER w AS BIGINT) AS g14,
+                 CAST(sum(loss) OVER w AS BIGINT) AS l14
+          FROM gl
+          WINDOW w AS (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT event_type, d, delta,
+               CASE WHEN g14 + l14 > 0
+                    THEN CAST((g14 * 1000000) // (g14 + l14) AS BIGINT) END AS rsi_micro,
+               CASE WHEN g14 + l14 > 0
+                    THEN (g14 * 1000000) // (g14 + l14) >= 700000 END AS overbought,
+               CASE WHEN g14 + l14 > 0
+                    THEN (g14 * 1000000) // (g14 + l14) <= 300000 END AS oversold
+        FROM s14 ORDER BY event_type, d""")),
+
     QDef("agg_kmv_sketch",
       // K-minimum-values sketches for audience-overlap estimation: per
       // event type, the k=64 smallest md5 hashes of its distinct
