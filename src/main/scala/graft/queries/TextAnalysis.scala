@@ -992,6 +992,47 @@ object TextAnalysis {
                CAST((n_correct * 1000000) // n_total AS BIGINT) AS po_ppm,
                CAST((pe_num * 1000000) // (n_total * n_total) AS BIGINT) AS pe_ppm,
                ${rxSql("CAST(n_total * n_correct - pe_num AS DOUBLE) / CAST(n_total * n_total - pe_num AS DOUBLE)", 6)} AS kappa
-        FROM acc CROSS JOIN pe"""))
+        FROM acc CROSS JOIN pe""")),
+
+    QDef("text_oov_rate",
+      // Out-of-vocabulary rate per document against the top-20 corpus
+      // vocabulary — the coverage number that sizes a tokenizer's
+      // vocab (OOV mass is what falls back to bytes/unk): the vocab is
+      // the top-K tokens under a total (freq DESC, token) order, each
+      // doc reports its token count, OOV count and integer-ppm OOV
+      // rate. Scale shape: the vocab build is a map-side-combined
+      // aggregate + a K-row rank; membership is a BROADCAST left join
+      // on the exploded token stream (never a per-row array scan
+      // against a big list), and the per-doc rollup reuses the explode
+      // shuffle. K=20 of a ~30-type synthetic vocab keeps both the
+      // in-vocab and OOV arms live at every SF.
+      (s, dir) => {
+        val tokens = t(s, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("tok"))
+        val vocab = tokens.groupBy("tok").agg(count(lit(1)).as("f"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("f").desc, col("tok"))))
+          .filter(col("rk") <= 20)
+          .select(col("tok"), lit(true).as("in_vocab"))
+        tokens.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tokens AS (
+          SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+            FROM tokens GROUP BY tok)
+          WHERE rk <= 20)
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               CAST((sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+        FROM tokens t LEFT JOIN vocab v ON v.tok = t.tok
+        GROUP BY t.doc_id ORDER BY t.doc_id"""))
   )
 }
