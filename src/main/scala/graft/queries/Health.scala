@@ -1290,6 +1290,79 @@ object Health {
         FROM c ORDER BY event_type"""),
     ),
 
+    QDef("profile_fk_inference",
+      // Foreign-key DISCOVERY by containment profiling — the schema-
+      // inference pass a catalog tool runs over an undocumented lake:
+      // for each candidate (child column → parent column) pair, what
+      // fraction of the child's distinct values exists in the parent?
+      // Containment ≈ 1 infers an FK; the candidate list deliberately
+      // includes a WRONG pair (supplier nationkey → part partkey) so
+      // the rejection arm is live — an inferrer that can only say
+      // "yes" catches nothing (first attempt used supplier nationkey →
+      // part partkey, which is fully CONTAINED — 25 small ints subset
+      // any dense key range; the probe must leave the parent's
+      // domain). Distinct from pipeline_contract_check:
+      // that VERIFIES declared contracts, this DISCOVERS undeclared
+      // ones. Per pair: one distinct on the child key + one left semi
+      // join against the parent key — never a row-level join; cost is
+      // distinct-key-sized per candidate.
+      (s, dir) => {
+        def cand(name: String, child: org.apache.spark.sql.DataFrame,
+            childCol: String, parent: org.apache.spark.sql.DataFrame,
+            parentCol: String) = {
+          val ck = child.select(col(childCol).as("k")).distinct()
+          val pk = parent.select(col(parentCol).as("k")).distinct()
+          val contained = ck.join(pk, Seq("k"), "left_semi")
+          ck.agg(count(lit(1)).as("n_child"))
+            .crossJoin(contained.agg(count(lit(1)).as("n_contained")))
+            .select(lit(name).as("candidate"), col("n_child"),
+              col("n_contained"),
+              expr("(n_contained * 1000000) div n_child").as("containment_ppm"),
+              (col("n_contained") * 1000L >= col("n_child") * 999L)
+                .as("inferred_fk"))
+        }
+        val li = t(s, dir, "lineitem")
+        cand("lineitem.l_orderkey->orders.o_orderkey",
+            li, "l_orderkey", t(s, dir, "orders"), "o_orderkey")
+          .unionAll(cand("lineitem.l_partkey->part.p_partkey",
+            li, "l_partkey", t(s, dir, "part"), "p_partkey"))
+          .unionAll(cand("orders.o_custkey->customer.c_custkey",
+            t(s, dir, "orders"), "o_custkey",
+            t(s, dir, "customer"), "c_custkey"))
+          .unionAll(cand("customer.c_nationkey->nation.n_nationkey",
+            t(s, dir, "customer"), "c_nationkey",
+            t(s, dir, "nation"), "n_nationkey"))
+          .unionAll(cand("part.p_partkey->nation.n_nationkey",
+            t(s, dir, "part"), "p_partkey",
+            t(s, dir, "nation"), "n_nationkey"))
+          .unionAll(cand("lineitem.l_suppkey->nation.n_nationkey",
+            li, "l_suppkey", t(s, dir, "nation"), "n_nationkey"))
+          .orderBy("candidate")
+      }, {
+        def c(name: String, ct: String, cc: String, pt: String, pc: String) =
+          s"""SELECT '$name' AS candidate,
+               (SELECT count(DISTINCT $cc) FROM $ct) AS n_child,
+               (SELECT count(*) FROM (SELECT DISTINCT $cc AS k FROM $ct)
+                WHERE k IN (SELECT $pc FROM $pt)) AS n_contained"""
+        Some(s"""WITH rows_ AS (
+            ${c("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+            UNION ALL
+            ${c("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey")}
+            UNION ALL
+            ${c("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey")}
+            UNION ALL
+            ${c("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey")}
+            UNION ALL
+            ${c("part.p_partkey->nation.n_nationkey", "part", "p_partkey", "nation", "n_nationkey")}
+            UNION ALL
+            ${c("lineitem.l_suppkey->nation.n_nationkey", "lineitem", "l_suppkey", "nation", "n_nationkey")})
+          SELECT candidate, CAST(n_child AS BIGINT) AS n_child,
+                 CAST(n_contained AS BIGINT) AS n_contained,
+                 CAST((n_contained * 1000000) // n_child AS BIGINT) AS containment_ppm,
+                 n_contained * 1000 >= n_child * 999 AS inferred_fk
+          FROM rows_ ORDER BY candidate""")
+      }),
+
     QDef("agg_winsorized_mean",
       // Winsorized mean per event type — the robust central tendency a
       // metrics platform reports when a few whale values would swing
