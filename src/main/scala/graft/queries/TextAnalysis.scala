@@ -130,6 +130,12 @@ object TextAnalysis {
       4)
   }
 
+  /** 3-token shingle list ≙ Text.shingles(toks, 3) — the frequency
+    * spectrum's type unit (same spelling as the dedup family's).
+    */
+  private val shSql =
+    s"list_transform(range(greatest(len($toksSql) - 2, 0)), i -> $toksSql[i+1] || ' ' || $toksSql[i+2] || ' ' || $toksSql[i+3])"
+
   val all: Seq[QDef] = Seq(
 
     QDef("text_tokenize_stats",
@@ -1033,6 +1039,53 @@ object TextAnalysis {
                CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
                CAST((sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS oov_ppm
         FROM tokens t LEFT JOIN vocab v ON v.tok = t.tok
-        GROUP BY t.doc_id ORDER BY t.doc_id"""))
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    QDef("text_freq_spectrum",
+      // Type-frequency spectrum — the frequency-of-frequencies table
+      // N_m = "how many types occur exactly m times", the direct input
+      // to Good-Turing smoothing and the shape that separates a
+      // natural long-tail vocabulary (large N_1 hapax mass) from a
+      // template-generated one (mass clumped at high m). The unit is
+      // the 3-token SHINGLE type, not the word type: the synthetic
+      // ~31-word vocabulary makes every word high-frequency (a one-row
+      // spectrum answers nothing — the dead-arm lesson), while shingle
+      // types carry the real long tail the estimator exists for. Rows
+      // for m = 1..10 plus an 11+ rollup; type and token shares in
+      // integer ppm against the bounded totals. Two map-side-combined
+      // aggregates (shingle→freq, freq→spectrum) — the second runs on
+      // the shingle-vocab-sized table.
+      (s, dir) => {
+        val freq = t(s, dir, "documents")
+          .withColumn("tks", toks)
+          .select(explode(Text.shingles(col("tks"), 3)).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("f"))
+        val spec = freq
+          .withColumn("m", when(col("f") <= 10, col("f")).otherwise(11L))
+          .groupBy("m")
+          .agg(count(lit(1)).as("n_types"), sum("f").as("n_tokens"))
+        val tot = spec.agg(sum("n_types").as("tt"), sum("n_tokens").as("tk"))
+        spec.crossJoin(broadcast(tot))
+          .select(col("m"), col("n_types"), col("n_tokens"),
+            expr("(n_types * 1000000) div tt").as("type_share_ppm"),
+            expr("(n_tokens * 1000000) div tk").as("token_share_ppm"))
+          .orderBy("m")
+      },
+      Some(s"""WITH freq AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS f
+          FROM (SELECT unnest($shSql) AS tok FROM documents)
+          GROUP BY 1),
+        spec AS (
+          SELECT CASE WHEN f <= 10 THEN f ELSE 11 END AS m,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(f) AS BIGINT) AS n_tokens
+          FROM freq GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_types) AS BIGINT) AS tt,
+                       CAST(sum(n_tokens) AS BIGINT) AS tk
+                FROM spec)
+        SELECT CAST(m AS BIGINT) AS m, n_types, n_tokens,
+               CAST((n_types * 1000000) // tt AS BIGINT) AS type_share_ppm,
+               CAST((n_tokens * 1000000) // tk AS BIGINT) AS token_share_ppm
+        FROM spec CROSS JOIN tot ORDER BY m"""))
   )
 }
