@@ -1363,6 +1363,59 @@ object Health {
           FROM rows_ ORDER BY candidate""")
       }),
 
+    QDef("profile_pk_inference",
+      // Primary-key DISCOVERY — profile_fk_inference's other half:
+      // which columns are unique enough to BE keys? Per candidate
+      // column: row count, distinct count, uniqueness in integer ppm,
+      // and the inference verdict (exactly distinct == rows — a key is
+      // unique, not 99.9% unique). The candidate list mixes true keys
+      // (event_id, o_orderkey, doc_id, vec_id) with high-cardinality
+      // NON-keys (l_orderkey repeats per line, user_id repeats per
+      // event) so the rejection arm is live. Each candidate is one
+      // count + count-distinct aggregate over its own table — the
+      // exact uniqueness check a catalog runs before trusting a merge
+      // key; at 100 TB the approx variant (HLL) prefilters and this
+      // exact pass confirms survivors.
+      (s, dir) => {
+        def cand(name: String, df: org.apache.spark.sql.DataFrame,
+            c: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(c)).as("n_distinct"))
+            .select(lit(name).as("candidate"), col("n_rows"),
+              col("n_distinct"),
+              expr("(n_distinct * 1000000) div n_rows").as("uniqueness_ppm"),
+              (col("n_distinct") === col("n_rows")).as("inferred_pk"))
+        cand("documents.doc_id", t(s, dir, "documents"), "doc_id")
+          .unionAll(cand("embeddings.vec_id", t(s, dir, "embeddings"), "vec_id"))
+          .unionAll(cand("events.event_id", t(s, dir, "events"), "event_id"))
+          .unionAll(cand("events.user_id", t(s, dir, "events"), "user_id"))
+          .unionAll(cand("lineitem.l_orderkey", t(s, dir, "lineitem"), "l_orderkey"))
+          .unionAll(cand("orders.o_orderkey", t(s, dir, "orders"), "o_orderkey"))
+          .orderBy("candidate")
+      }, {
+        def c(name: String, tb: String, cc: String) =
+          s"""SELECT '$name' AS candidate,
+               (SELECT count(*) FROM $tb) AS n_rows,
+               (SELECT count(DISTINCT $cc) FROM $tb) AS n_distinct"""
+        Some(s"""WITH rows_ AS (
+            ${c("documents.doc_id", "documents", "doc_id")}
+            UNION ALL
+            ${c("embeddings.vec_id", "embeddings", "vec_id")}
+            UNION ALL
+            ${c("events.event_id", "events", "event_id")}
+            UNION ALL
+            ${c("events.user_id", "events", "user_id")}
+            UNION ALL
+            ${c("lineitem.l_orderkey", "lineitem", "l_orderkey")}
+            UNION ALL
+            ${c("orders.o_orderkey", "orders", "o_orderkey")})
+          SELECT candidate, CAST(n_rows AS BIGINT) AS n_rows,
+                 CAST(n_distinct AS BIGINT) AS n_distinct,
+                 CAST((n_distinct * 1000000) // n_rows AS BIGINT) AS uniqueness_ppm,
+                 n_distinct = n_rows AS inferred_pk
+          FROM rows_ ORDER BY candidate""")
+      }),
+
     QDef("agg_winsorized_mean",
       // Winsorized mean per event type — the robust central tendency a
       // metrics platform reports when a few whale values would swing
