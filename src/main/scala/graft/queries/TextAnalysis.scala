@@ -1086,6 +1086,71 @@ object TextAnalysis {
         SELECT CAST(m AS BIGINT) AS m, n_types, n_tokens,
                CAST((n_types * 1000000) // tt AS BIGINT) AS type_share_ppm,
                CAST((n_tokens * 1000000) // tk AS BIGINT) AS token_share_ppm
-        FROM spec CROSS JOIN tot ORDER BY m"""))
+        FROM spec CROSS JOIN tot ORDER BY m""")),
+
+    QDef("agg_decile_lift",
+      // Decile lift/gains table for the quality score AS A RANKER —
+      // the third classifier-eval surface (confusion/kappa judge
+      // classification; this judges RANKING): documents decile by
+      // quality score, each decile reports its rate of long documents
+      // (n_chars above the corpus median — the deterministic stand-in
+      // target) and the lift of that rate over the base rate. A score
+      // that ranks well shows monotone-ish lift falling from decile 1;
+      // a flat table means the score carries no ranking signal for
+      // the target. Determinism: deciles are ntile(10) under a
+      // (score DESC, doc_id) TOTAL order, the median cut is the exact
+      // positional element, rates and lift are integer ppm — no FP
+      // thresholds anywhere. One scoring projection + dimension-sized
+      // windows.
+      (s, dir) => {
+        val scored = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), qualityExpr.as("q"))
+        val medianChars = scored
+          .withColumn("crk", row_number().over(
+            Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("crk") === expr("(nn + 1) div 2"))
+          .select(col("n_chars").as("med"))
+        val base = scored.crossJoin(broadcast(medianChars))
+          .withColumn("target", col("n_chars") > col("med"))
+          .withColumn("decile", ntile(10).over(
+            Window.orderBy(col("q").desc, col("doc_id"))).cast("long"))
+        val overall = base.agg(
+          sum(when(col("target"), 1L).otherwise(0L)).as("n_pos_all"),
+          count(lit(1)).as("n_all"))
+        base.groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("target"), 1L).otherwise(0L)).as("n_pos"))
+          .crossJoin(broadcast(overall))
+          .select(col("decile"), col("n_docs"), col("n_pos"),
+            expr("(n_pos * 1000000) div n_docs").as("rate_ppm"),
+            expr("((n_pos * n_all) * 1000000) div (n_docs * n_pos_all)")
+              .as("lift_ppm"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH scored AS (
+          SELECT doc_id, n_chars, $qualitySql AS q FROM documents),
+        med AS (
+          SELECT n_chars AS med FROM (
+            SELECT n_chars,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS crk,
+                   count(*) OVER () AS n
+            FROM scored)
+          WHERE crk = (n + 1) // 2),
+        base AS (
+          SELECT s.doc_id, s.n_chars > m.med AS target,
+                 CAST(ntile(10) OVER (ORDER BY s.q DESC, s.doc_id) AS BIGINT) AS decile
+          FROM scored s CROSS JOIN med m),
+        overall AS (
+          SELECT CAST(sum(CASE WHEN target THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_all,
+                 CAST(count(*) AS BIGINT) AS n_all
+          FROM base)
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN target THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST((sum(CASE WHEN target THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS rate_ppm,
+               CAST(((sum(CASE WHEN target THEN 1 ELSE 0 END) * o.n_all) * 1000000) //
+                    (count(*) * o.n_pos_all) AS BIGINT) AS lift_ppm
+        FROM base CROSS JOIN overall o
+        GROUP BY decile, o.n_all, o.n_pos_all ORDER BY decile"""))
   )
 }
