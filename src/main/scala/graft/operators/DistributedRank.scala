@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ordinals and quantile buckets over a total order
+  * WITHOUT a partition-less window on the data path.
+  *
+  * `row_number()/ntile(k) OVER (ORDER BY …)` puts every row through ONE
+  * window partition — the single-reducer sort that dies first at
+  * 100 TB. This reproduces both, exactly, with the shard-offset
+  * pattern (the layout_global_index plan, generalized):
+  *
+  *   1. one tiny min/max aggregate fixes the ordering key's range;
+  *   2. rows shard deterministically by value into `shards` bounded
+  *      ranges (equal keys always share a shard, so the within-shard
+  *      sort is total once the tiebreak is appended);
+  *   3. per-shard counts — map-side combined, ≤ `shards` rows —
+  *      cumulate into shard offsets and broadcast back. The offsets
+  *      cumulative is the only partition-less window, over the
+  *      driver-sized shard table, never over data;
+  *   4. ordinal = shard offset + rank within the shard.
+  *
+  * At 100 TB the shard count scales with the cluster; every heavy
+  * operator here is per-shard. Value-range sharding is skew-exposed
+  * when one key value dominates — but so is any rank over that order:
+  * a rank among equal keys is tiebreak-arbitrary anyway, and the
+  * callers here rank metrics (quality scores, recency, spend) whose
+  * domains spread by construction.
+  */
+object DistributedRank {
+
+  /** Adds column `out` = row_number() OVER (ORDER BY key [DESC], tie
+    * ASC) as an exact 1-based global ordinal. `key` must cast
+    * losslessly to long (callers with an rx-rounded double key lift it
+    * onto its integer grid first); `tie` must totalize the order
+    * within equal keys.
+    */
+  def withGlobalRank(df: DataFrame, key: Column, tie: Column,
+      desc: Boolean = false, shards: Int = 32,
+      out: String = "grk"): DataFrame = {
+    val kc = s"__gr_key_$out"
+    val sc = s"__gr_shard_$out"
+    val oc = s"__gr_off_$out"
+    val keyed = df.withColumn(kc, key.cast("long"))
+    val bounds = keyed.agg(min(kc).as("__gr_mn"), max(kc).as("__gr_mx"))
+      .select(col("__gr_mn"),
+        (expr(s"(__gr_mx - __gr_mn) div $shards") + lit(1L)).as("__gr_w"))
+    val sharded = keyed.crossJoin(broadcast(bounds))
+      .withColumn(sc, expr(s"($kc - __gr_mn) div __gr_w"))
+      .drop("__gr_mn", "__gr_w")
+    // Driver-sized (≤ shards+1 rows) cumulative — the one allowed
+    // partition-less window; shard order mirrors the rank direction.
+    val offW = Window
+      .orderBy(if (desc) col(sc).desc else col(sc).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(sc).agg(count(lit(1)).as("__gr_c"))
+      .withColumn(oc, coalesce(sum("__gr_c").over(offW), lit(0L)))
+      .select(col(sc), col(oc))
+    val ordW = Window.partitionBy(sc)
+      .orderBy(if (desc) col(kc).desc else col(kc).asc, tie)
+    sharded.join(broadcast(offsets), sc)
+      .withColumn(out, (col(oc) + row_number().over(ordW)).cast("long"))
+      .drop(kc, sc, oc)
+  }
+
+  /** ntile(k) reconstructed from an exact global ordinal: with n rows,
+    * the first n mod k tiles take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — the
+    * positional definition Spark and DuckDB share, in pure integer
+    * arithmetic (identical in both engines; all operands nonnegative,
+    * so floor-vs-truncate division never diverges). `rank` and `n` are
+    * column NAMES of the 1-based ordinal and the total row count.
+    */
+  def ntileFromRank(rank: String, n: String, k: Int): Column = expr(
+    s"""CAST(CASE
+      WHEN $rank <= (($n div $k) + 1) * ($n % $k)
+        THEN ($rank - 1) div (($n div $k) + 1) + 1
+      ELSE ($n % $k)
+        + ($rank - (($n div $k) + 1) * ($n % $k) - 1)
+          div greatest($n div $k, 1) + 1
+      END AS BIGINT)""")
+}

@@ -278,14 +278,23 @@ object Staged {
     * minhash_bands-146685999 over identical inputs). The canonicalized
     * treeString normalizes exprIds and renders literals, so it is
     * stable across JVMs and still changes when the build logic
-    * changes. Known blind spot: LocalRelation row DATA is not rendered
+    * changes. maxFields is pinned to Int.MaxValue: the default
+    * rendering truncates per-node field lists at
+    * spark.sql.debug.maxToStringFields (25) with "... N more fields",
+    * so two staged builds differing only in truncated fields would
+    * COLLIDE and serve a stale artifact as a false disk hit — and the
+    * fingerprint would silently depend on that debug config. Known
+    * blind spot: LocalRelation row DATA is not rendered
     * — a staged build keyed solely by in-memory literal ROWS (none
     * today; constants live in expressions, which do render) would need
     * its values folded into the tag.
     */
   private[pipeline] def planFingerprint(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(plan.canonicalized.treeString.getBytes("UTF-8"))
+    md.update(plan.canonicalized
+      .treeString(verbose = false, addSuffix = false,
+        maxFields = Int.MaxValue, printOperatorId = false)
+      .getBytes("UTF-8"))
     val b = md.digest()
     (math.abs(java.nio.ByteBuffer.wrap(b, 0, 8).getLong) & 0x7fffffff).toString
   }

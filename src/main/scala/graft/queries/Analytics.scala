@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.operators.DistributedRank
+
 /** Warehouse-analytics operators over the relational tables: funnel
   * (staged-conversion) analysis, dataset profiling, SCD2 dimension
   * history, Z-order layout keys, MERGE-shaped CDC upsert, cohort
@@ -877,9 +879,16 @@ object Analytics {
       // membership nondeterministic at every tie), composed into the
       // 3-digit RFM code plus the two action segments campaigns
       // actually target. Per-customer stats are one map-side aggregate;
-      // the quintile windows sort the customer-DIMENSION-sized table
-      // (not the fact table), and the max-date scalar attaches by
-      // broadcast. All arithmetic integer.
+      // the max-date scalar attaches by broadcast. All arithmetic
+      // integer. No quintile runs a dimension-global ntile window (the
+      // round-10 flaw): each metric's exact positional rank comes from
+      // the shard-offset distributed rank (DistributedRank — the
+      // layout_global_index pattern) and the quintile is reconstructed
+      // from (rank, n) by ntile's positional formula — identical
+      // bucket membership, custkey tiebreak preserved, every sort
+      // per-shard. base localCheckpoints once: the three rank passes
+      // each re-read it for bounds/offsets, and at customer-dimension
+      // size one materialization beats nine re-aggregations of orders.
       (s, dir) => {
         val perC = t(s, dir, "orders")
           .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
@@ -890,13 +899,20 @@ object Analytics {
         val base = perC.crossJoin(broadcast(mx))
           .withColumn("recency_days",
             datediff(col("max_d"), col("last_d")).cast("long"))
-        def q(c: String, asc: Boolean) = ntile(5).over(
-          if (asc) Window.orderBy(col(c).asc, col("custkey"))
-          else Window.orderBy(col(c).desc, col("custkey"))).cast("long")
-        base
-          .withColumn("r_q", q("recency_days", asc = false))
-          .withColumn("f_q", q("n_orders", asc = true))
-          .withColumn("m_q", q("cents", asc = true))
+          .localCheckpoint(true)
+        val nTot = base.agg(count(lit(1)).as("nn"))
+        val ranked = Seq(
+          ("recency_days", true, "rrk"),
+          ("n_orders", false, "frk"),
+          ("cents", false, "mrk"))
+          .foldLeft(base) { case (df, (c, desc, out)) =>
+            DistributedRank.withGlobalRank(
+              df, col(c), col("custkey"), desc = desc, out = out)
+          }
+        ranked.crossJoin(broadcast(nTot))
+          .withColumn("r_q", DistributedRank.ntileFromRank("rrk", "nn", 5))
+          .withColumn("f_q", DistributedRank.ntileFromRank("frk", "nn", 5))
+          .withColumn("m_q", DistributedRank.ntileFromRank("mrk", "nn", 5))
           .select(col("custkey"), col("recency_days"), col("n_orders"),
             col("cents"), col("r_q"), col("f_q"), col("m_q"),
             (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm"),

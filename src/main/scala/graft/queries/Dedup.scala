@@ -34,6 +34,11 @@ object Dedup {
   private val MinhashK = 16
   private val BandRows = 4
 
+  /** dedup_span_exact's anchor-gram width = its min-match length L:
+    * exact for duplicated spans of length ≥ SpanK, blind below.
+    */
+  private[queries] val SpanK = 4
+
   /** Band-sweep configurations (index, bands, rows-per-band, t*): every
     * b×r factorization of K=16 except r=1 (see dedup_band_sweep's
     * Scaladoc). t* = (1/b)^(1/r) is evaluated here ONCE and flows to
@@ -786,17 +791,23 @@ object Dedup {
       // much of each doc is duplicated, this emits the duplicated
       // SPANS themselves — (doc_id, span_start, span_end) token
       // ranges — the coordinates a surgical-removal pass cuts.
-      // Distributed shape: fixed-k anchor grams (k=8) replace the
-      // suffix array — every position's 8-gram is fingerprinted
-      // (linear explode), a fingerprint occurring >= 2 times anywhere
-      // (across OR within docs — self-repetition is also cut) marks
-      // its positions, and per-doc maximal runs of marked positions
-      // merge into spans via one gaps-and-islands window. Shuffles:
+      // Distributed shape: fixed-k anchor grams replace the suffix
+      // array — every position's k-gram is fingerprinted (linear
+      // explode), a fingerprint occurring >= 2 times anywhere (across
+      // OR within docs — self-repetition is also cut) marks its
+      // positions, and per-doc maximal runs of marked positions merge
+      // into spans via one gaps-and-islands window. The anchor width
+      // IS the operator's min-match length L — a duplicated substring
+      // of length ℓ ≥ k contains exactly ℓ−k+1 duplicated k-grams, so
+      // detection is EXACT for spans of length ≥ k and blind below it.
+      // k = SpanK = 4 (was 8 through round 10, which silently hid
+      // every 4-7-token duplicated phrase — the boilerplate length
+      // range); SpanDedupSpec pins a sub-8 span being found. Shuffles:
       // the map-side-combined fingerprint count and the join-back on
       // the fingerprint — both on the gram key, nothing quadratic,
       // the same shape at 100 TB.
       (s, dir) => {
-        val k = 8
+        val k = SpanK
         // Staged: the gram stream (the dominant O(tokens) explode+md5)
         // feeds both the fingerprint aggregate and the join-back probe,
         // and Spark shares no common subtree — unstaged it would
@@ -832,16 +843,16 @@ object Dedup {
       },
       Some(s"""WITH tk AS (
           SELECT doc_id, $toksSql AS tks FROM documents),
-        tk2 AS (SELECT * FROM tk WHERE len(tks) >= 8),
+        tk2 AS (SELECT * FROM tk WHERE len(tks) >= $SpanK),
         grams AS (
           SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                 md5(array_to_string(tks[i+1:i+8], ' ')) AS fp
-          FROM tk2, unnest(range(len(tks) - 7)) AS u(i)),
+                 md5(array_to_string(tks[i+1:i+$SpanK], ' ')) AS fp
+          FROM tk2, unnest(range(len(tks) - ${SpanK - 1})) AS u(i)),
         dup AS (SELECT fp FROM grams GROUP BY fp HAVING count(*) >= 2),
         marked AS (SELECT doc_id, pos FROM grams JOIN dup USING (fp)),
         isl AS (
           SELECT doc_id, pos,
-                 max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                 max(pos + ${SpanK - 1}) OVER (PARTITION BY doc_id ORDER BY pos
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
           FROM marked),
         grp AS (
@@ -851,7 +862,7 @@ object Dedup {
                    OVER (PARTITION BY doc_id ORDER BY pos) AS grp
           FROM isl)
         SELECT doc_id, min(pos) AS span_start,
-               CAST(max(pos) + 7 AS BIGINT) AS span_end,
+               CAST(max(pos) + ${SpanK - 1} AS BIGINT) AS span_end,
                count(*) AS n_dup_grams
         FROM grp GROUP BY doc_id, grp ORDER BY doc_id, span_start""")),
 
@@ -1182,9 +1193,11 @@ object Dedup {
       // the exact rescoring stage must stay. All integer: matches are
       // coordinate equality counts, both estimate and truth ride ppm
       // floor-division, the signed bias is their difference, and the
-      // corpus-wide MAE attaches from an unbounded window over the
-      // (candidate-sized, bounded) pair table. Cost: candidates × K
-      // join rows — linear in the candidate count.
+      // corpus-wide MAE is one scalar aggregate attached back by
+      // broadcast (round-10 ran it as an unbounded window — a
+      // single-reducer pass over the pair table, which GROWS with the
+      // corpus; the guard spec now bans that shape). Cost:
+      // candidates × K join rows — linear in the candidate count.
       (s, dir) => {
         val mh = minhashK(t(s, dir, "documents"))
         val sets = ngramSets(s, dir)
@@ -1209,9 +1222,9 @@ object Dedup {
             expr("(n_inter * 1000000) div (sz_a + sz_b - n_inter)")
               .as("jac_ppm"))
           .withColumn("bias_ppm", col("est_ppm") - col("jac_ppm"))
-        scored
-          .withColumn("mae_ppm",
-            expr("sum(abs(bias_ppm)) over () div count(1) over ()"))
+        val mae = scored.agg(
+          expr("sum(abs(bias_ppm)) div count(1)").as("mae_ppm"))
+        scored.crossJoin(broadcast(mae))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $minhashBandsSql,

@@ -1234,7 +1234,12 @@ object Health {
         val st = ranked.groupBy("event_type").agg(
           sum("c1").as("n1"), sum("c2").as("n2"),
           sum(col("c1").cast("double") * col("midrank")).as("r1"),
-          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_t"))
+          // Σ(t³−t) rides DECIMAL(38,0) ≙ HUGEINT like the power sums
+          // above: a single cent cell past ~2.1M rows cubes beyond
+          // 2^63, where non-ANSI int64 wraps silently while the oracle
+          // raises — the worst mismatch class (wrong vs crash).
+          sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+            - col("cnt")).as("tie_t"))
         val n1d = col("n1").cast("double")
         val n2d = col("n2").cast("double")
         val nd = n1d + n2d
@@ -1269,7 +1274,7 @@ object Health {
                  CAST(sum(c1) AS BIGINT) AS n1,
                  CAST(sum(c2) AS BIGINT) AS n2,
                  sum(CAST(c1 AS DOUBLE) * midrank) AS r1,
-                 CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+                 sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_t
           FROM ranked GROUP BY 1),
         m AS (
           SELECT event_type, n1, n2,

@@ -623,8 +623,10 @@ object Selection {
       // between two observed columns; this tests one observed column
       // against DECLARED weights. Numeric discipline as there: exact
       // integer counts, expected = one IEEE division each, per-arm
-      // contributions rx-rounded then decimal-window-summed (order-free
-      // 5-row window). Corpus-sized work: one distinct + one bounded
+      // contributions rx-rounded then decimal-summed (order-free) in a
+      // scalar aggregate attached back by broadcast — no window at
+      // all, so the guard spec's no-global-window gate holds by
+      // construction. Corpus-sized work: one distinct + one bounded
       // aggregate.
       (s, dir) => {
         val arms = Seq(("control", 0, 40), ("t1_rank", 40, 60),
@@ -643,15 +645,15 @@ object Selection {
         val obs = assigned.groupBy("variant", "weight_pct")
           .agg(count(lit(1)).as("n_users"))
         val tot = obs.agg(sum("n_users").as("n"))
-        val w = Window.partitionBy()
         val expd = (col("n") * col("weight_pct")).cast("double") / lit(100.0)
         val contrib = rx((col("n_users").cast("double") - expd) *
           (col("n_users").cast("double") - expd) / expd, 6)
-        obs.crossJoin(broadcast(tot))
+        val cells = obs.crossJoin(broadcast(tot))
           .withColumn("expected", rx(expd, 2))
           .withColumn("cell_chi2", contrib)
-          .withColumn("chi2",
-            sum(contrib.cast("decimal(38,6)")).over(w).cast("double"))
+        val chi2 = cells.agg(
+          sum(col("cell_chi2").cast("decimal(38,6)")).cast("double").as("chi2"))
+        cells.crossJoin(broadcast(chi2))
           .select(col("variant"), col("weight_pct"), col("n_users"),
             col("expected"), col("cell_chi2"), col("chi2"),
             (col("chi2") > 18.467).as("srm"))
@@ -792,16 +794,19 @@ object Selection {
           mu * mu)
         val withW = st.withColumn("w", rx(col("nh").cast("double") * sigma, 6))
           .withColumn("sigma", rx(sigma, 4))
-        val wTot = withW
-          .withColumn("bigw",
-            sum(col("w").cast("decimal(38,6)")).over(Window.partitionBy())
-              .cast("double"))
-        val alloc = wTot
+        // Normalizer and floor-spend are scalar aggregates attached by
+        // broadcast (round-10 ran both as unbounded windows); the only
+        // remaining global window is the largest-remainder rank over
+        // one row per language stratum — bounded, allowlisted in
+        // GlobalWindowGuardSpec.
+        val bigw = withW.agg(
+          sum(col("w").cast("decimal(38,6)")).cast("double").as("bigw"))
+        val ideal = withW.crossJoin(broadcast(bigw))
           .withColumn("ideal", lit(n.toDouble) * col("w") / col("bigw"))
           .withColumn("base", floor(col("ideal")).cast("long"))
           .withColumn("rem", col("ideal") - col("base").cast("double"))
-          .withColumn("spent",
-            sum("base").over(Window.partitionBy()))
+        val spent = ideal.agg(sum("base").as("spent"))
+        val alloc = ideal.crossJoin(broadcast(spent))
           .withColumn("rrk", row_number().over(
             Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
         alloc

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Text
+import graft.operators.DistributedRank
 
 /** North-star text-analysis operators over the `documents` table
   * (BASELINE.json north_star; SURVEY.md §2.2 text rows): tokenize
@@ -780,7 +781,14 @@ object TextAnalysis {
       // shows up immediately in the signed per-rank deviation. Top-20
       // ranks, expected = f1 div r, deviation in ppm of f1 — ALL
       // integer arithmetic (no log-log fit, which would drag
-      // non-correctly-rounded ln() into the gate). Scale shape: the
+      // non-correctly-rounded ln() into the gate). The deviation is
+      // reported as sign + ABSOLUTE ppm: f·r − f1 goes negative
+      // whenever a rank underperforms the Zipf expectation (normal in
+      // Zipf-shaped data), and Spark's `div` truncates toward zero
+      // while DuckDB's `//` floors — every negative non-exact quotient
+      // would differ by 1 between the engines (the cohens_kappa
+      // floor-vs-truncate trap). A nonnegative numerator makes the two
+      // semantics coincide exactly. Scale shape: the
       // frequency table is a map-side-combined vocab aggregate; the
       // global (freq DESC, token) rank sorts only the vocab-sized
       // table, and the f1 scalar attaches by broadcast. Rank order is
@@ -797,7 +805,8 @@ object TextAnalysis {
         top.crossJoin(broadcast(f1))
           .select(col("r").as("rank"), col("tok").as("token"), col("f").as("freq"),
             expr("f1 div r").as("zipf_expected"),
-            expr("((f * r - f1) * 1000000) div f1").as("dev_ppm"))
+            expr("CAST(sign(f * r - f1) AS BIGINT)").as("dev_sign"),
+            expr("(abs(f * r - f1) * 1000000) div f1").as("dev_abs_ppm"))
           .orderBy("rank")
       },
       Some(s"""WITH freq AS (
@@ -811,7 +820,8 @@ object TextAnalysis {
         f1 AS (SELECT max(f) AS f1 FROM top)
         SELECT r AS rank, tok AS token, f AS freq,
                CAST(f1 // r AS BIGINT) AS zipf_expected,
-               CAST(((f * r - f1) * 1000000) // f1 AS BIGINT) AS dev_ppm
+               CAST(sign(f * r - f1) AS BIGINT) AS dev_sign,
+               CAST((abs(f * r - f1) * 1000000) // f1 AS BIGINT) AS dev_abs_ppm
         FROM top CROSS JOIN f1 ORDER BY rank""")),
 
     QDef("text_dispersion_dp",
@@ -1007,7 +1017,10 @@ object TextAnalysis {
       // the top-K tokens under a total (freq DESC, token) order, each
       // doc reports its token count, OOV count and integer-ppm OOV
       // rate. Scale shape: the vocab build is a map-side-combined
-      // aggregate + a K-row rank; membership is a BROADCAST left join
+      // aggregate + a global top-K via orderBy+limit — planned as
+      // TakeOrdered (per-partition top-K, driver merge of K·parts
+      // rows), never a partition-less rank window (membership doesn't
+      // need the rank value); membership is a BROADCAST left join
       // on the exploded token stream (never a per-row array scan
       // against a big list), and the per-doc rollup reuses the explode
       // shuffle. K=20 of a ~30-type synthetic vocab keeps both the
@@ -1016,9 +1029,7 @@ object TextAnalysis {
         val tokens = t(s, dir, "documents")
           .select(col("doc_id"), explode(toks).as("tok"))
         val vocab = tokens.groupBy("tok").agg(count(lit(1)).as("f"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("f").desc, col("tok"))))
-          .filter(col("rk") <= 20)
+          .orderBy(col("f").desc, col("tok")).limit(20)
           .select(col("tok"), lit(true).as("in_vocab"))
         tokens.join(broadcast(vocab), Seq("tok"), "left")
           .groupBy("doc_id")
@@ -1100,21 +1111,36 @@ object TextAnalysis {
       // the target. Determinism: deciles are ntile(10) under a
       // (score DESC, doc_id) TOTAL order, the median cut is the exact
       // positional element, rates and lift are integer ppm — no FP
-      // thresholds anywhere. One scoring projection + dimension-sized
-      // windows.
+      // thresholds anywhere. Neither ordinal runs a corpus-global
+      // window (the round-10 flaw): both ride the shard-offset
+      // distributed rank (DistributedRank.withGlobalRank — the
+      // layout_global_index pattern), and the decile is reconstructed
+      // from the exact rank by ntile's positional formula in integer
+      // arithmetic. The scoring projection stages once (narrow:
+      // doc_id, n_chars, q) so the rank passes and the count read the
+      // staged artifact, not three corpus rescans.
       (s, dir) => {
-        val scored = t(s, dir, "documents")
-          .select(col("doc_id"), col("n_chars"), qualityExpr.as("q"))
-        val medianChars = scored
-          .withColumn("crk", row_number().over(
-            Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
-          .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        val scored = graft.pipeline.Staged.disk(s, dir, "decile_scored") {
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("n_chars"), qualityExpr.as("q"))
+        }
+        val nTot = scored.agg(count(lit(1)).as("nn"))
+        val medianChars = DistributedRank
+          .withGlobalRank(scored.select("n_chars", "doc_id"),
+            col("n_chars"), col("doc_id"), out = "crk")
+          .crossJoin(broadcast(nTot))
           .filter(col("crk") === expr("(nn + 1) div 2"))
           .select(col("n_chars").as("med"))
-        val base = scored.crossJoin(broadcast(medianChars))
+        // q = rx(·,4) lives exactly on the 1e-4 grid, so the long lift
+        // qi = floor(q·1e4 + 0.5) is lossless and order-preserving —
+        // the integral key the range sharding needs.
+        val ranked = DistributedRank.withGlobalRank(
+          scored.withColumn("qi", floor(col("q") * 10000 + 0.5).cast("long")),
+          col("qi"), col("doc_id"), desc = true, out = "qrk")
+        val base = ranked.crossJoin(broadcast(medianChars))
+          .crossJoin(broadcast(nTot))
           .withColumn("target", col("n_chars") > col("med"))
-          .withColumn("decile", ntile(10).over(
-            Window.orderBy(col("q").desc, col("doc_id"))).cast("long"))
+          .withColumn("decile", DistributedRank.ntileFromRank("qrk", "nn", 10))
         val overall = base.agg(
           sum(when(col("target"), 1L).otherwise(0L)).as("n_pos_all"),
           count(lit(1)).as("n_all"))

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DistributedRank
+
+/** DistributedRank vs the single-partition windows it replaces: the
+  * shard-offset ordinal must equal row_number() OVER (ORDER BY …) and
+  * the positional reconstruction must equal ntile(k) — for BOTH parity
+  * branches of ntile's definition (n divisible by k hides the uneven-
+  * tile branch entirely; the sf0.01 corpus sizes are all divisible, so
+  * without these cases the formula's ELSE arm would ship untested).
+  */
+class DistributedRankSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Keys with heavy duplication (mod 7) so ties cross shard-width
+    * boundaries; unique tiebreak totalizes.
+    */
+  private def sample(n: Int) =
+    (1 to n).map(i => ((i * 31 % 7).toLong, i.toLong)).toDF("k", "id")
+
+  test("withGlobalRank equals the global row_number, asc and desc") {
+    for (desc <- Seq(false, true); n <- Seq(1, 7, 37, 100)) {
+      val df = sample(n)
+      val w = if (desc) Window.orderBy(col("k").desc, col("id"))
+        else Window.orderBy(col("k").asc, col("id"))
+      val expected = df.withColumn("rk", row_number().over(w).cast("long"))
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      val got = DistributedRank
+        .withGlobalRank(df, col("k"), col("id"), desc = desc, shards = 4, out = "rk")
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"desc=$desc n=$n")
+    }
+  }
+
+  test("ntileFromRank equals ntile(k) including uneven tiles") {
+    for (n <- Seq(1, 3, 7, 10, 37, 101); k <- Seq(3, 5, 10)) {
+      val df = sample(n)
+      val expected = df
+        .withColumn("t", ntile(k).over(
+          Window.orderBy(col("k"), col("id"))).cast("long"))
+        .select("id", "t").as[(Long, Long)].collect().toMap
+      val got = DistributedRank
+        .withGlobalRank(df, col("k"), col("id"), shards = 4, out = "rk")
+        .withColumn("nn", lit(n.toLong))
+        .withColumn("t", DistributedRank.ntileFromRank("rk", "nn", k))
+        .select("id", "t").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"n=$n k=$k")
+    }
+  }
+
+  test("within-shard window partitions by shard; only the offsets cumulative is global") {
+    val df = DistributedRank.withGlobalRank(
+      sample(100), col("k"), col("id"), shards = 4, out = "rk")
+    df.collect()
+    val wins = PlanFlatten.flatten(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty)
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size <= 1,
+      "only the driver-sized offsets cumulative may be unpartitioned")
+  }
+}

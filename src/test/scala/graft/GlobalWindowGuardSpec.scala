@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repo-wide regression gate for the round-10 lesson: a window with an
+  * EMPTY partition spec moves every input row through one reducer —
+  * the single-node sort that dies first at 100 TB (agg_decile_lift and
+  * win_rfm_scoring shipped with exactly this flaw and were rebuilt on
+  * DistributedRank; the round-11 sweep then caught four more, fixed as
+  * scalar-aggregate broadcasts or TakeOrdered limits). Every
+  * `SparkEntry.queries` plan is swept here; a partition-less logical
+  * Window is only legal when its input is provably BOUNDED
+  * (driver-sized, independent of corpus scale), which is recognized
+  * two ways:
+  *
+  *  - structurally: DistributedRank's shard-offset cumulative windows
+  *    over its `__gr_shard_*` aggregate (≤ shards+1 rows by
+  *    construction — the helper's private naming convention doubles as
+  *    the plan marker);
+  *  - by allowlist below, each entry naming the bound that makes it
+  *    legal.
+  *
+  * Adding a new global window means partitioning it, rebuilding on
+  * DistributedRank, or defending a new allowlist entry in review.
+  *
+  * The sweep inspects optimizedPlan (analysis + optimizer only — no
+  * execution), so the gate stays cheap; the streaming family is
+  * excluded because constructing those results replays real streaming
+  * machinery and their event-time windows never plan WindowExec.
+  */
+class GlobalWindowGuardSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose partition-less windows all run over driver-sized
+    * inputs — each entry names the bound.
+    */
+  private val allowlist: Map[String, String] = Map(
+    "layout_global_index" -> "offsets cumulative over ≤33 shard-count rows (the didactic original of the DistributedRank pattern)",
+    "text_zipf_check" -> "top-20 rank over the bounded-vocab frequency table (rank IS an output column)",
+    "agg_ams_f2" -> "median rank over the 16 fixed AMS estimators",
+    "agg_chi2_independence" -> "decimal chi2 sum over the ≤125-cell segment×nation grid",
+    "win_kaplan_meier" -> "risk-set cumulative + survival attach over one row per duration day (~31, observation-window-bounded)",
+    "text_dispersion_dp" -> "DP sum over the 12-token × 16-source grid",
+    "sample_strat_neyman" -> "largest-remainder rank over one row per language stratum"
+  )
+
+  /** DistributedRank's offsets cumulative: partition-less by design,
+    * but over the ≤ shards+1-row aggregate of its `__gr_shard_*`
+    * column.
+    */
+  private def isShardOffsets(w: logical.Window): Boolean =
+    w.child.output.exists(_.name.startsWith("__gr_shard_"))
+
+  private def globalWindows(name: String) = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window
+          if w.partitionSpec.isEmpty && !isShardOffsets(w) => w
+    }
+  }
+
+  test("no query plans a partition-less window over unbounded input") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("stream_"))
+      .filterNot(allowlist.contains)
+      .flatMap { name =>
+        val globals = globalWindows(name)
+        if (globals.nonEmpty) Some(s"$name (${globals.size} global windows)")
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"partition-less windows over possibly-unbounded input in:\n  " +
+        offenders.mkString("\n  ") +
+        "\npartition them, rebuild on DistributedRank, or defend an allowlist entry")
+  }
+
+  test("allowlisted queries still contain the bounded global window they defend") {
+    // An allowlist entry for a query that no longer plans ANY global
+    // window is stale — fail so the list shrinks with the code.
+    val stale = allowlist.keys.toSeq.sorted
+      .filter(name => globalWindows(name).isEmpty)
+    assert(stale.isEmpty, s"stale allowlist entries: ${stale.mkString(", ")}")
+  }
+}

@@ -3,14 +3,16 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Span-level ExactSubstr invariants: published spans must equal the
-  * brute-force recompute (fingerprint every 8-gram, mark repeats,
-  * merge overlapping token ranges), and spans must be maximal —
-  * disjoint with true gaps between them.
+  * brute-force recompute (fingerprint every K-gram, mark repeats,
+  * merge overlapping token ranges), spans must be maximal — disjoint
+  * with true gaps between them — and the K=4 anchor floor must make
+  * SUB-8 duplicated spans visible (the round-10 k=8 floor silently hid
+  * every 4-7-token duplicated phrase).
   */
 class SpanDedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
-  private val K = 8
+  private val K = 4
 
   test("spans equal the brute-force recompute and are maximal") {
     val rows = SparkEntry.queries("dedup_span_exact")(spark, sf).collect()
@@ -59,5 +61,24 @@ class SpanDedupSpec extends AnyFunSuite {
       }.toSet
     assert(rows.toSet == want,
       s"span sets differ: extra=${rows.toSet -- want} missing=${want -- rows.toSet}")
+  }
+
+  test("a 5-token duplicated phrase (sub-8 span) is detected") {
+    // Two otherwise-disjoint docs share exactly one 5-token phrase:
+    // under the old k=8 floor this corpus has ZERO spans; under K=4 the
+    // phrase yields two duplicated 4-grams per doc merging into one
+    // maximal [pos, pos+4] span each.
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_span_subk"
+    val phrase = "alpha beta gamma delta epsilon"
+    Seq(
+      (1L, s"one two three $phrase four five six seven"),
+      (2L, s"eight nine ten eleven $phrase twelve thirteen"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = SparkEntry.queries("dedup_span_exact")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSet == Set((1L, 3L, 7L, 2L), (2L, 4L, 8L, 2L)),
+      s"expected the shared 5-token span in both docs, got ${spans.toSet}")
   }
 }

@@ -7,9 +7,15 @@ SparkEntry.oracleSql over the same testdata tables, compares values
 with columns sorted by name.
 
 Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir> [query...]
+
+Side effect: writes <verifyOutDir>/oracle_times.json — per-query DuckDB
+wall seconds for the oracle side — so the 2x-of-baseline throughput
+contract is per-query checkable (tools/ratio_table.py joins it against
+the Spark side's target/bench_full.json).
 """
 import json
 import sys
+import time
 
 import duckdb
 
@@ -28,11 +34,14 @@ def main():
         oracles = json.load(f)
 
     n_pass = n_fail = 0
+    oracle_secs = {}
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
         try:
+            t0 = time.perf_counter()
             exp = con.execute(sql).fetchdf()
+            oracle_secs[name] = round(time.perf_counter() - t0, 3)
             got = duckdb.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
         except Exception as e:
@@ -77,7 +86,10 @@ def main():
         else:
             print(f"PASS {name} ({len(exp)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    with open(f"{out_dir}/oracle_times.json", "w") as f:
+        json.dump(oracle_secs, f, indent=0, sort_keys=True)
+    print(f"\n{n_pass} passed, {n_fail} failed "
+          f"(oracle timings -> {out_dir}/oracle_times.json)")
     sys.exit(1 if n_fail else 0)
 
 
