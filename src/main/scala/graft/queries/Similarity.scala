@@ -284,9 +284,8 @@ object Similarity {
   // Tuned against sim_recall_graph_route: degree 3 / beam 4 / 3 hops
   // scored 33% recall@3; these settings score well above it.
   private val NswDeg = 4
-  private val NswBeam = 8
-  private val NswHops = 5
-  private val NswSample = 4
+  private val NswBeam = envInt("SPARK_GRAFT_NSW_BEAM", 12)
+  private val NswHops = envInt("SPARK_GRAFT_NSW_HOPS", 5)
   // NN-descent index build: seed edges per node (deterministic
   // md5-derived "random" links) and refinement rounds. Tuned against
   // sim_recall_graph_route — the audit, not intuition, owns these.
@@ -304,6 +303,37 @@ object Similarity {
   // worse than 3.
   private val NswSeeds = envInt("SPARK_GRAFT_NSW_SEEDS", 12)
   private val NswBuildRounds = envInt("SPARK_GRAFT_NSW_ROUNDS", 3)
+  // HNSW upper layers (Malkov & Yashunin): node v lives on layer l iff
+  // md5("nswl:"+v) % NswLayerMods(l-1) == 0 — the deterministic stand-in
+  // for HNSW's exponential level sampling, with 1/8 decay per layer so
+  // membership NESTS (64 = 8², so the L2 test implies the L1 test).
+  // Each layer gets its own NN-descent graph over members only; routing
+  // greedy-descends L2 (beam 1) then L1 (beam 2), and the result seeds
+  // the layer-0 beam — replacing the round-10 entry point's 1-in-4
+  // id-hash SCAN (n/4 exact dots per query, the last linear-in-corpus
+  // stage this operator had). Per-query routing cost is now
+  // O(hops·beam·deg) at every level; hop counts should grow with
+  // log(n) on a bigger corpus (env knobs below).
+  private val NswLayerMods: Seq[Long] = Seq(8L, 64L)
+  private val NswLayerSeeds = envInt("SPARK_GRAFT_NSW_LAYER_SEEDS", 4)
+  private val NswLayerRounds = envInt("SPARK_GRAFT_NSW_LAYER_ROUNDS", 2)
+  private val NswDescentHops = envInt("SPARK_GRAFT_NSW_DESCENT_HOPS", 3)
+  // Descent width: E rank-spread entry members at the top layer (a
+  // single entry strands queries whose true neighborhood sits across
+  // the crude deg-4 member graph from it — the single-entry sweep
+  // scored 43%), beam kept per hop at the top layer and at the lower
+  // upper-layers. All O(beam·deg) per query per hop —
+  // corpus-independent. Swept 2026-08 against sim_recall_graph_route
+  // (the audit owns these): entries 4 / keepT 2 / keep 12 / descent
+  // hops 3 with L0 beam 12 scores mean recall@3 0.800 at sf0.001 and
+  // 0.833 at sf0.01 — ABOVE the round-10 scan-entry router's 0.533 at
+  // sf0.01 while removing its n/4-dots-per-query entry stage. keep is
+  // the strongest lever (it widths the L0 seed set); descent hops
+  // BEYOND 3 lowered recall (greedy convergence herds the beam into
+  // one cluster).
+  private val NswEntryPoints = envInt("SPARK_GRAFT_NSW_ENTRIES", 4)
+  private val NswDescentKeepTop = envInt("SPARK_GRAFT_NSW_KEEP_TOP", 2)
+  private val NswDescentKeep = envInt("SPARK_GRAFT_NSW_KEEP", 12)
 
   /** Per-(vector, subspace) training points for the PQ codebook: the
     * 64-dim vector split into [[MSub]] contiguous 16-dim subvectors,
@@ -1196,26 +1226,28 @@ object Similarity {
         FROM rk WHERE rank <= $K ORDER BY q_id, rank""")),
 
     QDef("sim_graph_route",
-      // Graph-routed ANN — the navigable-small-world shape (layer 0 of
-      // HNSW): a bounded-degree neighbor graph (top-4 out-edges per
+      // Graph-routed ANN — the full HNSW shape (Malkov & Yashunin):
+      // bounded-degree neighbor graphs (top-NswDeg out-edges per
       // vector, refined from ring+random seeds by NN-descent rounds —
-      // see graphRoutedTop3, nothing quadratic in the corpus) is built
-      // ONCE, then every query routes by beam search — start at a
-      // fixed entry vector, expand the beam's out-neighbors, keep the
-      // 4 best by exact cosine, three hops. Routing touches
-      // O(rounds · beam · degree) vectors per query instead of the
-      // corpus — the property that makes graph indexes the serving
-      // default at scale; the index build is one bucket-local join +
-      // one per-node window, and each hop is an equi-join of the
+      // see graphRoutedTop3, nothing quadratic in the corpus) built
+      // ONCE per layer — layer 0 over the whole corpus plus upper
+      // layers over md5-decayed member subsets — then every query
+      // routes by greedy DESCENT through the upper layers (beam 1-2,
+      // replacing the pre-round-11 entry point's 1-in-4 corpus scan)
+      // into the layer-0 beam search: expand the beam's
+      // out-neighbors, keep the best by exact cosine, NswHops hops.
+      // Routing touches O(hops · beam · degree) vectors per query at
+      // EVERY level — the property that makes graph indexes the
+      // serving default at scale; each hop is an equi-join of the
       // (queries × beam)-sized frontier against the adjacency table —
       // the fact side streams, nothing quadratic. Every ranking uses
       // rx-rounded cosines with id tie-breaks and the beam update is
       // re-referenced per round, so rounds are eagerly
       // localCheckpoint'd (the BFS lesson: Spark shares no common
-      // subtrees). The oracle replays the build and all three hops as
-      // an unrolled CTE chain. The query itself may enter its own beam
-      // (it is a legitimate routing hub); it is excluded only from the
-      // final report.
+      // subtrees). The oracle replays the layered build, the descent
+      // and all hops as an unrolled CTE chain. The query itself may
+      // enter its own beam (it is a legitimate routing hub); it is
+      // excluded only from the final report.
       (s, dir) => graphRoutedTop3(s, dir).orderBy("q_id", "rank"),
       Some(s"""WITH $routeSqlCtes
           SELECT q_id, rank, cand AS vec_id, cos
@@ -1744,7 +1776,7 @@ object Similarity {
         s"nsw_adj_d${NswDeg}r$NswBuildRounds")(nswSeedEdges(s, dir)) {
       var edges = nswSeedEdges(s, dir).localCheckpoint(true)
       for (_ <- 1 to NswBuildRounds)
-        edges = nswRefineRound(s, dir, edges, checkpoint = true)
+        edges = nswRefineRound(s, dir, edges, nswRing(s, dir), checkpoint = true)
           .localCheckpoint(true)
       edges
     }
@@ -1783,24 +1815,39 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6)
           .as("cos"))
-    // Entry point per query: exact top-1 within a 1-in-16 id-hash
-    // SAMPLE of the corpus (an equi join on the sample key, n/16
-    // dots per query) — the sublinear "coarse scan hands the walk
-    // its start" role the upper layers play in HNSW/DiskANN; the
-    // graph hops then refine against the full corpus.
-    var beam = q
-      .withColumn("sk", pmod(col("q_id"), lit(NswSample.toLong)))
-      .join(e.select(col("vec_id"), col("v"), col("nrm"),
-        pmod(col("vec_id"), lit(NswSample.toLong)).as("sk")), Seq("sk"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6)
-          .as("cos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("cos").desc, col("vec_id").asc)))
-      .filter(col("rk") <= 2)
-      .select("q_id", "vec_id")
+    // Entry point per query: HNSW greedy descent through the upper
+    // layers — start at the top layer's fixed entry member, greedy
+    // (beam 1) over the top-layer graph, then beam 2 over each lower
+    // upper layer; the survivors seed the layer-0 beam. This replaced
+    // the round-10 entry (exact top-2 within a 1-in-4 id-hash sample:
+    // n/4 dots PER QUERY — the operator's last linear-in-corpus
+    // stage); routing is now O(hops·beam·deg) at every level.
+    val top = NswLayerMods.last
+    val topM = nswLayerMembers(s, dir, top)
+    val entry = topM
+      .crossJoin(broadcast(topM.agg(count(lit(1)).as("mcnt"))))
+      .filter((0 until NswEntryPoints)
+        .map(i => col("mrk") === expr(s"($i * mcnt) div $NswEntryPoints"))
+        .reduce(_ || _))
+      .select("vec_id")
+    var beam = q.select("q_id").crossJoin(broadcast(entry))
+    for ((adjU, li) <- NswLayerMods.reverse
+        .map(m => nswLayerAdjacency(s, dir, m)).zipWithIndex) {
+      val keep = if (li == 0) NswDescentKeepTop else NswDescentKeep
+      for (_ <- 1 to NswDescentHops) {
+        val fr = beam.union(
+            beam.join(adjU.toDF("vec_id", "dst"), Seq("vec_id"))
+              .select(col("q_id"), col("dst").as("vec_id")))
+          .distinct()
+        beam = score(fr)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("cos").desc, col("vec_id").asc)))
+          .filter(col("rk") <= keep)
+          .select("q_id", "vec_id")
+          .localCheckpoint(true)
+      }
+    }
     for (_ <- 1 to NswHops) {
       val fr = beam.union(
           beam.join(adj.toDF("vec_id", "dst"), Seq("vec_id"))
@@ -1850,17 +1897,85 @@ object Similarity {
     nswRing(s, dir).union(seeds).distinct()
   }
 
+  /** HNSW layer membership for decay modulus `mod`, re-indexed by a
+    * 0-based member ordinal `mrk` (DistributedRank — no global window)
+    * so the layer ring and seed targets ride contiguous ordinals even
+    * though member vec_ids are sparse.
+    */
+  private def nswLayerMembers(s: SparkSession, dir: String, mod: Long): DataFrame =
+    graft.operators.DistributedRank.withGlobalRank(
+        vecs(s, dir)
+          .filter(pmod(graft.functions.Text.md5Hash32(
+            concat(lit("nswl:"), col("vec_id").cast("string"))),
+            lit(mod)) === 0)
+          .select(col("vec_id")),
+        col("vec_id"), col("vec_id"), out = "mrk")
+      .select(col("vec_id"), (col("mrk") - 1).as("mrk"))
+
+  /** One HNSW upper layer's navigable graph: member-rank ring (the
+    * connectivity backbone) + md5-derived pseudo-random member links,
+    * refined by the SAME NN-descent rounds as layer 0 — restricted to
+    * members by construction (edges never leave the member set; only
+    * the exact rescoring joins the full vector table). Staged like the
+    * layer-0 adjacency: the checkpointed loop's result plan is an
+    * unstable LogicalRDD, so the cross-JVM artifact keys on the
+    * declarative seed-edge plan with the knobs folded into the tag.
+    */
+  private def nswLayerAdjacency(s: SparkSession, dir: String, mod: Long): DataFrame =
+    graft.pipeline.Staged.diskKeyed(s, dir,
+        s"nsw_l${mod}_adj_d${NswDeg}s${NswLayerSeeds}r$NswLayerRounds")(
+        nswLayerSeedEdges(s, dir, mod)) {
+      val ring = nswLayerRing(s, dir, mod)
+      var edges = nswLayerSeedEdges(s, dir, mod).localCheckpoint(true)
+      for (_ <- 1 to NswLayerRounds)
+        edges = nswRefineRound(s, dir, edges, ring, checkpoint = true)
+          .localCheckpoint(true)
+      edges
+    }
+
+  private def nswLayerRing(s: SparkSession, dir: String, mod: Long): DataFrame = {
+    val m = nswLayerMembers(s, dir, mod)
+    val cnt = m.agg(count(lit(1)).as("mcnt"))
+    m.crossJoin(broadcast(cnt))
+      .select(col("vec_id").as("src"),
+        pmod(col("mrk") + 1, col("mcnt")).as("nrk"))
+      .join(m.select(col("vec_id").as("dst"), col("mrk").as("nrk")), Seq("nrk"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+  }
+
+  private def nswLayerSeedEdges(s: SparkSession, dir: String, mod: Long): DataFrame = {
+    val m = nswLayerMembers(s, dir, mod)
+    val cnt = m.agg(count(lit(1)).as("mcnt"))
+    val seeds = m.crossJoin(broadcast(cnt))
+      .select(col("vec_id").as("src"),
+        explode(array((0 until NswLayerSeeds).map(j =>
+          pmod(graft.functions.Text.md5Hash32(
+            concat(lit(s"nswl:$mod:"), col("vec_id").cast("string"),
+              lit(s":$j"))),
+            col("mcnt"))): _*)).as("nrk"))
+      .join(m.select(col("vec_id").as("dst"), col("mrk").as("nrk")), Seq("nrk"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+    nswLayerRing(s, dir, mod).union(seeds).distinct()
+  }
+
   /** One NN-descent refinement round: candidates are every node's
     * neighbors-of-neighbors over the UNDIRECTED current graph (plus
     * the current edges themselves), exact-rescored, keep the best
     * NswDeg out-edges, re-union the ring. Equi-joins throughout —
     * O(n · deg²) scored pairs, nothing quadratic in the corpus.
-    * `checkpoint` truncates the undirected set's lineage in the
-    * production loop (it is referenced three times below); the spec
-    * hook leaves the full plan visible instead.
+    * `ring` is the connectivity backbone re-unioned every round — the
+    * full-corpus ring for layer 0, a member-rank ring for the HNSW
+    * upper layers (the round itself is layer-agnostic: scoring joins
+    * the full vector table, and candidates never leave the member set
+    * because the edge set never does). `checkpoint` truncates the
+    * undirected set's lineage in the production loop (it is referenced
+    * three times below); the spec hook leaves the full plan visible
+    * instead.
     */
   private def nswRefineRound(s: SparkSession, dir: String,
-      edges: DataFrame, checkpoint: Boolean): DataFrame = {
+      edges: DataFrame, ring: DataFrame, checkpoint: Boolean): DataFrame = {
     val ev = vecs(s, dir).select(col("vec_id"), col("v"), col("nrm"))
     val wadj = Window.partitionBy("src")
       .orderBy(col("cos").desc, col("dst").asc)
@@ -1883,7 +1998,7 @@ object Similarity {
       .withColumn("rk", row_number().over(wadj))
       .filter(col("rk") <= NswDeg)
       .select("src", "dst")
-      .union(nswRing(s, dir))
+      .union(ring)
       .distinct()
   }
 
@@ -1893,7 +2008,7 @@ object Similarity {
     * plan. Production rounds are this exact construction.
     */
   private[graft] def nswBuildRoundForSpec(s: SparkSession, dir: String): DataFrame =
-    nswRefineRound(s, dir, nswSeedEdges(s, dir), checkpoint = false)
+    nswRefineRound(s, dir, nswSeedEdges(s, dir), nswRing(s, dir), checkpoint = false)
 
   /** Oracle CTE chain replaying the NSW NN-descent build + beam
     * search; exposes `routed` (q_id, cand, cos, rank). Shared by
@@ -1952,6 +2067,121 @@ object Similarity {
       adj AS MATERIALIZED (SELECT src, dst FROM ne$NswBuildRounds)"""
   }
 
+  /** Oracle replay of one HNSW upper layer's build ≙
+    * [[nswLayerAdjacency]]: membership by md5 decay, member ordinals
+    * (row_number in the oracle — DuckDB is the reference, not the
+    * scale path), rank ring + md5 seed links, NswLayerRounds NN-descent
+    * rounds. Exposes `<pfx>m(vec_id, mrk)` and `<pfx>adj(src, dst)`.
+    */
+  private def nswLayerSqlCtes(pfx: String, mod: Long): String = {
+    val rounds = (1 to NswLayerRounds).map { t =>
+      s"""${pfx}nu$t AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM ${pfx}ne${t - 1}
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM ${pfx}ne${t - 1})),
+        ${pfx}nc$t AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT a.src AS src, c.dst AS dst
+            FROM ${pfx}nu$t a JOIN ${pfx}nu$t c ON a.dst = c.src
+            WHERE a.src <> c.dst
+            UNION ALL
+            SELECT src, dst FROM ${pfx}nu$t)),
+        ${pfx}ns$t AS (
+          SELECT c.src, c.dst, ${rxSql(cosSql("sb", "db"), 6)} AS cos
+          FROM ${pfx}nc$t c
+          JOIN b sb ON sb.vec_id = c.src
+          JOIN b db ON db.vec_id = c.dst),
+        ${pfx}ne$t AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM (
+              SELECT src, dst, row_number() OVER (PARTITION BY src
+                ORDER BY cos DESC, dst) AS rk
+              FROM ${pfx}ns$t) WHERE rk <= $NswDeg
+            UNION ALL
+            SELECT src, dst FROM ${pfx}ring))"""
+    }.mkString(",\n        ")
+    s"""${pfx}m AS MATERIALIZED (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS mrk
+        FROM b
+        WHERE CAST(('0x' || substr(md5('nswl:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % $mod = 0),
+      ${pfx}n AS (SELECT count(*) AS mcnt FROM ${pfx}m),
+      ${pfx}ring AS MATERIALIZED (
+        SELECT a.vec_id AS src, c.vec_id AS dst
+        FROM ${pfx}m a CROSS JOIN ${pfx}n
+        JOIN ${pfx}m c ON c.mrk = (a.mrk + 1) % mcnt
+        WHERE a.vec_id <> c.vec_id),
+      ${pfx}seeds AS (
+        SELECT a.vec_id AS src, c.vec_id AS dst
+        FROM ${pfx}m a CROSS JOIN ${pfx}n
+        CROSS JOIN unnest(range($NswLayerSeeds)) AS u(j)
+        JOIN ${pfx}m c ON c.mrk =
+          CAST(('0x' || substr(md5('nswl:$mod:' || CAST(a.vec_id AS VARCHAR) || ':' || j), 1, 8)) AS BIGINT) % mcnt
+        WHERE a.vec_id <> c.vec_id),
+      ${pfx}ne0 AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM ${pfx}ring
+          UNION ALL
+          SELECT src, dst FROM ${pfx}seeds)),
+      $rounds,
+      ${pfx}adj AS MATERIALIZED (SELECT src, dst FROM ${pfx}ne$NswLayerRounds)"""
+  }
+
+  /** Oracle replay of the HNSW greedy descent ≙ the upper-layer loop
+    * in [[graphRoutedTop3]]: fixed entry at the top layer's min-id
+    * member, NswDescentHops rounds per layer (beam 1 at the top, 2
+    * below), survivors seed the layer-0 beam. Exposes
+    * `bm0(q_id, cand)`.
+    */
+  private def hnswDescentSqlCtes: String = {
+    val layers = NswLayerMods.zipWithIndex
+      .map { case (mod, i) => (s"l${i + 1}", mod) }
+    val builds = layers.map { case (p, m) => nswLayerSqlCtes(p, m) }
+      .mkString(",\n      ")
+    val ordered = layers.reverse
+    val chains = ordered.zipWithIndex.map { case ((p, _), li) =>
+      val keep = if (li == 0) NswDescentKeepTop else NswDescentKeep
+      val seed =
+        if (li == 0)
+          s"""d${p}s0 AS (
+          SELECT q.vec_id AS q_id, e.cand
+          FROM b q CROSS JOIN ent e
+          WHERE q.vec_id < $QueryVecs)"""
+        else
+          s"""d${p}s0 AS (
+          SELECT q_id, cand FROM d${ordered(li - 1)._1}s$NswDescentHops)"""
+      val rounds = (1 to NswDescentHops).map { t =>
+        s"""d${p}f$t AS (
+          SELECT DISTINCT q_id, cand FROM (
+            SELECT q_id, cand FROM d${p}s${t - 1}
+            UNION ALL
+            SELECT m.q_id, a.dst AS cand
+            FROM d${p}s${t - 1} m JOIN ${p}adj a ON a.src = m.cand)),
+        d${p}c$t AS (
+          SELECT f.q_id, f.cand, ${rxSql(cosSql("qq", "e"), 6)} AS cos
+          FROM d${p}f$t f
+          JOIN b e ON e.vec_id = f.cand
+          JOIN b qq ON qq.vec_id = f.q_id),
+        d${p}s$t AS MATERIALIZED (
+          SELECT q_id, cand FROM (
+            SELECT q_id, cand, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, cand) AS rk
+            FROM d${p}c$t) WHERE rk <= $keep)"""
+      }.mkString(",\n        ")
+      s"$seed,\n        $rounds"
+    }.mkString(",\n      ")
+    val entList = (0 until NswEntryPoints)
+      .map(i => s"($i * mcnt) // $NswEntryPoints").mkString(", ")
+    s"""$builds,
+      ent AS (
+        SELECT vec_id AS cand FROM ${ordered.head._1}m
+        CROSS JOIN ${ordered.head._1}n
+        WHERE mrk IN ($entList)),
+      $chains,
+      bm0 AS MATERIALIZED (
+        SELECT q_id, cand FROM d${ordered.last._1}s$NswDescentHops)"""
+  }
+
   private def routeSqlCtes: String = {
     val rounds = (1 to NswHops).map { t =>
       s"""fr$t AS (
@@ -1972,15 +2202,7 @@ object Similarity {
             FROM sc$t) WHERE rk <= $NswBeam)"""
     }.mkString(",\n        ")
     s"""$nswBuildSqlCtes,
-      bm0 AS MATERIALIZED (
-        SELECT q_id, cand FROM (
-          SELECT q.vec_id AS q_id, e.vec_id AS cand,
-                 row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY ${rxSql(cosSql("q", "e"), 6)} DESC, e.vec_id) AS rk
-          FROM b q JOIN b e
-            ON q.vec_id % $NswSample = e.vec_id % $NswSample AND q.vec_id <> e.vec_id
-          WHERE q.vec_id < $QueryVecs)
-        WHERE rk <= 2),
+      $hnswDescentSqlCtes,
       $rounds,
       fin AS (
         SELECT m.q_id, m.cand, ${rxSql(cosSql("qq", "e"), 6)} AS cos

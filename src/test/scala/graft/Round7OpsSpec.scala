@@ -153,10 +153,12 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(hits >= 0 && hits <= 3)
       assert(bp == hits * 10000 / 3, "recall_bp must be derived from n_hit")
     }
-    // The tuned router must beat the broken-edge baseline by a wide
-    // margin in aggregate (the audit's reason to exist).
+    // The tuned HNSW router (round 11: layered descent entry, beam 12,
+    // keep 12) scores 0.80 at sf0.001 / 0.90 at sf0.01 — pin a floor
+    // well above the round-10 scan-entry router's worst (0.53) so a
+    // navigability regression in any layer's build fails here.
     val mean = rows.map(_.getLong(1)).sum / 10.0 / 3.0
-    assert(mean >= 0.5, s"mean recall@3 regressed to $mean")
+    assert(mean >= 0.7, s"mean recall@3 regressed to $mean")
   }
 
   test("win_bollinger_bands: integer alert decision matches the displayed bands") {
