@@ -165,6 +165,31 @@ object Dedup {
         .select(col("id").as("doc_id"), col("cluster"))
     }
 
+  /** Cross-family access to the staged content clusters (the
+    * web-curation ↔ dedup bridge query joins them against canonical
+    * URL groups).
+    */
+  private[queries] def contentClusters(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    ccLabels(s, dir)
+
+  /** The CC labeling's oracle replay, for cross-family oracles:
+    * bands → cpairs → recursive reachability → `labels(doc_id,
+    * cluster)`. The caller's WITH must carry RECURSIVE.
+    */
+  private[queries] def ccLabelsSqlCtes: String =
+    s"""$minhashBandsSql,
+        $candidatePairsSql,
+        cedges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cpairs
+          UNION SELECT doc_b, doc_a FROM cpairs),
+        reach(a, b) AS (
+          SELECT src, src FROM cedges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN cedges e ON r.b = e.src),
+        labels AS (
+          SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)"""
+
   private val candidatePairsSql =
     """cpairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -1781,7 +1781,21 @@ object Similarity {
       edges
     }
 
-  private def graphRoutedTop3(s: SparkSession, dir: String): DataFrame = {
+  /** Staged: the walk is a dozen checkpointed frontier rounds (descent
+    * + layer-0 beam) whose result both sim_graph_route and its recall
+    * audit consume — unstaged, the whole walk executed twice.
+    * diskKeyed on the declarative seed-edge plan (the walk's result
+    * plan is an unstable LogicalRDD) with every routing knob folded
+    * into the tag.
+    */
+  private def graphRoutedTop3(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged.diskKeyed(s, dir,
+        s"nsw_routed_b${NswBeam}h${NswHops}e${NswEntryPoints}" +
+          s"k${NswDescentKeepTop}_${NswDescentKeep}dh$NswDescentHops" +
+          s"ls${NswLayerSeeds}lr$NswLayerRounds")(
+        nswSeedEdges(s, dir))(graphRoutedTop3Walk(s, dir))
+
+  private def graphRoutedTop3Walk(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     // Bounded-degree navigable graph via NN-DESCENT — never all-pairs:
     // the start graph is one deterministic ring edge (the long-range

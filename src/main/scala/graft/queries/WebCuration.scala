@@ -527,7 +527,60 @@ object WebCuration {
         |FROM hosts h
         |LEFT JOIN nf ON nf.host = h.host
         |LEFT JOIN mp ON mp.host = h.host
-        |ORDER BY h.host""".stripMargin))
+        |ORDER BY h.host""".stripMargin)),
+
+    QDef("web_dedup_cc_agreement",
+      // The web-curation ↔ dedup bridge: do URL-level and CONTENT-level
+      // dedup agree? Every canonical URL group (≥2 docs — the set
+      // URL-dedup would collapse) is joined against the MinHash-LSH CC
+      // content clusters (Dedup.contentClusters — the STAGED labels,
+      // shared with dedup_cluster_cc / keep_best / the leakage-safe
+      // split); docs outside any content cluster keep their own id as
+      // a singleton label. Per group: member count, distinct content
+      // clusters, redundant count (docs content-dedup would also
+      // drop), and the verdict a curation pass routes on —
+      // content_dup (URL group IS one content cluster: safe to keep
+      // one), url_only (every member is distinct content: URL dedup
+      // would LOSE data), mixed. Scale shape: one equi-join on doc_id
+      // (labels are corpus-scale — never broadcast), one aggregate on
+      // the canonical key; the URL synthesis and the cluster build are
+      // both staged/bounded as in their home queries.
+      (s, dir) => {
+        val members = canon(s, dir).select("canonical", "doc_id")
+          .join(graft.queries.Dedup.contentClusters(s, dir),
+            Seq("doc_id"), "left")
+          .withColumn("content_cluster",
+            coalesce(col("cluster"), col("doc_id")))
+        members.groupBy("canonical")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("content_cluster").as("n_content_clusters"),
+            min("doc_id").as("keep_doc_id"))
+          .filter(col("n_docs") >= 2)
+          .select(col("canonical"), col("n_docs"), col("n_content_clusters"),
+            (col("n_docs") - col("n_content_clusters")).as("n_redundant"),
+            col("keep_doc_id"),
+            when(col("n_content_clusters") === 1, lit("content_dup"))
+              .when(col("n_content_clusters") === col("n_docs"),
+                lit("url_only"))
+              .otherwise(lit("mixed")).as("verdict"))
+          .orderBy("canonical")
+      },
+      Some(s"""${urlsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |${graft.queries.Dedup.ccLabelsSqlCtes},
+        |members AS (
+        |  SELECT u.canonical, u.doc_id,
+        |         COALESCE(l.cluster, u.doc_id) AS content_cluster
+        |  FROM urls u LEFT JOIN labels l ON l.doc_id = u.doc_id
+        |)
+        |SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT content_cluster) AS BIGINT) AS n_content_clusters,
+        |       CAST(count(*) - count(DISTINCT content_cluster) AS BIGINT) AS n_redundant,
+        |       min(doc_id) AS keep_doc_id,
+        |       CASE WHEN count(DISTINCT content_cluster) = 1 THEN 'content_dup'
+        |            WHEN count(DISTINCT content_cluster) = count(*) THEN 'url_only'
+        |            ELSE 'mixed' END AS verdict
+        |FROM members GROUP BY canonical HAVING count(*) >= 2
+        |ORDER BY canonical""".stripMargin))
   )
 
 }

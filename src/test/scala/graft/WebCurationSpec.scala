@@ -91,4 +91,41 @@ class WebCurationSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/documents.parquet").count() - total,
       "blocked-source docs must be exactly the removed set")
   }
+
+  test("web_dedup_cc_agreement: all three verdict arms live on a pinned fixture") {
+    // The synthetic corpus's canonical groups are too large to ever be
+    // one content cluster, so the content_dup arm (and mostly the
+    // mixed arm) would ship gate-invisible — the dead-arm trap. A
+    // constructed corpus pins every CASE arm: path bucket 0 (doc_ids
+    // 0-19, one source) all-identical text → content_dup; bucket 1
+    // (20-39) all-distinct text → url_only; bucket 2 (40-59) two
+    // identical halves → mixed (2 clusters of 10 in a 20-doc group).
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_web_cc_arms"
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${seed}x$i").mkString(" ")
+    val docs = (0L until 60L).map { id =>
+      val text =
+        if (id < 20) words(1, 12)
+        else if (id < 40) words(1000 + id.toInt, 12)
+        else if (id < 50) words(2, 12)
+        else words(3, 12)
+      (id, text, "en", "srcA", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("web_dedup_cc_agreement")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(5)))
+    assert(rows.length == 3, s"expected 3 canonical groups, got ${rows.toSeq}")
+    val byVerdict = rows.map(r => r._5 -> r).toMap
+    assert(byVerdict.keySet == Set("content_dup", "url_only", "mixed"),
+      s"all three arms must be live, got ${rows.map(_._5).toSeq}")
+    val cd = byVerdict("content_dup")
+    assert(cd._2 == 20 && cd._3 == 1 && cd._4 == 19)
+    val uo = byVerdict("url_only")
+    assert(uo._2 == 20 && uo._3 == 20 && uo._4 == 0)
+    val mx = byVerdict("mixed")
+    assert(mx._2 == 20 && mx._3 == 2 && mx._4 == 18)
+  }
 }
