@@ -25,29 +25,67 @@ object Relational {
     val tag = new java.io.File(dir).getName.replaceAll("\\W", "_")
     val (lt, ot) = (s"graft_li_$tag", s"graft_ord_$tag")
     graft.pipeline.Staged(s, dir, "bucketed_tables") {
-      // A fresh session's in-memory catalog does not know tables a
-      // previous JVM left in the warehouse dir — drop + clear the
-      // location or CTAS fails with LOCATION_ALREADY_EXISTS.
-      Seq(lt, ot).foreach { tbl =>
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-        val loc = new java.io.File(
-          if (wh.getScheme == null) wh.toString else new java.io.File(wh).toString,
-          tbl)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        if (loc.exists()) rm(loc)
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val whDir = new java.io.File(
+        if (wh.getScheme == null) wh.toString else new java.io.File(wh).toString)
+      def loc(tbl: String) = new java.io.File(whDir, tbl)
+      // Cross-JVM reuse: the CTAS rewrote ~600k rows on EVERY fresh
+      // session (the in-memory catalog forgets external state), which
+      // made this the one stager that never amortized across bench
+      // rounds. A sidecar fingerprint of the input parquet files
+      // (path+size+mtime, the Stages.inputFingerprint recipe) next to
+      // each table location decides: unchanged inputs + surviving
+      // files → re-REGISTER the existing bucketed layout as an
+      // external table (CREATE ... CLUSTERED BY ... LOCATION — bucket
+      // ids live in the file names, so registration restores the
+      // co-located SMJ plan exactly); anything else → full rebuild.
+      def inputFp(): String = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def walk(f: java.io.File): Unit =
+          if (f.isDirectory)
+            Option(f.listFiles()).foreach(_.sortBy(_.getName).foreach(walk))
+          else md.update(
+            s"${f.getAbsolutePath}\t${f.length}\t${f.lastModified}\n"
+              .getBytes("UTF-8"))
+        Seq("lineitem", "orders").foreach(n => walk(new java.io.File(s"$dir/$n.parquet")))
+        md.digest().take(8).map(b => f"$b%02x").mkString
       }
-      t(s, dir, "lineitem")
+      val fp = inputFp()
+      def markerOf(tbl: String) = new java.io.File(whDir, s"$tbl.fp")
+      def markerOk(tbl: String): Boolean = {
+        val m = markerOf(tbl)
+        m.isFile && loc(tbl).isDirectory &&
+          new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8") == fp
+      }
+      def register(tbl: String, df: org.apache.spark.sql.DataFrame, key: String): Unit =
+        s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (${df.schema.toDDL})
+          USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+          LOCATION '${loc(tbl).toURI}'""")
+      val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
-      t(s, dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      if (markerOk(lt) && markerOk(ot)) {
+        register(lt, li, "l_orderkey")
+        register(ot, ord, "o_orderkey")
+      } else {
+        Seq(lt, ot).foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          if (loc(tbl).exists()) rm(loc(tbl))
+          markerOf(tbl).delete()
+        }
+        li.write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+        ord.write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+        // Markers last: a failed write above leaves no marker, so the
+        // next session rebuilds instead of registering a torso.
+        Seq(lt, ot).foreach(tbl => java.nio.file.Files.write(
+          markerOf(tbl).toPath, fp.getBytes("UTF-8")))
+      }
       s.range(1).toDF("ok") // marker: tables staged once per session+dir
     }
     (lt, ot)
