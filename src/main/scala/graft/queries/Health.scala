@@ -1639,11 +1639,16 @@ object Health {
       // series — the time-series repair step between gap detection
       // (win_gap_fill) and any windowed model. Neighbors come from two
       // IGNORE NULLS window scans (last non-null before, first after);
-      // the interpolated value is exact integer arithmetic in cents
-      // with `div` (slope numerator times day offset over day span), so
-      // edge rows fall back to nearest-neighbor and every emitted value
-      // hash-compares. At 100 TB: the spine is users x days, windows
-      // partition per user — no shuffle beyond the daily aggregate's.
+      // the interpolated value is exact integer arithmetic in cents —
+      // as sign × magnitude-div, because the slope numerator (nv − pv)
+      // goes NEGATIVE on declining series and Spark's `div` truncates
+      // toward zero while DuckDB's `//` floors (the zipf/cohens_kappa
+      // divergence class: every negative non-exact quotient differs by
+      // 1; a nonnegative numerator makes the semantics coincide) —
+      // so edge rows fall back to nearest-neighbor and every emitted
+      // value hash-compares. At 100 TB: the spine is users x days,
+      // windows partition per user — no shuffle beyond the daily
+      // aggregate's.
       (s, dir) => {
         val ev = t(s, dir, "events")
           .filter(pmod(col("user_id"), lit(4L)) === 0)
@@ -1669,7 +1674,8 @@ object Health {
           when(col("vc").isNotNull, col("vc"))
             .when(col("pv").isNotNull && col("nv").isNotNull,
               col("pv") + expr(
-                "(nv - pv) * datediff(d, pd) div datediff(nd, pd)"))
+                """CAST(sign(nv - pv) AS BIGINT) *
+                   ((abs(nv - pv) * datediff(d, pd)) div datediff(nd, pd))"""))
             .when(col("pv").isNotNull, col("pv"))
             .otherwise(col("nv")).as("vc_filled"))
           .withColumn("v_filled", col("vc_filled").cast("double") / 100.0)
@@ -1701,11 +1707,11 @@ object Health {
         SELECT user_id, d, vc IS NULL AS interpolated,
                CAST(CASE WHEN vc IS NOT NULL THEN vc
                     WHEN pv IS NOT NULL AND nv IS NOT NULL
-                      THEN pv + ((nv - pv) * datediff('day', pd, d)) // datediff('day', pd, nd)
+                      THEN pv + CAST(sign(nv - pv) AS BIGINT) * ((abs(nv - pv) * datediff('day', pd, d)) // datediff('day', pd, nd))
                     WHEN pv IS NOT NULL THEN pv ELSE nv END AS BIGINT) AS vc_filled,
                CAST(CASE WHEN vc IS NOT NULL THEN vc
                     WHEN pv IS NOT NULL AND nv IS NOT NULL
-                      THEN pv + ((nv - pv) * datediff('day', pd, d)) // datediff('day', pd, nd)
+                      THEN pv + CAST(sign(nv - pv) AS BIGINT) * ((abs(nv - pv) * datediff('day', pd, d)) // datediff('day', pd, nd))
                     WHEN pv IS NOT NULL THEN pv ELSE nv END AS DOUBLE) / 100.0 AS v_filled
         FROM g ORDER BY user_id, d"""),
     ),
