@@ -65,6 +65,41 @@ object DistributedRank {
       .drop(kc, sc, oc)
   }
 
+  /** Adds column `out` = sum(weight) OVER (ORDER BY key, tie ROWS
+    * UNBOUNDED PRECEDING) — an exact INCLUSIVE global running total,
+    * same shard-offset shape as [[withGlobalRank]]: per-shard weight
+    * sums cumulate into broadcast offsets (the only partition-less
+    * window, over the driver-sized shard table), and the data-path
+    * cumulative is partitioned by shard. `weight` must cast losslessly
+    * to long.
+    */
+  def withGlobalCumsum(df: DataFrame, key: Column, tie: Column,
+      weight: Column, shards: Int = 32,
+      out: String = "gcs"): DataFrame = {
+    val kc = s"__gr_key_$out"
+    val wc = s"__gr_wt_$out"
+    val sc = s"__gr_shard_$out"
+    val oc = s"__gr_off_$out"
+    val keyed = df.withColumn(kc, key.cast("long"))
+      .withColumn(wc, weight.cast("long"))
+    val bounds = keyed.agg(min(kc).as("__gr_mn"), max(kc).as("__gr_mx"))
+      .select(col("__gr_mn"),
+        (expr(s"(__gr_mx - __gr_mn) div $shards") + lit(1L)).as("__gr_w"))
+    val sharded = keyed.crossJoin(broadcast(bounds))
+      .withColumn(sc, expr(s"($kc - __gr_mn) div __gr_w"))
+      .drop("__gr_mn", "__gr_w")
+    val offW = Window.orderBy(col(sc).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(sc).agg(sum(wc).as("__gr_c"))
+      .withColumn(oc, coalesce(sum("__gr_c").over(offW), lit(0L)))
+      .select(col(sc), col(oc))
+    val ordW = Window.partitionBy(sc).orderBy(col(kc).asc, tie)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sharded.join(broadcast(offsets), sc)
+      .withColumn(out, col(oc) + sum(wc).over(ordW))
+      .drop(kc, wc, sc, oc)
+  }
+
   /** ntile(k) reconstructed from an exact global ordinal: with n rows,
     * the first n mod k tiles take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — the
     * positional definition Spark and DuckDB share, in pure integer

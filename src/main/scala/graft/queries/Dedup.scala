@@ -1328,6 +1328,69 @@ object Dedup {
           FROM w WHERE pk IS NOT NULL)
         SELECT doc_id, prev_doc_id, CAST(lcp AS BIGINT) AS lcp,
                lcp >= 40 AS dup_prefix
-        FROM l WHERE lcp >= 16 ORDER BY doc_id"""))
+        FROM l WHERE lcp >= 16 ORDER BY doc_id""")),
+
+    QDef("dedup_editdist_blocked",
+      // Edit-distance near-dup verification (the Ed-Join shape):
+      // character-level Levenshtein catches the edits token-set
+      // measures miss entirely (in-word typos, reorder-free
+      // substitutions — a doc with 30 one-char typos shares almost no
+      // 3-gram shingles yet is obviously the same text). Quadratic DP
+      // never touches the corpus: candidates come from the SAME staged
+      // MinHash band index every near-dup query shares, then the
+      // LENGTH LOWER BOUND prunes first — edit_dist ≥ |len_a − len_b|,
+      // so pairs beyond the band can never pass and skip the DP
+      // entirely (Ed-Join's cheapest filter, applied before the
+      // expensive kernel, not after). The DP runs on the 120-char
+      // normalized prefix — bounded per-pair cost regardless of doc
+      // length; both engines implement textbook unit-cost Levenshtein,
+      // so the distance is integer-exact cross-engine, and the
+      // normalized score is integer ppm.
+      (s, dir) => {
+        val sig = t(s, dir, "documents")
+          .select(col("doc_id"),
+            substring(Text.normTerm(col("text")), 1, 120).as("sg"))
+          .withColumn("ln", length(col("sg")).cast("long"))
+        val cand = candidatePairs(s, dir)
+          .join(sig.select(col("doc_id").as("doc_a"),
+            col("sg").as("sg_a"), col("ln").as("len_a")), "doc_a")
+          .join(sig.select(col("doc_id").as("doc_b"),
+            col("sg").as("sg_b"), col("ln").as("len_b")), "doc_b")
+          .filter(abs(col("len_a") - col("len_b")) <= 36)
+        cand
+          .withColumn("edit_dist",
+            levenshtein(col("sg_a"), col("sg_b")).cast("long"))
+          .withColumn("nedit_ppm", expr(
+            "(1000000 * edit_dist) div greatest(len_a, len_b)"))
+          .filter(col("nedit_ppm") <= 300000)
+          .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+            col("edit_dist"), col("nedit_ppm"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $minhashBandsSql,
+        $candidatePairsSql,
+        sig AS (
+          SELECT doc_id,
+                 substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                   1, 120) AS sg,
+                 CAST(len(substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                   1, 120)) AS BIGINT) AS ln
+          FROM documents),
+        cand AS (
+          SELECT doc_a, doc_b, a.sg AS sg_a, b.sg AS sg_b,
+                 a.ln AS len_a, b.ln AS len_b
+          FROM cpairs JOIN sig a ON a.doc_id = doc_a
+          JOIN sig b ON b.doc_id = doc_b
+          WHERE abs(a.ln - b.ln) <= 36),
+        scored AS (
+          SELECT doc_a, doc_b, len_a, len_b,
+                 CAST(levenshtein(sg_a, sg_b) AS BIGINT) AS edit_dist
+          FROM cand)
+        SELECT doc_a, doc_b, len_a, len_b, edit_dist,
+               CAST((1000000 * edit_dist) // greatest(len_a, len_b)
+                 AS BIGINT) AS nedit_ppm
+        FROM scored WHERE (1000000 * edit_dist) // greatest(len_a, len_b)
+          <= 300000
+        ORDER BY doc_a, doc_b"""))
   )
 }

@@ -1295,6 +1295,332 @@ object Health {
         FROM c ORDER BY event_type"""),
     ),
 
+    QDef("agg_anova_f",
+      // One-way ANOVA F across order priorities — "does priority shift
+      // mean order value?", the k-sample extension of agg_welch_ttest
+      // (which only compares two). Sufficient statistics discipline
+      // (agg_corr_decimal's): per-group n / Σy / Σy² ride exact
+      // DECIMAL through the only corpus-sized aggregate, so the scan
+      // is one map-side-combined pass and everything after runs on k=5
+      // rows. The between-group sum Σ s_g²/n_g is a sum of DOUBLES
+      // over groups whose magnitude (~(Σy)²/n) overflows every
+      // integer-grid trick (rx's floor·10⁶ exceeds int64 already at
+      // sf0.001) — so it rides the file's OTHER exactness tool: an
+      // IN-ORDER fold (aggregate over the pri-sorted k-array ≙ DuckDB
+      // list_reduce over list(… ORDER BY pri)), bit-identical in both
+      // engines at any magnitude. The final F is a fixed IEEE tree;
+      // the rejection gate compares the rx'd F to F(4,∞)'s 95th
+      // percentile as a shared literal.
+      (s, dir) => {
+        val wide = org.apache.spark.sql.types.DecimalType(38, 4)
+        val g = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("pri"),
+            money(col("o_totalprice")).as("y"))
+          .groupBy("pri")
+          .agg(count(lit(1)).as("n_g"), sum("y").as("sg_dec"),
+            sum((col("y") * col("y")).cast(wide)).as("qg_dec"))
+          .withColumn("sg", col("sg_dec").cast("double"))
+          .withColumn("bterm",
+            col("sg") * col("sg") / col("n_g").cast("double"))
+        val tot = g.agg(count(lit(1)).as("k"), sum("n_g").as("nn"),
+            sum("sg_dec").as("s_dec"), sum("qg_dec").as("q_dec"),
+            expr("""aggregate(
+              transform(array_sort(collect_list(struct(pri, bterm))),
+                x -> x.bterm),
+              cast(0.0 as double), (a, x) -> a + x)""").as("bsum"))
+          .select(col("k"), col("nn"),
+            col("s_dec").cast("double").as("ss"),
+            col("q_dec").cast("double").as("qq"), col("bsum"))
+        val ssb = col("bsum") - col("ss") * col("ss") / col("nn").cast("double")
+        val ssw = col("qq") - col("bsum")
+        val f = (ssb / (col("k") - 1).cast("double")) /
+          (ssw / (col("nn") - col("k")).cast("double"))
+        g.crossJoin(broadcast(tot))
+          .select(col("pri"), col("n_g"),
+            rx(col("sg") / col("n_g").cast("double"), 6).as("mean_price"),
+            (col("k") - 1).as("df_between"),
+            (col("nn") - col("k")).as("df_within"),
+            rx(f, 4).as("f_stat"),
+            (rx(f, 4) > 2.372).as("reject_h0"))
+          .orderBy("pri")
+      },
+      Some(s"""WITH base AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS y
+          FROM orders),
+        g0 AS (SELECT pri, CAST(count(*) AS BIGINT) AS n_g,
+                 sum(y) AS sg_dec,
+                 sum(CAST(y * y AS DECIMAL(38,4))) AS qg_dec
+               FROM base GROUP BY 1),
+        g AS (SELECT pri, n_g, sg_dec, qg_dec,
+                CAST(sg_dec AS DOUBLE) AS sg,
+                CAST(sg_dec AS DOUBLE) * CAST(sg_dec AS DOUBLE) /
+                  CAST(n_g AS DOUBLE) AS bterm
+              FROM g0),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n_g) AS BIGINT) AS nn,
+                 CAST(sum(sg_dec) AS DOUBLE) AS ss,
+                 CAST(sum(qg_dec) AS DOUBLE) AS qq,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list(bterm ORDER BY pri)),
+                   (a, x) -> a + x) AS bsum
+                FROM g),
+        m AS (SELECT g.pri, g.n_g, g.sg, tot.k, tot.nn,
+                (tot.bsum - tot.ss * tot.ss / CAST(tot.nn AS DOUBLE)) /
+                  CAST(tot.k - 1 AS DOUBLE) /
+                  ((tot.qq - tot.bsum) / CAST(tot.nn - tot.k AS DOUBLE)) AS f
+              FROM g CROSS JOIN tot)
+        SELECT pri, n_g,
+          ${rxSql("sg / CAST(n_g AS DOUBLE)", 6)} AS mean_price,
+          CAST(k - 1 AS BIGINT) AS df_between,
+          CAST(nn - k AS BIGINT) AS df_within,
+          ${rxSql("f", 4)} AS f_stat,
+          ${rxSql("f", 4)} > 2.372 AS reject_h0
+        FROM m ORDER BY pri""")),
+
+    QDef("agg_spearman",
+      // Spearman rank correlation between event value and event day,
+      // per type — the rank-robust companion of agg_ols_trend: "is the
+      // metric drifting over time?" without assuming linearity in the
+      // VALUES, only in the ranks. Midranks come from per-value-cell
+      // cumulative counts (agg_mann_whitney's shape) but DOUBLED so
+      // they stay integers: mr2 = 2·before + cnt + 1. Pearson over the
+      // doubled ranks equals Spearman (correlation is affine-
+      // invariant) and all five sufficient sums ride DECIMAL(38,0) ≙
+      // HUGEINT — exact at any corpus size, where raw dyadic-double
+      // rank sums quietly lose bits past 2^52. Scale: two cell-sized
+      // cumsums (cent/day domains, partitioned by type) + one
+      // map-side-combined aggregate over (type, value-cell, day-cell)
+      // pairs; the corpus is scanned once.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type").as("et"),
+            floor(col("value") * 100 + 0.5).cast("long").as("xc"),
+            datediff(col("ts").cast("date"),
+              lit("2024-01-01").cast("date")).cast("long").as("yd"))
+        def mr2(keyCol: String, out: String) = {
+          val w = Window.partitionBy("et").orderBy(keyCol)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          ev.groupBy("et", keyCol).agg(count(lit(1)).as("cnt"))
+            .withColumn("before", coalesce(sum("cnt").over(w), lit(0L)))
+            .select(col("et"), col(keyCol),
+              (col("before") * 2 + col("cnt") + 1).as(out))
+        }
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val st = ev.groupBy("et", "xc", "yd").agg(count(lit(1)).as("pc"))
+          .join(mr2("xc", "mx"), Seq("et", "xc"))
+          .join(mr2("yd", "my"), Seq("et", "yd"))
+          .groupBy("et").agg(
+            sum("pc").as("n"),
+            sum(col("pc").cast(dec) * col("mx")).as("sx"),
+            sum(col("pc").cast(dec) * col("my")).as("sy"),
+            sum((col("pc").cast(dec) * col("mx") * col("mx"))).as("sxx"),
+            sum((col("pc").cast(dec) * col("my") * col("my"))).as("syy"),
+            sum((col("pc").cast(dec) * col("mx") * col("my"))).as("sxy"))
+        val nd = col("n").cast("double")
+        def d(c: String) = col(c).cast("double")
+        st.select(col("et").as("event_type"), col("n").as("n_rows"),
+            rx((nd * d("sxy") - d("sx") * d("sy")) /
+              (sqrt(nd * d("sxx") - d("sx") * d("sx")) *
+                sqrt(nd * d("syy") - d("sy") * d("sy"))), 6)
+              .as("spearman_rho"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+          SELECT event_type AS et,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+                 date_diff('day', DATE '2024-01-01',
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS yd
+          FROM events),
+        mx AS (
+          SELECT et, xc, 2 * COALESCE(sum(cnt) OVER (PARTITION BY et
+              ORDER BY xc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1 AS mx
+          FROM (SELECT et, xc, CAST(count(*) AS BIGINT) AS cnt
+                FROM ev GROUP BY 1, 2)),
+        my AS (
+          SELECT et, yd, 2 * COALESCE(sum(cnt) OVER (PARTITION BY et
+              ORDER BY yd ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1 AS my
+          FROM (SELECT et, yd, CAST(count(*) AS BIGINT) AS cnt
+                FROM ev GROUP BY 1, 2)),
+        pairs AS (SELECT et, xc, yd, CAST(count(*) AS BIGINT) AS pc
+                  FROM ev GROUP BY 1, 2, 3),
+        st AS (
+          SELECT p.et, CAST(sum(pc) AS BIGINT) AS n,
+                 CAST(sum(CAST(pc AS HUGEINT) * mx) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(pc AS HUGEINT) * my) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(pc AS HUGEINT) * mx * mx) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(pc AS HUGEINT) * my * my) AS DOUBLE) AS syy,
+                 CAST(sum(CAST(pc AS HUGEINT) * mx * my) AS DOUBLE) AS sxy
+          FROM pairs p
+          JOIN mx ON mx.et = p.et AND mx.xc = p.xc
+          JOIN my ON my.et = p.et AND my.yd = p.yd
+          GROUP BY 1)
+        SELECT et AS event_type, n AS n_rows,
+          ${rxSql(
+            """(CAST(n AS DOUBLE) * sxy - sx * sy) /
+              (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+               sqrt(CAST(n AS DOUBLE) * syy - sy * sy))""", 6)}
+            AS spearman_rho
+        FROM st ORDER BY event_type""")),
+
+    QDef("agg_cohens_d",
+      // Cohen's d effect sizes between every pair of market segments
+      // on account balance — the "is the difference LARGE, not just
+      // significant" report that accompanies any t-test at corpus
+      // scale (with n in the millions everything is significant;
+      // effect size is what decides action). One exact-DECIMAL
+      // sufficient-statistics pass over customers collapses to k=5
+      // rows; the k(k-1)/2 pairing is a self cross join on that tiny
+      // aggregate, never on data. Pooled variance and d are fixed IEEE
+      // trees on exact inputs, rx(6) before compare.
+      (s, dir) => {
+        val wide = org.apache.spark.sql.types.DecimalType(38, 4)
+        val g = t(s, dir, "customer")
+          .select(col("c_mktsegment").as("seg"),
+            money(col("c_acctbal")).as("y"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n"),
+            sum("y").cast("double").as("sg"),
+            sum((col("y") * col("y")).cast(wide)).cast("double").as("qg"))
+        def v(n: org.apache.spark.sql.Column, sg: org.apache.spark.sql.Column,
+            qg: org.apache.spark.sql.Column) =
+          (qg - sg * sg / n) / (n - 1.0)
+        val a = g.select(col("seg").as("seg_a"), col("n").as("n_a"),
+          col("sg").as("s_a"), col("qg").as("q_a"))
+        val b = g.select(col("seg").as("seg_b"), col("n").as("n_b"),
+          col("sg").as("s_b"), col("qg").as("q_b"))
+        val na = col("n_a").cast("double")
+        val nb = col("n_b").cast("double")
+        val s2p = ((na - 1.0) * v(na, col("s_a"), col("q_a")) +
+          (nb - 1.0) * v(nb, col("s_b"), col("q_b"))) / (na + nb - 2.0)
+        a.crossJoin(b).filter(col("seg_a") < col("seg_b"))
+          .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+            rx(col("s_a") / na, 6).as("mean_a"),
+            rx(col("s_b") / nb, 6).as("mean_b"),
+            rx((col("s_a") / na - col("s_b") / nb) / sqrt(s2p), 6)
+              .as("cohens_d"))
+          .orderBy("seg_a", "seg_b")
+      },
+      Some(s"""WITH base AS (
+          SELECT c_mktsegment AS seg, CAST(c_acctbal AS DECIMAL(18,2)) AS y
+          FROM customer),
+        g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(y) AS DOUBLE) AS sg,
+                CAST(sum(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS qg
+              FROM base GROUP BY 1),
+        p AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+                a.n AS n_a, b.n AS n_b,
+                CAST(a.n AS DOUBLE) AS na, CAST(b.n AS DOUBLE) AS nb,
+                a.sg AS s_a, b.sg AS s_b, a.qg AS q_a, b.qg AS q_b
+              FROM g a CROSS JOIN g b WHERE a.seg < b.seg)
+        SELECT seg_a, seg_b, n_a, n_b,
+          ${rxSql("s_a / na", 6)} AS mean_a,
+          ${rxSql("s_b / nb", 6)} AS mean_b,
+          ${rxSql(
+            """(s_a / na - s_b / nb) /
+              sqrt(((na - 1.0) * ((q_a - s_a * s_a / na) / (na - 1.0)) +
+                    (nb - 1.0) * ((q_b - s_b * s_b / nb) / (nb - 1.0))) /
+                   (na + nb - 2.0))""", 6)} AS cohens_d
+        FROM p ORDER BY seg_a, seg_b""")),
+
+    QDef("agg_kendall_tau",
+      // Kendall's τ-b between order date and order value, per
+      // priority, on a BOUNDED audit sample — the concordance view of
+      // the same drift question agg_spearman answers in ranks.
+      // Kendall is inherently pairwise (O(n²) naively, O(n log n) with
+      // a merge-count); here it runs as the bounded-audit pattern the
+      // dedup calibration queries use: the first 200 orders per group
+      // by key (a partitioned-window top-N — fixed work per group at
+      // ANY corpus size), then the ≤19,900 intra-group pairs. All
+      // concordance/discordance/tie counts are integers; τ-b's tie
+      // correction uses pair counts directly (n1 = tied-x pairs, n2 =
+      // tied-y pairs), and only the final ratio runs in doubles.
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("pri"),
+            col("o_orderkey").as("k"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date")).cast("long").as("x"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("y"))
+        val w = Window.partitionBy("pri").orderBy("k")
+        val samp = base.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 200).drop("rn")
+        val pr = samp.as("a").join(samp.as("b"),
+          col("a.pri") === col("b.pri") && col("a.k") < col("b.k"))
+        val dx = col("a.x") - col("b.x")
+        val dy = col("a.y") - col("b.y")
+        val st = pr.groupBy(col("a.pri").as("pri")).agg(
+          count(lit(1)).as("n0"),
+          sum(when(dx * dy > 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(dx * dy < 0, 1L).otherwise(0L)).as("n_d"),
+          sum(when(dx === 0, 1L).otherwise(0L)).as("t_x"),
+          sum(when(dy === 0, 1L).otherwise(0L)).as("t_y"))
+        st.select(col("pri"), col("n0"), col("n_c"), col("n_d"),
+            rx((col("n_c") - col("n_d")).cast("double") /
+              sqrt((col("n0") - col("t_x")).cast("double") *
+                (col("n0") - col("t_y")).cast("double")), 6).as("tau_b"))
+          .orderBy("pri")
+      },
+      Some(s"""WITH base AS (
+          SELECT o_orderpriority AS pri, o_orderkey AS k,
+                 date_diff('day', DATE '1992-01-01',
+                   CAST(o_orderdate AS DATE)) AS x,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+          FROM orders),
+        samp AS (SELECT pri, k, x, y FROM (
+            SELECT *, row_number() OVER (PARTITION BY pri ORDER BY k) AS rn
+            FROM base) WHERE rn <= 200),
+        pr AS (SELECT a.pri, a.x - b.x AS dx, a.y - b.y AS dy
+               FROM samp a JOIN samp b ON a.pri = b.pri AND a.k < b.k),
+        st AS (SELECT pri, CAST(count(*) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+                 CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+                 CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_x,
+                 CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_y
+               FROM pr GROUP BY 1)
+        SELECT pri, n0, n_c, n_d,
+          ${rxSql(
+            """CAST(n_c - n_d AS DOUBLE) /
+              sqrt(CAST(n0 - t_x AS DOUBLE) * CAST(n0 - t_y AS DOUBLE))""",
+            6)} AS tau_b
+        FROM st ORDER BY pri""")),
+
+    QDef("profile_freshness_lag",
+      // Per-source freshness monitoring — the first page of any
+      // ingestion dashboard: how far behind the newest data is each
+      // event type, in seconds, against the newest event anywhere.
+      // Exact integer end-to-end: timestamps compare as epoch MICROS
+      // (unix_micros ≙ epoch_us — no double epoch()), the lag is one
+      // bigint subtraction, and the SLA gate is an integer compare.
+      // One map-side-combined max per type + one broadcast scalar
+      // attach; the corpus is scanned once and nothing else scales.
+      (s, dir) => {
+        val perType = t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            max(unix_micros(col("ts"))).as("last_us"))
+        val gmax = perType.agg(max("last_us").as("g_us"))
+        perType.crossJoin(broadcast(gmax))
+          .select(col("event_type"), col("n_events"), col("last_us"),
+            expr("(g_us - last_us) div 1000000").as("lag_sec"),
+            (col("g_us") - col("last_us") <= 3600L * 1000000L)
+              .as("within_sla"))
+          .orderBy("event_type")
+      },
+      Some("""WITH pt AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+          FROM events GROUP BY 1),
+        g AS (SELECT max(last_us) AS g_us FROM pt)
+        SELECT event_type, n_events, last_us,
+               CAST((g_us - last_us) // 1000000 AS BIGINT) AS lag_sec,
+               g_us - last_us <= 3600000000 AS within_sla
+        FROM pt CROSS JOIN g ORDER BY event_type"""),
+    ),
+
     QDef("profile_fk_inference",
       // Foreign-key DISCOVERY by containment profiling — the schema-
       // inference pass a catalog tool runs over an undocumented lake:

@@ -47,6 +47,111 @@ object Pipeline {
   // the corpus/classify chain per session+dir.
   private def stages(s: SparkSession, dir: String) = Stages(s, dir)
 
+  /** Degree-oriented distinct term co-occurrence edges — the shared
+    * graph-analytics substrate (triangles, clustering coefficients,
+    * assortativity, link prediction all start here). Staged + eager
+    * localCheckpoint: the edge set is referenced many times downstream
+    * (3 wedge-join copies × 3 union branches in the triangle family),
+    * and its raw lineage embeds the classify chain — without
+    * truncation the ANALYZED plan carries ~54 copies of that chain's
+    * AST and analysis alone benched at 20+ s while the data side is 91
+    * rows. localCheckpoint cuts the lineage to a leaf (persist alone
+    * does not). Orientation: every edge points from its lower-
+    * (degree, id) endpoint to the higher one, turning the graph into a
+    * DAG where each out-degree is O(√m) — the standard scalable wedge
+    * bound. Edge building is document-blocked (bounded per-doc term
+    * lists); the degree sides are vocabulary-bounded, hence the
+    * broadcasts.
+    */
+  private def orientedTermEdges(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "triangle_edges") {
+      val dt = stages(s, dir).labeled
+        .filter(col("main_type") === "term")
+        .select(col("documentID"), col("main").as("term"))
+        .distinct()
+      val e = dt.as("a").join(dt.as("b"),
+          col("a.documentID") === col("b.documentID") &&
+            col("a.term") < col("b.term"))
+        .select(col("a.term").as("u"), col("b.term").as("v"))
+        .distinct()
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val fwd = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      e.join(broadcast(deg.toDF("u", "du")), "u")
+        .join(broadcast(deg.toDF("v", "dv")), "v")
+        .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+          when(fwd, col("v")).otherwise(col("u")).as("dst"))
+        .localCheckpoint(true)
+    }
+
+  /** Oracle-side CTEs for the undirected co-occurrence edge set (id-
+    * oriented u < v — same edges as [[orientedTermEdges]] modulo
+    * direction) and its degree table; appended after [[prelude]].
+    */
+  private val termEdgeSqlCtes: String =
+    """dt AS (SELECT DISTINCT documentID, main FROM labeled
+               WHERE main_type = 'term'),
+        e AS (SELECT DISTINCT a.main AS u, b.main AS v
+              FROM dt a JOIN dt b
+                ON a.documentID = b.documentID AND a.main < b.main),
+        dg AS (SELECT term, CAST(count(*) AS BIGINT) AS deg FROM (
+                 SELECT u AS term FROM e UNION ALL SELECT v FROM e)
+               GROUP BY 1)"""
+
+  /** Mean-thresholded ("strong") co-occurrence edges: pairs whose
+    * co-occurring document count is STRICTLY above the mean pair
+    * count. The bounded term vocabulary makes the unweighted graph go
+    * COMPLETE once the corpus is big enough (every pair co-occurs
+    * somewhere) — at sf0.01 every degree is |V|−1, which starves
+    * degree-based analytics: assortativity's variance hits exactly 0
+    * (a 0/0) and link prediction has no non-edges left to predict.
+    * The mean cut is the derived-feed reachability rule applied to
+    * graphs: it keeps the edge set neither complete nor empty at
+    * EVERY corpus size (some pair is always above/below the mean
+    * unless all weights tie), so degrees vary and non-edges exist at
+    * any SF. All-integer comparison (w·n_pairs > Σw — no division),
+    * hence bit-identical cross-engine. Id-oriented (u < v); staged +
+    * eagerly checkpointed for the same many-downstream-references
+    * reason as [[orientedTermEdges]].
+    */
+  private def strongTermEdges(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "strong_term_edges") {
+      val dt = stages(s, dir).labeled
+        .filter(col("main_type") === "term")
+        .select(col("documentID"), col("main").as("term"))
+        .distinct()
+      val w = dt.as("a").join(dt.as("b"),
+          col("a.documentID") === col("b.documentID") &&
+            col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("u"), col("b.term").as("v"))
+        .agg(count(lit(1)).as("w"))
+      val tot = w.agg(count(lit(1)).as("np"), sum("w").as("sw"))
+      w.crossJoin(broadcast(tot))
+        .filter(col("w") * col("np") > col("sw"))
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+
+  /** Oracle-side CTEs mirroring [[strongTermEdges]] (`se`) and its
+    * degree table (`sdg`); appended after [[prelude]].
+    */
+  private val strongEdgeSqlCtes: String =
+    """dt AS (SELECT DISTINCT documentID, main FROM labeled
+               WHERE main_type = 'term'),
+        wpair AS (SELECT a.main AS u, b.main AS v,
+                    CAST(count(*) AS BIGINT) AS w
+                  FROM dt a JOIN dt b
+                    ON a.documentID = b.documentID AND a.main < b.main
+                  GROUP BY 1, 2),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS np,
+                  CAST(sum(w) AS BIGINT) AS sw FROM wpair),
+        se AS (SELECT u, v FROM wpair, tot WHERE w * np > sw),
+        sdg AS (SELECT term, CAST(count(*) AS BIGINT) AS deg FROM (
+                  SELECT u AS term FROM se UNION ALL SELECT v FROM se)
+                GROUP BY 1)"""
+
   val all: Seq[QDef] = Seq(
 
     QDef("scan_xml_docs",
@@ -390,34 +495,7 @@ object Pipeline {
       // broadcasts. The oracle enumerates by id-orientation instead
       // (a < b < c) — same triangle set, simpler SQL.
       (s, dir) => {
-        // Staged + eager localCheckpoint: the oriented edge set is
-        // referenced NINE times downstream (3 wedge-join copies x 3
-        // union branches), and its raw lineage embeds the classify
-        // chain — without truncation the ANALYZED plan carries ~54
-        // copies of that chain's AST and analysis alone benched at
-        // 20+ s while the data side is 91 rows. localCheckpoint cuts
-        // the lineage to a leaf (persist alone does not).
-        val dirE = graft.pipeline.Staged(s, dir, "triangle_edges") {
-          val dt = stages(s, dir).labeled
-            .filter(col("main_type") === "term")
-            .select(col("documentID"), col("main").as("term"))
-            .distinct()
-          val e = dt.as("a").join(dt.as("b"),
-              col("a.documentID") === col("b.documentID") &&
-                col("a.term") < col("b.term"))
-            .select(col("a.term").as("u"), col("b.term").as("v"))
-            .distinct()
-          val deg = e.select(col("u").as("node"))
-            .union(e.select(col("v").as("node")))
-            .groupBy("node").agg(count(lit(1)).as("dg"))
-          val fwd = col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v"))
-          e.join(broadcast(deg.toDF("u", "du")), "u")
-            .join(broadcast(deg.toDF("v", "dv")), "v")
-            .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
-              when(fwd, col("v")).otherwise(col("u")).as("dst"))
-            .localCheckpoint(true)
-        }
+        val dirE = orientedTermEdges(s, dir)
         // Wedges (p→x, p→y, x≠y) are checked against the oriented edge
         // set: exactly one of (x,y)/(y,x) can be an edge, so each
         // triangle {p,x,y} matches once. USING-column joins on renamed
@@ -433,12 +511,8 @@ object Pipeline {
           .orderBy(col("n_tri").desc, col("term"))
           .limit(25)
       },
-      Some(prelude + """,
-        dt AS (SELECT DISTINCT documentID, main FROM labeled
-               WHERE main_type = 'term'),
-        e AS (SELECT DISTINCT a.main AS u, b.main AS v
-              FROM dt a JOIN dt b
-                ON a.documentID = b.documentID AND a.main < b.main),
+      Some(prelude + s""",
+        $termEdgeSqlCtes,
         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
                 FROM e e1 JOIN e e2 ON e2.u = e1.v
                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
@@ -447,6 +521,174 @@ object Pipeline {
                     UNION ALL SELECT c FROM tri)
         SELECT term, count(*) AS n_tri FROM corners
         GROUP BY term ORDER BY n_tri DESC, term LIMIT 25""")),
+
+    QDef("graph_clustering_coeff",
+      // Local clustering coefficient per term — the neighborhood-
+      // density score that separates "hub that bridges topics" (low
+      // lcc) from "member of a tight clique" (high lcc) in the
+      // co-occurrence graph; the per-node refinement of
+      // graph_triangle_count's totals. Triangles come from the same
+      // degree-oriented wedge join (each triangle found exactly once,
+      // out-degrees O(√m)); degrees from one pass over the oriented
+      // edge set (src ∪ dst counts ARE the undirected degrees, since
+      // each undirected edge appears once). lcc_ppm = 2·10⁶·tri /
+      // (deg·(deg−1)) is pure integer arithmetic — nonnegative, so
+      // floor-vs-truncate division never diverges. Everything here is
+      // vocabulary-bounded except the staged edge build, which is
+      // shared with the whole graph family.
+      (s, dir) => {
+        val dirE = orientedTermEdges(s, dir)
+        val tri = dirE.toDF("p", "x").join(dirE.toDF("p", "y"), Seq("p"))
+          .filter(col("x") =!= col("y"))
+          .join(dirE.toDF("x", "y"), Seq("x", "y"))
+        val triPer = tri.select(col("p").as("term"))
+          .union(tri.select(col("x")))
+          .union(tri.select(col("y")))
+          .groupBy("term").agg(count(lit(1)).as("n_tri"))
+        val deg = dirE.select(col("src").as("term"))
+          .union(dirE.select(col("dst")))
+          .groupBy("term").agg(count(lit(1)).as("deg"))
+        deg.join(triPer, Seq("term"), "left")
+          .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+          .filter(col("deg") >= 2)
+          .select(col("term"), col("deg"), col("n_tri"),
+            expr("(2000000 * n_tri) div (deg * (deg - 1))").as("lcc_ppm"))
+          .orderBy("term")
+      },
+      Some(prelude + s""",
+        $termEdgeSqlCtes,
+        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        corners AS (SELECT a AS term FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri),
+        tp AS (SELECT term, CAST(count(*) AS BIGINT) AS n_tri
+               FROM corners GROUP BY 1)
+        SELECT dg.term, deg, COALESCE(n_tri, 0) AS n_tri,
+               CAST((2000000 * COALESCE(n_tri, 0)) // (deg * (deg - 1))
+                 AS BIGINT) AS lcc_ppm
+        FROM dg LEFT JOIN tp ON tp.term = dg.term
+        WHERE deg >= 2 ORDER BY dg.term""")),
+
+    QDef("graph_degree_assortativity",
+      // Degree assortativity — one number answering "do well-connected
+      // terms co-occur with other well-connected terms, or with
+      // specialists?" (positive = social-network-like core, negative =
+      // hub-and-spoke). Pearson correlation of endpoint degrees over
+      // the DIRECTED double cover (each undirected edge counted both
+      // ways, the standard symmetric treatment) of the STRONG
+      // (mean-thresholded) graph — the unweighted graph goes complete
+      // with corpus size, where every degree ties and r is 0/0 (see
+      // strongTermEdges). The degree joins are vocabulary-bounded
+      // broadcasts; the sufficient sums are one map-side-combined
+      // aggregate (int64 is exact here because both factors are
+      // degrees, bounded by the vocabulary — NOT corpus-scale
+      // quantities); the final r is a fixed IEEE tree, rx(6), with a
+      // zero-variance guard (NULL, not a crash — Spark ANSI raises on
+      // the 0/0 where DuckDB returns NaN, so the guard is also the
+      // cross-engine parity move for the degenerate case).
+      (s, dir) => {
+        val se = strongTermEdges(s, dir)
+        val sym = se.select(col("u").as("src"), col("v").as("dst"))
+          .union(se.select(col("v").as("src"), col("u").as("dst")))
+        val deg = se.select(col("u").as("term"))
+          .union(se.select(col("v")))
+          .groupBy("term").agg(count(lit(1)).as("deg"))
+        val st = sym
+          .join(broadcast(deg.toDF("src", "du")), "src")
+          .join(broadcast(deg.toDF("dst", "dv")), "dst")
+          .agg(count(lit(1)).as("n"),
+            sum("du").as("sx"), sum("dv").as("sy"),
+            sum(col("du") * col("du")).as("sxx"),
+            sum(col("dv") * col("dv")).as("syy"),
+            sum(col("du") * col("dv")).as("sxy"))
+        val nd = col("n").cast("double")
+        def d(c: String) = col(c).cast("double")
+        st.withColumn("vx", nd * d("sxx") - d("sx") * d("sx"))
+          .withColumn("vy", nd * d("syy") - d("sy") * d("sy"))
+          .select(col("n").as("n_edges_directed"),
+            when(col("vx") * col("vy") <= 0, lit(null).cast("double"))
+              .otherwise(rx((nd * d("sxy") - d("sx") * d("sy")) /
+                (sqrt(col("vx")) * sqrt(col("vy"))), 6))
+              .as("assortativity"))
+      },
+      Some(prelude + s""",
+        $strongEdgeSqlCtes,
+        sym AS (SELECT u AS src, v AS dst FROM se
+                UNION ALL SELECT v, u FROM se),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(a.deg) AS BIGINT) AS sx,
+                 CAST(sum(b.deg) AS BIGINT) AS sy,
+                 CAST(sum(a.deg * a.deg) AS BIGINT) AS sxx,
+                 CAST(sum(b.deg * b.deg) AS BIGINT) AS syy,
+                 CAST(sum(a.deg * b.deg) AS BIGINT) AS sxy
+               FROM sym JOIN sdg a ON a.term = sym.src
+               JOIN sdg b ON b.term = sym.dst),
+        stv AS (SELECT n, sx, sy, sxy,
+                  CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+                  CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy
+                FROM st)
+        SELECT n AS n_edges_directed,
+          CASE WHEN vx * vy <= 0 THEN NULL ELSE
+            ${rxSql(
+              """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                (sqrt(vx) * sqrt(vy))""",
+              6)} END AS assortativity
+        FROM stv""")),
+
+    QDef("graph_jaccard_link_pred",
+      // Common-neighbor link prediction: for term pairs NOT yet
+      // co-occurring, score the likelihood they will by the Jaccard of
+      // their neighborhoods — the classic structural-similarity
+      // recommender ("these two topics share context"). Candidates
+      // come only from WEDGES (pairs at distance 2 through a shared
+      // neighbor) — never the all-pairs square — so candidate volume
+      // is Σ deg², the same bound the triangle count rides; the
+      // existing-edge anti join removes known pairs; degrees attach as
+      // vocabulary-bounded broadcasts. Runs on the STRONG
+      // (mean-thresholded) graph — the unweighted graph saturates to
+      // complete with corpus size, leaving zero non-edges to predict
+      // (see strongTermEdges); the strong graph keeps both arms (edge
+      // / non-edge) live at every SF. jac_ppm = 10⁶·cn/(da+db−cn) is
+      // all-integer; top-20 with full tie-break.
+      (s, dir) => {
+        val se = strongTermEdges(s, dir)
+        val sym = se.select(col("u").as("p"), col("v").as("q"))
+          .union(se.select(col("v").as("p"), col("u").as("q")))
+        val cand = sym.toDF("p", "a").join(sym.toDF("p", "b"), Seq("p"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+        val und = se.select(col("u").as("a"), col("v").as("b"))
+        val deg = se.select(col("u").as("term"))
+          .union(se.select(col("v")))
+          .groupBy("term").agg(count(lit(1)).as("deg"))
+        cand.join(und, Seq("a", "b"), "left_anti")
+          .join(broadcast(deg.toDF("a", "deg_a")), "a")
+          .join(broadcast(deg.toDF("b", "deg_b")), "b")
+          .select(col("a").as("term_a"), col("b").as("term_b"),
+            col("cn"), col("deg_a"), col("deg_b"),
+            expr("(1000000 * cn) div (deg_a + deg_b - cn)").as("jac_ppm"))
+          .orderBy(col("jac_ppm").desc, col("term_a"), col("term_b"))
+          .limit(20)
+      },
+      Some(prelude + s""",
+        $strongEdgeSqlCtes,
+        sym AS (SELECT u AS p, v AS q FROM se
+                UNION ALL SELECT v, u FROM se),
+        cand AS (SELECT s1.q AS a, s2.q AS b, CAST(count(*) AS BIGINT) AS cn
+                 FROM sym s1 JOIN sym s2 ON s1.p = s2.p AND s1.q < s2.q
+                 GROUP BY 1, 2),
+        nov AS (SELECT cand.a, cand.b, cn FROM cand
+                LEFT JOIN se ON se.u = cand.a AND se.v = cand.b
+                WHERE se.u IS NULL)
+        SELECT nov.a AS term_a, nov.b AS term_b, cn,
+               da.deg AS deg_a, db.deg AS deg_b,
+               CAST((1000000 * cn) // (da.deg + db.deg - cn) AS BIGINT)
+                 AS jac_ppm
+        FROM nov JOIN sdg da ON da.term = nov.a
+        JOIN sdg db ON db.term = nov.b
+        ORDER BY jac_ppm DESC, term_a, term_b LIMIT 20""")),
 
     QDef("pipeline_node_counts",
       (s, dir) => stages(s, dir).nodes

@@ -1058,6 +1058,115 @@ object Relational {
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
         GROUP BY 1 ORDER BY 1""")),
 
+    QDef("join_lpm_cidr",
+      // Longest-prefix-match CIDR join — how an IP-enrichment or
+      // geo/blocklist stage runs at 100 TB: each event's synthetic
+      // IPv4 (md5-derived u32, engine-portable) expands to its THREE
+      // candidate prefixes (/8, /12, /16 — a bounded ×3 explode, the
+      // LPM analogue of join_range_binned's bin expansion), the rule
+      // table keys on (prefix_len, prefix), and the join is a plain
+      // broadcast hash join — never a per-row range scan over rules.
+      // Most-specific-wins is an integer argmax (max struct(len,
+      // rule)) per event, and the report re-aggregates to one row per
+      // rule with its match count — rules that never win stay visible
+      // through the left join (a blocklist whose entries never fire is
+      // a bug worth seeing). Synthetic-feed liveness is engineered,
+      // not hoped for: IPs are md5 bit-fields CONFINED to the
+      // 10-17.x subnet grid the rules tile (octet1 ∈ {10..17}, octet2
+      // on a 64-value lattice), so every length class catches events
+      // at every SF — a full-u32 hash left the /12 and /16 arms dead
+      // (the derived-feed reachability rule: an arm no input can
+      // reach is a gate that can never catch a bug).
+      (s, dir) => {
+        // k 0-7: /8 over octets 10..17; k 8-15: one /12 per octet with
+        // a cycling even second nibble; k 16-24: /16 cells on the
+        // 29-step lattice walk (distinct by construction).
+        val rules = t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("rule_id"),
+            col("n_name").as("rule_name"))
+          .withColumn("pfx_len", when(col("rule_id") < 8, 8L)
+            .when(col("rule_id") < 16, 12L).otherwise(16L))
+          .withColumn("pfx", when(col("pfx_len") === 8,
+              col("rule_id") + 10)
+            .when(col("pfx_len") === 12,
+              (col("rule_id") - 8 + 10) * 16 + (col("rule_id") - 8) * 2 % 16)
+            .otherwise(((col("rule_id") - 16) % 8 + 10) * 256 +
+              (col("rule_id") - 16) * 29 % 64 * 4))
+        val ev = t(s, dir, "events")
+          .withColumn("h", Text.md5Hash32(concat(lit("ip:"),
+            col("event_id").cast("string"))))
+          .select(col("event_id"), expr("""
+            (10 + h % 8) * 16777216
+            + ((h div 8) % 64) * 4 * 65536
+            + (h div 512) % 65536""").as("ip"))
+        val cands = ev.select(col("event_id"), col("ip"),
+          explode(array(
+            struct(lit(8L).as("pfx_len"),
+              expr("ip div 16777216").as("pfx")),
+            struct(lit(12L).as("pfx_len"),
+              expr("ip div 1048576").as("pfx")),
+            struct(lit(16L).as("pfx_len"),
+              expr("ip div 65536").as("pfx")))).as("c"))
+          .select(col("event_id"), col("c.pfx_len"), col("c.pfx"))
+        // Per event at most one rule per length class (rules are
+        // unique per (len, pfx)), so the most-specific winner packs
+        // into one integer argmax: len·10⁶ + rule_id.
+        val best = cands
+          .join(broadcast(rules), Seq("pfx_len", "pfx"))
+          .groupBy("event_id")
+          .agg(max(col("pfx_len") * 1000000L + col("rule_id")).as("sc"))
+          .select(col("event_id"), (col("sc") % 1000000L).as("rule_id"))
+        rules.join(
+            best.groupBy("rule_id").agg(count(lit(1)).as("n_best")),
+            Seq("rule_id"), "left")
+          .select(col("rule_id"), col("rule_name"), col("pfx_len"),
+            col("pfx"), coalesce(col("n_best"), lit(0L)).as("n_best"))
+          .orderBy("rule_id")
+      },
+      Some(s"""WITH rules AS (
+          SELECT CAST(n_nationkey AS BIGINT) AS rule_id,
+                 n_name AS rule_name,
+                 CAST(CASE WHEN n_nationkey < 8 THEN 8
+                      WHEN n_nationkey < 16 THEN 12 ELSE 16 END AS BIGINT)
+                   AS pfx_len,
+                 CAST(CASE WHEN n_nationkey < 8 THEN n_nationkey + 10
+                      WHEN n_nationkey < 16
+                        THEN (n_nationkey - 8 + 10) * 16
+                             + (n_nationkey - 8) * 2 % 16
+                      ELSE ((n_nationkey - 16) % 8 + 10) * 256
+                           + (n_nationkey - 16) * 29 % 64 * 4
+                      END AS BIGINT) AS pfx
+          FROM nation),
+        ev AS (
+          SELECT event_id,
+                 (10 + h % 8) * 16777216
+                   + ((h // 8) % 64) * 4 * 65536
+                   + (h // 512) % 65536 AS ip
+          FROM (SELECT event_id,
+                  CAST(('0x' || substr(md5('ip:' || CAST(event_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+                FROM events)),
+        cands AS (
+          SELECT event_id, CAST(8 AS BIGINT) AS pfx_len, ip // 16777216 AS pfx FROM ev
+          UNION ALL
+          SELECT event_id, 12, ip // 1048576 FROM ev
+          UNION ALL
+          SELECT event_id, 16, ip // 65536 FROM ev),
+        best AS (
+          SELECT event_id, max(c.pfx_len * 1000000 + r.rule_id) % 1000000
+                   AS rule_id
+          FROM cands c JOIN rules r
+            ON r.pfx_len = c.pfx_len AND r.pfx = c.pfx
+          GROUP BY 1),
+        cnt AS (
+          SELECT rule_id, CAST(count(*) AS BIGINT) AS n_best
+          FROM best GROUP BY 1)
+        SELECT r.rule_id, r.rule_name, r.pfx_len, r.pfx,
+               COALESCE(n_best, 0) AS n_best
+        FROM rules r LEFT JOIN cnt ON cnt.rule_id = r.rule_id
+        ORDER BY r.rule_id"""),
+    ),
+
     QDef("join_asof",
       (s, dir) => {
         // As-of join (the family the reference's key-lookups never

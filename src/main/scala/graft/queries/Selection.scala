@@ -850,5 +850,51 @@ object Selection {
                base + CASE WHEN rrk <= 100 - spent THEN 1 ELSE 0 END AS alloc
         FROM b ORDER BY lang"""),
     ),
+
+    QDef("sample_pps_systematic",
+      // Probability-proportional-to-size SYSTEMATIC sampling — the
+      // budgeted-selection workhorse (pick ~k documents where a doc's
+      // inclusion probability tracks its token cost, with the
+      // variance-crushing systematic grid instead of independent
+      // draws): walk the docs in id order, and take a doc whenever the
+      // running char total crosses another 1/k-th of the corpus total.
+      // All integer: the crossing test floor((cum·k)/T) >
+      // floor(((cum−w)·k)/T) counts grid multiples inside the doc's
+      // weight span — nonnegative operands, so floor≡truncate in both
+      // engines, and cum·k stays far under int64 at any plausible
+      // corpus (chars ≤ 1e14 · k=100). The running total is the
+      // shard-offset cumulative ([[graft.operators.DistributedRank
+      // .withGlobalCumsum]]) — no partition-less window ever touches
+      // the data path, the exact flaw agg_decile_lift was rebuilt to
+      // avoid.
+      (s, dir) => {
+        val k = 100L
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").as("w"))
+        val cum = graft.operators.DistributedRank.withGlobalCumsum(
+          base, col("doc_id"), col("doc_id"), col("w"))
+        val tot = base.agg(sum("w").as("tt"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("pick_no", expr(s"(gcs * $k) div tt"))
+          .filter(col("pick_no") > expr(s"((gcs - w) * $k) div tt"))
+          .select(col("doc_id"), col("w").as("n_chars"),
+            col("gcs").as("cum_chars"), col("pick_no"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, n_chars AS w FROM documents),
+        cum AS (
+          SELECT doc_id, w,
+                 CAST(sum(w) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS gcs
+          FROM base),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS tt FROM base)
+        SELECT doc_id, w AS n_chars, gcs AS cum_chars,
+               CAST((gcs * 100) // tt AS BIGINT) AS pick_no
+        FROM cum CROSS JOIN tot
+        WHERE (gcs * 100) // tt > ((gcs - w) * 100) // tt
+        ORDER BY doc_id"""),
+    ),
   )
 }

@@ -1308,6 +1308,48 @@ object Similarity {
           LEFT JOIN hits h ON h.q_id = q.q_id
           ORDER BY q.q_id""")),
 
+    QDef("sim_hnsw_layer_stats",
+      // Index-health introspection of the layered HNSW build — the
+      // table an operator reads BEFORE pointing serving at a graph
+      // index: per layer (0 = corpus, 1..k = md5-decayed members),
+      // node count, directed edge count and the out-degree min/max/avg
+      // (integer ppm). What it catches: a layer whose node count
+      // doesn't decay ~1/8 per level (broken membership hash), a
+      // min-degree 0 or max-degree blowup (broken ring / NN-descent
+      // round), an avg drifting from NswDeg+ring (refinement not
+      // converging). All three adjacencies are the STAGED artifacts the
+      // router itself walks — this audits the real index, not a
+      // reconstruction — and per layer the work is one
+      // map-side-combined degree aggregate over the edge table.
+      (s, dir) => {
+        def stats(adj: DataFrame, layer: Long) = adj
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+          .agg(lit(layer).as("layer"),
+            count(lit(1)).as("n_nodes"), sum("deg").as("n_edges"),
+            min("deg").as("deg_min"), max("deg").as("deg_max"),
+            expr("(sum(deg) * 1000000) div count(1)").as("deg_avg_ppm"))
+        NswLayerMods.zipWithIndex
+          .map { case (m, i) => stats(nswLayerAdjacency(s, dir, m), i + 1L) }
+          .foldLeft(stats(nswAdjacency(s, dir), 0L))(_.unionAll(_))
+          .orderBy("layer")
+      },
+      Some(s"""WITH $nswBuildSqlCtes,
+        ${NswLayerMods.zipWithIndex.map { case (m, i) =>
+          nswLayerSqlCtes(s"l${i + 1}", m) }.mkString(",\n        ")},
+        ${(Seq("adj" -> 0) ++ NswLayerMods.indices.map(i => s"l${i + 1}adj" -> (i + 1)))
+          .map { case (tbl, l) =>
+            s"""deg$l AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              FROM $tbl GROUP BY 1)""" }.mkString(",\n        ")}
+        ${(0 to NswLayerMods.size).map { l =>
+          s"""SELECT CAST($l AS BIGINT) AS layer,
+            CAST(count(*) AS BIGINT) AS n_nodes,
+            CAST(sum(deg) AS BIGINT) AS n_edges,
+            CAST(min(deg) AS BIGINT) AS deg_min,
+            CAST(max(deg) AS BIGINT) AS deg_max,
+            CAST((sum(deg) * 1000000) // count(*) AS BIGINT) AS deg_avg_ppm
+          FROM deg$l""" }.mkString("\n        UNION ALL\n        ")}
+        ORDER BY layer""")),
+
     QDef("graph_kcore_mutual_knn",
       // 2-core decomposition of the MUTUAL-kNN graph — embedding-space
       // outlier triage: an NSW out-edge is mutual only when both

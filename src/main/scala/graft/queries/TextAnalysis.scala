@@ -1177,6 +1177,110 @@ object TextAnalysis {
                CAST(((sum(CASE WHEN target THEN 1 ELSE 0 END) * o.n_all) * 1000000) //
                     (count(*) * o.n_pos_all) AS BIGINT) AS lift_ppm
         FROM base CROSS JOIN overall o
-        GROUP BY decile, o.n_all, o.n_pos_all ORDER BY decile"""))
+        GROUP BY decile, o.n_all, o.n_pos_all ORDER BY decile""")),
+
+    QDef("text_readability_fk",
+      // Flesch-Kincaid grade level on the integer grid — the classic
+      // readability gate a curation pipeline applies per document
+      // (too-low grade = fragment soup, too-high = OCR junk). Syllable
+      // heuristic: vowel-group count ([aeiouy]+ runs) with the min-1-
+      // per-word clamp (words with no vowels — "7", "xkcd" — still
+      // cost one syllable); sentences = punctuation-run count clamped
+      // to 1 so an unpunctuated doc reads as one sentence. The grade
+      // itself is FK's 0.39·w/s + 11.8·syl/w − 15.59 scaled to ppm
+      // with per-term integer division — both numerators nonnegative,
+      // so floor-vs-truncate never diverges, and the denominators are
+      // clamped (an empty doc divides by 1, not 0 — Spark yields NULL
+      // on div-0 where DuckDB raises). Pure per-row projection: no
+      // shuffle at all; at 100 TB this is scan speed.
+      (s, dir) => {
+        val words = size(toks).cast("long")
+        val vg = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+          .cast("long")
+        val novowel = size(filter(toks,
+          t => !t.rlike("[aeiouy]"))).cast("long")
+        val sents = greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), words.as("n_words"),
+            (vg + novowel).as("n_syllables"), sents.as("n_sentences"))
+          .withColumn("w1", greatest(lit(1L), col("n_words")))
+          .select(col("doc_id"), col("n_words"), col("n_syllables"),
+            col("n_sentences"),
+            expr("""(390000 * n_words) div n_sentences
+              + (11800000 * n_syllables) div w1 - 15590000""")
+              .as("fk_grade_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS (
+          SELECT doc_id,
+            CAST(len($toksSql) AS BIGINT) AS n_words,
+            CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              + len(list_filter($toksSql,
+                  t -> NOT regexp_matches(t, '[aeiouy]'))) AS BIGINT)
+              AS n_syllables,
+            greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+              AS BIGINT)) AS n_sentences
+          FROM documents)
+        SELECT doc_id, n_words, n_syllables, n_sentences,
+          CAST((390000 * n_words) // n_sentences
+            + (11800000 * n_syllables) // greatest(1, n_words)
+            - 15590000 AS BIGINT) AS fk_grade_ppm
+        FROM m ORDER BY doc_id""")),
+
+    QDef("text_nucleus_coverage",
+      // Nucleus (top-p) vocabulary coverage: how many vocabulary types
+      // cover 50/90/99% of all token mass — the tokenizer-sizing and
+      // head-heaviness report (a corpus where 99% of mass fits in a
+      // tiny head compresses well but starves the tail; the training-
+      // mix view of text_zipf_check). One corpus scan builds the
+      // type-frequency table; the cumulative runs over the BOUNDED
+      // vocabulary (allowlisted global window — the table is vocab-
+      // sized, never corpus-sized), and each p-threshold is a ceil'd
+      // integer cut: k_types = #types whose preceding mass is below
+      // the threshold, covered = their token sum. All integer; ties
+      // in frequency break on the token string in both engines.
+      (s, dir) => {
+        val vocab = t(s, dir, "documents")
+          .select(explode(toks).as("tok")).filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("n").desc, col("tok"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = vocab
+          .withColumn("before", coalesce(sum("n").over(w), lit(0L)))
+        val tot = vocab.agg(sum("n").as("nn"))
+        val ps = s.range(1).select(
+          explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+        ps.crossJoin(broadcast(tot)).crossJoin(cum)
+          .withColumn("thresh", expr("(nn * p + 99) div 100"))
+          .groupBy("p", "nn").agg(
+            sum(when(col("before") < col("thresh"), 1L).otherwise(0L))
+              .as("k_types"),
+            sum(when(col("before") < col("thresh"), col("n"))
+              .otherwise(0L)).as("covered"))
+          .select(col("p"), col("k_types"), col("covered"),
+            expr("(covered * 1000000) div nn").as("covered_ppm"))
+          .orderBy("p")
+      },
+      Some(s"""WITH vocab AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest($toksSql) AS tok FROM documents)
+          WHERE tok <> '' GROUP BY 1),
+        cum AS (
+          SELECT tok, n, CAST(COALESCE(sum(n) OVER (ORDER BY n DESC, tok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before
+          FROM vocab),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM vocab),
+        ps AS (SELECT unnest([CAST(50 AS BIGINT), 90, 99]) AS p)
+        SELECT p,
+          CAST(sum(CASE WHEN before < (nn * p + 99) // 100
+            THEN 1 ELSE 0 END) AS BIGINT) AS k_types,
+          CAST(sum(CASE WHEN before < (nn * p + 99) // 100
+            THEN n ELSE 0 END) AS BIGINT) AS covered,
+          CAST((sum(CASE WHEN before < (nn * p + 99) // 100
+            THEN n ELSE 0 END) * 1000000) // nn AS BIGINT) AS covered_ppm
+        FROM ps CROSS JOIN tot CROSS JOIN cum
+        GROUP BY p, nn ORDER BY p"""))
   )
 }

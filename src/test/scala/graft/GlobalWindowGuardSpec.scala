@@ -43,7 +43,8 @@ class GlobalWindowGuardSpec extends AnyFunSuite {
     "agg_chi2_independence" -> "decimal chi2 sum over the ≤125-cell segment×nation grid",
     "win_kaplan_meier" -> "risk-set cumulative + survival attach over one row per duration day (~31, observation-window-bounded)",
     "text_dispersion_dp" -> "DP sum over the 12-token × 16-source grid",
-    "sample_strat_neyman" -> "largest-remainder rank over one row per language stratum"
+    "sample_strat_neyman" -> "largest-remainder rank over one row per language stratum",
+    "text_nucleus_coverage" -> "frequency cumulative over the bounded type-frequency (vocabulary) table"
   )
 
   /** DistributedRank's offsets cumulative: partition-less by design,

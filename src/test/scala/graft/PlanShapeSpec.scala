@@ -87,6 +87,39 @@ class PlanShapeSpec extends AnyFunSuite {
       "the per-row index window must be partitioned by shard")
   }
 
+  test("agg_decile_lift: every data-path window is shard-partitioned") {
+    // The round-10 flaw (three corpus-global unpartitioned windows)
+    // pinned at the PHYSICAL plan: the only partition-less WindowExec
+    // allowed are DistributedRank's driver-sized shard-offset
+    // cumulatives, recognizable by the helper's __gr_shard_* marker in
+    // their child output; the ordinal windows must partition by shard.
+    val df = SparkEntry.queries("agg_decile_lift")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val wins = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty, "expected window operators in the plan")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.output.exists(_.name.startsWith("__gr_shard_")),
+        s"non-offsets global window found: ${w.windowExpression}")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "the ordinal windows must be shard-partitioned")
+  }
+
+  test("win_rfm_scoring: every data-path window is shard-partitioned") {
+    val df = SparkEntry.queries("win_rfm_scoring")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val wins = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty, "expected window operators in the plan")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.output.exists(_.name.startsWith("__gr_shard_")),
+        s"non-offsets global window found: ${w.windowExpression}")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "the ordinal windows must be shard-partitioned")
+  }
+
   test("agg_zscore_standardize broadcasts the stats back, no second fact shuffle") {
     val df = SparkEntry.queries("agg_zscore_standardize")(spark, sf)
     assert(df.collect().nonEmpty)
