@@ -87,6 +87,71 @@ object Analytics {
         s" + ((($y) $intDiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
 
+  /** Final labels of 3 synchronous LPA rounds over the part<->supplier
+    * graph — the community assignment shared by
+    * `graph_label_propagation` (which reports it) and
+    * `graph_modularity` (which scores it). Disk-staged on the build
+    * plan's own hash (the 3-round unrolled plan is fully declarative,
+    * so any logic edit auto-invalidates); the parquet read-back is a
+    * leaf, which also replaces the old per-query localCheckpoint for
+    * multi-reference use. See graph_label_propagation's Scaladoc for
+    * the fixed-sync-rounds rationale.
+    */
+  private def lpaLabels3(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged.disk(s, dir, "lpa_labels3") {
+      val ew = graft.pipeline.Staged(s, dir, "pagerank_edges") {
+        val po = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+          .distinct()
+        val sym = po.union(po.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        sym.join(deg, "src")
+      }
+      val ewd = graft.pipeline.Staged(s, dir, "lpa_edges_bydst") {
+        ew.select(col("src"), col("dst"))
+          .repartition(col("dst")).sortWithinPartitions("dst")
+      }
+      var labels = ew.select(col("src").as("node_id")).distinct()
+        .withColumn("lbl", col("node_id"))
+      for (_ <- 1 to 3) {
+        labels = ewd.join(labels.withColumnRenamed("node_id", "dst"), "dst")
+          .groupBy(col("src").as("node_id"), col("lbl"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("node_id")
+          .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("node_id"), (-col("m.neg")).as("lbl"))
+      }
+      labels
+    }
+
+  /** Oracle-side CTE chain ≙ [[lpaLabels3]]: `e` (directed double
+    * cover) and `l3` (final labels); prefix for the LPA/modularity
+    * oracles.
+    */
+  private val lpaSqlCtes: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (
+          SELECT e.src AS node_id, l${i - 1}.lbl, count(*) AS n
+          FROM e JOIN l${i - 1} ON l${i - 1}.node_id = e.dst
+          GROUP BY e.src, l${i - 1}.lbl),
+        l$i AS (
+          SELECT node_id, lbl FROM (
+            SELECT node_id, lbl,
+                   row_number() OVER (PARTITION BY node_id
+                     ORDER BY n DESC, lbl) AS r
+            FROM c$i)
+          WHERE r = 1)"""
+    }.mkString(",\n")
+    s"""e0 AS (
+        SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+        FROM lineitem),
+      e AS (SELECT src, dst FROM e0
+            UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      l0 AS (SELECT DISTINCT src AS node_id, src AS lbl FROM e),
+      $rounds"""
+  }
+
   val all: Seq[QDef] = Seq(
 
     QDef("win_funnel",
@@ -567,6 +632,57 @@ object Analytics {
       // pagerank edge set; one shuffle pair per round, cost linear in
       // edges, labels carried as a node-sized table like pagerank's
       // ranks.
+      // Pre-partition AND pre-sort the static edge side on the join
+      // key ONCE inside the helper (memoized persist keeps the
+      // ordering in the cached plan): every round's sort-merge join
+      // against the fact-sized label table reuses the exchange and the
+      // sort instead of re-shuffling+re-sorting the edges per round —
+      // the standard iterated-join discipline (sort once, join k
+      // times), and the label side stays a shuffle (it is fact-sized
+      // at 100 TB, never a broadcast). Per-round the winner is an
+      // ARGMAX aggregate — max(struct(n, -lbl)) realizes "highest
+      // count, ties to smallest label" as one hash aggregate instead
+      // of a row_number sort; the oracle keeps the row_number
+      // spelling: same semantics, engine-appropriate operators each
+      // side. The labels land disk-staged (lpaLabels3), so the
+      // two downstream references (sizes + join back) read a leaf —
+      // the old per-query localCheckpoint became the stage.
+      (s, dir) => {
+        val fin = lpaLabels3(s, dir)
+        val sizes = fin.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+        fin.join(sizes, "lbl")
+          .select(col("node_id"), col("lbl").as("community"),
+            col("community_size"))
+          .orderBy("node_id")
+      },
+      Some(s"""WITH $lpaSqlCtes,
+          sizes AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl)
+          SELECT l3.node_id, l3.lbl AS community,
+                 CAST(sizes.community_size AS BIGINT) AS community_size
+          FROM l3 JOIN sizes USING (lbl) ORDER BY node_id""")),
+
+    QDef("graph_modularity",
+      // Newman modularity of an LPA community assignment — the
+      // one-number QA gate on any clustering before it drives curation
+      // decisions (Q ≈ 0: no better than random given the degree
+      // sequence; Q ≥ ~0.3: real structure). The SCORED assignment is
+      // SEMI-synchronous LPA (update one bipartite side per round:
+      // suppliers, parts, suppliers), the textbook bipartite
+      // treatment: the sync variant graph_label_propagation
+      // deliberately ships oscillates on this part<->supplier graph
+      // into the all-cross 2-coloring whose e_in is identically ZERO
+      // (observed: Q = −0.5 exactly) — a dead intra-edge arm no gate
+      // could ever catch a bug through. Semi-sync converges to mixed
+      // part+supplier communities, keeping both the intra and inter
+      // arms live at every SF — and the modularity number itself is
+      // what certifies that difference. Over the directed double
+      // cover: Q = (M2·E_in − Σ_c D_c²)/M2², E_in from two label
+      // joins on the staged edge set, D_c from the node-sized
+      // (src, outdeg) projection; Σ D_c² rides DECIMAL(38,0) ≙
+      // HUGEINT (a hub community's D_c² passes int64 at 10⁹ nodes);
+      // the final Q is a fixed IEEE tree on exact inputs (M2² as
+      // double·double since int64 overflows at 10¹⁰ edges), rx(6).
+      // The 3 semi-sync rounds are disk-staged like lpaLabels3.
       (s, dir) => {
         val ew = graft.pipeline.Staged(s, dir, "pagerank_edges") {
           val po = t(s, dir, "lineitem")
@@ -577,54 +693,61 @@ object Analytics {
           val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
           sym.join(deg, "src")
         }
-        // Pre-partition AND pre-sort the static edge side on the join
-        // key ONCE (memoized persist keeps the ordering in the cached
-        // plan): every round's sort-merge join against the fact-sized
-        // label table then reuses the exchange and the sort instead of
-        // re-shuffling+re-sorting the edges per round — the standard
-        // iterated-join discipline (sort once, join k times), and the
-        // label side stays a shuffle (it is fact-sized at 100 TB, never
-        // a broadcast).
-        val ewd = graft.pipeline.Staged(s, dir, "lpa_edges_bydst") {
-          ew.select(col("src"), col("dst"))
-            .repartition(col("dst")).sortWithinPartitions("dst")
+        val la = graft.pipeline.Staged.disk(s, dir, "lpa_semisync3") {
+          val ewd = graft.pipeline.Staged(s, dir, "lpa_edges_bydst") {
+            ew.select(col("src"), col("dst"))
+              .repartition(col("dst")).sortWithinPartitions("dst")
+          }
+          val supp = col("node_id") >= 1000000L
+          var labels = ew.select(col("src").as("node_id")).distinct()
+            .withColumn("lbl", col("node_id"))
+          for (r <- 1 to 3) {
+            val updSupp = r % 2 == 1
+            val upd = ewd
+              .join(labels.withColumnRenamed("node_id", "dst"), "dst")
+              .filter(if (updSupp) col("src") >= 1000000L
+                else col("src") < 1000000L)
+              .groupBy(col("src").as("node_id"), col("lbl"))
+              .agg(count(lit(1)).as("n"))
+              .groupBy("node_id")
+              .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
+              .select(col("node_id"), (-col("m.neg")).as("lbl"))
+            labels = labels.filter(if (updSupp) !supp else supp)
+              .unionByName(upd)
+          }
+          labels
         }
-        var labels = ew.select(col("src").as("node_id")).distinct()
-          .withColumn("lbl", col("node_id"))
-        for (_ <- 1 to 3) {
-          // USING-column joins for the same ambiguous-self-join reason
-          // as pagerank; single reference to the previous labels per
-          // round, so no per-round checkpoint is needed (the pagerank
-          // rule, not the bfs one). The per-node winner is an ARGMAX
-          // aggregate — max(struct(n, -lbl)) realizes "highest count,
-          // ties to smallest label" as one hash aggregate instead of a
-          // per-round row_number sort. The oracle keeps the row_number
-          // spelling: same semantics, engine-appropriate operators on
-          // each side.
-          labels = ewd.join(labels.withColumnRenamed("node_id", "dst"), "dst")
-            .groupBy(col("src").as("node_id"), col("lbl"))
-            .agg(count(lit(1)).as("n"))
-            .groupBy("node_id")
-            .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
-            .select(col("node_id"), (-col("m.neg")).as("lbl"))
-        }
-        // The output references the final labels TWICE (community sizes
-        // + the join back) — without eager truncation the whole 3-round
-        // chain executes once per reference (the bfs double-execution
-        // gotcha; benched ~2x the query).
-        val fin = labels.localCheckpoint(true)
-        val sizes = fin.groupBy("lbl").agg(count(lit(1)).as("community_size"))
-        fin.join(sizes, "lbl")
-          .select(col("node_id"), col("lbl").as("community"),
-            col("community_size"))
-          .orderBy("node_id")
-      }, {
+        val intra = ew
+          .join(la.toDF("src", "ls"), "src")
+          .join(la.toDF("dst", "ld"), "dst")
+          .agg(count(lit(1)).as("m2"),
+            sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).as("e_in"))
+        val dc = ew.select("src", "outdeg").distinct()
+          .join(la.toDF("src", "lbl"), "src")
+          .groupBy("lbl").agg(sum("outdeg").as("d_c"))
+        val sums = dc.agg(count(lit(1)).as("n_communities"),
+          sum(col("d_c").cast("decimal(38,0)") * col("d_c")).as("sd2"))
+        def d(c: String) = col(c).cast("double")
+        intra.crossJoin(broadcast(sums))
+          .select(col("m2").as("n_edges_directed"), col("e_in"),
+            col("n_communities"),
+            rx((d("m2") * d("e_in") - d("sd2")) / (d("m2") * d("m2")), 6)
+              .as("modularity"))
+      },
+      Some({
         val rounds = (1 to 3).map { i =>
+          val (updCond, keepCond) =
+            if (i % 2 == 1) (">= 1000000", "< 1000000")
+            else ("< 1000000", ">= 1000000")
           s"""c$i AS (
               SELECT e.src AS node_id, l${i - 1}.lbl, count(*) AS n
               FROM e JOIN l${i - 1} ON l${i - 1}.node_id = e.dst
+              WHERE e.src $updCond
               GROUP BY e.src, l${i - 1}.lbl),
             l$i AS (
+              SELECT node_id, lbl FROM l${i - 1}
+              WHERE node_id $keepCond
+              UNION ALL
               SELECT node_id, lbl FROM (
                 SELECT node_id, lbl,
                        row_number() OVER (PARTITION BY node_id
@@ -632,18 +755,34 @@ object Analytics {
                 FROM c$i)
               WHERE r = 1)"""
         }.mkString(",\n")
-        Some(s"""WITH e0 AS (
+        s"""WITH e0 AS (
             SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
             FROM lineitem),
           e AS (SELECT src, dst FROM e0
                 UNION ALL SELECT dst AS src, src AS dst FROM e0),
           l0 AS (SELECT DISTINCT src AS node_id, src AS lbl FROM e),
           $rounds,
-          sizes AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl)
-          SELECT l3.node_id, l3.lbl AS community,
-                 CAST(sizes.community_size AS BIGINT) AS community_size
-          FROM l3 JOIN sizes USING (lbl) ORDER BY node_id""")
-      }),
+          deg AS (SELECT src AS node_id, CAST(count(*) AS BIGINT) AS outdeg
+                  FROM e GROUP BY 1),
+          intra AS (
+            SELECT CAST(count(*) AS BIGINT) AS m2,
+                   CAST(sum(CASE WHEN a.lbl = b.lbl THEN 1 ELSE 0 END)
+                     AS BIGINT) AS e_in
+            FROM e JOIN l3 a ON a.node_id = e.src
+            JOIN l3 b ON b.node_id = e.dst),
+          dc AS (SELECT l3.lbl, CAST(sum(deg.outdeg) AS BIGINT) AS d_c
+                 FROM l3 JOIN deg USING (node_id) GROUP BY 1),
+          sums AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                     sum(CAST(d_c AS HUGEINT) * d_c) AS sd2
+                   FROM dc)
+          SELECT m2 AS n_edges_directed, e_in, n_communities,
+            ${rxSql(
+              """(CAST(m2 AS DOUBLE) * CAST(e_in AS DOUBLE)
+                - CAST(sd2 AS DOUBLE)) /
+                (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))""",
+              6)} AS modularity
+          FROM intra, sums"""
+      })),
 
     QDef("graph_bfs_distance",
       // Multi-source BFS (hop distance from a seed set) over the same

@@ -150,6 +150,48 @@ object Dedup {
         sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v)"""
   }
 
+  /** SimHash near-dup pairs (exact Hamming ≤ 3 verified on 4-byte-band
+    * pigeonhole candidates — any pair within radius 3 must share one
+    * of the 4 bands); shared by dedup_simhash_pairs and the
+    * capture-recapture coverage audit. Shuffle key = (band, byte):
+    * bucket-local, never all-pairs.
+    */
+  private def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSigs(s, dir)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("simhash"), i * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
+        .as("x"))
+      .select(col("doc_id"), col("simhash"),
+        col("x.band").as("band"), col("x.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** DuckDB CTEs ≙ [[simhashPairs]], ending in
+    * `spairs(doc_a, doc_b, hamming)`; requires [[simhashSqlCtes]]
+    * (`sigs`) upstream. `sbands`/`spairs` names avoid colliding with
+    * the minhash chain's `bands`/`cpairs` when both appear in one
+    * oracle (the capture-recapture audit).
+    */
+  private val simhashPairsSql: String =
+    """sbands AS (
+          SELECT doc_id, simhash, i AS band, (simhash >> (i * 8)) & 255 AS bv
+          FROM sigs, (SELECT unnest(range(4)) AS i)),
+        spairs AS (
+          SELECT doc_a, doc_b, hamming FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sbands a JOIN sbands b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+          WHERE hamming <= 3)"""
+
   /** Connected-components labels over the LSH pair graph, staged: the
     * multi-round loop runs once per session+dir and both the cluster
     * query and the leakage-safe split reuse the persisted labels.
@@ -471,35 +513,66 @@ object Dedup {
       // and the exact Hamming distance (one xor + popcount, both
       // codegen'd built-ins) verifies each candidate. Shuffle key =
       // (band, byte): bucket-local, never all-pairs.
-      (s, dir) => {
-        val sigs = simhashSigs(s, dir)
-        val bands = sigs.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(i =>
-            struct(lit(i).as("band"),
-              shiftright(col("simhash"), i * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
-            .as("x"))
-          .select(col("doc_id"), col("simhash"),
-            col("x.band").as("band"), col("x.bv").as("bv"))
-        bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 3)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => simhashPairs(s, dir).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $simhashSqlCtes,
-        bands AS (
-          SELECT doc_id, simhash, i AS band, (simhash >> (i * 8)) & 255 AS bv
-          FROM sigs, (SELECT unnest(range(4)) AS i)),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 bit_count(xor(a.simhash, b.simhash)) AS hamming
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        $simhashPairsSql
         SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-        FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""")),
+        FROM spairs ORDER BY doc_a, doc_b""")),
+
+    QDef("dedup_capture_recapture",
+      // Capture-recapture (Chapman-corrected Lincoln-Petersen) audit
+      // of near-dup detector coverage: how many true near-dup pairs
+      // exist that NEITHER detector finds? Treat the MinHash-LSH pair
+      // list and the SimHash Hamming≤3 pair list as two independent
+      // "captures" of the same underlying duplicate population — the
+      // classic ecology estimator (and the standard census/record-
+      // linkage coverage trick) then estimates the total:
+      // N̂ = (n1+1)(n2+1)/(m+1) − 1, where m = pairs both detectors
+      // caught. Per-detector coverage = n/N̂ — the number that tells a
+      // curation owner "LSH alone is seeing ~X% of what's out there"
+      // WITHOUT any labeled truth set. The two pair lists are the
+      // same staged artifacts their own queries ship (band index +
+      // simhash sigs built once); the overlap is one equi join on the
+      // pair key; everything after runs on three 1-row aggregates.
+      // All integer: Chapman's +1s make the estimator m=0-safe, and
+      // the coverage floor-divisions have nonnegative numerators and
+      // clamped denominators.
+      (s, dir) => {
+        val mh = candidatePairs(s, dir).select("doc_a", "doc_b")
+        val sh = simhashPairs(s, dir).select("doc_a", "doc_b")
+        val n1 = mh.agg(count(lit(1)).as("n_det1"))
+        val n2 = sh.agg(count(lit(1)).as("n_det2"))
+        val m = mh.join(sh, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_both"))
+        n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+          .withColumn("est_total",
+            expr("((n_det1 + 1) * (n_det2 + 1)) div (n_both + 1) - 1"))
+          .select(col("n_det1"), col("n_det2"), col("n_both"),
+            col("est_total"),
+            expr("(1000000 * n_det1) div greatest(est_total, 1)")
+              .as("cov1_ppm"),
+            expr("(1000000 * n_det2) div greatest(est_total, 1)")
+              .as("cov2_ppm"))
+      },
+      Some(s"""WITH $minhashBandsSql,
+        $candidatePairsSql,
+        $simhashSqlCtes,
+        $simhashPairsSql,
+        n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_det1 FROM cpairs),
+        n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_det2 FROM spairs),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+              FROM cpairs JOIN spairs USING (doc_a, doc_b)),
+        est AS (SELECT n_det1, n_det2, n_both,
+                  ((n_det1 + 1) * (n_det2 + 1)) // (n_both + 1) - 1
+                    AS est_total
+                FROM n1, n2, b)
+        SELECT n_det1, n_det2, n_both,
+               CAST(est_total AS BIGINT) AS est_total,
+               CAST((1000000 * n_det1) // greatest(est_total, 1) AS BIGINT)
+                 AS cov1_ppm,
+               CAST((1000000 * n_det2) // greatest(est_total, 1) AS BIGINT)
+                 AS cov2_ppm
+        FROM est""")),
 
     QDef("dedup_ngram_jaccard",
       // n-gram Jaccard as VERIFY-ON-CANDIDATES: the pair list comes

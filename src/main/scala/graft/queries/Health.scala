@@ -31,6 +31,31 @@ object Health {
     */
   private val KsC2: Double = 1.3581015157406195 * 1.3581015157406195
 
+  /** Poisson(1) CDF thresholds on the 2^32 integer grid for
+    * agg_poisson_bootstrap: thr(k) = floor(P(X ≤ k)·2³²), k = 0..8.
+    * A md5-uniform u ∈ [0, 2³²) maps to weight w = #{k : u ≥ thr(k)}
+    * (inverse-CDF sampling, capped at 9 where the tail mass is
+    * ~1.1e-6). Evaluated host-side ONCE — exp(−1) is transcendental,
+    * so it must not be computed per-engine — and flows to both plans
+    * as identical integer literals, making the whole weight draw
+    * integer-exact cross-engine.
+    */
+  private val PoisThr: Seq[Long] = {
+    var term = math.exp(-1.0)
+    var acc = 0.0
+    (0 to 8).map { k =>
+      acc += term
+      term = term / (k + 1).toDouble
+      math.floor(acc * 4294967296.0).toLong
+    }
+  }
+
+  /** z(0.975) + z(0.80) for agg_power_mde's two-sided 5%/80%-power MDE
+    * — summed host-side once so the identical double literal flows to
+    * both engines (KsC2's discipline).
+    */
+  private val ZSum: Double = 1.959963984540054 + 0.8416212335729143
+
   val all: Seq[QDef] = Seq(
 
     QDef("profile_data_drift",
@@ -558,6 +583,249 @@ object Health {
                abs(t) > 2.0 AS drift
         FROM tt ORDER BY event_type"""),
     ),
+
+    QDef("agg_poisson_bootstrap",
+      // Poisson bootstrap 95% CI of the mean order price per priority
+      // — THE resampling technique for data too big to index (Chamandy
+      // et al., Google): instead of drawing n rows with replacement
+      // (which needs global coordination), each row independently
+      // enters replica b with weight ~ Poisson(1) — in expectation a
+      // with-replacement resample, embarrassingly parallel, one
+      // streaming pass. Determinism: the weight is inverse-CDF sampled
+      // from an md5 uniform against the host-computed PoisThr integer
+      // grid — no RNG state, any engine replays it. Scale shape: the
+      // B=40 replica explode multiplies MAP work only (the aggregate
+      // is map-side combined, so the shuffle carries k·B rows — 200
+      // here); replica means are single IEEE divisions of exact
+      // DECIMAL/int64 sums, so they are bit-identical cross-engine and
+      // safe to RANK directly (tie-break on b); the CI bounds are
+      // positional picks at ranks 1 and 39 of the 40 means (2.5th /
+      // 97.5th percentile, ceil(q·B)) inside a per-priority window.
+      (s, dir) => {
+        val reps = 40
+        val xcents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+        val ev = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+            xcents.as("xc"))
+          .select(col("pri"), col("o_orderkey"), col("xc"),
+            explode(sequence(lit(0), lit(reps - 1))).as("b"))
+          .withColumn("u", Text.md5Hash32(concat(lit("pb"),
+            col("b").cast("string"), lit(":"),
+            col("o_orderkey").cast("string"))))
+          .withColumn("w", PoisThr.map(tk =>
+            when(col("u") >= tk, 1L).otherwise(0L)).reduce(_ + _))
+        val repl = ev.groupBy("pri", "b")
+          .agg(sum("w").as("nw"),
+            sum(col("w").cast("decimal(38,0)") * col("xc")).as("sw"))
+          .withColumn("m", col("sw").cast("double") / col("nw").cast("double"))
+        val ranked = repl.withColumn("r", row_number().over(
+          Window.partitionBy("pri").orderBy(col("m"), col("b"))))
+        val ci = ranked.groupBy("pri").agg(
+          max(when(col("r") === 1, col("m"))).as("lo"),
+          max(when(col("r") === reps - 1, col("m"))).as("hi"))
+        val base = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("pri"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(xcents.cast("decimal(38,0)")).as("sx"))
+        base.join(ci, "pri")
+          .select(col("pri"), col("n_orders"),
+            rx(col("sx").cast("double") / col("n_orders").cast("double")
+              / 100.0, 4).as("mean_price"),
+            rx(col("lo") / 100.0, 4).as("ci_lo"),
+            rx(col("hi") / 100.0, 4).as("ci_hi"))
+          .orderBy("pri")
+      },
+      Some(s"""WITH ev AS (
+          SELECT o_orderpriority AS pri, o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS xc
+          FROM orders),
+        reps AS (SELECT unnest(generate_series(0, 39)) AS b),
+        wts AS (
+          SELECT pri, b, xc,
+            ${PoisThr.map(tk =>
+              s"""(CASE WHEN CAST(('0x' || substr(md5('pb' || CAST(b AS VARCHAR) ||
+                ':' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) >= $tk
+                THEN 1 ELSE 0 END)""").mkString(" + ")} AS w
+          FROM ev CROSS JOIN reps),
+        repl AS (
+          SELECT pri, b, CAST(sum(w) AS BIGINT) AS nw,
+                 sum(CAST(w AS HUGEINT) * xc) AS sw
+          FROM wts GROUP BY 1, 2),
+        means AS (SELECT pri, b,
+                    CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) AS m
+                  FROM repl),
+        ranked AS (SELECT pri, m,
+                     row_number() OVER (PARTITION BY pri ORDER BY m, b) AS r
+                   FROM means),
+        ci AS (SELECT pri, max(CASE WHEN r = 1 THEN m END) AS lo,
+                      max(CASE WHEN r = 39 THEN m END) AS hi
+               FROM ranked GROUP BY 1),
+        base AS (SELECT o_orderpriority AS pri,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS HUGEINT)) AS sx
+                 FROM orders GROUP BY 1)
+        SELECT base.pri, n_orders,
+          ${rxSql("CAST(sx AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0", 4)}
+            AS mean_price,
+          ${rxSql("lo / 100.0", 4)} AS ci_lo,
+          ${rxSql("hi / 100.0", 4)} AS ci_hi
+        FROM base JOIN ci USING (pri) ORDER BY pri""")),
+
+    QDef("agg_power_mde",
+      // Experiment power planning per event type: the minimum
+      // detectable effect (MDE) at 80% power / two-sided 5%, given the
+      // metric's CURRENT variance and volume — the table that answers
+      // "can this stream support the experiment at all?" BEFORE anyone
+      // runs one (the planning complement to the after-the-fact
+      // agg_welch_ttest / agg_cuped_adjust pair; CUPED's rho² shrinks
+      // exactly this number). MDE = (z_{0.975}+z_{0.80})·√(2s²/n_arm),
+      // n_arm = n div 2. One exact map-side sufficient-stats pass
+      // (sums ride DECIMAL(38,0) ≙ HUGEINT); mean/variance/MDE are a
+      // fixed IEEE tree on the exact sums — no transcendentals, the z
+      // sum is one host-side shared literal — and the feasibility gate
+      // compares the rx'd relative MDE to 2%, so both engines gate on
+      // the same rounded double.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+        val st = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("xc").cast("decimal(38,0)")).as("sx"),
+          sum(col("xc").cast("decimal(38,0)") * col("xc")).as("sx2"))
+        def d(c: String) = col(c).cast("double")
+        val nd = d("n")
+        val va = (nd * d("sx2") - d("sx") * d("sx")) / (nd * (nd - 1.0))
+        val mde = lit(ZSum) *
+          sqrt(va * 2.0 / expr("n div 2").cast("double"))
+        val mean = d("sx") / nd
+        st.select(col("event_type"), col("n").as("n_events"),
+            rx(mean / 100.0, 4).as("mean_val"),
+            rx(sqrt(va) / 100.0, 4).as("sd_val"),
+            rx(mde / 100.0, 4).as("mde_abs"),
+            rx(mde / mean, 6).as("mde_rel"),
+            (rx(mde / mean, 6) <= 0.02).as("feasible_2pct"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc
+          FROM events),
+        st AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(xc AS HUGEINT)) AS sx,
+                 sum(CAST(xc AS HUGEINT) * xc) AS sx2
+          FROM ev GROUP BY 1),
+        m AS (
+          SELECT event_type, n,
+            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+            (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+              (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS va
+          FROM st),
+        k AS (
+          SELECT event_type, n, mean, va,
+            $ZSum * sqrt(va * 2.0 / CAST(n // 2 AS DOUBLE)) AS mde
+          FROM m)
+        SELECT event_type, n AS n_events,
+          ${rxSql("mean / 100.0", 4)} AS mean_val,
+          ${rxSql("sqrt(va) / 100.0", 4)} AS sd_val,
+          ${rxSql("mde / 100.0", 4)} AS mde_abs,
+          ${rxSql("mde / mean", 6)} AS mde_rel,
+          ${rxSql("mde / mean", 6)} <= 0.02 AS feasible_2pct
+        FROM k ORDER BY event_type""")),
+
+    QDef("profile_sequence_gaps",
+      // Sequence-gap detection over an id stream — the ingest monitor
+      // that answers "which id ranges never arrived?" (dropped
+      // batches, dead producers, failed backfills show as contiguous
+      // holes). Finding gaps needs CONSECUTIVE elements of a global
+      // order — the classic single-reducer lag() trap — solved here as
+      // distributed lag: an exact global ordinal from the shard-offset
+      // pattern (DistributedRank.withGlobalRank — no partition-less
+      // window touches the data), then successor pairs via one EQUI
+      // join on ordinal r = r+1 (shuffles by ordinal, fully parallel).
+      // The oracle keeps the lag() spelling: same semantics,
+      // engine-appropriate operators. The synthetic id space is dense
+      // (gap-free — a monitor that can never fire), so the feed
+      // simulates ingest loss: ids hashing into a deterministic 1-in-20
+      // md5 bucket "never arrived", which yields single and multi-id
+      // holes at every SF (the derived-feed reachability rule).
+      // Gaps before the first arrival are out of scope by definition
+      // (gaps BETWEEN arrivals). Top-20 by (size, position) with full
+      // tie-break.
+      (s, dir) => {
+        val arrived = t(s, dir, "events").select(col("event_id")).distinct()
+          .filter(pmod(Text.md5Hash32(concat(lit("gap:"),
+            col("event_id").cast("string"))), lit(20L)) =!= 0)
+        val rk = graft.operators.DistributedRank
+          .withGlobalRank(arrived, col("event_id"), col("event_id"),
+            out = "rk")
+        rk.select(col("event_id").as("k"), col("rk"))
+          .join(rk.select(col("event_id").as("nk"),
+            (col("rk") - 1).as("rk")), "rk")
+          .filter(col("nk") - col("k") > 1)
+          .select(col("k").as("gap_after"), col("nk").as("next_present"),
+            (col("nk") - col("k") - 1).as("n_missing"))
+          .orderBy(col("n_missing").desc, col("gap_after"))
+          .limit(20)
+      },
+      Some("""WITH arrived AS (
+          SELECT DISTINCT event_id FROM events
+          WHERE CAST(('0x' || substr(md5('gap:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 <> 0),
+        g AS (SELECT event_id AS nk,
+                lag(event_id) OVER (ORDER BY event_id) AS k
+              FROM arrived)
+        SELECT k AS gap_after, nk AS next_present,
+               CAST(nk - k - 1 AS BIGINT) AS n_missing
+        FROM g WHERE nk - k > 1
+        ORDER BY n_missing DESC, gap_after LIMIT 20""")),
+
+    QDef("pipeline_retention_sweep",
+      // Data-lifecycle retention sweep — the TTL report a warehouse
+      // runs before every purge cycle: per source, how many rows are
+      // past the 14-day retention window, how many of those a legal
+      // hold exempts (purchase events — transaction records under
+      // audit retention), and what actually gets deleted. "Now" is the
+      // newest event anywhere (deterministic, replayable — never
+      // wall-clock, which would make the oracle unrepeatable); ages
+      // are exact integer day differences on DATEs; the mid-stream
+      // 14-day cut keeps expired AND retained arms populated at every
+      // SF, and the purchase hold keeps the exemption arm live. One
+      // map-side-combined aggregate over one scan + a 1-row broadcast
+      // — at 100 TB with date-partitioned storage the expired
+      // predicate is partition pruning, making the sweep metadata-only.
+      (s, dir) => {
+        val nowD = t(s, dir, "events").agg(max(to_date(col("ts"))).as("nowd"))
+        t(s, dir, "events").crossJoin(broadcast(nowD))
+          .withColumn("expired",
+            datediff(col("nowd"), to_date(col("ts"))) > 14)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("expired"), 1L).otherwise(0L)).as("n_expired"))
+          .withColumn("n_hold", when(col("event_type") === "purchase",
+            col("n_expired")).otherwise(0L))
+          .withColumn("n_delete", col("n_expired") - col("n_hold"))
+          .withColumn("delete_ppm", expr("(1000000 * n_delete) div n_rows"))
+          .orderBy("event_type")
+      },
+      Some("""WITH nowd AS (
+          SELECT max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS nd FROM events),
+        r AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN date_diff('day',
+                     CAST(CAST(ts AS TIMESTAMP) AS DATE), nd) > 14
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_expired
+          FROM events, nowd GROUP BY 1)
+        SELECT event_type, n_rows, n_expired,
+               CAST(CASE WHEN event_type = 'purchase' THEN n_expired
+                 ELSE 0 END AS BIGINT) AS n_hold,
+               n_expired - (CASE WHEN event_type = 'purchase'
+                 THEN n_expired ELSE 0 END) AS n_delete,
+               CAST((1000000 * (n_expired - (CASE WHEN event_type = 'purchase'
+                 THEN n_expired ELSE 0 END))) // n_rows AS BIGINT)
+                 AS delete_ppm
+        FROM r ORDER BY event_type""")),
 
     QDef("agg_chi2_independence",
       // Chi-squared test of independence + Cramér's V over the

@@ -1099,6 +1099,68 @@ object TextAnalysis {
                CAST((n_tokens * 1000000) // tk AS BIGINT) AS token_share_ppm
         FROM spec CROSS JOIN tot ORDER BY m""")),
 
+    QDef("text_burstiness",
+      // Church-Gale burstiness of the top-20 tokens: the
+      // variance-to-mean ratio (VMR, index of dispersion) of per-doc
+      // occurrence counts over ALL docs including zeros — Poisson
+      // scatter gives VMR = 1, content words clump (VMR >> 1), and a
+      // frequent token with extreme VMR is usually boilerplate the
+      // frequency profile alone can't flag. The doc-level clumping
+      // complement to text_dispersion_dp's source-level spread.
+      // Zero-docs add 0 to Σx and Σx², so one (tok, doc) count + one
+      // per-token rollup suffice — no dense doc×token grid ever
+      // materializes; n attaches as a 1-row broadcast. VMR_ppm =
+      // 10⁶·(n·Σx² − (Σx)²) div ((n−1)·Σx) is all-integer with a
+      // NONNEGATIVE numerator (n·Σx² ≥ (Σx)² by Cauchy-Schwarz, so
+      // floor ≡ truncate; int64 holds 10⁶·n·Σx² to ~sf10 — past that
+      // the sums ride DECIMAL(38,0), the welch discipline). Top-20 via
+      // orderBy+limit = TakeOrdered, never a rank window. The bursty
+      // flag is PEER-relative (vmr·20 > Σvmr over the top-20 — a
+      // 1-row broadcast, all-integer): every frequent token here
+      // exceeds the absolute Poisson line (observed 1.26-1.49 at
+      // sf0.01), so an absolute threshold leaves one arm dead; the
+      // above-peer-mean cut splits at any SF unless all 20 tie.
+      (s, dir) => {
+        val tokens = t(s, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("tok"))
+        val perDoc = tokens.groupBy("tok", "doc_id")
+          .agg(count(lit(1)).as("c"))
+        val stats = perDoc.groupBy("tok").agg(count(lit(1)).as("df"),
+          sum("c").as("sx"), sum(col("c") * col("c")).as("sx2"))
+        val top = stats.orderBy(col("sx").desc, col("tok")).limit(20)
+        val nd = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+        val vmr = top.crossJoin(broadcast(nd))
+          .select(col("tok"), col("df"), col("sx").as("n_occurrences"),
+            expr("(1000000 * (n * sx2 - sx * sx)) div ((n - 1) * sx)")
+              .as("vmr_ppm"))
+        val peer = vmr.agg(count(lit(1)).as("np"), sum("vmr_ppm").as("sv"))
+        vmr.crossJoin(broadcast(peer))
+          .select(col("tok"), col("df"), col("n_occurrences"),
+            col("vmr_ppm"),
+            (col("vmr_ppm") * col("np") > col("sv")).as("bursty"))
+          .orderBy(col("vmr_ppm").desc, col("tok"))
+      },
+      Some(s"""WITH tokens AS (
+          SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        pd AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+               FROM tokens GROUP BY 1, 2),
+        st AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(c) AS BIGINT) AS sx,
+                 CAST(sum(c * c) AS BIGINT) AS sx2
+               FROM pd GROUP BY 1),
+        top AS (SELECT * FROM st ORDER BY sx DESC, tok LIMIT 20),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        vmr AS (
+          SELECT tok, df, sx AS n_occurrences,
+            CAST((1000000 * (n * sx2 - sx * sx)) // ((n - 1) * sx) AS BIGINT)
+              AS vmr_ppm
+          FROM top, nn),
+        peer AS (SELECT CAST(count(*) AS BIGINT) AS np,
+                   CAST(sum(vmr_ppm) AS BIGINT) AS sv FROM vmr)
+        SELECT tok, df, n_occurrences, vmr_ppm,
+               vmr_ppm * np > sv AS bursty
+        FROM vmr, peer ORDER BY vmr_ppm DESC, tok""")),
+
     QDef("agg_decile_lift",
       // Decile lift/gains table for the quality score AS A RANKER —
       // the third classifier-eval surface (confusion/kappa judge
