@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force and invariant pins for the round-11 additions:
+  * Poisson-bootstrap CIs, sequence-gap detection, modularity,
+  * capture-recapture coverage, retention sweep, burstiness and the
+  * power/MDE table.
+  */
+class Round11OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** ≙ Text.md5Hash32 / the oracle's '0x'||substr(md5(x),1,8) spelling. */
+  private def h32(sx: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sx.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("agg_poisson_bootstrap matches a driver brute-force recompute") {
+    // Recompute the Poisson(1) CDF thresholds exactly as Health does.
+    var term = math.exp(-1.0)
+    var acc = 0.0
+    val thr = (0 to 8).map { k =>
+      acc += term; term /= (k + 1).toDouble
+      math.floor(acc * 4294967296.0).toLong
+    }
+    def rx4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderpriority", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val want = orders.groupBy(_._1).map { case (pri, rows) =>
+      val means = (0 until 40).map { b =>
+        var nw = 0L
+        var sw = 0L
+        rows.foreach { case (_, k, xc) =>
+          val w = thr.count(t => h32(s"pb$b:$k") >= t)
+          nw += w; sw += w * xc
+        }
+        b -> (sw.toDouble / nw.toDouble)
+      }
+      val sorted = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+      val meanAll = rx4(rows.map(_._3).sum.toDouble / rows.length / 100.0)
+      pri -> ((rows.length.toLong, meanAll,
+        rx4(sorted(0) / 100.0), rx4(sorted(38) / 100.0)))
+    }
+    val got = SparkEntry.queries("agg_poisson_bootstrap")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == want, "bootstrap CI drift vs brute force")
+    // The interval is a real interval around the point estimate.
+    got.values.foreach { case (_, mean, lo, hi) =>
+      assert(lo < hi && lo <= mean && mean <= hi,
+        s"degenerate CI ($lo, $mean, $hi)")
+    }
+  }
+
+  test("profile_sequence_gaps matches a driver brute-force recompute") {
+    val ids = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id").distinct().collect().map(_.getLong(0))
+    val arrived = ids.filter(k => h32(s"gap:$k") % 20 != 0).sorted
+    val gaps = arrived.sliding(2)
+      .collect { case Array(a, b) if b - a > 1 => (a, b, b - a - 1) }
+      .toSeq
+    val want = gaps.sortBy { case (a, _, m) => (-m, a) }.take(20)
+    val got = SparkEntry.queries("profile_sequence_gaps")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "gap list drift vs brute force")
+    assert(got.nonEmpty && got.forall { case (a, b, m) => b - a - 1 == m },
+      "inconsistent gap arithmetic")
+  }
+
+  test("graph_modularity: both edge arms live, Q in range") {
+    val r = SparkEntry.queries("graph_modularity")(spark, sf).collect().head
+    val (m2, eIn, nComm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val q = r.getDouble(3)
+    assert(eIn > 0, "intra-community arm dead (the sync-LPA failure mode)")
+    assert(eIn <= m2 && nComm >= 1)
+    assert(q >= -0.5 && q <= 1.0, s"modularity out of range: $q")
+  }
+
+  test("dedup_capture_recapture: Chapman estimator invariants") {
+    val r = SparkEntry.queries("dedup_capture_recapture")(spark, sf)
+      .collect().head
+    val (n1, n2, m, est) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (c1, c2) = (r.getLong(4), r.getLong(5))
+    assert(m > 0, "detector overlap arm dead")
+    assert(m <= math.min(n1, n2))
+    assert(est >= math.max(n1, n2), "estimate below an observed capture")
+    assert(est == (n1 + 1) * (n2 + 1) / (m + 1) - 1, "Chapman drift")
+    assert(c1 == 1000000L * n1 / math.max(est, 1))
+    assert(c2 == 1000000L * n2 / math.max(est, 1))
+    assert(c1 <= 1000000L && c2 <= 1000000L)
+  }
+
+  test("pipeline_retention_sweep: hold and delete arms both live") {
+    val rows = SparkEntry.queries("pipeline_retention_sweep")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val (pn, pe, ph, pd) = rows("purchase")
+    assert(ph == pe && pd == 0, "legal hold must exempt purchase rows")
+    assert(pe > 0 && pe < pn, "expired/retained arms must both be live")
+    rows.filterNot(_._1 == "purchase").values.foreach {
+      case (n, e, h, d) =>
+        assert(h == 0 && d == e && d > 0 && e < n,
+          "non-held sources must delete exactly their expired rows")
+    }
+  }
+
+  test("text_burstiness: peer-relative flag keeps both arms live") {
+    val rows = SparkEntry.queries("text_burstiness")(spark, sf).collect()
+    assert(rows.length == 20)
+    val flags = rows.map(_.getBoolean(4)).toSet
+    assert(flags == Set(true, false),
+      "peer-mean cut must separate the top-20 unless all VMRs tie")
+    // Sorted by vmr desc: the trues are a prefix.
+    val vs = rows.map(_.getLong(3))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("agg_power_mde: positive spreads and a sane feasibility gate") {
+    val rows = SparkEntry.queries("agg_power_mde")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sd, mde, rel) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(sd > 0 && mde > 0 && rel > 0)
+      assert(r.getBoolean(6) == (rel <= 0.02), "gate must compare rx'd rel")
+    }
+  }
+}
