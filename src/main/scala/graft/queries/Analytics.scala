@@ -693,7 +693,15 @@ object Analytics {
           val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
           sym.join(deg, "src")
         }
-        val la = graft.pipeline.Staged.disk(s, dir, "lpa_semisync3") {
+        // diskKeyed, not disk: each semi-sync round references the
+        // previous labels TWICE (kept side + update join), so without
+        // eager truncation the chain doubles per round — 8x by round 3
+        // (the bfs double-execution gotcha; benched 7.4 s vs ~1 s).
+        // Per-round localCheckpoint makes the result plan a LogicalRDD
+        // whose hash is not JVM-stable, hence the declarative edge
+        // seed as the cross-JVM artifact key.
+        val la = graft.pipeline.Staged.diskKeyed(s, dir, "lpa_semisync3")(
+          ew.select(col("src"), col("dst"))) {
           val ewd = graft.pipeline.Staged(s, dir, "lpa_edges_bydst") {
             ew.select(col("src"), col("dst"))
               .repartition(col("dst")).sortWithinPartitions("dst")
@@ -713,7 +721,7 @@ object Analytics {
               .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
               .select(col("node_id"), (-col("m.neg")).as("lbl"))
             labels = labels.filter(if (updSupp) !supp else supp)
-              .unionByName(upd)
+              .unionByName(upd).localCheckpoint(true)
           }
           labels
         }
@@ -782,6 +790,87 @@ object Analytics {
                 (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))""",
               6)} AS modularity
           FROM intra, sums"""
+      })),
+
+    QDef("graph_hashed_walks",
+      // Deterministic random-walk sampling — the node2vec/DeepWalk
+      // positive-pair generator reduced to its distributed core: a
+      // batch of 3-step walks over the part<->supplier graph, where
+      // each step's neighbor choice is a HASH-ARGMIN (min md5 over
+      // (walk, step, neighbor)) instead of an RNG draw — pseudo-
+      // uniform, coordination-free, and exactly replayable by any
+      // engine (the md5 trick that makes sampled pipelines
+      // oracle-checkable). Walk starts are a deterministic 1-in-10
+      // md5 sample of the part side — production walk batches are
+      // budgeted per epoch anyway, and the sample bounds the step
+      // join at Σ deg(frontier) instead of full-graph fan-out. Each
+      // step = one equi join on the staged edge set + one argmin
+      // aggregate; the frontier is eagerly checkpointed per step
+      // because the step chain AND the final visit union both
+      // reference it (the bfs double-execution rule). Output: the
+      // visit-frequency table (top-20) — the sampling distribution a
+      // downstream embedding trainer consumes.
+      (s, dir) => {
+        val ew = graft.pipeline.Staged(s, dir, "pagerank_edges") {
+          val po = t(s, dir, "lineitem")
+            .select(col("l_partkey").as("src"),
+              (col("l_suppkey") + 1000000L).as("dst"))
+            .distinct()
+          val sym = po.union(po.select(col("dst").as("src"), col("src").as("dst")))
+          val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+          sym.join(deg, "src")
+        }
+        val edges = ew.select(col("src"), col("dst"))
+        var cur = edges.filter(col("src") < 1000000L)
+          .select(col("src").as("walk")).distinct()
+          .filter(pmod(graft.functions.Text.md5Hash32(concat(lit("wstart:"),
+            col("walk").cast("string"))), lit(10L)) === 0)
+          .withColumn("cur", col("walk"))
+        val visits = (1 to 3).map { r =>
+          cur = cur.join(edges, col("cur") === col("src"))
+            .select(col("walk"), col("dst"),
+              graft.functions.Text.md5Hash32(concat(lit("wk:"),
+                col("walk").cast("string"), lit(s":$r:"),
+                col("dst").cast("string"))).as("h"))
+            .groupBy("walk")
+            .agg(min(struct(col("h"), col("dst"))).as("m"))
+            .select(col("walk"), col("m.dst").as("cur"))
+            .localCheckpoint(true)
+          cur.select(col("cur").as("node"))
+        }
+        visits.reduce(_ unionByName _)
+          .groupBy("node").agg(count(lit(1)).as("n_visits"))
+          .orderBy(col("n_visits").desc, col("node"))
+          .limit(20)
+      },
+      Some({
+        val steps = (1 to 3).map { r =>
+          s"""s$r AS (
+              SELECT walk, cur FROM (
+                SELECT p.walk, e.dst AS cur,
+                       row_number() OVER (PARTITION BY p.walk ORDER BY
+                         CAST(('0x' || substr(md5('wk:' || CAST(p.walk AS VARCHAR) ||
+                           ':$r:' || CAST(e.dst AS VARCHAR)), 1, 8)) AS BIGINT),
+                         e.dst) AS rk
+                FROM s${r - 1} p JOIN e ON e.src = p.cur)
+              WHERE rk = 1)"""
+        }.mkString(",\n")
+        s"""WITH e0 AS (
+            SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+            FROM lineitem),
+          e AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          s0 AS (
+            SELECT walk, walk AS cur FROM (
+              SELECT DISTINCT src AS walk FROM e WHERE src < 1000000)
+            WHERE CAST(('0x' || substr(md5('wstart:' || CAST(walk AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10 = 0),
+          $steps,
+          v AS (SELECT cur AS node FROM s1
+                UNION ALL SELECT cur FROM s2
+                UNION ALL SELECT cur FROM s3)
+          SELECT node, CAST(count(*) AS BIGINT) AS n_visits
+          FROM v GROUP BY 1 ORDER BY n_visits DESC, node LIMIT 20"""
       })),
 
     QDef("graph_bfs_distance",

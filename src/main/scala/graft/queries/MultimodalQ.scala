@@ -334,6 +334,90 @@ object MultimodalQ {
         FROM g GROUP BY media_id, kind, grp
         ORDER BY media_id, seg_start""")),
 
+    QDef("multimodal_snr_profile",
+      // Per-media signal-level profile — the audio-curation gate that
+      // runs BEFORE any model sees a clip (too-flat = silence/DC
+      // offset, extreme crest = clipping or impulse noise): overall
+      // RMS, loudest/quietest frame RMS, crest factor (peak/overall)
+      // and a noise-floor ratio (peak/floor — the log-free SNR proxy:
+      // dB would be 20·log10 of it, but log10 is not cross-engine
+      // stable, and gating thresholds compare ratios just as well).
+      // Exactness: per-frame sum((b-128)²) is the same native int64
+      // kernel the VAD uses (PcmEnergyExpr); overall RMS comes from
+      // the exact integer TOTALS (√(Σsumsq/Σbytes)) — never a mean of
+      // per-frame doubles, whose fold order differs across engines;
+      // peak/floor are min/max picks of bit-identical doubles; the two
+      // ratios are single IEEE divisions, rx(4). The floor=0 guard
+      // (NULL, not a crash) covers an all-midpoint frame — impossible
+      // for this corpus's byte distribution but free to guard. Linear
+      // in payload bytes, one map-side aggregate, no window at all.
+      (s, dir) => {
+        val m = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+        val fr = m
+          .select(col("media_id"), col("kind"),
+            length(col("payload")).cast("long").as("plen"),
+            posexplode(graft.functions.PcmEnergyExpr
+              .frameEnergies(col("payload"), lit(32))).as(Seq("fno", "sumsq")))
+          .withColumn("nb",
+            least(lit(32L), col("plen") - col("fno").cast("long") * 32))
+          .withColumn("energy",
+            sqrt(col("sumsq").cast("double") / col("nb").cast("double")))
+        val agg = fr.groupBy("media_id", "kind")
+          .agg(count(lit(1)).as("n_frames"),
+            sum("sumsq").as("tss"), sum("nb").as("tnb"),
+            max("energy").as("peak"), min("energy").as("floor"))
+        val overall = sqrt(col("tss").cast("double") / col("tnb").cast("double"))
+        agg.select(col("media_id"), col("kind"), col("n_frames"),
+            rx(overall, 4).as("rms_overall"),
+            rx(col("peak"), 4).as("rms_peak"),
+            rx(col("floor"), 4).as("rms_floor"),
+            rx(col("peak") / overall, 4).as("crest"),
+            when(col("floor") === 0.0, lit(null).cast("double"))
+              .otherwise(rx(col("peak") / col("floor"), 4)).as("snr_proxy"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN lang = 'zh' THEN 'audio' ELSE 'image' END AS kind,
+                 hex(encode(text)) AS hx
+          FROM documents),
+        f AS (
+          SELECT media_id, kind, hx,
+                 unnest(range(greatest(1, CAST(ceil(length(hx) / 64.0) AS BIGINT)))) AS fno
+          FROM m),
+        e AS (
+          SELECT media_id, kind, CAST(fno AS BIGINT) AS fno,
+                 substring(hx, CAST(fno * 64 + 1 AS INT), 64) AS fhx
+          FROM f),
+        e2 AS (
+          SELECT media_id, kind, fno, fhx,
+                 CAST(length(fhx) // 2 AS BIGINT) AS nb
+          FROM e WHERE length(fhx) >= 2),
+        e3 AS (
+          SELECT media_id, kind, fno, nb,
+                 CAST(list_sum(list_transform(range(nb), i ->
+                   (CAST(('0x' || substring(fhx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT) - 128) *
+                   (CAST(('0x' || substring(fhx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT) - 128)))
+                   AS BIGINT) AS sumsq
+          FROM e2),
+        agg AS (
+          SELECT media_id, kind, CAST(count(*) AS BIGINT) AS n_frames,
+                 CAST(sum(sumsq) AS BIGINT) AS tss,
+                 CAST(sum(nb) AS BIGINT) AS tnb,
+                 max(sqrt(CAST(sumsq AS DOUBLE) / CAST(nb AS DOUBLE))) AS peak,
+                 min(sqrt(CAST(sumsq AS DOUBLE) / CAST(nb AS DOUBLE))) AS floor_
+          FROM e3 GROUP BY 1, 2)
+        SELECT media_id, kind, n_frames,
+          ${rxSql("sqrt(CAST(tss AS DOUBLE) / CAST(tnb AS DOUBLE))", 4)}
+            AS rms_overall,
+          ${rxSql("peak", 4)} AS rms_peak,
+          ${rxSql("floor_", 4)} AS rms_floor,
+          ${rxSql("peak / sqrt(CAST(tss AS DOUBLE) / CAST(tnb AS DOUBLE))", 4)}
+            AS crest,
+          CASE WHEN floor_ = 0 THEN NULL
+            ELSE ${rxSql("peak / floor_", 4)} END AS snr_proxy
+        FROM agg ORDER BY media_id""")),
+
     QDef("multimodal_aspect_bucket",
       // Aspect-ratio bucketing — the batch-shaping operator image/video
       // training pipelines (SDXL-style) run so each batch holds

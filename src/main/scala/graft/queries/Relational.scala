@@ -1167,6 +1167,63 @@ object Relational {
         ORDER BY r.rule_id"""),
     ),
 
+    QDef("join_star_schema",
+      // The canonical star-schema rollup — ONE fact scan through a
+      // chain of four broadcast hash joins (part, supplier,
+      // supplier→nation→region snowflake) into one aggregate: the plan
+      // every BI/metrics layer compiles to, and the shape that proves
+      // the dims stay OFF the shuffle path — at 100 TB the fact table
+      // streams through a single stage (broadcasts + partial agg
+      // fused into one whole-stage-codegen pipeline), and the only
+      // exchange is the 30-row final aggregate. PlanShapeSpec pins the
+      // physical plan: four BroadcastHashJoins, zero shuffles before
+      // the aggregate. Revenue is exact end-to-end: price and discount
+      // lift onto the cent/percent integer grid per row, the product
+      // is int64, and the group sum rides DECIMAL(38,0) ≙ HUGEINT
+      // (a 100 TB group's cent² mass passes int64); the only doubles
+      // are the final /10⁴ presentation divisions.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+              .as("rev_c2"))
+        li.join(broadcast(t(s, dir, "part")
+              .select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, dir, "supplier")
+              .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")
+              .select(col("n_nationkey"), col("n_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")
+              .select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region"), col("p_type"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("rev_c2").cast("decimal(38,0)")).as("rc2"))
+          .select(col("region"), col("p_type"), col("n_items"),
+            rx(col("rc2").cast("double") / 10000.0, 2).as("revenue"))
+          .orderBy("region", "p_type")
+      },
+      Some(s"""WITH li AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+                   (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                   AS rev_c2
+          FROM lineitem)
+        SELECT r_name AS region, p_type,
+               CAST(count(*) AS BIGINT) AS n_items,
+               ${rxSql("CAST(sum(CAST(rev_c2 AS HUGEINT)) AS DOUBLE) / 10000.0",
+                 2)} AS revenue
+        FROM li
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2 ORDER BY region, p_type""")),
+
     QDef("join_asof",
       (s, dir) => {
         // As-of join (the family the reference's key-lookups never

@@ -945,6 +945,84 @@ object Similarity {
         GROUP BY ex.q_id
         ORDER BY ex.q_id""")),
 
+    QDef("sim_recall_curve",
+      // Recall@k CURVE (k = 1, 3, 5, 10) of the IVF probe vs exact
+      // brute force — the table that picks the serving depth: recall@1
+      // says whether the index can answer "the" nearest neighbor,
+      // recall@10 whether it feeds a rescoring stage; the knee between
+      // them is where nprobe spend stops paying. Same staged IVF
+      // assignment and the same bounded query slice as
+      // sim_ann_ivf_recall, but BOTH rankings kept to depth 10 and
+      // evaluated at every k in one pass: candidates join on the pair
+      // key once, the k sweep is a 4-element explode over that joined
+      // (≤ 10·|Q| row) table — never a per-k recompute. Mean recall =
+      // total hits / (k·|Q|), one single IEEE division, rx(6); ranks
+      // are over rx-rounded cosines with vec_id tie-breaks, so depth
+      // cuts agree cross-engine.
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val q = e.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val exact = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
+          .withColumn("rank_e", row_number().over(w))
+          .filter(col("rank_e") <= 10)
+          .select("q_id", "vec_id", "rank_e")
+        val assigned = ivfAssigned(s, dir)
+        val lists = assigned.filter(col("crk") === 1)
+          .select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
+        val probes = assigned.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"), col("c_id"))
+        val ivf = probes.join(lists, Seq("c_id"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
+          .distinct()
+          .withColumn("rank_i", row_number().over(w))
+          .filter(col("rank_i") <= 10)
+          .select("q_id", "vec_id", "rank_i")
+        exact.join(ivf, Seq("q_id", "vec_id"), "left")
+          .select(col("rank_e"), col("rank_i"),
+            explode(array(lit(1L), lit(3L), lit(5L), lit(10L))).as("k"))
+          .filter(col("rank_e") <= col("k"))
+          .groupBy("k")
+          .agg(sum(when(col("rank_i").isNotNull &&
+            col("rank_i") <= col("k"), 1L).otherwise(0L)).as("n_hits"))
+          .select(col("k"), col("n_hits"),
+            rx(col("n_hits").cast("double") /
+              (col("k") * QueryVecs).cast("double"), 6).as("recall"))
+          .orderBy("k")
+      },
+      Some(s"""WITH $ivfTopSqlCtes,
+        ivf AS (SELECT q_id, vec_id, rank AS rank_i FROM rk WHERE rank <= 10),
+        ex_pairs AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 ${rxSql(cosSql("q", "e"), 6)} AS cos
+          FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+          WHERE q.vec_id < $QueryVecs),
+        ex AS (SELECT q_id, vec_id, rank_e FROM (
+                 SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, vec_id) AS rank_e
+                 FROM ex_pairs) WHERE rank_e <= 10),
+        j AS (SELECT ex.q_id, ex.rank_e, i.rank_i
+              FROM ex LEFT JOIN ivf i
+                ON ex.q_id = i.q_id AND ex.vec_id = i.vec_id),
+        ks AS (SELECT CAST(unnest([1, 3, 5, 10]) AS BIGINT) AS k),
+        h AS (SELECT k,
+                CAST(sum(CASE WHEN rank_i IS NOT NULL AND rank_i <= k
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+              FROM j CROSS JOIN ks WHERE rank_e <= k GROUP BY k)
+        SELECT k, n_hits,
+          ${rxSql(s"CAST(n_hits AS DOUBLE) / CAST(k * $QueryVecs AS DOUBLE)", 6)}
+            AS recall
+        FROM h ORDER BY k""")),
+
     QDef("dedup_semantic_cluster",
       // Semantic dedup at corpus scale: the trained IVF quantizer
       // doubles as a coarse semantic clusterer — every vector joins its

@@ -13,6 +13,22 @@ class PlanShapeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("join_star_schema: four broadcast joins, no shuffle before the agg") {
+    val df = SparkEntry.queries("join_star_schema")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
+    val bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(bhj == 4, s"expected all 4 dim joins broadcast, got $bhj")
+    // The only exchanges allowed: the broadcasts themselves and the
+    // final 30-row aggregate/sort — never a fact-side shuffle join.
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "a dim join degraded to a sort-merge join")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "a dim join degraded to a shuffled hash join")
+  }
+
   test("sim_ann_pq scores codes against a BROADCAST lookup table") {
     val df = SparkEntry.queries("sim_ann_pq")(spark, sf)
     assert(df.collect().nonEmpty)
