@@ -56,6 +56,9 @@ object Health {
     */
   private val ZSum: Double = 1.959963984540054 + 0.8416212335729143
 
+  /** z(0.975) for agg_ratio_delta_method's CI half-width. */
+  private val Z975: Double = 1.959963984540054
+
   val all: Seq[QDef] = Seq(
 
     QDef("profile_data_drift",
@@ -734,6 +737,90 @@ object Health {
           ${rxSql("mde / mean", 6)} AS mde_rel,
           ${rxSql("mde / mean", 6)} <= 0.02 AS feasible_2pct
         FROM k ORDER BY event_type""")),
+
+    QDef("agg_ratio_delta_method",
+      // Delta-method standard error for a RATIO metric (clicks per
+      // view, per assignment cohort) — the estimator every experiment
+      // platform needs the moment its metric is a ratio of two
+      // per-user quantities: user-level CTR is NOT iid row-level CTR
+      // (users contribute correlated numerators and denominators), so
+      // naive binomial SEs are wrong and the delta method's
+      // Var(R̂) = (Vx − 2R·Cxy + R²·Vy)/(n·μy²) is the standard fix
+      // (completing the experimentation shelf: SRM → CUPED → MDE →
+      // ratio SEs). One conditional per-user aggregate + one
+      // cohort-level moment rollup, both map-side combined — two
+      // shuffles total, each bounded by users then cohorts. All six
+      // sufficient sums are exact int64 (per-user event counts; at
+      // 10¹⁰ users the squares still sit under 2⁶³ — the welch bound
+      // note applies past that); the μy²-denominated form avoids
+      // dividing by μx (a zero-click cohort stays finite), and the
+      // variance is clamped at 0 before the sqrt (a |ρ|≈1 rounding
+      // artifact must yield se = 0, not NaN — identically in both
+      // engines). R, SE, and the z-CI are one fixed IEEE tree, rx(6).
+      (s, dir) => {
+        val pu = t(s, dir, "events")
+          .groupBy(pmod(col("user_id"), lit(5L)).as("cohort"), col("user_id"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("y"))
+        val st = pu.groupBy("cohort").agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        def d(c: String) = col(c).cast("double")
+        val nd = d("n")
+        val vx = (nd * d("sxx") - d("sx") * d("sx")) / (nd * (nd - 1.0))
+        val vy = (nd * d("syy") - d("sy") * d("sy")) / (nd * (nd - 1.0))
+        val cxy = (nd * d("sxy") - d("sx") * d("sy")) / (nd * (nd - 1.0))
+        val r = d("sx") / d("sy")
+        val muY = d("sy") / nd
+        val se = sqrt(
+          greatest(vx - lit(2.0) * r * cxy + r * r * vy, lit(0.0)) /
+            (nd * muY * muY))
+        st.select(col("cohort"), col("n").as("n_users"),
+            col("sx").as("clicks"), col("sy").as("views"),
+            rx(r, 6).as("ratio"), rx(se, 6).as("se"),
+            rx(r - lit(Z975) * se, 6).as("ci_lo"),
+            rx(r + lit(Z975) * se, 6).as("ci_hi"))
+          .orderBy("cohort")
+      },
+      Some(s"""WITH pu AS (
+          SELECT user_id % 5 AS cohort, user_id,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM pu GROUP BY 1),
+        m AS (
+          SELECT cohort, n, sx, sy,
+            (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
+              (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vx,
+            (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) /
+              (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vy,
+            (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+              (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cxy,
+            CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+            CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS muy
+          FROM st),
+        k AS (
+          SELECT cohort, n, sx, sy, r,
+            sqrt(greatest(vx - 2.0 * r * cxy + r * r * vy, 0.0) /
+              (CAST(n AS DOUBLE) * muy * muy)) AS se
+          FROM m)
+        SELECT cohort, n AS n_users, sx AS clicks, sy AS views,
+          ${rxSql("r", 6)} AS ratio, ${rxSql("se", 6)} AS se,
+          ${rxSql(s"r - $Z975 * se", 6)} AS ci_lo,
+          ${rxSql(s"r + $Z975 * se", 6)} AS ci_hi
+        FROM k ORDER BY cohort""")),
 
     QDef("profile_sequence_gaps",
       // Sequence-gap detection over an id stream — the ingest monitor

@@ -1023,6 +1023,121 @@ object Similarity {
             AS recall
         FROM h ORDER BY k""")),
 
+    QDef("sim_diversity_mmr",
+      // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein)
+      // — the serving-side diversity pass between retrieval and the
+      // consumer: from each query's top-10 exact candidates, greedily
+      // pick 5 maximizing rel − λ·max-sim-to-already-picked (λ = 0.5)
+      // so near-duplicate neighbors don't crowd the result page — the
+      // retrieval-time mirror of what the dedup family does at
+      // training time. Scale shape: MMR's sequential greedy is
+      // inherently per-query, so the corpus-wide work is ONLY the
+      // candidate generation (the same broadcast top-k pass the
+      // similarity family shares); the 4 greedy rounds run on
+      // BOUNDED per-query tables (≤10 candidates, ≤10·9 pairwise
+      // sims), each round one anti join + one max-sim aggregate +
+      // one per-query argmax window — at 100 TB, rounds cost
+      // O(queries), never O(corpus). Determinism: rel and pairwise
+      // sims are rx(6) (bit-identical), the score rel − 0.5·msim is
+      // two IEEE ops on identical doubles, ranks tie-break on vec_id;
+      // candidates and sims are eagerly checkpointed once (every
+      // round references both — the double-execution rule), and the
+      // growing pick set re-checkpoints per round.
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val q = e.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
+        val wRel = Window.partitionBy("q_id")
+          .orderBy(col("rel").desc, col("vec_id").asc)
+        val cand = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6)
+              .as("rel"),
+            col("v"), col("nrm"))
+          .withColumn("rk", row_number().over(wRel))
+          .filter(col("rk") <= 10)
+          .select("q_id", "vec_id", "rel", "v", "nrm")
+          .localCheckpoint(true)
+        val sims = cand.as("a").join(cand.as("b"),
+            col("a.q_id") === col("b.q_id") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.q_id").as("q_id"), col("a.vec_id").as("ca"),
+            col("b.vec_id").as("cb"),
+            rx(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6)
+              .as("sim"))
+          .localCheckpoint(true)
+        val candSlim = cand.select("q_id", "vec_id", "rel")
+        var all = candSlim.withColumn("rk", row_number().over(wRel))
+          .filter(col("rk") === 1)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("pick"))
+          .localCheckpoint(true)
+        for (r <- 2 to 5) {
+          val maxsim = sims
+            .join(all.select(col("q_id"), col("vec_id").as("cb")),
+              Seq("q_id", "cb"))
+            .groupBy(col("q_id"), col("ca").as("vec_id"))
+            .agg(max("sim").as("msim"))
+          val wS = Window.partitionBy("q_id")
+            .orderBy(col("score").desc, col("vec_id").asc)
+          val pick = candSlim
+            .join(all.select("q_id", "vec_id"), Seq("q_id", "vec_id"),
+              "left_anti")
+            .join(maxsim, Seq("q_id", "vec_id"))
+            .withColumn("score", col("rel") - lit(0.5) * col("msim"))
+            .withColumn("rk", row_number().over(wS))
+            .filter(col("rk") === 1)
+            .select(col("q_id"), col("vec_id"), lit(r.toLong).as("pick"))
+          all = all.unionByName(pick).localCheckpoint(true)
+        }
+        all.orderBy("q_id", "pick")
+      },
+      Some({
+        val rounds = (2 to 5).map { r =>
+          s"""s$r AS (
+              SELECT q_id, vec_id, $r AS pick FROM (
+                SELECT c.q_id, c.vec_id,
+                       row_number() OVER (PARTITION BY c.q_id
+                         ORDER BY c.rel - 0.5 * ms.msim DESC, c.vec_id) AS rk
+                FROM cand c
+                JOIN (SELECT s.q_id, s.ca AS vec_id, max(s.sim) AS msim
+                      FROM sims s JOIN a${r - 1} al
+                        ON al.q_id = s.q_id AND al.vec_id = s.cb
+                      GROUP BY 1, 2) ms
+                  ON ms.q_id = c.q_id AND ms.vec_id = c.vec_id
+                LEFT JOIN a${r - 1} sel
+                  ON sel.q_id = c.q_id AND sel.vec_id = c.vec_id
+                WHERE sel.vec_id IS NULL)
+              WHERE rk = 1),
+            a$r AS (SELECT * FROM a${r - 1} UNION ALL SELECT * FROM s$r)"""
+        }.mkString(",\n")
+        s"""WITH cand0 AS (
+            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                   ${rxSql(cosSql("q", "e"), 6)} AS rel
+            FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+            WHERE q.vec_id < $QueryVecs),
+          cand AS (SELECT q_id, vec_id, rel FROM (
+                     SELECT q_id, vec_id, rel,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY rel DESC, vec_id) AS rk
+                     FROM cand0) WHERE rk <= 10),
+          sims AS (
+            SELECT ca.q_id, ca.vec_id AS ca, cb.vec_id AS cb,
+                   ${rxSql(cosSql("x", "y"), 6)} AS sim
+            FROM cand ca JOIN cand cb
+              ON ca.q_id = cb.q_id AND ca.vec_id <> cb.vec_id
+            JOIN embeddings x ON x.vec_id = ca.vec_id
+            JOIN embeddings y ON y.vec_id = cb.vec_id),
+          a1 AS (SELECT q_id, vec_id, 1 AS pick FROM (
+                   SELECT q_id, vec_id,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY rel DESC, vec_id) AS rk
+                   FROM cand) WHERE rk = 1),
+          $rounds
+          SELECT q_id, vec_id, CAST(pick AS BIGINT) AS pick
+          FROM a5 ORDER BY q_id, pick"""
+      })),
+
     QDef("dedup_semantic_cluster",
       // Semantic dedup at corpus scale: the trained IVF quantizer
       // doubles as a coarse semantic clusterer — every vector joins its

@@ -124,6 +124,83 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(vs.zip(vs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("agg_ratio_delta_method matches a driver brute-force recompute") {
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def rx6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val z = 1.959963984540054
+    val want = evs.groupBy(_._1).toSeq
+      .map { case (u, es) =>
+        (u % 5, es.count(_._2 == "click").toLong, es.count(_._2 == "view").toLong)
+      }
+      .groupBy(_._1).map { case (cohort, us) =>
+        val n = us.size.toDouble
+        val (sx, sy) = (us.map(_._2).sum, us.map(_._3).sum)
+        val sxx = us.map(t => t._2 * t._2).sum
+        val syy = us.map(t => t._3 * t._3).sum
+        val sxy = us.map(t => t._2 * t._3).sum
+        val vx = (n * sxx - sx.toDouble * sx) / (n * (n - 1.0))
+        val vy = (n * syy - sy.toDouble * sy) / (n * (n - 1.0))
+        val cxy = (n * sxy - sx.toDouble * sy) / (n * (n - 1.0))
+        val r = sx.toDouble / sy.toDouble
+        val muY = sy.toDouble / n
+        val se = math.sqrt(
+          math.max(vx - 2.0 * r * cxy + r * r * vy, 0.0) / (n * muY * muY))
+        cohort -> ((us.size.toLong, sx, sy, rx6(r), rx6(se),
+          rx6(r - z * se), rx6(r + z * se)))
+      }
+    val got = SparkEntry.queries("agg_ratio_delta_method")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(got == want, "delta-method drift vs brute force")
+  }
+
+  test("sim_diversity_mmr: 5 distinct picks per query, pick-1 is the rel argmax") {
+    val rows = SparkEntry.queries("sim_diversity_mmr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    byQ.values.foreach { ps =>
+      assert(ps.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(ps.map(_._2).distinct.length == 5, "a candidate picked twice")
+    }
+    // Pick 1 must agree with the plain cosine top-1 (MMR round 1 is
+    // pure relevance — the diversity penalty only starts at pick 2).
+    // sim_cosine_topk columns: (q_id, rank, vec_id, cos)
+    val top1 = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    byQ.foreach { case (q, ps) =>
+      assert(ps.find(_._3 == 1L).get._2 == top1(q),
+        s"query $q: MMR pick 1 differs from the relevance argmax")
+    }
+  }
+
+  test("multimodal_snr_profile: floor <= overall <= peak, crest >= 1") {
+    val rows = SparkEntry.queries("multimodal_snr_profile")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ov, pk, fl, crest) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(fl <= ov + 1e-4 && ov <= pk + 1e-4,
+        s"RMS ordering violated: floor=$fl overall=$ov peak=$pk")
+      assert(crest >= 1.0 - 1e-4, s"crest < 1: $crest")
+    }
+  }
+
+  test("sim_recall_curve: 4 depths, recalls in (0, 1]") {
+    val rows = SparkEntry.queries("sim_recall_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 3L, 5L, 10L))
+    rows.foreach { case (k, hits, rec) =>
+      assert(rec > 0.0 && rec <= 1.0 && hits <= k * 10,
+        s"recall@$k out of range: $rec ($hits hits)")
+    }
+  }
+
   test("agg_power_mde: positive spreads and a sane feasibility gate") {
     val rows = SparkEntry.queries("agg_power_mde")(spark, sf).collect()
     assert(rows.nonEmpty)
