@@ -97,17 +97,30 @@ object Analytics {
     * multi-reference use. See graph_label_propagation's Scaladoc for
     * the fixed-sync-rounds rationale.
     */
+  /** The symmetric part<->supplier edge set with out-degrees — the
+    * substrate the whole graph family (pagerank, BFS, LPA, modularity,
+    * walks) shares. Part ids < 1e6 and supplier ids ≥ 1e6 are
+    * disjoint, so the reversed edge set is disjoint from the forward
+    * one and the union needs no second distinct. DISK-staged: the
+    * build (distinct over the fact table + a degree join) was rebuilt
+    * per JVM as an in-memory stage, taxing whichever graph query ran
+    * first in every fresh Verify/Bench process; the parquet read-back
+    * makes it a one-time cost per (sf, generation).
+    */
+  private def pagerankEdges(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged.disk(s, dir, "pagerank_edges") {
+      val po = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      val sym = po.union(po.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      sym.join(deg, "src")
+    }
+
   private def lpaLabels3(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Staged.disk(s, dir, "lpa_labels3") {
-      val ew = graft.pipeline.Staged(s, dir, "pagerank_edges") {
-        val po = t(s, dir, "lineitem")
-          .select(col("l_partkey").as("src"),
-            (col("l_suppkey") + 1000000L).as("dst"))
-          .distinct()
-        val sym = po.union(po.select(col("dst").as("src"), col("src").as("dst")))
-        val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-        sym.join(deg, "src")
-      }
+      val ew = pagerankEdges(s, dir)
       val ewd = graft.pipeline.Staged(s, dir, "lpa_edges_bydst") {
         ew.select(col("src"), col("dst"))
           .repartition(col("dst")).sortWithinPartitions("dst")
@@ -565,18 +578,7 @@ object Analytics {
       // and reused by every round. Three rounds here; the round count
       // is the only thing that changes at scale.
       (s, dir) => {
-        val ew = graft.pipeline.Staged(s, dir, "pagerank_edges") {
-          val po = t(s, dir, "lineitem")
-            .select(col("l_partkey").as("src"),
-              (col("l_suppkey") + 1000000L).as("dst"))
-            .distinct()
-          // Part ids < 1e6 and supplier ids > 1e6 are disjoint, so the
-          // reversed edge set is disjoint from the forward one and the
-          // union needs no second distinct.
-          val sym = po.union(po.select(col("dst").as("src"), col("src").as("dst")))
-          val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-          sym.join(deg, "src")
-        }
+        val ew = pagerankEdges(s, dir)
         val nodes = ew.select(col("src").as("node_id")).distinct()
         var ranks = nodes.withColumn("pr", lit(1000000L))
         for (_ <- 1 to 3) {
@@ -684,15 +686,7 @@ object Analytics {
       // double·double since int64 overflows at 10¹⁰ edges), rx(6).
       // The 3 semi-sync rounds are disk-staged like lpaLabels3.
       (s, dir) => {
-        val ew = graft.pipeline.Staged(s, dir, "pagerank_edges") {
-          val po = t(s, dir, "lineitem")
-            .select(col("l_partkey").as("src"),
-              (col("l_suppkey") + 1000000L).as("dst"))
-            .distinct()
-          val sym = po.union(po.select(col("dst").as("src"), col("src").as("dst")))
-          val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-          sym.join(deg, "src")
-        }
+        val ew = pagerankEdges(s, dir)
         // diskKeyed, not disk: each semi-sync round references the
         // previous labels TWICE (kept side + update join), so without
         // eager truncation the chain doubles per round — 8x by round 3
@@ -811,15 +805,7 @@ object Analytics {
       // visit-frequency table (top-20) — the sampling distribution a
       // downstream embedding trainer consumes.
       (s, dir) => {
-        val ew = graft.pipeline.Staged(s, dir, "pagerank_edges") {
-          val po = t(s, dir, "lineitem")
-            .select(col("l_partkey").as("src"),
-              (col("l_suppkey") + 1000000L).as("dst"))
-            .distinct()
-          val sym = po.union(po.select(col("dst").as("src"), col("src").as("dst")))
-          val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-          sym.join(deg, "src")
-        }
+        val ew = pagerankEdges(s, dir)
         val edges = ew.select(col("src"), col("dst"))
         var cur = edges.filter(col("src") < 1000000L)
           .select(col("src").as("walk")).distinct()
@@ -885,15 +871,7 @@ object Analytics {
       // from newly-settled nodes instead of the full dist set) change —
       // the full-set relax here keeps the oracle a literal unroll.
       (s, dir) => {
-        val ew = graft.pipeline.Staged(s, dir, "pagerank_edges") {
-          val po = t(s, dir, "lineitem")
-            .select(col("l_partkey").as("src"),
-              (col("l_suppkey") + 1000000L).as("dst"))
-            .distinct()
-          val sym = po.union(po.select(col("dst").as("src"), col("src").as("dst")))
-          val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-          sym.join(deg, "src")
-        }
+        val ew = pagerankEdges(s, dir)
         var dist = ew.select(col("src").as("node_id")).distinct()
           .filter(col("node_id") < 50)
           .withColumn("dist", lit(0L))

@@ -2801,6 +2801,124 @@ object Health {
         SELECT source, status, count(*) AS n FROM j
         GROUP BY source, status ORDER BY source, status""")),
 
+    QDef("win_downsample_lttb",
+      // Largest-Triangle-Three-Buckets downsampling (Steinarsson) —
+      // what a metrics dashboard runs to draw a 100M-point series with
+      // 20 points while keeping its visual shape (peaks and bends
+      // survive; naive striding erases them): per series, time-range
+      // buckets; each interior bucket keeps the point forming the
+      // LARGEST TRIANGLE with its neighbor buckets; the first/last
+      // buckets keep the series endpoints. This is the parallel
+      // variant — the classic is sequential (each bucket's anchor is
+      // the PREVIOUS bucket's pick), which serializes the scan; using
+      // neighbor-bucket MEANS as anchors (the standard parallel
+      // approximation) makes every bucket independent: two map-side
+      // aggregates + two equi joins + one per-bucket argmax window —
+      // no cross-bucket dependency, no global window. Exactness: the
+      // triangle-area comparison is cleared of divisions by scaling
+      // through np²·nn — |t1 − t2| on DECIMAL(38,0) ≙ HUGEINT products
+      // of rebased-micro×cent integers (≤10²⁷, exact in both) — so the
+      // argmax is bit-identical cross-engine with (x, event_id)
+      // tie-breaks; a bucket with an EMPTY neighbor emits nothing,
+      // identically, via inner neighbor joins.
+      (s, dir) => {
+        val B = 20
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("tu"),
+            floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+        val bounds = ev.groupBy("event_type")
+          .agg(min("tu").as("mn"), max("tu").as("mx"))
+        val pts = ev.join(broadcast(bounds), "event_type")
+          .withColumn("x", col("tu") - col("mn"))
+          .withColumn("b", expr(s"(x * $B) div (mx - mn + 1)"))
+          .select("event_type", "event_id", "x", "yc", "b")
+        val bs = pts.groupBy("event_type", "b")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("yc").as("sy"))
+        val bmax = bs.groupBy("event_type").agg(max("b").as("bmax"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val t1 = (dec(col("sxp")) * col("np2") - dec(col("sxn")) * col("np1")) *
+          (dec(col("yc")) * col("np1") - dec(col("syp")))
+        val t2 = (dec(col("sxp")) - dec(col("x")) * col("np1")) *
+          (dec(col("syn")) * col("np1") - dec(col("syp")) * col("np2"))
+        val wA = Window.partitionBy("event_type", "b")
+          .orderBy(col("area").desc, col("x").asc, col("event_id").asc)
+        val interior = pts
+          .join(bs.select(col("event_type"), (col("b") + 1).as("b"),
+            col("n").as("np1"), col("sx").as("sxp"), col("sy").as("syp")),
+            Seq("event_type", "b"))
+          .join(bs.select(col("event_type"), (col("b") - 1).as("b"),
+            col("n").as("np2"), col("sx").as("sxn"), col("sy").as("syn")),
+            Seq("event_type", "b"))
+          .withColumn("area", abs(t1 - t2))
+          .withColumn("rk", row_number().over(wA))
+          .filter(col("rk") === 1)
+          .select("event_type", "b", "event_id", "x", "yc")
+        val wE = Window.partitionBy("event_type", "b")
+          .orderBy(col("pos").asc, col("event_id").asc)
+        val endpoints = pts.join(broadcast(bmax), "event_type")
+          .filter(col("b") === 0 || col("b") === col("bmax"))
+          .withColumn("pos", when(col("b") === 0, col("x"))
+            .otherwise(-col("x")))
+          .withColumn("rk", row_number().over(wE))
+          .filter(col("rk") === 1)
+          .select("event_type", "b", "event_id", "x", "yc")
+        interior
+          .join(broadcast(bmax), "event_type")
+          .filter(col("b") =!= 0 && col("b") =!= col("bmax"))
+          .select("event_type", "b", "event_id", "x", "yc")
+          .unionByName(endpoints)
+          .select(col("event_type"), col("b"), col("event_id"),
+            col("x").as("x_us"), col("yc").as("y_cents"))
+          .orderBy("event_type", "b")
+      },
+      Some(s"""WITH ev AS (
+          SELECT event_type, event_id,
+                 CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tu,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc
+          FROM events),
+        bounds AS (
+          SELECT event_type, CAST(min(tu) AS BIGINT) AS mn,
+                 CAST(max(tu) AS BIGINT) AS mx
+          FROM ev GROUP BY 1),
+        pts AS (
+          SELECT ev.event_type, event_id, tu - mn AS x, yc,
+                 ((tu - mn) * 20) // (mx - mn + 1) AS b
+          FROM ev JOIN bounds ON ev.event_type = bounds.event_type),
+        bs AS (
+          SELECT event_type, b, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy
+          FROM pts GROUP BY 1, 2),
+        bm AS (SELECT event_type, CAST(max(b) AS BIGINT) AS bmax
+               FROM bs GROUP BY 1),
+        inter AS (
+          SELECT p.event_type, p.b, p.event_id, p.x, p.yc,
+                 row_number() OVER (PARTITION BY p.event_type, p.b ORDER BY
+                   abs((CAST(pb.sx AS HUGEINT) * nb.n
+                          - CAST(nb.sx AS HUGEINT) * pb.n) *
+                       (CAST(p.yc AS HUGEINT) * pb.n - pb.sy)
+                     - (CAST(pb.sx AS HUGEINT) - CAST(p.x AS HUGEINT) * pb.n) *
+                       (CAST(nb.sy AS HUGEINT) * pb.n
+                          - CAST(pb.sy AS HUGEINT) * nb.n)) DESC,
+                   p.x, p.event_id) AS rk
+          FROM pts p
+          JOIN bs pb ON pb.event_type = p.event_type AND pb.b = p.b - 1
+          JOIN bs nb ON nb.event_type = p.event_type AND nb.b = p.b + 1),
+        ends AS (
+          SELECT event_type, b, event_id, x, yc,
+                 row_number() OVER (PARTITION BY event_type, b ORDER BY
+                   CASE WHEN b = 0 THEN x ELSE -x END, event_id) AS rk
+          FROM pts JOIN bm USING (event_type)
+          WHERE b = 0 OR b = bmax)
+        SELECT event_type, b, event_id, x AS x_us, yc AS y_cents
+        FROM (
+          SELECT i.event_type, i.b, i.event_id, i.x, i.yc
+          FROM inter i JOIN bm ON bm.event_type = i.event_type
+          WHERE rk = 1 AND i.b <> 0 AND i.b <> bmax
+          UNION ALL
+          SELECT event_type, b, event_id, x, yc FROM ends WHERE rk = 1)
+        ORDER BY event_type, b""")),
+
     QDef("win_seasonal_baseline",
       // Seasonality-adjusted anomaly detection — win_anomaly_mad's
       // counterpart when the signal has a KNOWN period: each

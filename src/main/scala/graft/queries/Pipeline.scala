@@ -794,6 +794,97 @@ object Pipeline {
                CAST(leftover AS BIGINT) AS leftover
         FROM rows_ ORDER BY table_name""")),
 
+    QDef("pipeline_dsar_export",
+      // Right-of-ACCESS export (DSAR) — the dual of the erasure
+      // cascade: for every requested subject, assemble everything the
+      // warehouse holds about them, including records reachable only
+      // through the FK chain (order keys → lineitem counts — the rows
+      // a naive per-table grep misses), into one bundle row per
+      // subject. The request set is the erasure query's deterministic
+      // key predicate PLUS two literal unknown subjects (-1, -2): a
+      // real DSAR queue routinely names subjects the system never saw,
+      // and the report must answer "no records held" for them — that
+      // arm cannot come from the data (every synthetic customer has
+      // orders), so the request table carries it. Scale shape: the
+      // request set broadcasts into semi-join-shaped probes of each
+      // table; per-subject bundles are bounded by one human's activity
+      // (the collect_list is per-subject, never corpus-wide), and the
+      // lineitem count rides the requested-orders join, not the
+      // corpus.
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+        val reqs = cust.filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("subject"))
+          .union(Seq(-1L, -2L).toDF("subject"))
+        val prof = reqs.join(cust,
+            col("subject") === col("c_custkey"), "left")
+          .select(col("subject"), col("c_name"), col("c_mktsegment"),
+            col("c_custkey").isNotNull.as("known"))
+        val ro = t(s, dir, "orders")
+          .join(broadcast(reqs), col("o_custkey") === col("subject"))
+        val oAgg = ro.groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("n_orders"),
+            sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+            min(to_date(col("o_orderdate"))).as("first_order"),
+            max(to_date(col("o_orderdate"))).as("last_order"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+              .as("spend_cents"))
+        val lAgg = t(s, dir, "lineitem")
+          .join(ro.select(col("o_orderkey").as("lk"), col("o_custkey")),
+            col("l_orderkey") === col("lk"))
+          .groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("n_lineitems"))
+        prof.join(oAgg, col("subject") === oAgg("k"), "left")
+          .join(lAgg, col("subject") === lAgg("k"), "left")
+          .select(col("subject"), col("known"), col("c_name"),
+            col("c_mktsegment"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            // Joined to a string for the gate (the driver's hash
+            // compare is scalar; Health.scala:411 precedent) —
+            // empty/no-orders subjects coalesce to '' on both engines
+            // (DuckDB's array_to_string of an empty list is NULL).
+            coalesce(array_join(col("order_keys"), "|"), lit(""))
+              .as("order_keys"),
+            col("first_order"), col("last_order"),
+            coalesce(col("spend_cents"), lit(0L)).as("spend_cents"),
+            coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"),
+            (col("known") ||
+              coalesce(col("n_orders"), lit(0L)) > 0).as("records_held"))
+          .orderBy("subject")
+      },
+      Some("""WITH reqs AS (
+          SELECT c_custkey AS subject FROM customer WHERE c_custkey % 97 = 0
+          UNION ALL SELECT * FROM (VALUES (-1), (-2))),
+        ro AS (
+          SELECT o.* FROM orders o JOIN reqs ON o_custkey = subject),
+        oa AS (
+          SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders,
+                 list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+                 min(CAST(o_orderdate AS DATE)) AS first_order,
+                 max(CAST(o_orderdate AS DATE)) AS last_order,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS spend_cents
+          FROM ro GROUP BY 1),
+        la AS (
+          SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_lineitems
+          FROM lineitem JOIN ro ON l_orderkey = o_orderkey
+          GROUP BY 1)
+        SELECT subject, c_custkey IS NOT NULL AS known, c_name,
+               c_mktsegment,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(array_to_string(order_keys, '|'), '') AS order_keys,
+               first_order, last_order,
+               COALESCE(spend_cents, 0) AS spend_cents,
+               COALESCE(n_lineitems, 0) AS n_lineitems,
+               (c_custkey IS NOT NULL OR COALESCE(n_orders, 0) > 0)
+                 AS records_held
+        FROM reqs
+        LEFT JOIN customer ON subject = c_custkey
+        LEFT JOIN oa ON oa.k = subject
+        LEFT JOIN la ON la.k = subject
+        ORDER BY subject""")),
+
     QDef("pipeline_contract_check",
       // Data-contract validation — the dbt-test / Great-Expectations
       // surface a pipeline runs at every ingest boundary, one report

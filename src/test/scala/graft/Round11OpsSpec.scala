@@ -201,6 +201,44 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_dsar_export: unknown-subject and FK-chain arms live") {
+    val rows = SparkEntry.queries("pipeline_dsar_export")(spark, sf).collect()
+    val unknown = rows.filter(_.getLong(0) < 0)
+    assert(unknown.length == 2, "the two unknown request subjects")
+    unknown.foreach { r =>
+      assert(!r.getBoolean(1) && !r.getBoolean(10),
+        "unknown subjects must report no records held")
+      assert(r.getLong(4) == 0 && r.getString(5) == "" && r.getLong(9) == 0)
+    }
+    val known = rows.filter(_.getLong(0) >= 0)
+    assert(known.nonEmpty)
+    known.foreach { r =>
+      val (nOrders, keys, nLi) = (r.getLong(4), r.getString(5), r.getLong(9))
+      assert(r.getBoolean(1) && r.getBoolean(10))
+      assert(keys.split('|').count(_.nonEmpty) == nOrders,
+        "order_keys list must enumerate exactly n_orders keys")
+      assert(nLi >= nOrders,
+        "every order has >= 1 lineitem reachable via the FK chain")
+    }
+  }
+
+  test("win_downsample_lttb: full buckets, exact endpoints per series") {
+    val rows = SparkEntry.queries("win_downsample_lttb")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val byType = rows.groupBy(_._1)
+    assert(byType.nonEmpty)
+    byType.foreach { case (tpe, ps) =>
+      assert(ps.map(_._2).distinct.length == ps.length,
+        s"$tpe: one pick per bucket")
+      assert(ps.length == 20, s"$tpe: expected 20 buckets, got ${ps.length}")
+      // Bucket 0 keeps the series start (rebased x = 0); the last
+      // bucket keeps the series end (the max x of the whole series).
+      assert(ps.find(_._2 == 0L).get._3 == 0L, s"$tpe: start point lost")
+      val maxX = ps.map(_._3).max
+      assert(ps.maxBy(_._2)._3 == maxX, s"$tpe: end point lost")
+    }
+  }
+
   test("agg_power_mde: positive spreads and a sane feasibility gate") {
     val rows = SparkEntry.queries("agg_power_mde")(spark, sf).collect()
     assert(rows.nonEmpty)
