@@ -565,14 +565,22 @@ object TextAnalysis {
       // top-25 ranking tie-breaks on the phrase text itself.
       (s, dir) => {
         val stops = enW ++ deW ++ frW ++ esW
-        val tk = t(s, dir, "documents")
-          .withColumn("tks", toks)
-          .select(col("doc_id"), posexplode(col("tks")).as(Seq("pos", "term")))
-        val content = tk
-          .filter(!(col("term").isInCollection(stops) ||
-            length(col("term")) === 0))
-          .withColumn("grp", col("pos") - row_number().over(
-            Window.partitionBy("doc_id").orderBy("pos")))
+        // Staged: content (the posexplode + islands window) feeds
+        // FOUR consumers (freq, plen, deg's join-back, the final
+        // phrase aggregate) and Spark shares no common subtrees —
+        // unstaged, the corpus-wide explode executed once per
+        // consumer (benched 2.2 s at sf0.1; the substr_windows
+        // discipline).
+        val content = graft.pipeline.Staged.disk(s, dir, "rake_content") {
+          t(s, dir, "documents")
+            .withColumn("tks", toks)
+            .select(col("doc_id"),
+              posexplode(col("tks")).as(Seq("pos", "term")))
+            .filter(!(col("term").isInCollection(stops) ||
+              length(col("term")) === 0))
+            .withColumn("grp", col("pos") - row_number().over(
+              Window.partitionBy("doc_id").orderBy("pos")))
+        }
         val freq = content.groupBy("term").agg(count(lit(1)).as("freq"))
         val plen = content.groupBy("doc_id", "grp")
           .agg(count(lit(1)).as("plen"))
