@@ -1692,6 +1692,48 @@ object Analytics {
         .orderBy("z", "p_partkey"),
       Some(s"""SELECT p_partkey, p_size,
           CAST(${zOrderSql("p_size", "p_partkey % 256", 8, "//")} AS BIGINT) AS z
-        FROM part ORDER BY z, p_partkey"""))
+        FROM part ORDER BY z, p_partkey""")),
+
+    QDef("layout_hilbert_index",
+      // Hilbert-curve layout key — the clustering upgrade over the
+      // Morton key above: the Hilbert walk visits grid-adjacent cells
+      // at every step (no quadrant-boundary jumps), so a 2-D range
+      // predicate maps to strictly fewer, longer runs of curve
+      // positions → fewer files touched after sort-by-key than
+      // z-order gives (why table formats offer Hilbert clustering as
+      // the multi-dim skipping default). The xy→d walk is a per-row
+      // 8-iteration integer loop — a native codegen'd expression
+      // ([[graft.functions.HilbertIndexExpr]]); the oracle replays
+      // the identical loop as a recursive CTE, one recursion level
+      // per bit, so the key is bit-for-bit comparable. Embarrassingly
+      // parallel per row; the sort-by-key is the same range exchange
+      // any layout write performs.
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size"),
+          graft.functions.HilbertIndexExpr.hilbert(
+            expr("p_size % 256"), expr("p_partkey % 256"), 8).as("h"))
+        .orderBy("h", "p_partkey"),
+      Some("""WITH RECURSIVE hil AS (
+          SELECT p_partkey, p_size,
+                 CAST(p_size % 256 AS BIGINT) AS x,
+                 CAST(p_partkey % 256 AS BIGINT) AS y,
+                 CAST(128 AS BIGINT) AS s,
+                 CAST(0 AS BIGINT) AS d
+            FROM part
+          UNION ALL
+          SELECT p_partkey, p_size,
+                 CASE WHEN (y & s) > 0 THEN x
+                      WHEN (x & s) > 0 THEN 255 - y
+                      ELSE y END AS x,
+                 CASE WHEN (y & s) > 0 THEN y
+                      WHEN (x & s) > 0 THEN 255 - x
+                      ELSE x END AS y,
+                 s // 2 AS s,
+                 d + s * s * xor(3 * CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END,
+                                 CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) AS d
+            FROM hil WHERE s > 0)
+        SELECT p_partkey, p_size, d AS h
+          FROM hil WHERE s = 0
+         ORDER BY h, p_partkey"""))
   )
 }

@@ -690,6 +690,72 @@ object Pipeline {
         JOIN sdg db ON db.term = nov.b
         ORDER BY jac_ppm DESC, term_a, term_b LIMIT 20""")),
 
+    QDef("graph_harmonic_closeness",
+      // Harmonic closeness centrality within radius 3 — "which terms
+      // sit nearest everything else": H(u) = Σ_v 1/d(u,v) over reached
+      // v ≠ u, the closeness variant that stays defined on
+      // disconnected graphs (unreached pairs contribute 0, not a
+      // broken 1/∞). Distances come from the same iterated
+      // relax-union-min rounds as graph_bfs_distance, carrying the
+      // source as a key column — multi-source BFS where every node is
+      // a source, fine on the vocabulary-bounded strong graph; at
+      // corpus-scale graphs the source column IS the batching axis
+      // (seed a probe batch per pass, identical loop). The reciprocal
+      // sum runs in exact integer micros (10⁶ div d — d ∈ {1,2,3}, no
+      // binary-fraction drift); each round eagerly truncates lineage
+      // (the previous frame is referenced twice: relax + union).
+      // Strong graph for the same every-SF liveness reason as
+      // assortativity (the raw graph goes complete, where every
+      // closeness ties).
+      (s, dir) => {
+        val se = strongTermEdges(s, dir)
+        val sym = se.select(col("u").as("src"), col("v").as("dst"))
+          .union(se.select(col("v").as("src"), col("u").as("dst")))
+        var dist = sym.select(col("src").as("term"))
+          .union(sym.select(col("dst"))).distinct()
+          .select(col("term").as("s0"), col("term").as("node"),
+            lit(0L).as("dist"))
+        for (_ <- 1 to 3) {
+          val relax = sym
+            .join(dist.withColumnRenamed("node", "src"), "src")
+            .select(col("s0"), col("dst").as("node"),
+              (col("dist") + 1L).as("dist"))
+          dist = dist.union(relax)
+            .groupBy("s0", "node").agg(min(col("dist")).as("dist"))
+            .localCheckpoint(true)
+        }
+        dist.filter(col("dist") > 0)
+          .groupBy("s0")
+          .agg(count(lit(1)).as("n_reached"),
+            sum(expr("1000000 div dist")).as("harmonic_micro"))
+          .select(col("s0").as("term"), col("n_reached"),
+            col("harmonic_micro"))
+          .orderBy(col("harmonic_micro").desc, col("term"))
+      }, {
+        val rounds = (1 to 3).map { i =>
+          s"""f$i AS (
+              SELECT d.s0, sym.dst AS node, min(d.dist) + 1 AS dist
+              FROM sym JOIN d${i - 1} d ON d.node = sym.src
+              GROUP BY 1, 2),
+            d$i AS (
+              SELECT s0, node, min(dist) AS dist
+              FROM (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM f$i)
+              GROUP BY 1, 2)"""
+        }.mkString(",\n")
+        Some(prelude + s""",
+          $strongEdgeSqlCtes,
+          sym AS (SELECT u AS src, v AS dst FROM se
+                  UNION ALL SELECT v, u FROM se),
+          d0 AS (SELECT term AS s0, term AS node, CAST(0 AS BIGINT) AS dist
+                 FROM (SELECT DISTINCT u AS term FROM se
+                       UNION SELECT v FROM se)),
+          $rounds
+          SELECT s0 AS term, CAST(count(*) AS BIGINT) AS n_reached,
+                 CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+          FROM d3 WHERE dist > 0
+          GROUP BY s0 ORDER BY harmonic_micro DESC, term""")
+      }),
+
     QDef("pipeline_node_counts",
       (s, dir) => stages(s, dir).nodes
         .groupBy("label").agg(count(lit(1)).as("n"))

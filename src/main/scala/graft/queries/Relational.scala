@@ -1882,6 +1882,60 @@ object Relational {
         FROM d WHERE dur_us IS NOT NULL
         GROUP BY user_id ORDER BY user_id""")),
 
+    QDef("win_ohlc_resample",
+      // OHLC bar resampling — the time-series downsample every metrics
+      // store ships (candles, telemetry rollups): per (series, hour),
+      // the first/last reading by a TOTAL (ts, event_id) order plus
+      // min/max/volume. First/last ride two row_number windows over
+      // the same (event_type, hour) partition (one shuffle, two
+      // in-partition sorts) rather than min(struct(...)) — struct
+      // comparison semantics are engine-private, rank-then-filter is
+      // portable. Readings aggregate as DECIMAL(18,2) (exact in both
+      // engines; cast to double only on output). Scale shape: the
+      // partition key space is series × hour — unbounded growth in
+      // both dimensions, no global window, one shuffle + one group;
+      // at 100 TB the hot key is one series-hour, which is as small
+      // as the data allows.
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"),
+          col("ts"), col("event_id"), money(col("value")).as("v"))
+        val w = Window.partitionBy("event_type", "hr")
+        e.withColumn("rn_a", row_number().over(
+            w.orderBy(col("ts").asc, col("event_id").asc)))
+          .withColumn("rn_d", row_number().over(
+            w.orderBy(col("ts").desc, col("event_id").desc)))
+          .groupBy("event_type", "hr")
+          .agg(count(lit(1)).as("n_events"),
+            max(when(col("rn_a") === 1, col("v"))).cast("double").as("open"),
+            max(col("v")).cast("double").as("high"),
+            min(col("v")).cast("double").as("low"),
+            max(when(col("rn_d") === 1, col("v"))).cast("double").as("close"),
+            sum(col("v")).cast("double").as("vol"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH e AS (
+          SELECT event_type,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                 CAST(ts AS TIMESTAMP) AS ts, event_id,
+                 CAST(value AS DECIMAL(18,2)) AS v
+          FROM events),
+        r AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY event_type, hr
+                               ORDER BY ts, event_id) AS rn_a,
+            row_number() OVER (PARTITION BY event_type, hr
+                               ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM e)
+        SELECT event_type, hr, count(*) AS n_events,
+               CAST(max(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open,
+               CAST(max(v) AS DOUBLE) AS high,
+               CAST(min(v) AS DOUBLE) AS low,
+               CAST(max(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE) AS close,
+               CAST(sum(v) AS DOUBLE) AS vol
+        FROM r GROUP BY event_type, hr
+        ORDER BY event_type, hr""")),
+
     // ------------------------------------------------------------------
     // Sorts / top-k
     // ------------------------------------------------------------------

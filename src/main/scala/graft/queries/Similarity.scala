@@ -601,6 +601,74 @@ object Similarity {
                (label = true_label) AS correct
         FROM win WHERE r = 1 ORDER BY vec_id""")),
 
+    QDef("sim_eval_at_k",
+      // Retrieval-quality report — the eval harness behind every
+      // embedding-model or index change: for the probe set (1-in-100
+      // ids, labels as relevance judgments), score precision@K, MRR,
+      // and hit-rate@K of the exact cosine retriever, macro-averaged
+      // per label class. This is the metric layer the ANN audits
+      // (sim_ann_ivf_recall, sim_recall_graph_route) plug into —
+      // recall measures index fidelity to brute force, THIS measures
+      // end-task relevance of what was retrieved. All metric
+      // arithmetic is exact integer ppm/micros (per-probe p@K =
+      // 10⁶·hits div K, reciprocal rank = 10⁶ div first_rank, macro
+      // averages integer-divided by probe count) — no FP drift on the
+      // gate. Scale shape: probes broadcast, base streams once,
+      // per-probe top-K is a bounded window; the labeled-probe
+      // aggregate is label-cardinality-sized.
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val probes = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"), col("label").as("true_label"))
+        val base = e.filter(col("vec_id") % 100 =!= 0)
+        val wTop = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val perq = broadcast(probes).join(base, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= K)
+          .groupBy("q_id", "true_label")
+          .agg(sum(when(col("label") === col("true_label"), 1L)
+              .otherwise(0L)).as("hits"),
+            min(when(col("label") === col("true_label"), col("rank")))
+              .as("first_rank"))
+        perq.groupBy(col("true_label").cast("long").as("label"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum(expr(s"(1000000 * hits) div $K")).as("sp"),
+            sum(coalesce(expr("1000000 div first_rank"), lit(0L))).as("sr"),
+            sum(when(col("first_rank").isNotNull, 1L).otherwise(0L)).as("nh"))
+          .select(col("label"), col("n_probes"),
+            expr("sp div n_probes").as("macro_p_at_k_ppm"),
+            expr("sr div n_probes").as("macro_mrr_micro"),
+            expr("(1000000 * nh) div n_probes").as("hit_rate_ppm"))
+          .orderBy("label")
+      },
+      Some(s"""WITH pairs AS (
+          SELECT q.vec_id AS q_id, q.label AS true_label,
+                 e.vec_id AS vec_id, e.label AS label,
+                 ${rxSql(cosSql("q", "e"), 6)} AS cos
+          FROM embeddings q JOIN embeddings e
+            ON q.vec_id % 100 = 0 AND e.vec_id % 100 <> 0),
+        rk AS (SELECT q_id, true_label, label,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos DESC, vec_id) AS rank
+               FROM pairs),
+        perq AS (SELECT q_id, true_label,
+                        sum(CASE WHEN label = true_label THEN 1 ELSE 0 END) AS hits,
+                        min(CASE WHEN label = true_label THEN rank END) AS first_rank
+                 FROM rk WHERE rank <= $K GROUP BY 1, 2)
+        SELECT CAST(true_label AS BIGINT) AS label,
+               CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(sum((1000000 * hits) // $K) // count(*) AS BIGINT)
+                 AS macro_p_at_k_ppm,
+               CAST(sum(coalesce(1000000 // first_rank, 0)) // count(*) AS BIGINT)
+                 AS macro_mrr_micro,
+               CAST((1000000 * sum(CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END))
+                    // count(*) AS BIGINT) AS hit_rate_ppm
+        FROM perq GROUP BY true_label ORDER BY label""")),
+
     QDef("sim_int8_quantized",
       // INT8-quantized similarity serving: per-vector symmetric
       // quantization q_i = floor(x_i · (127/max|x_i|) + 0.5), then ALL
