@@ -967,6 +967,91 @@ object Similarity {
         SELECT q_id, rank, vec_id, cos FROM rk WHERE rank <= 3
         ORDER BY q_id, rank""")),
 
+    QDef("sim_ann_ivfpq",
+      // IVF+PQ — the two indexes composed the way FAISS composes them
+      // (IVFADC): the trained coarse quantizer picks NProbe inverted
+      // lists per query (candidate generation — the corpus never
+      // leaves its list partitions), then candidates are scored by
+      // asymmetric distance against PQ CODES ONLY (4 bytes/vector —
+      // the memory story), never the raw floats. This is the pairing
+      // that serves at 100 TB: IVF bounds the candidate volume, PQ
+      // bounds bytes-per-candidate, and both stages reuse the staged
+      // artifacts their standalone queries train (coarse centroids,
+      // codebooks, codes) — composition is a join, not a rebuild. ADC
+      // lookup values floor-quantize to int64 before the per-pair sum
+      // (fold-order-free; the raw-double sum would hash-mismatch
+      // under shuffle). The oracle replays both CTE chains and the
+      // same candidates-only ADC join.
+      (s, dir) => {
+        val assigned = ivfAssigned(s, dir)
+        val lists = assigned.filter(col("crk") === 1)
+          .select(col("c_id"), col("vec_id"))
+        val probes = assigned
+          .filter(col("vec_id") < QueryVecs && col("crk") <= NProbe)
+          .select(col("vec_id").as("q_id"), col("c_id"))
+        val cand = probes.join(lists, Seq("c_id"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select("q_id", "vec_id").distinct()
+        val subs = pqSubs(s, dir)
+        val cents = pqCents(s, dir)
+        val codes = graft.pipeline.Staged.disk(s, dir, "pq_codes") {
+          pqNearest(subs, cents)
+        }
+        val lut = subs.filter(col("vec_id") < QueryVecs)
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id").as("q_id"), col("m"), col("c_id"),
+            floor(dot(col("sv"), col("cv")) * lit(1e6) + lit(0.5)).cast("long")
+              .as("qdot_q"),
+            floor(dot(col("cv"), col("cv")) * lit(1e6) + lit(0.5)).cast("long")
+              .as("cn2_q"))
+        val qn = vecs(s, dir).filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("nrm").as("qnrm"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("vec_id").asc)
+        cand.join(codes, "vec_id")
+          .join(broadcast(lut), Seq("q_id", "m", "c_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("qdot_q")).as("sq"), sum(col("cn2_q")).as("sn"))
+          .join(broadcast(qn), "q_id")
+          .select(col("q_id"), col("vec_id"),
+            rx((col("sq").cast("double") / lit(1e6)) /
+              (col("qnrm") * sqrt(col("sn").cast("double") / lit(1e6))), 6)
+              .as("score"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("score"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $ivfTopSqlCtes,
+        $pqSqlCtes,
+        lut AS (
+          SELECT s.vec_id AS q_id, s.m, c.c_id,
+            CAST(floor(list_sum(list_transform(range($SubDims), i -> s.sv[i+1] * c.cv[i+1])) * 1e6 + 0.5) AS BIGINT) AS qdot_q,
+            CAST(floor(list_sum(list_transform(range($SubDims), i -> c.cv[i+1] * c.cv[i+1])) * 1e6 + 0.5) AS BIGINT) AS cn2_q
+          FROM psubs s CROSS JOIN pc$PqIters c WHERE s.vec_id < $QueryVecs),
+        qn AS (
+          SELECT vec_id AS q_id,
+            sqrt(list_sum(list_transform(range($Dims),
+              i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS qnrm
+          FROM embeddings WHERE vec_id < $QueryVecs),
+        adcq AS (
+          SELECT cand.q_id, cand.vec_id, sum(l.qdot_q) AS sq, sum(l.cn2_q) AS sn
+          FROM cand JOIN codes cd ON cd.vec_id = cand.vec_id
+          JOIN lut l ON l.q_id = cand.q_id AND l.m = cd.m AND l.c_id = cd.c_id
+          GROUP BY 1, 2),
+        scoredq AS (
+          SELECT a.q_id, a.vec_id,
+            ${rxSql("(CAST(sq AS DOUBLE) / 1e6) / (qnrm * sqrt(CAST(sn AS DOUBLE) / 1e6))", 6)} AS score
+          FROM adcq a JOIN qn ON a.q_id = qn.q_id),
+        prkq AS (
+          SELECT q_id, vec_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, vec_id) AS rank
+          FROM scoredq)
+        SELECT q_id, rank, vec_id, score FROM prkq WHERE rank <= 3
+        ORDER BY q_id, rank""")),
+
     QDef("sim_ann_ivf_recall",
       // Recall@3 of the trained-IVF probe against the exact
       // brute-force top-3 — the metric that justifies the ANN path:

@@ -367,6 +367,66 @@ object TextAnalysis {
         FROM bg GROUP BY bigram
         ORDER BY n DESC, bigram LIMIT 20""")),
 
+    QDef("text_kn_bigram_lm",
+      // Interpolated Kneser-Ney bigram probabilities — the smoothing
+      // every count-based LM (and every LM-based quality filter that
+      // can't afford a neural scorer) actually ships: p(w2|w1) =
+      // max(c12−D,0)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/B, with the
+      // continuation count N1+(·,w2) (how many DISTINCT contexts w2
+      // completes) replacing the raw unigram — the fix for the
+      // "Francisco problem" (frequent but single-context words must
+      // not inherit high backoff mass). D = 0.75 is a dyadic rational,
+      // and every other input is an integer count, so the probability
+      // is one fixed IEEE expression tree evaluated identically in
+      // both engines (rx(6) on output; KnBigramSpec pins the formula
+      // against a brute-force recompute plus the Σ p = 1 closure).
+      // Scale shape: one corpus explode → map-side-combined bigram
+      // aggregate; context/continuation tables are vocabulary-bounded
+      // broadcasts; only top-30 by count survives.
+      (s, dir) => {
+        val wp = t(s, dir, "documents")
+          .withColumn("tks", toks)
+          .select(explode(Text.shingles(col("tks"), 2)).as("bigram"))
+          .withColumn("parts", split(col("bigram"), " "))
+          .select(col("parts").getItem(0).as("w1"),
+            col("parts").getItem(1).as("w2"))
+        val c12 = wp.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy("w1")
+          .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
+        val c2 = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+        val bt = c12.agg(count(lit(1)).as("bt"))
+        c12.join(broadcast(c1), "w1")
+          .join(broadcast(c2), "w2")
+          .crossJoin(broadcast(bt))
+          .select(col("w1"), col("w2"), col("c12"), col("c1"),
+            col("n1f"), col("n1b"),
+            rx(expr("(CAST(c12 AS DOUBLE) - 0.75e0) / CAST(c1 AS DOUBLE)" +
+              " + ((0.75e0 * CAST(n1f AS DOUBLE)) / CAST(c1 AS DOUBLE))" +
+              " * (CAST(n1b AS DOUBLE) / CAST(bt AS DOUBLE))"), 6).as("p_kn"))
+          .orderBy(col("c12").desc, col("w1"), col("w2"))
+          .limit(30)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS tks FROM documents),
+        bg AS (
+          SELECT unnest(list_transform(
+            range(greatest(len(tks) - 1, 0)),
+            i -> tks[i+1] || ' ' || tks[i+2])) AS bigram
+          FROM tk),
+        wp AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                      split_part(bigram, ' ', 2) AS w2 FROM bg),
+        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+               FROM wp GROUP BY 1, 2),
+        cx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                      CAST(count(*) AS BIGINT) AS n1f FROM cb GROUP BY 1),
+        cy AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM cb GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM cb)
+        SELECT w1, w2, c12, c1, n1f, n1b,
+          ${rxSql("(CAST(c12 AS DOUBLE) - 0.75e0) / CAST(c1 AS DOUBLE)" +
+            " + ((0.75e0 * CAST(n1f AS DOUBLE)) / CAST(c1 AS DOUBLE))" +
+            " * (CAST(n1b AS DOUBLE) / CAST(bt AS DOUBLE))", 6)} AS p_kn
+        FROM cb JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN tot
+        ORDER BY c12 DESC, w1, w2 LIMIT 30""")),
+
     QDef("sample_hash_split",
       // Deterministic train/valid/test assignment: bucket =
       // md5-derived hash of the doc id mod 100, split by 80/10/10
