@@ -736,6 +736,85 @@ object Relational {
       Some("""SELECT doc_id, lang, source, n_chars
         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""")),
 
+    QDef("pipeline_manifest_gc",
+      // Snapshot-retention garbage collection over the manifest model
+      // above — the VACUUM/expire-snapshots pass every table format
+      // needs or storage grows without bound under copy-on-write: a
+      // v1 snapshot (two data files), a v2 COMPACTION that rewrites
+      // them into one (v1's files stay on disk — time travel), and an
+      // uncommitted orphan from a crashed writer. With retention
+      // "keep latest", the GC plan classifies every physical file by
+      // manifest reachability: live (in v2), expired (v1-only),
+      // orphan (no manifest) — file sets come from the manifests plus
+      // one directory listing (bounded METADATA, never data), row
+      // counts from reading each class. The oracle derives the same
+      // class sizes from the snapshot definitions. Executing the plan
+      // (delete non-live) leaves exactly the v2 snapshot readable —
+      // ManifestGcSpec pins that on a copy of the layout.
+      (s, dir) => {
+        val out = scratch(s"manifest_gc_${new java.io.File(dir).getName}")
+        graft.pipeline.Staged(s, dir, "manifest_gc") {
+          def rmr(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+            f.delete(); ()
+          }
+          rmr(new java.io.File(out))
+          val even = t(s, dir, "documents")
+            .filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          even.filter(col("doc_id") % 4 === 0)
+            .coalesce(1).write.parquet(s"$out/data/f0")
+          even.filter(col("doc_id") % 4 === 2)
+            .coalesce(1).write.parquet(s"$out/data/f1")
+          def pq(sub: String): Seq[String] =
+            new java.io.File(s"$out/data/$sub").listFiles()
+              .filter(_.getName.endsWith(".parquet"))
+              .map(f => s"data/$sub/${f.getName}").toSeq.sorted
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$out/manifest_v1.txt"),
+            (pq("f0") ++ pq("f1")).mkString("\n").getBytes("UTF-8"))
+          // v2: compaction rewrite — same rows, one file, new manifest.
+          even.coalesce(1).write.parquet(s"$out/data/f2")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$out/manifest_v2.txt"),
+            pq("f2").mkString("\n").getBytes("UTF-8"))
+          // Crashed writer's uncommitted output: on disk, in no manifest.
+          t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+            .coalesce(1).write.parquet(s"$out/data/f3")
+          s.range(1).toDF("ok") // marker: layout staged once per session+dir
+        }
+        def manifest(v: String): Set[String] = new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$out/manifest_$v.txt")), "UTF-8")
+          .split("\n").filter(_.nonEmpty).toSet
+        val v1 = manifest("v1")
+        val v2 = manifest("v2")
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+          else Seq(f)
+        val allFiles = walk(new java.io.File(s"$out/data"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getPath.stripPrefix(s"$out/"))
+        val byStatus = allFiles.groupBy { f =>
+          if (v2(f)) "live" else if (v1(f)) "expired" else "orphan"
+        }
+        byStatus.toSeq.sortBy(_._1).map { case (st, fs) =>
+          s.read.parquet(fs.map(f => s"$out/$f"): _*)
+            .agg(count(lit(1)).as("n_rows"))
+            .select(lit(st).as("status"),
+              lit(fs.size.toLong).as("n_files"), col("n_rows"))
+        }.reduce(_.unionAll(_)).orderBy("status")
+      },
+      Some("""WITH ev AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+          od AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 1)
+        SELECT 'expired' AS status, CAST(2 AS BIGINT) AS n_files,
+               CAST(ev.n AS BIGINT) AS n_rows FROM ev
+        UNION ALL SELECT 'live', CAST(1 AS BIGINT), CAST(ev.n AS BIGINT) FROM ev
+        UNION ALL SELECT 'orphan', CAST(1 AS BIGINT), CAST(od.n AS BIGINT) FROM od
+        ORDER BY status""")),
+
     QDef("scan_text_regex",
       // Raw-log ingest — the other 100 TB source shape next to columnar
       // scans: unstructured text lines validated by one anchored regex

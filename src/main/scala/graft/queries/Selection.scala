@@ -896,5 +896,68 @@ object Selection {
         WHERE (gcs * 100) // tt > ((gcs - w) * 100) // tt
         ORDER BY doc_id"""),
     ),
+
+    QDef("sample_curriculum_phases",
+      // Curriculum schedule — the training-order pass: rank the corpus
+      // easy→hard by a deterministic difficulty score (mean token
+      // length in ppm — longer words ≙ harder text; all-integer so
+      // the order is engine-exact), then cut the TOKEN budget (not the
+      // doc count — docs vary 100× in cost) into three equal-token
+      // phases along that order. Emits the schedule summary a trainer
+      // consumes: per phase, doc count, token budget, difficulty
+      // range. The running token total is the shard-offset cumulative
+      // ([[graft.operators.DistributedRank.withGlobalCumsum]]) — the
+      // global order never passes through a partition-less window, so
+      // the plan survives a 100 TB corpus; the oracle spells the same
+      // cumulative as DuckDB's global window (fine there — it IS a
+      // single node).
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .select(col("doc_id"),
+            size(col("tks")).cast("long").as("n_toks"),
+            aggregate(col("tks"), lit(0L), (a, x) => a + length(x))
+              .as("n_tchars"))
+          .withColumn("diff_ppm", expr("(1000000 * n_tchars) div n_toks"))
+        val cum = graft.operators.DistributedRank.withGlobalCumsum(
+          d, col("diff_ppm"), col("doc_id"), col("n_toks"), out = "ctoks")
+        val tot = d.agg(sum("n_toks").as("t_total"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("phase", expr("((ctoks - 1) * 3) div t_total + 1"))
+          .groupBy("phase")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_toks").as("tokens"),
+            min("diff_ppm").as("diff_min"),
+            max("diff_ppm").as("diff_max"))
+          .orderBy("phase")
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tks
+          FROM documents),
+        d AS (
+          SELECT doc_id,
+                 CAST(len(tks) AS BIGINT) AS n_toks,
+                 CAST(list_sum(list_transform(tks, x -> len(x))) AS BIGINT)
+                   AS n_tchars
+          FROM tk),
+        dd AS (
+          SELECT doc_id, n_toks,
+                 CAST((1000000 * n_tchars) // n_toks AS BIGINT) AS diff_ppm
+          FROM d),
+        c AS (
+          SELECT doc_id, n_toks, diff_ppm,
+                 CAST(sum(n_toks) OVER (ORDER BY diff_ppm, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS ctoks,
+                 CAST(sum(n_toks) OVER () AS BIGINT) AS t_total
+          FROM dd)
+        SELECT CAST(((ctoks - 1) * 3) // t_total + 1 AS BIGINT) AS phase,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS tokens,
+               CAST(min(diff_ppm) AS BIGINT) AS diff_min,
+               CAST(max(diff_ppm) AS BIGINT) AS diff_max
+        FROM c GROUP BY 1 ORDER BY phase"""),
+    ),
   )
 }
