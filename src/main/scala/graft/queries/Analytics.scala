@@ -1734,6 +1734,113 @@ object Analytics {
             FROM hil WHERE s > 0)
         SELECT p_partkey, p_size, d AS h
           FROM hil WHERE s = 0
-         ORDER BY h, p_partkey"""))
+         ORDER BY h, p_partkey""")),
+
+    QDef("layout_skipping_audit",
+      // THE layout decision, measured instead of asserted: lay the
+      // same table out three ways — 1-D id sort, Morton z-order,
+      // Hilbert — into 16 equal-count files each, collect per-file
+      // (p_size, partkey-bucket) zonemaps, and count files a fixed
+      // workload of eight 2-D range predicates would touch under each
+      // layout. This is the audit a table owner runs before choosing
+      // a clustering key: the 1-D sort leaves the second dimension
+      // spread across every file (16/16 touched), the space-filling
+      // curves localize both. File assignment uses the exact global
+      // ordinal from the shard-offset rank ([[graft.operators
+      // .DistributedRank]]) — a layout write is a range exchange, not
+      // a single-reducer window; zonemap collection is one
+      // group-by-file aggregate (bounded METADATA, 16 rows per
+      // layout); predicate×zonemap intersection is a broadcast cross
+      // of two tiny tables. The oracle replays all three orders —
+      // including the Hilbert walk as a recursive CTE — over global
+      // windows (fine on a single DuckDB node).
+      (s, dir) => {
+        val keyed = t(s, dir, "part").select(
+          col("p_partkey"),
+          col("p_size").cast("long").as("sz"),
+          expr("CAST(p_partkey % 256 AS BIGINT)").as("bk"),
+          expr(s"CAST(${zOrderSql("p_size", "p_partkey % 256", 8, "div")} AS BIGINT)")
+            .as("zk"),
+          graft.functions.HilbertIndexExpr.hilbert(
+            expr("p_size % 256"), expr("p_partkey % 256"), 8).as("hk"))
+        val n = keyed.agg(count(lit(1)).as("n"))
+        val layouts = Seq(
+          "sorted" -> col("p_partkey"),
+          "zorder" -> col("zk"),
+          "hilbert" -> col("hk"))
+        val boxes = layouts.map { case (nm, key) =>
+          DistributedRank.withGlobalRank(keyed, key, col("p_partkey"), out = "rk")
+            .crossJoin(broadcast(n))
+            .withColumn("fid", expr("((rk - 1) * 16) div n"))
+            .groupBy("fid")
+            .agg(min("sz").as("s_min"), max("sz").as("s_max"),
+              min("bk").as("b_min"), max("bk").as("b_max"))
+            .select(lit(nm).as("layout"), col("fid"),
+              col("s_min"), col("s_max"), col("b_min"), col("b_max"))
+        }.reduce(_.unionAll(_))
+        val preds = s.range(8).select(col("id").as("pid"),
+          (col("id") * 6 + 1).as("lo_s"), (col("id") * 6 + 8).as("hi_s"),
+          (col("id") * 32).as("lo_b"), (col("id") * 32 + 63).as("hi_b"))
+        boxes.crossJoin(broadcast(preds))
+          .groupBy("layout", "pid")
+          .agg(sum(when(!(col("s_max") < col("lo_s") ||
+              col("s_min") > col("hi_s") ||
+              col("b_max") < col("lo_b") ||
+              col("b_min") > col("hi_b")), 1L).otherwise(0L))
+            .as("files_touched"))
+          .orderBy("layout", "pid")
+      },
+      Some(s"""WITH RECURSIVE hil AS (
+          SELECT p_partkey,
+                 CAST(p_size % 256 AS BIGINT) AS x,
+                 CAST(p_partkey % 256 AS BIGINT) AS y,
+                 CAST(128 AS BIGINT) AS s,
+                 CAST(0 AS BIGINT) AS d
+            FROM part
+          UNION ALL
+          SELECT p_partkey,
+                 CASE WHEN (y & s) > 0 THEN x
+                      WHEN (x & s) > 0 THEN 255 - y
+                      ELSE y END AS x,
+                 CASE WHEN (y & s) > 0 THEN y
+                      WHEN (x & s) > 0 THEN 255 - x
+                      ELSE x END AS y,
+                 s // 2 AS s,
+                 d + s * s * xor(3 * CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END,
+                                 CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) AS d
+            FROM hil WHERE s > 0),
+        hkt AS (SELECT p_partkey, d AS hk FROM hil WHERE s = 0),
+        keyed AS (
+          SELECT p.p_partkey, CAST(p.p_size AS BIGINT) AS sz,
+                 CAST(p.p_partkey % 256 AS BIGINT) AS bk,
+                 CAST(${zOrderSql("p_size", "p_partkey % 256", 8, "//")} AS BIGINT) AS zk,
+                 hkt.hk
+          FROM part p JOIN hkt USING (p_partkey)),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keyed),
+        rs AS (
+          SELECT 'sorted' AS layout,
+                 row_number() OVER (ORDER BY p_partkey) AS rk, sz, bk FROM keyed
+          UNION ALL
+          SELECT 'zorder', row_number() OVER (ORDER BY zk, p_partkey), sz, bk
+          FROM keyed
+          UNION ALL
+          SELECT 'hilbert', row_number() OVER (ORDER BY hk, p_partkey), sz, bk
+          FROM keyed),
+        fb AS (
+          SELECT layout, ((rk - 1) * 16) // n AS fid,
+                 min(sz) AS s_min, max(sz) AS s_max,
+                 min(bk) AS b_min, max(bk) AS b_max
+          FROM rs CROSS JOIN nt GROUP BY 1, 2),
+        preds AS (
+          SELECT CAST(i AS BIGINT) AS pid,
+                 1 + 6 * i AS lo_s, 8 + 6 * i AS hi_s,
+                 32 * i AS lo_b, 63 + 32 * i AS hi_b
+          FROM (SELECT unnest(range(8)) AS i))
+        SELECT layout, pid,
+               CAST(sum(CASE WHEN NOT (s_max < lo_s OR s_min > hi_s
+                                  OR b_max < lo_b OR b_min > hi_b)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS files_touched
+        FROM fb CROSS JOIN preds
+        GROUP BY layout, pid ORDER BY layout, pid"""))
   )
 }

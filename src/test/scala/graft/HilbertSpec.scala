@@ -62,6 +62,19 @@ class HilbertSpec extends AnyFunSuite {
       HilbertIndexExpr.compute(5L, 9L, bits))
   }
 
+  test("skipping audit: curve layouts touch fewer files than 1-D sort") {
+    val rows = SparkEntry.queries("layout_skipping_audit")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> r.getLong(2))
+    val tot = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // The id sort leaves p_size spread over every file; both curves
+    // must beat it on the 2-D workload, or the layout key is broken.
+    assert(tot("hilbert") < tot("sorted"),
+      s"hilbert ${tot("hilbert")} !< sorted ${tot("sorted")}")
+    assert(tot("zorder") < tot("sorted"),
+      s"zorder ${tot("zorder")} !< sorted ${tot("sorted")}")
+  }
+
   test("DataFrame/codegen path agrees with direct compute") {
     import spark.implicits._
     val df = (0 until 256).map(i => (i.toLong % 16, i.toLong / 16)).toDF("x", "y")
