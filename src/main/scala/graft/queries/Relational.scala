@@ -2015,6 +2015,59 @@ object Relational {
         FROM r GROUP BY event_type, hr
         ORDER BY event_type, hr""")),
 
+    QDef("win_max_drawdown",
+      // Maximum drawdown per user — the running peak-to-trough loss of
+      // the cumulative value series (the risk metric for any budget,
+      // quota, or revenue stream; flags accounts whose balance swings
+      // exceed policy). Two stacked running windows over one total
+      // (ts, event_id) per-user order: cumulative sum in exact CENTS
+      // (int64 — a raw double cumsum would drift per engine), running
+      // max of that, drawdown = peak − cum, then one per-user
+      // aggregate. Partitioned by user throughout — no global window,
+      // two in-partition sorts collapse into one physical sort, linear
+      // at any scale.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            (money(col("value")) * 100).cast("long").as("cents"))
+          .withColumn("cum", sum(col("cents")).over(w))
+          .withColumn("peak", max(col("cum")).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max(col("peak") - col("cum")).as("dd_cents"),
+            max(col("peak")).as("peak_cents"),
+            sum(col("cents")).as("final_cents"))
+          .select(col("user_id"), col("n_events"),
+            (col("dd_cents").cast("double") / 100).as("max_drawdown"),
+            (col("peak_cents").cast("double") / 100).as("peak"),
+            (col("final_cents").cast("double") / 100).as("final"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        c AS (
+          SELECT user_id, ts, event_id, cents,
+                 CAST(sum(cents) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM e),
+        p AS (
+          SELECT user_id, cents, cum,
+                 max(cum) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS peak
+          FROM c)
+        SELECT user_id, count(*) AS n_events,
+               CAST(max(peak - cum) AS DOUBLE) / 100 AS max_drawdown,
+               CAST(max(peak) AS DOUBLE) / 100 AS peak,
+               CAST(sum(cents) AS DOUBLE) / 100 AS final
+        FROM p GROUP BY user_id ORDER BY user_id""")),
+
     // ------------------------------------------------------------------
     // Sorts / top-k
     // ------------------------------------------------------------------

@@ -202,6 +202,116 @@ object Similarity {
         col("vec_id"), col("cos"))
   }
 
+  /** ADC shortlist width for the composed index's refine step. Sized
+    * empirically: direct ADC top-3 over the probed lists recalls only
+    * ~7% (32-bit codes are a shortlist signal, not a ranking signal);
+    * refining the top-[[PqRefine]] ADC hits with exact cosines
+    * recovers 87% of the 90% IVF probing ceiling at sf0.01 (measured
+    * sweep: 32→60%, 64→77%, 96→87%; see sim_ann_ivfpq_recall).
+    */
+  private val PqRefine = 96
+
+  /** IVF-probed candidates scored by PQ asymmetric distance, ADC
+    * top-[[PqRefine]] shortlist refined by exact cosine, top-3 per
+    * query — the composed index (see sim_ann_ivfpq); shared with its
+    * recall audit.
+    */
+  private def ivfpqTop3(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(s, dir)
+    val lists = assigned.filter(col("crk") === 1)
+      .select(col("c_id"), col("vec_id"))
+    val probes = assigned
+      .filter(col("vec_id") < QueryVecs && col("crk") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("c_id"))
+    val cand = probes.join(lists, Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id").distinct()
+    val subs = pqSubs(s, dir)
+    val cents = pqCents(s, dir)
+    val codes = graft.pipeline.Staged.disk(s, dir, "pq_codes") {
+      pqNearest(subs, cents)
+    }
+    val lut = subs.filter(col("vec_id") < QueryVecs)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("m"), col("c_id"),
+        floor(dot(col("sv"), col("cv")) * lit(1e6) + lit(0.5)).cast("long")
+          .as("qdot_q"),
+        floor(dot(col("cv"), col("cv")) * lit(1e6) + lit(0.5)).cast("long")
+          .as("cn2_q"))
+    val qn = vecs(s, dir).filter(col("vec_id") < QueryVecs)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val short = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "m", "c_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("qdot_q")).as("sq"), sum(col("cn2_q")).as("sn"))
+      .join(broadcast(qn.select(col("q_id"), col("qnrm"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        rx((col("sq").cast("double") / lit(1e6)) /
+          (col("qnrm") * sqrt(col("sn").cast("double") / lit(1e6))), 6)
+          .as("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= PqRefine)
+      .select("q_id", "vec_id")
+    // Refine: exact cosines for the shortlist only (PqRefine dots per
+    // query — the bounded step that buys back ADC's ranking loss).
+    val wCos = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    short
+      .join(vecs(s, dir).select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(qn), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6)
+          .as("score"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+  }
+
+  /** Oracle-side CTE suffix for [[ivfpqTop3]] (appended after the IVF
+    * and PQ chains): `lut`/`qn`/`adcq`/`scoredq`/`prkq`, exposing
+    * `prkq` = (q_id, vec_id, score, rank).
+    */
+  private def ivfpqSqlCtes: String =
+    s"""lut AS (
+          SELECT s.vec_id AS q_id, s.m, c.c_id,
+            CAST(floor(list_sum(list_transform(range($SubDims), i -> s.sv[i+1] * c.cv[i+1])) * 1e6 + 0.5) AS BIGINT) AS qdot_q,
+            CAST(floor(list_sum(list_transform(range($SubDims), i -> c.cv[i+1] * c.cv[i+1])) * 1e6 + 0.5) AS BIGINT) AS cn2_q
+          FROM psubs s CROSS JOIN pc$PqIters c WHERE s.vec_id < $QueryVecs),
+        qn AS (
+          SELECT vec_id AS q_id,
+            sqrt(list_sum(list_transform(range($Dims),
+              i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS qnrm
+          FROM embeddings WHERE vec_id < $QueryVecs),
+        adcq AS (
+          SELECT cand.q_id, cand.vec_id, sum(l.qdot_q) AS sq, sum(l.cn2_q) AS sn
+          FROM cand JOIN codes cd ON cd.vec_id = cand.vec_id
+          JOIN lut l ON l.q_id = cand.q_id AND l.m = cd.m AND l.c_id = cd.c_id
+          GROUP BY 1, 2),
+        scoredq AS (
+          SELECT a.q_id, a.vec_id,
+            ${rxSql("(CAST(sq AS DOUBLE) / 1e6) / (qnrm * sqrt(CAST(sn AS DOUBLE) / 1e6))", 6)} AS adc
+          FROM adcq a JOIN qn ON a.q_id = qn.q_id),
+        ashort AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc DESC, vec_id) AS arank
+            FROM scoredq) WHERE arank <= $PqRefine),
+        refined AS (
+          SELECT sh.q_id, sh.vec_id,
+                 ${rxSql(cosSql("q", "e"), 6)} AS score
+          FROM ashort sh JOIN embeddings q ON q.vec_id = sh.q_id
+          JOIN embeddings e ON e.vec_id = sh.vec_id),
+        prkq AS (
+          SELECT q_id, vec_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, vec_id) AS rank
+          FROM refined)"""
+
   /** Oracle replay of the Lloyd trajectory + probe as one CTE chain:
     * `vn` (vectors + exact int64 quantization + norm), `cn0` (seeded
     * centroids), then per round t: `a{t}` (nearest centroid, rx-rounded
@@ -980,77 +1090,72 @@ object Similarity {
       // codebooks, codes) — composition is a join, not a rebuild. ADC
       // lookup values floor-quantize to int64 before the per-pair sum
       // (fold-order-free; the raw-double sum would hash-mismatch
-      // under shuffle). The oracle replays both CTE chains and the
-      // same candidates-only ADC join.
+      // under shuffle). The ADC pass SHORTLISTS (top-PqRefine); exact
+      // cosines re-rank the shortlist only (FAISS's refine step) —
+      // measured here, 32-bit codes carry shortlist signal but not
+      // top-3 ranking signal: direct ADC recall@3 is ~7%, refined 87%
+      // at sf0.01 against the 90% IVF probing ceiling, for 96 exact
+      // dots per query instead of ~1250.
+      // The oracle replays both CTE chains, the candidates-only ADC
+      // join, and the refine.
+      (s, dir) => ivfpqTop3(s, dir).orderBy("q_id", "rank"),
+      Some(s"""WITH $ivfTopSqlCtes,
+        $pqSqlCtes,
+        $ivfpqSqlCtes
+        SELECT q_id, rank, vec_id, score FROM prkq WHERE rank <= 3
+        ORDER BY q_id, rank""")),
+
+    QDef("sim_ann_ivfpq_recall",
+      // Recall@3 of the composed IVF+PQ funnel against the exact
+      // brute-force top-3 — the end-to-end audit for BOTH
+      // approximations at once (list probing can miss the true
+      // neighbour's list; PQ coding can misrank inside a probed
+      // list). Reading it next to sim_ann_ivf_recall separates the
+      // two losses: IVF recall is the probing ceiling, the delta to
+      // this number is what 4-byte codes cost. Same shape as every
+      // recall audit here: exact side broadcast nested-loop over the
+      // bounded probe set, hits = |approx ∩ exact| per query.
       (s, dir) => {
-        val assigned = ivfAssigned(s, dir)
-        val lists = assigned.filter(col("crk") === 1)
-          .select(col("c_id"), col("vec_id"))
-        val probes = assigned
-          .filter(col("vec_id") < QueryVecs && col("crk") <= NProbe)
-          .select(col("vec_id").as("q_id"), col("c_id"))
-        val cand = probes.join(lists, Seq("c_id"))
-          .filter(col("q_id") =!= col("vec_id"))
-          .select("q_id", "vec_id").distinct()
-        val subs = pqSubs(s, dir)
-        val cents = pqCents(s, dir)
-        val codes = graft.pipeline.Staged.disk(s, dir, "pq_codes") {
-          pqNearest(subs, cents)
-        }
-        val lut = subs.filter(col("vec_id") < QueryVecs)
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id").as("q_id"), col("m"), col("c_id"),
-            floor(dot(col("sv"), col("cv")) * lit(1e6) + lit(0.5)).cast("long")
-              .as("qdot_q"),
-            floor(dot(col("cv"), col("cv")) * lit(1e6) + lit(0.5)).cast("long")
-              .as("cn2_q"))
-        val qn = vecs(s, dir).filter(col("vec_id") < QueryVecs)
-          .select(col("vec_id").as("q_id"), col("nrm").as("qnrm"))
+        val e = vecs(s, dir)
+        val q = e.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
         val w = Window.partitionBy("q_id")
-          .orderBy(col("score").desc, col("vec_id").asc)
-        cand.join(codes, "vec_id")
-          .join(broadcast(lut), Seq("q_id", "m", "c_id"))
-          .groupBy("q_id", "vec_id")
-          .agg(sum(col("qdot_q")).as("sq"), sum(col("cn2_q")).as("sn"))
-          .join(broadcast(qn), "q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val exact = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("vec_id"),
-            rx((col("sq").cast("double") / lit(1e6)) /
-              (col("qnrm") * sqrt(col("sn").cast("double") / lit(1e6))), 6)
-              .as("score"))
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
-          .select(col("q_id"), col("rank").cast("long").as("rank"),
-            col("vec_id"), col("score"))
-          .orderBy("q_id", "rank")
+          .select("q_id", "vec_id")
+        val ipq = ivfpqTop3(s, dir)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        exact.join(ipq, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("q_id"), col("hits"),
+            rx(col("hits").cast("double") / lit(3.0), 6).as("recall"))
+          .orderBy("q_id")
       },
       Some(s"""WITH $ivfTopSqlCtes,
         $pqSqlCtes,
-        lut AS (
-          SELECT s.vec_id AS q_id, s.m, c.c_id,
-            CAST(floor(list_sum(list_transform(range($SubDims), i -> s.sv[i+1] * c.cv[i+1])) * 1e6 + 0.5) AS BIGINT) AS qdot_q,
-            CAST(floor(list_sum(list_transform(range($SubDims), i -> c.cv[i+1] * c.cv[i+1])) * 1e6 + 0.5) AS BIGINT) AS cn2_q
-          FROM psubs s CROSS JOIN pc$PqIters c WHERE s.vec_id < $QueryVecs),
-        qn AS (
-          SELECT vec_id AS q_id,
-            sqrt(list_sum(list_transform(range($Dims),
-              i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS qnrm
-          FROM embeddings WHERE vec_id < $QueryVecs),
-        adcq AS (
-          SELECT cand.q_id, cand.vec_id, sum(l.qdot_q) AS sq, sum(l.cn2_q) AS sn
-          FROM cand JOIN codes cd ON cd.vec_id = cand.vec_id
-          JOIN lut l ON l.q_id = cand.q_id AND l.m = cd.m AND l.c_id = cd.c_id
-          GROUP BY 1, 2),
-        scoredq AS (
-          SELECT a.q_id, a.vec_id,
-            ${rxSql("(CAST(sq AS DOUBLE) / 1e6) / (qnrm * sqrt(CAST(sn AS DOUBLE) / 1e6))", 6)} AS score
-          FROM adcq a JOIN qn ON a.q_id = qn.q_id),
-        prkq AS (
-          SELECT q_id, vec_id, score,
-                 row_number() OVER (PARTITION BY q_id
-                                    ORDER BY score DESC, vec_id) AS rank
-          FROM scoredq)
-        SELECT q_id, rank, vec_id, score FROM prkq WHERE rank <= 3
-        ORDER BY q_id, rank""")),
+        $ivfpqSqlCtes,
+        ipq AS (SELECT q_id, vec_id FROM prkq WHERE rank <= 3),
+        ex_pairs AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 ${rxSql(cosSql("q", "e"), 6)} AS cos
+          FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+          WHERE q.vec_id < $QueryVecs),
+        ex AS (SELECT q_id, vec_id FROM (
+                 SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, vec_id) AS rnk
+                 FROM ex_pairs) WHERE rnk <= 3)
+        SELECT ex.q_id, count(i.vec_id) AS hits,
+               ${rxSql("CAST(count(i.vec_id) AS DOUBLE) / 3.0", 6)} AS recall
+        FROM ex LEFT JOIN ipq i ON ex.q_id = i.q_id AND ex.vec_id = i.vec_id
+        GROUP BY ex.q_id
+        ORDER BY ex.q_id""")),
 
     QDef("sim_ann_ivf_recall",
       // Recall@3 of the trained-IVF probe against the exact
