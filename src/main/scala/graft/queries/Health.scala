@@ -342,6 +342,86 @@ object Health {
       },
     ),
 
+    QDef("win_holt_linear",
+      // Holt's linear (double-exponential) smoothing per user — the
+      // level+trend forecast a capacity/health monitor actually runs
+      // (EWMA above smooths level only; a drifting series needs the
+      // trend term or the forecast lags forever): s_t = α·x_t +
+      // (1−α)(s_{t−1}+b_{t−1}), b_t = β(s_t−s_{t−1}) + (1−β)b_{t−1},
+      // α=1/2, β=1/4 (dyadic — every coefficient multiply is exact
+      // scaling). The recurrence is inherently sequential per key, so
+      // it runs as ONE in-order array fold over the user's (ts,
+      // event_id)-sorted readings — the same strict-left-fold
+      // contract the EWMA dot-product rides, with a STRUCT
+      // accumulator (level, trend, index). The oracle replays the
+      // recurrence as a recursive CTE stepping one reading per level —
+      // NOT list_reduce with a struct accumulator: DuckDB's
+      // list_reduce evaluates result-struct fields against partially
+      // UPDATED accumulator state (probed: two fields with the
+      // identical expression returned different values), so any
+      // inter-field recurrence silently diverges there. Identical
+      // IEEE op order both sides → bit-identical states; outputs
+      // rx(4). Per-user fold over a user-bounded array — one shuffle,
+      // linear at scale.
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        def st(a: Column, f: String) = a.getField(f)
+        def sNew(a: Column, x: Column): Column =
+          when(st(a, "i") === 0.0, x)
+            .otherwise(lit(0.5) * x + lit(0.5) * (st(a, "s") + st(a, "b")))
+        val folded = t(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+            col("event_id"), (money(col("value")) * 100).cast("double").as("c"))
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(struct(col("tu"), col("event_id"),
+            col("c")))).as("es"))
+          .withColumn("xs", transform(col("es"), e => e.getField("c")))
+          .withColumn("st", aggregate(col("xs"),
+            struct(lit(0.0).as("s"), lit(0.0).as("b"), lit(0.0).as("i")),
+            (a, x) => struct(
+              sNew(a, x).as("s"),
+              when(st(a, "i") === 0.0, lit(0.0))
+                .otherwise(lit(0.25) * (sNew(a, x) - st(a, "s")) +
+                  lit(0.75) * st(a, "b")).as("b"),
+              (st(a, "i") + 1.0).as("i"))))
+        folded.select(col("user_id"),
+            size(col("xs")).cast("long").as("n_events"),
+            rx(col("st").getField("s") / 100, 4).as("level"),
+            rx(col("st").getField("b") / 100, 4).as("trend"),
+            rx((col("st").getField("s") + col("st").getField("b")) / 100, 4)
+              .as("forecast1"))
+          .orderBy("user_id")
+      },
+      Some("""WITH RECURSIVE e AS (
+          SELECT user_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DOUBLE) AS c,
+                 CAST(ts AS TIMESTAMP) AS ts, event_id
+          FROM events),
+        r AS (
+          SELECT user_id, c,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS idx
+          FROM e),
+        nn AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+               FROM r GROUP BY 1),
+        rec AS (
+          SELECT user_id, idx, c AS s, CAST(0.0 AS DOUBLE) AS b
+          FROM r WHERE idx = 1
+          UNION ALL
+          SELECT r.user_id, r.idx,
+                 0.5e0 * r.c + 0.5e0 * (rec.s + rec.b) AS s,
+                 0.25e0 * ((0.5e0 * r.c + 0.5e0 * (rec.s + rec.b)) - rec.s)
+                   + 0.75e0 * rec.b AS b
+          FROM rec JOIN r ON r.user_id = rec.user_id
+                         AND r.idx = rec.idx + 1)
+        SELECT nn.user_id AS user_id, nn.n_events AS n_events,
+               floor(rec.s / 100 * 1e4 + 0.5) / 1e4 AS level,
+               floor(rec.b / 100 * 1e4 + 0.5) / 1e4 AS trend,
+               floor((rec.s + rec.b) / 100 * 1e4 + 0.5) / 1e4 AS forecast1
+        FROM rec JOIN nn ON rec.user_id = nn.user_id
+                        AND rec.idx = nn.n_events
+        ORDER BY user_id""")),
+
     QDef("win_gap_fill",
       // Calendar densification: per-user daily activity series with
       // missing days materialized as explicit zero rows — the step

@@ -2068,6 +2068,51 @@ object Relational {
                CAST(sum(cents) AS DOUBLE) / 100 AS final
         FROM p GROUP BY user_id ORDER BY user_id""")),
 
+    QDef("win_active_streaks",
+      // Consecutive-day activity streaks per user — the engagement
+      // primitive behind retention dashboards ("longest run of active
+      // days"): distinct active days, gaps-and-islands by day-number
+      // minus per-user day rank (consecutive days share the island
+      // key), then per-user max island length. Day numbers are exact
+      // integer micros-div-86400e6 (identical truncation in both
+      // engines — nonnegative epochs). Two shuffles (distinct +
+      // user-partitioned window), both on user-bounded partitions;
+      // linear at any scale.
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+              .as("dnum"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("dnum")
+        days
+          .withColumn("grp", col("dnum") - row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(sum(col("len")).as("n_active_days"),
+            count(lit(1)).as("n_islands"),
+            max(col("len")).as("max_streak"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                   // 86400000000 AS dnum
+          FROM events),
+        isl AS (
+          SELECT user_id,
+                 dnum - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY dnum) AS grp
+          FROM days),
+        runs AS (
+          SELECT user_id, grp, count(*) AS len
+          FROM isl GROUP BY 1, 2)
+        SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(max(len) AS BIGINT) AS max_streak
+        FROM runs GROUP BY user_id ORDER BY user_id""")),
+
     // ------------------------------------------------------------------
     // Sorts / top-k
     // ------------------------------------------------------------------
