@@ -619,6 +619,65 @@ object Analytics {
           SELECT node_id, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node_id""")
       }),
 
+    QDef("graph_personalized_pagerank",
+      // Personalized PageRank from a SEED SET (partkeys < 50) — the
+      // relatedness query behind "more like these": random-walk mass
+      // restarts at the seeds instead of uniformly, so the stationary
+      // mass ranks the whole graph by proximity to the set (the
+      // recommendation/expansion primitive; global pagerank above
+      // ranks by overall centrality). Same exact-integer contract as
+      // graph_pagerank — micros-scaled mass, bigint floor-division
+      // contributions, seed-restricted teleport (seed·150000) — so a
+      // fixed round count is bit-reproducible anywhere. Same staged
+      // edges, one shuffle per round; top-25 by mass via
+      // TakeOrdered, never a global window.
+      (s, dir) => {
+        val ew = pagerankEdges(s, dir)
+        val nodes = ew.select(col("src").as("node_id")).distinct()
+          .withColumn("seed", when(col("node_id") < 50, 1L).otherwise(0L))
+        var ranks = nodes.select(col("node_id"), col("seed"),
+          (col("seed") * 1000000L).as("pr"))
+        for (_ <- 1 to 3) {
+          val contrib = ew.join(ranks.withColumnRenamed("node_id", "src"), "src")
+            .select(col("dst").as("node_id"), expr("pr div outdeg").as("c"))
+            .groupBy("node_id").agg(sum(col("c")).as("contrib"))
+          ranks = nodes.join(contrib, Seq("node_id"), "left")
+            .select(col("node_id"), col("seed"),
+              expr("seed * 150000 + (85 * coalesce(contrib, cast(0 as bigint))) div 100")
+                .as("pr"))
+        }
+        ranks.filter(col("pr") > 0)
+          .orderBy(col("pr").desc, col("node_id"))
+          .limit(25)
+      }, {
+        val rounds = (1 to 3).map { i =>
+          s"""c$i AS (
+              SELECT ew.dst AS node_id, sum(r${i - 1}.pr // ew.outdeg) AS contrib
+              FROM ew JOIN r${i - 1} ON r${i - 1}.node_id = ew.src
+              GROUP BY ew.dst),
+            r$i AS (
+              SELECT n.node_id, n.seed,
+                n.seed * 150000 + (85 * COALESCE(c$i.contrib, 0)) // 100 AS pr
+              FROM n LEFT JOIN c$i USING (node_id))"""
+        }.mkString(",\n")
+        Some(s"""WITH e0 AS (
+            SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+            FROM lineitem),
+          e AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst AS src, src AS dst FROM e0),
+          deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+          ew AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+          n AS (SELECT node_id,
+                  CASE WHEN node_id < 50 THEN 1 ELSE 0 END AS seed
+                FROM (SELECT DISTINCT src AS node_id FROM e)),
+          r0 AS (SELECT node_id, seed,
+                   CAST(seed * 1000000 AS BIGINT) AS pr FROM n),
+          $rounds
+          SELECT node_id, CAST(seed AS BIGINT) AS seed, CAST(pr AS BIGINT) AS pr
+          FROM r3 WHERE pr > 0
+          ORDER BY pr DESC, node_id LIMIT 25""")
+      }),
+
     QDef("graph_label_propagation",
       // Community detection by synchronous label propagation (LPA,
       // Raghavan et al.): label(u) starts as u, each round every node

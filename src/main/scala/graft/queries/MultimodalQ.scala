@@ -621,7 +621,93 @@ object MultimodalQ {
                CASE WHEN magic_ok THEN w0 END AS width,
                CASE WHEN magic_ok THEN h0 END AS height,
                CASE WHEN magic_ok THEN (1000 * w0) // h0 END AS aspect_millis
-        FROM parsed ORDER BY media_id"""))
+        FROM parsed ORDER BY media_id""")),
+
+    QDef("multimodal_wav_header",
+      // The audio counterpart of the PNG header parse, covering the
+      // OTHER byte order: WAV/RIFF fields are LITTLE-endian, so the
+      // fixed-offset reads must byte-swap before converting (the PNG
+      // query reads big-endian directly) — the decoder-free metadata
+      // pass an audio pipeline runs to route/validate 100 TB of clips
+      // before any decode. The Spark side BUILDS a canonical 44-byte
+      // header (fields from md5-derived ints; every 13th doc's magic
+      // corrupted so the validation arm is live) and then PARSES it
+      // back from the binary column in codegen'd built-ins — hex +
+      // pair-swap + conv; duration falls out as exact integer micros
+      // (8·data·10⁶ div (rate·channels·bits)). The oracle never
+      // parses: it derives every field from the same closed-form
+      // arithmetic, so a wrong swap or offset on the Spark side
+      // cannot hash-match. Shuffle-free narrow projection — a pure
+      // column scan at scale.
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        def h32c(tag: String) = graft.functions.Text.md5Hash32(
+          concat(lit(tag), col("doc_id").cast("string")))
+        def beHex(v: Column, hexLen: Int) = lpad(hex(v), hexLen, "0")
+        def leHex(v: Column, nBytes: Int) = {
+          val be = beHex(v, nBytes * 2)
+          concat(((nBytes - 1) to 0 by -1).map(i =>
+            substring(be, i * 2 + 1, 2)): _*)
+        }
+        val ch = lit(1L) + pmod(h32c("c:"), lit(2L))
+        val ridx = pmod(h32c("r:"), lit(4L))
+        val rate = when(ridx === 0, lit(8000L))
+          .when(ridx === 1, lit(16000L))
+          .when(ridx === 2, lit(22050L))
+          .otherwise(lit(44100L))
+        val bits = lit(8L) * (lit(1L) + pmod(h32c("b:"), lit(2L)))
+        val dsz = lit(1000L) + pmod(h32c("d:"), lit(100000L))
+        val brate = rate * ch * bits / lit(8L)
+        val balign = ch * bits / lit(8L)
+        val magic = when(col("doc_id") % 13 === 0, lit("00494646"))
+          .otherwise(lit("52494646"))
+        val wav = unhex(concat(
+          magic, leHex(dsz + 36L, 4), lit("57415645"),
+          lit("666D7420"), leHex(lit(16L), 4), leHex(lit(1L), 2),
+          leHex(ch, 2), leHex(rate, 4), leHex(brate.cast("long"), 4),
+          leHex(balign.cast("long"), 2), leHex(bits, 2),
+          lit("64617461"), leHex(dsz, 4)))
+        def leVal(pos: Int, nBytes: Int) = {
+          val hx = hex(substring(col("wav"), pos, nBytes))
+          conv(concat(((nBytes - 1) to 0 by -1).map(i =>
+            substring(hx, i * 2 + 1, 2)): _*), 16, 10).cast("long")
+        }
+        t(s, dir, "documents")
+          .select(col("doc_id").as("media_id"), wav.as("wav"))
+          .withColumn("riff_ok",
+            hex(substring(col("wav"), 1, 4)) === "52494646" &&
+              hex(substring(col("wav"), 9, 4)) === "57415645")
+          .select(col("media_id"), col("riff_ok"),
+            when(col("riff_ok"), leVal(23, 2)).as("channels"),
+            when(col("riff_ok"), leVal(25, 4)).as("sample_rate"),
+            when(col("riff_ok"), leVal(35, 2)).as("bits"),
+            when(col("riff_ok"), leVal(41, 4)).as("data_bytes"))
+          .withColumn("duration_us",
+            expr("(8 * data_bytes * 1000000) div (sample_rate * channels * bits)"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH f AS (
+          SELECT doc_id AS media_id,
+                 doc_id % 13 <> 0 AS riff_ok,
+                 1 + CAST(('0x' || substr(md5('c:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS ch,
+                 CAST(('0x' || substr(md5('r:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS ri,
+                 8 * (1 + CAST(('0x' || substr(md5('b:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2) AS bits,
+                 1000 + CAST(('0x' || substr(md5('d:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100000 AS d
+          FROM documents),
+        g AS (
+          SELECT media_id, riff_ok, ch, bits, d,
+                 CASE ri WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         WHEN 2 THEN 22050 ELSE 44100 END AS rate
+          FROM f)
+        SELECT media_id, riff_ok,
+               CASE WHEN riff_ok THEN CAST(ch AS BIGINT) END AS channels,
+               CASE WHEN riff_ok THEN CAST(rate AS BIGINT) END AS sample_rate,
+               CASE WHEN riff_ok THEN CAST(bits AS BIGINT) END AS bits,
+               CASE WHEN riff_ok THEN CAST(d AS BIGINT) END AS data_bytes,
+               CASE WHEN riff_ok
+                 THEN CAST((8 * d * 1000000) // (rate * ch * bits) AS BIGINT)
+               END AS duration_us
+        FROM g ORDER BY media_id"""))
   )
 
   /** Staged 32-bit simhash signatures over the opaque payloads plus the

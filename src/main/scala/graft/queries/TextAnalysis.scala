@@ -427,6 +427,55 @@ object TextAnalysis {
         FROM cb JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN tot
         ORDER BY c12 DESC, w1, w2 LIMIT 30""")),
 
+    QDef("profile_source_overlap",
+      // Source-by-source vocabulary overlap matrix — the corpus-mix
+      // diagnostic run before weighting sources in a training blend:
+      // two feeds with near-identical vocabularies are redundant (and
+      // a dedup risk), near-disjoint ones add coverage. Exact Jaccard
+      // over each source's DISTINCT token set, all-integer ppm. One
+      // explode + distinct (map-side combined, vocab×sources-bounded
+      // output), the pair join runs ON THE TOKEN (each token emits
+      // its source list — the inverted-index form, Σ_t df(t)² pairs,
+      // never |corpus|²), per-source totals broadcast back. The
+      // source dimension is small by nature; the corpus-sized work is
+      // the one distinct scan.
+      (s, dir) => {
+        val st = t(s, dir, "documents")
+          .select(col("source"), explode(toks).as("term"))
+          .filter(length(col("term")) > 0)
+          .distinct()
+        val per = st.groupBy("source").agg(count(lit(1)).as("n"))
+        val common = st.toDF("sa", "term")
+          .join(st.toDF("sb", "term"), Seq("term"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("n_common"))
+        common
+          .join(broadcast(per.toDF("sa", "n_a")), "sa")
+          .join(broadcast(per.toDF("sb", "n_b")), "sb")
+          .select(col("sa").as("source_a"), col("sb").as("source_b"),
+            col("n_a"), col("n_b"), col("n_common"),
+            expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+              .as("jaccard_ppm"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH st AS (
+          SELECT DISTINCT source, term FROM (
+            SELECT source, unnest($toksSql) AS term FROM documents)
+          WHERE len(term) > 0),
+        per AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                FROM st GROUP BY 1),
+        com AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, pa.n AS n_a, pb.n AS n_b, n_common,
+               CAST((1000000 * n_common) // (pa.n + pb.n - n_common)
+                 AS BIGINT) AS jaccard_ppm
+        FROM com JOIN per pa ON pa.source = com.source_a
+        JOIN per pb ON pb.source = com.source_b
+        ORDER BY source_a, source_b""")),
+
     QDef("sample_hash_split",
       // Deterministic train/valid/test assignment: bucket =
       // md5-derived hash of the doc id mod 100, split by 80/10/10
