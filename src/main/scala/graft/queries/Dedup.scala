@@ -1464,6 +1464,82 @@ object Dedup {
                  AS BIGINT) AS nedit_ppm
         FROM scored WHERE (1000000 * edit_dist) // greatest(len_a, len_b)
           <= 300000
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    QDef("dedup_cross_source_contamination",
+      // Cross-SOURCE near-dup contamination rate — the provenance
+      // report a training-data curator reads before trusting a
+      // source-level holdout (if src7's eval docs near-duplicate src3's
+      // training docs, the split leaks regardless of how carefully doc
+      // ids were partitioned): per source, how many of its documents
+      // have a verified near-dup (Jaccard >= 0.5 on 3-gram sets) in a
+      // DIFFERENT source, as an integer ppm rate. Same
+      // verify-on-candidates discipline as dedup_ngram_jaccard — the
+      // pair list comes from the shared staged LSH band index, exact
+      // Jaccard rescoring touches candidates only (the sorted
+      // merge-count kernel), and the source attribution is two hash
+      // joins on doc_id; the final rollup is one aggregate over the
+      // 20-row source dimension with a left join so ZERO-contamination
+      // sources still report (coalesce-0 — both arms probed live at
+      // sf0.001 and sf0.01). Nothing is quadratic in the corpus; at
+      // 100 TB the plan cost is the one the minhash family already
+      // pays, plus a candidate-linear verify.
+      (s, dir) => {
+        val sets = ngramSets(s, dir)
+        val inter = graft.functions.SortedInterCountExpr
+          .interCount(col("ss_a"), col("ss_b")).cast("int")
+        val ja = inter.cast("double") /
+          (size(col("ss_a")) + size(col("ss_b")) - inter).cast("double")
+        val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        val crossPairs = candidatePairs(s, dir)
+          .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
+          .filter(rx(ja, 4) >= 0.5)
+          .select("doc_a", "doc_b")
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+          .filter(col("src_a") =!= col("src_b"))
+        val contam = crossPairs
+          .select(col("doc_a").as("doc_id"), col("src_a").as("source"))
+          .unionByName(crossPairs
+            .select(col("doc_b").as("doc_id"), col("src_b").as("source")))
+          .groupBy("source").agg(countDistinct("doc_id").as("n_contam"))
+        src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .join(contam, Seq("source"), "left")
+          .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
+          .select(col("source"), col("n_docs"), col("n_contam"),
+            expr("(n_contam * 1000000) div n_docs").as("contam_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $minhashBandsSql,
+        $candidatePairsSql,
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform($shSql, x -> ${h32Sql("x")})) AS ss
+          FROM documents),
+        xp AS (
+          SELECT c.doc_a, c.doc_b, da.source AS src_a, db.source AS src_b
+          FROM cpairs c
+          JOIN sets a ON a.doc_id = c.doc_a
+          JOIN sets b ON b.doc_id = c.doc_b
+          JOIN documents da ON da.doc_id = c.doc_a
+          JOIN documents db ON db.doc_id = c.doc_b
+          WHERE ${rxSql("""CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))""", 4)} >= 0.5
+            AND da.source <> db.source),
+        contam AS (
+          SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contam
+          FROM (SELECT doc_a AS doc_id, src_a AS source FROM xp
+                UNION ALL SELECT doc_b, src_b FROM xp)
+          GROUP BY 1),
+        per_src AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1)
+        SELECT p.source, p.n_docs,
+               CAST(coalesce(c.n_contam, 0) AS BIGINT) AS n_contam,
+               CAST((coalesce(c.n_contam, 0) * 1000000) // p.n_docs AS BIGINT)
+                 AS contam_ppm
+        FROM per_src p LEFT JOIN contam c ON c.source = p.source
+        ORDER BY p.source"""))
   )
 }

@@ -2203,7 +2203,97 @@ object Similarity {
                CAST(label AS BIGINT) AS majority_label,
                CAST(n AS BIGINT) AS majority_n,
                CAST((n * 1000000) // n_members AS BIGINT) AS purity_ppm
-        FROM maj WHERE rk = 1 ORDER BY c_id"""))
+        FROM maj WHERE rk = 1 ORDER BY c_id""")),
+
+    QDef("sim_centroid_drift",
+      // Embedding-centroid DRIFT between two snapshots — the monitoring
+      // table an embedding-backed pipeline checks between crawls /
+      // model refreshes (did class-5's region move? is snapshot B's
+      // encoder still the same geometry?): the corpus splits into two
+      // deterministic hash-snapshots, each label reports both snapshot
+      // populations, the cosine between its two snapshot centroids
+      // (≈1.0 = stable region) and the straight-line L2 the centroid
+      // moved. Exactness: same discipline as sim_centroid_separation —
+      // per-dimension sums are exact int64 over micro-quantized
+      // components, means are single IEEE divisions, and the cosine /
+      // L2 fold the 64-dim arrays IN-ORDER (aggregate/zip_with ≙
+      // DuckDB's prepended list_reduce), so every number is
+      // bit-identical cross-engine. Scale: one posexplode scan with the
+      // snapshot key riding along (corpus × 64 rows), one
+      // (label, snap, dim) aggregate; the drift join runs on 2·labels
+      // rows. Both snapshot arms verified non-empty per label at
+      // sf0.001 AND sf0.01.
+      (s, dir) => {
+        val snap = pmod(graft.functions.Text.md5Hash32(
+          concat(lit("snap:"), col("vec_id").cast("string"))), lit(2L))
+        val base = t(s, dir, "embeddings").withColumn("snap", snap)
+        val comp = base
+          .select(col("label"), col("snap"),
+            posexplode(col("embedding")).as(Seq("d", "x")))
+          .withColumn("xq",
+            floor(col("x").cast("double") * 1000000.0 + 0.5).cast("long"))
+        val nPer = base.groupBy("label", "snap")
+          .agg(count(lit(1)).as("n_vecs"))
+        val cent = comp.groupBy("label", "snap", "d").agg(sum("xq").as("sq"))
+          .join(nPer, Seq("label", "snap"))
+          .withColumn("m", col("sq").cast("double") /
+            (col("n_vecs").cast("double") * 1000000.0))
+          .groupBy("label", "snap", "n_vecs")
+          .agg(transform(
+            sort_array(collect_list(struct(col("d"), col("m")))),
+            e => e.getField("m")).as("c"))
+        val nrm = (c: Column) => sqrt(aggregate(
+          transform(c, x => x * x), lit(0d), (a, x) => a + x))
+        cent.filter(col("snap") === 0).as("a")
+          .join(cent.filter(col("snap") === 1).as("b"),
+            col("a.label") === col("b.label"))
+          .select(col("a.label").as("label"),
+            col("a.n_vecs").as("n_a"), col("b.n_vecs").as("n_b"),
+            rx(aggregate(zip_with(col("a.c"), col("b.c"), (x, y) => x * y),
+              lit(0d), (acc, x) => acc + x) /
+              (nrm(col("a.c")) * nrm(col("b.c"))), 6).as("centroid_cos"),
+            rx(sqrt(aggregate(
+              zip_with(col("a.c"), col("b.c"), (x, y) => (x - y) * (x - y)),
+              lit(0d), (acc, x) => acc + x)), 6).as("l2_drift"))
+          .orderBy("label")
+      }, {
+        val fold = (l: String) =>
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (a, x) -> a + x)"
+        Some(s"""WITH base AS (
+          SELECT label, embedding,
+                 CAST(('0x' || substr(md5('snap:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 2 AS snap
+          FROM embeddings),
+        comp AS (
+          SELECT label, snap, d,
+                 CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xq
+          FROM (SELECT label, snap, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) - 1 AS d
+                FROM base)),
+        n_per AS (SELECT label, snap, CAST(count(*) AS BIGINT) AS n_vecs
+                  FROM base GROUP BY 1, 2),
+        sums AS (
+          SELECT label, snap, d, CAST(sum(xq) AS BIGINT) AS sq
+          FROM comp GROUP BY 1, 2, 3),
+        cent AS (
+          SELECT s.label, s.snap, n.n_vecs,
+                 list_transform(
+                   list_sort(list(struct_pack(d := s.d, m :=
+                     CAST(s.sq AS DOUBLE) / (CAST(n.n_vecs AS DOUBLE) * 1000000.0)))),
+                   e -> e.m) AS c
+          FROM sums s JOIN n_per n ON n.label = s.label AND n.snap = s.snap
+          GROUP BY 1, 2, 3)
+        SELECT a.label AS label, a.n_vecs AS n_a, b.n_vecs AS n_b,
+               ${rxSql(
+            s"""${fold("list_transform(range(64), i -> a.c[i+1] * b.c[i+1])")} /
+               (sqrt(${fold("list_transform(range(64), i -> a.c[i+1] * a.c[i+1])")}) *
+                sqrt(${fold("list_transform(range(64), i -> b.c[i+1] * b.c[i+1])")}))""", 6)} AS centroid_cos,
+               ${rxSql(
+            s"""sqrt(${fold("list_transform(range(64), i -> (a.c[i+1] - b.c[i+1]) * (a.c[i+1] - b.c[i+1]))")})""", 6)} AS l2_drift
+        FROM cent a JOIN cent b ON a.label = b.label
+          AND a.snap = 0 AND b.snap = 1
+        ORDER BY label""")
+      })
   )
 
   /** Unrolled DuckDB replay of the greedy k-center trajectory (k=5):

