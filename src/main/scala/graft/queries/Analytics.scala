@@ -567,6 +567,74 @@ object Analytics {
           ${rxSql("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 6)} AS intercept
         FROM st ORDER BY event_type""")),
 
+    QDef("graph_hits",
+      // HITS hubs & authorities (Kleinberg) on the DIRECTED
+      // part->supplier graph — PageRank's bipartite sibling: a good
+      // hub (part) points at many good authorities (suppliers), a good
+      // authority is pointed at by many good hubs. Two unnormalized
+      // update rounds in EXACT int64 (auth₁ = indegree; hub₁ = Σ auth₁
+      // over out-neighbors; auth₂ = Σ hub₁ over in-neighbors) — per-
+      // round normalization is a positive scalar that never changes
+      // rank order, so dropping it keeps the ranking semantics while
+      // making every score fold-order-free and bit-reproducible in any
+      // engine (float HITS is not); scores are reported raw plus as
+      // ppm-of-max (nonnegative numerators, floor-div-safe). Growth
+      // bound: after 2 rounds scores ≤ maxdeg³ — at 10⁶-degree 100 TB
+      // scale still < 2⁶³. Shape: each round is one equi join + one
+      // aggregate on the staged edge set; top-20 per role is
+      // orderBy+limit (TakeOrdered: per-partition top-K, driver merge
+      // of K·parts rows), NEVER a dimension-global rank window; the
+      // rank attaches after the limit on the ≤40-row union (bounded).
+      (s, dir) => {
+        val pe = pagerankEdges(s, dir).filter(col("src") < 1000000L)
+          .select("src", "dst")
+        val auth1 = pe.groupBy("dst").agg(count(lit(1)).as("a1"))
+        val hub1 = pe.join(auth1, "dst").groupBy("src").agg(sum("a1").as("h1"))
+        val auth2 = pe.join(hub1, "src").groupBy("dst").agg(sum("h1").as("a2"))
+        val topH = hub1
+          .crossJoin(broadcast(hub1.agg(max("h1").as("mx"))))
+          .select(lit("hub").as("role"), col("src").as("node"),
+            col("h1").as("score"), expr("(h1 * 1000000) div mx").as("score_ppm"))
+          .orderBy(col("score").desc, col("node")).limit(20)
+        val topA = auth2
+          .crossJoin(broadcast(auth2.agg(max("a2").as("mx"))))
+          .select(lit("authority").as("role"), col("dst").as("node"),
+            col("a2").as("score"), expr("(a2 * 1000000) div mx").as("score_ppm"))
+          .orderBy(col("score").desc, col("node")).limit(20)
+        // 40-row bounded window (2 roles × top-20) — rank only labels
+        // the already-limited rows.
+        topH.unionByName(topA)
+          .withColumn("rank", row_number().over(Window.partitionBy("role")
+            .orderBy(col("score").desc, col("node"))).cast("long"))
+          .select(col("role"), col("rank"), col("node"), col("score"),
+            col("score_ppm"))
+          .orderBy("role", "rank")
+      },
+      Some("""WITH e0 AS (
+          SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+          FROM lineitem),
+        auth1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS a1 FROM e0 GROUP BY 1),
+        hub1 AS (
+          SELECT e0.src, CAST(sum(a1) AS BIGINT) AS h1
+          FROM e0 JOIN auth1 USING (dst) GROUP BY 1),
+        auth2 AS (
+          SELECT e0.dst, CAST(sum(h1) AS BIGINT) AS a2
+          FROM e0 JOIN hub1 USING (src) GROUP BY 1),
+        toph AS (
+          SELECT 'hub' AS role, src AS node, h1 AS score,
+                 CAST((h1 * 1000000) // (SELECT max(h1) FROM hub1) AS BIGINT) AS score_ppm
+          FROM hub1 ORDER BY score DESC, node LIMIT 20),
+        topa AS (
+          SELECT 'authority' AS role, dst AS node, a2 AS score,
+                 CAST((a2 * 1000000) // (SELECT max(a2) FROM auth2) AS BIGINT) AS score_ppm
+          FROM auth2 ORDER BY score DESC, node LIMIT 20),
+        u AS (SELECT * FROM toph UNION ALL SELECT * FROM topa)
+        SELECT role,
+               CAST(row_number() OVER (PARTITION BY role
+                 ORDER BY score DESC, node) AS BIGINT) AS rank,
+               node, score, score_ppm
+        FROM u ORDER BY role, rank""")),
+
     QDef("graph_pagerank",
       // Iterative PageRank over the symmetric part<->supplier
       // co-occurrence graph, in INTEGER arithmetic: ranks are scaled

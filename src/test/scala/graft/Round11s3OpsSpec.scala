@@ -117,4 +117,71 @@ class Round11s3OpsSpec extends AnyFunSuite {
       assert(na > 0 && nb > 0 && cos <= 1.0 + 1e-9 && l2 >= 0.0)
     }
   }
+
+  test("graph_hits matches an exact driver recompute") {
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_partkey as src", "l_suppkey + 1000000 as dst")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val auth1 = edges.groupBy(_._2).map { case (d, es) => d -> es.length.toLong }
+    val hub1 = edges.groupBy(_._1).map { case (p, es) =>
+      p -> es.map(e => auth1(e._2)).sum
+    }
+    val auth2 = edges.groupBy(_._2).map { case (d, es) =>
+      d -> es.map(e => hub1(e._1)).sum
+    }
+    val mxH = hub1.values.max
+    val mxA = auth2.values.max
+    val want =
+      auth2.toSeq.sortBy { case (n, s) => (-s, n) }.take(20).zipWithIndex
+        .map { case ((n, s), i) =>
+          ("authority", i + 1L, n, s, s * 1000000L / mxA) } ++
+      hub1.toSeq.sortBy { case (n, s) => (-s, n) }.take(20).zipWithIndex
+        .map { case ((n, s), i) =>
+          ("hub", i + 1L, n, s, s * 1000000L / mxH) }
+    val got = SparkEntry.queries("graph_hits")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == want, "HITS drift vs brute force")
+    // Mutual-reinforcement sanity: the top authority's indegree alone
+    // must not exceed its round-2 score (scores only grow with rounds).
+    assert(got.filter(_._1 == "authority").forall(_._4 > 0))
+  }
+
+  test("sim_ann_multiprobe matches brute force and beats single-probe") {
+    val planes = Array.tabulate(8, 64)((p, d) =>
+      (md5h32(s"$p:$d") % 2001L - 1000L) / 1000.0)
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def foldDot(a: Array[Double], b: Array[Double]): Double =
+      (0 until 64).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def bucket(v: Array[Double]): Long =
+      (0 until 8).map(p => if (foldDot(planes(p), v) > 0) 1L << p else 0L).sum
+    def rx6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val withB = rows.map { case (id, v) =>
+      (id, v, bucket(v), math.sqrt(foldDot(v, v)))
+    }
+    val want = withB.filter(_._1 < 10).sortBy(_._1).flatMap {
+      case (qid, qv, qb, qn) =>
+        val probed = Set(qb) ++ (0 until 8).map(i => qb ^ (1L << i))
+        withB
+          .filter(c => c._1 != qid && probed.contains(c._3))
+          .map { case (cid, cv, cb, cn) =>
+            (cid, rx6(foldDot(qv, cv) / (qn * cn)),
+              if (cb == qb) 0L else 1L)
+          }
+          .sortBy { case (cid, cos, _) => (-cos, cid) }
+          .take(3).zipWithIndex
+          .map { case ((cid, cos, pd), i) => (qid, i + 1L, cid, cos, pd) }
+    }
+    val got = SparkEntry.queries("sim_ann_multiprobe")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.toSeq == want.toSeq, "multiprobe drift vs brute force")
+    // The probe arm must be live: some winner came from a flipped
+    // bucket (probe_dist = 1), i.e. single-probe would have missed it.
+    assert(got.exists(_._5 == 1L), "no winner from a Hamming-1 bucket")
+    assert(got.exists(_._5 == 0L), "own-bucket arm dead")
+  }
 }
