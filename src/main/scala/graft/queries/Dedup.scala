@@ -238,7 +238,10 @@ object Dedup {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)"""
 
-  private val minhashBandsSql =
+  /** private[queries]: the streaming minhash dedup's oracle replays
+    * the same band construction.
+    */
+  private[queries] val minhashBandsSql =
     s"""mh AS (
           SELECT doc_id, k,
                  min((h0 * (k * 2 + 1) + k * 2654435761) % 2147483647) AS h

@@ -101,6 +101,12 @@ object Streaming {
   /** Snapshot emitted by the stateful function after each batch. */
   final case class UserSnap(user_id: Long, n: Long, cents: Long)
 
+  /** Document row fed to the streaming minhash-dedup phases. */
+  final case class DocTxt(doc_id: Long, text: String)
+
+  /** Candidate emitted by the per-bucket dedup state handler. */
+  final case class DupCand(doc_id: Long, dup_of: Long)
+
   /** Event row fed to the timer-session processor. */
   final case class EvV(ts: Timestamp, user_id: Long, value: Double)
 
@@ -475,6 +481,83 @@ object Streaming {
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
         ORDER BY user_id, event_type""")),
+
+    QDef("stream_minhash_dedup",
+      // ONLINE MinHash-LSH dedup — the streaming face of the dedup
+      // north star: documents arrive in micro-batches, each doc's
+      // K=16 min-hashes are computed PER ROW (pure higher-order
+      // functions over the bound shingle-hash array — no aggregation,
+      // so the signature step is stream-safe and stateless), its 4
+      // band buckets key a flatMapGroupsWithState store holding one
+      // long per bucket (the smallest doc_id ever seen there), and a
+      // doc is flagged against the smallest earlier band-mate. State
+      // across batches is load-bearing: phase-2 docs dedup against
+      // phase-1 keepers that are nowhere in phase 2's input. Arrival
+      // determinism: phases split by doc_id RANGE and the handler
+      // processes each batch's bucket members in ascending id order,
+      // so every id smaller than d is seen no later than d and the
+      // sink equals the batch closed form (min band-mate below d,
+      // else -1) — which is exactly what the oracle computes. At
+      // 100 TB the state is one long per distinct band signature
+      // (RocksDB-backed, shuffle-partitioned on the bucket key);
+      // production would add a state TTL to age out cold buckets —
+      // semantics here are the unbounded-retention ideal.
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect().sortBy(_._1)
+        val cut = docs(docs.length / 2)._1
+        val p1 = docs.filter(_._1 < cut).map(d => DocTxt(d._1, d._2)).toSeq
+        val p2 = docs.filter(_._1 >= cut).map(d => DocTxt(d._1, d._2)).toSeq
+        val cands = StreamRuns.twoPhaseToMemory(s, "mhdedup", p1, p2) { df =>
+          val withH = df
+            .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+            .withColumn("h0s", transform(Text.shingles(col("tks"), 3),
+              x => Text.md5Hash32(x)))
+            .filter(size(col("h0s")) > 0)
+          // ≙ Dedup.minhashBands per row: affine rehashes of one md5,
+          // banded 4×4, bsig = comma-joined mins in k order.
+          val buckets = array((0 until 4).map { b =>
+            concat(lit(s"$b:"), concat_ws(",", (0 until 4).map { j =>
+              val k = b * 4 + j
+              array_min(transform(col("h0s"),
+                h => (h * lit(2L * k + 1) + lit(k * 2654435761L))
+                  % lit(2147483647L))).cast("string")
+            }: _*))
+          }: _*)
+          withH.select(col("doc_id"), explode(buckets).as("bucket"))
+            .as[(Long, String)]
+            .groupByKey(_._2)
+            .flatMapGroupsWithState(
+              OutputMode.Append, GroupStateTimeout.NoTimeout) {
+              (_: String, it: Iterator[(Long, String)],
+               state: GroupState[Long]) =>
+                val ids = it.map(_._1).toArray.sorted
+                var keeper = state.getOption.getOrElse(Long.MaxValue)
+                val out = Seq.newBuilder[DupCand]
+                ids.foreach { d =>
+                  if (keeper < d) out += DupCand(d, keeper)
+                  keeper = math.min(keeper, d)
+                }
+                state.update(keeper)
+                out.result().iterator
+            }.toDF()
+        }
+        t(s, dir, "documents").select(col("doc_id"))
+          .join(cands.groupBy("doc_id").agg(min("dup_of").as("dup_of")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${Dedup.minhashBandsSql},
+        m AS (
+          SELECT a.doc_id, min(b.doc_id) AS dup_of
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bsig = b.bsig AND b.doc_id < a.doc_id
+          GROUP BY a.doc_id)
+        SELECT d.doc_id, CAST(coalesce(m.dup_of, -1) AS BIGINT) AS dup_of
+        FROM documents d LEFT JOIN m USING (doc_id)
+        ORDER BY d.doc_id""")),
 
     QDef("stream_custom_state",
       // Arbitrary stateful processing (flatMapGroupsWithState): per-user

@@ -184,4 +184,42 @@ class Round11s3OpsSpec extends AnyFunSuite {
     assert(got.exists(_._5 == 1L), "no winner from a Hamming-1 bucket")
     assert(got.exists(_._5 == 0L), "own-bucket arm dead")
   }
+
+  test("stream_minhash_dedup equals the batch closed form and dedups " +
+    "across the phase boundary (state persistence)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // ≙ Dedup.minhashBands: 16 affine rehashes of one md5 per shingle,
+    // banded 4x4 (min over the multiset = min over the set).
+    def bands(text: String): Seq[String] = {
+      val toks = text.trim.replaceAll("\\s+", " ").toLowerCase.split(" ")
+      if (toks.length < 3) return Nil
+      val h0 = (0 to toks.length - 3)
+        .map(i => md5h32(toks.slice(i, i + 3).mkString(" ")))
+      (0 until 4).map { b =>
+        s"$b:" + (0 until 4).map { j =>
+          val k = b * 4 + j
+          h0.map(h => (h * (2L * k + 1) + k * 2654435761L) % 2147483647L).min
+        }.mkString(",")
+      }
+    }
+    val bmap = docs.flatMap { case (id, t) => bands(t).map(b => (b, id)) }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sorted }
+    val want = docs.map { case (id, t) =>
+      val mates = bands(t).flatMap(b => bmap(b)).filter(_ < id)
+      id -> (if (mates.isEmpty) -1L else mates.min)
+    }
+    val got = SparkEntry.queries("stream_minhash_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq == want.toSeq, "streaming dedup drift vs batch truth")
+    // State-persistence arm: a phase-2 doc (id >= the median cut) must
+    // dedup against a phase-1 keeper — impossible without retained
+    // state. Both within-phase arms must also be live.
+    val cut = docs(docs.length / 2)._1
+    assert(got.exists { case (d, k) => k >= 0 && d >= cut && k < cut },
+      "no cross-phase dup: state retention not exercised")
+    assert(got.exists { case (d, k) => k >= 0 && d < cut }, "p1 arm dead")
+    assert(got.exists { case (_, k) => k >= cut }, "p2 arm dead")
+  }
 }
