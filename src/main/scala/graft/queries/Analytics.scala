@@ -567,6 +567,84 @@ object Analytics {
           ${rxSql("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 6)} AS intercept
         FROM st ORDER BY event_type""")),
 
+    QDef("agg_assoc_rules",
+      // Market-basket association rules (Agrawal's A-Priori, the
+      // 2-itemset level) over order→brand baskets: per directed rule
+      // x→y, exact integer support / confidence / lift in ppm — the
+      // co-purchase table behind recommendations and assortment
+      // planning. A-priori pruning is the 100 TB move: only items
+      // whose basket support clears the PEER-RELATIVE mean cut
+      // (ni·k > Σni — live by construction at every SF where an
+      // absolute threshold goes one-sided on this near-uniform
+      // catalog; 13/25 and 12/25 brands pass at the probe SFs) enter
+      // the pair join, so the per-basket explode is bounded by the
+      // pruned catalog, never the raw one. Shape: one distinct
+      // (shuffle on basket key), item counts map-side, the pair join
+      // shuffles on basket id with the frequent-item filter BROADCAST
+      // into the scan, pair counts shuffle on (x,y). Lift's numerator
+      // rides DECIMAL(38,0) ≙ HUGEINT (n_pair·n_baskets·10⁶ cubes past
+      // 2⁶³ at ~10⁹ baskets — the mann_whitney overflow discipline);
+      // all numerators nonnegative so floor-div is truncate-safe.
+      (s, dir) => {
+        val baskets = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("o"), col("p_brand").as("it"))
+          .distinct()
+        val nB = baskets.agg(countDistinct("o").as("n_baskets"))
+        val items = baskets.groupBy("it").agg(count(lit(1)).as("ni"))
+        val tot = items.agg(sum("ni").as("s"), count(lit(1)).as("k"))
+        val freq = items.crossJoin(broadcast(tot))
+          .filter(col("ni") * col("k") > col("s")).select("it", "ni")
+        val fb = baskets.join(broadcast(freq.select("it")), "it")
+        val pairs = fb.as("a")
+          .join(fb.as("b"), col("a.o") === col("b.o") && col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("x"), col("b.it").as("y"))
+          .agg(count(lit(1)).as("n_pair"))
+        val rules = pairs
+          .select(col("x").as("antecedent"), col("y").as("consequent"),
+            col("n_pair"))
+          .unionByName(pairs.select(col("y").as("antecedent"),
+            col("x").as("consequent"), col("n_pair")))
+        rules
+          .join(broadcast(freq.select(col("it").as("antecedent"),
+            col("ni").as("n_ante"))), "antecedent")
+          .join(broadcast(freq.select(col("it").as("consequent"),
+            col("ni").as("n_cons"))), "consequent")
+          .crossJoin(broadcast(nB))
+          .select(col("antecedent"), col("consequent"), col("n_ante"),
+            col("n_cons"), col("n_pair"),
+            expr("(n_pair * 1000000) div n_baskets").as("support_ppm"),
+            expr("(n_pair * 1000000) div n_ante").as("confidence_ppm"),
+            expr("""CAST((CAST(n_pair AS DECIMAL(38,0)) * n_baskets * 1000000)
+              div (n_ante * n_cons) AS BIGINT)""").as("lift_ppm"))
+          .orderBy("antecedent", "consequent")
+      },
+      Some("""WITH b AS (
+          SELECT DISTINCT l_orderkey AS o, p_brand AS it
+          FROM lineitem JOIN part ON p_partkey = l_partkey),
+        nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM b),
+        i AS (SELECT it, CAST(count(*) AS BIGINT) AS ni FROM b GROUP BY 1),
+        tot AS (SELECT sum(ni) AS s, count(*) AS k FROM i),
+        f AS (SELECT it, ni FROM i, tot WHERE ni * k > s),
+        fb AS (SELECT b.o, b.it FROM b JOIN f USING (it)),
+        p AS (
+          SELECT a.it AS x, c.it AS y, CAST(count(*) AS BIGINT) AS n_pair
+          FROM fb a JOIN fb c ON a.o = c.o AND a.it < c.it
+          GROUP BY 1, 2),
+        r AS (
+          SELECT x AS antecedent, y AS consequent, n_pair FROM p
+          UNION ALL SELECT y, x, n_pair FROM p)
+        SELECT r.antecedent, r.consequent,
+               fa.ni AS n_ante, fc.ni AS n_cons, r.n_pair,
+               CAST((r.n_pair * 1000000) // nb.n_baskets AS BIGINT) AS support_ppm,
+               CAST((r.n_pair * 1000000) // fa.ni AS BIGINT) AS confidence_ppm,
+               CAST((CAST(r.n_pair AS HUGEINT) * nb.n_baskets * 1000000)
+                 // (fa.ni * fc.ni) AS BIGINT) AS lift_ppm
+        FROM r JOIN f fa ON fa.it = r.antecedent
+        JOIN f fc ON fc.it = r.consequent
+        CROSS JOIN nb
+        ORDER BY antecedent, consequent""")),
+
     QDef("graph_hits",
       // HITS hubs & authorities (Kleinberg) on the DIRECTED
       // part->supplier graph — PageRank's bipartite sibling: a good

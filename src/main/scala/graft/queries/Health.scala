@@ -588,6 +588,179 @@ object Health {
         ORDER BY e.event_id"""),
     ),
 
+    QDef("agg_ttest_paired",
+      // PAIRED t-test per event type — the matched-pairs companion to
+      // agg_welch_ttest: same-user first-half vs second-half spend,
+      // tested on the per-user DIFFERENCE (pairing removes the
+      // between-user variance that dominates Welch's denominator —
+      // the standard before/after design for feature launches). Per
+      // (type, user) both half-sums come from ONE conditional
+      // aggregate (no self-join); only users active in BOTH halves
+      // pair (both sign arms probed live at sf0.001 and sf0.01). The
+      // per-type reduction keeps exact integer diffs with Σd / Σd² on
+      // DECIMAL(38,0) ≙ HUGEINT (d² passes 2⁶³ at ~10⁹-cent users);
+      // mean, variance and t are a fixed tree of single IEEE ops — no
+      // transcendentals. Zero-variance divisor guarded to NULL on
+      // both engines (Spark ANSI raises on /0 where DuckDB yields
+      // ±inf). Two map-side-combinable aggregates, no shuffle beyond
+      // the (type, user) key — scan speed at 100 TB.
+      (s, dir) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val pu = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("h", col("ts") < cut)
+          .groupBy("event_type", "user_id")
+          .agg(sum(when(col("h"), 1L).otherwise(0L)).as("n1"),
+            sum(when(!col("h"), 1L).otherwise(0L)).as("n2"),
+            sum(when(col("h"), col("xc")).otherwise(0L)).as("c1"),
+            sum(when(!col("h"), col("xc")).otherwise(0L)).as("c2"))
+          .filter(col("n1") > 0 && col("n2") > 0)
+          .withColumn("dd", col("c2") - col("c1"))
+        val st = pu.groupBy("event_type").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("dd").cast("decimal(38,0)")).as("sd"),
+          sum(col("dd").cast("decimal(38,0)") * col("dd")).as("sd2"))
+        def d(c: String) = col(c).cast("double")
+        val nd = d("n_pairs")
+        val dbar = d("sd") / nd
+        val svar = (nd * d("sd2") - d("sd") * d("sd")) / (nd * (nd - 1.0))
+        val tstat = when(svar === 0.0, lit(null).cast("double"))
+          .otherwise(dbar / sqrt(svar / nd))
+        st.select(col("event_type"), col("n_pairs"),
+            rx(dbar / 100.0, 4).as("mean_diff"),
+            rx(tstat, 4).as("t_stat"),
+            (abs(tstat) > 2.0).as("significant"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+          SELECT event_type, user_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+                 CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' AS h
+          FROM events),
+        pu AS (
+          SELECT event_type, user_id,
+                 CAST(sum(CASE WHEN NOT h THEN xc ELSE 0 END)
+                   - sum(CASE WHEN h THEN xc ELSE 0 END) AS BIGINT) AS dd
+          FROM ev GROUP BY 1, 2
+          HAVING sum(CASE WHEN h THEN 1 ELSE 0 END) > 0
+             AND sum(CASE WHEN NOT h THEN 1 ELSE 0 END) > 0),
+        st AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                 sum(CAST(dd AS HUGEINT)) AS sd,
+                 sum(CAST(dd AS HUGEINT) * dd) AS sd2
+          FROM pu GROUP BY 1),
+        c AS (
+          SELECT event_type, n_pairs,
+                 CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS dbar,
+                 (CAST(n_pairs AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                   - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                   / (CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) - 1.0))
+                   AS svar
+          FROM st)
+        SELECT event_type, n_pairs,
+               floor((dbar / 100.0) * 1e4 + 0.5) / 1e4 AS mean_diff,
+               CASE WHEN svar = 0.0 THEN NULL ELSE
+                 floor((dbar / sqrt(svar / CAST(n_pairs AS DOUBLE))) * 1e4 + 0.5) / 1e4
+               END AS t_stat,
+               CASE WHEN svar = 0.0 THEN NULL ELSE
+                 abs(dbar / sqrt(svar / CAST(n_pairs AS DOUBLE))) > 2.0
+               END AS significant
+        FROM c ORDER BY event_type""")),
+
+    QDef("win_sprt_sequential",
+      // Wald's SPRT — the SEQUENTIAL test the fixed-n t-tests here
+      // can't express: walk the event stream in (ts, event_id) order,
+      // accumulate the Bernoulli log-likelihood ratio, stop at the
+      // first crossing of ln((1−β)/α) = ±ln 19 (α=β=0.05). Two test
+      // configs run per event type: 'high_rate' (success = spend ≥ $40,
+      // p̂≈0.45, H₀ 0.3 vs H₁ 0.5 → drifts up) and 'low_rate'
+      // (success = spend ≥ $60, p̂≈0.30, H₀ 0.45 vs H₁ 0.65 → drifts
+      // down), so BOTH decision arms are live by construction at every
+      // SF. Exactness: the LLR is s·ln(p₁/p₀) + f·ln(q₁/q₀) where s,f
+      // are exact window-cumulated integers and the two coefficients
+      // (and the ±ln 19 boundaries) are HOST-side Scala literals that
+      // flow to both engines verbatim (`e0`-forced DOUBLE in the
+      // oracle) — no in-engine transcendentals, so crossing rows match
+      // bit-for-bit. First crossing = min-by-n struct aggregate.
+      // Scale: a sequential test is inherently serial PER TEST — the
+      // per-type window is the semantics, not an accident; at 100 TB
+      // you shard by running many tests (types × configs), not by
+      // splitting one test's sample path.
+      (s, dir) => {
+        val lnA = math.log(19.0)
+        def sprt(name: String, thrCents: Long, p0: Double, p1: Double) = {
+          val c1 = math.log(p1 / p0)
+          val c2 = math.log((1.0 - p1) / (1.0 - p0))
+          val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+          val cum = t(s, dir, "events")
+            .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+            .withColumn("succ", (col("xc") >= thrCents).cast("long"))
+            .withColumn("n", row_number().over(w).cast("long"))
+            .withColumn("sg", sum("succ").over(w))
+            .withColumn("llr", col("sg").cast("double") * lit(c1) +
+              (col("n") - col("sg")).cast("double") * lit(c2))
+          val cross = cum
+            .filter(col("llr") >= lnA || col("llr") <= -lnA)
+            .groupBy("event_type")
+            .agg(min(struct(col("n"), col("llr"))).as("m"))
+            .select(col("event_type"), col("m.n").as("n_dec"),
+              col("m.llr").as("llr_dec"))
+          cum.groupBy("event_type")
+            .agg(count(lit(1)).as("n_total"),
+              max(struct(col("n"), col("llr"))).as("fin"))
+            .join(cross, Seq("event_type"), "left")
+            .select(col("event_type"), lit(name).as("test"),
+              when(col("llr_dec").isNull, lit("continue"))
+                .when(col("llr_dec") >= lnA, lit("accept_h1"))
+                .otherwise(lit("accept_h0")).as("decision"),
+              coalesce(col("n_dec"), col("n_total")).as("n_at_decision"),
+              rx(coalesce(col("llr_dec"), col("fin").getField("llr")), 6)
+                .as("llr"),
+              col("n_total"))
+        }
+        sprt("high_rate", 4000L, 0.3, 0.5)
+          .unionByName(sprt("low_rate", 6000L, 0.45, 0.65))
+          .orderBy("test", "event_type")
+      }, {
+        val lnA = math.log(19.0)
+        def cfg(name: String, thr: Long, p0: Double, p1: Double) = {
+          val c1 = math.log(p1 / p0)
+          val c2 = math.log((1.0 - p1) / (1.0 - p0))
+          s"""SELECT event_type, '$name' AS test,
+                CASE WHEN llr_dec IS NULL THEN 'continue'
+                     WHEN llr_dec >= ${lnA}e0 THEN 'accept_h1'
+                     ELSE 'accept_h0' END AS decision,
+                coalesce(n_dec, n_total) AS n_at_decision,
+                floor(coalesce(llr_dec, llr_fin) * 1e6 + 0.5) / 1e6 AS llr,
+                n_total
+              FROM (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_total,
+                       max_by(llr, n) AS llr_fin,
+                       CAST(min(CASE WHEN llr >= ${lnA}e0 OR llr <= ${-lnA}e0
+                         THEN n END) AS BIGINT) AS n_dec,
+                       min_by(llr, CASE WHEN llr >= ${lnA}e0 OR llr <= ${-lnA}e0
+                         THEN n END) AS llr_dec
+                FROM (
+                  SELECT event_type, n, sg,
+                         CAST(sg AS DOUBLE) * ${c1}e0
+                           + CAST(n - sg AS DOUBLE) * ${c2}e0 AS llr
+                  FROM (
+                    SELECT event_type,
+                           CAST(row_number() OVER w AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             >= $thr THEN 1 ELSE 0 END) OVER w AS BIGINT) AS sg
+                    FROM events
+                    WINDOW w AS (PARTITION BY event_type
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id)))
+                GROUP BY event_type)"""
+        }
+        Some(s"""${cfg("high_rate", 4000L, 0.3, 0.5)}
+          UNION ALL
+          ${cfg("low_rate", 6000L, 0.45, 0.65)}
+          ORDER BY test, event_type""")
+      }),
+
     QDef("agg_welch_ttest",
       // Welch two-sample t-test per event type — the drift-significance
       // companion to agg_drift_tvd: is the second half-month's value

@@ -654,6 +654,99 @@ object Similarity {
         SELECT q_id, rank, vec_id, cos FROM rk WHERE rank <= $K
         ORDER BY q_id, rank""")),
 
+    QDef("sim_query_expansion",
+      // Pseudo-relevance feedback (Rocchio) — the retrieval-quality
+      // move layered on any of the ANN indexes here: round 1 retrieves
+      // each query's exact top-3, the expanded query
+      // q' = q + 0.75·centroid(top-3) pulls the query toward its
+      // neighborhood, round 2 re-retrieves with q' and reports the new
+      // ranking with feedback-doc membership flagged — the classic
+      // recall-boosting rerank for vocabulary/embedding mismatch.
+      // Exactness: both retrieval rounds rx-round cosines before
+      // ranking with vec_id tiebreaks; q' is built with a FIXED fold
+      // order ((v₁+v₂)+v₃, then one scale-add against q — the same
+      // IEEE tree spelled identically in the oracle), and the round-2
+      // norms fold in-order, so every score is bit-identical
+      // cross-engine. Scale: two broadcast nested-loop passes over the
+      // corpus (the query side stays q·k rows); swapping the scan for
+      // the LSH/IVF candidates makes it the production plan unchanged.
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val q = e.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val r1 = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+        def fb(rk: Int) = r1.filter(col("rank") === rk)
+          .join(e.select(col("vec_id"), col("v").as(s"f$rk")), "vec_id")
+          .select(col("q_id"), col(s"f$rk"))
+        val qe = q.join(fb(1), "q_id").join(fb(2), "q_id").join(fb(3), "q_id")
+          .select(col("q_id"),
+            zip_with(
+              zip_with(zip_with(col("f1"), col("f2"), (a, b) => a + b),
+                col("f3"), (a, b) => a + b),
+              col("qv"), (s3, qq) => qq + lit(0.75) * (s3 / lit(3.0)))
+              .as("qv2"))
+          .withColumn("qnrm2", sqrt(aggregate(
+            transform(col("qv2"), x => x * x), lit(0d), (a, x) => a + x)))
+        val fbSet = r1.select(col("q_id"), col("vec_id"))
+        broadcast(qe).join(e, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            rx(cosine(col("qv2"), col("v"), col("qnrm2"), col("nrm")), 6)
+              .as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .join(fbSet.withColumn("was_feedback", lit(true)),
+            Seq("q_id", "vec_id"), "left")
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cos"),
+            coalesce(col("was_feedback"), lit(false)).as("was_feedback"))
+          .orderBy("q_id", "rank")
+      }, {
+        val fold = (l: String) =>
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (a, x) -> a + x)"
+        val qv2 = s"""list_transform(range($Dims), i ->
+            CAST(q.embedding[i+1] AS DOUBLE) + 0.75 *
+            (((CAST(f1.embedding[i+1] AS DOUBLE) + CAST(f2.embedding[i+1] AS DOUBLE))
+              + CAST(f3.embedding[i+1] AS DOUBLE)) / 3.0))"""
+        val cos2 = s"""${fold(s"list_transform(range($Dims), i -> qe.qv2[i+1] * CAST(e.embedding[i+1] AS DOUBLE))")} /
+            (sqrt(${fold(s"list_transform(range($Dims), i -> qe.qv2[i+1] * qe.qv2[i+1])")}) *
+             sqrt(${fold(s"list_transform(range($Dims), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))")}))"""
+        Some(s"""WITH pairs AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 ${rxSql(cosSql("q", "e"), 6)} AS cos
+          FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+          WHERE q.vec_id < $QueryVecs),
+        r1 AS (SELECT q_id, vec_id, cos,
+                      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+               FROM pairs QUALIFY rank <= 3),
+        qe AS (
+          SELECT q.vec_id AS q_id, $qv2 AS qv2
+          FROM embeddings q
+          JOIN r1 t1 ON t1.q_id = q.vec_id AND t1.rank = 1
+          JOIN embeddings f1 ON f1.vec_id = t1.vec_id
+          JOIN r1 t2 ON t2.q_id = q.vec_id AND t2.rank = 2
+          JOIN embeddings f2 ON f2.vec_id = t2.vec_id
+          JOIN r1 t3 ON t3.q_id = q.vec_id AND t3.rank = 3
+          JOIN embeddings f3 ON f3.vec_id = t3.vec_id
+          WHERE q.vec_id < $QueryVecs),
+        p2 AS (
+          SELECT qe.q_id, e.vec_id, ${rxSql(cos2, 6)} AS cos
+          FROM qe JOIN embeddings e ON qe.q_id <> e.vec_id),
+        r2 AS (SELECT q_id, vec_id, cos,
+                      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+               FROM p2 QUALIFY rank <= 5)
+        SELECT r2.q_id, CAST(r2.rank AS BIGINT) AS rank, r2.vec_id, r2.cos,
+               (f.vec_id IS NOT NULL) AS was_feedback
+        FROM r2 LEFT JOIN r1 f ON f.q_id = r2.q_id AND f.vec_id = r2.vec_id
+        ORDER BY r2.q_id, rank""")
+      }),
+
     QDef("join_knn_classify",
       // Weak labeling by kNN majority vote — the semi-supervised
       // annotation pass a labeling pipeline runs to extend a small

@@ -15,6 +15,8 @@ class Round11s3OpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  private def cents(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+
   private def md5h32(s: String): Long = {
     val hex = MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
@@ -221,5 +223,137 @@ class Round11s3OpsSpec extends AnyFunSuite {
       "no cross-phase dup: state retention not exercised")
     assert(got.exists { case (d, k) => k >= 0 && d < cut }, "p1 arm dead")
     assert(got.exists { case (_, k) => k >= cut }, "p2 arm dead")
+  }
+
+  test("agg_assoc_rules matches an exact driver recompute") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brand = spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("p_partkey", "p_brand").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val baskets = li.map { case (o, p) => (o, brand(p)) }.distinct
+    val nB = baskets.map(_._1).distinct.length.toLong
+    val ni = baskets.groupBy(_._2).map { case (it, xs) => it -> xs.length.toLong }
+    val (s1, k1) = (ni.values.sum, ni.size.toLong)
+    val freq = ni.filter { case (_, n) => n * k1 > s1 }
+    val fb = baskets.filter(b => freq.contains(b._2))
+    val byO = fb.groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).sorted }
+    val pairN = byO.values.flatMap(its =>
+      for (i <- its.indices; j <- (i + 1) until its.length)
+        yield (its(i), its(j)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val want = pairN.toSeq.flatMap { case ((x, y), n) =>
+      Seq((x, y, n), (y, x, n))
+    }.map { case (a, c, n) =>
+      (a, c, freq(a), freq(c), n,
+        n * 1000000L / nB, n * 1000000L / freq(a),
+        (BigInt(n) * nB * 1000000 / (BigInt(freq(a)) * freq(c))).toLong)
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("agg_assoc_rules")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == want, "assoc rules drift vs brute force")
+    // The a-priori prune must be a real prune: some items excluded.
+    assert(freq.size < ni.size && freq.nonEmpty, "mean cut degenerate")
+    // Lift symmetry: lift(x->y) == lift(y->x) by definition.
+    val lifts = got.map(r => ((r._1, r._2), r._8)).toMap
+    lifts.foreach { case ((x, y), l) => assert(lifts((y, x)) == l) }
+  }
+
+  test("agg_ttest_paired matches an exact driver recompute") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "user_id", "cast(ts as timestamp) ts", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2).before(cut), cents(r.getDouble(3))))
+    def rx(x: Double, d: Int): Double = {
+      val p = math.pow(10, d.toDouble); math.floor(x * p + 0.5) / p
+    }
+    val want = evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rows) =>
+      val dd = rows.groupBy(_._2).values.toSeq
+        .filter(u => u.exists(_._3) && u.exists(!_._3))
+        .map(u => u.filter(!_._3).map(_._4).sum - u.filter(_._3).map(_._4).sum)
+      val n = dd.length.toDouble
+      val sd = dd.map(BigInt(_)).sum.toDouble
+      val sd2 = dd.map(d => BigInt(d) * d).sum.toDouble
+      val dbar = sd / n
+      val svar = (n * sd2 - sd * sd) / (n * (n - 1.0))
+      val t = dbar / math.sqrt(svar / n)
+      (et, dd.length.toLong, rx(dbar / 100.0, 4), rx(t, 4), math.abs(t) > 2.0)
+    }
+    val got = SparkEntry.queries("agg_ttest_paired")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == want, "paired t drift vs brute force")
+  }
+
+  test("win_sprt_sequential matches an exact driver walk") {
+    val lnA = math.log(19.0)
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "unix_micros(cast(ts as timestamp)) tu",
+        "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        cents(r.getDouble(3))))
+    def rx6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def walk(name: String, thr: Long, p0: Double, p1: Double) = {
+      val c1 = math.log(p1 / p0)
+      val c2 = math.log((1.0 - p1) / (1.0 - p0))
+      evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rows) =>
+        val ordered = rows.sortBy(r => (r._2, r._3))
+        var s = 0L; var n = 0L
+        var dec: Option[(Long, Double)] = None
+        var llr = 0.0
+        ordered.foreach { r =>
+          n += 1; if (r._4 >= thr) s += 1
+          llr = s.toDouble * c1 + (n - s).toDouble * c2
+          if (dec.isEmpty && (llr >= lnA || llr <= -lnA)) dec = Some((n, llr))
+        }
+        val (nd, ld) = dec.getOrElse((n, llr))
+        val d = if (dec.isEmpty) "continue"
+          else if (ld >= lnA) "accept_h1" else "accept_h0"
+        (et, name, d, nd, rx6(ld), n)
+      }
+    }
+    val want = walk("high_rate", 4000L, 0.3, 0.5) ++
+      walk("low_rate", 6000L, 0.45, 0.65)
+    val got = SparkEntry.queries("win_sprt_sequential")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(got.toSeq == want.sortBy(r => (r._2, r._1)),
+      "SPRT drift vs driver walk")
+    assert(got.exists(_._3 == "accept_h1") && got.exists(_._3 == "accept_h0"),
+      "both decision arms must be live")
+  }
+
+  test("sim_query_expansion matches an exact driver recompute") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def foldDot(a: Array[Double], b: Array[Double]): Double =
+      (0 until 64).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def rx6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val norms = rows.map { case (id, v) => id -> math.sqrt(foldDot(v, v)) }.toMap
+    val byId = rows.toMap
+    def topk(qid: Long, qv: Array[Double], qn: Double, k: Int) = rows
+      .filter(_._1 != qid)
+      .map { case (id, v) => (id, rx6(foldDot(qv, v) / (qn * norms(id)))) }
+      .sortBy { case (id, c) => (-c, id) }.take(k)
+    val want = rows.filter(_._1 < 10).sortBy(_._1).flatMap { case (qid, qv) =>
+      val r1 = topk(qid, qv, norms(qid), 3)
+      val Seq(f1, f2, f3) = r1.map(x => byId(x._1)).toSeq
+      val qv2 = Array.tabulate(64)(i => qv(i) + 0.75 * (((f1(i) + f2(i)) + f3(i)) / 3.0))
+      val qn2 = math.sqrt(foldDot(qv2, qv2))
+      val fbSet = r1.map(_._1).toSet
+      topk(qid, qv2, qn2, 5).zipWithIndex.map { case ((id, c), i) =>
+        (qid, i + 1L, id, c, fbSet.contains(id))
+      }
+    }
+    val got = SparkEntry.queries("sim_query_expansion")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == want.toSeq, "query expansion drift vs brute force")
+    assert(got.exists(_._5) && got.exists(!_._5), "feedback flag arm dead")
   }
 }
