@@ -16,6 +16,49 @@ import graft.functions.Text
 object Relational {
   import QDef._
 
+  /** Three append-only manifest commits over a deterministic md5 doc
+    * split, staged once per (session, dir): `data/` holds all commits'
+    * parquet files (names prefixed c0-/c1-/c2-), `manifest_v{1,2,3}.txt`
+    * are CUMULATIVE file lists (v1 ⊂ v2 ⊂ v3) — the append-only
+    * Iceberg/Delta snapshot chain. Shared by the time-travel and
+    * incremental-consumption reads.
+    */
+  private def manifestVersions(s: SparkSession, dir: String): String = {
+    val out = scratch(s"manifest_tt_${new java.io.File(dir).getName}")
+    graft.pipeline.Staged(s, dir, "manifest_tt") {
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+        f.delete(); ()
+      }
+      rmr(new java.io.File(out))
+      new java.io.File(s"$out/data").mkdirs()
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          pmod(graft.functions.Text.md5Hash32(
+            concat(lit("ver:"), col("doc_id").cast("string"))), lit(3L))
+            .as("split"))
+      val names = (0 until 3).map { k =>
+        base.filter(col("split") === k.toLong).drop("split")
+          .repartition(2).write.mode("overwrite").parquet(s"$out/commit$k")
+        new java.io.File(s"$out/commit$k").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map { f =>
+            val n = s"c$k-${f.getName}"
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$out/data/$n"))
+            n
+          }.sorted.toSeq
+      }
+      (0 until 3).foreach(k => rmr(new java.io.File(s"$out/commit$k")))
+      (1 to 3).foreach { v =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/manifest_v$v.txt"),
+          names.take(v).flatten.mkString("\n").getBytes("UTF-8"))
+      }
+      s.range(1).toDF("ok") // marker: layout staged once per session+dir
+    }
+    out
+  }
+
   /** Bucketed+sorted CTAS of lineitem/orders on the join key, staged
     * once per session+dir; returns the two table names. Shared by
     * join_bucketed (co-located SMJ) and scan_bucket_pruned (bucket
@@ -735,6 +778,57 @@ object Relational {
       },
       Some("""SELECT doc_id, lang, source, n_chars
         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""")),
+
+    QDef("scan_manifest_time_travel",
+      // TIME TRAVEL over the manifest model (the `VERSION AS OF` every
+      // table format exposes): three append-only commits land as
+      // separate file sets with cumulative manifests v1⊂v2⊂v3, and the
+      // reader resolves the v2 file list — seeing exactly the rows
+      // committed at v2, none of v3's, regardless of what else sits in
+      // the directory. Version membership is a deterministic md5 split
+      // so the oracle states the v2 snapshot in closed form. The read
+      // path is the same manifest→files→scan chain sink_manifest_atomic
+      // pins; at 100 TB the manifest is bounded metadata and old
+      // versions cost only the retained files (pipeline_manifest_gc
+      // prices reclaiming them).
+      (s, dir) => {
+        val out = manifestVersions(s, dir)
+        val v2Files = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$out/manifest_v2.txt")), "UTF-8")
+          .split("\n").toSeq.filter(_.nonEmpty).map(n => s"$out/data/$n")
+        s.read.parquet(v2Files: _*).orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE CAST(('0x' || substr(md5('ver:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 3 IN (0, 1)
+        ORDER BY doc_id""")),
+
+    QDef("scan_manifest_incremental",
+      // INCREMENTAL consumption between manifest versions — the
+      // CDC-from-appends pattern (Iceberg's incremental scan / Delta's
+      // startingVersion): a consumer that already processed v2 reads
+      // set-difference(files(v3), files(v2)) and gets exactly the rows
+      // commit 3 appended — no full-table rescan, no row-level diff
+      // join (pipeline_snapshot_diff prices that alternative when
+      // appends aren't guaranteed). File-set difference is bounded
+      // manifest metadata; the data read is proportional to the DELTA,
+      // which is the whole point at 100 TB. Shares the staged
+      // 3-version layout with the time-travel read.
+      (s, dir) => {
+        val out = manifestVersions(s, dir)
+        def files(v: Int) = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$out/manifest_v$v.txt")), "UTF-8")
+          .split("\n").toSeq.filter(_.nonEmpty)
+        val delta = (files(3).toSet -- files(2).toSet).toSeq.sorted
+          .map(n => s"$out/data/$n")
+        s.read.parquet(delta: _*).orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE CAST(('0x' || substr(md5('ver:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 3 = 2
+        ORDER BY doc_id""")),
 
     QDef("pipeline_manifest_gc",
       // Snapshot-retention garbage collection over the manifest model

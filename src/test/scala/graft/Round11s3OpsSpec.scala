@@ -356,4 +356,26 @@ class Round11s3OpsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq, "query expansion drift vs brute force")
     assert(got.exists(_._5) && got.exists(!_._5), "feedback flag arm dead")
   }
+
+  test("manifest time travel and incremental scan partition the table") {
+    val tt = SparkEntry.queries("scan_manifest_time_travel")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val inc = SparkEntry.queries("scan_manifest_incremental")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // v2 snapshot and the v2->v3 delta are disjoint and together are
+    // exactly the v3 (full) table — the append-only snapshot algebra.
+    assert((tt & inc).isEmpty, "v2 snapshot leaked v3 rows")
+    assert(tt ++ inc == all, "v2 + delta != v3")
+    assert(tt.nonEmpty && inc.nonEmpty)
+    // Cumulative manifests: v1 c= v2 c= v3 as file lists.
+    val out = s"/root/repo/target/scratch/manifest_tt_sf0.001"
+    def files(v: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/manifest_v$v.txt")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSet
+    assert(files(1).subsetOf(files(2)) && files(2).subsetOf(files(3)),
+      "manifest chain not cumulative")
+    assert(files(3).size > files(2).size && files(2).size > files(1).size)
+  }
 }
