@@ -667,6 +667,57 @@ object Health {
                END AS significant
         FROM c ORDER BY event_type""")),
 
+    QDef("agg_beta_shrinkage",
+      // Empirical-Bayes rate shrinkage — the small-sample stabilizer
+      // every per-user/per-item rate report needs (a 1-for-2 user is
+      // not a 50% converter): each user's high-spend rate shrinks
+      // toward the GLOBAL rate with prior strength m=20 pseudo-counts,
+      // shrunk = (s + m·p̄)/(n + m). Kept FULLY integer: with global
+      // totals (S, N), shrunk_ppm = (s·N + m·S)·10⁶ div (N·(n+m)) —
+      // exact cross-multiplied arithmetic, no FP rate ever formed; the
+      // direction column compares s·N vs n·S the same way. The s·N
+      // products ride DECIMAL(38,0) ≙ HUGEINT (past 2⁶³ at ~10¹⁰-row
+      // corpora — the established overflow discipline). Shape: one
+      // (user) aggregate + one broadcast scalar join; at 100 TB this
+      // is the groupBy's cost and nothing else. Both shrink
+      // directions live at every SF by construction (any user off the
+      // global mean moves toward it).
+      (s, dir) => {
+        val pu = t(s, dir, "events")
+          .withColumn("succ",
+            (floor(col("value") * 100 + 0.5).cast("long") >= 6000L)
+              .cast("long"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum("succ").as("s"))
+        val g = pu.agg(sum("n").as("nn"), sum("s").as("ss"))
+        pu.crossJoin(broadcast(g))
+          .select(col("user_id"), col("n"), col("s"),
+            expr("(s * 1000000) div n").as("mle_ppm"),
+            expr("""CAST(((CAST(s AS DECIMAL(38,0)) * nn + 20 * ss) * 1000000)
+              div (CAST(nn AS DECIMAL(38,0)) * (n + 20)) AS BIGINT)""")
+              .as("shrunk_ppm"),
+            expr("""CASE WHEN CAST(s AS DECIMAL(38,0)) * nn > CAST(n AS DECIMAL(38,0)) * ss THEN 'above'
+                    WHEN CAST(s AS DECIMAL(38,0)) * nn < CAST(n AS DECIMAL(38,0)) * ss THEN 'below'
+                    ELSE 'at' END""").as("vs_global"))
+          .orderBy("user_id")
+      },
+      Some("""WITH pu AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                   >= 6000 THEN 1 ELSE 0 END) AS BIGINT) AS s
+          FROM events GROUP BY 1),
+        g AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss
+              FROM pu)
+        SELECT user_id, n, s,
+               CAST((s * 1000000) // n AS BIGINT) AS mle_ppm,
+               CAST(((CAST(s AS HUGEINT) * nn + 20 * ss) * 1000000)
+                 // (CAST(nn AS HUGEINT) * (n + 20)) AS BIGINT) AS shrunk_ppm,
+               CASE WHEN CAST(s AS HUGEINT) * nn > CAST(n AS HUGEINT) * ss THEN 'above'
+                    WHEN CAST(s AS HUGEINT) * nn < CAST(n AS HUGEINT) * ss THEN 'below'
+                    ELSE 'at' END AS vs_global
+        FROM pu CROSS JOIN g
+        ORDER BY user_id""")),
+
     QDef("win_sprt_sequential",
       // Wald's SPRT — the SEQUENTIAL test the fixed-n t-tests here
       // can't express: walk the event stream in (ts, event_id) order,

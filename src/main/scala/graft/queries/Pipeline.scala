@@ -185,6 +185,71 @@ object Pipeline {
           USING (documentID)
         ORDER BY documentID""")),
 
+    QDef("pipeline_late_dim_reconcile",
+      // LATE-ARRIVING DIMENSION handling — the warehouse pattern SCD2
+      // doesn't cover: facts land before their dimension row exists
+      // (a new customer's first order beats the CRM sync), get parked
+      // under an UNKNOWN placeholder member, and reconcile when the
+      // dim lands. A deterministic md5 split marks 1-in-4 customers
+      // "late"; phase 1 enriches orders against the on-time dim only
+      // (left join, placeholder on miss), phase 2 against the full
+      // dim; the report is per final segment: fact count, how many
+      // sat parked in phase 1, and the reclassification rate in ppm —
+      // the number that sizes how much of yesterday's UNKNOWN bucket
+      // today's sync resolves. Shape: two broadcast left joins on the
+      // customer dim + one rollup; the fact table streams once per
+      // phase, nothing dimension-global. Both arms live at every SF
+      // (36/150 late at sf0.001).
+      (s, dir) => {
+        val isLate = pmod(Text.md5Hash32(
+          concat(lit("latedim:"), col("c_custkey").cast("string"))),
+          lit(4L)) === 0
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), isLate.as("is_late"))
+        val facts = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val p1 = facts
+          .join(broadcast(dim.filter(!col("is_late"))
+            .select(col("c_custkey").as("k1"), col("c_mktsegment").as("seg1"))),
+            col("o_custkey") === col("k1"), "left")
+          .select(col("o_orderkey"),
+            coalesce(col("seg1"), lit("UNKNOWN")).as("seg1"))
+        val p2 = facts
+          .join(broadcast(dim
+            .select(col("c_custkey").as("k2"), col("c_mktsegment").as("seg2"))),
+            col("o_custkey") === col("k2"), "left")
+          .select(col("o_orderkey"), col("seg2"))
+        p1.join(p2, "o_orderkey")
+          .groupBy(col("seg2").as("segment"))
+          .agg(count(lit(1)).as("n_facts"),
+            sum(when(col("seg1") === "UNKNOWN", 1L).otherwise(0L))
+              .as("n_parked"))
+          .select(col("segment"), col("n_facts"), col("n_parked"),
+            expr("(n_parked * 1000000) div n_facts").as("reclassified_ppm"))
+          .orderBy("segment")
+      },
+      Some("""WITH dim AS (
+          SELECT c_custkey, c_mktsegment,
+                 CAST(('0x' || substr(md5('latedim:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 4 = 0 AS is_late
+          FROM customer),
+        p1 AS (
+          SELECT o.o_orderkey,
+                 coalesce(d.c_mktsegment, 'UNKNOWN') AS seg1
+          FROM orders o LEFT JOIN (SELECT * FROM dim WHERE NOT is_late) d
+            ON d.c_custkey = o.o_custkey),
+        p2 AS (
+          SELECT o.o_orderkey, d.c_mktsegment AS seg2
+          FROM orders o LEFT JOIN dim d ON d.c_custkey = o.o_custkey)
+        SELECT p2.seg2 AS segment,
+               CAST(count(*) AS BIGINT) AS n_facts,
+               CAST(sum(CASE WHEN p1.seg1 = 'UNKNOWN' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_parked,
+               CAST((sum(CASE WHEN p1.seg1 = 'UNKNOWN' THEN 1 ELSE 0 END) * 1000000)
+                 // count(*) AS BIGINT) AS reclassified_ppm
+        FROM p1 JOIN p2 USING (o_orderkey)
+        GROUP BY 1 ORDER BY 1""")),
+
     QDef("pipeline_nested_enrich",
       // The faithful nested-model path (B1 -> B2 -> B3): enrich +
       // URI-attach via transform() lambdas, then flatten for compare.

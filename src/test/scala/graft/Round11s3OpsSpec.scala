@@ -357,6 +357,63 @@ class Round11s3OpsSpec extends AnyFunSuite {
     assert(got.exists(_._5) && got.exists(!_._5), "feedback flag arm dead")
   }
 
+  test("agg_beta_shrinkage matches exact rationals and contracts spread") {
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "value").collect()
+      .map(r => (r.getLong(0), cents(r.getDouble(1)) >= 6000L))
+    val pu = evs.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.length.toLong, xs.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val nn = pu.map(_._2).sum
+    val ss = pu.map(_._3).sum
+    val want = pu.map { case (u, n, s) =>
+      val shr = ((BigInt(s) * nn + BigInt(20) * ss) * 1000000 /
+        (BigInt(nn) * (n + 20))).toLong
+      val dir = (BigInt(s) * nn).compare(BigInt(n) * ss) match {
+        case c if c > 0 => "above"; case c if c < 0 => "below"; case _ => "at"
+      }
+      (u, n, s, s * 1000000L / n, shr, dir)
+    }
+    val got = SparkEntry.queries("agg_beta_shrinkage")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(got.toSeq == want, "shrinkage drift vs exact rationals")
+    // Shrinkage contracts: every shrunk rate sits strictly between the
+    // MLE and the global rate (or equals both when already at it).
+    val gPpm = ss * 1000000L / nn
+    got.foreach { case (_, _, _, mle, shr, dir) =>
+      if (dir == "above") assert(shr <= mle && shr + 1 >= gPpm)
+      if (dir == "below") assert(shr >= mle && shr <= gPpm + 1)
+    }
+    assert(got.exists(_._6 == "above") && got.exists(_._6 == "below"))
+  }
+
+  test("pipeline_late_dim_reconcile: parked facts are exactly the late " +
+    "customers' orders") {
+    val lateKeys = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (k, _) => md5h32(s"latedim:$k") % 4 == 0 }
+    val lateSet = lateKeys.map(_._1).toSet
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey").collect().map(_.getLong(0))
+    val segOf = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val wantParked = orders.filter(lateSet.contains).groupBy(segOf)
+      .map { case (seg, xs) => seg -> xs.length.toLong }
+    val got = SparkEntry.queries("pipeline_late_dim_reconcile")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (seg, nFacts, nParked, ppm) =>
+      assert(nParked == wantParked.getOrElse(seg, 0L),
+        s"$seg parked count drift")
+      assert(ppm == nParked * 1000000L / nFacts)
+      assert(nParked < nFacts, "a whole segment parked: split degenerate")
+    }
+    assert(got.map(_._3).sum > 0, "no parked facts: late arm dead")
+  }
+
   test("manifest time travel and incremental scan partition the table") {
     val tt = SparkEntry.queries("scan_manifest_time_travel")(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
