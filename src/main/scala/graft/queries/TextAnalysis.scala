@@ -1169,6 +1169,65 @@ object TextAnalysis {
         FROM tokens t LEFT JOIN vocab v ON v.tok = t.tok
         GROUP BY t.doc_id ORDER BY t.doc_id""")),
 
+    QDef("text_vocab_coverage_curve",
+      // Vocabulary coverage CURVE — the tokenizer-sizing chart
+      // text_oov_rate samples at one point: for vocab sizes k ∈
+      // {10, 100, 1000, 5000, 20000}, the fraction of corpus shingle
+      // TOKENS covered by the top-k shingle TYPES (freq DESC, type
+      // tiebreak). Shingle types are the unit (the freq-spectrum
+      // lesson: word types are all high-frequency here) and the top
+      // two ks straddle the ~16.5k observed type count, so the curve
+      // shows both the steep head and the saturated tail at every SF.
+      // Scale discipline: the type ordinal comes from the shard-offset
+      // distributed rank (DistributedRank — shingle types grow with
+      // the corpus, so a global rank window would be the round-10
+      // single-reducer flaw); the curve itself is ONE conditional
+      // aggregate over the ranked vocab (no join per k), emitted via
+      // stack. All shares integer ppm.
+      (s, dir) => {
+        val ks = Seq(10L, 100L, 1000L, 5000L, 20000L)
+        val freq = t(s, dir, "documents")
+          .withColumn("tks", toks)
+          .select(explode(Text.shingles(col("tks"), 3)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("f"))
+        val ranked = graft.operators.DistributedRank
+          .withGlobalRank(freq, col("f"), col("g"), desc = true, out = "rk")
+        val agg = ranked.agg(
+          (Seq(count(lit(1)).as("n_types"), sum("f").as("n_tokens")) ++
+            ks.map(k => sum(when(col("rk") <= k, col("f")).otherwise(0L))
+              .as(s"c$k"))).head,
+          (Seq(count(lit(1)).as("n_types"), sum("f").as("n_tokens")) ++
+            ks.map(k => sum(when(col("rk") <= k, col("f")).otherwise(0L))
+              .as(s"c$k"))).tail: _*)
+        agg.select(expr(s"stack(${ks.size}, " +
+            ks.map(k => s"${k}L, c$k").mkString(", ") +
+            ") as (k, covered_tokens)"),
+            col("n_types"), col("n_tokens"))
+          .select(col("k"), col("n_types"), col("n_tokens"),
+            col("covered_tokens"),
+            expr("(covered_tokens * 1000000) div n_tokens")
+              .as("coverage_ppm"))
+          .orderBy("k")
+      },
+      Some(s"""WITH freq AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS f
+          FROM (SELECT unnest($shSql) AS g FROM documents) GROUP BY 1),
+        ranked AS (
+          SELECT f, CAST(row_number() OVER (ORDER BY f DESC, g) AS BIGINT) AS rk
+          FROM freq),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(sum(f) AS BIGINT) AS n_tokens
+                FROM freq),
+        ks AS (SELECT CAST(unnest([10, 100, 1000, 5000, 20000]) AS BIGINT) AS k)
+        SELECT ks.k, tot.n_types, tot.n_tokens,
+               CAST(sum(CASE WHEN r.rk <= ks.k THEN r.f ELSE 0 END) AS BIGINT)
+                 AS covered_tokens,
+               CAST((sum(CASE WHEN r.rk <= ks.k THEN r.f ELSE 0 END) * 1000000)
+                 // tot.n_tokens AS BIGINT) AS coverage_ppm
+        FROM ranked r CROSS JOIN ks CROSS JOIN tot
+        GROUP BY ks.k, tot.n_types, tot.n_tokens
+        ORDER BY ks.k""")),
+
     QDef("text_freq_spectrum",
       // Type-frequency spectrum — the frequency-of-frequencies table
       // N_m = "how many types occur exactly m times", the direct input

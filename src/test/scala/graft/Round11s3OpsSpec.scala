@@ -414,6 +414,33 @@ class Round11s3OpsSpec extends AnyFunSuite {
     assert(got.map(_._3).sum > 0, "no parked facts: late arm dead")
   }
 
+  test("text_vocab_coverage_curve matches brute force, monotone, saturates") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("text").collect().map(_.getString(0))
+    val grams = docs.flatMap { t =>
+      val tk = t.trim.replaceAll("\\s+", " ").toLowerCase.split(" ")
+      if (tk.length < 3) Nil
+      else (0 to tk.length - 3).map(i => tk.slice(i, i + 3).mkString(" "))
+    }
+    val freq = grams.groupBy(identity).map { case (g, xs) => (g, xs.length.toLong) }
+    val ordered = freq.toSeq.sortBy { case (g, f) => (-f, g) }.map(_._2)
+    val nTokens = ordered.sum
+    val ks = Seq(10, 100, 1000, 5000, 20000)
+    val want = ks.map(k =>
+      (k.toLong, freq.size.toLong, nTokens, ordered.take(k).sum))
+      .map { case (k, nt, tk, cov) =>
+        (k, nt, tk, cov, cov * 1000000L / tk)
+      }
+    val got = SparkEntry.queries("text_vocab_coverage_curve")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == want, "coverage curve drift vs brute force")
+    assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted, "not monotone")
+    assert(got.last._4 == got.last._3, "largest k must saturate")
+    assert(got.head._5 > 0 && got.head._5 < 1000000, "head point degenerate")
+  }
+
   test("manifest time travel and incremental scan partition the table") {
     val tt = SparkEntry.queries("scan_manifest_time_travel")(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
