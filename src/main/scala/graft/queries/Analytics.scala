@@ -567,6 +567,59 @@ object Analytics {
           ${rxSql("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 6)} AS intercept
         FROM st ORDER BY event_type""")),
 
+    QDef("win_match_pattern",
+      // Row-pattern matching (the MATCH_RECOGNIZE surface Spark lacks,
+      // composed Spark-first from lag windows): detect V-shapes —
+      // two consecutive strict drops then a strict rise — in each
+      // user's cent-exact value sequence under the (ts, event_id)
+      // total order; per user, the occurrence count and the sequence
+      // position + event id of the FIRST match (min-by-position struct
+      // aggregate, no second window). Diffs/signs are exact integers;
+      // zero diffs break the pattern deterministically. One window
+      // pass partitioned by user + one aggregate — the standard
+      // funnel/pattern shape at any scale.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val seq0 = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("n", row_number().over(w).cast("long"))
+          .withColumn("d", col("xc") - lag("xc", 1).over(w))
+          .withColumn("matched",
+            lag("d", 2).over(w) < 0 && lag("d", 1).over(w) < 0 && col("d") > 0)
+        seq0.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("matched"), 1L).otherwise(0L)).as("n_vshapes"),
+            min(when(col("matched"), struct(col("n"), col("event_id"))))
+              .as("first"))
+          .select(col("user_id"), col("n_events"), col("n_vshapes"),
+            coalesce(col("first").getField("n"), lit(-1L)).as("first_pos"),
+            coalesce(col("first").getField("event_id"), lit(-1L))
+              .as("first_event"))
+          .orderBy("user_id")
+      },
+      Some("""WITH seq0 AS (
+          SELECT user_id, event_id,
+                 CAST(row_number() OVER w AS BIGINT) AS n,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT)
+                   - lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) OVER w AS d
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        m AS (
+          SELECT user_id, event_id, n,
+                 (lag(d, 2) OVER w2 < 0 AND lag(d, 1) OVER w2 < 0 AND d > 0)
+                   AS matched
+          FROM seq0
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY n))
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_vshapes,
+               CAST(coalesce(min(CASE WHEN matched THEN n END), -1) AS BIGINT)
+                 AS first_pos,
+               CAST(coalesce(min_by(event_id, CASE WHEN matched THEN n END), -1)
+                 AS BIGINT) AS first_event
+        FROM m GROUP BY user_id ORDER BY user_id""")),
+
     QDef("agg_assoc_rules",
       // Market-basket association rules (Agrawal's A-Priori, the
       // 2-itemset level) over order→brand baskets: per directed rule

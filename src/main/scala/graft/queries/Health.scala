@@ -667,6 +667,65 @@ object Health {
                END AS significant
         FROM c ORDER BY event_type""")),
 
+    QDef("agg_bitemporal_snapshot",
+      // BITEMPORAL snapshot — the two-clock question SCD2's single
+      // valid-time axis can't answer: "what did we KNOW on Jan 16
+      // about the state THROUGH Jan 15?" Every 5th event (md5 split)
+      // is a late arrival recorded 2 days after it happened
+      // (transaction time > valid time — the at-least-once reality of
+      // every ingest). Per user: events known at the (V, T) point,
+      // their exact cent sum, late rows EXCLUDED by the transaction
+      // clock (happened ≤ V but recorded > T — the rows a naive
+      // valid-time-only query silently includes, i.e. the
+      // irreproducibility of yesterday's report), and future rows
+      // beyond V. The V→T gap (1 day) is inside the 2-day lag so the
+      // excluded arm is live at every SF. One conditional aggregate
+      // over one scan — bitemporal correctness costs one extra
+      // timestamp comparison, not a join.
+      (s, dir) => {
+        val v = lit("2024-01-15 00:00:00").cast("timestamp")
+        val tt = lit("2024-01-16 00:00:00").cast("timestamp")
+        val ev = t(s, dir, "events")
+          .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumn("recorded",
+            when(pmod(graft.functions.Text.md5Hash32(
+              concat(lit("late:"), col("event_id").cast("string"))),
+              lit(5L)) === 0,
+              col("ts") + expr("INTERVAL 2 DAYS")).otherwise(col("ts")))
+        ev.groupBy("user_id")
+          .agg(
+            sum(when(col("ts") <= v && col("recorded") <= tt, 1L)
+              .otherwise(0L)).as("n_known"),
+            sum(when(col("ts") <= v && col("recorded") <= tt, col("xc"))
+              .otherwise(0L)).as("cents_known"),
+            sum(when(col("ts") <= v && col("recorded") > tt, 1L)
+              .otherwise(0L)).as("n_late_excluded"),
+            sum(when(col("ts") > v, 1L).otherwise(0L)).as("n_future"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id,
+                 CAST(ts AS TIMESTAMP) AS vts,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+                 CASE WHEN CAST(('0x' || substr(md5('late:' || CAST(event_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 5 = 0
+                      THEN CAST(ts AS TIMESTAMP) + INTERVAL 2 DAY
+                      ELSE CAST(ts AS TIMESTAMP) END AS recorded
+          FROM events)
+        SELECT user_id,
+               CAST(sum(CASE WHEN vts <= TIMESTAMP '2024-01-15 00:00:00'
+                 AND recorded <= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+               CAST(sum(CASE WHEN vts <= TIMESTAMP '2024-01-15 00:00:00'
+                 AND recorded <= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN xc ELSE 0 END) AS BIGINT) AS cents_known,
+               CAST(sum(CASE WHEN vts <= TIMESTAMP '2024-01-15 00:00:00'
+                 AND recorded > TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_excluded,
+               CAST(sum(CASE WHEN vts > TIMESTAMP '2024-01-15 00:00:00'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_future
+        FROM ev GROUP BY user_id ORDER BY user_id""")),
+
     QDef("agg_beta_shrinkage",
       // Empirical-Bayes rate shrinkage — the small-sample stabilizer
       // every per-user/per-item rate report needs (a 1-for-2 user is

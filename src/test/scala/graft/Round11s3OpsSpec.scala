@@ -441,6 +441,42 @@ class Round11s3OpsSpec extends AnyFunSuite {
     assert(got.head._5 > 0 && got.head._5 < 1000000, "head point degenerate")
   }
 
+  test("win_match_pattern matches a driver sequence walk") {
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) tu",
+        "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        cents(r.getDouble(3))))
+    val want = evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val xs = ordered.map(_._4)
+      val matches = (3 until xs.length).filter { i =>
+        xs(i - 2) < xs(i - 3) && xs(i - 1) < xs(i - 2) && xs(i) > xs(i - 1)
+      }
+      val (fp, fe) = matches.headOption
+        .map(i => (i + 1L, ordered(i)._3)).getOrElse((-1L, -1L))
+      (u, xs.length.toLong, matches.length.toLong, fp, fe)
+    }
+    val got = SparkEntry.queries("win_match_pattern")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == want, "pattern match drift vs driver walk")
+    assert(got.exists(_._3 > 0), "no V-shape found anywhere: arm dead")
+  }
+
+  test("agg_bitemporal_snapshot: late-excluded arm live, clocks consistent") {
+    val got = SparkEntry.queries("agg_bitemporal_snapshot")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val nEv = spark.read.parquet(s"$sf/events.parquet").count()
+    // Partition identity: known + late_excluded + future = all events.
+    assert(got.map(r => r._2 + r._4 + r._5).sum == nEv,
+      "bitemporal buckets don't partition the table")
+    assert(got.map(_._4).sum > 0, "late-excluded arm dead")
+    assert(got.map(_._2).sum > 0 && got.map(_._5).sum > 0)
+  }
+
   test("manifest time travel and incremental scan partition the table") {
     val tt = SparkEntry.queries("scan_manifest_time_travel")(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
