@@ -81,13 +81,31 @@ object Dedup {
           % lit(2147483647L)).as("hv"))
       .groupBy("doc_id", "k").agg(min("hv").as("h"))
 
-  private def minhashBands(docs: DataFrame): DataFrame =
-    minhashK(docs)
-      .withColumn("band", (col("k") / BandRows).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws(",",
-        transform(sort_array(collect_list(struct(col("k"), col("h")))),
-          x => x.getField("h").cast("string"))).as("bsig"))
+  /** Per-row signature build via the fused native kernel
+    * (ShingleMinHashExpr: tokens → shingles → md5 → 16-lane min in one
+    * JVM loop) — values identical to the explode + groupBy-min
+    * spelling (min over the shingle multiset; MinHashSigSpec pins all
+    * spellings equal), but the plan drops the docs×shingles×K explode
+    * AND the (doc, k) shuffle entirely, and keeps md5 out of the
+    * interpreted-lambda path (the HOF spelling ran ~2.7 ms/doc): at
+    * 100 TB the index build is one codegen'd scan emitting 4 band
+    * rows per doc.
+    */
+  private def minhashBands(docs: DataFrame): DataFrame = {
+    val bands = array((0 until MinhashK / BandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until BandRows).map { j =>
+          element_at(col("mins"), b * BandRows + j + 1).cast("string")
+        }: _*).as("bsig"))
+    }: _*)
+    docs
+      .withColumn("tks", toks)
+      .filter(size(col("tks")) >= 3)
+      .withColumn("mins", graft.functions.ShingleMinHashExpr.sig(col("tks")))
+      .select(col("doc_id"), explode(bands).as("bb"))
+      .select(col("doc_id"), col("bb.band").cast("int").as("band"),
+        col("bb.bsig").as("bsig"))
+  }
 
   /** LSH candidate pairs: docs sharing any band signature — the join
     * key is (band, bsig), bucket-local, never all-pairs. Shared by the

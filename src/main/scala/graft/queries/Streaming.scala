@@ -510,22 +510,25 @@ object Streaming {
         val p1 = docs.filter(_._1 < cut).map(d => DocTxt(d._1, d._2)).toSeq
         val p2 = docs.filter(_._1 >= cut).map(d => DocTxt(d._1, d._2)).toSeq
         val cands = StreamRuns.twoPhaseToMemory(s, "mhdedup", p1, p2) { df =>
-          val withH = df
+          // ≙ Dedup.minhashBands per row: the fused native kernel
+          // (ShingleMinHashExpr — tokens → shingles → md5 → 16-lane
+          // min in one JVM loop; the HOF spelling ran md5 through the
+          // interpreted-lambda path at ~2.7 ms/doc and dominated the
+          // micro-batch), banded 4×4, bsig = comma-joined mins in k
+          // order. The repartition spreads the hash work off
+          // MemoryStream's single source partition.
+          val withH = df.repartition(8)
             .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
-            .withColumn("h0s", transform(Text.shingles(col("tks"), 3),
-              x => Text.md5Hash32(x)))
-            .filter(size(col("h0s")) > 0)
-          // ≙ Dedup.minhashBands per row: affine rehashes of one md5,
-          // banded 4×4, bsig = comma-joined mins in k order.
+            .filter(size(col("tks")) >= 3)
           val buckets = array((0 until 4).map { b =>
             concat(lit(s"$b:"), concat_ws(",", (0 until 4).map { j =>
-              val k = b * 4 + j
-              array_min(transform(col("h0s"),
-                h => (h * lit(2L * k + 1) + lit(k * 2654435761L))
-                  % lit(2147483647L))).cast("string")
+              element_at(col("mins"), b * 4 + j + 1).cast("string")
             }: _*))
           }: _*)
-          withH.select(col("doc_id"), explode(buckets).as("bucket"))
+          withH
+            .withColumn("mins",
+              graft.functions.ShingleMinHashExpr.sig(col("tks")))
+            .select(col("doc_id"), explode(buckets).as("bucket"))
             .as[(Long, String)]
             .groupByKey(_._2)
             .flatMapGroupsWithState(
