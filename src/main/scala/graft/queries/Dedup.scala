@@ -131,10 +131,9 @@ object Dedup {
     graft.pipeline.Staged.disk(s, dir, "ngram_sets") {
       t(s, dir, "documents")
         .withColumn("tks", toks)
-        .withColumn("sh", shingles(col("tks"), 3))
         .select(col("doc_id"),
-          sort_array(array_distinct(transform(col("sh"), x => Text.md5Hash32(x))))
-            .as("ss"))
+          sort_array(array_distinct(
+            graft.functions.ShingleHash32Expr.hashes(col("tks")))).as("ss"))
     }
 
   /** Per-document 32-bit SimHash signatures, staged: the signature

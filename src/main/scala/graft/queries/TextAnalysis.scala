@@ -287,20 +287,17 @@ object TextAnalysis {
       // rolling min/max over 3-token shingle hashes (the minhash
       // primitive; md5-derived so any engine reproduces it).
       (s, dir) => {
-        // sequence(0, -1) descends rather than yielding empty, so guard
-        // the under-3-token case explicitly.
-        val sh = expr(
-          "CASE WHEN size(norm_toks) >= 3 THEN" +
-            " transform(sequence(0, size(norm_toks) - 3)," +
-            " i -> concat_ws(' ', norm_toks[i], norm_toks[i+1], norm_toks[i+2]))" +
-            " ELSE array() END")
+        // Shingle hashes via the fused native kernel (the twin
+        // interpreted md5-HOF transforms here evaluated the whole
+        // chain twice per doc).
         t(s, dir, "documents")
           .withColumn("norm_toks", toks)
-          .withColumn("sh", sh)
+          .withColumn("hs",
+            graft.functions.ShingleHash32Expr.hashes(col("norm_toks")))
           .select(col("doc_id"),
             Text.fingerprint(col("text")).as("fp"),
-            array_min(transform(col("sh"), x => Text.md5Hash32(x))).as("min_sh"),
-            array_max(transform(col("sh"), x => Text.md5Hash32(x))).as("max_sh"))
+            array_min(col("hs")).as("min_sh"),
+            array_max(col("hs")).as("max_sh"))
           .orderBy("doc_id")
       },
       Some(s"""WITH base AS (

@@ -77,6 +77,22 @@ class MinHashSigSpec extends AnyFunSuite {
     }
   }
 
+  test("raw-hash kernel == md5-HOF transform, on the corpus") {
+    val both = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("tks", Text.tokens(
+        lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .select(col("doc_id"),
+        graft.functions.ShingleHash32Expr.hashes(col("tks")).as("fused"),
+        transform(Text.shingles(col("tks"), 3),
+          x => Text.md5Hash32(x)).as("chained"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"raw-hash drift on doc ${r.getLong(0)}")
+    }
+  }
+
   test("fused kernel contract: short/null-token/null arrays") {
     import spark.implicits._
     val df = Seq((1L, Seq("a", "b"))).toDF("id", "tks")
