@@ -667,6 +667,51 @@ object Health {
                END AS significant
         FROM c ORDER BY event_type""")),
 
+    QDef("profile_freshness_check",
+      // Freshness SLO check — the ops gate every scheduled consumer
+      // runs before trusting a partition ("is each producer still
+      // writing?"): per event type, last event time, its lag behind
+      // the corpus watermark (the global max), and a stale flag at
+      // the 24h SLO. The feed models a broken producer
+      // deterministically — the 'error' stream stops on Jan 25 (the
+      // derived-feed reachability rule: without a hole every lag is
+      // ~0 and the stale arm is untestable at any SF) — so both flag
+      // arms are live at every SF. Integer lag (whole hours via
+      // micros div); one conditional aggregate + one broadcast
+      // watermark scalar: scan speed at 100 TB, and the same plan
+      // reads partition-level max(ts) from manifest stats instead of
+      // rows when the table format carries them.
+      (s, dir) => {
+        val feed = t(s, dir, "events")
+          .filter(!(col("event_type") === "error" &&
+            col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp")))
+        val perType = feed.groupBy("event_type")
+          .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+        val wm = perType.agg(max("last_ts").as("watermark"))
+        perType.crossJoin(broadcast(wm))
+          .withColumn("lag_hours",
+            expr("(unix_micros(watermark) - unix_micros(last_ts)) div 3600000000"))
+          .select(col("event_type"), col("n_events"), col("last_ts"),
+            col("lag_hours"), (col("lag_hours") >= 24L).as("stale"))
+          .orderBy("event_type")
+      },
+      Some("""WITH feed AS (
+          SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE NOT (event_type = 'error'
+            AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-25 00:00:00')),
+        per_type AS (
+          SELECT event_type, max(ts) AS last_ts,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM feed GROUP BY 1),
+        wm AS (SELECT max(last_ts) AS watermark FROM per_type)
+        SELECT event_type, n_events, last_ts,
+               CAST((epoch_us(watermark) - epoch_us(last_ts)) // 3600000000
+                 AS BIGINT) AS lag_hours,
+               (epoch_us(watermark) - epoch_us(last_ts)) // 3600000000 >= 24
+                 AS stale
+        FROM per_type CROSS JOIN wm
+        ORDER BY event_type""")),
+
     QDef("agg_bitemporal_snapshot",
       // BITEMPORAL snapshot — the two-clock question SCD2's single
       // valid-time axis can't answer: "what did we KNOW on Jan 16

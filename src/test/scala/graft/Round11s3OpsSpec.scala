@@ -477,6 +477,16 @@ class Round11s3OpsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum > 0 && got.map(_._5).sum > 0)
   }
 
+  test("profile_freshness_check: exactly the broken producer is stale") {
+    val got = SparkEntry.queries("profile_freshness_check")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+    assert(got.filter(_._3).map(_._1).toSeq == Seq("error"),
+      "stale set must be exactly the stopped producer")
+    assert(got.filter(!_._3).forall(_._2 < 24L))
+    assert(got.find(_._1 == "error").get._2 >= 24L)
+  }
+
   test("manifest time travel and incremental scan partition the table") {
     val tt = SparkEntry.queries("scan_manifest_time_travel")(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
