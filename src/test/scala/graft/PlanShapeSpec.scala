@@ -29,6 +29,31 @@ class PlanShapeSpec extends AnyFunSuite {
       "a dim join degraded to a shuffled hash join")
   }
 
+  test("graph_hits top-20s plan as TakeOrdered, never a global rank window") {
+    val df = SparkEntry.queries("graph_hits")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
+    val tops = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec])
+    assert(tops == 2, s"expected 2 per-role TakeOrdered, got $tops")
+    // The only window allowed is the bounded <=40-row rank labeler:
+    // a WindowExec whose child is a node-dimension table would mean
+    // the top-20 regressed to a global rank sort.
+    val wins = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(wins <= 1, s"unexpected extra windows: $wins")
+  }
+
+  test("sim_ann_multiprobe keeps the probe expansion on the broadcast side") {
+    val df = SparkEntry.queries("sim_ann_multiprobe")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "bucket-probe join must be a broadcast hash join")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "multi-probe must never plan a cartesian product")
+  }
+
   test("sim_ann_pq scores codes against a BROADCAST lookup table") {
     val df = SparkEntry.queries("sim_ann_pq")(spark, sf)
     assert(df.collect().nonEmpty)
