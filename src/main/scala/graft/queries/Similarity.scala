@@ -312,13 +312,15 @@ object Similarity {
                                     ORDER BY score DESC, vec_id) AS rank
           FROM refined)"""
 
-  /** Oracle replay of the Lloyd trajectory + probe as one CTE chain:
-    * `vn` (vectors + exact int64 quantization + norm), `cn0` (seeded
-    * centroids), then per round t: `a{t}` (nearest centroid, rx-rounded
-    * cosine, c_id tie-break) and `cn{t}` (exact integer mean). The
-    * final chain exposes `rk` = (q_id, vec_id, cos, rank).
+  /** Oracle replay of the Lloyd trajectory + assignment as one CTE
+    * chain: `vn` (vectors + exact int64 quantization + norm), `cn0`
+    * (seeded centroids), then per round t: `a{t}` (nearest centroid,
+    * rx-rounded cosine, c_id tie-break) and `cn{t}` (exact integer
+    * mean). Exposes `crk` = (vec_id, c_id, crk) — the full centroid
+    * ranking every IVF consumer (probe sets, inverted lists, the RRF
+    * dense arm) slices its own way.
     */
-  private def ivfTopSqlCtes: String = {
+  private def ivfAssignSqlCtes: String = {
     def cosLC(n: String, c: String) =
       s"list_sum(list_transform(range($Dims), i -> $n.v[i+1] * $c.cv[i+1])) / ($n.nrm * $c.cnrm)"
     def cnorm(src: String) =
@@ -366,7 +368,14 @@ object Similarity {
           SELECT vec_id, c_id,
                  row_number() OVER (PARTITION BY vec_id
                                     ORDER BY c_sim DESC, c_id) AS crk
-          FROM ca),
+          FROM ca)"""
+  }
+
+  /** [[ivfAssignSqlCtes]] plus the QueryVecs probe: exposes `lists`,
+    * `probes`, `cand`, `scored`, and `rk` = (q_id, vec_id, cos, rank).
+    */
+  private def ivfTopSqlCtes: String = {
+    s"""$ivfAssignSqlCtes,
         lists AS (SELECT c_id, vec_id FROM crk WHERE crk = 1),
         probes AS (SELECT vec_id AS q_id, c_id FROM crk
                    WHERE crk <= $NProbe AND vec_id < $QueryVecs),
@@ -1608,8 +1617,17 @@ object Similarity {
       // bit-exact and need no rounding guard — the reason RRF is
       // stated on RANKS, not raw scores, is the same reason it
       // oracle-checks trivially. At 100 TB each ranking is its own
-      // bounded pipeline (term-keyed join / broadcast nested loop) and
-      // fusion touches only 2x30 rows per query.
+      // bounded pipeline: the lexical arm is the term-keyed posting
+      // join, and the dense arm generates candidates from the STAGED
+      // trained-IVF index ([[ivfAssigned]] — the same artifact
+      // sim_ann_ivf probes) instead of any Q×N exact pass: a query
+      // probes its NProbe nearest inverted lists and exact-cosines
+      // only their members (a broadcast equi-join on the centroid id —
+      // the round-11 Q×N broadcast nested loop is banned by
+      // BnljGuardSpec). Fusion then touches only 2×30 rows per query.
+      // The oracle replays the identical Lloyd trajectory + probe CTEs
+      // (the sim_ann_ivfpq pattern), so both engines rank the same
+      // candidate set.
       (s, dir) => {
         val tf0 = graft.pipeline.Staged.disk(s, dir, "tfidf_tf") {
           t(s, dir, "documents")
@@ -1644,10 +1662,18 @@ object Similarity {
             Window.partitionBy("q_id").orderBy(col("lex_micro").desc, col("doc_id").asc)))
           .filter(col("lrank") <= 30)
           .select(col("q_id"), col("doc_id"), col("lrank"))
-        val e = vecs(s, dir)
-        val q = e.filter(pmod(col("vec_id"), lit(100L)) === 7)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-        val dense = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+        val assigned = ivfAssigned(s, dir)
+        val lists = assigned.filter(col("crk") === 1)
+          .select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
+        val dprobes = assigned.filter(pmod(col("vec_id"), lit(100L)) === 7)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("c_id"))
+        // Each doc lives in exactly ONE inverted list (crk = 1), so the
+        // probe join yields every (q, doc) pair at most once — no
+        // distinct needed on either engine.
+        val dense = broadcast(dprobes).join(lists, Seq("c_id"))
+          .filter(col("q_id") =!= col("vec_id") &&
+            pmod(col("vec_id"), lit(100L)) =!= 7)
           .select(col("q_id"), col("vec_id").as("doc_id"),
             rx(cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cos"))
           .withColumn("drank", row_number().over(
@@ -1667,7 +1693,8 @@ object Similarity {
             col("rrf"))
           .orderBy("q_id", "rank")
       },
-      Some(s"""WITH tf AS (
+      Some(s"""WITH $ivfAssignSqlCtes,
+        tf AS (
           SELECT doc_id, term, count(*) AS cnt FROM (
             SELECT doc_id,
                    unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
@@ -1696,13 +1723,25 @@ object Similarity {
           SELECT q_id, doc_id,
                  row_number() OVER (PARTITION BY q_id ORDER BY lex_micro DESC, doc_id) AS lrank
           FROM lexs QUALIFY lrank <= 30),
+        ilists AS (SELECT c_id, vec_id FROM crk WHERE crk = 1),
+        iprobes AS (SELECT vec_id AS q_id, c_id FROM crk
+                    WHERE crk <= $NProbe AND vec_id % 100 = 7),
+        dcand AS (
+          SELECT p.q_id, l.vec_id AS doc_id
+          FROM iprobes p JOIN ilists l ON l.c_id = p.c_id
+          WHERE l.vec_id <> p.q_id AND l.vec_id % 100 <> 7),
+        dscored AS (
+          SELECT c.q_id, c.doc_id,
+                 ${rxSql(cosSql("qe", "de"), 6)} AS cos
+          FROM dcand c
+          JOIN embeddings qe ON qe.vec_id = c.q_id
+          JOIN embeddings de ON de.vec_id = c.doc_id),
         dense AS (
           SELECT q_id, doc_id, drank FROM (
-            SELECT qe.vec_id AS q_id, de.vec_id AS doc_id,
-                   row_number() OVER (PARTITION BY qe.vec_id
-                     ORDER BY ${rxSql(cosSql("qe", "de"), 6)} DESC, de.vec_id) AS drank
-            FROM embeddings qe JOIN embeddings de ON qe.vec_id <> de.vec_id
-            WHERE qe.vec_id % 100 = 7)
+            SELECT q_id, doc_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, doc_id) AS drank
+            FROM dscored)
           WHERE drank <= 30),
         fused AS (
           SELECT COALESCE(l.q_id, d.q_id) AS q_id,
