@@ -904,17 +904,25 @@ object TextAnalysis {
       // floor-vs-truncate trap). A nonnegative numerator makes the two
       // semantics coincide exactly. Scale shape: the
       // frequency table is a map-side-combined vocab aggregate; the
-      // global (freq DESC, token) rank sorts only the vocab-sized
-      // table, and the f1 scalar attaches by broadcast. Rank order is
-      // total (token tiebreak) so top-20 is deterministic.
+      // top-20 is `orderBy(...).limit(20)` — TakeOrderedAndProject, a
+      // distributed partial top-k (each partition keeps 20, the driver
+      // merges), NEVER a rank window over the vocabulary (types grow
+      // with the corpus — 100M+ at 100 TB — so a partition-less
+      // row_number there is a one-reducer sort of the whole frequency
+      // table; the round-11 flaw). The rank window runs over the
+      // already-bounded 20-row result (structurally exempt in
+      // GlobalWindowGuardSpec: its input chains to a GlobalLimit), and
+      // the f1 scalar attaches by broadcast. Rank order is total
+      // (token tiebreak) so top-20 is deterministic.
       (s, dir) => {
         val freq = t(s, dir, "documents")
           .select(explode(toks).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("f"))
         val top = freq
+          .orderBy(col("f").desc, col("tok"))
+          .limit(20)
           .withColumn("r", row_number().over(
             Window.orderBy(col("f").desc, col("tok"))).cast("long"))
-          .filter(col("r") <= 20)
         val f1 = top.agg(max("f").as("f1"))
         top.crossJoin(broadcast(f1))
           .select(col("r").as("rank"), col("tok").as("token"), col("f").as("freq"),

@@ -18,6 +18,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *    over its `__gr_shard_*` aggregate (≤ shards+1 rows by
   *    construction — the helper's private naming convention doubles as
   *    the plan marker);
+  *  - structurally: a window whose input chains through row-preserving
+  *    unary nodes (Project/Filter) to a literal GlobalLimit — the
+  *    `orderBy(...).limit(k)` top-k shape plans the distributed
+  *    TakeOrderedAndProject and the window ranks only the ≤ k
+  *    surviving rows (text_zipf_check's top-20);
   *  - by allowlist below, each entry naming the bound that makes it
   *    legal.
   *
@@ -38,11 +43,9 @@ class GlobalWindowGuardSpec extends AnyFunSuite {
     */
   private val allowlist: Map[String, String] = Map(
     "layout_global_index" -> "offsets cumulative over ≤33 shard-count rows (the didactic original of the DistributedRank pattern)",
-    "text_zipf_check" -> "top-20 rank over the bounded-vocab frequency table (rank IS an output column)",
     "agg_ams_f2" -> "median rank over the 16 fixed AMS estimators",
     "agg_chi2_independence" -> "decimal chi2 sum over the ≤125-cell segment×nation grid",
     "win_kaplan_meier" -> "risk-set cumulative + survival attach over one row per duration day (~31, observation-window-bounded)",
-    "text_dispersion_dp" -> "DP sum over the 12-token × 16-source grid",
     "sample_strat_neyman" -> "largest-remainder rank over one row per language stratum",
     "text_nucleus_coverage" -> "frequency cumulative over the bounded type-frequency (vocabulary) table"
   )
@@ -54,11 +57,25 @@ class GlobalWindowGuardSpec extends AnyFunSuite {
   private def isShardOffsets(w: logical.Window): Boolean =
     w.child.output.exists(_.name.startsWith("__gr_shard_"))
 
+  /** The window's input is bounded by a literal LIMIT: walking down
+    * through row-preserving/shrinking unary nodes (Project, Filter)
+    * reaches a GlobalLimit — i.e. the `orderBy(...).limit(k)` top-k
+    * shape, where the window ranks ≤ k rows no matter the corpus.
+    */
+  @scala.annotation.tailrec
+  private def isLimitBounded(p: logical.LogicalPlan): Boolean = p match {
+    case _: logical.GlobalLimit => true
+    case pr: logical.Project => isLimitBounded(pr.child)
+    case f: logical.Filter => isLimitBounded(f.child)
+    case _ => false
+  }
+
   private def globalWindows(name: String) = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.queryExecution.optimizedPlan.collect {
       case w: logical.Window
-          if w.partitionSpec.isEmpty && !isShardOffsets(w) => w
+          if w.partitionSpec.isEmpty && !isShardOffsets(w) &&
+            !isLimitBounded(w.child) => w
     }
   }
 
