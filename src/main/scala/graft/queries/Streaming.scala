@@ -2,7 +2,7 @@ package graft.queries
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
@@ -379,16 +379,19 @@ object Streaming {
       // u1 ∪ {touched totals} — and a (group) present in both arms
       // always differs in n, keeping the output order total.
       (s, dir) => {
-        import s.implicits._
-        val all = t(s, dir, "events")
+        // Phase split staged as FILES (twoPhaseFilesToMemory): the only
+        // driver-side value is the 1-row min/max bounds aggregate the
+        // cut derives from — harness memory is corpus-independent.
+        val e = t(s, dir, "events")
           .select(col("ts"), col("event_type"), col("user_id"))
-          .as[Ev].collect()
-        val mn = all.map(_.ts.getTime).min
-        val mx = all.map(_.ts.getTime).max
+        val b = e.agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx")).head()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
         val raw = mn + math.floor((mx - mn) * 0.8).toLong
         val cut = raw - raw % 86400000L + 43200000L
-        val (p1, p2) = all.partition(_.ts.getTime <= cut)
-        StreamRuns.twoPhaseToMemory(s, "updmode", p1.toSeq, p2.toSeq,
+        val p1 = e.filter(unix_millis(col("ts")) <= cut)
+        val p2 = e.filter(unix_millis(col("ts")) > cut)
+        StreamRuns.twoPhaseFilesToMemory(s, "updmode", p1, p2,
             mode = "update") { df =>
           df.groupBy(window(col("ts"), "1 day"), col("event_type"))
             .agg(count(lit(1)).as("n"))
@@ -505,11 +508,17 @@ object Streaming {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-          .as[(Long, String)].collect().sortBy(_._1)
-        val cut = docs(docs.length / 2)._1
-        val p1 = docs.filter(_._1 < cut).map(d => DocTxt(d._1, d._2)).toSeq
-        val p2 = docs.filter(_._1 >= cut).map(d => DocTxt(d._1, d._2)).toSeq
-        val cands = StreamRuns.twoPhaseToMemory(s, "mhdedup", p1, p2) { df =>
+        // Key-RANGE split at the id midrange, phases staged as FILES:
+        // the closed form (min earlier band-mate) is split-point
+        // independent — any doc_id-range cut keeps every smaller id in
+        // the same or an earlier batch — so the exact median the
+        // collect-era harness used was never load-bearing; a 1-row
+        // bounds aggregate replaces the corpus collect.
+        val b = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx")).head()
+        val cut = (b.getLong(0) + b.getLong(1) + 1L) / 2L
+        val p1 = docs.filter(col("doc_id") < cut)
+        val p2 = docs.filter(col("doc_id") >= cut)
+        val cands = StreamRuns.twoPhaseFilesToMemory(s, "mhdedup", p1, p2) { df =>
           // ≙ Dedup.minhashBands per row: the fused native kernel
           // (ShingleMinHashExpr — tokens → shingles → md5 → 16-lane
           // min in one JVM loop; the HOF spelling ran md5 through the
@@ -666,9 +675,6 @@ object Streaming {
       // late bound modeled explicitly.
       (s, dir) => {
         import s.implicits._
-        val all = t(s, dir, "events")
-          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
-          .as[(Long, Timestamp, Long, Double)].collect()
         // TIME-fraction split (first 80% of the corpus span), not a key
         // split: an interleaved key split puts nearly every phase-2 row
         // below wm1, where the late filter drops it — leaving the
@@ -676,15 +682,18 @@ object Streaming {
         // same dead-arm trap CdcFeedSpec pins for the CDC feed). With
         // the time split every phase-2 row is strictly above wm1 and
         // all arms run at every scale (TimerArms in StreamingSpec).
-        val msOf = (x: (Long, Timestamp, Long, Double)) => x._2.getTime
-        val mn = all.map(msOf).min
-        val mx = all.map(msOf).max
-        val cut = mn + math.floor((mx - mn) * 0.8).toLong
-        val (p1, p2) = all.partition(msOf(_) <= cut)
-        def evs(xs: Array[(Long, Timestamp, Long, Double)]): Seq[EvV] =
-          xs.map(x => EvV(x._2, x._3, x._4)).toSeq
+        // Phases staged as FILES; only the 1-row bounds aggregate ever
+        // reaches the driver.
+        val e = t(s, dir, "events")
+          .select(col("ts"), col("user_id"), col("value"))
+        val b = e.agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx")).head()
+        val cut = b.getLong(0) +
+          math.floor((b.getLong(1) - b.getLong(0)) * 0.8).toLong
+        val p1 = e.filter(unix_millis(col("ts")) <= cut)
+        val p2 = e.filter(unix_millis(col("ts")) > cut)
 
-        StreamRuns.twoPhaseToMemory(s, "timer", evs(p1), evs(p2),
+        StreamRuns.twoPhaseFilesToMemory(s, "timer", p1, p2,
             forceRocksDb = true) { df =>
           df.withWatermark("ts", "0 seconds")
             .as[EvV]
@@ -838,20 +847,16 @@ object Streaming {
       // change, so the sink holds every window closed by
       // wm2 = max(all ts) - 10 min, counted over phase-1 plus surviving
       // phase-2 rows — which is what the oracle computes in closed
-      // form. The driver-side
-      // collect is the two-phase replay harness, not a data-path op.
+      // form. Phases are staged as FILES (twoPhaseFilesToMemory) — the
+      // replay harness never moves corpus rows through the driver.
       (s, dir) => {
-        import s.implicits._
-        // One collect, split in the driver: the phase partition is the
-        // replay harness's job, not worth two cluster scans.
-        val all = t(s, dir, "events")
-          .select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
-          .as[(Long, Timestamp, String, Long)].collect()
-        val (p1, p2) = all.partition(_._1 % 3 != 0)
-        def evs(xs: Array[(Long, Timestamp, String, Long)]): Seq[Ev] =
-          xs.map(x => Ev(x._2, x._3, x._4)).toSeq
-
-        StreamRuns.twoPhaseToMemory(s, "late", evs(p1), evs(p2)) { df =>
+        val e = t(s, dir, "events")
+          .select(col("ts"), col("event_type"), col("user_id"),
+            col("event_id"))
+        def phase(p: Column) = e.filter(p).drop("event_id")
+        StreamRuns.twoPhaseFilesToMemory(s, "late",
+            phase(col("event_id") % 3 =!= 0),
+            phase(col("event_id") % 3 === 0)) { df =>
           df.withWatermark("ts", "10 minutes")
             .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
             .agg(count(lit(1)).as("n"))
@@ -929,12 +934,24 @@ object Streaming {
       // strictly above wm1), so the dedup stage drops exactly the
       // redeliveries and nothing else.
       (s, dir) => {
-        import s.implicits._
-        val all = t(s, dir, "events")
+        // The ChainFeed split replayed as DataFrame filters (phases
+        // staged as FILES): p2 = originals past the cut ∪ arm-A
+        // redeliveries (p1 rows above wm1) ∪ arm-B redeliveries (p1
+        // rows at/below wm1 with event_id % 7 = 0). Driver-side state:
+        // two 1-row aggregates (bounds, wm1). ChainFeed.split stays as
+        // the spec-side arm-population oracle (StreamingSpec).
+        val e = t(s, dir, "events")
           .select(col("event_id"), col("ts"), col("event_type"))
-          .as[(Long, Timestamp, String)].collect()
-        val (p1, p2, _, _) = ChainFeed.split(all)
-        StreamRuns.twoPhaseToMemory(s, "chain", p1, p2) { df =>
+        val ms = unix_millis(col("ts"))
+        val b = e.agg(min(ms).as("mn"), max(ms).as("mx")).head()
+        val cut = b.getLong(0) +
+          math.floor((b.getLong(1) - b.getLong(0)) * 0.8).toLong
+        val p1 = e.filter(ms <= cut)
+        val wm1 = p1.agg(max(ms)).head().getLong(0) - ChainFeed.GapMs
+        val p2 = e.filter(ms > cut)
+          .union(p1.filter(ms > wm1))
+          .union(p1.filter(ms <= wm1 && col("event_id") % 7 === 0))
+        StreamRuns.twoPhaseFilesToMemory(s, "chain", p1, p2) { df =>
           df.withWatermark("ts", "10 minutes")
             .dropDuplicatesWithinWatermark("event_id")
             .groupBy(window(col("ts"), "5 minutes"), col("event_type"))

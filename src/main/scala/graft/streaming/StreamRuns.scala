@@ -160,6 +160,51 @@ object StreamRuns {
     spark.table(qn)
   }
 
+  /** Two-phase FILE replay — [[twoPhaseToMemory]] with
+    * corpus-independent harness memory: both phases are staged as
+    * parquet file sets (executor-side writes — nothing is ever
+    * collected to the driver), the stream reads a file source over a
+    * scratch directory primed with phase 1's files, drains, then
+    * receives phase 2's part files and drains again. Batch boundaries
+    * (and so watermark semantics) are identical to the MemoryStream
+    * spelling: batch 1 = phase 1, the no-data batch a watermark
+    * advance schedules, batch 2 = phase 2. One contract difference:
+    * file-scan row order within a batch is partition order, not a
+    * Seq's insertion order — every stateful handler here is in-batch
+    * order-insensitive (min/max/sum/count state, or an explicit
+    * in-group sort), which is also what makes their closed-form
+    * oracles expressible at all.
+    */
+  def twoPhaseFilesToMemory(
+      spark: SparkSession, tag: String, p1: DataFrame, p2: DataFrame,
+      forceRocksDb: Boolean = false, mode: String = "append")(
+      build: DataFrame => DataFrame): DataFrame = {
+    val srcDir = fresh(s"$tag-2psrc")
+    val p2Dir = fresh(s"$tag-2pp2")
+    p1.coalesce(2).write.mode("overwrite").parquet(srcDir)
+    p2.coalesce(2).write.mode("overwrite").parquet(p2Dir)
+    val qn = s"${tag}_${UUID.randomUUID().toString.take(8).replace("-", "")}"
+    def run(): Unit = {
+      val q = build(spark.readStream.schema(p1.schema).parquet(srcDir))
+        .writeStream.format("memory").queryName(qn).outputMode(mode)
+        .option("checkpointLocation", fresh(s"$tag-ckpt"))
+        .start()
+      q.processAllAvailable()
+      val dst = new java.io.File(srcDir)
+      new java.io.File(p2Dir).listFiles()
+        .filter(_.getName.startsWith("part-"))
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(dst, f.getName).toPath)
+        }
+      q.processAllAvailable()
+      q.stop()
+    }
+    if (forceRocksDb) withStreamPartitionsRocksDb(spark)(run())
+    else withStreamPartitions(spark)(run())
+    spark.table(qn)
+  }
+
   private val stageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
