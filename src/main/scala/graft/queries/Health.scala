@@ -3462,25 +3462,51 @@ object Health {
       // family's counterpart for importance-weighted data (price
       // weighted by shipped quantity per flag): weights pre-aggregate
       // onto DISTINCT values (collapsing the fact table and making the
-      // cumulative order unique without any row tie-break), one
-      // cumulative-weight window finds the first value where
-      // 2·cum >= total, and a min-aggregate SELECTS it. Everything up
-      // to the final cast is DECIMAL — exact, order-independent under
-      // any shuffle — and the median is a data value, never an
-      // interpolation. Cost: one map-side-combined aggregate + one
-      // window over the collapsed (group, value) table.
+      // cumulative order unique without any row tie-break), then a
+      // TWO-LEVEL selection finds the first value where 2·cum >= total
+      // without ever sorting a whole group through one reducer:
+      // (1) values quantize to $1000 price BUCKETS, per-(group,
+      // bucket) weights aggregate in parallel, and a cumulative over
+      // the ≤~100-bucket-per-group table picks the bucket b* where the
+      // crossing occurs (cum(v) at b*'s end ≥ tw/2, every earlier
+      // bucket's cum < tw/2 — the crossing value is in b* by
+      // construction); (2) only b*'s slice of the value table (one
+      // bucket's share of the domain) is sorted, offset by the
+      // cumulative below b*. Everything up to the final cast is
+      // DECIMAL — exact, order-independent under any shuffle — and the
+      // median is a data value, never an interpolation. At 100 TB the
+      // round-11 single window meant per-group one-reducer sorts of
+      // the whole price domain; recursing on the bucket split bounds
+      // any sort to domain/buckets.
       (s, dir) => {
-        val perV = t(s, dir, "lineitem")
-          .select(col("l_returnflag").as("g"),
-            money(col("l_extendedprice")).as("v"),
-            money(col("l_quantity")).as("w"))
-          .groupBy("g", "v").agg(sum(col("w")).as("wv"))
+        // Staged (memoized persist): tw, the bucket cumulative, and the
+        // in-bucket pass all read the collapsed value table — column
+        // pruning makes their three agg subtrees non-identical, so
+        // exchange reuse alone re-ran the corpus aggregate 3×.
+        val perV = graft.pipeline.Staged(s, dir, "wmedian_perv") {
+          t(s, dir, "lineitem")
+            .select(col("l_returnflag").as("g"),
+              money(col("l_extendedprice")).as("v"),
+              money(col("l_quantity")).as("w"))
+            .groupBy("g", "v").agg(sum(col("w")).as("wv"))
+            .withColumn("b", expr("CAST(v * 100 AS BIGINT) div 100000"))
+        }
+        val tw = perV.groupBy("g").agg(sum("wv").as("tw"))
+        val wob = Window.partitionBy("g").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sel = perV.groupBy("g", "b").agg(sum("wv").as("bwv"))
+          .withColumn("bcum", sum(col("bwv")).over(wob))
+          .join(broadcast(tw), "g")
+          .filter(col("bcum") * 2 >= col("tw"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("g").orderBy("b")))
+          .filter(col("rk") === 1)
+          .select(col("g"), col("b"),
+            (col("bcum") - col("bwv")).as("cum_below"), col("tw"))
         val wo = Window.partitionBy("g").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = Window.partitionBy("g")
-        perV
-          .withColumn("cum", sum(col("wv")).over(wo))
-          .withColumn("tw", sum(col("wv")).over(tot))
+        perV.join(broadcast(sel), Seq("g", "b"))
+          .withColumn("cum", sum(col("wv")).over(wo) + col("cum_below"))
           .filter(col("cum") * 2 >= col("tw"))
           .groupBy("g")
           .agg(min(col("v")).cast("double").as("weighted_median"),

@@ -704,32 +704,39 @@ object Selection {
       // sf0.01) whose floor-divided RESULT is back in int64 micros, so
       // the whole trajectory is integer-exact and engine-identical
       // (double IPF would compound fold-order drift round over round).
-      // Scale shape: one corpus-sized aggregate builds the cell table;
-      // every round shuffles only the category-product-sized cells.
+      // Scale shape: ONE corpus-sized aggregate builds the cell table;
+      // the cell table is provably ≤ |seg|·|nat| rows (the category
+      // product — 125 here, never corpus-scaled), so the iterations
+      // run DRIVER-SIDE on the collected cells in exact BigInt
+      // arithmetic (trajectory-identical to the DECIMAL(38,0)/HUGEINT
+      // relational spelling the oracle keeps). The round-11 relational
+      // rounds cost six tiny-table shuffles × the fixed stage floor
+      // (8.0× the oracle at sf0.1) while moving 125 rows; the
+      // driver pass is the "≤NBuckets driver list" discipline — the
+      // corpus never leaves the cluster, only the synopsis does.
       (s, dir) => {
         val cells = t(s, dir, "customer")
           .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_mktsegment").as("seg"), col("n_name").as("nat"))
           .agg(count(lit(1)).as("n"))
-        val dims = cells.agg(sum("n").as("total"),
-          countDistinct("seg").as("r"), countDistinct("nat").as("c"))
-        var w = cells.crossJoin(broadcast(dims))
-          .withColumn("w", col("n") * 1000000L)
-          .withColumn("tgt_seg", expr("(total * 1000000) div r"))
-          .withColumn("tgt_nat", expr("(total * 1000000) div c"))
+        val rows = cells.collect() // ≤ |seg|·|nat| — category-product bound
+        val total = rows.map(_.getLong(2)).sum
+        val tgtSeg = total * 1000000L / rows.map(_.getString(0)).distinct.length
+        val tgtNat = total * 1000000L / rows.map(_.getString(1)).distinct.length
+        var w = rows.toSeq.map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2),
+            BigInt(r.getLong(2)) * 1000000L))
         for (_ <- 1 to 3) {
-          val rowCur = w.groupBy("seg").agg(sum("w").as("cur_seg"))
-          w = w.join(rowCur, "seg")
-            .withColumn("w",
-              expr("(cast(w as decimal(38,0)) * tgt_seg) div cur_seg"))
-            .drop("cur_seg")
-          val colCur = w.groupBy("nat").agg(sum("w").as("cur_nat"))
-          w = w.join(colCur, "nat")
-            .withColumn("w",
-              expr("(cast(w as decimal(38,0)) * tgt_nat) div cur_nat"))
-            .drop("cur_nat")
+          // BigInt `/` truncates toward zero == floor for these
+          // all-positive weights — the div/`//` parity argument.
+          val cs = w.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._4).sum }
+          w = w.map { case (sg, nt, n, wv) => (sg, nt, n, wv * tgtSeg / cs(sg)) }
+          val cn = w.groupBy(_._2).map { case (k, xs) => k -> xs.map(_._4).sum }
+          w = w.map { case (sg, nt, n, wv) => (sg, nt, n, wv * tgtNat / cn(nt)) }
         }
-        w.select(col("seg"), col("nat"), col("n"), col("w").as("w_micro"))
+        import s.implicits._
+        w.map { case (sg, nt, n, wv) => (sg, nt, n, wv.toLong) }
+          .toDF("seg", "nat", "n", "w_micro")
           .orderBy("seg", "nat")
       }, {
         val rounds = (1 to 3).map { i =>
