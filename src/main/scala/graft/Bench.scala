@@ -57,7 +57,11 @@ object Bench {
       // prefix_index (the AllPairs prefix-filter join's staged index)
       "dedup_prefix_filter",
       // emb_bin_sigs (the sign-bit signature table)
-      "sim_ann_binary")
+      "sim_ann_binary",
+      // bm25_micro (the query-independent lexical score stage shared by
+      // hybrid retrieval and RRF fusion) and wmedian_perv (the collapsed
+      // weighted-median value table)
+      "sim_hybrid_retrieval", "agg_weighted_median")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     val stagerSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
