@@ -59,9 +59,9 @@ object Bench {
       // emb_bin_sigs (the sign-bit signature table)
       "sim_ann_binary",
       // bm25_micro (the query-independent lexical score stage shared by
-      // hybrid retrieval and RRF fusion) and wmedian_perv (the collapsed
-      // weighted-median value table)
-      "sim_hybrid_retrieval", "agg_weighted_median")
+      // hybrid retrieval and RRF fusion), wmedian_perv (the collapsed
+      // weighted-median value table), and the assoc basket/freq caches
+      "sim_hybrid_retrieval", "agg_weighted_median", "agg_assoc_rules")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     val stagerSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]

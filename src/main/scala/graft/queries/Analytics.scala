@@ -639,19 +639,41 @@ object Analytics {
       // 2⁶³ at ~10⁹ baskets — the mann_whitney overflow discipline);
       // all numerators nonnegative so floor-div is truncate-safe.
       (s, dir) => {
-        val baskets = t(s, dir, "lineitem")
-          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("o"), col("p_brand").as("it"))
-          .distinct()
+        // Staged (memoized persist): the basket table feeds the basket
+        // count, the item counts, and BOTH sides of the pair self-join
+        // — column pruning differentiates those subtrees, so exchange
+        // reuse alone re-ran the corpus distinct per reference (the
+        // wmedian_perv lesson; 34 scan nodes in the round-11 plan).
+        val baskets = graft.pipeline.Staged(s, dir, "assoc_baskets") {
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+            .select(col("l_orderkey").as("o"), col("p_brand").as("it"))
+            .distinct()
+        }
         val nB = baskets.agg(countDistinct("o").as("n_baskets"))
-        val items = baskets.groupBy("it").agg(count(lit(1)).as("ni"))
-        val tot = items.agg(sum("ni").as("s"), count(lit(1)).as("k"))
-        val freq = items.crossJoin(broadcast(tot))
-          .filter(col("ni") * col("k") > col("s")).select("it", "ni")
+        // freq is ≤ |brands| rows but feeds three consumers (the basket
+        // filter and both rule-side attaches) — memoized so its item
+        // aggregate + mean-cut chain runs once, not three times.
+        val freq = graft.pipeline.Staged(s, dir, "assoc_freq") {
+          val items = baskets.groupBy("it").agg(count(lit(1)).as("ni"))
+          val tot = items.agg(sum("ni").as("s"), count(lit(1)).as("k"))
+          items.crossJoin(broadcast(tot))
+            .filter(col("ni") * col("k") > col("s")).select("it", "ni")
+        }
         val fb = baskets.join(broadcast(freq.select("it")), "it")
-        val pairs = fb.as("a")
-          .join(fb.as("b"), col("a.o") === col("b.o") && col("a.it") < col("b.it"))
-          .groupBy(col("a.it").as("x"), col("b.it").as("y"))
+        // Pair generation per BASKET, not a self-join: collect each
+        // basket's (distinct, sorted) frequent items — catalog-bounded,
+        // ≤ |brands| per basket at any corpus size — and expand the
+        // ordered pairs in-row. One shuffle on the basket key replaces
+        // the round-11 fb⋈fb sort-merge join (two sorts + a recompute
+        // of the freq chain per side).
+        val pairs = fb.groupBy("o")
+          .agg(sort_array(collect_list(col("it"))).as("its"))
+          .select(explode(expr(
+            """flatten(transform(its, (x, i) ->
+               transform(slice(its, i + 2, size(its) - i - 1),
+                 y -> named_struct('x', x, 'y', y))))""")).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
           .agg(count(lit(1)).as("n_pair"))
         val rules = pairs
           .select(col("x").as("antecedent"), col("y").as("consequent"),
