@@ -35,7 +35,16 @@ object DistributedRank {
     * ASC) as an exact 1-based global ordinal. `key` must cast
     * losslessly to long (callers with an rx-rounded double key lift it
     * onto its integer grid first); `tie` must totalize the order
-    * within equal keys.
+    * within equal keys. The full long range is legal for the key: the
+    * shard width and shard assignment compute their differences in
+    * DECIMAL(38,0), so a key span past Long.MaxValue (e.g. full-range
+    * hash keys) cannot wrap.
+    *
+    * The keyed input is persisted here: the helper reads it three
+    * times (bounds aggregate, per-shard counts, final join), and
+    * column pruning differentiates those subtrees enough that
+    * exchange reuse alone re-ran corpus-scale inputs per reference
+    * (the coverage-curve shingle aggregate paid its dominant scan 3×).
     */
   def withGlobalRank(df: DataFrame, key: Column, tie: Column,
       desc: Boolean = false, shards: Int = 32,
@@ -43,12 +52,14 @@ object DistributedRank {
     val kc = s"__gr_key_$out"
     val sc = s"__gr_shard_$out"
     val oc = s"__gr_off_$out"
-    val keyed = df.withColumn(kc, key.cast("long"))
+    val keyed = df.withColumn(kc, key.cast("long")).persist()
     val bounds = keyed.agg(min(kc).as("__gr_mn"), max(kc).as("__gr_mx"))
       .select(col("__gr_mn"),
-        (expr(s"(__gr_mx - __gr_mn) div $shards") + lit(1L)).as("__gr_w"))
+        (expr(s"(CAST(__gr_mx AS DECIMAL(38,0)) - __gr_mn) div $shards") +
+          lit(1L)).as("__gr_w"))
     val sharded = keyed.crossJoin(broadcast(bounds))
-      .withColumn(sc, expr(s"($kc - __gr_mn) div __gr_w"))
+      .withColumn(sc,
+        expr(s"(CAST($kc AS DECIMAL(38,0)) - __gr_mn) div __gr_w"))
       .drop("__gr_mn", "__gr_w")
     // Driver-sized (≤ shards+1 rows) cumulative — the one allowed
     // partition-less window; shard order mirrors the rank direction.
@@ -82,11 +93,15 @@ object DistributedRank {
     val oc = s"__gr_off_$out"
     val keyed = df.withColumn(kc, key.cast("long"))
       .withColumn(wc, weight.cast("long"))
+      // Same triple-read and key-span rationale as withGlobalRank.
+      .persist()
     val bounds = keyed.agg(min(kc).as("__gr_mn"), max(kc).as("__gr_mx"))
       .select(col("__gr_mn"),
-        (expr(s"(__gr_mx - __gr_mn) div $shards") + lit(1L)).as("__gr_w"))
+        (expr(s"(CAST(__gr_mx AS DECIMAL(38,0)) - __gr_mn) div $shards") +
+          lit(1L)).as("__gr_w"))
     val sharded = keyed.crossJoin(broadcast(bounds))
-      .withColumn(sc, expr(s"($kc - __gr_mn) div __gr_w"))
+      .withColumn(sc,
+        expr(s"(CAST($kc AS DECIMAL(38,0)) - __gr_mn) div __gr_w"))
       .drop("__gr_mn", "__gr_w")
     val offW = Window.orderBy(col(sc).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
