@@ -87,6 +87,18 @@ object Analytics {
         s" + ((($y) $intDiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
 
+  /** Grid width (bits per dimension) of the layout keys — ONE constant
+    * drives the Spark side (HilbertIndexExpr's `bits`, the `% side`
+    * coordinate fold, zOrderSql's bit count) AND every derived oracle
+    * constant (`side`, `side-1`, the recursive walk's initial
+    * half-side), so changing the key width can never desynchronize the
+    * two engines.
+    */
+  private val HilBits = 8
+  private val HilSide = 1L << HilBits // modulus of the coordinate fold
+  private val HilMax = HilSide - 1 // the walk's reflection constant
+  private val HilHalf = 1L << (HilBits - 1) // the walk's initial s
+
   /** Final labels of 3 synchronous LPA rounds over the part<->supplier
     * graph — the community assignment shared by
     * `graph_label_propagation` (which reports it) and
@@ -1968,10 +1980,10 @@ object Analytics {
       // engine; 8 bits per dimension here.
       (s, dir) => t(s, dir, "part")
         .selectExpr("p_partkey", "p_size",
-          s"CAST(${zOrderSql("p_size", "p_partkey % 256", 8, "div")} AS BIGINT) AS z")
+          s"CAST(${zOrderSql("p_size", s"p_partkey % $HilSide", HilBits, "div")} AS BIGINT) AS z")
         .orderBy("z", "p_partkey"),
       Some(s"""SELECT p_partkey, p_size,
-          CAST(${zOrderSql("p_size", "p_partkey % 256", 8, "//")} AS BIGINT) AS z
+          CAST(${zOrderSql("p_size", s"p_partkey % $HilSide", HilBits, "//")} AS BIGINT) AS z
         FROM part ORDER BY z, p_partkey""")),
 
     QDef("layout_hilbert_index",
@@ -1991,22 +2003,23 @@ object Analytics {
       (s, dir) => t(s, dir, "part")
         .select(col("p_partkey"), col("p_size"),
           graft.functions.HilbertIndexExpr.hilbert(
-            expr("p_size % 256"), expr("p_partkey % 256"), 8).as("h"))
+            expr(s"p_size % $HilSide"), expr(s"p_partkey % $HilSide"),
+            HilBits).as("h"))
         .orderBy("h", "p_partkey"),
-      Some("""WITH RECURSIVE hil AS (
+      Some(s"""WITH RECURSIVE hil AS (
           SELECT p_partkey, p_size,
-                 CAST(p_size % 256 AS BIGINT) AS x,
-                 CAST(p_partkey % 256 AS BIGINT) AS y,
-                 CAST(128 AS BIGINT) AS s,
+                 CAST(p_size % $HilSide AS BIGINT) AS x,
+                 CAST(p_partkey % $HilSide AS BIGINT) AS y,
+                 CAST($HilHalf AS BIGINT) AS s,
                  CAST(0 AS BIGINT) AS d
             FROM part
           UNION ALL
           SELECT p_partkey, p_size,
                  CASE WHEN (y & s) > 0 THEN x
-                      WHEN (x & s) > 0 THEN 255 - y
+                      WHEN (x & s) > 0 THEN $HilMax - y
                       ELSE y END AS x,
                  CASE WHEN (y & s) > 0 THEN y
-                      WHEN (x & s) > 0 THEN 255 - x
+                      WHEN (x & s) > 0 THEN $HilMax - x
                       ELSE x END AS y,
                  s // 2 AS s,
                  d + s * s * xor(3 * CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END,
@@ -2038,11 +2051,12 @@ object Analytics {
         val keyed = t(s, dir, "part").select(
           col("p_partkey"),
           col("p_size").cast("long").as("sz"),
-          expr("CAST(p_partkey % 256 AS BIGINT)").as("bk"),
-          expr(s"CAST(${zOrderSql("p_size", "p_partkey % 256", 8, "div")} AS BIGINT)")
+          expr(s"CAST(p_partkey % $HilSide AS BIGINT)").as("bk"),
+          expr(s"CAST(${zOrderSql("p_size", s"p_partkey % $HilSide", HilBits, "div")} AS BIGINT)")
             .as("zk"),
           graft.functions.HilbertIndexExpr.hilbert(
-            expr("p_size % 256"), expr("p_partkey % 256"), 8).as("hk"))
+            expr(s"p_size % $HilSide"), expr(s"p_partkey % $HilSide"),
+            HilBits).as("hk"))
         val n = keyed.agg(count(lit(1)).as("n"))
         val layouts = Seq(
           "sorted" -> col("p_partkey"),
@@ -2072,18 +2086,18 @@ object Analytics {
       },
       Some(s"""WITH RECURSIVE hil AS (
           SELECT p_partkey,
-                 CAST(p_size % 256 AS BIGINT) AS x,
-                 CAST(p_partkey % 256 AS BIGINT) AS y,
-                 CAST(128 AS BIGINT) AS s,
+                 CAST(p_size % $HilSide AS BIGINT) AS x,
+                 CAST(p_partkey % $HilSide AS BIGINT) AS y,
+                 CAST($HilHalf AS BIGINT) AS s,
                  CAST(0 AS BIGINT) AS d
             FROM part
           UNION ALL
           SELECT p_partkey,
                  CASE WHEN (y & s) > 0 THEN x
-                      WHEN (x & s) > 0 THEN 255 - y
+                      WHEN (x & s) > 0 THEN $HilMax - y
                       ELSE y END AS x,
                  CASE WHEN (y & s) > 0 THEN y
-                      WHEN (x & s) > 0 THEN 255 - x
+                      WHEN (x & s) > 0 THEN $HilMax - x
                       ELSE x END AS y,
                  s // 2 AS s,
                  d + s * s * xor(3 * CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END,
@@ -2092,8 +2106,8 @@ object Analytics {
         hkt AS (SELECT p_partkey, d AS hk FROM hil WHERE s = 0),
         keyed AS (
           SELECT p.p_partkey, CAST(p.p_size AS BIGINT) AS sz,
-                 CAST(p.p_partkey % 256 AS BIGINT) AS bk,
-                 CAST(${zOrderSql("p_size", "p_partkey % 256", 8, "//")} AS BIGINT) AS zk,
+                 CAST(p.p_partkey % $HilSide AS BIGINT) AS bk,
+                 CAST(${zOrderSql("p_size", s"p_partkey % $HilSide", HilBits, "//")} AS BIGINT) AS zk,
                  hkt.hk
           FROM part p JOIN hkt USING (p_partkey)),
         nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keyed),

@@ -95,10 +95,24 @@ object Relational {
       }
       val fp = inputFp()
       def markerOf(tbl: String) = new java.io.File(whDir, s"$tbl.fp")
+      // The input fingerprint alone is not enough: if part files under
+      // the table location are deleted while the .fp sidecar survives,
+      // re-registering would resurrect an INCOMPLETE bucketed table
+      // that silently returns fewer rows. The marker therefore also
+      // records the table directory's own part-file list (name + size,
+      // sorted), written AFTER the CTAS and re-derived at check time.
+      def tableFp(tbl: String): String =
+        Option(loc(tbl).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          .sortBy(_.getName)
+          .map(f => s"${f.getName}\t${f.length}")
+          .mkString("\n")
+      def markerContent(tbl: String): String = s"$fp\n${tableFp(tbl)}"
       def markerOk(tbl: String): Boolean = {
         val m = markerOf(tbl)
         m.isFile && loc(tbl).isDirectory &&
-          new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8") == fp
+          new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8") ==
+            markerContent(tbl)
       }
       def register(tbl: String, df: org.apache.spark.sql.DataFrame, key: String): Unit =
         s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (${df.schema.toDDL})
@@ -127,7 +141,7 @@ object Relational {
         // Markers last: a failed write above leaves no marker, so the
         // next session rebuilds instead of registering a torso.
         Seq(lt, ot).foreach(tbl => java.nio.file.Files.write(
-          markerOf(tbl).toPath, fp.getBytes("UTF-8")))
+          markerOf(tbl).toPath, markerContent(tbl).getBytes("UTF-8")))
       }
       s.range(1).toDF("ok") // marker: tables staged once per session+dir
     }
