@@ -903,10 +903,16 @@ object Curation {
         tf.groupBy("source")
           .agg(sum("cnt").as("n_tokens"),
             count(lit(1)).as("n_types"),
-            sum(col("cnt") * col("cnt")).as("s2"))
+            // Σcnt² and n_tokens² are ~N² per source — DECIMAL(38,0)
+            // ≙ HUGEINT so neither wraps past ~3e9 tokens/source (the
+            // r12 overflow sweep); the div quotients land back in
+            // int64 by construction (hhi ≤ 1e6, eff types ≤ n_types).
+            sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("s2"))
           .select(col("source"), col("n_tokens"), col("n_types"),
-            expr("(s2 * 1000000) div (n_tokens * n_tokens)").as("hhi_micro"),
-            expr("(n_tokens * n_tokens) div s2").as("effective_types"))
+            expr("(s2 * 1000000) div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)")
+              .as("hhi_micro"),
+            expr("(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) div s2")
+              .as("effective_types"))
           .orderBy("source")
       },
       Some(s"""WITH tf AS (
@@ -915,11 +921,11 @@ object Curation {
           WHERE len(term) > 0 GROUP BY 1, 2),
         st AS (
           SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-                 count(*) AS n_types, CAST(sum(cnt * cnt) AS BIGINT) AS s2
+                 count(*) AS n_types, sum(CAST(cnt AS HUGEINT) * cnt) AS s2
           FROM tf GROUP BY 1)
         SELECT source, n_tokens, n_types,
-               CAST((s2 * 1000000) // (n_tokens * n_tokens) AS BIGINT) AS hhi_micro,
-               CAST((n_tokens * n_tokens) // s2 AS BIGINT) AS effective_types
+               CAST((s2 * 1000000) // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS hhi_micro,
+               CAST((CAST(n_tokens AS HUGEINT) * n_tokens) // s2 AS BIGINT) AS effective_types
         FROM st ORDER BY source""")),
 
     QDef("pipeline_kanon_suppress",

@@ -91,12 +91,22 @@ object Health {
           .withColumn("d2", sum("n2").over(w) + 10L)
           .withColumn("p1", (col("n1") + 1).cast("double") / col("d1").cast("double"))
           .withColumn("p2", (col("n2") + 1).cast("double") / col("d2").cast("double"))
+          // The cross product (n+1)·D is ~N² per event type — ridden on
+          // DECIMAL(38,0) ≙ HUGEINT so the per-term arithmetic cannot
+          // wrap past ~3e9 rows/type. tvd_scaled (a diagnostics column)
+          // still casts to int64 at the boundary — past ~1.5e9
+          // rows/type the normalized `tvd` is the scale-safe output —
+          // and the tvd denominator multiplies as DOUBLES for the same
+          // reason.
           .withColumn("tvd_scaled",
-            sum(abs((col("n2") + 1) * col("d1") - (col("n1") + 1) * col("d2"))).over(w))
+            sum(abs((col("n2") + 1).cast("decimal(38,0)") * col("d1") -
+              (col("n1") + 1).cast("decimal(38,0)") * col("d2"))).over(w)
+              .cast("long"))
           .select(col("event_type"), col("b"), col("n1"), col("n2"),
             col("p1"), col("p2"), col("tvd_scaled"),
             (col("tvd_scaled").cast("double") /
-              (lit(2L) * col("d1") * col("d2")).cast("double")).as("tvd"))
+              (lit(2.0) * col("d1").cast("double") * col("d2").cast("double")))
+              .as("tvd"))
           .orderBy("event_type", "b")
       },
       Some("""WITH ev AS (
@@ -119,9 +129,9 @@ object Health {
         SELECT event_type, b, n1, n2,
                CAST(n1 + 1 AS DOUBLE) / CAST(d1 AS DOUBLE) AS p1,
                CAST(n2 + 1 AS DOUBLE) / CAST(d2 AS DOUBLE) AS p2,
-               CAST(sum(abs((n2 + 1) * d1 - (n1 + 1) * d2)) OVER (PARTITION BY event_type) AS BIGINT) AS tvd_scaled,
-               CAST(sum(abs((n2 + 1) * d1 - (n1 + 1) * d2)) OVER (PARTITION BY event_type) AS DOUBLE)
-                 / CAST(2 * d1 * d2 AS DOUBLE) AS tvd
+               CAST(sum(abs(CAST(n2 + 1 AS HUGEINT) * d1 - CAST(n1 + 1 AS HUGEINT) * d2)) OVER (PARTITION BY event_type) AS BIGINT) AS tvd_scaled,
+               CAST(sum(abs(CAST(n2 + 1 AS HUGEINT) * d1 - CAST(n1 + 1 AS HUGEINT) * d2)) OVER (PARTITION BY event_type) AS DOUBLE)
+                 / (2.0 * CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) AS tvd
         FROM g ORDER BY event_type, b"""),
     ),
 
@@ -1427,7 +1437,10 @@ object Health {
         val st = ev.groupBy("event_type").agg(
           count(lit(1)).as("n"),
           sum("xc").as("s1"),
-          sum(col("xc") * col("xc")).as("s2"),
+          // s2 rides DECIMAL too: Σxc² over ~1e12 rows/group of 1e4-
+          // cent values is ~1e20 — past int64 even though each term
+          // fits (the r12 overflow sweep; s3/s4 had it from day one).
+          sum(col("xc").cast("decimal(38,0)") * col("xc")).as("s2"),
           sum(col("xc").cast("decimal(38,0)") * col("xc") * col("xc")).as("s3"),
           sum(col("xc").cast("decimal(38,0)") * col("xc") * col("xc") * col("xc")).as("s4"))
         val n = col("n").cast("double")
@@ -1452,7 +1465,7 @@ object Health {
           SELECT event_type,
                  CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(xc) AS BIGINT) AS s1,
-                 CAST(sum(xc * xc) AS BIGINT) AS s2,
+                 sum(CAST(xc AS HUGEINT) * xc) AS s2,
                  sum(CAST(xc AS HUGEINT) * xc * xc) AS s3,
                  sum(CAST(xc AS HUGEINT) * xc * xc * xc) AS s4
           FROM ev GROUP BY 1),

@@ -170,4 +170,40 @@ class PropertySpec extends AnyFunSuite {
       bad.collect().take(3).map(r => s"${r.get(0)} -> ${r.get(1)} -> ${r.get(2)}")
         .mkString("; "))
   }
+
+  test("wide-integer discipline survives hot cells past 2^31 rows-equivalent") {
+    // The r12 overflow sweep's proof obligation: drive the exact
+    // DECIMAL(38,0) spellings the queries use (agg_vocab_hhi's Σcnt²
+    // and n², profile_data_drift's (n+1)·D cross products) with counts
+    // shaped like ONE 100 TB hot cell — cnt and n past 2^31, so every
+    // squared/cross term exceeds Long.MaxValue — and assert exact
+    // agreement with BigInt ground truth.
+    val counts = Seq(4000000000L, 3200000000L, 2500000001L, 7L)
+    val hhi = counts.toDF("cnt")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("s2"))
+      .select(
+        expr("(s2 * 1000000) div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)")
+          .as("hhi_micro"),
+        expr("(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) div s2").as("eff"))
+      .head()
+    val n = counts.map(BigInt(_)).sum
+    val s2 = counts.map(c => BigInt(c) * c).sum
+    assert(BigInt(hhi.getLong(0)) == s2 * 1000000 / (n * n))
+    assert(BigInt(hhi.getLong(1)) == (n * n) / s2)
+    // The plain-long spelling would have wrapped per term — the exact
+    // flaw the decimal ride exists to prevent.
+    assert(counts.exists(c => c * c < 0))
+
+    val (n1, n2) = (3000000000L, 2500000000L)
+    val tvd = Seq((n1, n2)).toDF("n1", "n2")
+      .withColumn("d1", col("n1") + 10L)
+      .withColumn("d2", col("n2") + 10L)
+      .select(abs((col("n2") + 1).cast("decimal(38,0)") * col("d1") -
+        (col("n1") + 1).cast("decimal(38,0)") * col("d2")).cast("long")
+        .as("term"))
+      .head().getLong(0)
+    val expected = ((BigInt(n2) + 1) * (n1 + 10) - (BigInt(n1) + 1) * (n2 + 10)).abs
+    assert(BigInt(tvd) == expected)
+  }
 }
