@@ -87,6 +87,19 @@ object Analytics {
         s" + ((($y) $intDiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
 
+  /** Distinct supplier—part bipartite edge set, memoized (persist):
+    * graph_bipartite_cf and graph_resource_allocation each read it
+    * three to four times (degree tables + both wedge sides), and
+    * column pruning differentiates the subtrees enough that exchange
+    * reuse re-ran the corpus distinct per reference.
+    */
+  private def bipEdges(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "bip_sp_edges") {
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+    }
+
   /** Grid width (bits per dimension) of the layout keys — ONE constant
     * drives the Spark side (HilbertIndexExpr's `bits`, the `% side`
     * coordinate fold, zOrderSql's bit count) AND every derived oracle
@@ -1220,9 +1233,7 @@ object Analytics {
       // window. At 100 TB the slice IS the unit of work — score
       // batches of queries per pass, never the full pair matrix.
       (s, dir) => {
-        val e = t(s, dir, "lineitem")
-          .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
-          .distinct()
+        val e = bipEdges(s, dir)
         val deg = e.groupBy("s").agg(count(lit(1)).as("dg"))
         val cand = e.filter(expr("s % 25 = 0"))
           .select(col("s").as("s_target"), col("p"))
@@ -1283,9 +1294,7 @@ object Analytics {
       // sum order anywhere — and top-5 per target is one bounded
       // window.
       (s, dir) => {
-        val e = t(s, dir, "lineitem")
-          .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
-          .distinct()
+        val e = bipEdges(s, dir)
         val pdeg = e.groupBy("p").agg(count(lit(1)).as("pd"))
         val wedges = e.filter(expr("s % 25 = 0"))
           .select(col("s").as("s_target"), col("p"))
