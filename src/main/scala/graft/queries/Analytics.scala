@@ -2057,15 +2057,20 @@ object Analytics {
       // including the Hilbert walk as a recursive CTE — over global
       // windows (fine on a single DuckDB node).
       (s, dir) => {
-        val keyed = t(s, dir, "part").select(
-          col("p_partkey"),
-          col("p_size").cast("long").as("sz"),
-          expr(s"CAST(p_partkey % $HilSide AS BIGINT)").as("bk"),
-          expr(s"CAST(${zOrderSql("p_size", s"p_partkey % $HilSide", HilBits, "div")} AS BIGINT)")
-            .as("zk"),
-          graft.functions.HilbertIndexExpr.hilbert(
-            expr(s"p_size % $HilSide"), expr(s"p_partkey % $HilSide"),
-            HilBits).as("hk"))
+        // Memoized: all three layout passes rank this same projection
+        // (and DistributedRank reads its input thrice per pass) — one
+        // persisted build computes the Morton/Hilbert keys once.
+        val keyed = graft.pipeline.Staged(s, dir, "skip_audit_keyed") {
+          t(s, dir, "part").select(
+            col("p_partkey"),
+            col("p_size").cast("long").as("sz"),
+            expr(s"CAST(p_partkey % $HilSide AS BIGINT)").as("bk"),
+            expr(s"CAST(${zOrderSql("p_size", s"p_partkey % $HilSide", HilBits, "div")} AS BIGINT)")
+              .as("zk"),
+            graft.functions.HilbertIndexExpr.hilbert(
+              expr(s"p_size % $HilSide"), expr(s"p_partkey % $HilSide"),
+              HilBits).as("hk"))
+        }
         val n = keyed.agg(count(lit(1)).as("n"))
         val layouts = Seq(
           "sorted" -> col("p_partkey"),

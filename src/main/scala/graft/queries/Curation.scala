@@ -27,28 +27,33 @@ object Curation {
     * disk-staged under "lm_bigrams" and shared with PMI.
     */
   private def lmScorePerDoc(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val bgs = graft.pipeline.Staged.disk(s, dir, "lm_bigrams") {
-      t(s, dir, "documents")
-        .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
-        .select(col("doc_id"), explode(Text.shingles(col("tks"), 2)).as("bg"))
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    // The whole score table is disk-staged, not just the bigram
+    // explode: text_lm_score and text_perplexity_buckets each consumed
+    // it, and each run re-ran the two corpus aggregates (bigram
+    // counts, per-doc sums) over the staged bigrams.
+    graft.pipeline.Staged.disk(s, dir, "lm_scores") {
+      val bgs = graft.pipeline.Staged.disk(s, dir, "lm_bigrams") {
+        t(s, dir, "documents")
+          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+          .select(col("doc_id"), explode(Text.shingles(col("tks"), 2)).as("bg"))
+      }
+      val cnt = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val ctx = cnt
+        .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+        .agg(sum(col("c2")).as("c1"))
+      val q = cnt.join(broadcast(ctx),
+          substring_index(col("bg"), " ", 1) === col("w1"))
+        .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
+      val perDoc = bgs.join(broadcast(q), Seq("bg"))
+        .groupBy("doc_id")
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n_bigrams"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          expr("s div n_bigrams").as("score_ppm"))
     }
-    val cnt = bgs.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val ctx = cnt
-      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(sum(col("c2")).as("c1"))
-    val q = cnt.join(broadcast(ctx),
-        substring_index(col("bg"), " ", 1) === col("w1"))
-      .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
-    val perDoc = bgs.join(broadcast(q), Seq("bg"))
-      .groupBy("doc_id")
-      .agg(sum(col("q")).as("s"), count(lit(1)).as("n_bigrams"))
-    t(s, dir, "documents").select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        expr("s div n_bigrams").as("score_ppm"))
-  }
 
   /** DuckDB CTE chain ≙ [[lmScorePerDoc]] ending in
     * `lm_scores(doc_id, n_bigrams, score_ppm)`; shared by the
