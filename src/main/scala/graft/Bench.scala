@@ -60,8 +60,10 @@ object Bench {
       "sim_ann_binary",
       // bm25_micro (the query-independent lexical score stage shared by
       // hybrid retrieval and RRF fusion), wmedian_perv (the collapsed
-      // weighted-median value table), and the assoc basket/freq caches
-      "sim_hybrid_retrieval", "agg_weighted_median", "agg_assoc_rules")
+      // weighted-median value table), the assoc basket/freq caches,
+      // the supplier-part bipartite edge set, and the RAKE word scores
+      "sim_hybrid_retrieval", "agg_weighted_median", "agg_assoc_rules",
+      "graph_bipartite_cf", "text_rake_keywords")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     val stagerSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]

@@ -451,8 +451,13 @@ object Pipeline {
       // because the entity vocabulary GROWS with the corpus here,
       // making within-block pairs corpus-quadratic.
       (s, dir) => {
-        val ents = stages(s, dir).known.select("norm").distinct()
-          .filter(col("norm").isNotNull && length(col("norm")) >= 1)
+        // Memoized: the entity list feeds the dirty feed and both
+        // variant arms (three references, each previously re-running
+        // the known-entities distinct).
+        val ents = graft.pipeline.Staged(s, dir, "fuzzy_ents") {
+          stages(s, dir).known.select("norm").distinct()
+            .filter(col("norm").isNotNull && length(col("norm")) >= 1)
+        }
         val dirty = ents
           .withColumn("p",
             (Text.md5Hash32(col("norm")) % length(col("norm")).cast("long"))

@@ -687,14 +687,19 @@ object TextAnalysis {
             .withColumn("grp", col("pos") - row_number().over(
               Window.partitionBy("doc_id").orderBy("pos")))
         }
-        val freq = content.groupBy("term").agg(count(lit(1)).as("freq"))
-        val plen = content.groupBy("doc_id", "grp")
-          .agg(count(lit(1)).as("plen"))
-        val deg = content.join(plen, Seq("doc_id", "grp"))
-          .groupBy("term").agg(sum("plen").as("deg"))
-        val wscore = freq.join(deg, "term")
-          .withColumn("wscore", expr("(deg * 1000000) div freq"))
-          .select("term", "wscore")
+        // The word-score table (vocabulary-sized) is itself disk-staged:
+        // its three aggregates over the staged content re-ran per query
+        // run, and the phrase pass only needs the finished scores.
+        val wscore = graft.pipeline.Staged.disk(s, dir, "rake_wscore") {
+          val freq = content.groupBy("term").agg(count(lit(1)).as("freq"))
+          val plen = content.groupBy("doc_id", "grp")
+            .agg(count(lit(1)).as("plen"))
+          val deg = content.join(plen, Seq("doc_id", "grp"))
+            .groupBy("term").agg(sum("plen").as("deg"))
+          freq.join(deg, "term")
+            .withColumn("wscore", expr("(deg * 1000000) div freq"))
+            .select("term", "wscore")
+        }
         content.join(broadcast(wscore), "term")
           .groupBy("doc_id", "grp")
           .agg(
