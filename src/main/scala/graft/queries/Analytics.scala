@@ -143,6 +143,15 @@ object Analytics {
       sym.join(deg, "src")
     }
 
+  /** Node list of the staged pagerank graph, memoized: the PageRank
+    * variants re-reference it once per round (4-5 times per query) and
+    * each reference otherwise re-ran the distinct over the edge table.
+    */
+  private def pagerankNodes(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged(s, dir, "pagerank_nodes") {
+      pagerankEdges(s, dir).select(col("src").as("node_id")).distinct()
+    }
+
   private def lpaLabels3(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Staged.disk(s, dir, "lpa_labels3") {
       val ew = pagerankEdges(s, dir)
@@ -825,7 +834,7 @@ object Analytics {
       // is the only thing that changes at scale.
       (s, dir) => {
         val ew = pagerankEdges(s, dir)
-        val nodes = ew.select(col("src").as("node_id")).distinct()
+        val nodes = pagerankNodes(s, dir)
         var ranks = nodes.withColumn("pr", lit(1000000L))
         for (_ <- 1 to 3) {
           // USING-column joins (not df("col") conditions): every round's
@@ -879,7 +888,7 @@ object Analytics {
       // TakeOrdered, never a global window.
       (s, dir) => {
         val ew = pagerankEdges(s, dir)
-        val nodes = ew.select(col("src").as("node_id")).distinct()
+        val nodes = pagerankNodes(s, dir)
           .withColumn("seed", when(col("node_id") < 50, 1L).otherwise(0L))
         var ranks = nodes.select(col("node_id"), col("seed"),
           (col("seed") * 1000000L).as("pr"))
