@@ -94,7 +94,7 @@ object Analytics {
     * reuse re-ran the corpus distinct per reference.
     */
   private def bipEdges(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Staged(s, dir, "bip_sp_edges") {
+    graft.pipeline.Staged.disk(s, dir, "bip_sp_edges") {
       t(s, dir, "lineitem")
         .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
         .distinct()
@@ -148,7 +148,7 @@ object Analytics {
     * each reference otherwise re-ran the distinct over the edge table.
     */
   private def pagerankNodes(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Staged(s, dir, "pagerank_nodes") {
+    graft.pipeline.Staged.disk(s, dir, "pagerank_nodes") {
       pagerankEdges(s, dir).select(col("src").as("node_id")).distinct()
     }
 
@@ -678,7 +678,7 @@ object Analytics {
         // — column pruning differentiates those subtrees, so exchange
         // reuse alone re-ran the corpus distinct per reference (the
         // wmedian_perv lesson; 34 scan nodes in the round-11 plan).
-        val baskets = graft.pipeline.Staged(s, dir, "assoc_baskets") {
+        val baskets = graft.pipeline.Staged.disk(s, dir, "assoc_baskets") {
           t(s, dir, "lineitem")
             .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
             .select(col("l_orderkey").as("o"), col("p_brand").as("it"))

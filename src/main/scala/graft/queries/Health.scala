@@ -3496,7 +3496,7 @@ object Health {
         // in-bucket pass all read the collapsed value table — column
         // pruning makes their three agg subtrees non-identical, so
         // exchange reuse alone re-ran the corpus aggregate 3×.
-        val perV = graft.pipeline.Staged(s, dir, "wmedian_perv") {
+        val perV = graft.pipeline.Staged.disk(s, dir, "wmedian_perv") {
           t(s, dir, "lineitem")
             .select(col("l_returnflag").as("g"),
               money(col("l_extendedprice")).as("v"),
