@@ -29,11 +29,38 @@ object StreamRuns {
       else "/root/repo/target/scratch/stream"
     }
 
-  /** Fresh scratch sub-directory (checkpoints, sinks, source copies). */
+  /** Fresh scratch sub-directory (checkpoints, sinks, source copies).
+    * Also sweeps aged siblings: scratch is tmpfs-backed where
+    * available, every run creates new dirs, and nothing else ever
+    * deletes them — across enough rounds that fills the mount (RAM,
+    * on /dev/shm). Anything older than 2 h is from a finished run
+    * (these streams live for seconds); deletion is best-effort and
+    * never fails the caller.
+    */
   def fresh(tag: String): String = {
+    sweepAged()
     val p = s"$ScratchRoot/$tag-${UUID.randomUUID().toString.take(8)}"
     new java.io.File(p).mkdirs()
     p
+  }
+
+  private val AgedMs = 2L * 3600 * 1000
+  private val lastSweep = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def sweepAged(): Unit = {
+    val now = System.currentTimeMillis()
+    // At most one sweep per 10 min per JVM — fresh() is called per
+    // stream run and the directory listing should not become a cost.
+    val prev = lastSweep.get()
+    if (now - prev < 600000L || !lastSweep.compareAndSet(prev, now)) return
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    try Option(new java.io.File(ScratchRoot).listFiles()).foreach(_.foreach { d =>
+      if (d.isDirectory && now - d.lastModified() > AgedMs) rm(d)
+    })
+    catch { case _: Throwable => () } // best-effort only
   }
 
   /** Stateful-op partition count for the test-scale streams. Each
