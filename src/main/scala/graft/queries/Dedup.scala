@@ -769,8 +769,13 @@ object Dedup {
       // the training split is scanned for literal containment. Reports
       // per needle the hit count and first hitting doc (-1 = clean) —
       // zero-hit needles are the audit's success arm, hit needles its
-      // finding. The bounded needle set BROADCASTS and the corpus
-      // streams ONCE through a codegen'd per-row contains; at a
+      // finding. The needle panel is CAPPED at the 100 lowest-id
+      // sampled docs (orderBy + limit → TakeOrdered, structurally
+      // bounded in BnljGuardSpec) — a canary audit runs a FIXED tracer
+      // set, not a corpus-growing one; the pre-r12 1-in-25 sample
+      // scaled with the corpus, the same disguised-quadratic class as
+      // the old RRF dense arm. The bounded set BROADCASTS and the
+      // corpus streams ONCE through a codegen'd per-row contains; at a
       // million needles the kernel swaps for an Aho-Corasick
       // mapPartitions pass or decontaminate's n-gram equi-join — the
       // report shape stays.
@@ -781,6 +786,7 @@ object Dedup {
         val real = nt.filter(col("doc_id") % 25 === 7)
           .select(col("doc_id").as("src_doc"),
             array_join(slice(Text.tokens(col("tnorm")), 1, 3), " ").as("needle"))
+          .orderBy("src_doc").limit(100)
         val planted = Seq((-1L, "canary eaf3 planted"),
           (-2L, "canary 77b2 planted")).toDF("src_doc", "needle")
         val train = nt.filter(col("doc_id") % 25 =!= 7)
@@ -798,7 +804,8 @@ object Dedup {
         rl AS (
           SELECT doc_id AS src_doc,
                  array_to_string((string_split(tnorm, ' '))[1:3], ' ') AS needle
-          FROM nt WHERE doc_id % 25 = 7),
+          FROM nt WHERE doc_id % 25 = 7
+          ORDER BY src_doc LIMIT 100),
         needles AS (
           SELECT * FROM rl
           UNION ALL

@@ -68,7 +68,6 @@ class BnljGuardSpec extends AnyFunSuite {
     "sim_recall_curve" -> "10-query exact arm of the recall audit",
     "sim_recall_graph_route" -> "10-query exact arm of the recall audit",
     "text_bpe_train3" -> "per-round argmax merge pair (1 localCheckpoint'd row per round)",
-    "text_canary_scan" -> "needle panel: fixed literal canaries + a 1-in-25 sampled prefix set (sampled audit)",
     "text_langid_confusion" -> "predicted-language domain (≤5 values) crossed to complete the confusion grid",
     "text_nucleus_coverage" -> "3-row percentile panel × vocab-bounded coverage frame (build side flips with cache stats)")
 
