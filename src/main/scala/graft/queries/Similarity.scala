@@ -819,9 +819,14 @@ object Similarity {
       // exact), votes and both rank windows are integer-deterministic.
       (s, dir) => {
         val e = vecs(s, dir)
+        // Fixed eval panel: the 100 lowest-id sampled vectors (orderBy +
+        // limit -> TakeOrdered, structurally bounded in BnljGuardSpec) —
+        // an eval set is fixed-size by design; the pre-r12 bare 1-in-100
+        // sample grew with the corpus (the canary-panel lesson).
         val probes = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nrm").as("qnrm"), col("label").as("true_label"))
+          .orderBy("q_id").limit(100)
         val base = e.filter(col("vec_id") % 100 =!= 0)
         val wTop = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("vec_id").asc)
@@ -843,12 +848,15 @@ object Similarity {
             (col("label") === col("true_label")).as("correct"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH pairs AS (
+      Some(s"""WITH pr AS (
+          SELECT vec_id, label, embedding FROM embeddings
+          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 100),
+        pairs AS (
           SELECT q.vec_id AS q_id, q.label AS true_label,
                  e.vec_id AS vec_id, e.label AS label,
                  ${rxSql(cosSql("q", "e"), 6)} AS cos
-          FROM embeddings q JOIN embeddings e
-            ON q.vec_id % 100 = 0 AND e.vec_id % 100 <> 0),
+          FROM pr q JOIN embeddings e
+            ON e.vec_id % 100 <> 0),
         rk AS (SELECT q_id, true_label, vec_id, label, cos,
                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
                FROM pairs),
@@ -879,9 +887,14 @@ object Similarity {
       // aggregate is label-cardinality-sized.
       (s, dir) => {
         val e = vecs(s, dir)
+        // Fixed eval panel: the 100 lowest-id sampled vectors (orderBy +
+        // limit -> TakeOrdered, structurally bounded in BnljGuardSpec) —
+        // an eval set is fixed-size by design; the pre-r12 bare 1-in-100
+        // sample grew with the corpus (the canary-panel lesson).
         val probes = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nrm").as("qnrm"), col("label").as("true_label"))
+          .orderBy("q_id").limit(100)
         val base = e.filter(col("vec_id") % 100 =!= 0)
         val wTop = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("vec_id").asc)
@@ -906,12 +919,15 @@ object Similarity {
             expr("(1000000 * nh) div n_probes").as("hit_rate_ppm"))
           .orderBy("label")
       },
-      Some(s"""WITH pairs AS (
+      Some(s"""WITH pr AS (
+          SELECT vec_id, label, embedding FROM embeddings
+          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 100),
+        pairs AS (
           SELECT q.vec_id AS q_id, q.label AS true_label,
                  e.vec_id AS vec_id, e.label AS label,
                  ${rxSql(cosSql("q", "e"), 6)} AS cos
-          FROM embeddings q JOIN embeddings e
-            ON q.vec_id % 100 = 0 AND e.vec_id % 100 <> 0),
+          FROM pr q JOIN embeddings e
+            ON e.vec_id % 100 <> 0),
         rk AS (SELECT q_id, true_label, label,
                       row_number() OVER (PARTITION BY q_id
                                          ORDER BY cos DESC, vec_id) AS rank

@@ -51,7 +51,6 @@ class BnljGuardSpec extends AnyFunSuite {
     "agg_kmv_sketch" -> "per-type k-minimum synopsis (k·n_types rows collapsed to arrays)",
     "dedup_decontaminate" -> "fixed 20-doc eval set (doc_id < 20) broadcast against the corpus",
     "dedup_minhash_recall" -> "1-in-5-sample truth-set audit, documented occasional; production path is the banded LSH index",
-    "join_knn_classify" -> "1-in-100 probe sample broadcast — PlanShapeSpec pins this exact shape",
     "sample_kcenter_coreset" -> "k=5 selected-center frame per greedy round (localCheckpoint leaf)",
     "sim_ann_binary" -> "10-query signature panel (QueryVecs) broadcast for the Hamming pass",
     "sim_ann_ivf_recall" -> "10-query probe panel (QueryVecs): the exact arm of the recall audit",
@@ -60,7 +59,6 @@ class BnljGuardSpec extends AnyFunSuite {
     "sim_ann_pq" -> "Cents×MSub PQ codebook cross building the per-query ADC lookup table",
     "sim_centroid_separation" -> "per-label centroid table (≤10 labels, dims collapsed to arrays)",
     "sim_cosine_topk" -> "10-query probe panel (QueryVecs) — the brute-force correctness baseline",
-    "sim_eval_at_k" -> "1-in-100 labeled probe sample (eval panel)",
     "sim_int8_quantized" -> "10-query probe panel (QueryVecs)",
     "sim_matryoshka" -> "10-query probe panel (QueryVecs)",
     "sim_mips_topk" -> "10-query probe panel (QueryVecs)",
