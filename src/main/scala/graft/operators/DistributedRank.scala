@@ -31,6 +31,31 @@ import org.apache.spark.sql.functions._
   */
 object DistributedRank {
 
+  /** The helpers persist their keyed input (it is read three times per
+    * invocation — see [[withGlobalRank]]); this bounded FIFO releases
+    * those persists so a long-lived JVM (a 369-query bench, a service)
+    * does not accumulate one MEMORY_AND_DISK copy per invocation for
+    * its lifetime. Eviction is deferred, not immediate: unpersisting
+    * when the caller's action completes is not observable from here,
+    * but queries execute serially in practice and the deepest live
+    * nesting in the repo is three rank passes feeding one action
+    * (win_rfm_scoring's fold, layout_skipping_audit's union), so a
+    * window of the last 8 persists can only ever evict frames whose
+    * actions have finished. An evicted frame that IS somehow re-read
+    * just recomputes — slower, never wrong.
+    */
+  private val MaxLivePersists = 8
+  private val persisted = new java.util.ArrayDeque[DataFrame]()
+  private def persistScoped(df: DataFrame): DataFrame = persisted.synchronized {
+    val p = df.persist()
+    persisted.addLast(p)
+    while (persisted.size > MaxLivePersists) {
+      try persisted.removeFirst().unpersist(false)
+      catch { case _: Throwable => () }
+    }
+    p
+  }
+
   /** Adds column `out` = row_number() OVER (ORDER BY key [DESC], tie
     * ASC) as an exact 1-based global ordinal. `key` must cast
     * losslessly to long (callers with an rx-rounded double key lift it
@@ -52,7 +77,7 @@ object DistributedRank {
     val kc = s"__gr_key_$out"
     val sc = s"__gr_shard_$out"
     val oc = s"__gr_off_$out"
-    val keyed = df.withColumn(kc, key.cast("long")).persist()
+    val keyed = persistScoped(df.withColumn(kc, key.cast("long")))
     val bounds = keyed.agg(min(kc).as("__gr_mn"), max(kc).as("__gr_mx"))
       .select(col("__gr_mn"),
         (expr(s"(CAST(__gr_mx AS DECIMAL(38,0)) - __gr_mn) div $shards") +
@@ -76,6 +101,51 @@ object DistributedRank {
       .drop(kc, sc, oc)
   }
 
+  /** Adds column `out` = row_number() OVER (PARTITION BY grp ORDER BY
+    * key [DESC], tie ASC) — [[withGlobalRank]] for SEVERAL independent
+    * total orders in one pass (one bounds aggregate, one counts
+    * aggregate, one offset join for all groups instead of one rank
+    * pipeline per group). Shards are value ranges of the SHARED key
+    * domain, so every group spreads across all shards and no group
+    * serializes through one reducer; the offsets cumulative is
+    * partitioned by group over the (groups × shards)-row count table.
+    * Intended for a SMALL group domain (layout variants, metric
+    * names) whose members each span the key range — a corpus-scaled
+    * group column would make the offsets table corpus-scaled.
+    */
+  def withGroupedRank(df: DataFrame, grp: Column, key: Column,
+      tie: Column, desc: Boolean = false, shards: Int = 32,
+      out: String = "grk"): DataFrame = {
+    val gc = s"__gr_grp_$out"
+    val kc = s"__gr_key_$out"
+    val sc = s"__gr_shard_$out"
+    val oc = s"__gr_off_$out"
+    val keyed = persistScoped(
+      df.withColumn(gc, grp).withColumn(kc, key.cast("long")))
+    val bounds = keyed.agg(min(kc).as("__gr_mn"), max(kc).as("__gr_mx"))
+      .select(col("__gr_mn"),
+        (expr(s"(CAST(__gr_mx AS DECIMAL(38,0)) - __gr_mn) div $shards") +
+          lit(1L)).as("__gr_w"))
+    val sharded = keyed.crossJoin(broadcast(bounds))
+      .withColumn(sc,
+        expr(s"(CAST($kc AS DECIMAL(38,0)) - __gr_mn) div __gr_w"))
+      .drop("__gr_mn", "__gr_w")
+    // Group-partitioned (never partition-less) cumulative over the
+    // bounded (groups × shards) count table; shard order mirrors the
+    // rank direction.
+    val offW = Window.partitionBy(gc)
+      .orderBy(if (desc) col(sc).desc else col(sc).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(gc, sc).agg(count(lit(1)).as("__gr_c"))
+      .withColumn(oc, coalesce(sum("__gr_c").over(offW), lit(0L)))
+      .select(col(gc), col(sc), col(oc))
+    val ordW = Window.partitionBy(gc, sc)
+      .orderBy(if (desc) col(kc).desc else col(kc).asc, tie)
+    sharded.join(broadcast(offsets), Seq(gc, sc))
+      .withColumn(out, (col(oc) + row_number().over(ordW)).cast("long"))
+      .drop(gc, kc, sc, oc)
+  }
+
   /** Adds column `out` = sum(weight) OVER (ORDER BY key, tie ROWS
     * UNBOUNDED PRECEDING) — an exact INCLUSIVE global running total,
     * same shard-offset shape as [[withGlobalRank]]: per-shard weight
@@ -91,10 +161,9 @@ object DistributedRank {
     val wc = s"__gr_wt_$out"
     val sc = s"__gr_shard_$out"
     val oc = s"__gr_off_$out"
-    val keyed = df.withColumn(kc, key.cast("long"))
-      .withColumn(wc, weight.cast("long"))
-      // Same triple-read and key-span rationale as withGlobalRank.
-      .persist()
+    // Same triple-read and key-span rationale as withGlobalRank.
+    val keyed = persistScoped(df.withColumn(kc, key.cast("long"))
+      .withColumn(wc, weight.cast("long")))
     val bounds = keyed.agg(min(kc).as("__gr_mn"), max(kc).as("__gr_mx"))
       .select(col("__gr_mn"),
         (expr(s"(CAST(__gr_mx AS DECIMAL(38,0)) - __gr_mn) div $shards") +

@@ -2081,20 +2081,33 @@ object Analytics {
               HilBits).as("hk"))
         }
         val n = keyed.agg(count(lit(1)).as("n"))
-        val layouts = Seq(
-          "sorted" -> col("p_partkey"),
-          "zorder" -> col("zk"),
-          "hilbert" -> col("hk"))
-        val boxes = layouts.map { case (nm, key) =>
-          DistributedRank.withGlobalRank(keyed, key, col("p_partkey"), out = "rk")
-            .crossJoin(broadcast(n))
-            .withColumn("fid", expr("((rk - 1) * 16) div n"))
-            .groupBy("fid")
-            .agg(min("sz").as("s_min"), max("sz").as("s_max"),
-              min("bk").as("b_min"), max("bk").as("b_max"))
-            .select(lit(nm).as("layout"), col("fid"),
-              col("s_min"), col("s_max"), col("b_min"), col("b_max"))
-        }.reduce(_.unionAll(_))
+        // ONE grouped distributed rank for all three layouts instead
+        // of three rank pipelines: each row explodes into
+        // (layout_id, layout_key) and [[DistributedRank
+        // .withGroupedRank]] ranks within each layout in a single
+        // bounds-agg + counts-agg + offset-join pass. Every layout
+        // spreads over all value-range shards (the three key domains
+        // share the [0, 64K] span), so no layout serializes through
+        // one reducer — the audit's cost was 3× fixed stage latency,
+        // not data.
+        val lay = keyed.select(col("p_partkey"), col("sz"), col("bk"),
+            explode(array(
+              struct(lit(0L).as("lid"), col("p_partkey").as("k")),
+              struct(lit(1L).as("lid"), col("zk").as("k")),
+              struct(lit(2L).as("lid"), col("hk").as("k")))).as("e"))
+          .select(col("p_partkey"), col("sz"), col("bk"),
+            col("e.lid").as("lid"), col("e.k").as("k"))
+        val boxes = DistributedRank
+          .withGroupedRank(lay, col("lid"), col("k"), col("p_partkey"), out = "rk")
+          .crossJoin(broadcast(n))
+          .withColumn("fid", expr("((rk - 1) * 16) div n"))
+          .groupBy("lid", "fid")
+          .agg(min("sz").as("s_min"), max("sz").as("s_max"),
+            min("bk").as("b_min"), max("bk").as("b_max"))
+          .select(element_at(
+              array(lit("sorted"), lit("zorder"), lit("hilbert")),
+              (col("lid") + 1).cast("int")).as("layout"),
+            col("fid"), col("s_min"), col("s_max"), col("b_min"), col("b_max"))
         val preds = s.range(8).select(col("id").as("pid"),
           (col("id") * 6 + 1).as("lo_s"), (col("id") * 6 + 8).as("hi_s"),
           (col("id") * 32).as("lo_b"), (col("id") * 32 + 63).as("hi_b"))

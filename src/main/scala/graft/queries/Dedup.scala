@@ -642,24 +642,29 @@ object Dedup {
       // Candidate RECALL of the LSH index — the number that justifies
       // shipping the banded path at 100 TB (sim_ann_ivf_recall's
       // counterpart for text dedup): ground truth = exact-Jaccard>=0.5
-      // pairs computed pairwise over a 1-in-5 doc_a sample (the audit
-      // is quadratic ONLY on the sample, run occasionally — the
-      // production path stays the linear banded join), hits = truth
-      // pairs the (band,bsig) bucket join also surfaces. The 0.5
-      // threshold is the integer test 3·|A∩B| >= |A|+|B| — no FP in
-      // the truth set. One row: truth/candidate/hit counts + recall.
+      // pairs computed pairwise over a FIXED 100-doc probe panel
+      // (orderBy + limit on both engines — the knn/eval/canary cap
+      // pattern; the previous 1-in-5 sample GREW with the corpus, so
+      // the audit stayed corpus-quadratic at O(N²/5)). Panel×corpus is
+      // O(100·N) — linear — while the production path stays the banded
+      // join; hits = truth pairs the (band,bsig) bucket join also
+      // surfaces. The 0.5 threshold is the integer test
+      // 3·|A∩B| >= |A|+|B| — no FP in the truth set. One row:
+      // truth/candidate/hit counts + recall.
       (s, dir) => {
         val sets = ngramSets(s, dir)
         val inter = graft.functions.SortedInterCountExpr
           .interCount(col("ss_a"), col("ss_b")).cast("long")
-        val truth = sets.toDF("doc_a", "ss_a")
-          .filter(col("doc_a") % 5 === 0)
+        val probe = sets.orderBy("doc_id").limit(100)
+        val truth = probe.toDF("doc_a", "ss_a")
           .crossJoin(sets.toDF("doc_b", "ss_b"))
           .filter(col("doc_a") < col("doc_b"))
           .filter(inter * 3 >=
             (size(col("ss_a")) + size(col("ss_b"))).cast("long"))
           .select(col("doc_a"), col("doc_b"))
-        val cand = candidatePairs(s, dir).filter(col("doc_a") % 5 === 0)
+        val cand = candidatePairs(s, dir).join(
+          broadcast(probe.select(col("doc_id").as("doc_a"))),
+          Seq("doc_a"), "left_semi")
         truth.join(cand.withColumn("c", lit(1)), Seq("doc_a", "doc_b"), "left")
           .agg(count(lit(1)).as("n_truth"), count(col("c")).as("n_hit"))
           .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
@@ -673,12 +678,14 @@ object Dedup {
           SELECT doc_id,
                  list_distinct(list_transform($shSql, x -> ${h32Sql("x")})) AS ss
           FROM documents),
+        probe AS (SELECT doc_id, ss FROM sets ORDER BY doc_id LIMIT 100),
         truth AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM sets a JOIN sets b
-            ON a.doc_id % 5 = 0 AND a.doc_id < b.doc_id
+          FROM probe a JOIN sets b
+            ON a.doc_id < b.doc_id
           WHERE 3 * len(list_intersect(a.ss, b.ss)) >= len(a.ss) + len(b.ss)),
-        cand AS (SELECT doc_a, doc_b FROM cpairs WHERE doc_a % 5 = 0),
+        cand AS (SELECT doc_a, doc_b FROM cpairs
+                 WHERE doc_a IN (SELECT doc_id FROM probe)),
         j AS (
           SELECT t.doc_a, c.doc_a AS hit
           FROM truth t LEFT JOIN cand c

@@ -1690,12 +1690,20 @@ object Similarity {
       // only their members (a broadcast equi-join on the centroid id —
       // the round-11 Q×N broadcast nested loop is banned by
       // BnljGuardSpec). Fusion then touches only 2×30 rows per query.
+      // Each arm's query panel is CAPPED at a fixed 100-id eval set
+      // (orderBy + limit on both engines — the knn/eval/canary cap
+      // pattern): a 1-in-100 sample alone still GROWS with the corpus,
+      // and the dense panel rides a broadcast that would otherwise
+      // scale to executor OOM at 100 TB. The caps don't bind at test
+      // SFs (≤50 lexical / ≤20 dense ids), so results are unchanged.
       // The oracle replays the identical Lloyd trajectory + probe CTEs
       // (the sim_ann_ivfpq pattern), so both engines rank the same
       // candidate set.
       (s, dir) => {
-        val qterms = tfStage(s, dir)
+        val lpanel = tfStage(s, dir)
           .filter(pmod(col("doc_id"), lit(100L)) === 7)
+          .select("doc_id").distinct().orderBy("doc_id").limit(100)
+        val qterms = tfStage(s, dir).join(broadcast(lpanel), "doc_id")
           .select(col("doc_id").as("q_id"), col("term"))
         val lex = qterms
           .join(bm25Micro(s, dir)
@@ -1709,12 +1717,15 @@ object Similarity {
         val assigned = ivfAssigned(s, dir)
         val lists = assigned.filter(col("crk") === 1)
           .select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
-        val dprobes = assigned.filter(pmod(col("vec_id"), lit(100L)) === 7)
+        val dpanel = assigned.filter(pmod(col("vec_id"), lit(100L)) === 7)
+          .select("vec_id").distinct().orderBy("vec_id").limit(100)
+        val dprobes = assigned.join(broadcast(dpanel), "vec_id")
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nrm").as("qn"), col("c_id"))
         // Each doc lives in exactly ONE inverted list (crk = 1), so the
         // probe join yields every (q, doc) pair at most once — no
-        // distinct needed on either engine.
+        // distinct needed on either engine. dprobes is ≤ 100·NProbe
+        // rows by the panel cap, so the broadcast is bounded.
         val dense = broadcast(dprobes).join(lists, Seq("c_id"))
           .filter(col("q_id") =!= col("vec_id") &&
             pmod(col("vec_id"), lit(100L)) =!= 7)
@@ -1748,7 +1759,10 @@ object Similarity {
         stats AS (
           SELECT count(*) AS nd, CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen
           FROM lens),
-        qterms AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id % 100 = 7),
+        lpanel AS (SELECT DISTINCT doc_id FROM tf WHERE doc_id % 100 = 7
+                   ORDER BY doc_id LIMIT 100),
+        qterms AS (SELECT t.doc_id AS q_id, t.term
+                   FROM tf t JOIN lpanel USING (doc_id)),
         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         lexs AS (
           SELECT q.q_id, t.doc_id,
@@ -1768,8 +1782,11 @@ object Similarity {
                  row_number() OVER (PARTITION BY q_id ORDER BY lex_micro DESC, doc_id) AS lrank
           FROM lexs QUALIFY lrank <= 30),
         ilists AS (SELECT c_id, vec_id FROM crk WHERE crk = 1),
-        iprobes AS (SELECT vec_id AS q_id, c_id FROM crk
-                    WHERE crk <= $NProbe AND vec_id % 100 = 7),
+        dpanel AS (SELECT DISTINCT vec_id FROM crk WHERE vec_id % 100 = 7
+                   ORDER BY vec_id LIMIT 100),
+        iprobes AS (SELECT c.vec_id AS q_id, c.c_id
+                    FROM crk c JOIN dpanel USING (vec_id)
+                    WHERE c.crk <= $NProbe),
         dcand AS (
           SELECT p.q_id, l.vec_id AS doc_id
           FROM iprobes p JOIN ilists l ON l.c_id = p.c_id

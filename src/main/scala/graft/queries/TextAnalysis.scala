@@ -1482,24 +1482,35 @@ object TextAnalysis {
       // head-heaviness report (a corpus where 99% of mass fits in a
       // tiny head compresses well but starves the tail; the training-
       // mix view of text_zipf_check). One corpus scan builds the
-      // type-frequency table; the cumulative runs over the BOUNDED
-      // vocabulary (allowlisted global window — the table is vocab-
-      // sized, never corpus-sized), and each p-threshold is a ceil'd
-      // integer cut: k_types = #types whose preceding mass is below
-      // the threshold, covered = their token sum. All integer; ties
-      // in frequency break on the token string in both engines.
+      // type-frequency table; the exclusive running mass in
+      // (freq DESC, tok) order comes from the shard-offset cumulative
+      // ([[graft.operators.DistributedRank.withGlobalCumsum]] — the
+      // word-type vocabulary GROWS with the corpus, so a partition-
+      // less window here would be the round-10 single-reducer flaw
+      // text_zipf_check was rebuilt to avoid), and each p-threshold
+      // is a ceil'd integer cut: k_types = #types whose preceding
+      // mass is below the threshold, covered = their token sum. All
+      // integer; ties in frequency break on the token string in both
+      // engines (key = −n makes the ascending shard order the
+      // frequency-descending one). The total token mass is max(gcs)
+      // over the inclusive cumulative — one aggregate over the
+      // already-persisted ranked vocab instead of a second corpus
+      // tokenize+count.
       (s, dir) => {
         val vocab = t(s, dir, "documents")
           .select(explode(toks).as("tok")).filter(col("tok") =!= "")
           .groupBy("tok").agg(count(lit(1)).as("n"))
-        val w = Window.orderBy(col("n").desc, col("tok"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val cum = vocab
-          .withColumn("before", coalesce(sum("n").over(w), lit(0L)))
-        val tot = vocab.agg(sum("n").as("nn"))
-        val ps = s.range(1).select(
-          explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
-        ps.crossJoin(broadcast(tot)).crossJoin(cum)
+        val cum = graft.operators.DistributedRank.withGlobalCumsum(
+            vocab, -col("n"), col("tok"), col("n"))
+          .withColumn("before", col("gcs") - col("n"))
+        val tot = cum.agg(max("gcs").as("nn"))
+        // Scalar attach (1-row grand agg broadcast) then a per-row
+        // explode of the 3 percentile points — no panel×vocab join
+        // whose build side could flip onto the vocab under cache
+        // statistics.
+        cum.crossJoin(broadcast(tot))
+          .select(col("tok"), col("n"), col("before"), col("nn"),
+            explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
           .withColumn("thresh", expr("(nn * p + 99) div 100"))
           .groupBy("p", "nn").agg(
             sum(when(col("before") < col("thresh"), 1L).otherwise(0L))

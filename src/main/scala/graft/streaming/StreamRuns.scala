@@ -35,7 +35,14 @@ object StreamRuns {
     * deletes them — across enough rounds that fills the mount (RAM,
     * on /dev/shm). Anything older than 2 h is from a finished run
     * (these streams live for seconds); deletion is best-effort and
-    * never fails the caller.
+    * never fails the caller. MEMOIZED staged sources
+    * ([[stageAsFiles]], `staged-` prefix) get a much longer grace
+    * period: their paths live in [[stageCache]] for the JVM's
+    * lifetime, so a 2 h sweep in a >2 h session (or from a concurrent
+    * JVM sharing the scratch mount) would delete a directory the
+    * cache keeps serving — every later file-source stream would read
+    * nothing. Reuse also touches their mtime, so a live staged source
+    * never ages out while any JVM keeps using it.
     */
   def fresh(tag: String): String = {
     sweepAged()
@@ -45,6 +52,11 @@ object StreamRuns {
   }
 
   private val AgedMs = 2L * 3600 * 1000
+  // Staged sources outlive individual runs (JVM-lifetime memo +
+  // cross-JVM sharing of the mount): only reclaim ones no JVM has
+  // touched for a day — sessions run hours, not days.
+  private val StagedAgedMs = 24L * 3600 * 1000
+  private val StagedPrefix = "staged-"
   private val lastSweep = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def sweepAged(): Unit = {
@@ -58,7 +70,8 @@ object StreamRuns {
       f.delete(); ()
     }
     try Option(new java.io.File(ScratchRoot).listFiles()).foreach(_.foreach { d =>
-      if (d.isDirectory && now - d.lastModified() > AgedMs) rm(d)
+      val limit = if (d.getName.startsWith(StagedPrefix)) StagedAgedMs else AgedMs
+      if (d.isDirectory && now - d.lastModified() > limit) rm(d)
     })
     catch { case _: Throwable => () } // best-effort only
   }
@@ -209,7 +222,14 @@ object StreamRuns {
     val srcDir = fresh(s"$tag-2psrc")
     val p2Dir = fresh(s"$tag-2pp2")
     p1.coalesce(2).write.mode("overwrite").parquet(srcDir)
-    p2.coalesce(2).write.mode("overwrite").parquet(p2Dir)
+    // Phase 2 MUST be one part file: the query runs under the default
+    // continuous-polling trigger, so a multi-file handoff could have a
+    // micro-batch fire between two moves and split phase 2 — a
+    // watermark advance mid-phase would nondeterministically drop
+    // late-phase rows. One file + one atomic same-filesystem move
+    // publishes the whole phase in a single step, preserving the
+    // MemoryStream-equivalent "batch 2 = phase 2" contract.
+    p2.coalesce(1).write.mode("overwrite").parquet(p2Dir)
     val qn = s"${tag}_${UUID.randomUUID().toString.take(8).replace("-", "")}"
     def run(): Unit = {
       val q = build(spark.readStream.schema(p1.schema).parquet(srcDir))
@@ -239,13 +259,27 @@ object StreamRuns {
     * parquet directory a file-source stream can discover incrementally.
     * Memoized per (tag, files, plan) within the JVM — six streaming
     * queries over the same events table stage one copy, not six.
+    *
+    * Cache entries are VALIDATED on every hit (the directory's
+    * _SUCCESS must still exist — a sweep from a concurrent JVM, or any
+    * external cleanup, invalidates the memo and the copy is re-staged)
+    * and the directory's mtime is touched on reuse so [[sweepAged]]'s
+    * staged-dir grace period measures idle time, not age.
     */
   def stageAsFiles(df: DataFrame, tag: String, files: Int): String = {
     val key = s"$tag/$files/${df.queryExecution.logical.semanticHash()}"
-    stageCache.computeIfAbsent(key, { _ =>
-      val dir = fresh(s"$tag-src")
-      df.repartition(files).write.mode("overwrite").parquet(dir)
-      dir
-    })
+    def live(dir: String): Boolean = new java.io.File(dir, "_SUCCESS").exists()
+    var dir = stageCache.get(key)
+    if (dir == null || !live(dir)) stageCache.synchronized {
+      dir = stageCache.get(key)
+      if (dir == null || !live(dir)) {
+        val d = fresh(s"$StagedPrefix$tag-src")
+        df.repartition(files).write.mode("overwrite").parquet(d)
+        stageCache.put(key, d)
+        dir = d
+      }
+    }
+    new java.io.File(dir).setLastModified(System.currentTimeMillis())
+    dir
   }
 }

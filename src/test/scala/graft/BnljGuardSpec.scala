@@ -50,7 +50,6 @@ class BnljGuardSpec extends AnyFunSuite {
     "agg_decile_lift" -> "median-row attach: equi-select of exactly 1 row from the DistributedRank'd frame",
     "agg_kmv_sketch" -> "per-type k-minimum synopsis (k·n_types rows collapsed to arrays)",
     "dedup_decontaminate" -> "fixed 20-doc eval set (doc_id < 20) broadcast against the corpus",
-    "dedup_minhash_recall" -> "1-in-5-sample truth-set audit, documented occasional; production path is the banded LSH index",
     "sample_kcenter_coreset" -> "k=5 selected-center frame per greedy round (localCheckpoint leaf)",
     "sim_ann_binary" -> "10-query signature panel (QueryVecs) broadcast for the Hamming pass",
     "sim_ann_ivf_recall" -> "10-query probe panel (QueryVecs): the exact arm of the recall audit",
@@ -66,13 +65,15 @@ class BnljGuardSpec extends AnyFunSuite {
     "sim_recall_curve" -> "10-query exact arm of the recall audit",
     "sim_recall_graph_route" -> "10-query exact arm of the recall audit",
     "text_bpe_train3" -> "per-round argmax merge pair (1 localCheckpoint'd row per round)",
-    "text_langid_confusion" -> "predicted-language domain (≤5 values) crossed to complete the confusion grid",
-    "text_nucleus_coverage" -> "3-row percentile panel × vocab-bounded coverage frame (build side flips with cache stats)")
+    "text_langid_confusion" -> "predicted-language domain (≤5 values) crossed to complete the confusion grid")
 
   /** The subtree's row count is bounded independent of corpus scale. */
   private def isBounded(p: SparkPlan): Boolean = p match {
     case _: execution.GlobalLimitExec => true
-    case _: execution.LocalLimitExec => true
+    // LocalLimit is NOT a bound: it caps rows per PARTITION, so the
+    // subtree still scales with partition count. Only a global limit
+    // (GlobalLimit / TakeOrderedAndProject) proves boundedness.
+    case l: execution.LocalLimitExec => isBounded(l.child)
     case _: execution.TakeOrderedAndProjectExec => true
     case _: execution.LocalTableScanExec => true
     // spark.range(a, b): literal bounds by construction — the fixed

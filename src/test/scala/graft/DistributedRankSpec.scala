@@ -53,6 +53,37 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withGroupedRank equals per-group row_number, asc and desc") {
+    // Group domain 3 (the layout-audit shape), duplicated keys so ties
+    // cross shard boundaries within every group.
+    for (desc <- Seq(false, true); n <- Seq(1, 7, 37, 100)) {
+      val df = (1 to n).map(i =>
+        ((i % 3).toLong, (i * 31 % 7).toLong, i.toLong)).toDF("g", "k", "id")
+      val w = if (desc) Window.partitionBy("g").orderBy(col("k").desc, col("id"))
+        else Window.partitionBy("g").orderBy(col("k").asc, col("id"))
+      val expected = df.withColumn("rk", row_number().over(w).cast("long"))
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      val got = DistributedRank
+        .withGroupedRank(df, col("g"), col("k"), col("id"),
+          desc = desc, shards = 4, out = "rk")
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"desc=$desc n=$n")
+    }
+  }
+
+  test("withGroupedRank plans no partition-less window at all") {
+    val df = DistributedRank.withGroupedRank(
+      (1 to 100).map(i => ((i % 3).toLong, (i * 31 % 7).toLong, i.toLong))
+        .toDF("g", "k", "id"),
+      col("g"), col("k"), col("id"), shards = 4, out = "rk")
+    df.collect()
+    val wins = PlanFlatten.flatten(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "grouped rank must partition even its offsets cumulative (by group)")
+  }
+
   test("within-shard window partitions by shard; only the offsets cumulative is global") {
     val df = DistributedRank.withGlobalRank(
       sample(100), col("k"), col("id"), shards = 4, out = "rk")

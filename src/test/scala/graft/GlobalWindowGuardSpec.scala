@@ -46,8 +46,7 @@ class GlobalWindowGuardSpec extends AnyFunSuite {
     "agg_ams_f2" -> "median rank over the 16 fixed AMS estimators",
     "agg_chi2_independence" -> "decimal chi2 sum over the ≤125-cell segment×nation grid",
     "win_kaplan_meier" -> "risk-set cumulative + survival attach over one row per duration day (~31, observation-window-bounded)",
-    "sample_strat_neyman" -> "largest-remainder rank over one row per language stratum",
-    "text_nucleus_coverage" -> "frequency cumulative over the bounded type-frequency (vocabulary) table"
+    "sample_strat_neyman" -> "largest-remainder rank over one row per language stratum"
   )
 
   /** DistributedRank's offsets cumulative: partition-less by design,

@@ -409,4 +409,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
       "erasure must never plan a cartesian product")
   }
+
+  test("sim_rrf_fusion's dense probe broadcast is a fixed limit-bounded panel") {
+    // The round-12 flaw: the dense arm force-broadcast a 1-in-100
+    // corpus SAMPLE as its query panel — a side that grows with the
+    // corpus and OOMs at 100 TB. The panel is now a fixed 100-id eval
+    // set; this pin asserts every c_id-keyed broadcast join (the
+    // probe→inverted-list candidate join) builds from a subtree that
+    // carries a literal LIMIT, so a future edit cannot quietly put an
+    // unbounded side back on the broadcast.
+    val df = SparkEntry.queries("sim_rrf_fusion")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
+    val cJoins = nodes.collect {
+      case b: BroadcastHashJoinExec
+          if (b.leftKeys ++ b.rightKeys)
+            .exists(_.references.exists(_.name == "c_id")) => b
+    }
+    assert(cJoins.nonEmpty, "dense candidates must come from the c_id list join")
+    cJoins.foreach { b =>
+      val build = b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+        case _ => b.right
+      }
+      val capped = PlanFlatten.flattenThroughCache(build).exists {
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+        case _ => false
+      }
+      assert(capped,
+        "the c_id-join broadcast side must be the LIMIT-capped probe panel, " +
+          "not a corpus-scaled sample")
+    }
+  }
 }
