@@ -45,8 +45,12 @@ object Bench {
       "dedup_cluster_cc", "scan_partition_pruned", "text_tfidf",
       "dedup_ngram_jaccard", "dedup_simhash", "graph_pagerank",
       "sim_ann_pq", "graph_triangle_count", "dedup_substring",
+      // pipeline_nested_enrich is NOT staged: the nested-doc stage has
+      // exactly one consumer (the timed query itself), so a stager run
+      // would execute the whole query twice per bench for no
+      // attribution benefit.
       "text_lm_score", "scan_dsv2_skipping", "agg_kmv_sketch",
-      "pipeline_nested_enrich", "sim_graph_route", "sample_importance_dsir",
+      "sim_graph_route", "sample_importance_dsir",
       "dedup_span_exact", "sim_bitext_margin",
       // Round-10 staged families: chunk fingerprints, line keys, phash
       // signatures then the CC labels keyed on them (pairs BEFORE

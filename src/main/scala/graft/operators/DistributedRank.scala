@@ -105,13 +105,15 @@ object DistributedRank {
     * key [DESC], tie ASC) — [[withGlobalRank]] for SEVERAL independent
     * total orders in one pass (one bounds aggregate, one counts
     * aggregate, one offset join for all groups instead of one rank
-    * pipeline per group). Shards are value ranges of the SHARED key
-    * domain, so every group spreads across all shards and no group
-    * serializes through one reducer; the offsets cumulative is
-    * partitioned by group over the (groups × shards)-row count table.
-    * Intended for a SMALL group domain (layout variants, metric
-    * names) whose members each span the key range — a corpus-scaled
-    * group column would make the offsets table corpus-scaled.
+    * pipeline per group). Shard ranges are PER GROUP (the bounds
+    * aggregate keys on the group — still one tiny broadcast table),
+    * so every group spreads across all shards even when group key
+    * domains differ by orders of magnitude (cents vs day counts) and
+    * no group serializes through one reducer; the offsets cumulative
+    * is partitioned by group over the (groups × shards)-row count
+    * table. Intended for a SMALL group domain (layout variants,
+    * metric names) — a corpus-scaled group column would make the
+    * offsets table corpus-scaled.
     */
   def withGroupedRank(df: DataFrame, grp: Column, key: Column,
       tie: Column, desc: Boolean = false, shards: Int = 32,
@@ -122,11 +124,12 @@ object DistributedRank {
     val oc = s"__gr_off_$out"
     val keyed = persistScoped(
       df.withColumn(gc, grp).withColumn(kc, key.cast("long")))
-    val bounds = keyed.agg(min(kc).as("__gr_mn"), max(kc).as("__gr_mx"))
-      .select(col("__gr_mn"),
+    val bounds = keyed.groupBy(gc)
+      .agg(min(kc).as("__gr_mn"), max(kc).as("__gr_mx"))
+      .select(col(gc), col("__gr_mn"),
         (expr(s"(CAST(__gr_mx AS DECIMAL(38,0)) - __gr_mn) div $shards") +
           lit(1L)).as("__gr_w"))
-    val sharded = keyed.crossJoin(broadcast(bounds))
+    val sharded = keyed.join(broadcast(bounds), Seq(gc))
       .withColumn(sc,
         expr(s"(CAST($kc AS DECIMAL(38,0)) - __gr_mn) div __gr_w"))
       .drop("__gr_mn", "__gr_w")

@@ -1402,9 +1402,10 @@ object Analytics {
       // layout_global_index pattern) and the quintile is reconstructed
       // from (rank, n) by ntile's positional formula — identical
       // bucket membership, custkey tiebreak preserved, every sort
-      // per-shard. base localCheckpoints once: the three rank passes
-      // each re-read it for bounds/offsets, and at customer-dimension
-      // size one materialization beats nine re-aggregations of orders.
+      // per-shard. base localCheckpoints once: the grouped rank's
+      // bounds/counts/join passes and the final re-join all re-read
+      // it, and at customer-dimension size one materialization beats
+      // re-aggregating orders per reference.
       (s, dir) => {
         val perC = t(s, dir, "orders")
           .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
@@ -1417,14 +1418,26 @@ object Analytics {
             datediff(col("max_d"), col("last_d")).cast("long"))
           .localCheckpoint(true)
         val nTot = base.agg(count(lit(1)).as("nn"))
-        val ranked = Seq(
-          ("recency_days", true, "rrk"),
-          ("n_orders", false, "frk"),
-          ("cents", false, "mrk"))
-          .foldLeft(base) { case (df, (c, desc, out)) =>
-            DistributedRank.withGlobalRank(
-              df, col(c), col("custkey"), desc = desc, out = out)
-          }
+        // ONE grouped rank for all three metrics instead of three
+        // chained rank pipelines ([[DistributedRank.withGroupedRank]]
+        // — per-group shard bounds keep cents/recency/order-count
+        // domains each spread over all shards): every customer row
+        // explodes into (metric, value), recency negated so the
+        // shared ascending order is its DESC rank, and the three
+        // ordinals pivot back over the custkey in one bounded
+        // aggregate. Same ordinals, one bounds/counts/offsets pass.
+        val lay = base.select(col("custkey"), explode(array(
+            struct(lit(0L).as("mid"), (-col("recency_days")).as("mv")),
+            struct(lit(1L).as("mid"), col("n_orders").as("mv")),
+            struct(lit(2L).as("mid"), col("cents").as("mv")))).as("e"))
+          .select(col("custkey"), col("e.mid").as("mid"), col("e.mv").as("mv"))
+        val rk3 = DistributedRank.withGroupedRank(
+          lay, col("mid"), col("mv"), col("custkey"), out = "rk")
+        val ranks = rk3.groupBy("custkey").agg(
+          max(when(col("mid") === 0, col("rk"))).as("rrk"),
+          max(when(col("mid") === 1, col("rk"))).as("frk"),
+          max(when(col("mid") === 2, col("rk"))).as("mrk"))
+        val ranked = base.join(ranks, "custkey")
         ranked.crossJoin(broadcast(nTot))
           .withColumn("r_q", DistributedRank.ntileFromRank("rrk", "nn", 5))
           .withColumn("f_q", DistributedRank.ntileFromRank("frk", "nn", 5))

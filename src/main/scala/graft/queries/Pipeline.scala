@@ -49,14 +49,15 @@ object Pipeline {
 
   /** Degree-oriented distinct term co-occurrence edges — the shared
     * graph-analytics substrate (triangles, clustering coefficients,
-    * assortativity, link prediction all start here). Staged + eager
-    * localCheckpoint: the edge set is referenced many times downstream
-    * (3 wedge-join copies × 3 union branches in the triangle family),
-    * and its raw lineage embeds the classify chain — without
-    * truncation the ANALYZED plan carries ~54 copies of that chain's
-    * AST and analysis alone benched at 20+ s while the data side is 91
-    * rows. localCheckpoint cuts the lineage to a leaf (persist alone
-    * does not). Orientation: every edge points from its lower-
+    * assortativity, link prediction all start here). Disk-staged: the
+    * edge set is referenced many times downstream (3 wedge-join
+    * copies × 3 union branches in the triangle family), and its raw
+    * lineage embeds the classify chain — without truncation the
+    * ANALYZED plan carries ~54 copies of that chain's AST and analysis
+    * alone benched at 20+ s while the data side is 91 rows. The staged
+    * parquet leaf cuts the lineage (the job an eager localCheckpoint
+    * used to do, without the per-JVM rebuild — persist alone does
+    * not). Orientation: every edge points from its lower-
     * (degree, id) endpoint to the higher one, turning the graph into a
     * DAG where each out-degree is O(√m) — the standard scalable wedge
     * bound. Edge building is document-blocked (bounded per-doc term
@@ -64,7 +65,12 @@ object Pipeline {
     * broadcasts.
     */
   private def orientedTermEdges(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Staged(s, dir, "triangle_edges") {
+    // Disk-staged: the parquet leaf truncates the classify-chain
+    // lineage for every downstream reference (the job the eager
+    // localCheckpoint used to do) AND a fresh bench/verify JVM reads
+    // the edge set back instead of re-running the pair join (~4 s of
+    // per-JVM staging on the warm path).
+    graft.pipeline.Staged.disk(s, dir, "triangle_edges") {
       val dt = stages(s, dir).labeled
         .filter(col("main_type") === "term")
         .select(col("documentID"), col("main").as("term"))
@@ -83,7 +89,6 @@ object Pipeline {
         .join(broadcast(deg.toDF("v", "dv")), "v")
         .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
           when(fwd, col("v")).otherwise(col("u")).as("dst"))
-        .localCheckpoint(true)
     }
 
   /** Oracle-side CTEs for the undirected co-occurrence edge set (id-
@@ -112,12 +117,14 @@ object Pipeline {
     * EVERY corpus size (some pair is always above/below the mean
     * unless all weights tie), so degrees vary and non-edges exist at
     * any SF. All-integer comparison (w·n_pairs > Σw — no division),
-    * hence bit-identical cross-engine. Id-oriented (u < v); staged +
-    * eagerly checkpointed for the same many-downstream-references
-    * reason as [[orientedTermEdges]].
+    * hence bit-identical cross-engine. Id-oriented (u < v);
+    * disk-staged for the same many-downstream-references reason as
+    * [[orientedTermEdges]].
     */
   private def strongTermEdges(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Staged(s, dir, "strong_term_edges") {
+    // Disk-staged for the same lineage-truncation + cross-JVM reasons
+    // as [[orientedTermEdges]].
+    graft.pipeline.Staged.disk(s, dir, "strong_term_edges") {
       val dt = stages(s, dir).labeled
         .filter(col("main_type") === "term")
         .select(col("documentID"), col("main").as("term"))
@@ -131,7 +138,6 @@ object Pipeline {
       w.crossJoin(broadcast(tot))
         .filter(col("w") * col("np") > col("sw"))
         .select("u", "v")
-        .localCheckpoint(true)
     }
 
   /** Oracle-side CTEs mirroring [[strongTermEdges]] (`se`) and its

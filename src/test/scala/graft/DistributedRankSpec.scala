@@ -54,11 +54,17 @@ class DistributedRankSpec extends AnyFunSuite {
   }
 
   test("withGroupedRank equals per-group row_number, asc and desc") {
-    // Group domain 3 (the layout-audit shape), duplicated keys so ties
-    // cross shard boundaries within every group.
+    // Group domain 3 (the layout-audit/RFM shape) with key magnitudes
+    // differing 10^4 per group — exercises the PER-GROUP shard bounds
+    // (shared bounds would clump the small-domain groups into one
+    // shard) — and duplicated keys so ties cross shard boundaries
+    // within every group.
     for (desc <- Seq(false, true); n <- Seq(1, 7, 37, 100)) {
-      val df = (1 to n).map(i =>
-        ((i % 3).toLong, (i * 31 % 7).toLong, i.toLong)).toDF("g", "k", "id")
+      val df = (1 to n).map { i =>
+        val g = i % 3
+        val scale = math.pow(10000.0, g.toDouble).toLong
+        (g.toLong, (i * 31 % 7).toLong * scale - 3 * scale, i.toLong)
+      }.toDF("g", "k", "id")
       val w = if (desc) Window.partitionBy("g").orderBy(col("k").desc, col("id"))
         else Window.partitionBy("g").orderBy(col("k").asc, col("id"))
       val expected = df.withColumn("rk", row_number().over(w).cast("long"))
