@@ -1705,7 +1705,9 @@ object Similarity {
           .select("doc_id").distinct().orderBy("doc_id").limit(100)
         val qterms = tfStage(s, dir).join(broadcast(lpanel), "doc_id")
           .select(col("doc_id").as("q_id"), col("term"))
-        val lex = qterms
+        // Panel-bounded broadcast (≤100 query docs' terms) — the
+        // posting join never shuffles the corpus-side score table.
+        val lex = broadcast(qterms)
           .join(bm25Micro(s, dir)
             .filter(pmod(col("doc_id"), lit(100L)) =!= 7), "term")
           .groupBy("q_id", "doc_id")
@@ -1829,15 +1831,21 @@ object Similarity {
       // same reasoning as text_tfidf) — and per-term scores are
       // floor-quantized to int64 MICROS before the per-(q,d) sum, so
       // the lexical ranking is exact under any shuffle order. At
-      // 100 TB: stage 1 joins query terms against the tf table on the
-      // term key (posting-list bounded, df-skew handled like any hot
-      // key), and only 20 candidates/query ever touch an embedding —
-      // the entire point of hybrid over dense-only.
+      // 100 TB: stage 1 joins the BROADCAST query-term panel against
+      // the tf table on the term key (the panel is a fixed 100-doc
+      // eval set — orderBy + limit on both engines, the rrf cap
+      // pattern — so the broadcast is bounded; posting-list df-skew
+      // handled like any hot key), and only 20 candidates/query ever
+      // touch an embedding — the entire point of hybrid over
+      // dense-only. The cap doesn't bind at test SFs (≤50 panel ids),
+      // so results are unchanged.
       (s, dir) => {
-        val qterms = tfStage(s, dir)
+        val lpanel = tfStage(s, dir)
           .filter(pmod(col("doc_id"), lit(100L)) === 7)
+          .select("doc_id").distinct().orderBy("doc_id").limit(100)
+        val qterms = tfStage(s, dir).join(broadcast(lpanel), "doc_id")
           .select(col("doc_id").as("q_id"), col("term"))
-        val scored = qterms
+        val scored = broadcast(qterms)
           .join(bm25Micro(s, dir)
             .filter(pmod(col("doc_id"), lit(100L)) =!= 7), "term")
           .groupBy("q_id", "doc_id")
@@ -1870,7 +1878,10 @@ object Similarity {
         stats AS (
           SELECT count(*) AS nd, CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen
           FROM lens),
-        qterms AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id % 100 = 7),
+        lpanel AS (SELECT DISTINCT doc_id FROM tf WHERE doc_id % 100 = 7
+                   ORDER BY doc_id LIMIT 100),
+        qterms AS (SELECT t.doc_id AS q_id, t.term
+                   FROM tf t JOIN lpanel USING (doc_id)),
         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         scored AS (
           SELECT q.q_id, t.doc_id,
