@@ -42,10 +42,15 @@ object Curation {
       val ctx = cnt
         .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
         .agg(sum(col("c2")).as("c1"))
-      val q = cnt.join(broadcast(ctx),
+      // No broadcast hints: ctx is word-vocab-sized and q is
+      // BIGRAM-vocab-sized — both grow with the corpus (Heaps' law),
+      // so a forced broadcast is the executor-OOM inverse of the
+      // small-dim pattern. Unhinted, AQE broadcasts them at small
+      // scale and shuffles on the w1/bg keys at 100 TB.
+      val q = cnt.join(ctx,
           substring_index(col("bg"), " ", 1) === col("w1"))
         .select(col("bg"), expr("(c2 * 1000000) div c1").as("q"))
-      val perDoc = bgs.join(broadcast(q), Seq("bg"))
+      val perDoc = bgs.join(q, Seq("bg"))
         .groupBy("doc_id")
         .agg(sum(col("q")).as("s"), count(lit(1)).as("n_bigrams"))
       t(s, dir, "documents").select(col("doc_id"))
@@ -509,9 +514,13 @@ object Curation {
           .agg(sum(col("c12")).as("c1"))
         val c2 = cnt.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
           .agg(sum(col("c12")).as("c2"))
+        // c1/c2 are word-vocab-sized (grow with the corpus) — no
+        // broadcast hint; AQE broadcasts while they fit and shuffles
+        // on the word keys at scale. Only the 1-row total keeps its
+        // hint.
         cnt.filter(col("c12") >= 5)
-          .join(broadcast(c1), substring_index(col("bg"), " ", 1) === col("w1"))
-          .join(broadcast(c2), substring_index(col("bg"), " ", -1) === col("w2"))
+          .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+          .join(c2, substring_index(col("bg"), " ", -1) === col("w2"))
           .crossJoin(broadcast(tot))
           .select(col("bg"), col("c12"),
             // Headroom: c12·n_total·1e6 overflows int64 near

@@ -125,7 +125,11 @@ object Similarity {
         .select(col("nd"),
           (col("toks").cast("double") / col("nd").cast("double")).as("avglen"))
       val dft = tf0.groupBy("term").agg(count(lit(1)).as("df"))
-      tf0.join(broadcast(dft), "term")
+      // dft is vocabulary-sized and lens doc-count-sized — both grow
+      // with the corpus, so neither gets a broadcast hint (AQE
+      // broadcasts while small, shuffles on term/doc_id at 100 TB);
+      // only the 1-row stats attach is hinted.
+      tf0.join(dft, "term")
         .join(lens, "doc_id")
         .crossJoin(broadcast(stats))
         .select(col("term"), col("doc_id"),

@@ -568,21 +568,25 @@ object TextAnalysis {
             .groupBy("doc_id", "term")
             .agg(count(lit(1)).as("cnt"))
         }
-        // Per-doc length as a doc-count-sized aggregate broadcast back,
-        // NOT an unbounded window over the (doc, term) stream: the
-        // window spelling shuffles and sorts the whole tf stream just
-        // to attach one scalar per doc (measured 4.3s vs 1.4s at
-        // sf0.1); the aggregate is map-side combined and its result is
-        // bounded by the corpus doc count.
+        // Per-doc length as a map-side-combined aggregate joined back,
+        // NOT an unbounded window over the (doc, term) stream.
+        // lens is doc-count-sized and df vocabulary-sized — both GROW
+        // with the corpus, so neither carries a broadcast hint (the
+        // hinted-broadcast-of-a-growing-side is the executor-OOM
+        // inverse of the small-dim pattern): AQE broadcasts them while
+        // they fit and shuffles on doc_id/term at 100 TB. The
+        // aggregate spelling (vs a per-doc window) still wins — the
+        // window shuffles AND sorts the whole tf stream (measured
+        // 4.3s vs 1.4s at sf0.1).
         val lens = tf0.groupBy("doc_id").agg(sum("cnt").as("len"))
-        val tf = tf0.join(broadcast(lens), "doc_id")
+        val tf = tf0.join(lens, "doc_id")
         val df = tf0.groupBy("term").agg(count(lit(1)).as("df"))
         // Corpus size as a broadcast 1-row aggregate, not a driver-side
         // count(): the scalar stays inside the distributed plan.
         val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-        tf.join(broadcast(df), "term")
+        tf.join(df, "term")
           .crossJoin(broadcast(n))
           .withColumn("tfidf",
             rx((col("cnt").cast("double") / col("len")) *
