@@ -115,9 +115,16 @@ object DistributedRank {
     * metric names) — a corpus-scaled group column would make the
     * offsets table corpus-scaled.
     */
+  /** `totalOut`: when set, also emits each group's TOTAL row count
+    * under that column name — the per-shard counts aggregate already
+    * holds every number needed (a whole-partition sum over the bounded
+    * groups × shards table), so callers that scale the rank by the
+    * group size (file-assignment ordinals: `((rk-1)*files) div n`)
+    * avoid a separate count aggregate + join against the keyed input.
+    */
   def withGroupedRank(df: DataFrame, grp: Column, key: Column,
       tie: Column, desc: Boolean = false, shards: Int = 32,
-      out: String = "grk"): DataFrame = {
+      out: String = "grk", totalOut: Option[String] = None): DataFrame = {
     val gc = s"__gr_grp_$out"
     val kc = s"__gr_key_$out"
     val sc = s"__gr_shard_$out"
@@ -139,9 +146,14 @@ object DistributedRank {
     val offW = Window.partitionBy(gc)
       .orderBy(if (desc) col(sc).desc else col(sc).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sharded.groupBy(gc, sc).agg(count(lit(1)).as("__gr_c"))
+    val counts = sharded.groupBy(gc, sc).agg(count(lit(1)).as("__gr_c"))
+    val offsets0 = counts
       .withColumn(oc, coalesce(sum("__gr_c").over(offW), lit(0L)))
-      .select(col(gc), col(sc), col(oc))
+    val offsets = totalOut.fold(offsets0) { tc =>
+      offsets0.withColumn(tc,
+        sum("__gr_c").over(Window.partitionBy(gc)))
+    }.select(col(gc) +: col(sc) +: col(oc) +:
+      totalOut.map(col).toSeq: _*)
     val ordW = Window.partitionBy(gc, sc)
       .orderBy(if (desc) col(kc).desc else col(kc).asc, tie)
     sharded.join(broadcast(offsets), Seq(gc, sc))

@@ -2093,7 +2093,6 @@ object Analytics {
               expr(s"p_size % $HilSide"), expr(s"p_partkey % $HilSide"),
               HilBits).as("hk"))
         }
-        val n = keyed.agg(count(lit(1)).as("n"))
         // ONE grouped distributed rank for all three layouts instead
         // of three rank pipelines: each row explodes into
         // (layout_id, layout_key) and [[DistributedRank
@@ -2110,9 +2109,13 @@ object Analytics {
               struct(lit(2L).as("lid"), col("hk").as("k")))).as("e"))
           .select(col("p_partkey"), col("sz"), col("bk"),
             col("e.lid").as("lid"), col("e.k").as("k"))
+        // The per-layout total rides out of the rank's own counts
+        // aggregate (totalOut) — a separate count(*) over the keyed
+        // table plus a broadcast attach was one more pass over the
+        // corpus for a number the rank already computes.
         val boxes = DistributedRank
-          .withGroupedRank(lay, col("lid"), col("k"), col("p_partkey"), out = "rk")
-          .crossJoin(broadcast(n))
+          .withGroupedRank(lay, col("lid"), col("k"), col("p_partkey"),
+            out = "rk", totalOut = Some("n"))
           .withColumn("fid", expr("((rk - 1) * 16) div n"))
           .groupBy("lid", "fid")
           .agg(min("sz").as("s_min"), max("sz").as("s_max"),

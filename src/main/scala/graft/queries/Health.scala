@@ -3504,12 +3504,16 @@ object Health {
             .groupBy("g", "v").agg(sum(col("w")).as("wv"))
             .withColumn("b", expr("CAST(v * 100 AS BIGINT) div 100000"))
         }
-        val tw = perV.groupBy("g").agg(sum("wv").as("tw"))
         val wob = Window.partitionBy("g").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // tw folds into the SAME bucket-table pass as the cumulative
+        // (a whole-partition sum over the bounded ≤~100-buckets-per-
+        // group table) — a separate groupBy("g") aggregate re-read the
+        // staged value table and paid one more broadcast join for a
+        // number the window pass already has in hand.
         val sel = perV.groupBy("g", "b").agg(sum("wv").as("bwv"))
           .withColumn("bcum", sum(col("bwv")).over(wob))
-          .join(broadcast(tw), "g")
+          .withColumn("tw", sum(col("bwv")).over(Window.partitionBy("g")))
           .filter(col("bcum") * 2 >= col("tw"))
           .withColumn("rk", row_number().over(
             Window.partitionBy("g").orderBy("b")))

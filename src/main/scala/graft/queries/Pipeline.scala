@@ -464,13 +464,18 @@ object Pipeline {
           stages(s, dir).known.select("norm").distinct()
             .filter(col("norm").isNotNull && length(col("norm")) >= 1)
         }
+        // No intermediate distincts on the dirty feed or the variant
+        // table: the final output distinct dedups the joined triples,
+        // so pre-deduping each side only added a full shuffle apiece
+        // (collisions — two entities sharing a dirty string, repeated
+        // chars yielding the same deletion — are rare, so the join
+        // fan-out they leave behind is negligible).
         val dirty = ents
           .withColumn("p",
             (Text.md5Hash32(col("norm")) % length(col("norm")).cast("long"))
               .cast("int"))
           .select(concat(expr("substring(norm, 1, p)"),
             expr("substring(norm, p + 2, 1000000)")).as("dirty"))
-          .distinct()
         // Position series capped at 100 (shared with the oracle, which
         // cannot laterally parameterize its series by length(norm)):
         // deletion variants beyond position 100 are skipped identically
@@ -481,7 +486,6 @@ object Pipeline {
           .select(col("norm"), concat(expr("substring(norm, 1, i - 1)"),
             expr("substring(norm, i + 1, 1000000)")).as("variant"))
           .union(ents.select(col("norm"), col("norm").as("variant")))
-          .distinct()
         dirty.join(variants, col("dirty") === col("variant"))
           .select(col("dirty"), col("norm").as("entity"),
             levenshtein(col("dirty"), col("norm")).cast("long").as("dist"))

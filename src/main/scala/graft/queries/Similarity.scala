@@ -105,6 +105,24 @@ object Similarity {
         .agg(count(lit(1)).as("cnt"))
     }
 
+  /** The fixed lexical query panel's terms — the ≤100-doc eval set
+    * (md5-free residue-7 pick, then orderBy + limit so the panel stays
+    * FIXED as the corpus grows) joined back to its tf rows. Shared
+    * verbatim by sim_hybrid_retrieval and the RRF lexical arm, so the
+    * one disk-staged build (same tag + same plan = same artifact)
+    * replaces two tfStage scans + a distinct + a join per consumer;
+    * the artifact is panel-bounded (≤100 docs' terms), which is what
+    * licenses the broadcast hints downstream.
+    */
+  private def lexQueryTerms(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged.disk(s, dir, "lex_qterms") {
+      val lpanel = tfStage(s, dir)
+        .filter(pmod(col("doc_id"), lit(100L)) === 7)
+        .select("doc_id").distinct().orderBy("doc_id").limit(100)
+      tfStage(s, dir).join(broadcast(lpanel), "doc_id")
+        .select(col("doc_id").as("q_id"), col("term"))
+    }
+
   /** QUERY-INDEPENDENT BM25 partial score per (doc, term), floor-
     * quantized to int64 micros — idf uses the RATIONAL variant
     * (N−df+.5)/(df+.5), ln() deliberately avoided (libm ulp drift).
@@ -739,6 +757,12 @@ object Similarity {
             col("nrm").as("qnrm"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("vec_id").asc)
+        // r1 is re-referenced FOUR times below (three feedback-vector
+        // joins + the membership flag) but needs NO materialization:
+        // all four references prune to the same (q_id, vec_id, cos)
+        // subtree, so exchange reuse serves the round-1 window shuffle
+        // once (measured: an eager checkpoint here only ADDED its own
+        // collect cost, 0.97→1.17 s).
         val r1 = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("vec_id"),
             rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
@@ -1704,11 +1728,7 @@ object Similarity {
       // (the sim_ann_ivfpq pattern), so both engines rank the same
       // candidate set.
       (s, dir) => {
-        val lpanel = tfStage(s, dir)
-          .filter(pmod(col("doc_id"), lit(100L)) === 7)
-          .select("doc_id").distinct().orderBy("doc_id").limit(100)
-        val qterms = tfStage(s, dir).join(broadcast(lpanel), "doc_id")
-          .select(col("doc_id").as("q_id"), col("term"))
+        val qterms = lexQueryTerms(s, dir)
         // Panel-bounded broadcast (≤100 query docs' terms) — the
         // posting join never shuffles the corpus-side score table.
         val lex = broadcast(qterms)
@@ -1723,11 +1743,16 @@ object Similarity {
         val assigned = ivfAssigned(s, dir)
         val lists = assigned.filter(col("crk") === 1)
           .select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
-        val dpanel = assigned.filter(pmod(col("vec_id"), lit(100L)) === 7)
-          .select("vec_id").distinct().orderBy("vec_id").limit(100)
-        val dprobes = assigned.join(broadcast(dpanel), "vec_id")
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("nrm").as("qn"), col("c_id"))
+        // Disk-staged like the lexical panel: the probe build re-read
+        // the assignment artifact twice (panel pick + join-back); the
+        // staged result is ≤100·NProbe rows.
+        val dprobes = graft.pipeline.Staged.disk(s, dir, "ivf_qprobes") {
+          val dpanel = assigned.filter(pmod(col("vec_id"), lit(100L)) === 7)
+            .select("vec_id").distinct().orderBy("vec_id").limit(100)
+          assigned.join(broadcast(dpanel), "vec_id")
+            .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("nrm").as("qn"), col("c_id"))
+        }
         // Each doc lives in exactly ONE inverted list (crk = 1), so the
         // probe join yields every (q, doc) pair at most once — no
         // distinct needed on either engine. dprobes is ≤ 100·NProbe
@@ -1844,11 +1869,7 @@ object Similarity {
       // dense-only. The cap doesn't bind at test SFs (≤50 panel ids),
       // so results are unchanged.
       (s, dir) => {
-        val lpanel = tfStage(s, dir)
-          .filter(pmod(col("doc_id"), lit(100L)) === 7)
-          .select("doc_id").distinct().orderBy("doc_id").limit(100)
-        val qterms = tfStage(s, dir).join(broadcast(lpanel), "doc_id")
-          .select(col("doc_id").as("q_id"), col("term"))
+        val qterms = lexQueryTerms(s, dir)
         val scored = broadcast(qterms)
           .join(bm25Micro(s, dir)
             .filter(pmod(col("doc_id"), lit(100L)) =!= 7), "term")

@@ -77,6 +77,30 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withGroupedRank totalOut carries each group's exact row count") {
+    // The skipping-audit shape: the file-assignment ordinal needs the
+    // group total next to the rank, and totalOut must equal count(*)
+    // per group on every row — derived from the counts aggregate, not
+    // a separate pass over the keyed input.
+    val df = (1 to 100).map(i =>
+        ((i % 3).toLong, (i * 31 % 7).toLong, i.toLong))
+      .toDF("g", "k", "id")
+    val expected = df.groupBy("g").count()
+      .as[(Long, Long)].collect().toMap
+    val out = DistributedRank.withGroupedRank(df, col("g"), col("k"),
+      col("id"), shards = 4, out = "rk", totalOut = Some("n"))
+    val rows = out.select(col("g"), col("n"), col("rk")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == expected(r.getLong(0)),
+        s"group ${r.getLong(0)}: total ${r.getLong(1)}")
+    }
+    // ranks still dense 1..n per group with the total attached
+    val maxRk = out.groupBy("g").agg(max("rk").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(maxRk == expected)
+  }
+
   test("withGroupedRank plans no partition-less window at all") {
     val df = DistributedRank.withGroupedRank(
       (1 to 100).map(i => ((i % 3).toLong, (i * 31 % 7).toLong, i.toLong))

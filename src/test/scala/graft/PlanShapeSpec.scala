@@ -432,13 +432,23 @@ class PlanShapeSpec extends AnyFunSuite {
         case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
         case _ => b.right
       }
-      val capped = PlanFlatten.flattenThroughCache(build).exists {
+      // The cap either appears inline (GlobalLimit/TakeOrdered in the
+      // build subtree) or the build side reads the disk-staged
+      // `ivf_qprobes` panel artifact — whose BUILDER
+      // (Similarity.lexQueryTerms's dense counterpart) applies the
+      // limit before anything is written; a scan of that artifact is a
+      // scan of an already-capped ≤100·NProbe-row table.
+      val flat = PlanFlatten.flattenThroughCache(build)
+      val capped = flat.exists {
         case _: org.apache.spark.sql.execution.GlobalLimitExec => true
         case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.relation.location.rootPaths.exists(_.toString.contains("ivf_qprobes"))
         case _ => false
       }
       assert(capped,
-        "the c_id-join broadcast side must be the LIMIT-capped probe panel, " +
+        "the c_id-join broadcast side must be the LIMIT-capped probe panel " +
+          "(inline limit or the staged ivf_qprobes artifact), " +
           "not a corpus-scaled sample")
     }
   }
