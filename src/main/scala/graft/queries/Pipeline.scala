@@ -660,8 +660,9 @@ object Pipeline {
       // ways, the standard symmetric treatment) of the STRONG
       // (mean-thresholded) graph — the unweighted graph goes complete
       // with corpus size, where every degree ties and r is 0/0 (see
-      // strongTermEdges). The degree joins are vocabulary-bounded
-      // broadcasts; the sufficient sums are one map-side-combined
+      // strongTermEdges). The degree joins are un-hinted term-keyed
+      // equi-joins (the vocabulary grows with the corpus, so AQE
+      // decides); the sufficient sums are one map-side-combined
       // aggregate (int64 is exact here because both factors are
       // degrees, bounded by the vocabulary — NOT corpus-scale
       // quantities); the final r is a fixed IEEE tree, rx(6), with a
@@ -675,9 +676,12 @@ object Pipeline {
         val deg = se.select(col("u").as("term"))
           .union(se.select(col("v")))
           .groupBy("term").agg(count(lit(1)).as("deg"))
+        // deg is term-vocabulary-sized — it grows with the corpus, so
+        // no broadcast hint: AQE broadcasts while it fits and shuffles
+        // on the term key at scale (the tf-idf df-table discipline).
         val st = sym
-          .join(broadcast(deg.toDF("src", "du")), "src")
-          .join(broadcast(deg.toDF("dst", "dv")), "dst")
+          .join(deg.toDF("src", "du"), "src")
+          .join(deg.toDF("dst", "dv"), "dst")
           .agg(count(lit(1)).as("n"),
             sum("du").as("sx"), sum("dv").as("sy"),
             sum(col("du") * col("du")).as("sxx"),
@@ -725,8 +729,9 @@ object Pipeline {
       // come only from WEDGES (pairs at distance 2 through a shared
       // neighbor) — never the all-pairs square — so candidate volume
       // is Σ deg², the same bound the triangle count rides; the
-      // existing-edge anti join removes known pairs; degrees attach as
-      // vocabulary-bounded broadcasts. Runs on the STRONG
+      // existing-edge anti join removes known pairs; degrees attach by
+      // un-hinted term-keyed equi-joins (the vocabulary grows with the
+      // corpus, so AQE decides). Runs on the STRONG
       // (mean-thresholded) graph — the unweighted graph saturates to
       // complete with corpus size, leaving zero non-edges to predict
       // (see strongTermEdges); the strong graph keeps both arms (edge
@@ -743,9 +748,11 @@ object Pipeline {
         val deg = se.select(col("u").as("term"))
           .union(se.select(col("v")))
           .groupBy("term").agg(count(lit(1)).as("deg"))
+        // Term-vocabulary-sized degree table: no broadcast hint (the
+        // assortativity/df-table discipline) — AQE decides.
         cand.join(und, Seq("a", "b"), "left_anti")
-          .join(broadcast(deg.toDF("a", "deg_a")), "a")
-          .join(broadcast(deg.toDF("b", "deg_b")), "b")
+          .join(deg.toDF("a", "deg_a"), "a")
+          .join(deg.toDF("b", "deg_b"), "b")
           .select(col("a").as("term_a"), col("b").as("term_b"),
             col("cn"), col("deg_a"), col("deg_b"),
             expr("(1000000 * cn) div (deg_a + deg_b - cn)").as("jac_ppm"))

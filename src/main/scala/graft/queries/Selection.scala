@@ -489,8 +489,10 @@ object Selection {
           (col("rank") > col("n_lang") - expr("(n_lang + 4) div 5")).as("f2"))
         // Every non-target doc in the gram stream has a ranked row, so
         // the left join's null flags occur exactly on target-doc grams,
-        // which the !tgt conditions exclude anyway.
-        val per = g.join(broadcast(flags), Seq("doc_id"), "left")
+        // which the !tgt conditions exclude anyway. No broadcast hint:
+        // flags is doc-count-sized, and the graceful-degradation story
+        // above only holds if AQE is free to demote the broadcast.
+        val per = g.join(flags, Seq("doc_id"), "left")
           .groupBy("b").agg(
             sum(when(col("tgt"), 1L).otherwise(0L)).as("tb"),
             sum(when(!col("tgt"), 1L).otherwise(0L)).as("rb"),

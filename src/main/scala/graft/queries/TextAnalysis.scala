@@ -378,8 +378,12 @@ object TextAnalysis {
       // both engines (rx(6) on output; KnBigramSpec pins the formula
       // against a brute-force recompute plus the Σ p = 1 closure).
       // Scale shape: one corpus explode → map-side-combined bigram
-      // aggregate; context/continuation tables are vocabulary-bounded
-      // broadcasts; only top-30 by count survives.
+      // aggregate. The context/continuation tables are BIGRAM-
+      // VOCABULARY-sized — they grow with the corpus, so they carry
+      // no broadcast hint (the hinted-broadcast-of-a-growing-side
+      // trap): AQE broadcasts them while they fit and shuffles on
+      // w1/w2 at scale; only the 1-row bigram-type total keeps its
+      // hint. Only top-30 by count survives.
       (s, dir) => {
         val wp = t(s, dir, "documents")
           .withColumn("tks", toks)
@@ -392,8 +396,8 @@ object TextAnalysis {
           .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
         val c2 = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
         val bt = c12.agg(count(lit(1)).as("bt"))
-        c12.join(broadcast(c1), "w1")
-          .join(broadcast(c2), "w2")
+        c12.join(c1, "w1")
+          .join(c2, "w2")
           .crossJoin(broadcast(bt))
           .select(col("w1"), col("w2"), col("c12"), col("c1"),
             col("n1f"), col("n1b"),
@@ -704,7 +708,10 @@ object TextAnalysis {
             .withColumn("wscore", expr("(deg * 1000000) div freq"))
             .select("term", "wscore")
         }
-        content.join(broadcast(wscore), "term")
+        // wscore is word-vocabulary-sized (grows with the corpus) — no
+        // broadcast hint; AQE broadcasts it while it fits and shuffles
+        // on the term key at scale.
+        content.join(wscore, "term")
           .groupBy("doc_id", "grp")
           .agg(
             array_join(transform(

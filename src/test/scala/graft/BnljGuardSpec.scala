@@ -24,9 +24,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *    crossJoin(broadcast(stats)) scalar-attach idiom), or a
   *    driver-literal LocalTableScan;
   *  - by allowlist below, each entry naming the bound that makes its
-  *    nested loop legal (fixed probe/query sets the corpus tables
-  *    don't scale: `vec_id < 10` panels, 1-in-100 audit samples with a
-  *    documented cap).
+  *    nested loop legal (FIXED probe/query sets the corpus tables
+  *    don't scale: `vec_id < 10` panels, dimension-bounded grids —
+  *    never 1-in-N samples, which grow with the corpus).
   *
   * Adding a new nested loop means bounding it structurally, generating
   * candidates from an index (LSH bucket, IVF list, band join) instead,
