@@ -123,6 +123,31 @@ object Similarity {
         .select(col("doc_id").as("q_id"), col("term"))
     }
 
+  /** The lexical first-stage retrieval for the FIXED query panel:
+    * BM25-micro scores summed per (panel query, doc), ranked, top-30
+    * kept. Everything here is query-independent (the panel is fixed,
+    * the scores are the staged bm25 partials), and BOTH hybrid
+    * consumers need a prefix of this ranking — sim_hybrid_retrieval
+    * keeps 20, the RRF lexical arm keeps 30 — so ONE disk-staged build
+    * (panel·30 rows) replaces a posting join + per-query aggregate +
+    * rank window in each consumer's run. The rank window partitions by
+    * the ≤100-id panel; the posting join broadcasts the panel's terms
+    * against the term-keyed score table — the same shapes the
+    * consumers carried inline.
+    */
+  private def lexTop30(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Staged.disk(s, dir, "lex_top30") {
+      broadcast(lexQueryTerms(s, dir))
+        .join(bm25Micro(s, dir)
+          .filter(pmod(col("doc_id"), lit(100L)) =!= 7), "term")
+        .groupBy("q_id", "doc_id")
+        .agg(sum("micro").as("lex_micro"))
+        .withColumn("lrank", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("lex_micro").desc, col("doc_id").asc)))
+        .filter(col("lrank") <= 30)
+    }
+
   /** QUERY-INDEPENDENT BM25 partial score per (doc, term), floor-
     * quantized to int64 micros — idf uses the RATIONAL variant
     * (N−df+.5)/(df+.5), ln() deliberately avoided (libm ulp drift).
@@ -1728,17 +1753,9 @@ object Similarity {
       // (the sim_ann_ivfpq pattern), so both engines rank the same
       // candidate set.
       (s, dir) => {
-        val qterms = lexQueryTerms(s, dir)
-        // Panel-bounded broadcast (≤100 query docs' terms) — the
-        // posting join never shuffles the corpus-side score table.
-        val lex = broadcast(qterms)
-          .join(bm25Micro(s, dir)
-            .filter(pmod(col("doc_id"), lit(100L)) =!= 7), "term")
-          .groupBy("q_id", "doc_id")
-          .agg(sum("micro").as("lex_micro"))
-          .withColumn("lrank", row_number().over(
-            Window.partitionBy("q_id").orderBy(col("lex_micro").desc, col("doc_id").asc)))
-          .filter(col("lrank") <= 30)
+        // The staged query-independent lexical top-30 ([[lexTop30]],
+        // shared with sim_hybrid_retrieval's stage 1).
+        val lex = lexTop30(s, dir)
           .select(col("q_id"), col("doc_id"), col("lrank"))
         val assigned = ivfAssigned(s, dir)
         val lists = assigned.filter(col("crk") === 1)
@@ -1869,16 +1886,10 @@ object Similarity {
       // dense-only. The cap doesn't bind at test SFs (≤50 panel ids),
       // so results are unchanged.
       (s, dir) => {
-        val qterms = lexQueryTerms(s, dir)
-        val scored = broadcast(qterms)
-          .join(bm25Micro(s, dir)
-            .filter(pmod(col("doc_id"), lit(100L)) =!= 7), "term")
-          .groupBy("q_id", "doc_id")
-          .agg(sum("micro").as("lex_micro"))
-        val wLex = Window.partitionBy("q_id")
-          .orderBy(col("lex_micro").desc, col("doc_id").asc)
-        val cands = scored.withColumn("lrank", row_number().over(wLex))
-          .filter(col("lrank") <= 20)
+        // Stage 1 from the staged query-independent lexical top-30
+        // ([[lexTop30]], shared with the RRF lexical arm): the top-20
+        // candidates are a prefix of that ranking.
+        val cands = lexTop30(s, dir).filter(col("lrank") <= 20)
         val e = vecs(s, dir)
         val wCos = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("doc_id").asc)
