@@ -178,6 +178,27 @@ class PlanShapeSpec extends AnyFunSuite {
       "lexical scoring must join on the term key, not fan out all pairs")
   }
 
+  test("hybrid retrieval and RRF fusion read ONE shared lexical top-30 artifact") {
+    // The lexical first stage is query-independent and both consumers
+    // rank a prefix of the same panel ranking — the round-13 trim
+    // staged it once (Similarity.lexTop30). This pin fails if either
+    // consumer regresses to rebuilding the posting join inline, which
+    // would silently re-pay the corpus-side scoring per run.
+    def scansLexTop30(name: String): Boolean = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan).exists {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.relation.location.rootPaths.exists(_.toString.contains("lex_top30"))
+        case _ => false
+      }
+    }
+    assert(scansLexTop30("sim_hybrid_retrieval"),
+      "hybrid stage 1 must read the staged lex_top30 artifact")
+    assert(scansLexTop30("sim_rrf_fusion"),
+      "the RRF lexical arm must read the staged lex_top30 artifact")
+  }
+
   test("temporal SCD2 join keys on the entity, interval as join filter") {
     val df = SparkEntry.queries("join_temporal_scd2")(spark, sf)
     assert(df.collect().nonEmpty)
