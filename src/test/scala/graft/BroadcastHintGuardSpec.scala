@@ -80,7 +80,7 @@ class BroadcastHintGuardSpec extends AnyFunSuite {
   private val domainBoundedCols = Set(
     "event_type", "lang", "source", "label",
     "l_returnflag", "l_linestatus", "c_mktsegment", "p_brand",
-    "main_type", "type", "g", "lid")
+    "main_type")
 
   /** Unique row ids (one row per value in their table) — a filter
     * pinning one to a literal range is a fixed panel.
