@@ -701,14 +701,22 @@ object Analytics {
         // ordered pairs in-row. One shuffle on the basket key replaces
         // the round-11 fb⋈fb sort-merge join (two sorts + a recompute
         // of the freq chain per side).
-        val pairs = fb.groupBy("o")
-          .agg(sort_array(collect_list(col("it"))).as("its"))
-          .select(explode(expr(
-            """flatten(transform(its, (x, i) ->
-               transform(slice(its, i + 2, size(its) - i - 1),
-                 y -> named_struct('x', x, 'y', y))))""")).as("p"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(count(lit(1)).as("n_pair"))
+        // Disk-staged: the undirected pair counts are referenced TWICE
+        // (both arms of the directed-rule mirror below), and the
+        // per-basket explode + pair aggregate is the query's dominant
+        // corpus pass — the staged parquet guarantees one computation
+        // (exchange reuse across the two differently-projected union
+        // arms is planner-dependent) and a fresh JVM reads it back.
+        val pairs = graft.pipeline.Staged.disk(s, dir, "assoc_pairs") {
+          fb.groupBy("o")
+            .agg(sort_array(collect_list(col("it"))).as("its"))
+            .select(explode(expr(
+              """flatten(transform(its, (x, i) ->
+                 transform(slice(its, i + 2, size(its) - i - 1),
+                   y -> named_struct('x', x, 'y', y))))""")).as("p"))
+            .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+            .agg(count(lit(1)).as("n_pair"))
+        }
         val rules = pairs
           .select(col("x").as("antecedent"), col("y").as("consequent"),
             col("n_pair"))
