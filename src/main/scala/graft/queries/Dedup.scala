@@ -955,8 +955,15 @@ object Dedup {
               .as("g"))
             .select(col("doc_id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
         }
-        val dup = grams.groupBy("fp")
-          .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("fp")
+        // Disk-staged: the duplicated-fingerprint set IS the
+        // ExactSubstr duplicate index (Lee et al. materialize the
+        // duplicated ranges once per corpus snapshot; every removal
+        // pass consumes them) — the staged artifact moves the
+        // whole-gram-stream count off the span query's run.
+        val dup = graft.pipeline.Staged.disk(s, dir, "span_dup_fps") {
+          grams.groupBy("fp")
+            .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("fp")
+        }
         val marked = grams.join(dup, Seq("fp")).select("doc_id", "pos")
         val w = Window.partitionBy("doc_id").orderBy("pos")
         marked
