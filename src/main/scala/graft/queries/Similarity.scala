@@ -793,16 +793,28 @@ object Similarity {
             rx(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cos"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
-        def fb(rk: Int) = r1.filter(col("rank") === rk)
-          .join(e.select(col("vec_id"), col("v").as(s"f$rk")), "vec_id")
-          .select(col("q_id"), col(s"f$rk"))
-        val qe = q.join(fb(1), "q_id").join(fb(2), "q_id").join(fb(3), "q_id")
+        // ONE probe join for all three feedback vectors (the previous
+        // per-rank joins scanned the embedding table three times):
+        // collect each query's top-3 vectors sorted by rank, then fold
+        // ((f1+f2)+f3) with the rank-1 vector as the seed — the
+        // IDENTICAL IEEE tree the per-rank zip_with chain evaluated
+        // (no zero-array seed, so no 0.0 + -0.0 sign surprises). The
+        // size-3 filter reproduces the inner-join semantics exactly.
+        val fbv = r1
+          .join(e.select(col("vec_id"), col("v").as("fv")), "vec_id")
+          .groupBy("q_id")
+          .agg(sort_array(collect_list(struct(col("rank"), col("fv"))))
+            .as("fs"))
+          .filter(size(col("fs")) === 3)
+          .select(col("q_id"), transform(col("fs"),
+            x => x.getField("fv")).as("vs"))
           .select(col("q_id"),
-            zip_with(
-              zip_with(zip_with(col("f1"), col("f2"), (a, b) => a + b),
-                col("f3"), (a, b) => a + b),
-              col("qv"), (s3, qq) => qq + lit(0.75) * (s3 / lit(3.0)))
-              .as("qv2"))
+            aggregate(slice(col("vs"), 2, 2), element_at(col("vs"), 1),
+              (a, x) => zip_with(a, x, (p, qv) => p + qv)).as("s3"))
+        val qe = q.join(fbv, "q_id")
+          .select(col("q_id"),
+            zip_with(col("s3"), col("qv"),
+              (s3, qq) => qq + lit(0.75) * (s3 / lit(3.0))).as("qv2"))
           .withColumn("qnrm2", sqrt(aggregate(
             transform(col("qv2"), x => x * x), lit(0d), (a, x) => a + x)))
         val fbSet = r1.select(col("q_id"), col("vec_id"))
