@@ -77,6 +77,31 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalRank survives a key span past Long.MaxValue") {
+    // The Scaladoc claims the DECIMAL(38,0) shard math cannot wrap on
+    // the full long range (the r12 overflow directive): pin it with
+    // keys AT Long.MinValue/Long.MaxValue plus spread values whose
+    // span (max − min) overflows 64-bit subtraction. A naive long
+    // `(k - mn) div w` here either throws under ANSI or shards rows
+    // negatively and mis-ranks.
+    val keys = Seq(Long.MinValue, Long.MinValue + 7, -3L, 0L, 11L,
+      Long.MaxValue - 5, Long.MaxValue) ++
+      (1 to 25).map(i => i.toLong * 712_345_678_901L - 4_000_000_000_000L)
+    val df = keys.zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "id")
+    for (desc <- Seq(false, true)) {
+      val w = if (desc) Window.orderBy(col("k").desc, col("id"))
+        else Window.orderBy(col("k").asc, col("id"))
+      val expected = df.withColumn("rk", row_number().over(w).cast("long"))
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      val got = DistributedRank
+        .withGlobalRank(df, col("k"), col("id"), desc = desc,
+          shards = 4, out = "rk")
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"desc=$desc")
+    }
+  }
+
   test("withGroupedRank totalOut carries each group's exact row count") {
     // The skipping-audit shape: the file-assignment ordinal needs the
     // group total next to the rank, and totalOut must equal count(*)
