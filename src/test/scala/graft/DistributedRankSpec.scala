@@ -102,6 +102,29 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalCumsum equals the inclusive running total, extremes included") {
+    // First direct unit pin for the cumsum variant (previously only
+    // query-level coverage): must equal sum(w) OVER (ORDER BY k, id
+    // ROWS UNBOUNDED PRECEDING) exactly, including duplicated keys
+    // crossing shard bounds AND a key span past Long.MaxValue (the
+    // helper duplicates the DECIMAL(38,0) shard math, so the rank
+    // test alone does not cover this copy).
+    val base = (1 to 80).map(i =>
+      ((i * 31 % 7).toLong, (i % 5 + 1).toLong, i.toLong))
+    val extremes = Seq((Long.MinValue, 3L, 1000L), (Long.MaxValue, 2L, 1001L),
+      (Long.MinValue + 11, 1L, 1002L), (Long.MaxValue - 4, 4L, 1003L))
+    val df = (base ++ extremes).toDF("k", "w", "id")
+    val w = Window.orderBy(col("k").asc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cs", sum(col("w")).over(w))
+      .select("id", "cs").as[(Long, Long)].collect().toMap
+    val got = DistributedRank
+      .withGlobalCumsum(df, col("k"), col("id"), col("w"),
+        shards = 4, out = "cs")
+      .select("id", "cs").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("withGroupedRank totalOut carries each group's exact row count") {
     // The skipping-audit shape: the file-assignment ordinal needs the
     // group total next to the rank, and totalOut must equal count(*)
