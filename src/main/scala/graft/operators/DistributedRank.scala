@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   *      driver-sized shard table, never over data;
   *   4. ordinal = shard offset + rank within the shard.
   *
-  * At 100 TB the shard count scales with the cluster; every heavy
+  * At 100 TB the shard count scales with the cluster — the default
+  * derives from `spark.sql.shuffle.partitions` (min-clamped to 32,
+  * see [[defaultShards]]), so sizing the session's shuffle width for
+  * the cluster sizes the per-shard sorts with it; every heavy
   * operator here is per-shard. Value-range sharding is skew-exposed
   * when one key value dominates — but so is any rank over that order:
   * a rank among equal keys is tiebreak-arbitrary anyway, and the
@@ -36,13 +39,18 @@ object DistributedRank {
     * those persists so a long-lived JVM (a 369-query bench, a service)
     * does not accumulate one MEMORY_AND_DISK copy per invocation for
     * its lifetime. Eviction is deferred, not immediate: unpersisting
-    * when the caller's action completes is not observable from here,
-    * but queries execute serially in practice and the deepest live
-    * nesting in the repo is three rank passes feeding one action
-    * (win_rfm_scoring's fold, layout_skipping_audit's union), so a
-    * window of the last 8 persists can only ever evict frames whose
-    * actions have finished. An evicted frame that IS somehow re-read
-    * just recomputes — slower, never wrong.
+    * when the caller's action completes is not observable from here.
+    * SERIAL-QUERY INVARIANT: this window is safe because queries
+    * execute one action at a time in this JVM (bench/verify both do)
+    * and the deepest live nesting in the repo is three rank passes
+    * feeding one action (win_rfm_scoring's fold,
+    * layout_skipping_audit's union) — so the last-8 window only ever
+    * evicts frames whose actions have finished. A future PARALLEL
+    * bench breaks that premise: concurrent queries could push >8 live
+    * persists and evictions would silently become recompute storms.
+    * [[livePersistCount]] keeps the window observable (the spec pins
+    * eviction), and an evicted frame that IS re-read just recomputes —
+    * slower, never wrong.
     */
   private val MaxLivePersists = 8
   private val persisted = new java.util.ArrayDeque[DataFrame]()
@@ -50,11 +58,37 @@ object DistributedRank {
     val p = df.persist()
     persisted.addLast(p)
     while (persisted.size > MaxLivePersists) {
-      try persisted.removeFirst().unpersist(false)
-      catch { case _: Throwable => () }
+      val victim = persisted.removeFirst()
+      // NonFatal only: an unpersist of a stopped-session frame is
+      // ignorable bookkeeping, but an OOM/VM error must propagate —
+      // the old catch-all Throwable could swallow those too.
+      try victim.unpersist(false)
+      catch {
+        case scala.util.control.NonFatal(t) =>
+          System.err.println(s"[rank] unpersist on eviction failed: ${t.getMessage}")
+      }
     }
     p
   }
+
+  /** Live entries in the persist FIFO — test observability for the
+    * eviction window (never exceeds [[MaxLivePersists]]).
+    */
+  private[graft] def livePersistCount: Int =
+    persisted.synchronized(persisted.size)
+
+  /** Deployment-aware default shard count: `spark.sql.shuffle.partitions`
+    * min-clamped to 32. The helpers' per-shard sorts put N/shards rows
+    * through each task, so the shard count must scale WITH the cluster
+    * — a constant 32 is right at local[32] but serializes a 1000-core
+    * cluster's sort through 32 tasks. Every helper takes `shards = 0`
+    * to mean "derive from the session conf"; an explicit positive
+    * count still wins (tests pin exact shard layouts).
+    */
+  private[graft] def defaultShards(df: DataFrame): Int =
+    math.max(32,
+      try df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case scala.util.control.NonFatal(_) => 32 })
 
   /** Adds column `out` = row_number() OVER (ORDER BY key [DESC], tie
     * ASC) as an exact 1-based global ordinal. `key` must cast
@@ -72,16 +106,22 @@ object DistributedRank {
     * (the coverage-curve shingle aggregate paid its dominant scan 3×).
     */
   def withGlobalRank(df: DataFrame, key: Column, tie: Column,
-      desc: Boolean = false, shards: Int = 32,
+      desc: Boolean = false, shards: Int = 0,
       out: String = "grk"): DataFrame = {
+    val nShards = if (shards > 0) shards else defaultShards(df)
     val kc = s"__gr_key_$out"
     val sc = s"__gr_shard_$out"
     val oc = s"__gr_off_$out"
     val keyed = persistScoped(df.withColumn(kc, key.cast("long")))
     val bounds = keyed.agg(min(kc).as("__gr_mn"), max(kc).as("__gr_mx"))
       .select(col("__gr_mn"),
-        (expr(s"(CAST(__gr_mx AS DECIMAL(38,0)) - __gr_mn) div $shards") +
-          lit(1L)).as("__gr_w"))
+        // Width stays DECIMAL: `span div N` (IntegralDivide) returns
+        // LONG and WRAPS when span/N exceeds Long.MaxValue (a full-long
+        // key span with a small shard count made the width 0 — divide
+        // by zero downstream). floor(span / N) + 1 in decimal is the
+        // same value whenever div would not wrap, and never wraps.
+        expr(s"CAST(floor((CAST(__gr_mx AS DECIMAL(38,0)) - __gr_mn)" +
+          s" / $nShards) + 1 AS DECIMAL(38,0))").as("__gr_w"))
     val sharded = keyed.crossJoin(broadcast(bounds))
       .withColumn(sc,
         expr(s"(CAST($kc AS DECIMAL(38,0)) - __gr_mn) div __gr_w"))
@@ -123,8 +163,18 @@ object DistributedRank {
     * avoid a separate count aggregate + join against the keyed input.
     */
   def withGroupedRank(df: DataFrame, grp: Column, key: Column,
-      tie: Column, desc: Boolean = false, shards: Int = 32,
+      tie: Column, desc: Boolean = false, shards: Int = 0,
       out: String = "grk", totalOut: Option[String] = None): DataFrame = {
+    // `out`/`totalOut` join back onto the caller's columns; a collision
+    // would surface only as an ambiguous-column failure at the caller's
+    // action — fail here, at the call, instead.
+    require(!df.columns.contains(out),
+      s"withGroupedRank: output column '$out' already exists in the input")
+    totalOut.foreach { tc =>
+      require(tc != out && !df.columns.contains(tc),
+        s"withGroupedRank: total column '$tc' collides with an input column or '$out'")
+    }
+    val nShards = if (shards > 0) shards else defaultShards(df)
     val gc = s"__gr_grp_$out"
     val kc = s"__gr_key_$out"
     val sc = s"__gr_shard_$out"
@@ -134,8 +184,9 @@ object DistributedRank {
     val bounds = keyed.groupBy(gc)
       .agg(min(kc).as("__gr_mn"), max(kc).as("__gr_mx"))
       .select(col(gc), col("__gr_mn"),
-        (expr(s"(CAST(__gr_mx AS DECIMAL(38,0)) - __gr_mn) div $shards") +
-          lit(1L)).as("__gr_w"))
+        // Same DECIMAL width rationale as withGlobalRank.
+        expr(s"CAST(floor((CAST(__gr_mx AS DECIMAL(38,0)) - __gr_mn)" +
+          s" / $nShards) + 1 AS DECIMAL(38,0))").as("__gr_w"))
     val sharded = keyed.join(broadcast(bounds), Seq(gc))
       .withColumn(sc,
         expr(s"(CAST($kc AS DECIMAL(38,0)) - __gr_mn) div __gr_w"))
@@ -170,8 +221,9 @@ object DistributedRank {
     * to long.
     */
   def withGlobalCumsum(df: DataFrame, key: Column, tie: Column,
-      weight: Column, shards: Int = 32,
+      weight: Column, shards: Int = 0,
       out: String = "gcs"): DataFrame = {
+    val nShards = if (shards > 0) shards else defaultShards(df)
     val kc = s"__gr_key_$out"
     val wc = s"__gr_wt_$out"
     val sc = s"__gr_shard_$out"
@@ -181,8 +233,13 @@ object DistributedRank {
       .withColumn(wc, weight.cast("long")))
     val bounds = keyed.agg(min(kc).as("__gr_mn"), max(kc).as("__gr_mx"))
       .select(col("__gr_mn"),
-        (expr(s"(CAST(__gr_mx AS DECIMAL(38,0)) - __gr_mn) div $shards") +
-          lit(1L)).as("__gr_w"))
+        // Width stays DECIMAL: `span div N` (IntegralDivide) returns
+        // LONG and WRAPS when span/N exceeds Long.MaxValue (a full-long
+        // key span with a small shard count made the width 0 — divide
+        // by zero downstream). floor(span / N) + 1 in decimal is the
+        // same value whenever div would not wrap, and never wraps.
+        expr(s"CAST(floor((CAST(__gr_mx AS DECIMAL(38,0)) - __gr_mn)" +
+          s" / $nShards) + 1 AS DECIMAL(38,0))").as("__gr_w"))
     val sharded = keyed.crossJoin(broadcast(bounds))
       .withColumn(sc,
         expr(s"(CAST($kc AS DECIMAL(38,0)) - __gr_mn) div __gr_w"))
@@ -197,6 +254,66 @@ object DistributedRank {
     sharded.join(broadcast(offsets), sc)
       .withColumn(out, col(oc) + sum(wc).over(ordW))
       .drop(kc, wc, sc, oc)
+  }
+
+  /** Adds column `out` = lead(key) OVER (ORDER BY key) — each row's
+    * global SUCCESSOR key in the total order, in ONE pass over the
+    * shard layout. `key` values must be DISTINCT (callers dedup
+    * first); the global maximum gets NULL, like lead().
+    *
+    * The naive distributed spelling is an ordinal self-join: rank
+    * every row ([[withGlobalRank]] — itself three reads of the keyed
+    * input), then join rk ↔ rk+1 — two more reads of the ranked frame.
+    * This helper needs no ordinal at all: within a value-range shard,
+    * `lead()` over the shard partition pairs successors directly; the
+    * only cross-shard successors are each shard's MAX paired with the
+    * next NONEMPTY shard's MIN, read off the ≤shards-row per-shard
+    * bounds aggregate with a lead() over the driver-sized shard table
+    * (the same "only partition-less window is over the shard table"
+    * discipline as the rank offsets). One shard-partitioned sort, one
+    * tiny aggregate, one broadcast join — at 100 TB every heavy
+    * operator is per-shard, same as the rank.
+    */
+  def withGlobalLead(df: DataFrame, key: Column, shards: Int = 0,
+      out: String = "glead"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"withGlobalLead: output column '$out' already exists in the input")
+    val nShards = if (shards > 0) shards else defaultShards(df)
+    val kc = s"__gr_key_$out"
+    val sc = s"__gr_shard_$out"
+    // Same triple-read and full-long-range key-span rationale as
+    // withGlobalRank (bounds aggregate, within-shard window, per-shard
+    // edge aggregate all read the keyed frame).
+    val keyed = persistScoped(df.withColumn(kc, key.cast("long")))
+    val bounds = keyed.agg(min(kc).as("__gr_mn"), max(kc).as("__gr_mx"))
+      .select(col("__gr_mn"),
+        // Width stays DECIMAL: `span div N` (IntegralDivide) returns
+        // LONG and WRAPS when span/N exceeds Long.MaxValue (a full-long
+        // key span with a small shard count made the width 0 — divide
+        // by zero downstream). floor(span / N) + 1 in decimal is the
+        // same value whenever div would not wrap, and never wraps.
+        expr(s"CAST(floor((CAST(__gr_mx AS DECIMAL(38,0)) - __gr_mn)" +
+          s" / $nShards) + 1 AS DECIMAL(38,0))").as("__gr_w"))
+    val sharded = keyed.crossJoin(broadcast(bounds))
+      .withColumn(sc,
+        expr(s"(CAST($kc AS DECIMAL(38,0)) - __gr_mn) div __gr_w"))
+      .drop("__gr_mn", "__gr_w")
+    // Next nonempty shard's minimum, per shard: empty shards have no
+    // row here, so lead() skips them by construction. ≤ shards rows —
+    // the one allowed partition-less window, over the shard table.
+    val edges = sharded.groupBy(sc)
+      .agg(min(kc).as("__gr_emn"))
+      .withColumn("__gr_nxt",
+        lead("__gr_emn", 1).over(Window.orderBy(col(sc).asc)))
+      .select(col(sc), col("__gr_nxt"))
+    // Within a shard lead() pairs successors; the shard's max row
+    // (lead null) pairs with the next nonempty shard's min.
+    val inW = Window.partitionBy(sc).orderBy(col(kc).asc)
+    sharded
+      .withColumn(out, lead(kc, 1).over(inW))
+      .join(broadcast(edges), sc)
+      .withColumn(out, coalesce(col(out), col("__gr_nxt")))
+      .drop(kc, sc, "__gr_nxt")
   }
 
   /** ntile(k) reconstructed from an exact global ordinal: with n rows,

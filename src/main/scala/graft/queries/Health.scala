@@ -1246,10 +1246,13 @@ object Health {
       // batches, dead producers, failed backfills show as contiguous
       // holes). Finding gaps needs CONSECUTIVE elements of a global
       // order — the classic single-reducer lag() trap — solved here as
-      // distributed lag: an exact global ordinal from the shard-offset
-      // pattern (DistributedRank.withGlobalRank — no partition-less
-      // window touches the data), then successor pairs via one EQUI
-      // join on ordinal r = r+1 (shuffles by ordinal, fully parallel).
+      // ONE-PASS distributed lag (DistributedRank.withGlobalLead): a
+      // lead() inside each value-range shard pairs successors
+      // directly, and only the ≤shards boundary rows cross shards via
+      // the driver-sized shard-bounds table — no global ordinal, no
+      // rk ↔ rk+1 self-join over the corpus (the round-13 spelling
+      // read the ranked frame twice on top of the rank's own triple
+      // read; this is one shard-partitioned sort + one tiny aggregate).
       // The oracle keeps the lag() spelling: same semantics,
       // engine-appropriate operators. The synthetic id space is dense
       // (gap-free — a monitor that can never fire), so the feed
@@ -1263,15 +1266,12 @@ object Health {
         val arrived = t(s, dir, "events").select(col("event_id")).distinct()
           .filter(pmod(Text.md5Hash32(concat(lit("gap:"),
             col("event_id").cast("string"))), lit(20L)) =!= 0)
-        val rk = graft.operators.DistributedRank
-          .withGlobalRank(arrived, col("event_id"), col("event_id"),
-            out = "rk")
-        rk.select(col("event_id").as("k"), col("rk"))
-          .join(rk.select(col("event_id").as("nk"),
-            (col("rk") - 1).as("rk")), "rk")
-          .filter(col("nk") - col("k") > 1)
-          .select(col("k").as("gap_after"), col("nk").as("next_present"),
-            (col("nk") - col("k") - 1).as("n_missing"))
+        graft.operators.DistributedRank
+          .withGlobalLead(arrived, col("event_id"), out = "nk")
+          .filter(col("nk") - col("event_id") > 1)
+          .select(col("event_id").as("gap_after"),
+            col("nk").as("next_present"),
+            (col("nk") - col("event_id") - 1).as("n_missing"))
           .orderBy(col("n_missing").desc, col("gap_after"))
           .limit(20)
       },

@@ -162,6 +162,84 @@ class DistributedRankSpec extends AnyFunSuite {
       "grouped rank must partition even its offsets cumulative (by group)")
   }
 
+  test("withGlobalLead equals lead(k) over the global order, across shard bounds") {
+    // Distinct keys (the helper's contract) spread so shard boundaries
+    // fall between successors, plus the full-long-range extremes (the
+    // helper carries its own copy of the DECIMAL(38,0) shard math).
+    // Sparse enough that SOME value-range shards are EMPTY — the
+    // boundary lead() must skip them, not pair with a hole.
+    val keys = Seq(Long.MinValue, Long.MinValue + 9, -5L, 2L, 3L, 17L,
+      900L, 901L, Long.MaxValue - 2, Long.MaxValue) ++
+      (1 to 20).map(i => i.toLong * 517_111L + 40_000L)
+    val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "id")
+    val expected = df
+      .withColumn("nk", lead(col("k"), 1).over(Window.orderBy("k")))
+      .select("k", "nk").as[(Long, Option[Long])].collect().toMap
+    for (shards <- Seq(1, 4, 16)) {
+      val got = DistributedRank
+        .withGlobalLead(df, col("k"), shards = shards, out = "nk")
+        .select("k", "nk").as[(Long, Option[Long])].collect().toMap
+      assert(got == expected, s"shards=$shards")
+    }
+  }
+
+  test("withGlobalLead plans no partition-less window over the data path") {
+    val df = DistributedRank.withGlobalLead(
+      (1 to 500).map(i => (i.toLong * 7, i.toLong)).toDF("k", "id"),
+      col("k"), shards = 8, out = "nk")
+    df.collect()
+    val wins = PlanFlatten.flatten(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty)
+    assert(wins.count(_.partitionSpec.isEmpty) <= 1,
+      "only the <=shards-row boundary lead may be unpartitioned")
+  }
+
+  test("default shard count follows spark.sql.shuffle.partitions, clamped at 32") {
+    // The helpers' own 100 TB claim: per-shard sort width must scale
+    // with the cluster, so the derived default reads the session's
+    // shuffle width (min-clamped to 32 so a narrow local session never
+    // under-shards) and an explicit positive count still wins.
+    val df = sample(10)
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      assert(DistributedRank.defaultShards(df) == 128)
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      assert(DistributedRank.defaultShards(df) == 32)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
+  }
+
+  test("persistScoped eviction stays observable and bounded") {
+    // The FIFO's serial-query invariant (DistributedRank.scala): many
+    // sequential invocations must never hold more than the window's 8
+    // live persists — a future parallel-bench change that breaks the
+    // invariant shows up here as an unbounded count.
+    (1 to 12).foreach { i =>
+      DistributedRank.withGlobalRank(sample(5), col("k"), col("id"),
+        shards = 2, out = s"rk$i").count()
+    }
+    assert(DistributedRank.livePersistCount <= 8,
+      s"persist FIFO leaked: ${DistributedRank.livePersistCount} live")
+  }
+
+  test("withGroupedRank rejects output-column collisions at the call") {
+    val df = sample(10).withColumn("n", lit(1L))
+    intercept[IllegalArgumentException] {
+      DistributedRank.withGroupedRank(df, col("k"), col("k"), col("id"),
+        out = "id")
+    }
+    intercept[IllegalArgumentException] {
+      DistributedRank.withGroupedRank(df, col("k"), col("k"), col("id"),
+        out = "rk", totalOut = Some("n"))
+    }
+    intercept[IllegalArgumentException] {
+      DistributedRank.withGroupedRank(df, col("k"), col("k"), col("id"),
+        out = "rk", totalOut = Some("rk"))
+    }
+  }
+
   test("within-shard window partitions by shard; only the offsets cumulative is global") {
     val df = DistributedRank.withGlobalRank(
       sample(100), col("k"), col("id"), shards = 4, out = "rk")
