@@ -299,9 +299,26 @@ object Staged {
     (math.abs(java.nio.ByteBuffer.wrap(b, 0, 8).getLong) & 0x7fffffff).toString
   }
 
+  // tag -> the staged build's analyzed KEY plan, recorded on every
+  // spillThrough (hit or miss — the key plan is constructed either way
+  // for fingerprinting). Plan auditors use it to judge a staged
+  // artifact's parquet read-back leaf by the plan that BUILT it (the
+  // same move the guards make for persisted frames via their cached
+  // subtree): a `tag-<hash>-<fp>` leaf is bounded iff the recorded
+  // build plan is structurally bounded. Last write per tag wins;
+  // boundedness is a property of the build SHAPE, not the input dir.
+  private val buildPlans =
+    new ConcurrentHashMap[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+
+  /** The analyzed build plan last staged under `tag`, if any. */
+  def buildPlanFor(tag: String): Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    Option(buildPlans.get(tag))
+
   private[pipeline] def spillThrough(s: SparkSession, dir: String, tag: String)(
       key: => DataFrame)(build: => DataFrame): DataFrame = {
-    val h = planFingerprint(key.queryExecution.logical)
+    val keyExec = key.queryExecution
+    buildPlans.put(tag, keyExec.analyzed)
+    val h = planFingerprint(keyExec.logical)
     val fp = inputFingerprint(dir)
     val sfName = new java.io.File(dir).getName
     val entry = s"$tag-$h-$fp"
@@ -347,4 +364,36 @@ object Staged {
       }
     }
   }
+}
+
+/** Fixed evaluation/probe panels — the ONE way the repo caps a frame
+  * to a literal size. Every eval set, probe set, and truth-arm sample
+  * is a FIXED panel: its row count is a literal constant at any corpus
+  * scale, because an eval set is fixed-size by design and a bare
+  * 1-in-N sample grows with the corpus (the round-12 canary-panel
+  * lesson — a "small" sampled side pinned to broadcast is a deferred
+  * OOM at 100 TB). `orderBy(key).limit(k)` plans as TakeOrdered: the
+  * structural shape BnljGuardSpec and BroadcastHintGuardSpec certify
+  * without any allowlist claim, and when the panel is disk-staged the
+  * recorded build plan (Staged.buildPlanFor) carries the same limit,
+  * so the artifact's read-back leaf is certified by construction too.
+  * Residue-class pre-filters (pmod(key, N) = r) stay at the call site:
+  * they are part of each query's oracle-replayed semantics, not of the
+  * cap.
+  */
+object Panels {
+
+  /** The k lowest-`key` rows of `df` — deterministic (key must be
+    * unique within `df` for a stable panel) and literally bounded.
+    */
+  def fixed(df: DataFrame, key: String, k: Int): DataFrame =
+    df.orderBy(key).limit(k)
+
+  /** [[fixed]], disk-staged: the cap runs BEFORE the write, so the
+    * staged artifact is ≤k rows in every generation and plan auditors
+    * certify its read-back leaf through the recorded build plan.
+    */
+  def fixedStaged(s: SparkSession, dir: String, tag: String)(
+      df: DataFrame, key: String, k: Int): DataFrame =
+    Staged.disk(s, dir, tag)(fixed(df, key, k))
 }

@@ -1772,19 +1772,25 @@ object Analytics {
       (s, dir) => {
         graft.GraftExtensions.ensureRegistered(s)
         val k = 64
+        // The sketch keeps its DOMAIN-carrying key name (event_type,
+        // not an `et` alias) through the aggregate: BnljGuardSpec
+        // certifies the 5-row synopsis side by its fixed-enum group
+        // key, and an alias severs the name-based recognition (the
+        // agg_weighted_median lesson). The pair cross renames at the
+        // very end via toDF.
         val th = t(s, dir, "events")
-          .select(col("event_type").as("et"),
+          .select(col("event_type"),
             (col("user_id") * 512L + dayofyear(col("ts"))).as("item"))
           .distinct()
-          .select(col("et"),
+          .select(col("event_type"),
             graft.functions.Text.md5Hash32(
               concat(lit("kmv:"), col("item").cast("string")))
               .as("h"))
           .distinct()
         val sk = graft.pipeline.Staged(s, dir, "kmv_sketch") {
           graft.plans.TopKPerGroup(
-            th.withColumn("nh", -col("h")), Seq("et"), "nh", "h", k)
-            .groupBy("et")
+            th.withColumn("nh", -col("h")), Seq("event_type"), "nh", "h", k)
+            .groupBy("event_type")
             .agg(sort_array(collect_list(col("h"))).as("hs"))
         }
         val merged = array_sort(array_union(col("ha"), col("hb")))

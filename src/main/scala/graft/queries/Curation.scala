@@ -713,22 +713,26 @@ object Curation {
             explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
           .select(col("w").substr(col("i"), lit(2)).as("p"), col("wn"))
           .groupBy("p").agg(sum("wn").as("n"))
-        var words = t(s, dir, "documents")
-          .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
-          .select(explode(col("tks")).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("wn"))
-          .filter(length(col("w")) >= 2)
-          .localCheckpoint(true)
+        // Checkpoints via Lineage.checkpoint: same eager
+        // localCheckpoint, but the pre-checkpoint plans are recorded
+        // so the BNLJ guard certifies the 1-row argmax leaves
+        // structurally (limit(1)) instead of by allowlist claim.
+        var words = graft.pipeline.Lineage.checkpoint(
+          t(s, dir, "documents")
+            .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
+            .select(explode(col("tks")).as("w"))
+            .groupBy("w").agg(count(lit(1)).as("wn"))
+            .filter(length(col("w")) >= 2))
         val tops = (1 to 3).map { r =>
-          val top = pairsOf(words)
-            .orderBy(col("n").desc, col("p")).limit(1)
-            .select(col("p").as(s"m$r"), col("n").as(s"n$r"))
-            .localCheckpoint(true)
-          words = words.crossJoin(broadcast(top.select(col(s"m$r"))))
-            .withColumn("w", expr(s"replace(w, m$r, chr($r))"))
-            .drop(s"m$r")
-            .filter(length(col("w")) >= 2)
-            .localCheckpoint(true)
+          val top = graft.pipeline.Lineage.checkpoint(
+            pairsOf(words)
+              .orderBy(col("n").desc, col("p")).limit(1)
+              .select(col("p").as(s"m$r"), col("n").as(s"n$r")))
+          words = graft.pipeline.Lineage.checkpoint(
+            words.crossJoin(broadcast(top.select(col(s"m$r"))))
+              .withColumn("w", expr(s"replace(w, m$r, chr($r))"))
+              .drop(s"m$r")
+              .filter(length(col("w")) >= 2))
           top
         }
         tops(0).crossJoin(tops(1)).crossJoin(tops(2))

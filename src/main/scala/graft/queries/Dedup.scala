@@ -655,7 +655,7 @@ object Dedup {
         val sets = ngramSets(s, dir)
         val inter = graft.functions.SortedInterCountExpr
           .interCount(col("ss_a"), col("ss_b")).cast("long")
-        val probe = sets.orderBy("doc_id").limit(100)
+        val probe = graft.pipeline.Panels.fixed(sets, "doc_id", 100)
         val truth = probe.toDF("doc_a", "ss_a")
           .crossJoin(sets.toDF("doc_b", "ss_b"))
           .filter(col("doc_a") < col("doc_b"))
@@ -790,10 +790,12 @@ object Dedup {
         import s.implicits._
         val nt = t(s, dir, "documents")
           .select(col("doc_id"), Text.normTerm(col("text")).as("tnorm"))
-        val real = nt.filter(col("doc_id") % 25 === 7)
-          .select(col("doc_id").as("src_doc"),
-            array_join(slice(Text.tokens(col("tnorm")), 1, 3), " ").as("needle"))
-          .orderBy("src_doc").limit(100)
+        val real = graft.pipeline.Panels.fixed(
+          nt.filter(col("doc_id") % 25 === 7)
+            .select(col("doc_id").as("src_doc"),
+              array_join(slice(Text.tokens(col("tnorm")), 1, 3), " ")
+                .as("needle")),
+          "src_doc", 100)
         val planted = Seq((-1L, "canary eaf3 planted"),
           (-2L, "canary 77b2 planted")).toDF("src_doc", "needle")
         val train = nt.filter(col("doc_id") % 25 =!= 7)

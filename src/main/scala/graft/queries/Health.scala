@@ -3496,40 +3496,44 @@ object Health {
         // in-bucket pass all read the collapsed value table — column
         // pruning makes their three agg subtrees non-identical, so
         // exchange reuse alone re-ran the corpus aggregate 3×.
+        // The group key KEEPS its source name l_returnflag end to end:
+        // BroadcastHintGuardSpec certifies the broadcast `sel` side by
+        // the rk = 1 row_number cap per domain-bounded partition key,
+        // and the domain bound is recognized by column name — a `g`
+        // alias would sever it at the staged artifact's read-back.
         val perV = graft.pipeline.Staged.disk(s, dir, "wmedian_perv") {
           t(s, dir, "lineitem")
-            .select(col("l_returnflag").as("g"),
+            .select(col("l_returnflag"),
               money(col("l_extendedprice")).as("v"),
               money(col("l_quantity")).as("w"))
-            .groupBy("g", "v").agg(sum(col("w")).as("wv"))
+            .groupBy("l_returnflag", "v").agg(sum(col("w")).as("wv"))
             .withColumn("b", expr("CAST(v * 100 AS BIGINT) div 100000"))
         }
-        val wob = Window.partitionBy("g").orderBy("b")
+        val wob = Window.partitionBy("l_returnflag").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         // tw folds into the SAME bucket-table pass as the cumulative
         // (a whole-partition sum over the bounded ≤~100-buckets-per-
-        // group table) — a separate groupBy("g") aggregate re-read the
+        // group table) — a separate groupBy aggregate re-read the
         // staged value table and paid one more broadcast join for a
         // number the window pass already has in hand.
-        val sel = perV.groupBy("g", "b").agg(sum("wv").as("bwv"))
+        val sel = perV.groupBy("l_returnflag", "b").agg(sum("wv").as("bwv"))
           .withColumn("bcum", sum(col("bwv")).over(wob))
-          .withColumn("tw", sum(col("bwv")).over(Window.partitionBy("g")))
+          .withColumn("tw",
+            sum(col("bwv")).over(Window.partitionBy("l_returnflag")))
           .filter(col("bcum") * 2 >= col("tw"))
           .withColumn("rk", row_number().over(
-            Window.partitionBy("g").orderBy("b")))
+            Window.partitionBy("l_returnflag").orderBy("b")))
           .filter(col("rk") === 1)
-          .select(col("g"), col("b"),
+          .select(col("l_returnflag"), col("b"),
             (col("bcum") - col("bwv")).as("cum_below"), col("tw"))
-        val wo = Window.partitionBy("g").orderBy("v")
+        val wo = Window.partitionBy("l_returnflag").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        perV.join(broadcast(sel), Seq("g", "b"))
+        perV.join(broadcast(sel), Seq("l_returnflag", "b"))
           .withColumn("cum", sum(col("wv")).over(wo) + col("cum_below"))
           .filter(col("cum") * 2 >= col("tw"))
-          .groupBy("g")
+          .groupBy("l_returnflag")
           .agg(min(col("v")).cast("double").as("weighted_median"),
             max(col("tw")).cast("double").as("total_weight"))
-          .select(col("g").as("l_returnflag"), col("weighted_median"),
-            col("total_weight"))
           .orderBy("l_returnflag")
       },
       Some("""WITH perv AS (

@@ -562,7 +562,13 @@ object Relational {
       // file level instead of hive partition directories
       // (GraftTsvSourceSpec pins 1-of-8 files opened). The dim is the
       // short-docs slice of the corpus: derived, so the oracle
-      // replays it exactly.
+      // replays it exactly. No broadcast HINT: the dim is a parquet
+      // scan whose post-filter size estimate sits far under
+      // autoBroadcastJoinThreshold, so the planner picks the BHJ from
+      // STATS — and at a scale where the slice stops fitting, AQE
+      // demotes the broadcast instead of OOMing a pinned build side
+      // (the runtime filter then simply doesn't inject; correctness is
+      // unchanged, the scan just reads all zones).
       (s, dir) => {
         val out = scratch(s"gtsv_${new java.io.File(dir).getName}/files")
         graft.pipeline.Staged(s, dir, "gtsv_files") {
@@ -574,7 +580,7 @@ object Relational {
           .filter(col("n_chars") < 60)
         s.read.format("graft-tsv").load(out)
           .select("doc_id", "lang", "source")
-          .join(broadcast(dim), "doc_id")
+          .join(dim, "doc_id")
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .orderBy("doc_id")
       },

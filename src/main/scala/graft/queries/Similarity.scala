@@ -116,9 +116,10 @@ object Similarity {
     */
   private def lexQueryTerms(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Staged.disk(s, dir, "lex_qterms") {
-      val lpanel = tfStage(s, dir)
-        .filter(pmod(col("doc_id"), lit(100L)) === 7)
-        .select("doc_id").distinct().orderBy("doc_id").limit(100)
+      val lpanel = graft.pipeline.Panels.fixed(
+        tfStage(s, dir)
+          .filter(pmod(col("doc_id"), lit(100L)) === 7)
+          .select("doc_id").distinct(), "doc_id", 100)
       tfStage(s, dir).join(broadcast(lpanel), "doc_id")
         .select(col("doc_id").as("q_id"), col("term"))
     }
@@ -251,7 +252,12 @@ object Similarity {
         .select(col("vec_id").as("c_id"),
           transform(col("vq"), x => x.cast("double") / lit(1e6)).as("cv")))
       for (_ <- 1 to LloydIters) cents = recompute(nearest(cents))
-      cents
+      // Structural cap, not a selection: Lloyd can only SHRINK the
+      // c_id set (each round groups by the previous round's ids), so
+      // every row passes — but the GlobalLimit makes the ≤Cents bound
+      // visible to plan auditors (BroadcastHintGuardSpec judges the
+      // staged leaf by this build plan), replacing an allowlist claim.
+      cents.limit(Cents)
     }
 
   /** Nearest-NProbe trained centroids per vector, STAGED: one broadcast
@@ -603,7 +609,10 @@ object Similarity {
         .select((col("vec_id") * MSub + col("m")).as("c_id"),
           transform(col("svq"), x => x.cast("double") / lit(1e6)).as("cv"))
       for (_ <- 1 to PqIters) cents = recompute(pqNearest(subs, cents))
-      cents
+      // Structural cap (see ivfCents): the 2·MSub seed ids can only
+      // shrink through Lloyd rounds, so the limit passes every row and
+      // makes the grid bound auditable from the recorded build plan.
+      cents.limit(2 * MSub)
     }
 
   /** Oracle replay of the PQ codebook training + encode as CTEs:
@@ -884,14 +893,14 @@ object Similarity {
       // exact), votes and both rank windows are integer-deterministic.
       (s, dir) => {
         val e = vecs(s, dir)
-        // Fixed eval panel: the 100 lowest-id sampled vectors (orderBy +
-        // limit -> TakeOrdered, structurally bounded in BnljGuardSpec) —
-        // an eval set is fixed-size by design; the pre-r12 bare 1-in-100
-        // sample grew with the corpus (the canary-panel lesson).
-        val probes = e.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("nrm").as("qnrm"), col("label").as("true_label"))
-          .orderBy("q_id").limit(100)
+        // Fixed eval panel (Panels.fixed): the 100 lowest-id sampled
+        // vectors — the cap the guards certify structurally; a bare
+        // 1-in-100 sample grew with the corpus (the canary-panel lesson).
+        val probes = graft.pipeline.Panels.fixed(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("nrm").as("qnrm"), col("label").as("true_label")),
+          "q_id", 100)
         val base = e.filter(col("vec_id") % 100 =!= 0)
         val wTop = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("vec_id").asc)
@@ -952,14 +961,14 @@ object Similarity {
       // aggregate is label-cardinality-sized.
       (s, dir) => {
         val e = vecs(s, dir)
-        // Fixed eval panel: the 100 lowest-id sampled vectors (orderBy +
-        // limit -> TakeOrdered, structurally bounded in BnljGuardSpec) —
-        // an eval set is fixed-size by design; the pre-r12 bare 1-in-100
-        // sample grew with the corpus (the canary-panel lesson).
-        val probes = e.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("nrm").as("qnrm"), col("label").as("true_label"))
-          .orderBy("q_id").limit(100)
+        // Fixed eval panel (Panels.fixed): the 100 lowest-id sampled
+        // vectors — the cap the guards certify structurally; a bare
+        // 1-in-100 sample grew with the corpus (the canary-panel lesson).
+        val probes = graft.pipeline.Panels.fixed(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("nrm").as("qnrm"), col("label").as("true_label")),
+          "q_id", 100)
         val base = e.filter(col("vec_id") % 100 =!= 0)
         val wTop = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("vec_id").asc)
@@ -1776,8 +1785,9 @@ object Similarity {
         // the assignment artifact twice (panel pick + join-back); the
         // staged result is ≤100·NProbe rows.
         val dprobes = graft.pipeline.Staged.disk(s, dir, "ivf_qprobes") {
-          val dpanel = assigned.filter(pmod(col("vec_id"), lit(100L)) === 7)
-            .select("vec_id").distinct().orderBy("vec_id").limit(100)
+          val dpanel = graft.pipeline.Panels.fixed(
+            assigned.filter(pmod(col("vec_id"), lit(100L)) === 7)
+              .select("vec_id").distinct(), "vec_id", 100)
           assigned.join(broadcast(dpanel), "vec_id")
             .select(col("vec_id").as("q_id"), col("v").as("qv"),
               col("nrm").as("qn"), col("c_id"))
@@ -2191,14 +2201,21 @@ object Similarity {
             .cast("long"))
         val nPer = t(s, dir, "embeddings")
           .groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        // Collect the exact int64 per-dim sums FIRST (keys = [label]
+        // alone — the fixed-enum shape BnljGuardSpec certifies; the
+        // old (label, n_vecs) keying was semantically the same bound
+        // but structurally opaque), then divide per element after the
+        // label-keyed join: m = CAST(sq) / (n_vecs·1e6) is the
+        // identical single IEEE division either side of the collect.
         val cent = comp.groupBy("label", "d").agg(sum("xq").as("sq"))
-          .join(nPer, "label")
-          .withColumn("m", col("sq").cast("double") /
-            (col("n_vecs").cast("double") * 1000000.0))
-          .groupBy("label", "n_vecs")
+          .groupBy("label")
           .agg(transform(
-            sort_array(collect_list(struct(col("d"), col("m")))),
-            e => e.getField("m")).as("c"))
+            sort_array(collect_list(struct(col("d"), col("sq")))),
+            e => e.getField("sq")).as("sqs"))
+          .join(nPer, "label")
+          .select(col("label"), col("n_vecs"),
+            transform(col("sqs"), sq => sq.cast("double") /
+              (col("n_vecs").cast("double") * 1000000.0)).as("c"))
         val nrm = (c: Column) => sqrt(aggregate(
           transform(c, x => x * x), lit(0d), (a, x) => a + x))
         cent.as("a").join(cent.as("b"), col("a.label") <= col("b.label"))
@@ -2410,10 +2427,15 @@ object Similarity {
           zip_with(a, b, (x, y) => (x - y) * (x - y)),
           lit(0L), (acc, x) => acc + x)
         val qv = quantVecs(s, dir).select(col("vec_id"), col("vq"))
-        val seed = qv.orderBy("vec_id").limit(1)
-          .select(col("vec_id").as("c_id"), col("vq").as("cq"),
-            lit(0L).as("radius"), lit(0L).as("sel_order"))
-          .localCheckpoint(true)
+        // Checkpoints go through Lineage.checkpoint: identical
+        // execution (eager localCheckpoint), but the pre-checkpoint
+        // plan is recorded so BroadcastHintGuardSpec can certify the
+        // k-row center table structurally (limit(1) seeds unioned)
+        // instead of by allowlist claim.
+        val seed = graft.pipeline.Lineage.checkpoint(
+          qv.orderBy("vec_id").limit(1)
+            .select(col("vec_id").as("c_id"), col("vq").as("cq"),
+              lit(0L).as("radius"), lit(0L).as("sel_order")))
         var centers = seed
         var latest = seed
         var st = qv
@@ -2421,18 +2443,18 @@ object Similarity {
           // Min-update against the newest center, then argmax. The
           // state is referenced twice per round (update + next round),
           // so eager checkpoints keep execution linear (the BFS lesson).
-          st = st.crossJoin(broadcast(latest.select(col("cq"))))
-            .select(col("vec_id"), col("vq"),
-              (if (t == 1) qdist(col("vq"), col("cq"))
-               else least(col("dmin"), qdist(col("vq"), col("cq")))).as("dmin"))
-            .localCheckpoint(true)
-          latest = st.orderBy(col("dmin").desc, col("vec_id")).limit(1)
-            .select(col("vec_id").as("c_id"), col("vq").as("cq"),
-              col("dmin").as("radius"), lit(t.toLong).as("sel_order"))
-            .localCheckpoint(true)
+          st = graft.pipeline.Lineage.checkpoint(
+            st.crossJoin(broadcast(latest.select(col("cq"))))
+              .select(col("vec_id"), col("vq"),
+                (if (t == 1) qdist(col("vq"), col("cq"))
+                 else least(col("dmin"), qdist(col("vq"), col("cq")))).as("dmin")))
+          latest = graft.pipeline.Lineage.checkpoint(
+            st.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+              .select(col("vec_id").as("c_id"), col("vq").as("cq"),
+                col("dmin").as("radius"), lit(t.toLong).as("sel_order")))
           centers = centers.unionByName(latest)
         }
-        val ctab = centers.localCheckpoint(true)
+        val ctab = graft.pipeline.Lineage.checkpoint(centers)
         val w = Window.partitionBy("vec_id")
           .orderBy(col("d").asc, col("sel_order").asc)
         val counts = qv.crossJoin(broadcast(ctab))

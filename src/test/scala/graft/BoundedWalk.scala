@@ -1,0 +1,344 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution
+
+/** The repo's ONE structural bounded-row-count recognizer, shared by
+  * the plan guards (BroadcastHintGuardSpec judges broadcast-hinted
+  * sides, BnljGuardSpec judges nested-loop sides). A subtree is
+  * "bounded" when its row count provably does NOT scale with the
+  * corpus, certified by the documented idioms:
+  *
+  *  - a literal global limit (GlobalLimit / TakeOrderedAndProject —
+  *    the Panels.fixed cap);
+  *  - a grand (grouping-less) aggregate — exactly one row;
+  *  - a grouped aggregate whose every key is DOMAIN-bounded: a fixed
+  *    enum of the synthetic model ([[domainBoundedCols]]),
+  *    DistributedRank's `__gr_shard_*`/`__gr_grp_*` columns, or an
+  *    expression with a literal-bounded range (calendar parts,
+  *    pmod-by-literal), traced through defining aliases
+  *    ([[resolveDef]], logical side);
+  *  - a whole conjunct pinning a UNIQUE id ([[uniqueIdCols]]) to a
+  *    literal range — the fixed eval panels;
+  *  - a whole conjunct capping a row_number() whose window partitions
+  *    only by domain-bounded keys — ≤ |domain|·k rows regardless of
+  *    the child;
+  *  - a scan of a fixed/star dimension ([[boundedTables]], final path
+  *    segment equality), of a disk-staged artifact whose RECORDED
+  *    build plan ([[graft.pipeline.Staged.buildPlanFor]]) is itself
+  *    bounded by this walk, or of the capped panel artifacts whose
+  *    builders bound a joined frame the walk cannot size
+  *    ([[boundedStagedTags]]);
+  *  - a localCheckpoint leaf whose pre-checkpoint plan, recorded by
+  *    [[graft.pipeline.Lineage]], is bounded by this walk;
+  *  - local/range relations, and any chain / join / union / window /
+  *    generate over only bounded inputs (persisted frames are judged
+  *    through their cached physical subtree).
+  *
+  * Nothing here trusts a claim: the registries carry PLANS, and the
+  * walk re-judges them structurally.
+  */
+object BoundedWalk {
+
+  /** Columns whose value DOMAIN is a fixed enum of the synthetic data
+    * model (TESTDATA.md) or of the reference's label scheme — a
+    * grouped aggregate keyed only on these is grid-bounded at any
+    * corpus size.
+    */
+  val domainBoundedCols: Set[String] = Set(
+    "event_type", "lang", "source", "label",
+    "l_returnflag", "l_linestatus", "c_mktsegment", "p_brand",
+    "main_type",
+    // The langid eval harness's two language-valued columns: true_lang
+    // is the corpus lang label, pred_lang ranges over the classifier's
+    // fixed stopword-list language set — both fixed enums, NOT generic
+    // names (the fe722c8 rule: only domain-specific names enter here).
+    "true_lang", "pred_lang")
+
+  /** Unique row ids (one row per value in their table) — a filter
+    * pinning one to a literal range is a fixed panel.
+    */
+  val uniqueIdCols: Set[String] = Set("vec_id", "doc_id")
+
+  /** Fixed/star dimension tables, matched by the leaf path's FINAL
+    * segment (not substring — a future artifact whose path merely
+    * contains "part.parquet" must not inherit the bound).
+    */
+  val boundedTables: Set[String] = Set(
+    "region.parquet", "nation.parquet",
+    "customer.parquet", "supplier.parquet", "part.parquet")
+
+  /** Staged panel artifacts whose builders cap a JOINED frame the walk
+    * cannot size from the build plan alone (the panel limit runs
+    * before a fan-out join, so the artifact is panel-bounded but not
+    * plan-top-limited). Matched as `tag-` prefix of the final path
+    * segment — staged dirs are named `tag-<planhash>-<datahash>`.
+    */
+  val boundedStagedTags: Seq[String] = Seq("lex_qterms", "ivf_qprobes")
+
+  /** Split a predicate into top-level conjuncts: a bounding
+    * comparison only counts when it is a WHOLE conjunct — under an OR
+    * or NOT it no longer bounds the output (`vec_id < 10 OR cond`
+    * passes every cond row).
+    */
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def domainBoundedByName(a: Attribute): Boolean =
+    domainBoundedCols.contains(a.name) ||
+      a.name.startsWith("__gr_shard_") || a.name.startsWith("__gr_grp_")
+
+  /** Where attribute `a` is DEFINED as an alias: the aliased
+    * expression plus the plan scope it reads from, found by walking
+    * defining Project/Aggregate/Window nodes (pass-through attributes
+    * recurse into the child). Logical side only.
+    */
+  private def resolveDef(
+      a: Attribute, plan: LogicalPlan): Option[(Expression, LogicalPlan)] = {
+    def inList(exprs: Seq[NamedExpression], child: LogicalPlan) =
+      exprs.collectFirst {
+        case al: Alias if al.exprId == a.exprId => (al.child, child)
+      }
+    plan match {
+      case p: Project =>
+        inList(p.projectList, p.child).orElse(resolveDef(a, p.child))
+      case ag: Aggregate =>
+        inList(ag.aggregateExpressions, ag.child).orElse(resolveDef(a, ag.child))
+      case w: Window =>
+        inList(w.windowExpressions, w.child).orElse(resolveDef(a, w.child))
+      case j: Join =>
+        resolveDef(a, j.left).orElse(resolveDef(a, j.right))
+      case _: LeafNode => None
+      case other if other.children.size == 1 =>
+        resolveDef(a, other.children.head)
+      case _ => None
+    }
+  }
+
+  /** The expression's VALUE DOMAIN is a fixed-size set at any corpus
+    * scale: a domain-enum column (by name, or traced through its
+    * defining alias in `scope`), a bounded calendar part, or a
+    * pmod-by-literal.
+    */
+  def domainBoundedExpr(e: Expression, scope: Option[LogicalPlan]): Boolean =
+    e match {
+      case a: Attribute =>
+        domainBoundedByName(a) ||
+          scope.exists(p => resolveDef(a, p).exists {
+            case (d, sub) => domainBoundedExpr(d, Some(sub))
+          })
+      case _: Hour | _: Minute | _: Second | _: DayOfWeek | _: WeekDay |
+          _: DayOfMonth | _: DayOfYear | _: Month | _: Quarter | _: Year => true
+      case Pmod(_, _: Literal, _) => true
+      case c: Cast => domainBoundedExpr(c.child, scope)
+      case al: Alias => domainBoundedExpr(al.child, scope)
+      case _ => false
+    }
+
+  def groupKeysBounded(
+      keys: Seq[Expression], scope: Option[LogicalPlan]): Boolean =
+    keys.nonEmpty && keys.forall(domainBoundedExpr(_, scope))
+
+  /** A whole conjunct pinning a unique id column to a literal range. */
+  def idPanelPredicate(cond: Expression): Boolean = {
+    def isIdAttr(e: Expression) = e match {
+      case a: Attribute => uniqueIdCols.contains(a.name)
+      case _ => false
+    }
+    conjuncts(cond).exists {
+      case LessThan(a, _: Literal) => isIdAttr(a)
+      case LessThanOrEqual(a, _: Literal) => isIdAttr(a)
+      case EqualTo(a, _: Literal) => isIdAttr(a)
+      case In(a, vs) => isIdAttr(a) && vs.forall(_.isInstanceOf[Literal])
+      case _ => false
+    }
+  }
+
+  /** A whole conjunct capping a row_number() whose window partitions
+    * only by domain-bounded keys: ≤ |key domain| · k rows no matter
+    * how large the window's input — the per-group argmax /
+    * crossing-bucket idiom. Only row_number: rank/dense_rank admit
+    * unbounded ties at the cap.
+    */
+  def rankCapPredicate(cond: Expression, child: LogicalPlan): Boolean = {
+    def rankAttr(e: Expression) = e match {
+      case a: Attribute => boundedRowNumber(a, child)
+      case _ => false
+    }
+    conjuncts(cond).exists {
+      case EqualTo(a, _: Literal) => rankAttr(a)
+      case LessThanOrEqual(a, _: Literal) => rankAttr(a)
+      case LessThan(a, _: Literal) => rankAttr(a)
+      case _ => false
+    }
+  }
+
+  /** `a` is a row_number() over partition keys that are all
+    * domain-bounded, found by walking down to its defining Window.
+    */
+  private def boundedRowNumber(a: Attribute, plan: LogicalPlan): Boolean =
+    plan match {
+      case w: Window =>
+        w.windowExpressions.exists {
+          case al: Alias if al.exprId == a.exprId =>
+            al.child match {
+              case WindowExpression(_: RowNumber, spec) =>
+                spec.partitionSpec.nonEmpty &&
+                  spec.partitionSpec.forall(domainBoundedExpr(_, Some(w.child)))
+              case _ => false
+            }
+          case _ => false
+        } || boundedRowNumber(a, w.child)
+      case _: LeafNode => false
+      case other if other.children.size == 1 =>
+        boundedRowNumber(a, other.children.head)
+      case j: Join => boundedRowNumber(a, j.left) || boundedRowNumber(a, j.right)
+      case _ => false
+    }
+
+  /** Physical twin of [[boundedRowNumber]] for cached/physical
+    * subtrees (no alias tracing: physical partition specs reference
+    * attributes directly).
+    */
+  private def boundedRowNumberPhys(
+      a: Attribute, plan: execution.SparkPlan): Boolean = plan match {
+    case w: execution.window.WindowExec =>
+      w.windowExpression.exists {
+        case al: Alias if al.exprId == a.exprId =>
+          al.child match {
+            case WindowExpression(_: RowNumber, spec) =>
+              spec.partitionSpec.nonEmpty &&
+                spec.partitionSpec.forall(domainBoundedExpr(_, None))
+            case _ => false
+          }
+        case _ => false
+      } || boundedRowNumberPhys(a, w.child)
+    case _: execution.LeafExecNode => false
+    case other if other.children.size == 1 =>
+      boundedRowNumberPhys(a, other.children.head)
+    case j: execution.joins.BaseJoinExec =>
+      boundedRowNumberPhys(a, j.left) || boundedRowNumberPhys(a, j.right)
+    case _ => false
+  }
+
+  private def rankCapPredicatePhys(
+      cond: Expression, child: execution.SparkPlan): Boolean = {
+    def rankAttr(e: Expression) = e match {
+      case a: Attribute => boundedRowNumberPhys(a, child)
+      case _ => false
+    }
+    conjuncts(cond).exists {
+      case EqualTo(a, _: Literal) => rankAttr(a)
+      case LessThanOrEqual(a, _: Literal) => rankAttr(a)
+      case LessThan(a, _: Literal) => rankAttr(a)
+      case _ => false
+    }
+  }
+
+  /** The leaf path's final segment names a bounded table, a capped
+    * panel artifact, or a staged artifact whose recorded build plan is
+    * itself bounded.
+    */
+  private def boundedLeafPath(pathStr: String): Boolean = {
+    val seg = pathStr.stripSuffix("/").split('/').last
+    boundedTables.contains(seg) ||
+      boundedStagedTags.exists(t => seg.startsWith(s"$t-")) || {
+        // Staged dirs are `tag-<hash>-<fp>`: recover the tag and judge
+        // the artifact by the build plan Staged recorded for it.
+        val m = "^([A-Za-z0-9_]+)-\\d+-[0-9a-f]+$".r.findFirstMatchIn(seg)
+        m.exists(g => graft.pipeline.Staged.buildPlanFor(g.group(1))
+          .exists(isBounded))
+      }
+  }
+
+  private def boundedLeaf(p: LeafNode): Boolean = p match {
+    case _: LocalRelation => true
+    case _: Range => true
+    case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      r.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.exists(pth => boundedLeafPath(pth.toString))
+        case _ => false
+      }
+    case l: execution.LogicalRDD =>
+      // Checkpointed frame: judge the recorded PRE-checkpoint plan.
+      graft.pipeline.Lineage.planFor(l.rdd.id).exists(isBounded)
+    case m: execution.columnar.InMemoryRelation =>
+      // Persisted (Staged) frame: judge the CACHED physical subtree.
+      boundedPhysical(m.cachedPlan)
+    case _ => false
+  }
+
+  /** The LOGICAL subtree's row count is bounded independent of corpus
+    * scale.
+    */
+  def isBounded(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit => true
+    // LocalLimit is NOT a bound: it caps rows per PARTITION, so the
+    // subtree still scales with partition count.
+    case l: LocalLimit => isBounded(l.child)
+    case a: Aggregate =>
+      a.groupingExpressions.isEmpty ||
+        groupKeysBounded(a.groupingExpressions, Some(a.child)) ||
+        isBounded(a.child)
+    case f: Filter =>
+      idPanelPredicate(f.condition) ||
+        rankCapPredicate(f.condition, f.child) ||
+        isBounded(f.child)
+    case w: Window => isBounded(w.child)
+    case j: Join => isBounded(j.left) && isBounded(j.right)
+    case u: Union => u.children.forall(isBounded)
+    case g: Generate => isBounded(g.child)
+    case leaf: LeafNode => boundedLeaf(leaf)
+    case other if other.children.size == 1 => isBounded(other.children.head)
+    case _ => false
+  }
+
+  /** The PHYSICAL subtree's row count is bounded independent of corpus
+    * scale — same idioms as [[isBounded]]; cached and checkpointed
+    * leaves recurse back into the logical walk through the registries.
+    */
+  def boundedPhysical(p: execution.SparkPlan): Boolean = p match {
+    case _: execution.GlobalLimitExec => true
+    case l: execution.LocalLimitExec => boundedPhysical(l.child)
+    case _: execution.TakeOrderedAndProjectExec => true
+    case _: execution.LocalTableScanExec => true
+    // spark.range(a, b): literal bounds by construction — the fixed
+    // estimator/bucket/shard panels (AMS i∈[0,16), drift buckets,
+    // zone-map shards).
+    case _: execution.RangeExec => true
+    case a: execution.aggregate.BaseAggregateExec =>
+      a.groupingExpressions.isEmpty ||
+        groupKeysBounded(a.groupingExpressions, None) ||
+        boundedPhysical(a.child)
+    case f: execution.FilterExec =>
+      idPanelPredicate(f.condition) ||
+        rankCapPredicatePhys(f.condition, f.child) ||
+        boundedPhysical(f.child)
+    case w: execution.window.WindowExec => boundedPhysical(w.child)
+    case j: execution.joins.BaseJoinExec =>
+      boundedPhysical(j.left) && boundedPhysical(j.right)
+    case u: execution.UnionExec => u.children.forall(boundedPhysical)
+    case g: execution.GenerateExec => boundedPhysical(g.child)
+    case sc: execution.FileSourceScanExec =>
+      sc.relation.location.rootPaths.exists(pth =>
+        boundedLeafPath(pth.toString))
+    case m: execution.columnar.InMemoryTableScanExec =>
+      boundedPhysical(m.relation.cachedPlan)
+    case r: execution.RDDScanExec =>
+      graft.pipeline.Lineage.planFor(r.rdd.id).exists(isBounded)
+    // AQE wrappers are LEAVES that hide their subtrees (cached plans
+    // are built under AdaptiveSparkPlanExec; materialized stages are
+    // QueryStageExec) — judge the wrapped plan.
+    case a: execution.adaptive.AdaptiveSparkPlanExec =>
+      boundedPhysical(a.inputPlan)
+    case q: execution.adaptive.QueryStageExec => boundedPhysical(q.plan)
+    case _: execution.LeafExecNode => false
+    case other if other.children.size == 1 =>
+      boundedPhysical(other.children.head)
+    case _ => false
+  }
+}

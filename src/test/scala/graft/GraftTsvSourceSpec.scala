@@ -74,6 +74,25 @@ class GraftTsvSourceSpec extends AnyFunSuite {
       s"no runtime filter reached BatchScanExec:\n${joined.queryExecution.executedPlan}")
   }
 
+  test("join_dsv2_runtime_prune plans the runtime filter from STATS, no hint") {
+    // The QDef carries no broadcast() hint (BroadcastHintGuardSpec
+    // would reject one on its corpus-growing dim): the parquet dim's
+    // post-pushdown size estimate alone must drive the BHJ, and the
+    // runtime filter must still reach the v2 scan. Pinned here so a
+    // future conf change that silently demotes the join to SMJ (and
+    // drops the file-level prune) fails loudly.
+    val df = SparkEntry.queries("join_dsv2_runtime_prune")(spark, sf)
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+    }
+    assert(hinted.isEmpty, "join_dsv2_runtime_prune must stay hint-free")
+    val scans = PlanFlatten.flatten(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+    assert(scans.exists(_.runtimeFilters.nonEmpty),
+      s"stats-driven plan lost the runtime filter:\n${df.queryExecution.executedPlan}")
+  }
+
   test("V2 write enforces disjoint zone maps and leaves no temp files") {
     dir // force the write
     val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))

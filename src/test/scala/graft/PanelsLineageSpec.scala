@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LogicalPlan}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Lineage, Panels, Staged}
+
+/** The three structural-boundedness carriers the guards lean on:
+  * Panels.fixed (the one fixed-panel idiom), Lineage.checkpoint (the
+  * pre-checkpoint plan registry), and Staged.buildPlanFor (the staged
+  * artifact's recorded build plan). Each pin here is a property
+  * BroadcastHintGuardSpec's walk depends on — if one regresses, the
+  * guard silently loses a certification path and queries fall back to
+  * allowlist entries.
+  */
+class PanelsLineageSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("Panels.fixed caps to the k lowest keys and plans a global limit") {
+    val df = (1L to 50L).map(i => (51L - i, s"v$i")).toDF("id", "v")
+    val panel = Panels.fixed(df, "id", 5)
+    assert(panel.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    val hasLimit = panel.queryExecution.analyzed.exists {
+      case _: GlobalLimit => true
+      case _ => false
+    }
+    assert(hasLimit, "Panels.fixed must plan a structural GlobalLimit")
+  }
+
+  test("Panels.fixed of fewer than k rows passes every row") {
+    val df = (1L to 3L).map(i => (i, i * 2)).toDF("id", "v")
+    assert(Panels.fixed(df, "id", 100).count() === 3L)
+  }
+
+  test("Lineage.checkpoint records the pre-checkpoint plan by rdd id") {
+    val pre = (1L to 10L).toDF("id").filter(col("id") <= 3).limit(2)
+    val out = Lineage.checkpoint(pre)
+    // Same rows, and the registry serves the plan that produced them.
+    assert(out.count() === 2L)
+    val rddId = out.queryExecution.logical match {
+      case l: LogicalRDD => l.rdd.id
+      case other => fail(s"checkpoint did not plan a LogicalRDD: $other")
+    }
+    val recorded: Option[LogicalPlan] = Lineage.planFor(rddId)
+    assert(recorded.nonEmpty, "no plan recorded for the checkpointed rdd")
+    assert(recorded.get.exists { case _: GlobalLimit => true; case _ => false },
+      s"recorded plan lost the bounding limit:\n${recorded.get}")
+    assert(Lineage.planFor(-1).isEmpty)
+  }
+
+  test("Staged.disk records the build plan under its tag") {
+    val dir = "/root/testdata/sf0.001"
+    val tag = "panels_spec_probe"
+    Staged.disk(spark, dir, tag) {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").orderBy("doc_id").limit(7)
+    }
+    val plan = Staged.buildPlanFor(tag)
+    assert(plan.nonEmpty, "spillThrough did not record the build plan")
+    assert(plan.get.exists { case _: GlobalLimit => true; case _ => false },
+      s"recorded build plan lost the limit:\n${plan.get}")
+    assert(Staged.buildPlanFor("no_such_tag").isEmpty)
+  }
+}
