@@ -18,11 +18,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *    over its `__gr_shard_*` aggregate (≤ shards+1 rows by
   *    construction — the helper's private naming convention doubles as
   *    the plan marker);
-  *  - structurally: a window whose input chains through row-preserving
-  *    unary nodes (Project/Filter) to a literal GlobalLimit — the
-  *    `orderBy(...).limit(k)` top-k shape plans the distributed
-  *    TakeOrderedAndProject and the window ranks only the ≤ k
-  *    surviving rows (text_zipf_check's top-20);
+  *  - structurally: a window whose input [[BoundedWalk.isBounded]]
+  *    certifies — the literal-limit top-k shape (text_zipf_check's
+  *    top-20 plans TakeOrderedAndProject and the window ranks ≤ k
+  *    rows), domain-bounded aggregate grids (one row per language
+  *    stratum, pmod-literal estimator buckets), and the rest of the
+  *    shared recognizer's idioms;
   *  - by allowlist below, each entry naming the bound that makes it
   *    legal.
   *
@@ -44,9 +45,7 @@ class GlobalWindowGuardSpec extends AnyFunSuite {
   private val allowlist: Map[String, String] = Map(
     "layout_global_index" -> "offsets cumulative over ≤33 shard-count rows (the didactic original of the DistributedRank pattern)",
     "agg_ams_f2" -> "median rank over the 16 fixed AMS estimators",
-    "agg_chi2_independence" -> "decimal chi2 sum over the ≤125-cell segment×nation grid",
-    "win_kaplan_meier" -> "risk-set cumulative + survival attach over one row per duration day (~31, observation-window-bounded)",
-    "sample_strat_neyman" -> "largest-remainder rank over one row per language stratum"
+    "win_kaplan_meier" -> "risk-set cumulative + survival attach over one row per duration day (~31, observation-window-bounded)"
   )
 
   /** DistributedRank's offsets cumulative: partition-less by design,
@@ -56,25 +55,12 @@ class GlobalWindowGuardSpec extends AnyFunSuite {
   private def isShardOffsets(w: logical.Window): Boolean =
     w.child.output.exists(_.name.startsWith("__gr_shard_"))
 
-  /** The window's input is bounded by a literal LIMIT: walking down
-    * through row-preserving/shrinking unary nodes (Project, Filter)
-    * reaches a GlobalLimit — i.e. the `orderBy(...).limit(k)` top-k
-    * shape, where the window ranks ≤ k rows no matter the corpus.
-    */
-  @scala.annotation.tailrec
-  private def isLimitBounded(p: logical.LogicalPlan): Boolean = p match {
-    case _: logical.GlobalLimit => true
-    case pr: logical.Project => isLimitBounded(pr.child)
-    case f: logical.Filter => isLimitBounded(f.child)
-    case _ => false
-  }
-
   private def globalWindows(name: String) = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.queryExecution.optimizedPlan.collect {
       case w: logical.Window
           if w.partitionSpec.isEmpty && !isShardOffsets(w) &&
-            !isLimitBounded(w.child) => w
+            !BoundedWalk.isBounded(w.child) => w
     }
   }
 
