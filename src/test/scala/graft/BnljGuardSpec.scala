@@ -46,8 +46,7 @@ class BnljGuardSpec extends AnyFunSuite {
     * each entry names the bound.
     */
   private val allowlist: Map[String, String] = Map(
-    "agg_decile_lift" -> "median-row attach: equi-select of exactly 1 row from the DistributedRank'd frame",
-    "sim_query_expansion" -> "10-query probe panel (QueryVecs) joined with its own top-3 feedback rows")
+    "agg_decile_lift" -> "median-row attach: equi-select of exactly 1 row from the DistributedRank'd frame")
 
   /** The subtree's row count is bounded independent of corpus scale —
     * the shared recognizer (one walk for both plan guards).

@@ -22,8 +22,11 @@ import org.apache.spark.sql.execution
   *  - a whole conjunct pinning a UNIQUE id ([[uniqueIdCols]]) to a
   *    literal range — the fixed eval panels;
   *  - a whole conjunct capping a row_number() whose window partitions
-  *    only by domain-bounded keys — ≤ |domain|·k rows regardless of
-  *    the child;
+  *    only by domain-bounded keys, or by keys whose VALUES originate
+  *    from a bounded subtree ([[valueBounded]] — the per-panel-query
+  *    top-k idiom) — ≤ |domain|·k rows regardless of the child;
+  *  - a grouped aggregate keyed on such value-bounded attrs (the
+  *    per-panel-query feedback fold);
   *  - a scan of a fixed/star dimension ([[boundedTables]], final path
   *    segment equality), of a disk-staged artifact whose RECORDED
   *    build plan ([[graft.pipeline.Staged.buildPlanFor]]) is itself
@@ -142,6 +145,86 @@ object BoundedWalk {
       keys: Seq[Expression], scope: Option[LogicalPlan]): Boolean =
     keys.nonEmpty && keys.forall(domainBoundedExpr(_, scope))
 
+  /** The DISTINCT VALUE COUNT of attribute `a` in `plan`'s output is
+    * corpus-independent: its values ORIGINATE from a bounded subtree
+    * (e.g. the fixed panel side of a join), even when the frame
+    * carrying them is corpus-sized — a join/filter/pass-through
+    * projection can only shrink a column's value set, never grow it.
+    * A grouped aggregate keyed on such attrs has ≤ Π per-key distinct
+    * values rows; a row_number cap over them keeps ≤ k·Π rows. Window
+    * and aggregate FUNCTION outputs are explicitly not value-bounded
+    * (a rank's value set grows with its partition size).
+    */
+  private def valueBounded(a: Attribute, plan: LogicalPlan): Boolean =
+    if (!plan.outputSet.contains(a)) false
+    else if (isBounded(plan)) true
+    else plan match {
+      case p: Project =>
+        p.projectList.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child
+        } match {
+          case Some(att: Attribute) => valueBounded(att, p.child)
+          case Some(_) => false
+          case None => valueBounded(a, p.child)
+        }
+      case ag: Aggregate =>
+        ag.aggregateExpressions.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child
+        } match {
+          case Some(att: Attribute) => valueBounded(att, ag.child)
+          case Some(_) => false // aggregate-function outputs excluded
+          case None => valueBounded(a, ag.child) // grouping pass-through
+        }
+      case w: Window =>
+        // rank/lead/etc. outputs are NOT value-bounded by provenance.
+        if (w.windowExpressions.exists(_.exprId == a.exprId)) false
+        else valueBounded(a, w.child)
+      case j: Join =>
+        (j.left.outputSet.contains(a) && valueBounded(a, j.left)) ||
+          (j.right.outputSet.contains(a) && valueBounded(a, j.right))
+      case _: LeafNode => false
+      case other if other.children.size == 1 =>
+        valueBounded(a, other.children.head)
+      case _ => false
+    }
+
+  /** Physical twin of [[valueBounded]]. */
+  private def valueBoundedPhys(
+      a: Attribute, p: execution.SparkPlan): Boolean =
+    if (!p.outputSet.contains(a)) false
+    else if (boundedPhysical(p)) true
+    else p match {
+      case pr: execution.ProjectExec =>
+        pr.projectList.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child
+        } match {
+          case Some(att: Attribute) => valueBoundedPhys(att, pr.child)
+          case Some(_) => false
+          case None => valueBoundedPhys(a, pr.child)
+        }
+      case ag: execution.aggregate.BaseAggregateExec =>
+        ag.resultExpressions.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child
+        } match {
+          case Some(att: Attribute) => valueBoundedPhys(att, ag.child)
+          case Some(_) => false
+          case None => valueBoundedPhys(a, ag.child)
+        }
+      case w: execution.window.WindowExec =>
+        if (w.windowExpression.exists(_.exprId == a.exprId)) false
+        else valueBoundedPhys(a, w.child)
+      case j: execution.joins.BaseJoinExec =>
+        (j.left.outputSet.contains(a) && valueBoundedPhys(a, j.left)) ||
+          (j.right.outputSet.contains(a) && valueBoundedPhys(a, j.right))
+      case aq: execution.adaptive.AdaptiveSparkPlanExec =>
+        valueBoundedPhys(a, aq.inputPlan)
+      case q: execution.adaptive.QueryStageExec => valueBoundedPhys(a, q.plan)
+      case _: execution.LeafExecNode => false
+      case other if other.children.size == 1 =>
+        valueBoundedPhys(a, other.children.head)
+      case _ => false
+    }
+
   /** A whole conjunct pinning a unique id column to a literal range. */
   def idPanelPredicate(cond: Expression): Boolean = {
     def isIdAttr(e: Expression) = e match {
@@ -177,7 +260,8 @@ object BoundedWalk {
   }
 
   /** `a` is a row_number() over partition keys that are all
-    * domain-bounded, found by walking down to its defining Window.
+    * domain-bounded (or value-bounded by provenance), found by
+    * walking down to its defining Window.
     */
   private def boundedRowNumber(a: Attribute, plan: LogicalPlan): Boolean =
     plan match {
@@ -187,7 +271,11 @@ object BoundedWalk {
             al.child match {
               case WindowExpression(_: RowNumber, spec) =>
                 spec.partitionSpec.nonEmpty &&
-                  spec.partitionSpec.forall(domainBoundedExpr(_, Some(w.child)))
+                  spec.partitionSpec.forall(e =>
+                    domainBoundedExpr(e, Some(w.child)) || (e match {
+                      case att: Attribute => valueBounded(att, w.child)
+                      case _ => false
+                    }))
               case _ => false
             }
           case _ => false
@@ -211,7 +299,11 @@ object BoundedWalk {
           al.child match {
             case WindowExpression(_: RowNumber, spec) =>
               spec.partitionSpec.nonEmpty &&
-                spec.partitionSpec.forall(domainBoundedExpr(_, None))
+                spec.partitionSpec.forall(e =>
+                  domainBoundedExpr(e, None) || (e match {
+                    case att: Attribute => valueBoundedPhys(att, w.child)
+                    case _ => false
+                  }))
             case _ => false
           }
         case _ => false
@@ -282,7 +374,11 @@ object BoundedWalk {
     case l: LocalLimit => isBounded(l.child)
     case a: Aggregate =>
       a.groupingExpressions.isEmpty ||
-        groupKeysBounded(a.groupingExpressions, Some(a.child)) ||
+        (a.groupingExpressions.nonEmpty && a.groupingExpressions.forall(k =>
+          domainBoundedExpr(k, Some(a.child)) || (k match {
+            case att: Attribute => valueBounded(att, a.child)
+            case _ => false
+          }))) ||
         isBounded(a.child)
     case f: Filter =>
       idPanelPredicate(f.condition) ||
@@ -312,7 +408,11 @@ object BoundedWalk {
     case _: execution.RangeExec => true
     case a: execution.aggregate.BaseAggregateExec =>
       a.groupingExpressions.isEmpty ||
-        groupKeysBounded(a.groupingExpressions, None) ||
+        (a.groupingExpressions.nonEmpty && a.groupingExpressions.forall(k =>
+          domainBoundedExpr(k, None) || (k match {
+            case att: Attribute => valueBoundedPhys(att, a.child)
+            case _ => false
+          }))) ||
         boundedPhysical(a.child)
     case f: execution.FilterExec =>
       idPanelPredicate(f.condition) ||

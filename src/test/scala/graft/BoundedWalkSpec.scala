@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct pins for [[BoundedWalk]]'s recognizers — each case is a trap
+  * the guards must keep catching (or a bound they must keep seeing)
+  * independent of which query currently exercises it. Plans are built
+  * over parquet-backed frames: local relations constant-fold and never
+  * reach the recognizers (the ConvertToLocalRelation lesson).
+  */
+class BoundedWalkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame = spark.read.parquet(s"$sf/documents.parquet")
+
+  private def bounded(df: DataFrame): Boolean =
+    BoundedWalk.isBounded(df.queryExecution.optimizedPlan)
+
+  test("a whole-conjunct unique-id range certifies; under OR it must not") {
+    assert(bounded(docs.filter(col("doc_id") < 10)))
+    assert(bounded(docs.filter(col("doc_id") < 10 && col("n_chars") > 0)))
+    // The round-13 advisor trap: an OR'd id range bounds NOTHING — the
+    // other disjunct passes corpus rows.
+    assert(!bounded(docs.filter(col("doc_id") < 10 || col("n_chars") > 0)))
+    assert(!bounded(docs.filter(!(col("doc_id") < 10))))
+    // Non-id columns never make an id panel.
+    assert(!bounded(docs.filter(col("n_chars") < 10)))
+  }
+
+  test("row_number caps over domain-bounded partitions certify; rank() must not") {
+    val byLang = Window.partitionBy("lang").orderBy(col("doc_id"))
+    assert(bounded(docs
+      .withColumn("rk", row_number().over(byLang)).filter(col("rk") === 1)))
+    assert(bounded(docs
+      .withColumn("rk", row_number().over(byLang)).filter(col("rk") <= 3)))
+    // rank()/dense_rank() admit unbounded ties at the cap.
+    assert(!bounded(docs
+      .withColumn("rk", rank().over(byLang)).filter(col("rk") === 1)))
+    // A partition key outside the fixed-enum set bounds nothing.
+    val byChars = Window.partitionBy("n_chars").orderBy(col("doc_id"))
+    assert(!bounded(docs
+      .withColumn("rk", row_number().over(byChars)).filter(col("rk") === 1)))
+  }
+
+  test("domain-bounded aggregate keys certify, traced through aliases") {
+    assert(bounded(docs.groupBy("lang").agg(count(lit(1)).as("n"))))
+    // Alias-traced derived key: hour-of-day has a 24-value domain.
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), hour(col("ts").cast("timestamp")).as("h"))
+    assert(bounded(ev.groupBy("event_type", "h").agg(count(lit(1)).as("n"))))
+    // A corpus-valued key does not.
+    assert(!bounded(docs.groupBy("n_chars").agg(count(lit(1)).as("n"))))
+  }
+
+  test("value provenance: keys sourced from a bounded join side certify") {
+    val panel = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"))
+    val joined = panel.join(docs, col("q_id") =!= col("doc_id"))
+    val byQ = Window.partitionBy("q_id").orderBy(col("doc_id"))
+    // Per-panel-query top-k: ≤ k·|panel| rows though the frame is
+    // corpus-sized.
+    assert(bounded(joined
+      .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= 3)))
+    // Grouping on the panel-sourced key: ≤ |panel| rows.
+    assert(bounded(joined.groupBy("q_id").agg(count(lit(1)).as("n"))))
+    // The corpus side's key certifies neither.
+    val byD = Window.partitionBy("doc_id").orderBy(col("q_id"))
+    assert(!bounded(joined
+      .withColumn("rk", row_number().over(byD)).filter(col("rk") <= 3)))
+    assert(!bounded(joined.groupBy("doc_id").agg(count(lit(1)).as("n"))))
+    // A window FUNCTION output is never value-bounded (its value set
+    // grows with the partition size).
+    val ranked = joined.withColumn("rk", row_number().over(byQ))
+    assert(!bounded(ranked.groupBy("rk").agg(count(lit(1)).as("n"))))
+  }
+
+  test("dimension scans match on the final path segment, not substring") {
+    assert(bounded(spark.read.parquet(s"$sf/nation.parquet")))
+    assert(!bounded(docs)) // documents.parquet is corpus-scaled
+    // The round-13 advisor trap: a corpus artifact whose path merely
+    // CONTAINS a dimension name must not inherit the bound.
+    val trap = "/root/repo/target/scratch/boundedwalk/part.parquet_like"
+    docs.limit(200).write.mode("overwrite").parquet(trap)
+    assert(!bounded(spark.read.parquet(trap)))
+  }
+
+  test("grand aggregates and literal limits certify; bare scans do not") {
+    assert(bounded(docs.agg(count(lit(1)).as("n"))))
+    assert(bounded(docs.orderBy("doc_id").limit(7)))
+    assert(bounded(graft.pipeline.Panels.fixed(docs, "doc_id", 7)))
+    assert(!bounded(docs.select("doc_id")))
+  }
+}

@@ -41,8 +41,7 @@ class BroadcastHintGuardSpec extends AnyFunSuite {
     "graph_bipartite_cf" -> "supplier-degree tables: supplier-DIMENSION-keyed aggregates of the edge artifact",
     "layout_global_index" -> "the inline ≤33-row shard-offset cumulative (the DistributedRank prototype, shard = id div width)",
     "pipeline_batch_envelope" -> "the reference's term-classification dictionary (api) — its own in-memory dict, dimension-bounded in the reference's model",
-    "pipeline_nested_enrich" -> "the reference's known/api dictionaries (same bound as pipeline_batch_envelope)",
-    "sim_query_expansion" -> "the expanded-query panel qe: ≤10 panel queries × their top-3 feedback rows")
+    "pipeline_nested_enrich" -> "the reference's known/api dictionaries (same bound as pipeline_batch_envelope)")
 
   private def offendingHints(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)

@@ -44,7 +44,6 @@ class GlobalWindowGuardSpec extends AnyFunSuite {
     */
   private val allowlist: Map[String, String] = Map(
     "layout_global_index" -> "offsets cumulative over ≤33 shard-count rows (the didactic original of the DistributedRank pattern)",
-    "agg_ams_f2" -> "median rank over the 16 fixed AMS estimators",
     "win_kaplan_meier" -> "risk-set cumulative + survival attach over one row per duration day (~31, observation-window-bounded)"
   )
 
