@@ -678,10 +678,16 @@ object Analytics {
         // — column pruning differentiates those subtrees, so exchange
         // reuse alone re-ran the corpus distinct per reference (the
         // wmedian_perv lesson; 34 scan nodes in the round-11 plan).
+        // The item column KEEPS its domain-carrying source name
+        // (p_brand, not an `it` alias) through the staged artifact and
+        // the freq aggregate: BroadcastHintGuardSpec certifies the
+        // ≤|brands| hinted sides by the fixed-enum group key, and an
+        // alias severs the name-based recognition at the parquet
+        // read-back (the agg_weighted_median lesson).
         val baskets = graft.pipeline.Staged.disk(s, dir, "assoc_baskets") {
           t(s, dir, "lineitem")
             .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-            .select(col("l_orderkey").as("o"), col("p_brand").as("it"))
+            .select(col("l_orderkey").as("o"), col("p_brand"))
             .distinct()
         }
         val nB = baskets.agg(countDistinct("o").as("n_baskets"))
@@ -689,12 +695,12 @@ object Analytics {
         // filter and both rule-side attaches) — memoized so its item
         // aggregate + mean-cut chain runs once, not three times.
         val freq = graft.pipeline.Staged(s, dir, "assoc_freq") {
-          val items = baskets.groupBy("it").agg(count(lit(1)).as("ni"))
+          val items = baskets.groupBy("p_brand").agg(count(lit(1)).as("ni"))
           val tot = items.agg(sum("ni").as("s"), count(lit(1)).as("k"))
           items.crossJoin(broadcast(tot))
-            .filter(col("ni") * col("k") > col("s")).select("it", "ni")
+            .filter(col("ni") * col("k") > col("s")).select("p_brand", "ni")
         }
-        val fb = baskets.join(broadcast(freq.select("it")), "it")
+        val fb = baskets.join(broadcast(freq.select("p_brand")), "p_brand")
         // Pair generation per BASKET, not a self-join: collect each
         // basket's (distinct, sorted) frequent items — catalog-bounded,
         // ≤ |brands| per basket at any corpus size — and expand the
@@ -709,7 +715,7 @@ object Analytics {
         // arms is planner-dependent) and a fresh JVM reads it back.
         val pairs = graft.pipeline.Staged.disk(s, dir, "assoc_pairs") {
           fb.groupBy("o")
-            .agg(sort_array(collect_list(col("it"))).as("its"))
+            .agg(sort_array(collect_list(col("p_brand"))).as("its"))
             .select(explode(expr(
               """flatten(transform(its, (x, i) ->
                  transform(slice(its, i + 2, size(its) - i - 1),
@@ -723,9 +729,9 @@ object Analytics {
           .unionByName(pairs.select(col("y").as("antecedent"),
             col("x").as("consequent"), col("n_pair")))
         rules
-          .join(broadcast(freq.select(col("it").as("antecedent"),
+          .join(broadcast(freq.select(col("p_brand").as("antecedent"),
             col("ni").as("n_ante"))), "antecedent")
-          .join(broadcast(freq.select(col("it").as("consequent"),
+          .join(broadcast(freq.select(col("p_brand").as("consequent"),
             col("ni").as("n_cons"))), "consequent")
           .crossJoin(broadcast(nB))
           .select(col("antecedent"), col("consequent"), col("n_ante"),

@@ -94,45 +94,92 @@ object BoundedWalk {
     domainBoundedCols.contains(a.name) ||
       a.name.startsWith("__gr_shard_") || a.name.startsWith("__gr_grp_")
 
-  /** Where attribute `a` is DEFINED as an alias: the aliased
-    * expression plus the plan scope it reads from, found by walking
-    * defining Project/Aggregate/Window nodes (pass-through attributes
-    * recurse into the child). Logical side only.
+  /** Where attribute `a` is DEFINED: the candidate expressions (plus
+    * the plan scope each reads from) that produce its values, found by
+    * walking defining Project/Aggregate/Window nodes (pass-through
+    * attributes recurse into the child). Multi-candidate cases — a
+    * Union column is fed positionally by every branch, a Stack
+    * generator column by every row's slot expression — return ALL
+    * feeders: the attribute's domain is bounded only when every
+    * candidate's is. Empty = unresolvable (treated unbounded).
+    * Logical side only.
     */
-  private def resolveDef(
-      a: Attribute, plan: LogicalPlan): Option[(Expression, LogicalPlan)] = {
+  private def resolveDefs(
+      a: Attribute, plan: LogicalPlan): Seq[(Expression, LogicalPlan)] = {
     def inList(exprs: Seq[NamedExpression], child: LogicalPlan) =
       exprs.collectFirst {
-        case al: Alias if al.exprId == a.exprId => (al.child, child)
+        case al: Alias if al.exprId == a.exprId =>
+          Seq((al.child: Expression, child))
       }
     plan match {
       case p: Project =>
-        inList(p.projectList, p.child).orElse(resolveDef(a, p.child))
+        inList(p.projectList, p.child).getOrElse(resolveDefs(a, p.child))
       case ag: Aggregate =>
-        inList(ag.aggregateExpressions, ag.child).orElse(resolveDef(a, ag.child))
+        inList(ag.aggregateExpressions, ag.child)
+          .getOrElse(resolveDefs(a, ag.child))
       case w: Window =>
-        inList(w.windowExpressions, w.child).orElse(resolveDef(a, w.child))
+        inList(w.windowExpressions, w.child).getOrElse(resolveDefs(a, w.child))
+      case g: Generate =>
+        val idx = g.generatorOutput.indexWhere(_.exprId == a.exprId)
+        if (idx < 0) resolveDefs(a, g.child)
+        else g.generator match {
+          // stack(n, e_00..e_0f, e_10..): output column idx is fed by
+          // slot idx of every row — all n feeder expressions count.
+          case st: Stack =>
+            val numRows = st.children.head match {
+              case Literal(n: Int, _) => n
+              case _ => 0
+            }
+            if (numRows <= 0) Nil
+            else {
+              val numFields =
+                math.ceil((st.children.length - 1).toDouble / numRows).toInt
+              (0 until numRows).flatMap { r =>
+                val pos = 1 + r * numFields + idx
+                // Out-of-range slots fill with NULL — a 1-value domain.
+                if (pos < st.children.length)
+                  Some((st.children(pos): Expression, g.child))
+                else None
+              }
+            }
+          case ex: Explode => ex.child match {
+            case CreateArray(items, _) =>
+              items.map(it => (it: Expression, g.child))
+            case _ => Nil
+          }
+          case _ => Nil
+        }
+      case u: Union =>
+        // Positional lineage: the union column's values are the union
+        // of every branch's column at the same position.
+        val idx = u.output.indexWhere(_.exprId == a.exprId)
+        if (idx < 0) Nil
+        else u.children.map(c => (c.output(idx): Expression, c: LogicalPlan))
       case j: Join =>
-        resolveDef(a, j.left).orElse(resolveDef(a, j.right))
-      case _: LeafNode => None
+        val l = resolveDefs(a, j.left)
+        if (l.nonEmpty) l else resolveDefs(a, j.right)
+      case _: LeafNode => Nil
       case other if other.children.size == 1 =>
-        resolveDef(a, other.children.head)
-      case _ => None
+        resolveDefs(a, other.children.head)
+      case _ => Nil
     }
   }
 
   /** The expression's VALUE DOMAIN is a fixed-size set at any corpus
-    * scale: a domain-enum column (by name, or traced through its
-    * defining alias in `scope`), a bounded calendar part, or a
-    * pmod-by-literal.
+    * scale: a literal, a domain-enum column (by name, or traced
+    * through its defining expressions in `scope`), a bounded calendar
+    * part, or a pmod-by-literal.
     */
   def domainBoundedExpr(e: Expression, scope: Option[LogicalPlan]): Boolean =
     e match {
+      case _: Literal => true
       case a: Attribute =>
-        domainBoundedByName(a) ||
-          scope.exists(p => resolveDef(a, p).exists {
+        domainBoundedByName(a) || scope.exists { p =>
+          val defs = resolveDefs(a, p)
+          defs.nonEmpty && defs.forall {
             case (d, sub) => domainBoundedExpr(d, Some(sub))
-          })
+          }
+        }
       case _: Hour | _: Minute | _: Second | _: DayOfWeek | _: WeekDay |
           _: DayOfMonth | _: DayOfYear | _: Month | _: Quarter | _: Year => true
       case Pmod(_, _: Literal, _) => true

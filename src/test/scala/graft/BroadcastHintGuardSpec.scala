@@ -34,11 +34,8 @@ class BroadcastHintGuardSpec extends AnyFunSuite {
     * cannot certify — each entry names the bound.
     */
   private val allowlist: Map[String, String] = Map(
-    "agg_countmin" -> "the 4×64 CountMin grid: keys are stack-literal row ids × pmod-64 buckets",
-    "agg_bloom_membership" -> "the 256-slot bloom bit array: keys are pmod-256 bit positions",
-    "agg_assoc_rules" -> "frequent-item tables keyed on the 25-brand p_brand catalog (mean-cut subset)",
     "agg_decile_lift" -> "the median-row attach: crk = (nn+1) div 2 equi-selects exactly 1 row",
-    "graph_bipartite_cf" -> "supplier-degree tables: supplier-DIMENSION-keyed aggregates of the edge artifact",
+    "graph_bipartite_cf" -> "supplier-degree tables: supplier-DIMENSION-keyed aggregates of the edge artifact (an FK bound — values ⊆ s_suppkey — the structural walk has no foreign-key notion)",
     "layout_global_index" -> "the inline ≤33-row shard-offset cumulative (the DistributedRank prototype, shard = id div width)",
     "pipeline_batch_envelope" -> "the reference's term-classification dictionary (api) — its own in-memory dict, dimension-bounded in the reference's model",
     "pipeline_nested_enrich" -> "the reference's known/api dictionaries (same bound as pipeline_batch_envelope)")
