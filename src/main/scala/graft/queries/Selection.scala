@@ -806,8 +806,8 @@ object Selection {
         // Normalizer and floor-spend are scalar aggregates attached by
         // broadcast (round-10 ran both as unbounded windows); the only
         // remaining global window is the largest-remainder rank over
-        // one row per language stratum — bounded, allowlisted in
-        // GlobalWindowGuardSpec.
+        // one row per language stratum — GlobalWindowGuardSpec
+        // certifies it structurally through the lang-keyed aggregate.
         val bigw = withW.agg(
           sum(col("w").cast("decimal(38,6)")).cast("double").as("bigw"))
         val ideal = withW.crossJoin(broadcast(bigw))

@@ -88,6 +88,32 @@ class BoundedWalkSpec extends AnyFunSuite {
     assert(!bounded(spark.read.parquet(trap)))
   }
 
+  test("union and stack feeders trace positionally; every branch must bound") {
+    // Union of pmod projections (the bloom bit-position idiom): each
+    // branch's column at the position is pmod-by-literal → bounded.
+    val bits = (0 until 3).map(i =>
+      docs.select(pmod(col("doc_id") + i, lit(64L)).as("bit")))
+      .reduce(_ union _)
+    assert(bounded(bits.distinct()))
+    // One corpus-valued branch poisons the whole union column.
+    val mixed = docs.select(pmod(col("doc_id"), lit(64L)).as("bit"))
+      .union(docs.select(col("doc_id").as("bit")))
+    assert(!bounded(mixed.distinct()))
+    // stack() literal row ids × pmod buckets (the CountMin grid): slot
+    // 0 is fed by literals, slot 1 by pmod aliases.
+    val kh = docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(64L)).as("h0"),
+        pmod(col("doc_id") + 1, lit(64L)).as("h1"))
+      .selectExpr("stack(2, 0, h0, 1, h1) AS (i, h)")
+    assert(bounded(kh.groupBy("i", "h").agg(count(lit(1)).as("c"))))
+    // A corpus-valued slot feeder breaks the grid bound.
+    val bad = docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(64L)).as("h0"))
+      .selectExpr("stack(2, 0, h0, 1, doc_id) AS (i, h)")
+    assert(!bounded(bad.groupBy("i", "h").agg(count(lit(1)).as("c"))))
+  }
+
   test("grand aggregates and literal limits certify; bare scans do not") {
     assert(bounded(docs.agg(count(lit(1)).as("n"))))
     assert(bounded(docs.orderBy("doc_id").limit(7)))
