@@ -17,9 +17,35 @@ library has no Python dependency.
 Usage: python3 tools/ratio_table.py <benchFullJson> <oracleTimesJson> [outMd]
 """
 import json
+import os
 import sys
 
 MIN_ORACLE_S = 0.25
+
+
+def carried_notes(out_md):
+    """Blockquote notes (measured-state ranges, A/B records) from the
+    existing file — human-written context a regeneration must not drop
+    (round 14 lost both notes to a bare rerun and had to restore them
+    by hand). Returns the '>' blocks in order, separated by blanks.
+    """
+    if not os.path.exists(out_md):
+        return []
+    blocks, cur = [], []
+    with open(out_md) as f:
+        for line in f:
+            if line.startswith(">"):
+                cur.append(line.rstrip("\n"))
+            elif cur:
+                blocks.append(cur)
+                cur = []
+    if cur:
+        blocks.append(cur)
+    out = []
+    for b in blocks:
+        out.extend(b)
+        out.append("")
+    return out
 
 
 def main():
@@ -30,6 +56,7 @@ def main():
     with open(oracle_path) as f:
         oracle = json.load(f)
     spark = bench.get("queries", bench)
+    notes = carried_notes(out_md)
 
     rows = [(n, s, oracle[n], s / max(oracle[n], 1e-3))
             for n, s in spark.items() if n in oracle]
@@ -47,6 +74,7 @@ def main():
         f"Spark side: `{bench_path}` (sf: `{bench.get('sf', '?')}`); "
         f"oracle side: `{oracle_path}`.",
         "",
+    ] + notes + [
         f"**Aggregate: Spark {s_tot:.1f} s vs DuckDB {d_tot:.1f} s over "
         f"{len(rows)} shared queries ({s_tot / max(d_tot, 1e-3):.1f}x).** "
         f"{len(substantive)} queries have a substantive oracle "
