@@ -826,21 +826,30 @@ object Pipeline {
             col("harmonic_micro"))
           .orderBy(col("harmonic_micro").desc, col("term"))
       }, {
+        // Every BFS CTE is AS MATERIALIZED: each round references the
+        // previous frame TWICE (relax + union-min), and DuckDB INLINES
+        // un-materialized CTEs per reference — the d3 tree re-evaluated
+        // d0 (and the whole pipeline prelude under it) 8×, spilling
+        // >80 GB of temp at sf0.1 before dying with "No space left on
+        // device". This is the oracle-side twin of the Spark loop's
+        // eager localCheckpoint (same double-execution trap, same
+        // once-per-round materialization fix); results are identical,
+        // only the evaluation strategy is pinned.
         val rounds = (1 to 3).map { i =>
-          s"""f$i AS (
+          s"""f$i AS MATERIALIZED (
               SELECT d.s0, sym.dst AS node, min(d.dist) + 1 AS dist
               FROM sym JOIN d${i - 1} d ON d.node = sym.src
               GROUP BY 1, 2),
-            d$i AS (
+            d$i AS MATERIALIZED (
               SELECT s0, node, min(dist) AS dist
               FROM (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM f$i)
               GROUP BY 1, 2)"""
         }.mkString(",\n")
         Some(prelude + s""",
           $strongEdgeSqlCtes,
-          sym AS (SELECT u AS src, v AS dst FROM se
+          sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM se
                   UNION ALL SELECT v, u FROM se),
-          d0 AS (SELECT term AS s0, term AS node, CAST(0 AS BIGINT) AS dist
+          d0 AS MATERIALIZED (SELECT term AS s0, term AS node, CAST(0 AS BIGINT) AS dist
                  FROM (SELECT DISTINCT u AS term FROM se
                        UNION SELECT v FROM se)),
           $rounds
