@@ -72,7 +72,10 @@ def main():
         "# Spark vs DuckDB oracle — per-query wall seconds",
         "",
         f"Spark side: `{bench_path}` (sf: `{bench.get('sf', '?')}`); "
-        f"oracle side: `{oracle_path}`.",
+        f"oracle side: `{oracle_path}` (committed idle-box snapshot, so "
+        f"`python3 tools/ratio_table.py target/bench_full.json "
+        f"{oracle_path}` reproduces this table from the repo plus one "
+        f"bench run).",
         "",
     ] + notes + [
         f"**Aggregate: Spark {s_tot:.1f} s vs DuckDB {d_tot:.1f} s over "
