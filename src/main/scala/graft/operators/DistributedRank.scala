@@ -108,6 +108,11 @@ object DistributedRank {
   def withGlobalRank(df: DataFrame, key: Column, tie: Column,
       desc: Boolean = false, shards: Int = 0,
       out: String = "grk"): DataFrame = {
+    // Same collision contract as withGroupedRank/withGlobalLead: a
+    // pre-existing `out` column would be silently REPLACED by
+    // withColumn — fail at the call instead.
+    require(!df.columns.contains(out),
+      s"withGlobalRank output column '$out' already exists in the input")
     val nShards = if (shards > 0) shards else defaultShards(df)
     val kc = s"__gr_key_$out"
     val sc = s"__gr_shard_$out"
@@ -223,6 +228,9 @@ object DistributedRank {
   def withGlobalCumsum(df: DataFrame, key: Column, tie: Column,
       weight: Column, shards: Int = 0,
       out: String = "gcs"): DataFrame = {
+    // Same collision contract as withGroupedRank/withGlobalLead.
+    require(!df.columns.contains(out),
+      s"withGlobalCumsum output column '$out' already exists in the input")
     val nShards = if (shards > 0) shards else defaultShards(df)
     val kc = s"__gr_key_$out"
     val wc = s"__gr_wt_$out"

@@ -67,7 +67,7 @@ object Stages {
       // persist keeps the hot path in executor memory either way.
       def p(tag: String)(build: => DataFrame): DataFrame = {
         lazy val df = build
-        Staged.spillThrough(s, dir, tag)(df)(df)
+        Staged.spillThrough(s, dir, tag, keyIsBuild = true)(df)(df)
           .persist(StorageLevel.MEMORY_AND_DISK)
       }
       val docs = p("pl_docs")(Corpus.flatDocs(s, dir))
@@ -197,7 +197,9 @@ object Staged {
     */
   def disk(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
     lazy val df = build
-    diskKeyed(s, dir, tag)(df)(df)
+    // keyIsBuild: here the fingerprint key IS the build, so the plan
+    // registry may record it for the guards (see buildPlans).
+    apply(s, dir, tag) { spillThrough(s, dir, tag, keyIsBuild = true)(df)(df) }
   }
 
   /** [[disk]] for ITERATIVE builds: constructing an eager-checkpointing
@@ -221,7 +223,7 @@ object Staged {
     * to cwd only when the code source is unresolvable (e.g. a jar-less
     * custom loader).
     */
-  private[pipeline] def cacheRoot: String =
+  private[graft] def cacheRoot: String =
     sys.props.get("graft.stagecache.dir")
       .orElse(sys.env.get("SPARK_GRAFT_STAGECACHE"))
       .getOrElse {
@@ -299,25 +301,36 @@ object Staged {
     (math.abs(java.nio.ByteBuffer.wrap(b, 0, 8).getLong) & 0x7fffffff).toString
   }
 
-  // tag -> the staged build's analyzed KEY plan, recorded on every
-  // spillThrough (hit or miss — the key plan is constructed either way
-  // for fingerprinting). Plan auditors use it to judge a staged
-  // artifact's parquet read-back leaf by the plan that BUILT it (the
-  // same move the guards make for persisted frames via their cached
-  // subtree): a `tag-<hash>-<fp>` leaf is bounded iff the recorded
-  // build plan is structurally bounded. Last write per tag wins;
-  // boundedness is a property of the build SHAPE, not the input dir.
+  // tag -> the staged artifact's analyzed BUILD plan, recorded only
+  // when the fingerprint KEY plan IS the build plan (Staged.disk and
+  // the pipeline stages; the plan is constructed either way for
+  // fingerprinting, hit or miss). Plan auditors use it to judge a
+  // staged artifact's parquet read-back leaf by the plan that BUILT
+  // it (the same move the guards make for persisted frames via their
+  // cached subtree): a `tag-<hash>-<fp>` leaf is bounded iff the
+  // recorded build plan is structurally bounded. diskKeyed artifacts
+  // record NOTHING: there the key is a declarative stand-in over the
+  // build's inputs, and a bounded key says nothing about the
+  // iterative build's fan-out — certifying by it would hand the
+  // guards a plan that did not produce the rows. Last write per tag
+  // wins; boundedness is a property of the build SHAPE, not the
+  // input dir.
   private val buildPlans =
     new ConcurrentHashMap[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
 
-  /** The analyzed build plan last staged under `tag`, if any. */
+  /** The analyzed build plan last staged under `tag`, if any —
+    * populated only for artifacts whose build plan is also their
+    * cache key ([[disk]], the pipeline stages), never for
+    * [[diskKeyed]].
+    */
   def buildPlanFor(tag: String): Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
     Option(buildPlans.get(tag))
 
-  private[pipeline] def spillThrough(s: SparkSession, dir: String, tag: String)(
+  private[pipeline] def spillThrough(
+      s: SparkSession, dir: String, tag: String, keyIsBuild: Boolean = false)(
       key: => DataFrame)(build: => DataFrame): DataFrame = {
     val keyExec = key.queryExecution
-    buildPlans.put(tag, keyExec.analyzed)
+    if (keyIsBuild) buildPlans.put(tag, keyExec.analyzed)
     val h = planFingerprint(keyExec.logical)
     val fp = inputFingerprint(dir)
     val sfName = new java.io.File(dir).getName

@@ -94,6 +94,27 @@ object BoundedWalk {
     domainBoundedCols.contains(a.name) ||
       a.name.startsWith("__gr_shard_") || a.name.startsWith("__gr_grp_")
 
+  /** The generator's PER-ROW fan-out is a literal: stack(n, …) emits
+    * exactly n rows, explode/posexplode of a literal-length array (or
+    * a literal-bounded sequence) emits that many. explode of a DATA
+    * array is NOT bounded — a 1-row frame holding a collected
+    * corpus-sized array explodes right back to corpus rows, so
+    * `Generate over bounded child` alone proves nothing.
+    */
+  private def boundedGenerator(gen: Expression): Boolean = gen match {
+    case st: Stack => st.children.head.isInstanceOf[Literal]
+    case e: ExplodeBase => e.child match {
+      case _: CreateArray => true
+      // Constant folding turns array(lit…)/sequence(lit, lit) into one
+      // literal array value — fixed length by definition.
+      case _: Literal => true
+      case sq: Sequence =>
+        sq.start.isInstanceOf[Literal] && sq.stop.isInstanceOf[Literal]
+      case _ => false
+    }
+    case _ => false
+  }
+
   /** Where attribute `a` is DEFINED: the candidate expressions (plus
     * the plan scope each reads from) that produce its values, found by
     * walking defining Project/Aggregate/Window nodes (pass-through
@@ -379,18 +400,27 @@ object BoundedWalk {
 
   /** The leaf path's final segment names a bounded table, a capped
     * panel artifact, or a staged artifact whose recorded build plan is
-    * itself bounded.
+    * itself bounded. Staged-tag recovery only applies to paths UNDER
+    * the stage-cache root: an unrelated directory that merely matches
+    * the `tag-<hash>-<fp>` naming must not be judged by a registered
+    * tag's plan (the registry describes stagecache artifacts only).
     */
   private def boundedLeafPath(pathStr: String): Boolean = {
     val seg = pathStr.stripSuffix("/").split('/').last
-    boundedTables.contains(seg) ||
-      boundedStagedTags.exists(t => seg.startsWith(s"$t-")) || {
-        // Staged dirs are `tag-<hash>-<fp>`: recover the tag and judge
-        // the artifact by the build plan Staged recorded for it.
-        val m = "^([A-Za-z0-9_]+)-\\d+-[0-9a-f]+$".r.findFirstMatchIn(seg)
-        m.exists(g => graft.pipeline.Staged.buildPlanFor(g.group(1))
-          .exists(isBounded))
-      }
+    boundedTables.contains(seg) || {
+      val underCache = pathStr.stripPrefix("file:")
+        .startsWith(graft.pipeline.Staged.cacheRoot)
+      underCache && (
+        boundedStagedTags.exists(t => seg.startsWith(s"$t-")) || {
+          // Staged dirs are `tag-<hash>-<fp>`: recover the tag and
+          // judge the artifact by the build plan Staged recorded for
+          // it (populated only where the key IS the build — never for
+          // diskKeyed's declarative stand-in keys).
+          val m = "^([A-Za-z0-9_]+)-\\d+-[0-9a-f]+$".r.findFirstMatchIn(seg)
+          m.exists(g => graft.pipeline.Staged.buildPlanFor(g.group(1))
+            .exists(isBounded))
+        })
+    }
   }
 
   private def boundedLeaf(p: LeafNode): Boolean = p match {
@@ -434,7 +464,7 @@ object BoundedWalk {
     case w: Window => isBounded(w.child)
     case j: Join => isBounded(j.left) && isBounded(j.right)
     case u: Union => u.children.forall(isBounded)
-    case g: Generate => isBounded(g.child)
+    case g: Generate => boundedGenerator(g.generator) && isBounded(g.child)
     case leaf: LeafNode => boundedLeaf(leaf)
     case other if other.children.size == 1 => isBounded(other.children.head)
     case _ => false
@@ -469,7 +499,8 @@ object BoundedWalk {
     case j: execution.joins.BaseJoinExec =>
       boundedPhysical(j.left) && boundedPhysical(j.right)
     case u: execution.UnionExec => u.children.forall(boundedPhysical)
-    case g: execution.GenerateExec => boundedPhysical(g.child)
+    case g: execution.GenerateExec =>
+      boundedGenerator(g.generator) && boundedPhysical(g.child)
     case sc: execution.FileSourceScanExec =>
       sc.relation.location.rootPaths.exists(pth =>
         boundedLeafPath(pth.toString))

@@ -114,6 +114,24 @@ class BoundedWalkSpec extends AnyFunSuite {
     assert(!bounded(bad.groupBy("i", "h").agg(count(lit(1)).as("c"))))
   }
 
+  test("generators bound only on literal fan-out; exploded collections do not") {
+    // A 1-row grand aggregate holding a collected corpus-sized array
+    // explodes right back to corpus rows — `Generate over bounded
+    // child` alone must never certify.
+    val collected = docs.agg(collect_list(col("doc_id")).as("ids"))
+    assert(!bounded(collected.select(explode(col("ids")).as("id"))))
+    // Literal fan-out over a bounded child stays certified: the 3×3
+    // neighbor expansion of a dimension (the spatial-join shape).
+    val dim = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"))
+    assert(bounded(dim.withColumn("dx",
+      explode(sequence(lit(-1L), lit(1L))))))
+    // ...but the same literal fan-out over a corpus child proves
+    // nothing.
+    assert(!bounded(docs.withColumn("dx",
+      explode(sequence(lit(-1L), lit(1L))))))
+  }
+
   test("grand aggregates and literal limits certify; bare scans do not") {
     assert(bounded(docs.agg(count(lit(1)).as("n"))))
     assert(bounded(docs.orderBy("doc_id").limit(7)))

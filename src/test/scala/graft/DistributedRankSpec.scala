@@ -238,6 +238,15 @@ class DistributedRankSpec extends AnyFunSuite {
       DistributedRank.withGroupedRank(df, col("k"), col("k"), col("id"),
         out = "rk", totalOut = Some("rk"))
     }
+    // The global variants carry the same contract — a silent
+    // withColumn overwrite of a caller column is data loss.
+    intercept[IllegalArgumentException] {
+      DistributedRank.withGlobalRank(df, col("k"), col("id"), out = "id")
+    }
+    intercept[IllegalArgumentException] {
+      DistributedRank.withGlobalCumsum(df, col("k"), col("id"), col("n"),
+        out = "n")
+    }
   }
 
   test("within-shard window partitions by shard; only the offsets cumulative is global") {

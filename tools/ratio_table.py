@@ -25,16 +25,28 @@ MIN_ORACLE_S = 0.25
 
 def carried_notes(out_md):
     """Blockquote notes (measured-state ranges, A/B records) from the
-    existing file — human-written context a regeneration must not drop
-    (round 14 lost both notes to a bare rerun and had to restore them
-    by hand). Returns the '>' blocks in order, separated by blanks.
+    existing file's HEADER region — human-written context a
+    regeneration must not drop (round 14 lost both notes to a bare
+    rerun and had to restore them by hand). Only blocks ABOVE the
+    generated '**Aggregate:' line carry: they live in the notes region
+    this function re-emits in place, so carrying is idempotent. A
+    blockquote below the tables would be hoisted out of its context —
+    refuse it loudly instead of silently relocating it.
     """
     if not os.path.exists(out_md):
         return []
-    blocks, cur = [], []
+    blocks, cur, in_header = [], [], True
     with open(out_md) as f:
         for line in f:
+            if line.startswith("**Aggregate:"):
+                in_header = False
             if line.startswith(">"):
+                if not in_header:
+                    raise SystemExit(
+                        f"{out_md} has a blockquote below the generated "
+                        "tables; regeneration would hoist it out of "
+                        "context — move it above the Aggregate line or "
+                        "fold it into the table prose first")
                 cur.append(line.rstrip("\n"))
             elif cur:
                 blocks.append(cur)
