@@ -43,4 +43,13 @@ object Lineage {
     * through [[checkpoint]].
     */
   def planFor(rddId: Int): Option[LogicalPlan] = Option(byRddId.get(rddId))
+
+  /** Drop every recorded plan. Wired to application end by
+    * [[StageCache.hookCleanup]]: RDD ids are PER-CONTEXT counters
+    * starting at 0, so a context restart in the same JVM would alias a
+    * stale (possibly bounded) plan onto a fresh RDD that happens to
+    * reuse the id — and a plan auditor would judge the new frame by
+    * the old context's plan.
+    */
+  def clear(): Unit = byRddId.clear()
 }

@@ -130,6 +130,9 @@ private[pipeline] object StageCache {
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           Stages.clear(s"$id|")
           Staged.clear(s"$id|")
+          // RDD ids restart at 0 with the next context — stale lineage
+          // entries would alias onto fresh checkpoints (see Lineage).
+          Lineage.clear()
           hooked.remove(id)
           ()
         }
@@ -315,23 +318,27 @@ object Staged {
   // guards a plan that did not produce the rows. Last write per tag
   // wins; boundedness is a property of the build SHAPE, not the
   // input dir.
-  private val buildPlans =
-    new ConcurrentHashMap[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+  private val buildPlans = new ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
 
-  /** The analyzed build plan last staged under `tag`, if any —
+  /** The analyzed build plan staged under `tag` whose plan fingerprint
+    * is `hash` (the `<hash>` segment of the artifact directory name) —
     * populated only for artifacts whose build plan is also their
     * cache key ([[disk]], the pipeline stages), never for
-    * [[diskKeyed]].
+    * [[diskKeyed]]. The hash check pins the lookup to the plan that
+    * actually PRODUCED the artifact being judged: the registry is
+    * last-write-wins per tag, and without it an auditor could judge an
+    * older generation (same tag, different build) by a newer plan.
     */
-  def buildPlanFor(tag: String): Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
-    Option(buildPlans.get(tag))
+  def buildPlanFor(tag: String, hash: String): Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    Option(buildPlans.get(tag)).collect { case (h, p) if h == hash => p }
 
   private[pipeline] def spillThrough(
       s: SparkSession, dir: String, tag: String, keyIsBuild: Boolean = false)(
       key: => DataFrame)(build: => DataFrame): DataFrame = {
     val keyExec = key.queryExecution
-    if (keyIsBuild) buildPlans.put(tag, keyExec.analyzed)
     val h = planFingerprint(keyExec.logical)
+    if (keyIsBuild) buildPlans.put(tag, (h, keyExec.analyzed))
     val fp = inputFingerprint(dir)
     val sfName = new java.io.File(dir).getName
     val entry = s"$tag-$h-$fp"

@@ -15,12 +15,15 @@ import org.apache.spark.sql.execution
   *  - a grand (grouping-less) aggregate — exactly one row;
   *  - a grouped aggregate whose every key is DOMAIN-bounded: a fixed
   *    enum of the synthetic model ([[domainBoundedCols]]),
-  *    DistributedRank's `__gr_shard_*`/`__gr_grp_*` columns, or an
-  *    expression with a literal-bounded range (calendar parts,
-  *    pmod-by-literal), traced through defining aliases
-  *    ([[resolveDef]], logical side);
+  *    DistributedRank's `__gr_shard_*` columns (its `__gr_grp_*` copy
+  *    of the caller's group column is traced, not name-trusted), or
+  *    an expression with a literal-bounded range (calendar parts,
+  *    pmod-by-literal — Year excluded: a corpus's time span grows),
+  *    traced through defining aliases/unions/generators
+  *    ([[resolveDefs]], logical side);
   *  - a whole conjunct pinning a UNIQUE id ([[uniqueIdCols]]) to a
-  *    literal range — the fixed eval panels;
+  *    literal range over a fan-out-free child — the fixed eval
+  *    panels (a join under the filter would re-scale the panel);
   *  - a whole conjunct capping a row_number() whose window partitions
   *    only by domain-bounded keys, or by keys whose VALUES originate
   *    from a bounded subtree ([[valueBounded]] — the per-panel-query
@@ -90,9 +93,52 @@ object BoundedWalk {
     case other => Seq(other)
   }
 
+  /** Typed-Dataset operators that can emit MANY rows per input row
+    * while being plain unary nodes — the generic one-child fall-through
+    * must never walk through them (a 1-row frame flatMapping a
+    * collected corpus-sized array is the same hazard as exploding it).
+    * Matched by node name so logical and physical twins share one list.
+    */
+  private def fanoutOperator(nodeName: String): Boolean = {
+    val n = nodeName.stripSuffix("Exec")
+    n == "MapPartitions" || n == "MapGroups" || n == "MapInPandas" ||
+      n == "MapInArrow" || n.startsWith("FlatMap")
+  }
+
+  /** No node between `p` and its leaves can INCREASE row multiplicity:
+    * joins, unions, generators, and typed fan-out operators are out;
+    * filters/projections/windows/sorts preserve or shrink rows, and an
+    * aggregate emits at most one row per input group. Guards the
+    * id-panel rule: `filter(doc_id < k)` bounds the OUTPUT only while
+    * nothing below the filter duplicated the id (a join under the
+    * filter re-scales the panel by its fan-out).
+    */
+  private def fanoutFree(p: LogicalPlan): Boolean = p match {
+    case _: Join | _: Union | _: Generate => false
+    case _: LeafNode => true
+    case a: Aggregate => fanoutFree(a.child)
+    case other if other.children.size == 1 =>
+      !fanoutOperator(other.nodeName) && fanoutFree(other.children.head)
+    case _ => false
+  }
+
+  private def fanoutFreePhys(p: execution.SparkPlan): Boolean = p match {
+    case _: execution.joins.BaseJoinExec | _: execution.UnionExec |
+        _: execution.GenerateExec => false
+    case _: execution.LeafExecNode => true
+    case a: execution.aggregate.BaseAggregateExec => fanoutFreePhys(a.child)
+    case other if other.children.size == 1 =>
+      !fanoutOperator(other.nodeName) && fanoutFreePhys(other.children.head)
+    case _ => false
+  }
+
   private def domainBoundedByName(a: Attribute): Boolean =
     domainBoundedCols.contains(a.name) ||
-      a.name.startsWith("__gr_shard_") || a.name.startsWith("__gr_grp_")
+      // __gr_shard_* values are [0, nShards] by DistributedRank's own
+      // literal math. __gr_grp_* is deliberately NOT trusted by name:
+      // it is a copy of the CALLER's group column, so the walk traces
+      // it through its defining alias like any other attribute.
+      a.name.startsWith("__gr_shard_")
 
   /** The generator's PER-ROW fan-out is a literal: stack(n, …) emits
     * exactly n rows, explode/posexplode of a literal-length array (or
@@ -115,22 +161,77 @@ object BoundedWalk {
     case _ => false
   }
 
+  /** A plan scope an attribute's defining expressions can be resolved
+    * in. Two concrete scopes — logical and physical — because tracing
+    * must CROSS persisted-cache boundaries: a logical walk hitting an
+    * InMemoryRelation continues positionally into the cached PHYSICAL
+    * subtree (exprIds remap across the boundary; names and positions
+    * survive), where the defining aliases actually live.
+    */
+  private sealed trait Scope {
+    def resolve(a: Attribute): Seq[(Expression, Scope)]
+  }
+  private final case class LScope(p: LogicalPlan) extends Scope {
+    def resolve(a: Attribute): Seq[(Expression, Scope)] = resolveDefs(a, p)
+  }
+  private final case class PScope(p: execution.SparkPlan) extends Scope {
+    def resolve(a: Attribute): Seq[(Expression, Scope)] = resolveDefsPhys(a, p)
+  }
+
+  /** Positional hop across a cache boundary: outer attribute index →
+    * the inner (cached) plan's attribute at the same position.
+    */
+  private def crossCache(a: Attribute, outerOut: Seq[Attribute],
+      inner: execution.SparkPlan): Seq[(Expression, Scope)] = {
+    val idx = outerOut.indexWhere(_.exprId == a.exprId)
+    if (idx < 0 || idx >= inner.output.length) Nil
+    else Seq((inner.output(idx): Expression, PScope(inner)))
+  }
+
+  /** Feeder expressions of generator output slot `idx` — shared by the
+    * logical and physical resolvers.
+    */
+  private def generatorFeeders(gen: Expression, idx: Int): Seq[Expression] =
+    gen match {
+      // stack(n, e_00..e_0f, e_10..): output column idx is fed by slot
+      // idx of every row — all n feeder expressions count.
+      case st: Stack =>
+        val numRows = st.children.head match {
+          case Literal(n: Int, _) => n
+          case _ => 0
+        }
+        if (numRows <= 0) Nil
+        else {
+          val numFields =
+            math.ceil((st.children.length - 1).toDouble / numRows).toInt
+          (0 until numRows).flatMap { r =>
+            val pos = 1 + r * numFields + idx
+            // Out-of-range slots fill with NULL — a 1-value domain.
+            if (pos < st.children.length) Some(st.children(pos)) else None
+          }
+        }
+      case ex: ExplodeBase => ex.child match {
+        case CreateArray(items, _) => items
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+
   /** Where attribute `a` is DEFINED: the candidate expressions (plus
-    * the plan scope each reads from) that produce its values, found by
+    * the scope each reads from) that produce its values, found by
     * walking defining Project/Aggregate/Window nodes (pass-through
     * attributes recurse into the child). Multi-candidate cases — a
-    * Union column is fed positionally by every branch, a Stack
-    * generator column by every row's slot expression — return ALL
-    * feeders: the attribute's domain is bounded only when every
-    * candidate's is. Empty = unresolvable (treated unbounded).
-    * Logical side only.
+    * Union column is fed positionally by every branch, a generator
+    * column by every row's slot expression — return ALL feeders: the
+    * attribute's domain is bounded only when every candidate's is.
+    * Empty = unresolvable (treated unbounded).
     */
   private def resolveDefs(
-      a: Attribute, plan: LogicalPlan): Seq[(Expression, LogicalPlan)] = {
+      a: Attribute, plan: LogicalPlan): Seq[(Expression, Scope)] = {
     def inList(exprs: Seq[NamedExpression], child: LogicalPlan) =
       exprs.collectFirst {
         case al: Alias if al.exprId == a.exprId =>
-          Seq((al.child: Expression, child))
+          Seq((al.child: Expression, LScope(child): Scope))
       }
     plan match {
       case p: Project =>
@@ -143,45 +244,63 @@ object BoundedWalk {
       case g: Generate =>
         val idx = g.generatorOutput.indexWhere(_.exprId == a.exprId)
         if (idx < 0) resolveDefs(a, g.child)
-        else g.generator match {
-          // stack(n, e_00..e_0f, e_10..): output column idx is fed by
-          // slot idx of every row — all n feeder expressions count.
-          case st: Stack =>
-            val numRows = st.children.head match {
-              case Literal(n: Int, _) => n
-              case _ => 0
-            }
-            if (numRows <= 0) Nil
-            else {
-              val numFields =
-                math.ceil((st.children.length - 1).toDouble / numRows).toInt
-              (0 until numRows).flatMap { r =>
-                val pos = 1 + r * numFields + idx
-                // Out-of-range slots fill with NULL — a 1-value domain.
-                if (pos < st.children.length)
-                  Some((st.children(pos): Expression, g.child))
-                else None
-              }
-            }
-          case ex: Explode => ex.child match {
-            case CreateArray(items, _) =>
-              items.map(it => (it: Expression, g.child))
-            case _ => Nil
-          }
-          case _ => Nil
-        }
+        else generatorFeeders(g.generator, idx)
+          .map(e => (e, LScope(g.child): Scope))
       case u: Union =>
         // Positional lineage: the union column's values are the union
         // of every branch's column at the same position.
         val idx = u.output.indexWhere(_.exprId == a.exprId)
         if (idx < 0) Nil
-        else u.children.map(c => (c.output(idx): Expression, c: LogicalPlan))
+        else u.children.map(c => (c.output(idx): Expression, LScope(c): Scope))
       case j: Join =>
         val l = resolveDefs(a, j.left)
         if (l.nonEmpty) l else resolveDefs(a, j.right)
+      case m: execution.columnar.InMemoryRelation =>
+        crossCache(a, m.output, m.cachedPlan)
       case _: LeafNode => Nil
       case other if other.children.size == 1 =>
         resolveDefs(a, other.children.head)
+      case _ => Nil
+    }
+  }
+
+  /** Physical twin of [[resolveDefs]] — runs inside cached subtrees. */
+  private def resolveDefsPhys(
+      a: Attribute, p: execution.SparkPlan): Seq[(Expression, Scope)] = {
+    def inList(exprs: Seq[NamedExpression], child: execution.SparkPlan) =
+      exprs.collectFirst {
+        case al: Alias if al.exprId == a.exprId =>
+          Seq((al.child: Expression, PScope(child): Scope))
+      }
+    p match {
+      case pr: execution.ProjectExec =>
+        inList(pr.projectList, pr.child).getOrElse(resolveDefsPhys(a, pr.child))
+      case ag: execution.aggregate.BaseAggregateExec =>
+        inList(ag.resultExpressions, ag.child)
+          .getOrElse(resolveDefsPhys(a, ag.child))
+      case w: execution.window.WindowExec =>
+        inList(w.windowExpression, w.child)
+          .getOrElse(resolveDefsPhys(a, w.child))
+      case g: execution.GenerateExec =>
+        val idx = g.generatorOutput.indexWhere(_.exprId == a.exprId)
+        if (idx < 0) resolveDefsPhys(a, g.child)
+        else generatorFeeders(g.generator, idx)
+          .map(e => (e, PScope(g.child): Scope))
+      case u: execution.UnionExec =>
+        val idx = u.output.indexWhere(_.exprId == a.exprId)
+        if (idx < 0) Nil
+        else u.children.map(c => (c.output(idx): Expression, PScope(c): Scope))
+      case j: execution.joins.BaseJoinExec =>
+        val l = resolveDefsPhys(a, j.left)
+        if (l.nonEmpty) l else resolveDefsPhys(a, j.right)
+      case m: execution.columnar.InMemoryTableScanExec =>
+        crossCache(a, m.output, m.relation.cachedPlan)
+      case aq: execution.adaptive.AdaptiveSparkPlanExec =>
+        resolveDefsPhys(a, aq.inputPlan)
+      case q: execution.adaptive.QueryStageExec => resolveDefsPhys(a, q.plan)
+      case _: execution.LeafExecNode => Nil
+      case other if other.children.size == 1 =>
+        resolveDefsPhys(a, other.children.head)
       case _ => Nil
     }
   }
@@ -191,27 +310,44 @@ object BoundedWalk {
     * through its defining expressions in `scope`), a bounded calendar
     * part, or a pmod-by-literal.
     */
-  def domainBoundedExpr(e: Expression, scope: Option[LogicalPlan]): Boolean =
+  private def domainBoundedExpr(e: Expression, scope: Option[Scope]): Boolean =
     e match {
       case _: Literal => true
       case a: Attribute =>
-        domainBoundedByName(a) || scope.exists { p =>
-          val defs = resolveDefs(a, p)
+        domainBoundedByName(a) || scope.exists { sc =>
+          val defs = sc.resolve(a)
           defs.nonEmpty && defs.forall {
             case (d, sub) => domainBoundedExpr(d, Some(sub))
           }
         }
+      // Year is deliberately ABSENT: a corpus whose time span grows
+      // with its size grows its distinct-year count too.
       case _: Hour | _: Minute | _: Second | _: DayOfWeek | _: WeekDay |
-          _: DayOfMonth | _: DayOfYear | _: Month | _: Quarter | _: Year => true
+          _: DayOfMonth | _: DayOfYear | _: Month | _: Quarter => true
       case Pmod(_, _: Literal, _) => true
       case c: Cast => domainBoundedExpr(c.child, scope)
       case al: Alias => domainBoundedExpr(al.child, scope)
+      // A struct FIELD's domain is its feeder expressions' domains:
+      // `explode(array(struct(lit(0)…), struct(lit(1)…))).getField(x)`
+      // (the RFM metric-id idiom) resolves the struct attribute's
+      // feeders (the CreateNamedStructs) and checks the one field.
+      case gs: GetStructField =>
+        def fieldOf(e: Expression): Option[Expression] = e match {
+          case cs: CreateNamedStruct if gs.ordinal < cs.valExprs.length =>
+            Some(cs.valExprs(gs.ordinal))
+          case _ => None
+        }
+        gs.child match {
+          case att: Attribute => scope.exists { sc =>
+            val defs = sc.resolve(att)
+            defs.nonEmpty && defs.forall { case (d, sub) =>
+              fieldOf(d).exists(domainBoundedExpr(_, Some(sub)))
+            }
+          }
+          case other => fieldOf(other).exists(domainBoundedExpr(_, scope))
+        }
       case _ => false
     }
-
-  def groupKeysBounded(
-      keys: Seq[Expression], scope: Option[LogicalPlan]): Boolean =
-    keys.nonEmpty && keys.forall(domainBoundedExpr(_, scope))
 
   /** The DISTINCT VALUE COUNT of attribute `a` in `plan`'s output is
     * corpus-independent: its values ORIGINATE from a bounded subtree
@@ -340,7 +476,7 @@ object BoundedWalk {
               case WindowExpression(_: RowNumber, spec) =>
                 spec.partitionSpec.nonEmpty &&
                   spec.partitionSpec.forall(e =>
-                    domainBoundedExpr(e, Some(w.child)) || (e match {
+                    domainBoundedExpr(e, Some(LScope(w.child))) || (e match {
                       case att: Attribute => valueBounded(att, w.child)
                       case _ => false
                     }))
@@ -348,10 +484,13 @@ object BoundedWalk {
             }
           case _ => false
         } || boundedRowNumber(a, w.child)
+      // A fan-out (join/generate/union/typed flatMap) or a regrouping
+      // aggregate between the cap and its window voids the
+      // <= |partitions|*k guarantee — each capped row re-multiplies.
+      case _: Join | _: Union | _: Generate | _: Aggregate => false
       case _: LeafNode => false
       case other if other.children.size == 1 =>
-        boundedRowNumber(a, other.children.head)
-      case j: Join => boundedRowNumber(a, j.left) || boundedRowNumber(a, j.right)
+        !fanoutOperator(other.nodeName) && boundedRowNumber(a, other.children.head)
       case _ => false
     }
 
@@ -368,7 +507,7 @@ object BoundedWalk {
             case WindowExpression(_: RowNumber, spec) =>
               spec.partitionSpec.nonEmpty &&
                 spec.partitionSpec.forall(e =>
-                  domainBoundedExpr(e, None) || (e match {
+                  domainBoundedExpr(e, Some(PScope(w.child))) || (e match {
                     case att: Attribute => valueBoundedPhys(att, w.child)
                     case _ => false
                   }))
@@ -376,11 +515,12 @@ object BoundedWalk {
           }
         case _ => false
       } || boundedRowNumberPhys(a, w.child)
+    case _: execution.joins.BaseJoinExec | _: execution.UnionExec |
+        _: execution.GenerateExec | _: execution.aggregate.BaseAggregateExec =>
+      false
     case _: execution.LeafExecNode => false
     case other if other.children.size == 1 =>
-      boundedRowNumberPhys(a, other.children.head)
-    case j: execution.joins.BaseJoinExec =>
-      boundedRowNumberPhys(a, j.left) || boundedRowNumberPhys(a, j.right)
+      !fanoutOperator(other.nodeName) && boundedRowNumberPhys(a, other.children.head)
     case _ => false
   }
 
@@ -408,17 +548,21 @@ object BoundedWalk {
   private def boundedLeafPath(pathStr: String): Boolean = {
     val seg = pathStr.stripSuffix("/").split('/').last
     boundedTables.contains(seg) || {
-      val underCache = pathStr.stripPrefix("file:")
-        .startsWith(graft.pipeline.Staged.cacheRoot)
+      // Trailing separator: a SIBLING like .../stagecacheX must not
+      // pass the under-the-cache-root gate.
+      val root = graft.pipeline.Staged.cacheRoot.stripSuffix("/") + "/"
+      val underCache = pathStr.stripPrefix("file:").startsWith(root)
       underCache && (
         boundedStagedTags.exists(t => seg.startsWith(s"$t-")) || {
-          // Staged dirs are `tag-<hash>-<fp>`: recover the tag and
+          // Staged dirs are `tag-<hash>-<fp>`: recover tag AND hash and
           // judge the artifact by the build plan Staged recorded for
-          // it (populated only where the key IS the build — never for
-          // diskKeyed's declarative stand-in keys).
-          val m = "^([A-Za-z0-9_]+)-\\d+-[0-9a-f]+$".r.findFirstMatchIn(seg)
-          m.exists(g => graft.pipeline.Staged.buildPlanFor(g.group(1))
-            .exists(isBounded))
+          // it — the registry is last-write-wins per tag, so the hash
+          // pins the lookup to the plan that produced THIS generation
+          // (never diskKeyed's declarative stand-in keys, which record
+          // nothing).
+          val m = "^([A-Za-z0-9_]+)-(\\d+)-[0-9a-f]+$".r.findFirstMatchIn(seg)
+          m.exists(g => graft.pipeline.Staged
+            .buildPlanFor(g.group(1), g.group(2)).exists(isBounded))
         })
     }
   }
@@ -429,7 +573,10 @@ object BoundedWalk {
     case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
       r.relation match {
         case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          fs.location.rootPaths.exists(pth => boundedLeafPath(pth.toString))
+          // forall, not exists: a multi-path relation mixing a bounded
+          // dimension with a corpus table is corpus-scaled.
+          fs.location.rootPaths.nonEmpty &&
+            fs.location.rootPaths.forall(pth => boundedLeafPath(pth.toString))
         case _ => false
       }
     case l: execution.LogicalRDD =>
@@ -452,13 +599,13 @@ object BoundedWalk {
     case a: Aggregate =>
       a.groupingExpressions.isEmpty ||
         (a.groupingExpressions.nonEmpty && a.groupingExpressions.forall(k =>
-          domainBoundedExpr(k, Some(a.child)) || (k match {
+          domainBoundedExpr(k, Some(LScope(a.child))) || (k match {
             case att: Attribute => valueBounded(att, a.child)
             case _ => false
           }))) ||
         isBounded(a.child)
     case f: Filter =>
-      idPanelPredicate(f.condition) ||
+      (idPanelPredicate(f.condition) && fanoutFree(f.child)) ||
         rankCapPredicate(f.condition, f.child) ||
         isBounded(f.child)
     case w: Window => isBounded(w.child)
@@ -466,7 +613,8 @@ object BoundedWalk {
     case u: Union => u.children.forall(isBounded)
     case g: Generate => boundedGenerator(g.generator) && isBounded(g.child)
     case leaf: LeafNode => boundedLeaf(leaf)
-    case other if other.children.size == 1 => isBounded(other.children.head)
+    case other if other.children.size == 1 =>
+      !fanoutOperator(other.nodeName) && isBounded(other.children.head)
     case _ => false
   }
 
@@ -486,13 +634,13 @@ object BoundedWalk {
     case a: execution.aggregate.BaseAggregateExec =>
       a.groupingExpressions.isEmpty ||
         (a.groupingExpressions.nonEmpty && a.groupingExpressions.forall(k =>
-          domainBoundedExpr(k, None) || (k match {
+          domainBoundedExpr(k, Some(PScope(a.child))) || (k match {
             case att: Attribute => valueBoundedPhys(att, a.child)
             case _ => false
           }))) ||
         boundedPhysical(a.child)
     case f: execution.FilterExec =>
-      idPanelPredicate(f.condition) ||
+      (idPanelPredicate(f.condition) && fanoutFreePhys(f.child)) ||
         rankCapPredicatePhys(f.condition, f.child) ||
         boundedPhysical(f.child)
     case w: execution.window.WindowExec => boundedPhysical(w.child)
@@ -502,8 +650,9 @@ object BoundedWalk {
     case g: execution.GenerateExec =>
       boundedGenerator(g.generator) && boundedPhysical(g.child)
     case sc: execution.FileSourceScanExec =>
-      sc.relation.location.rootPaths.exists(pth =>
-        boundedLeafPath(pth.toString))
+      sc.relation.location.rootPaths.nonEmpty &&
+        sc.relation.location.rootPaths.forall(pth =>
+          boundedLeafPath(pth.toString))
     case m: execution.columnar.InMemoryTableScanExec =>
       boundedPhysical(m.relation.cachedPlan)
     case r: execution.RDDScanExec =>
@@ -516,7 +665,7 @@ object BoundedWalk {
     case q: execution.adaptive.QueryStageExec => boundedPhysical(q.plan)
     case _: execution.LeafExecNode => false
     case other if other.children.size == 1 =>
-      boundedPhysical(other.children.head)
+      !fanoutOperator(other.nodeName) && boundedPhysical(other.children.head)
     case _ => false
   }
 }

@@ -114,6 +114,48 @@ class BoundedWalkSpec extends AnyFunSuite {
     assert(!bounded(bad.groupBy("i", "h").agg(count(lit(1)).as("c"))))
   }
 
+  test("an id panel certifies only over a fan-out-free child") {
+    // A join UNDER the filter re-scales the 5-doc panel by its fan-out
+    // — the literal no longer bounds the output.
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id").as("doc_id"), col("event_type"))
+    val fanned = docs.select("doc_id", "lang")
+      .join(ev, Seq("doc_id"), "inner")
+    assert(!bounded(fanned.filter(col("doc_id") < 5)))
+    // The same filter over the un-joined scan stays certified.
+    assert(bounded(docs.filter(col("doc_id") < 5)))
+  }
+
+  test("a rank cap certifies only with no fan-out between cap and window") {
+    // rn <= 3 per lang, then a join that duplicates each capped row per
+    // matching corpus row — the cap no longer bounds the filter output.
+    val byLang = Window.partitionBy("lang").orderBy(col("doc_id"))
+    val ranked = docs.withColumn("rn", row_number().over(byLang))
+    val rejoined = ranked.select("doc_id", "lang", "rn")
+      .join(docs.select(col("doc_id").as("other_id"), col("lang")), "lang")
+    assert(!bounded(rejoined.filter(col("rn") <= 3)))
+    // Without the intervening join the cap certifies (see the
+    // row_number test above).
+  }
+
+  test("multi-path scans need EVERY root bounded; year() is not a domain") {
+    // Two roots, both the fixed dim: certified.
+    assert(bounded(spark.read.parquet(
+      s"$sf/nation.parquet", s"$sf/nation.parquet")))
+    // One root bounded, one not (same schema, non-dim name): the
+    // relation is only as bounded as its LARGEST root — exists() here
+    // would have certified a corpus-scaled mixed scan.
+    val other = "/root/repo/target/scratch/boundedwalk/notdim.parquet"
+    spark.read.parquet(s"$sf/nation.parquet")
+      .write.mode("overwrite").parquet(other)
+    assert(!bounded(spark.read.parquet(s"$sf/nation.parquet", other)))
+    // year(ts) has an unbounded codomain — a corpus's time span grows
+    // with its size (unlike hour/month/quarter).
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    assert(!bounded(ev.groupBy(year(col("ts").cast("timestamp")).as("y"))
+      .agg(count(lit(1)).as("n"))))
+  }
+
   test("generators bound only on literal fan-out; exploded collections do not") {
     // A 1-row grand aggregate holding a collected corpus-sized array
     // explodes right back to corpus rows — `Generate over bounded

@@ -52,17 +52,28 @@ class PanelsLineageSpec extends AnyFunSuite {
     assert(Lineage.planFor(-1).isEmpty)
   }
 
-  test("Staged.disk records the build plan under its tag") {
+  test("Staged.disk records the build plan under its tag, keyed by plan hash") {
     val dir = "/root/testdata/sf0.001"
     val tag = "panels_spec_probe"
     Staged.disk(spark, dir, tag) {
       spark.read.parquet(s"$dir/documents.parquet")
         .select("doc_id").orderBy("doc_id").limit(7)
     }
-    val plan = Staged.buildPlanFor(tag)
+    // The lookup is pinned to the generation's plan hash — read it
+    // back from the artifact directory's name, the way the plan
+    // auditors do.
+    val sfName = new java.io.File(dir).getName
+    val parent = new java.io.File(s"${Staged.cacheRoot}/$sfName")
+    val seg = Option(parent.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).find(_.startsWith(s"$tag-"))
+      .getOrElse(fail(s"no staged artifact for $tag under $parent"))
+    val hash = seg.stripPrefix(s"$tag-").split('-').head
+    val plan = Staged.buildPlanFor(tag, hash)
     assert(plan.nonEmpty, "spillThrough did not record the build plan")
     assert(plan.get.exists { case _: GlobalLimit => true; case _ => false },
       s"recorded build plan lost the limit:\n${plan.get}")
-    assert(Staged.buildPlanFor("no_such_tag").isEmpty)
+    // Wrong hash (a different generation) and unknown tags serve nothing.
+    assert(Staged.buildPlanFor(tag, "0").isEmpty)
+    assert(Staged.buildPlanFor("no_such_tag", hash).isEmpty)
   }
 }
