@@ -3,8 +3,23 @@ package graft.pipeline
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
 import org.apache.spark.sql.execution.LogicalRDD
+
+/** Id-only stand-in for a [[LogicalRDD]] leaf inside a REGISTERED plan.
+  * The registry must not store the LogicalRDD itself: in an iterative
+  * loop, round t's pre-checkpoint plan holds round t-1's checkpointed
+  * RDD as a leaf, so a registry of raw plans chains every generation's
+  * RDD strongly reachable for the JVM's life and ContextCleaner's
+  * GC-driven unpersist of localCheckpoint blocks never fires —
+  * corpus-scaled checkpoint blocks accumulate across a bench run. The
+  * stub carries only the RDD id (what the auditors' walk re-resolves
+  * through [[Lineage.planFor]] anyway) and the output attributes, so
+  * the stored plan keeps no reference that pins blocks. Never executed:
+  * it exists solely for the plan guards' structural walks.
+  */
+case class CheckpointRef(rddId: Int, output: Seq[Attribute]) extends LeafNode
 
 /** Pre-checkpoint plan registry: `localCheckpoint` replaces a frame's
   * logical plan with an opaque [[LogicalRDD]] leaf, which severs the
@@ -27,10 +42,16 @@ object Lineage {
   private val byRddId = new ConcurrentHashMap[Int, LogicalPlan]()
 
   /** `df.localCheckpoint(eager)` + record the pre-checkpoint analyzed
-    * plan under the resulting RDD's id.
+    * plan under the resulting RDD's id. Nested [[LogicalRDD]] leaves
+    * (earlier rounds' checkpoints) are stored as id-only
+    * [[CheckpointRef]] stubs so the registry never pins their RDD
+    * blocks — the guards' walk re-resolves a stub through [[planFor]]
+    * exactly as it resolved the raw leaf.
     */
   def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
-    val pre = df.queryExecution.analyzed
+    val pre = df.queryExecution.analyzed.transformUp {
+      case l: LogicalRDD => CheckpointRef(l.rdd.id, l.output)
+    }
     val out = df.localCheckpoint(eager)
     out.queryExecution.logical match {
       case l: LogicalRDD => byRddId.put(l.rdd.id, pre); ()

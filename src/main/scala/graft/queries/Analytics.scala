@@ -1989,34 +1989,23 @@ object Analytics {
       // single-reducer sort: `row_number() OVER (ORDER BY …)` puts the
       // whole dataset through one window partition (the driver-killer
       // at scale); `monotonically_increasing_id` is partition-layout-
-      // dependent, not an ordinal. Instead: (1) one tiny aggregate
-      // finds the key range, (2) rows shard deterministically by
-      // key div width into 32 bounded ranges, (3) per-shard counts
-      // (map-side combined, 32 rows) cumulate into shard offsets on
-      // the driver-sized side and broadcast back, (4) idx = offset +
-      // row_number within the shard. At 100 TB the shard count scales
-      // with the cluster; every heavy operator here is per-shard.
-      (s, dir) => {
-        val e = t(s, dir, "events").select(col("event_id"))
-        val width = e.agg(max("event_id").as("mx"))
-          .select((expr("mx div 32") + lit(1L)).as("w"))
-        val sharded = e.crossJoin(broadcast(width))
-          .withColumn("shard", expr("event_id div w"))
-        // The offsets window is ordered without a partition, but over
-        // at most 33 aggregated rows — the single partition is the
-        // point (a driver-sized cumulative), not a data-path sort.
-        val offsets = sharded.groupBy("shard").agg(count(lit(1)).as("c"))
-          .withColumn("off",
-            coalesce(sum("c").over(Window.orderBy("shard")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("shard", "off")
-        sharded.join(broadcast(offsets), "shard")
-          .withColumn("idx",
-            col("off") + row_number().over(
-              Window.partitionBy("shard").orderBy("event_id")))
-          .select(col("event_id"), col("idx"))
-          .orderBy("event_id")
-      },
+      // dependent, not an ordinal. The shard-offset pattern instead:
+      // (1) one tiny aggregate finds the key range, (2) rows shard
+      // deterministically by value into bounded ranges, (3) per-shard
+      // counts (map-side combined, ≤shards rows) cumulate into shard
+      // offsets on the driver-sized side and broadcast back, (4) idx =
+      // offset + row_number within the shard. This query was the
+      // didactic inline original of that pattern; it now rides the
+      // generalized helper (DistributedRank.withGlobalRank — same
+      // plan, and the helper derives the shard count from
+      // `spark.sql.shuffle.partitions`, so at 100 TB sizing the
+      // session's shuffle width for the cluster sizes the per-shard
+      // sorts with it; every heavy operator is per-shard).
+      (s, dir) => DistributedRank
+        .withGlobalRank(t(s, dir, "events").select(col("event_id")),
+          col("event_id"), col("event_id"), out = "idx")
+        .select(col("event_id"), col("idx"))
+        .orderBy("event_id"),
       Some("""SELECT event_id,
           row_number() OVER (ORDER BY event_id) AS idx
         FROM events ORDER BY event_id""")),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Text
+import graft.operators.DistributedRank
 
 /** Dataset-health operators a production training-data pipeline runs
   * continuously: distribution-drift monitoring between ingest periods,
@@ -1500,8 +1501,10 @@ object Health {
       // S(t) = Π (1 - d_i/n_i) over event times <= t. Scale shape: the
       // ONLY corpus-sized stage is the per-user aggregate; everything
       // after runs on at most one row per distinct duration-day
-      // (bounded by the observation window, ~31 here), so the global
-      // windows and the one-row array attach are bounded by design.
+      // (bounded by the observation window, ~31 here), and the one
+      // running total over that table rides the shard-offset helper
+      // anyway — the day span is the corpus's collection time, the one
+      // "small" count that grows with it.
       // Cross-engine determinism of the product: both engines fold the
       // IDENTICAL ordered factor sequence left-to-right (Spark
       // `aggregate` over the sorted steps array ≙ DuckDB `list_reduce`
@@ -1522,11 +1525,19 @@ object Health {
           sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
           sum(when(col("observed"), 0L).otherwise(1L)).as("c"))
         val tot = km.agg(sum(col("d") + col("c")).as("n_total"))
-        val w = Window.orderBy("t")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val km2 = km.crossJoin(broadcast(tot))
+        // The at-risk count is an EXCLUSIVE running total over the
+        // duration-day table. That table is observation-window-sized
+        // (~31 rows here), but its row count is the corpus's day SPAN —
+        // the one distinct-count that grows with collection time (the
+        // same reason the bounded walk excludes year()) — so the
+        // cumulative rides the shard-offset helper rather than a
+        // partition-less window: exclusive = inclusive − own weight.
+        val km2 = DistributedRank.withGlobalCumsum(
+            km.crossJoin(broadcast(tot)),
+            col("t"), lit(0L), col("d") + col("c"), out = "__km_cum")
           .withColumn("n_risk", col("n_total") -
-            coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+            (col("__km_cum") - (col("d") + col("c"))))
+          .drop("__km_cum")
         val steps = km2.agg(
           sort_array(collect_list(struct(col("t"), col("d"), col("n_risk"))))
             .as("steps"))

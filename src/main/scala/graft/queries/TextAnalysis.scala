@@ -1390,6 +1390,12 @@ object TextAnalysis {
           .crossJoin(broadcast(nTot))
           .filter(col("crk") === expr("(nn + 1) div 2"))
           .select(col("n_chars").as("med"))
+          // Structural no-op: the rank is a bijection onto 1..nn and
+          // (nn+1) div 2 ∈ [1,nn], so the filter already yields exactly
+          // one row — the literal limit states that bound in the plan,
+          // so the guards certify the broadcast attach without an
+          // allowlist claim (same discipline as Panels.fixed).
+          .limit(1)
         // q = rx(·,4) lives exactly on the 1e-4 grid, so the long lift
         // qi = floor(q·1e4 + 0.5) is lossless and order-preserving —
         // the integral key the range sharding needs.

@@ -43,10 +43,13 @@ class BnljGuardSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   /** Queries whose nested-loop sides are bounded by construction —
-    * each entry names the bound.
+    * each entry names the bound. EMPTY as of round 15: the last holder
+    * (agg_decile_lift's median-row attach) now states its
+    * exactly-one-row bound as a literal limit(1) in the plan, so the
+    * walk certifies it structurally. The guard is enforced everywhere
+    * and claimed nowhere.
     */
-  private val allowlist: Map[String, String] = Map(
-    "agg_decile_lift" -> "median-row attach: equi-select of exactly 1 row from the DistributedRank'd frame")
+  private val allowlist: Map[String, String] = Map.empty
 
   /** The subtree's row count is bounded independent of corpus scale —
     * the shared recognizer (one walk for both plan guards).

@@ -67,6 +67,16 @@ object BoundedWalk {
     */
   val uniqueIdCols: Set[String] = Set("vec_id", "doc_id")
 
+  /** The unique-id columns' HOME tables — the only corpus scans where
+    * doc_id / vec_id are one-row-per-value by construction. A
+    * disk-staged artifact written after a fan-out join re-enters the
+    * walk as an opaque parquet leaf where the id can repeat corpus-many
+    * times, so the id-panel rule must not treat every leaf as
+    * fan-out-free (final-segment match, like [[boundedTables]]).
+    */
+  val uniqueIdHomeTables: Set[String] = Set(
+    "documents.parquet", "embeddings.parquet")
+
   /** Fixed/star dimension tables, matched by the leaf path's FINAL
     * segment (not substring — a future artifact whose path merely
     * contains "part.parquet" must not inherit the bound).
@@ -74,6 +84,24 @@ object BoundedWalk {
   val boundedTables: Set[String] = Set(
     "region.parquet", "nation.parquet",
     "customer.parquet", "supplier.parquet", "part.parquet")
+
+  /** Columns whose VALUE SET is a subset of a bounded dimension's key
+    * set — the dimensions' own keys plus the synthetic model's foreign
+    * keys into them (TESTDATA.md mirrors TPC-H referential integrity).
+    * A grouped aggregate keyed on one has at most |dimension| rows no
+    * matter how large the fact table it reads: the walk's stand-in for
+    * the foreign-key knowledge a catalog would carry. Fact-table keys
+    * (o_orderkey, l_orderkey, event/doc/vec ids) are deliberately
+    * absent — their domains are corpus-scaled. Like
+    * [[domainBoundedCols]], the name certifies only at a source leaf;
+    * aliases are traced to their definitions.
+    */
+  val dimFkCols: Set[String] = Set(
+    "s_suppkey", "l_suppkey", "ps_suppkey",
+    "p_partkey", "l_partkey", "ps_partkey",
+    "c_custkey", "o_custkey",
+    "n_nationkey", "c_nationkey", "s_nationkey",
+    "r_regionkey", "n_regionkey")
 
   /** Staged panel artifacts whose builders cap a JOINED frame the walk
     * cannot size from the build plan alone (the panel limit runs
@@ -111,34 +139,97 @@ object BoundedWalk {
     * aggregate emits at most one row per input group. Guards the
     * id-panel rule: `filter(doc_id < k)` bounds the OUTPUT only while
     * nothing below the filter duplicated the id (a join under the
-    * filter re-scales the panel by its fan-out).
+    * filter re-scales the panel by its fan-out). LEAVES are not free by
+    * default: an opaque parquet leaf may be a staged artifact WRITTEN
+    * after a fan-out join (the id repeats corpus-many times inside it),
+    * so a file leaf qualifies only as the id's home table, a bounded
+    * dimension, or a staged artifact whose RECORDED build plan is
+    * itself fan-out free; checkpoint/cache leaves recurse through their
+    * registries like the bounded walk does.
     */
   private def fanoutFree(p: LogicalPlan): Boolean = p match {
-    case _: Join | _: Union | _: Generate => false
-    case _: LeafNode => true
+    // A LITERAL-fan-out generator multiplies each id's row count by a
+    // corpus-independent constant (posexplode over an array(…) of
+    // literal length — the subvector-unnest idiom), so an id panel
+    // stays |panel|·n: allowed. A DATA-array explode is not.
+    case g: Generate => boundedGenerator(g.generator) && fanoutFree(g.child)
+    case _: Join | _: Union => false
+    case leaf: LeafNode => fanoutFreeLeaf(leaf)
     case a: Aggregate => fanoutFree(a.child)
     case other if other.children.size == 1 =>
       !fanoutOperator(other.nodeName) && fanoutFree(other.children.head)
     case _ => false
   }
 
+  private def fanoutFreeLeafPath(pathStr: String): Boolean = {
+    val fsPath = leafFsPath(pathStr)
+    val seg = fsPath.stripSuffix("/").split('/').last
+    uniqueIdHomeTables.contains(seg) || boundedTables.contains(seg) || {
+      val root = leafFsPath(graft.pipeline.Staged.cacheRoot)
+        .stripSuffix("/") + "/"
+      fsPath.startsWith(root) && {
+        val m = "^([A-Za-z0-9_]+)-(\\d+)-[0-9a-f]+$".r.findFirstMatchIn(seg)
+        m.exists(g => graft.pipeline.Staged
+          .buildPlanFor(g.group(1), g.group(2)).exists(fanoutFree))
+      }
+    }
+  }
+
+  private def fanoutFreeLeaf(p: LeafNode): Boolean = p match {
+    case _: LocalRelation => true
+    case _: Range => true
+    case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      r.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.nonEmpty &&
+            fs.location.rootPaths.forall(pth => fanoutFreeLeafPath(pth.toString))
+        case _ => false
+      }
+    case l: execution.LogicalRDD =>
+      graft.pipeline.Lineage.planFor(l.rdd.id).exists(fanoutFree)
+    case c: graft.pipeline.CheckpointRef =>
+      graft.pipeline.Lineage.planFor(c.rddId).exists(fanoutFree)
+    case m: execution.columnar.InMemoryRelation =>
+      fanoutFreePhys(m.cachedPlan)
+    case _ => false
+  }
+
   private def fanoutFreePhys(p: execution.SparkPlan): Boolean = p match {
-    case _: execution.joins.BaseJoinExec | _: execution.UnionExec |
-        _: execution.GenerateExec => false
-    case _: execution.LeafExecNode => true
+    // See the logical twin: literal-fan-out generators are allowed.
+    case g: execution.GenerateExec =>
+      boundedGenerator(g.generator) && fanoutFreePhys(g.child)
+    case _: execution.joins.BaseJoinExec | _: execution.UnionExec => false
+    case _: execution.LocalTableScanExec => true
+    case _: execution.RangeExec => true
+    case sc: execution.FileSourceScanExec =>
+      sc.relation.location.rootPaths.nonEmpty &&
+        sc.relation.location.rootPaths.forall(pth =>
+          fanoutFreeLeafPath(pth.toString))
+    case r: execution.RDDScanExec =>
+      graft.pipeline.Lineage.planFor(r.rdd.id).exists(fanoutFree)
+    case m: execution.columnar.InMemoryTableScanExec =>
+      fanoutFreePhys(m.relation.cachedPlan)
+    case aq: execution.adaptive.AdaptiveSparkPlanExec =>
+      fanoutFreePhys(aq.inputPlan)
+    case q: execution.adaptive.QueryStageExec => fanoutFreePhys(q.plan)
+    case _: execution.LeafExecNode => false
     case a: execution.aggregate.BaseAggregateExec => fanoutFreePhys(a.child)
     case other if other.children.size == 1 =>
       !fanoutOperator(other.nodeName) && fanoutFreePhys(other.children.head)
     case _ => false
   }
 
-  private def domainBoundedByName(a: Attribute): Boolean =
-    domainBoundedCols.contains(a.name) ||
-      // __gr_shard_* values are [0, nShards] by DistributedRank's own
-      // literal math. __gr_grp_* is deliberately NOT trusted by name:
-      // it is a copy of the CALLER's group column, so the walk traces
-      // it through its defining alias like any other attribute.
-      a.name.startsWith("__gr_shard_")
+  /** Leaf-level name trust: a fixed-enum domain column or a dimension
+    * FK — consulted ONLY where alias tracing bottoms out at a source
+    * leaf (see the Attribute case of [[domainBoundedExpr]]).
+    * __gr_shard_* is handled separately there: it is alias-defined by
+    * design (DistributedRank's own literal math), so it is exempt from
+    * the trace-first rule. __gr_grp_* is deliberately NOT trusted by
+    * name: it is a copy of the CALLER's group column, so the walk
+    * traces it through its defining alias like any other attribute.
+    */
+  private def leafNameBounded(a: Attribute): Boolean =
+    domainBoundedCols.contains(a.name) || dimFkCols.contains(a.name)
 
   /** The generator's PER-ROW fan-out is a literal: stack(n, …) emits
     * exactly n rows, explode/posexplode of a literal-length array (or
@@ -187,6 +278,38 @@ object BoundedWalk {
     if (idx < 0 || idx >= inner.output.length) Nil
     else Seq((inner.output(idx): Expression, PScope(inner)))
   }
+
+  /** Resolution hop across a disk-staged artifact boundary: a staged
+    * parquet leaf's column is DEFINED by the recorded build plan's
+    * same-named output column (exprIds do not survive the write/read
+    * roundtrip; names do, and parquet field names are unique — NOT
+    * positional, because the reading scan may be column-pruned). Only
+    * for single-root leaves under the stage-cache root whose recovered
+    * tag-hash pins the registry lookup to THIS generation's build plan
+    * — the same gate as [[boundedLeafPath]]. This is what lets a
+    * domain/FK bound survive the `l_suppkey AS s` rename inside a
+    * staged build: the trace continues into the recorded plan instead
+    * of stopping at an opaque leaf.
+    */
+  private def stagedBuildDefs(
+      a: Attribute, roots: Seq[String]): Seq[(Expression, Scope)] =
+    roots match {
+      case Seq(single) =>
+        val fsPath = leafFsPath(single)
+        val seg = fsPath.stripSuffix("/").split('/').last
+        val root = leafFsPath(graft.pipeline.Staged.cacheRoot)
+          .stripSuffix("/") + "/"
+        if (!fsPath.startsWith(root)) Nil
+        else {
+          val m = "^([A-Za-z0-9_]+)-(\\d+)-[0-9a-f]+$".r.findFirstMatchIn(seg)
+          (for {
+            g <- m
+            plan <- graft.pipeline.Staged.buildPlanFor(g.group(1), g.group(2))
+            out <- plan.output.find(_.name == a.name)
+          } yield Seq((out: Expression, LScope(plan): Scope))).getOrElse(Nil)
+        }
+      case _ => Nil
+    }
 
   /** Feeder expressions of generator output slot `idx` — shared by the
     * logical and physical resolvers.
@@ -244,8 +367,15 @@ object BoundedWalk {
       case g: Generate =>
         val idx = g.generatorOutput.indexWhere(_.exprId == a.exprId)
         if (idx < 0) resolveDefs(a, g.child)
-        else generatorFeeders(g.generator, idx)
-          .map(e => (e, LScope(g.child): Scope))
+        else {
+          val fs = generatorFeeders(g.generator, idx)
+          // No recoverable feeders (explode of a DATA array, non-literal
+          // stack) is RESOLVED-BUT-UNPROVABLE, not a leaf: return the
+          // generator itself as a poison definition so the caller never
+          // falls back to bare-name trust for `explode(…).as("lang")`.
+          if (fs.isEmpty) Seq((g.generator: Expression, LScope(g.child): Scope))
+          else fs.map(e => (e, LScope(g.child): Scope))
+        }
       case u: Union =>
         // Positional lineage: the union column's values are the union
         // of every branch's column at the same position.
@@ -257,6 +387,12 @@ object BoundedWalk {
         if (l.nonEmpty) l else resolveDefs(a, j.right)
       case m: execution.columnar.InMemoryRelation =>
         crossCache(a, m.output, m.cachedPlan)
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            stagedBuildDefs(a, fs.location.rootPaths.map(_.toString))
+          case _ => Nil
+        }
       case _: LeafNode => Nil
       case other if other.children.size == 1 =>
         resolveDefs(a, other.children.head)
@@ -284,8 +420,13 @@ object BoundedWalk {
       case g: execution.GenerateExec =>
         val idx = g.generatorOutput.indexWhere(_.exprId == a.exprId)
         if (idx < 0) resolveDefsPhys(a, g.child)
-        else generatorFeeders(g.generator, idx)
-          .map(e => (e, PScope(g.child): Scope))
+        else {
+          val fs = generatorFeeders(g.generator, idx)
+          // See the logical twin: poison, never name-trust, a generator
+          // output without recoverable feeders.
+          if (fs.isEmpty) Seq((g.generator: Expression, PScope(g.child): Scope))
+          else fs.map(e => (e, PScope(g.child): Scope))
+        }
       case u: execution.UnionExec =>
         val idx = u.output.indexWhere(_.exprId == a.exprId)
         if (idx < 0) Nil
@@ -294,7 +435,15 @@ object BoundedWalk {
         val l = resolveDefsPhys(a, j.left)
         if (l.nonEmpty) l else resolveDefsPhys(a, j.right)
       case m: execution.columnar.InMemoryTableScanExec =>
-        crossCache(a, m.output, m.relation.cachedPlan)
+        // Hop through the RELATION's full output, never the scan's: the
+        // scan is column-PRUNED, so its positions do not align with the
+        // cached plan's — m.output-based indexing mapped a pruned
+        // p_brand scan onto the cached plan's column 0 (the basket
+        // key). relation.output is position-aligned with cachedPlan
+        // .output by construction; the scan's attrs share its exprIds.
+        crossCache(a, m.relation.output, m.relation.cachedPlan)
+      case sc: execution.FileSourceScanExec =>
+        stagedBuildDefs(a, sc.relation.location.rootPaths.map(_.toString))
       case aq: execution.adaptive.AdaptiveSparkPlanExec =>
         resolveDefsPhys(a, aq.inputPlan)
       case q: execution.adaptive.QueryStageExec => resolveDefsPhys(a, q.plan)
@@ -314,12 +463,25 @@ object BoundedWalk {
     e match {
       case _: Literal => true
       case a: Attribute =>
-        domainBoundedByName(a) || scope.exists { sc =>
-          val defs = sc.resolve(a)
-          defs.nonEmpty && defs.forall {
-            case (d, sub) => domainBoundedExpr(d, Some(sub))
-          }
-        }
+        // __gr_shard_* is DistributedRank's reserved infrastructure
+        // prefix — values ∈ [0, nShards] by its own literal decimal
+        // math, and the prefix is ALIAS-defined by design, so it is
+        // exempt from the trace-first rule below. The reservation is a
+        // checked invariant, not review: BoundedWalkSpec pins that no
+        // main source outside DistributedRank.scala mints the prefix.
+        a.name.startsWith("__gr_shard_") || (scope match {
+          // A DOMAIN/FK name certifies only when no defining alias is
+          // locatable (the attribute is a source column read off a
+          // leaf): an `.as("lang")` re-label of a corpus-valued
+          // expression must be judged by its traced definition, or the
+          // rename-not-alias convention for domain keys is enforced
+          // only by review, never by the walk.
+          case None => leafNameBounded(a)
+          case Some(sc) =>
+            val defs = sc.resolve(a)
+            if (defs.isEmpty) leafNameBounded(a)
+            else defs.forall { case (d, sub) => domainBoundedExpr(d, Some(sub)) }
+        })
       // Year is deliberately ABSENT: a corpus whose time span grows
       // with its size grows its distinct-year count too.
       case _: Hour | _: Minute | _: Second | _: DayOfWeek | _: WeekDay |
@@ -346,6 +508,18 @@ object BoundedWalk {
           }
           case other => fieldOf(other).exists(domainBoundedExpr(_, scope))
         }
+      // Branching selects FROM its branches: the output domain is the
+      // union of the branch domains, so a CASE/IF/COALESCE whose every
+      // branch is domain-bounded is too — the classifier idiom
+      // (`CASE WHEN stopword-hits THEN 'en' … ELSE 'und'`) certifies by
+      // its literal branches, not by what its predicates read.
+      case cw: CaseWhen =>
+        cw.branches.forall { case (_, v) => domainBoundedExpr(v, scope) } &&
+          cw.elseValue.forall(domainBoundedExpr(_, scope))
+      case i: If =>
+        domainBoundedExpr(i.trueValue, scope) &&
+          domainBoundedExpr(i.falseValue, scope)
+      case c: Coalesce => c.children.forall(domainBoundedExpr(_, scope))
       case _ => false
     }
 
@@ -545,13 +719,28 @@ object BoundedWalk {
     * the `tag-<hash>-<fp>` naming must not be judged by a registered
     * tag's plan (the registry describes stagecache artifacts only).
     */
+  /** Filesystem-path view of a leaf location: `file:`, `file://`, and
+    * `file:///` spellings (and any other scheme) all normalize to the
+    * bare URI path — a literal `stripPrefix("file:")` left
+    * `//`-qualified roots with extra slashes, silently failing the
+    * under-cache-root gate and spuriously de-certifying staged
+    * artifacts on such Hadoop configurations.
+    */
+  private def leafFsPath(pathStr: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(pathStr).toUri.getPath
+      if (p == null || p.isEmpty) pathStr else p
+    } catch { case _: IllegalArgumentException => pathStr }
+
   private def boundedLeafPath(pathStr: String): Boolean = {
-    val seg = pathStr.stripSuffix("/").split('/').last
+    val fsPath = leafFsPath(pathStr)
+    val seg = fsPath.stripSuffix("/").split('/').last
     boundedTables.contains(seg) || {
       // Trailing separator: a SIBLING like .../stagecacheX must not
       // pass the under-the-cache-root gate.
-      val root = graft.pipeline.Staged.cacheRoot.stripSuffix("/") + "/"
-      val underCache = pathStr.stripPrefix("file:").startsWith(root)
+      val root = leafFsPath(graft.pipeline.Staged.cacheRoot)
+        .stripSuffix("/") + "/"
+      val underCache = fsPath.startsWith(root)
       underCache && (
         boundedStagedTags.exists(t => seg.startsWith(s"$t-")) || {
           // Staged dirs are `tag-<hash>-<fp>`: recover tag AND hash and
@@ -582,6 +771,11 @@ object BoundedWalk {
     case l: execution.LogicalRDD =>
       // Checkpointed frame: judge the recorded PRE-checkpoint plan.
       graft.pipeline.Lineage.planFor(l.rdd.id).exists(isBounded)
+    case c: graft.pipeline.CheckpointRef =>
+      // Nested checkpoint inside a REGISTERED plan (Lineage stores
+      // LogicalRDD leaves as id-only stubs so the registry never pins
+      // their RDD blocks) — resolve exactly like the raw leaf.
+      graft.pipeline.Lineage.planFor(c.rddId).exists(isBounded)
     case m: execution.columnar.InMemoryRelation =>
       // Persisted (Staged) frame: judge the CACHED physical subtree.
       boundedPhysical(m.cachedPlan)

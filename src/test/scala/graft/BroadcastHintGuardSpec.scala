@@ -34,9 +34,11 @@ class BroadcastHintGuardSpec extends AnyFunSuite {
     * cannot certify — each entry names the bound.
     */
   private val allowlist: Map[String, String] = Map(
-    "agg_decile_lift" -> "the median-row attach: crk = (nn+1) div 2 equi-selects exactly 1 row",
-    "graph_bipartite_cf" -> "supplier-degree tables: supplier-DIMENSION-keyed aggregates of the edge artifact (an FK bound — values ⊆ s_suppkey — the structural walk has no foreign-key notion)",
-    "layout_global_index" -> "the inline ≤33-row shard-offset cumulative (the DistributedRank prototype, shard = id div width)",
+    // The round-15 walk extensions retired the other three entries
+    // structurally: agg_decile_lift's median attach carries a literal
+    // limit(1), layout_global_index rides DistributedRank, and
+    // graph_bipartite_cf's degree tables certify through the FK
+    // vocabulary (dimFkCols) traced across the staged-artifact hop.
     "pipeline_batch_envelope" -> "the reference's term-classification dictionary (api) — its own in-memory dict, dimension-bounded in the reference's model",
     "pipeline_nested_enrich" -> "the reference's known/api dictionaries (same bound as pipeline_batch_envelope)")
 

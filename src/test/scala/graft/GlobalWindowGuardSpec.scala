@@ -40,12 +40,16 @@ class GlobalWindowGuardSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   /** Queries whose partition-less windows all run over driver-sized
-    * inputs — each entry names the bound.
+    * inputs — each entry names the bound. EMPTY as of round 15: the
+    * last two holders were rebuilt on DistributedRank
+    * (layout_global_index's inline prototype now calls the helper it
+    * prototyped; win_kaplan_meier's risk-set cumulative rides
+    * withGlobalCumsum — its duration-day table grows with the corpus's
+    * collection span, so the rebuild is the scale-right plan, not just
+    * a certification fix). The guard is now enforced everywhere and
+    * claimed nowhere.
     */
-  private val allowlist: Map[String, String] = Map(
-    "layout_global_index" -> "offsets cumulative over ≤33 shard-count rows (the didactic original of the DistributedRank pattern)",
-    "win_kaplan_meier" -> "risk-set cumulative + survival attach over one row per duration day (~31, observation-window-bounded)"
-  )
+  private val allowlist: Map[String, String] = Map.empty
 
   /** DistributedRank's offsets cumulative: partition-less by design,
     * but over the ≤ shards+1-row aggregate of its `__gr_shard_*`
