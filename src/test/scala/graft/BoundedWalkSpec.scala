@@ -180,4 +180,171 @@ class BoundedWalkSpec extends AnyFunSuite {
     assert(bounded(graft.pipeline.Panels.fixed(docs, "doc_id", 7)))
     assert(!bounded(docs.select("doc_id")))
   }
+
+  // ——— round-15 recognizers ———
+
+  test("domain names certify at leaves only; alias re-labels are traced") {
+    // Genuine source column, through projections: still name-certified.
+    assert(bounded(docs.select("lang", "doc_id").groupBy("lang")
+      .agg(count(lit(1)).as("n"))))
+    // Domain-preserving redefinitions certify by their traced branches.
+    assert(bounded(docs.select(coalesce(col("lang"), lit("und")).as("lang"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))))
+    val predLang = when(col("n_chars") > 100, lit("en"))
+      .when(col("n_chars") > 50, lit("de")).otherwise(lit("und"))
+    assert(bounded(docs.select(predLang.as("pred_lang"))
+      .groupBy("pred_lang").agg(count(lit(1)).as("n"))))
+    // A CASE with one corpus-valued branch poisons the domain.
+    val leaky = when(col("n_chars") > 100, lit("en")).otherwise(col("text"))
+    assert(!bounded(docs.select(leaky.as("pred_lang"))
+      .groupBy("pred_lang").agg(count(lit(1)).as("n"))))
+  }
+
+  test("dimension-FK keys certify at leaves and across a staged rename") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // FK into the supplier dimension, read off its home fact leaf:
+    // ≤ |supplier| groups no matter the fact-table size.
+    assert(bounded(li.groupBy("l_suppkey").agg(count(lit(1)).as("n"))))
+    // Fact keys carry no dimension bound.
+    assert(!bounded(li.groupBy("l_orderkey").agg(count(lit(1)).as("n"))))
+    // The FK bound survives an `AS s` rename inside a disk-staged build:
+    // resolution hops into the recorded build plan by column name.
+    val edges = graft.pipeline.Staged.disk(spark, sf, "bw_fk_edges") {
+      li.select(col("l_suppkey").as("s")).distinct()
+    }
+    assert(bounded(edges.groupBy("s").agg(count(lit(1)).as("n"))))
+  }
+
+  test("id panels certify only over leaves that cannot repeat the id") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    // Home-table scan: one row per doc_id by construction.
+    assert(bounded(docs.filter(col("doc_id") < 5)))
+    // A staged artifact with a fan-out-free recorded build plan keeps
+    // the panel bound across the write/read boundary…
+    val flat = graft.pipeline.Staged.disk(spark, sf, "bw_flat_docs") {
+      docs.select(col("doc_id"), col("lang"))
+    }
+    assert(bounded(flat.filter(col("doc_id") < 5)))
+    // …and a literal-fan-out generator in the build multiplies the
+    // panel by a constant only (the subvector-unnest idiom).
+    val subs = graft.pipeline.Staged.disk(spark, sf, "bw_sub_docs") {
+      docs.select(col("doc_id"),
+        posexplode(array(lit(0), lit(1))).as(Seq("m", "x")))
+    }
+    assert(bounded(subs.filter(col("doc_id") < 5)))
+    // But a staged artifact whose build JOINED a corpus table repeats
+    // each id corpus-many times — the opaque leaf must not be treated
+    // as fan-out free (the id-panel-over-artifact hole).
+    val fanned = graft.pipeline.Staged.disk(spark, sf, "bw_fanout_docs") {
+      docs.select(col("doc_id"))
+        .join(ev.select(col("user_id").as("doc_id"), col("value")),
+          Seq("doc_id"))
+    }
+    assert(!bounded(fanned.filter(col("doc_id") < 5)))
+  }
+
+  test("leaf paths normalize file: scheme spellings") {
+    // file:// and file:/// qualified roots must certify like bare paths
+    // — a literal 'file:' strip left extra slashes and spuriously
+    // de-certified staged artifacts on such Hadoop configurations.
+    assert(bounded(spark.read.parquet(s"file://$sf/nation.parquet")))
+    assert(bounded(spark.read.parquet(s"file:$sf/nation.parquet")))
+  }
+
+  test("tracing through a column-pruned cached scan maps positions correctly") {
+    // The cached physical subtree reads the persisted base through an
+    // InMemoryTableScan PRUNED to one column; positional hopping via
+    // the scan's own output mapped column 0 of the cached plan (the
+    // corpus key) instead of the pruned column — the trace must route
+    // through the relation's full output.
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val base = ev.select(col("user_id"), col("event_type")).persist()
+    val agg = base.groupBy("event_type").agg(count(lit(1)).as("n")).persist()
+    try {
+      agg.count()
+      assert(bounded(agg.filter(col("n") > 0)))
+    } finally {
+      agg.unpersist(false); base.unpersist(false); ()
+    }
+  }
+
+  test("adversarial plans that MUST stay unbounded (negative corpus)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val byLang = Window.partitionBy("lang").orderBy(col("doc_id"))
+    val byChars = Window.partitionBy("n_chars").orderBy(col("doc_id"))
+    val fanned = docs.select("doc_id", "lang")
+      .join(ev.select(col("user_id").as("doc_id"), col("value")), Seq("doc_id"))
+    // Each case is a closed soundness hole with the trick it attempts;
+    // a recognizer extension that certifies ANY of these has
+    // over-reached and must be rolled back.
+    val adversarial: Seq[(String, DataFrame)] = Seq(
+      "OR-shadowed id bound" ->
+        docs.filter(col("doc_id") < 10 || col("n_chars") > 0),
+      "negated id bound" ->
+        docs.filter(!(col("doc_id") < 10)),
+      "id bound above a fan-out join" ->
+        fanned.filter(col("doc_id") < 5),
+      "rank() tie cap (unbounded ties)" ->
+        docs.withColumn("rk", rank().over(byLang)).filter(col("rk") === 1),
+      "row_number cap over a corpus partition key" ->
+        docs.withColumn("rk", row_number().over(byChars))
+          .filter(col("rk") === 1),
+      "corpus text laundered as a domain name" ->
+        docs.select(col("text").as("lang")).groupBy("lang")
+          .agg(count(lit(1)).as("n")),
+      "substring of corpus text laundered as a label" ->
+        docs.select(substring(col("text"), 1, 8).as("label"))
+          .groupBy("label").agg(count(lit(1)).as("n")),
+      "exploded corpus tokens laundered as a domain name" ->
+        docs.select(explode(split(col("text"), " ")).as("lang"))
+          .groupBy("lang").agg(count(lit(1)).as("n")),
+      "corpus id laundered as a dimension FK" ->
+        docs.select(col("doc_id").as("l_suppkey")).groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n")),
+      "union branch widening a domain column with corpus values" ->
+        docs.select(col("lang")).union(docs.select(col("text").as("lang")))
+          .groupBy("lang").agg(count(lit(1)).as("n")),
+      "union type-widening over a laundered key" ->
+        docs.select(pmod(col("doc_id"), lit(64L)).cast("int").as("b"))
+          .union(docs.select(col("doc_id").cast("int").as("b")))
+          .groupBy("b").agg(count(lit(1)).as("n")),
+      "year() grouping (span grows with the corpus)" ->
+        ev.groupBy(year(col("ts").cast("timestamp")).as("y"))
+          .agg(count(lit(1)).as("n")),
+      "fact key grouping (no dimension bound)" ->
+        li.groupBy("l_orderkey").agg(count(lit(1)).as("n")),
+      "explode of a collected corpus array over a 1-row aggregate" ->
+        docs.agg(collect_list(col("doc_id")).as("ids"))
+          .select(explode(col("ids")).as("id")),
+      "corpus column renamed to an event-type domain name" ->
+        ev.select(col("value").cast("string").as("event_type"))
+          .groupBy("event_type").agg(count(lit(1)).as("n")))
+    val certified = adversarial.collect {
+      case (label, df) if bounded(df) => label
+    }
+    assert(certified.isEmpty,
+      s"over-certified adversarial plans: ${certified.mkString("; ")}")
+  }
+
+  test("__gr_shard_ is a reserved prefix minted only by DistributedRank") {
+    // The walk name-trusts __gr_shard_* (alias-defined by the helper's
+    // literal decimal math), so the prefix must stay the helper's
+    // private namespace: no other main source may mint it.
+    val root = new java.io.File("/root/repo/src/main/scala")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    val offenders = walk(root)
+      .filter(_.getName.endsWith(".scala"))
+      .filterNot(_.getName == "DistributedRank.scala")
+      .filter { f =>
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .contains("__gr_shard_")
+      }
+      .map(_.getName)
+    assert(offenders.isEmpty,
+      s"__gr_shard_ minted outside DistributedRank: ${offenders.mkString(", ")}")
+  }
 }

@@ -52,6 +52,31 @@ class PanelsLineageSpec extends AnyFunSuite {
     assert(Lineage.planFor(-1).isEmpty)
   }
 
+  test("registered plans hold checkpoint leaves as id stubs, never the RDD") {
+    // Iterative loops checkpoint per round, and round t's registered
+    // plan embeds round t-1's checkpoint as a LEAF. Storing the raw
+    // LogicalRDD there chains every generation's RDD strongly reachable
+    // for the JVM's life, so ContextCleaner can never GC-unpersist the
+    // localCheckpoint blocks — the registry must store id-only
+    // CheckpointRef stubs, and the auditors' walk must resolve a stub
+    // through planFor exactly like the raw leaf.
+    val r1 = Lineage.checkpoint((1L to 10L).toDF("id").limit(3))
+    val r2 = Lineage.checkpoint(r1.filter(col("id") >= 0))
+    val rddId = r2.queryExecution.logical match {
+      case l: LogicalRDD => l.rdd.id
+      case other => fail(s"checkpoint did not plan a LogicalRDD: $other")
+    }
+    val recorded = Lineage.planFor(rddId).getOrElse(fail("no plan recorded"))
+    assert(!recorded.exists { case _: LogicalRDD => true; case _ => false },
+      s"registered plan pins an RDD via a raw LogicalRDD leaf:\n$recorded")
+    val stubs = recorded.collect { case c: graft.pipeline.CheckpointRef => c }
+    assert(stubs.nonEmpty, "nested checkpoint was not stubbed")
+    // The stub resolves onward: round 2's plan is bounded because round
+    // 1's recorded plan carries the limit.
+    assert(BoundedWalk.isBounded(recorded),
+      "the walk no longer certifies through a CheckpointRef stub")
+  }
+
   test("Staged.disk records the build plan under its tag, keyed by plan hash") {
     val dir = "/root/testdata/sf0.001"
     val tag = "panels_spec_probe"

@@ -70,4 +70,39 @@ class PartitionInvarianceSpec extends AnyFunSuite {
         assert(narrow.nonEmpty, s"$name returned no rows")
       } finally spark.conf.set(conf, saved)
     }
+
+  // The deployment-aware claim itself: DistributedRank derives its
+  // shard count from `spark.sql.shuffle.partitions` (min-clamped to
+  // 32), so re-sizing the session's shuffle width for a cluster must
+  // (a) actually change the planned shard width on the helper's two
+  // heaviest consumers and (b) never change their results — the rank
+  // is exact at any shard layout.
+  for (name <- Seq("layout_global_index", "text_vocab_coverage_curve"))
+    test(s"$name follows the session shard conf and is stable at 8 vs 64") {
+      val conf = "spark.sql.shuffle.partitions"
+      val saved = spark.conf.get(conf)
+      try {
+        // The shard count appears as the width divisor in the bounds
+        // aggregate: `… / cast(N as decimal…` in the analyzed plan.
+        def divisor(n: Int) = s"/ cast($n as decimal"
+        spark.conf.set(conf, "8")
+        val at8 = rows(name)
+        // 8 min-clamps to 32 shards: per-shard sorts must never drop
+        // below the local default just because a test narrowed the
+        // shuffle width.
+        val plan8 = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.analyzed.toString
+        assert(plan8.contains(divisor(32)) && !plan8.contains(divisor(64)),
+          s"$name at partitions=8 did not clamp to 32 shards")
+        spark.conf.set(conf, "64")
+        val at64 = rows(name)
+        val plan64 = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.analyzed.toString
+        assert(plan64.contains(divisor(64)),
+          s"$name at partitions=64 did not derive 64 shards")
+        assert(at8 === at64,
+          s"$name changed results when shard count changed 32 -> 64")
+        assert(at8.nonEmpty, s"$name returned no rows")
+      } finally spark.conf.set(conf, saved)
+    }
 }
