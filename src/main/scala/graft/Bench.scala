@@ -67,7 +67,11 @@ object Bench {
       // weighted-median value table), the assoc basket/freq caches,
       // the supplier-part bipartite edge set, and the RAKE word scores
       "sim_hybrid_retrieval", "agg_weighted_median", "agg_assoc_rules",
-      "graph_bipartite_cf", "text_rake_keywords")
+      "graph_bipartite_cf", "text_rake_keywords",
+      // fuzzy_ents + fuzzy_variants (the SymSpell artifact pair): the
+      // probe query should time the probe join, not the index
+      // read-back, same attribution as every other staged family.
+      "str_fuzzy_match")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
     val s0 = System.nanoTime()
     val stagerSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]

@@ -199,25 +199,32 @@ object Health {
       // 64-bit integer arithmetic (counts and ±1 signs), so the
       // estimate — INCLUDING the rank-based median — replays
       // bit-identically in DuckDB. At 100 TB: one map-side-combined
-      // count per key, then 16 tiny signed sums; the sketch never
-      // materializes the key space on one node.
+      // count per key, then ONE grand aggregate computes all 16 signed
+      // sums AND the exact F2 in the same pass over the key-frequency
+      // table (the estimator-id explode with its 16× row blowup, the
+      // per-estimator shuffle, and the separate truth aggregate all
+      // collapse into 17 columns of one map-side-combined fold);
+      // everything after runs on a 16-row stack of that single row.
       (s, dir) => {
+        def sgn(i: Int) =
+          when(pmod(Text.md5Hash32(
+            concat(lit("ams"), lit(i.toString), lit(":"),
+              col("k").cast("string"))), lit(2L)) === 0, 1L).otherwise(-1L)
         val freq = t(s, dir, "lineitem")
           .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("f"))
-        val est = freq
-          .crossJoin(s.range(16).select(col("id").cast("int").as("i")))
-          .withColumn("sgn",
-            when(pmod(Text.md5Hash32(
-              concat(lit("ams"), col("i").cast("string"), lit(":"),
-                col("k").cast("string"))), lit(2L)) === 0, 1L).otherwise(-1L))
-          .groupBy("i").agg(sum(col("sgn") * col("f")).as("z"))
-          .withColumn("x2", col("z") * col("z"))
+        val zcols = (0 until 16).map(i => sum(sgn(i) * col("f")).as(s"z$i"))
+        val onerow = freq.agg(zcols.head,
+          (zcols.tail :+ sum(col("f") * col("f")).as("true_f2")): _*)
+        val est = onerow
+          .select(col("true_f2"), expr("stack(16, " +
+            (0 until 16).map(i => s"$i, z$i").mkString(", ") + ") AS (i, z)"))
+          .select(col("i").cast("int").as("i"),
+            (col("z") * col("z")).as("x2"), col("true_f2"))
         val ranked = est.withColumn("rn",
           row_number().over(Window.orderBy(col("x2"), col("i"))))
         val med = ranked.filter(col("rn").isin(8, 9))
           .agg((sum("x2").cast("double") / 2.0).as("est_f2"))
-        val truth = freq.agg(sum(col("f") * col("f")).as("true_f2"))
-        ranked.crossJoin(med).crossJoin(truth)
+        ranked.crossJoin(med)
           .select(col("i"), col("x2"), col("est_f2"), col("true_f2"),
             ((col("est_f2") - col("true_f2").cast("double")) /
               col("true_f2").cast("double")).as("rel_err"))

@@ -457,10 +457,12 @@ object Pipeline {
       // because the entity vocabulary GROWS with the corpus here,
       // making within-block pairs corpus-quadratic.
       (s, dir) => {
-        // Memoized: the entity list feeds the dirty feed and both
-        // variant arms (three references, each previously re-running
-        // the known-entities distinct).
-        val ents = graft.pipeline.Staged(s, dir, "fuzzy_ents") {
+        // Disk-staged like the deletion index below: the clean entity
+        // list is the other half of the SymSpell artifact pair (index
+        // builds version them together), and the memoized-only form
+        // re-ran the known-entities distinct once per JVM — a shuffle
+        // the probe run does not need when the artifact exists.
+        val ents = graft.pipeline.Staged.disk(s, dir, "fuzzy_ents") {
           stages(s, dir).known.select("norm").distinct()
             .filter(col("norm").isNotNull && length(col("norm")) >= 1)
         }

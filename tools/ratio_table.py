@@ -60,6 +60,30 @@ def carried_notes(out_md):
     return out
 
 
+def latest_driver_record(root):
+    """(round, parsed bench line) of the newest BENCH_r{N}.json next to
+    the output file. The driver's closing rep runs AFTER the builder's
+    last commit, so without this the official record can sit outside
+    the committed band unexplained (the round-14 lesson) — the table
+    now always restates the latest driver rep against the current run.
+    """
+    import glob
+    import re
+    best = None
+    for p in glob.glob(os.path.join(root or ".", "BENCH_r*.json")):
+        m = re.search(r"BENCH_r0*(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            parsed = json.load(f).get("parsed") or {}
+        return (best[0], parsed) if "value" in parsed else None
+    except (OSError, ValueError):
+        return None
+
+
 def main():
     bench_path, oracle_path = sys.argv[1], sys.argv[2]
     out_md = sys.argv[3] if len(sys.argv) > 3 else "BENCH_RATIO.md"
@@ -69,6 +93,7 @@ def main():
         oracle = json.load(f)
     spark = bench.get("queries", bench)
     notes = carried_notes(out_md)
+    driver = latest_driver_record(os.path.dirname(os.path.abspath(out_md)))
 
     rows = [(n, s, oracle[n], s / max(oracle[n], 1e-3))
             for n, s in spark.items() if n in oracle]
@@ -96,6 +121,16 @@ def main():
         f"(>= {MIN_ORACLE_S} s); **{len(flagged)} of those exceed 2x**. "
         f"{len(spark_only)} queries have no SQL oracle (rows-only gate).",
         "",
+    ] + ([
+        f"Latest driver record (`BENCH_r{driver[0]}.json`): "
+        f"{driver[1]['value']:.1f} s total over {driver[1].get('nq', '?')} "
+        f"queries (staging {driver[1].get('staging_sec', 0):.1f} s, cache "
+        f"{(driver[1].get('staging_cache') or {}).get('hits', '?')}/"
+        f"{(driver[1].get('staging_cache') or {}).get('misses', '?')}) — "
+        f"{driver[1]['value'] / max(s_tot, 1e-3):.2f}x this table's run; "
+        f"the measured-state note above classifies its band mode.",
+        "",
+    ] if driver else []) + [
         "Sub-second oracle rows are dominated by Spark's fixed local-mode "
         "stage floor (and, on stream_*, real checkpoint machinery) — "
         "they say nothing about scale behavior and are excluded from the "
