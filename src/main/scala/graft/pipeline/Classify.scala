@@ -107,14 +107,18 @@ object Classify {
       WHERE term IS NOT NULL)"""
 
   /** O15 + O17 + O19: normalize the distinct terms, prune the known set
-    * with a broadcast anti join, classify the rest, key the result map
-    * by the normalized term.
+    * with an anti join, classify the rest, key the result map by the
+    * normalized term. The known set carries NO broadcast hint: it is
+    * entity-vocabulary-sized (grows with the corpus), so per repo
+    * policy AQE broadcasts it while it fits and shuffles on the norm
+    * key at scale — where the reference's in-memory dict would OOM,
+    * this plan degrades to the right strategy instead.
     */
   def apiMap(terms: DataFrame, known: DataFrame, classifier: Classifier): DataFrame = {
     val unknown = terms
       .select(Text.normTerm(col("term")).as("norm"))
       .distinct()
-      .join(broadcast(known.select("norm")), Seq("norm"), "left_anti")
+      .join(known.select("norm"), Seq("norm"), "left_anti")
     classifier.classify(unknown)
   }
 
@@ -137,12 +141,17 @@ object Classify {
     *     so a midsub that IS a known entity still labels 'term',
     *     because known terms were pruned from the API input (§2.3-4);
     *   - person-labeled terms get convert_name applied (O21).
-    * Both known and api maps are bounded by the distinct-term count and
-    * broadcast; the fact table streams through codegen'd joins.
+    * Both maps are bounded by the distinct-term count — a VOCABULARY
+    * bound that grows with the corpus, so neither carries a broadcast
+    * hint (repo policy: AQE broadcasts them while they fit and
+    * shuffles the joins on the norm key at scale; the reference's
+    * equivalent in-memory dicts are the thing that would not survive
+    * 100 TB). The fact table streams through codegen'd joins either
+    * way.
     */
   def labelTriples(triples: DataFrame, known: DataFrame, api: DataFrame): DataFrame = {
-    val k = broadcast(known.withColumnRenamed("type", "k_type"))
-    val a = broadcast(api.withColumnRenamed("type", "a_type"))
+    val k = known.withColumnRenamed("type", "k_type")
+    val a = api.withColumnRenamed("type", "a_type")
     def normed(c: String) = Text.normTerm(col(c))
     def convertIfPerson(term: Column, label: Column): Column =
       when(label === "person", ConvertNameExpr.convertNameNative(term)).otherwise(term)
@@ -155,7 +164,7 @@ object Classify {
       .drop("k_type", "a_type")
 
     def subLabel(field: String)(df: DataFrame): DataFrame = {
-      val a2 = broadcast(api.withColumnRenamed("type", "s_type"))
+      val a2 = api.withColumnRenamed("type", "s_type")
       df.join(a2, normed(field) === a2("norm"), "left_outer").drop("norm")
         .withColumn(s"${field}_type",
           when(col(field).isNull || col(field) === "", lit("term"))

@@ -318,9 +318,13 @@ object Pipeline {
         // api holds exactly the non-known normalized terms, so the
         // inner join below reproduces the known-entities skip (O15)
         // without a second anti join.
+        // The api map is vocabulary-sized (grows with the corpus), so
+        // neither lookup join below carries a broadcast hint — AQE
+        // broadcasts it while it fits, shuffle-joins at scale (repo
+        // policy; same as the classify chain's dictionary joins).
         val tasks = st.terms
           .withColumn("idx", row_number().over(w) - 1)
-          .join(broadcast(st.api.select(col("norm"))),
+          .join(st.api.select(col("norm")),
             Text.normTerm(col("term")) === col("norm"))
           .select(
             concat(lit("task-"), col("idx")).as("custom_id"),
@@ -350,7 +354,7 @@ object Pipeline {
         // parsed response body, matched back on custom_id exactly like
         // the reference's input_dict/output_dict zip.
         input
-          .join(broadcast(st.api.withColumnRenamed("type", "classification")),
+          .join(st.api.withColumnRenamed("type", "classification"),
             Text.normTerm(col("content")) === col("norm"))
           .select("custom_id", "content", "classification")
           .orderBy("custom_id")

@@ -291,8 +291,17 @@ object BoundedWalk {
     * staged build: the trace continues into the recorded plan instead
     * of stopping at an opaque leaf.
     */
+  /** Poison definition for resolved-but-untraceable cases: an
+    * expression no recognizer certifies, so returning it (instead of
+    * Nil) blocks the caller's bare-name fallback. CreateArray is used
+    * only as "some uncertifiable expression" — it never certifies.
+    */
+  private def poisonDef(scope: Scope): Seq[(Expression, Scope)] =
+    Seq((CreateArray(Nil): Expression, scope))
+
   private def stagedBuildDefs(
-      a: Attribute, roots: Seq[String]): Seq[(Expression, Scope)] =
+      a: Attribute, roots: Seq[String],
+      here: Scope): Seq[(Expression, Scope)] =
     roots match {
       case Seq(single) =>
         val fsPath = leafFsPath(single)
@@ -306,8 +315,22 @@ object BoundedWalk {
             g <- m
             plan <- graft.pipeline.Staged.buildPlanFor(g.group(1), g.group(2))
             out <- plan.output.find(_.name == a.name)
-          } yield Seq((out: Expression, LScope(plan): Scope))).getOrElse(Nil)
+          } yield Seq((out: Expression, LScope(plan): Scope)))
+            // A stagecache leaf WITHOUT a recorded build plan (diskKeyed
+            // artifacts record nothing by design; stale generations) is
+            // RESOLVED-BUT-UNTRACEABLE, not a source leaf: poison it so
+            // a corpus column laundered into a domain/FK name inside an
+            // unregistered staged build can never ride bare-name trust.
+            // Original corpus/dimension tables (not under the cache
+            // root) keep leaf name trust — that is the model's anchor.
+            .getOrElse(poisonDef(here))
         }
+      // A multi-root stagecache leaf is equally untraceable; multi-root
+      // NON-cache leaves fall through to name trust like any source.
+      case several if several.exists(p =>
+          leafFsPath(p).startsWith(
+            leafFsPath(graft.pipeline.Staged.cacheRoot).stripSuffix("/") + "/")) =>
+        poisonDef(here)
       case _ => Nil
     }
 
@@ -390,7 +413,7 @@ object BoundedWalk {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            stagedBuildDefs(a, fs.location.rootPaths.map(_.toString))
+            stagedBuildDefs(a, fs.location.rootPaths.map(_.toString), LScope(r))
           case _ => Nil
         }
       case _: LeafNode => Nil
@@ -443,7 +466,8 @@ object BoundedWalk {
         // .output by construction; the scan's attrs share its exprIds.
         crossCache(a, m.relation.output, m.relation.cachedPlan)
       case sc: execution.FileSourceScanExec =>
-        stagedBuildDefs(a, sc.relation.location.rootPaths.map(_.toString))
+        stagedBuildDefs(a, sc.relation.location.rootPaths.map(_.toString),
+          PScope(sc))
       case aq: execution.adaptive.AdaptiveSparkPlanExec =>
         resolveDefsPhys(a, aq.inputPlan)
       case q: execution.adaptive.QueryStageExec => resolveDefsPhys(a, q.plan)

@@ -243,6 +243,24 @@ class BoundedWalkSpec extends AnyFunSuite {
     assert(!bounded(fanned.filter(col("doc_id") < 5)))
   }
 
+  test("staged leaves: registered builds trace; unregistered ones poison") {
+    // A registered (Staged.disk) artifact keeps a genuine domain column
+    // certifiable — the trace hops into the recorded build plan and
+    // bottoms out at the documents leaf.
+    val flat = graft.pipeline.Staged.disk(spark, sf, "bw_flat_docs") {
+      docs.select(col("doc_id"), col("lang"))
+    }
+    assert(bounded(flat.groupBy("lang").agg(count(lit(1)).as("n"))))
+    // A stagecache leaf with NO recorded build plan (diskKeyed records
+    // nothing by design) is resolved-but-untraceable: corpus text
+    // laundered into a domain name inside such a build must NOT ride
+    // bare-name trust at the read-back leaf.
+    val laundered = graft.pipeline.Staged.diskKeyed(spark, sf, "bw_dk_lang")(
+      docs.select(col("text").as("lang")))(
+      docs.select(col("text").as("lang")))
+    assert(!bounded(laundered.groupBy("lang").agg(count(lit(1)).as("n"))))
+  }
+
   test("leaf paths normalize file: scheme spellings") {
     // file:// and file:/// qualified roots must certify like bare paths
     // — a literal 'file:' strip left extra slashes and spuriously

@@ -33,14 +33,21 @@ class BroadcastHintGuardSpec extends AnyFunSuite {
   /** Queries allowed to hint sides whose bound the structural walk
     * cannot certify — each entry names the bound.
     */
-  private val allowlist: Map[String, String] = Map(
-    // The round-15 walk extensions retired the other three entries
-    // structurally: agg_decile_lift's median attach carries a literal
-    // limit(1), layout_global_index rides DistributedRank, and
-    // graph_bipartite_cf's degree tables certify through the FK
-    // vocabulary (dimFkCols) traced across the staged-artifact hop.
-    "pipeline_batch_envelope" -> "the reference's term-classification dictionary (api) — its own in-memory dict, dimension-bounded in the reference's model",
-    "pipeline_nested_enrich" -> "the reference's known/api dictionaries (same bound as pipeline_batch_envelope)")
+  /** EMPTY as of round 15 — every hinted side in the inventory is
+    * structurally certified by the walk. The last two entries defended
+    * the classify chain's known/api dictionary hints; those hints were
+    * DROPPED instead (the maps are vocabulary-sized, and repo policy is
+    * that vocabulary-sized frames carry no hint — AQE broadcasts them
+    * while they fit and shuffles the lookup joins at scale, which is
+    * exactly where the reference's in-memory dicts would OOM). The
+    * other round-15 retirements were structural: agg_decile_lift's
+    * median attach carries a literal limit(1), layout_global_index
+    * rides DistributedRank, and graph_bipartite_cf's degree tables
+    * certify through the FK vocabulary traced across the
+    * staged-artifact hop. The guard is enforced everywhere and claimed
+    * nowhere.
+    */
+  private val allowlist: Map[String, String] = Map.empty
 
   private def offendingHints(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
