@@ -215,6 +215,12 @@ object Health {
         val zcols = (0 until 16).map(i => sum(sgn(i) * col("f")).as(s"z$i"))
         val onerow = freq.agg(zcols.head,
           (zcols.tail :+ sum(col("f") * col("f")).as("true_f2")): _*)
+          // Empty-input parity: a grouping-less aggregate always emits
+          // one row (all-null sums), which stack() would fan to 16 null
+          // estimators where the oracle's freq-driven CROSS JOIN emits
+          // zero rows — drop the null row so both engines yield 0 rows
+          // on an empty corpus.
+          .filter(col("true_f2").isNotNull)
         val est = onerow
           .select(col("true_f2"), expr("stack(16, " +
             (0 until 16).map(i => s"$i, z$i").mkString(", ") + ") AS (i, z)"))

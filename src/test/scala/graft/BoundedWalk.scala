@@ -162,17 +162,11 @@ object BoundedWalk {
   }
 
   private def fanoutFreeLeafPath(pathStr: String): Boolean = {
-    val fsPath = leafFsPath(pathStr)
-    val seg = fsPath.stripSuffix("/").split('/').last
-    uniqueIdHomeTables.contains(seg) || boundedTables.contains(seg) || {
-      val root = leafFsPath(graft.pipeline.Staged.cacheRoot)
-        .stripSuffix("/") + "/"
-      fsPath.startsWith(root) && {
-        val m = "^([A-Za-z0-9_]+)-(\\d+)-[0-9a-f]+$".r.findFirstMatchIn(seg)
-        m.exists(g => graft.pipeline.Staged
-          .buildPlanFor(g.group(1), g.group(2)).exists(fanoutFree))
+    val seg = leafFsPath(pathStr).stripSuffix("/").split('/').last
+    uniqueIdHomeTables.contains(seg) || boundedTables.contains(seg) ||
+      stagedTagHash(pathStr).exists { case (tag, h) =>
+        graft.pipeline.Staged.buildPlanFor(tag, h).exists(fanoutFree)
       }
-    }
   }
 
   private def fanoutFreeLeaf(p: LeafNode): Boolean = p match {
@@ -279,18 +273,6 @@ object BoundedWalk {
     else Seq((inner.output(idx): Expression, PScope(inner)))
   }
 
-  /** Resolution hop across a disk-staged artifact boundary: a staged
-    * parquet leaf's column is DEFINED by the recorded build plan's
-    * same-named output column (exprIds do not survive the write/read
-    * roundtrip; names do, and parquet field names are unique — NOT
-    * positional, because the reading scan may be column-pruned). Only
-    * for single-root leaves under the stage-cache root whose recovered
-    * tag-hash pins the registry lookup to THIS generation's build plan
-    * — the same gate as [[boundedLeafPath]]. This is what lets a
-    * domain/FK bound survive the `l_suppkey AS s` rename inside a
-    * staged build: the trace continues into the recorded plan instead
-    * of stopping at an opaque leaf.
-    */
   /** Poison definition for resolved-but-untraceable cases: an
     * expression no recognizer certifies, so returning it (instead of
     * Nil) blocks the caller's bare-name fallback. CreateArray is used
@@ -299,39 +281,82 @@ object BoundedWalk {
   private def poisonDef(scope: Scope): Seq[(Expression, Scope)] =
     Seq((CreateArray(Nil): Expression, scope))
 
+  /** The ONE stagecache gate — under-cache-root check plus
+    * `tag-<hash>-<fp>` recovery — shared by the row-count walks
+    * ([[boundedLeafPath]], [[fanoutFreeLeafPath]]) and the resolution
+    * hop ([[stagedBuildDefs]]), so a change to Staged's artifact
+    * naming or directory layout can never be mirrored in only some of
+    * them. Trailing separator on the root: a SIBLING like
+    * .../stagecacheX must not pass the gate.
+    */
+  private def underCacheRoot(pathStr: String): Boolean = {
+    val root = leafFsPath(graft.pipeline.Staged.cacheRoot)
+      .stripSuffix("/") + "/"
+    leafFsPath(pathStr).startsWith(root)
+  }
+
+  /** (tag, plan hash) of a stagecache artifact directory. The hash pins
+    * registry lookups to the generation that produced THIS artifact —
+    * the registry is last-write-wins per tag.
+    */
+  private def stagedTagHash(pathStr: String): Option[(String, String)] =
+    if (!underCacheRoot(pathStr)) None
+    else {
+      val seg = leafFsPath(pathStr).stripSuffix("/").split('/').last
+      "^([A-Za-z0-9_]+)-(\\d+)-[0-9a-f]+$".r.findFirstMatchIn(seg)
+        .map(g => (g.group(1), g.group(2)))
+    }
+
+  /** Resolution hop across a disk-staged artifact boundary: a staged
+    * parquet leaf's column is DEFINED by the recorded build plan's
+    * same-named output column (exprIds do not survive the write/read
+    * roundtrip; names do, and parquet field names are unique — NOT
+    * positional, because the reading scan may be column-pruned). This
+    * is what lets a domain/FK bound survive the `l_suppkey AS s`
+    * rename inside a staged build: the trace continues into the
+    * recorded plan instead of stopping at an opaque leaf. A stagecache
+    * leaf WITHOUT a recorded build plan (diskKeyed artifacts record
+    * nothing by design; stale generations) is RESOLVED-BUT-UNTRACEABLE,
+    * not a source leaf: poison it so a corpus column laundered into a
+    * domain/FK name inside an unregistered staged build can never ride
+    * bare-name trust. Original corpus/dimension tables (not under the
+    * cache root) keep leaf name trust — that is the model's anchor.
+    */
   private def stagedBuildDefs(
       a: Attribute, roots: Seq[String],
       here: Scope): Seq[(Expression, Scope)] =
     roots match {
-      case Seq(single) =>
-        val fsPath = leafFsPath(single)
-        val seg = fsPath.stripSuffix("/").split('/').last
-        val root = leafFsPath(graft.pipeline.Staged.cacheRoot)
-          .stripSuffix("/") + "/"
-        if (!fsPath.startsWith(root)) Nil
-        else {
-          val m = "^([A-Za-z0-9_]+)-(\\d+)-[0-9a-f]+$".r.findFirstMatchIn(seg)
-          (for {
-            g <- m
-            plan <- graft.pipeline.Staged.buildPlanFor(g.group(1), g.group(2))
-            out <- plan.output.find(_.name == a.name)
-          } yield Seq((out: Expression, LScope(plan): Scope)))
-            // A stagecache leaf WITHOUT a recorded build plan (diskKeyed
-            // artifacts record nothing by design; stale generations) is
-            // RESOLVED-BUT-UNTRACEABLE, not a source leaf: poison it so
-            // a corpus column laundered into a domain/FK name inside an
-            // unregistered staged build can never ride bare-name trust.
-            // Original corpus/dimension tables (not under the cache
-            // root) keep leaf name trust — that is the model's anchor.
-            .getOrElse(poisonDef(here))
-        }
+      case Seq(single) if underCacheRoot(single) =>
+        (for {
+          th <- stagedTagHash(single)
+          plan <- graft.pipeline.Staged.buildPlanFor(th._1, th._2)
+          out <- plan.output.find(_.name == a.name)
+        } yield Seq((out: Expression, LScope(plan): Scope)))
+          .getOrElse(poisonDef(here))
       // A multi-root stagecache leaf is equally untraceable; multi-root
       // NON-cache leaves fall through to name trust like any source.
-      case several if several.exists(p =>
-          leafFsPath(p).startsWith(
-            leafFsPath(graft.pipeline.Staged.cacheRoot).stripSuffix("/") + "/")) =>
-        poisonDef(here)
+      case several if several.exists(underCacheRoot) => poisonDef(here)
       case _ => Nil
+    }
+
+  /** Resolution hop across a checkpoint boundary — the staged-leaf
+    * rule's checkpoint twin: a LogicalRDD / CheckpointRef /
+    * RDDScanExec leaf made through Lineage.checkpoint resolves into
+    * the REGISTERED pre-checkpoint plan (exprIds survive
+    * localCheckpoint, so match by exprId first; unique column name is
+    * the fallback). An UNREGISTERED checkpoint is opaque — poison,
+    * never bare-name trust, or a corpus column aliased to a domain/FK
+    * name and then checkpointed would certify an unbounded frame.
+    */
+  private def checkpointDefs(
+      a: Attribute, rddId: Int, here: Scope): Seq[(Expression, Scope)] =
+    graft.pipeline.Lineage.planFor(rddId) match {
+      case Some(plan) =>
+        plan.output.find(_.exprId == a.exprId)
+          .orElse(plan.output.find(_.name == a.name))
+          .map(out => Seq((out: Expression, LScope(plan): Scope)))
+          .getOrElse(poisonDef(here))
+      case None => poisonDef(here)
     }
 
   /** Feeder expressions of generator output slot `idx` — shared by the
@@ -416,6 +441,10 @@ object BoundedWalk {
             stagedBuildDefs(a, fs.location.rootPaths.map(_.toString), LScope(r))
           case _ => Nil
         }
+      case l: execution.LogicalRDD =>
+        checkpointDefs(a, l.rdd.id, LScope(l))
+      case c: graft.pipeline.CheckpointRef =>
+        checkpointDefs(a, c.rddId, LScope(c))
       case _: LeafNode => Nil
       case other if other.children.size == 1 =>
         resolveDefs(a, other.children.head)
@@ -468,6 +497,8 @@ object BoundedWalk {
       case sc: execution.FileSourceScanExec =>
         stagedBuildDefs(a, sc.relation.location.rootPaths.map(_.toString),
           PScope(sc))
+      case r: execution.RDDScanExec =>
+        checkpointDefs(a, r.rdd.id, PScope(r))
       case aq: execution.adaptive.AdaptiveSparkPlanExec =>
         resolveDefsPhys(a, aq.inputPlan)
       case q: execution.adaptive.QueryStageExec => resolveDefsPhys(a, q.plan)
@@ -757,27 +788,17 @@ object BoundedWalk {
     } catch { case _: IllegalArgumentException => pathStr }
 
   private def boundedLeafPath(pathStr: String): Boolean = {
-    val fsPath = leafFsPath(pathStr)
-    val seg = fsPath.stripSuffix("/").split('/').last
-    boundedTables.contains(seg) || {
-      // Trailing separator: a SIBLING like .../stagecacheX must not
-      // pass the under-the-cache-root gate.
-      val root = leafFsPath(graft.pipeline.Staged.cacheRoot)
-        .stripSuffix("/") + "/"
-      val underCache = fsPath.startsWith(root)
-      underCache && (
-        boundedStagedTags.exists(t => seg.startsWith(s"$t-")) || {
-          // Staged dirs are `tag-<hash>-<fp>`: recover tag AND hash and
-          // judge the artifact by the build plan Staged recorded for
-          // it — the registry is last-write-wins per tag, so the hash
-          // pins the lookup to the plan that produced THIS generation
-          // (never diskKeyed's declarative stand-in keys, which record
-          // nothing).
-          val m = "^([A-Za-z0-9_]+)-(\\d+)-[0-9a-f]+$".r.findFirstMatchIn(seg)
-          m.exists(g => graft.pipeline.Staged
-            .buildPlanFor(g.group(1), g.group(2)).exists(isBounded))
-        })
-    }
+    val seg = leafFsPath(pathStr).stripSuffix("/").split('/').last
+    boundedTables.contains(seg) ||
+      (underCacheRoot(pathStr) &&
+        boundedStagedTags.exists(t => seg.startsWith(s"$t-"))) ||
+      // Staged dirs are `tag-<hash>-<fp>`: the shared gate recovers tag
+      // AND hash and the artifact is judged by the build plan Staged
+      // recorded for it (never diskKeyed's declarative stand-in keys,
+      // which record nothing).
+      stagedTagHash(pathStr).exists { case (tag, h) =>
+        graft.pipeline.Staged.buildPlanFor(tag, h).exists(isBounded)
+      }
   }
 
   private def boundedLeaf(p: LeafNode): Boolean = p match {

@@ -261,6 +261,30 @@ class BoundedWalkSpec extends AnyFunSuite {
     assert(!bounded(laundered.groupBy("lang").agg(count(lit(1)).as("n"))))
   }
 
+  test("checkpoint leaves: registered plans trace; laundering poisons") {
+    // A REGISTERED checkpoint (Lineage.checkpoint) resolves into the
+    // recorded pre-checkpoint plan: a genuine domain column keeps its
+    // certification across the boundary…
+    val okCkpt = graft.pipeline.Lineage.checkpoint(
+      docs.select(col("doc_id"), col("lang")))
+    assert(bounded(okCkpt.groupBy("lang").agg(count(lit(1)).as("n"))))
+    // …and a corpus column aliased to a domain or FK name BEFORE the
+    // checkpoint is judged by its traced definition, exactly like the
+    // un-checkpointed plan (the checkpoint-laundering hole: the opaque
+    // RDD leaf used to fall back to bare-name trust).
+    val laundered = graft.pipeline.Lineage.checkpoint(
+      docs.select(col("text").as("lang")))
+    assert(!bounded(laundered.groupBy("lang").agg(count(lit(1)).as("n"))))
+    val fkLaundered = graft.pipeline.Lineage.checkpoint(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey").as("l_suppkey")))
+    assert(!bounded(
+      fkLaundered.groupBy("l_suppkey").agg(count(lit(1)).as("n"))))
+    // An UNREGISTERED checkpoint is opaque: poison, never name trust.
+    val rawCkpt = docs.select(col("text").as("lang")).localCheckpoint(true)
+    assert(!bounded(rawCkpt.groupBy("lang").agg(count(lit(1)).as("n"))))
+  }
+
   test("leaf paths normalize file: scheme spellings") {
     // file:// and file:/// qualified roots must certify like bare paths
     // — a literal 'file:' strip left extra slashes and spuriously
@@ -348,8 +372,13 @@ class BoundedWalkSpec extends AnyFunSuite {
   test("__gr_shard_ is a reserved prefix minted only by DistributedRank") {
     // The walk name-trusts __gr_shard_* (alias-defined by the helper's
     // literal decimal math), so the prefix must stay the helper's
-    // private namespace: no other main source may mint it.
-    val root = new java.io.File("/root/repo/src/main/scala")
+    // private namespace: no other main source may mint it. Anchored to
+    // the working directory (sbt forks tests with user.dir = repo
+    // root) and asserted to EXIST — a silently-empty walk would pass
+    // the invariant vacuously on a relocated checkout.
+    val root = new java.io.File(sys.props("user.dir"), "src/main/scala")
+    assert(root.isDirectory,
+      s"main source root not found at $root — fix the anchor, do not skip")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
