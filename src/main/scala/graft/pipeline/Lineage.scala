@@ -49,7 +49,11 @@ object Lineage {
     * exactly as it resolved the raw leaf.
     */
   def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
-    val pre = df.queryExecution.analyzed.transformUp {
+    // ...WithSubqueries: a plain transformUp rewrites only the main
+    // tree, so an earlier checkpoint referenced inside an IN/EXISTS/
+    // scalar subquery would stay a raw LogicalRDD in the registry and
+    // keep pinning its blocks — the leak this stubbing exists to close.
+    val pre = df.queryExecution.analyzed.transformUpWithSubqueries {
       case l: LogicalRDD => CheckpointRef(l.rdd.id, l.output)
     }
     val out = df.localCheckpoint(eager)

@@ -435,15 +435,23 @@ object BoundedWalk {
         if (l.nonEmpty) l else resolveDefs(a, j.right)
       case m: execution.columnar.InMemoryRelation =>
         crossCache(a, m.output, m.cachedPlan)
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      // The leaf hops below fire ONLY when the leaf actually outputs
+      // the attribute (exprId membership, like crossCache): the Join
+      // case above walks left-first, and an unguarded hop at a
+      // left-side leaf would bind a RIGHT-side attribute to a
+      // same-named column of the left's registered plan (name-fallback
+      // cross-side laundering) — or poison it and never consult the
+      // right side at all.
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.outputSet.contains(a) =>
         r.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             stagedBuildDefs(a, fs.location.rootPaths.map(_.toString), LScope(r))
           case _ => Nil
         }
-      case l: execution.LogicalRDD =>
+      case l: execution.LogicalRDD if l.outputSet.contains(a) =>
         checkpointDefs(a, l.rdd.id, LScope(l))
-      case c: graft.pipeline.CheckpointRef =>
+      case c: graft.pipeline.CheckpointRef if c.outputSet.contains(a) =>
         checkpointDefs(a, c.rddId, LScope(c))
       case _: LeafNode => Nil
       case other if other.children.size == 1 =>
@@ -494,10 +502,11 @@ object BoundedWalk {
         // key). relation.output is position-aligned with cachedPlan
         // .output by construction; the scan's attrs share its exprIds.
         crossCache(a, m.relation.output, m.relation.cachedPlan)
-      case sc: execution.FileSourceScanExec =>
+      // See the logical twin: leaf hops require output membership.
+      case sc: execution.FileSourceScanExec if sc.outputSet.contains(a) =>
         stagedBuildDefs(a, sc.relation.location.rootPaths.map(_.toString),
           PScope(sc))
-      case r: execution.RDDScanExec =>
+      case r: execution.RDDScanExec if r.outputSet.contains(a) =>
         checkpointDefs(a, r.rdd.id, PScope(r))
       case aq: execution.adaptive.AdaptiveSparkPlanExec =>
         resolveDefsPhys(a, aq.inputPlan)
@@ -658,17 +667,28 @@ object BoundedWalk {
       case _ => false
     }
 
-  /** A whole conjunct pinning a unique id column to a literal range. */
-  def idPanelPredicate(cond: Expression): Boolean = {
-    def isIdAttr(e: Expression) = e match {
-      case a: Attribute => uniqueIdCols.contains(a.name)
+  /** A whole conjunct pinning a unique id column to a literal range.
+    * The id certifies by NAME only where alias tracing bottoms out at
+    * a source leaf — the same trace-first rule as domain/FK names: a
+    * corpus column renamed to doc_id (directly or inside a staged
+    * build, which the resolution hops see through) would otherwise
+    * turn `filter(doc_id < k)` into a corpus-growing "panel".
+    */
+  private def idPanelPredicate(cond: Expression, scope: Scope): Boolean = {
+    def isIdExpr(e: Expression, sc: Scope): Boolean = e match {
+      case a: Attribute =>
+        val defs = sc.resolve(a)
+        if (defs.isEmpty) uniqueIdCols.contains(a.name)
+        else defs.forall { case (d, sub) => isIdExpr(d, sub) }
+      case al: Alias => isIdExpr(al.child, sc)
+      case c: Cast => isIdExpr(c.child, sc)
       case _ => false
     }
     conjuncts(cond).exists {
-      case LessThan(a, _: Literal) => isIdAttr(a)
-      case LessThanOrEqual(a, _: Literal) => isIdAttr(a)
-      case EqualTo(a, _: Literal) => isIdAttr(a)
-      case In(a, vs) => isIdAttr(a) && vs.forall(_.isInstanceOf[Literal])
+      case LessThan(a, _: Literal) => isIdExpr(a, scope)
+      case LessThanOrEqual(a, _: Literal) => isIdExpr(a, scope)
+      case EqualTo(a, _: Literal) => isIdExpr(a, scope)
+      case In(a, vs) => isIdExpr(a, scope) && vs.forall(_.isInstanceOf[Literal])
       case _ => false
     }
   }
@@ -844,7 +864,7 @@ object BoundedWalk {
           }))) ||
         isBounded(a.child)
     case f: Filter =>
-      (idPanelPredicate(f.condition) && fanoutFree(f.child)) ||
+      (idPanelPredicate(f.condition, LScope(f.child)) && fanoutFree(f.child)) ||
         rankCapPredicate(f.condition, f.child) ||
         isBounded(f.child)
     case w: Window => isBounded(w.child)
@@ -879,7 +899,8 @@ object BoundedWalk {
           }))) ||
         boundedPhysical(a.child)
     case f: execution.FilterExec =>
-      (idPanelPredicate(f.condition) && fanoutFreePhys(f.child)) ||
+      (idPanelPredicate(f.condition, PScope(f.child)) &&
+        fanoutFreePhys(f.child)) ||
         rankCapPredicatePhys(f.condition, f.child) ||
         boundedPhysical(f.child)
     case w: execution.window.WindowExec => boundedPhysical(w.child)

@@ -241,6 +241,19 @@ class BoundedWalkSpec extends AnyFunSuite {
           Seq("doc_id"))
     }
     assert(!bounded(fanned.filter(col("doc_id") < 5)))
+    // The id itself is trace-first like domain/FK names: a corpus
+    // column renamed to doc_id makes a corpus-growing "panel" (every
+    // short doc passes), directly or laundered through a staged build.
+    assert(!bounded(docs.select(col("n_chars").as("doc_id"))
+      .filter(col("doc_id") < 5)))
+    val idLaundered = graft.pipeline.Staged.disk(spark, sf, "bw_id_launder") {
+      docs.select(col("n_chars").as("doc_id"))
+    }
+    assert(!bounded(idLaundered.filter(col("doc_id") < 5)))
+    // A genuine pass-through rename of the true id keeps the panel.
+    assert(bounded(docs.select(col("doc_id").as("d2"), col("lang"))
+      .select(col("d2").as("doc_id"), col("lang"))
+      .filter(col("doc_id") < 5)))
   }
 
   test("staged leaves: registered builds trace; unregistered ones poison") {

@@ -127,7 +127,11 @@ def main():
         f"queries (staging {driver[1].get('staging_sec', 0):.1f} s, cache "
         f"{(driver[1].get('staging_cache') or {}).get('hits', '?')}/"
         f"{(driver[1].get('staging_cache') or {}).get('misses', '?')}) — "
-        f"{driver[1]['value'] / max(s_tot, 1e-3):.2f}x this table's run; "
+        # Compare full total against full total: s_tot covers only the
+        # oracle-shared queries, so it would overstate the factor
+        # whenever any query lacks an SQL oracle (subset bias).
+        f"{driver[1]['value'] / max(bench.get('value', s_tot), 1e-3):.2f}x "
+        f"this table's run; "
         f"the measured-state note above classifies its band mode.",
         "",
     ] if driver else []) + [
