@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: time the phases of one named SparkEntry query — plan
   * construction (builder fn), analysis+optimization (explain), and two
   * executions (first = with codegen/exchange warm-up, second = steady
-  * state) — then print the formatted physical plan. Distinguishes
+  * state); set SPARK_GRAFT_PLAN=1 to also print the formatted physical
+  * plan. Distinguishes
   * "the data side is slow" from "the plan side is slow" (Catalyst
   * analysis over deeply nested lineage has dominated more than one
   * query here; see graph_triangle_count's localCheckpoint note).

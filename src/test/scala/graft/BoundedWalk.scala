@@ -353,7 +353,16 @@ object BoundedWalk {
     graft.pipeline.Lineage.planFor(rddId) match {
       case Some(plan) =>
         plan.output.find(_.exprId == a.exprId)
-          .orElse(plan.output.find(_.name == a.name))
+          // Name fallback only when the name is UNIQUE in the recorded
+          // output: a pre-checkpoint JOIN plan can carry duplicate
+          // column names, and picking the first would resolve the
+          // attribute against an arbitrary same-named column. (ExprIds
+          // normally hit — RDD ids never cross JVMs — so this path
+          // covers exprId remapping across cache boundaries only.)
+          .orElse {
+            val byName = plan.output.filter(_.name == a.name)
+            if (byName.lengthCompare(1) == 0) byName.headOption else None
+          }
           .map(out => Seq((out: Expression, LScope(plan): Scope)))
           .getOrElse(poisonDef(here))
       case None => poisonDef(here)
