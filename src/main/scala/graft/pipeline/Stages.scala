@@ -338,7 +338,19 @@ object Staged {
       key: => DataFrame)(build: => DataFrame): DataFrame = {
     val keyExec = key.queryExecution
     val h = planFingerprint(keyExec.logical)
-    if (keyIsBuild) buildPlans.put(tag, (h, keyExec.analyzed))
+    // Same LogicalRDD→CheckpointRef stubbing as Lineage.checkpoint
+    // (and for the same reason): a Staged.disk build over a
+    // checkpointed input would otherwise store the raw LogicalRDD and
+    // strongly pin that generation's checkpoint RDD blocks for the
+    // JVM's life. No current build does this, but the registry must
+    // not be the reason the leak class reopens; the guards' walk
+    // re-resolves a stub through Lineage.planFor exactly as it
+    // resolves the raw leaf.
+    if (keyIsBuild) buildPlans.put(tag,
+      (h, keyExec.analyzed.transformUpWithSubqueries {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          CheckpointRef(l.rdd.id, l.output)
+      }))
     val fp = inputFingerprint(dir)
     val sfName = new java.io.File(dir).getName
     val entry = s"$tag-$h-$fp"
@@ -401,6 +413,72 @@ object Staged {
   * they are part of each query's oracle-replayed semantics, not of the
   * cap.
   */
+/** Registry of plans executed as SIDE EFFECTS during query
+  * construction (a write the builder performs eagerly, e.g.
+  * pipeline_batch_envelope's JSONL batch-file write). The three scale
+  * guards sweep each query's RETURNED plan — an eager builder write
+  * never appears in that tree (its read-back is an opaque file leaf),
+  * so without this registry such plans were correctness-gated but not
+  * plan-swept (the round-15 disclosed scope limit). Every eager
+  * builder write must route through [[EagerWrites.run]]: it records
+  * the written frame's optimized logical plan AND its physical plan
+  * before executing the write, and the guard specs sweep the registry
+  * with the same BoundedWalk checks they apply to returned plans.
+  *
+  * Entries are last-write-wins per tag and live for the JVM (same
+  * contract as `Staged.buildPlanFor`). The recorded frame must not be
+  * built over a checkpointed input: a raw LogicalRDD in the stored
+  * plan would pin that generation's RDD blocks for the JVM's life
+  * (the leak class Lineage's CheckpointRef stubbing closes), and the
+  * physical plan cannot carry a stub — so the require below fails
+  * loudly instead of leaking silently. If a future eager write needs
+  * a checkpointed input, route it through Lineage.checkpoint and
+  * extend this registry with logical-only stubbed storage first.
+  */
+object EagerWrites {
+  private val plans = new ConcurrentHashMap[
+    String,
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      org.apache.spark.sql.execution.SparkPlan)]()
+
+  /** Record `df`'s plans under `tag`, then execute `write(df)`. */
+  def run[T](tag: String)(df: DataFrame)(write: DataFrame => T): T = {
+    record(tag, df)
+    write(df)
+  }
+
+  /** Registration half of [[run]] — exposed so guard specs can plant
+    * a violating frame without performing any IO.
+    */
+  private[graft] def record(tag: String, df: DataFrame): Unit = {
+    val qe = df.queryExecution
+    require(!qe.analyzed.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      s"eager write '$tag' consumes a checkpointed input; route it " +
+        "through Lineage.checkpoint and extend EagerWrites stubbing " +
+        "before registering it (a raw LogicalRDD in the registry pins " +
+        "its RDD blocks for the JVM's life)")
+    plans.put(tag, (qe.optimizedPlan, qe.sparkPlan))
+    ()
+  }
+
+  /** Every recorded eager-write plan pair (optimized logical,
+    * physical), for the guard sweeps.
+    */
+  def all: Map[String,
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        org.apache.spark.sql.execution.SparkPlan)] = {
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toMap
+  }
+
+  /** Test hygiene: drop a planted entry so real sweeps stay clean. */
+  private[graft] def remove(tag: String): Unit = {
+    plans.remove(tag)
+    ()
+  }
+}
+
 object Panels {
 
   /** The k lowest-`key` rows of `df` — deterministic (key must be

@@ -314,7 +314,6 @@ object Pipeline {
       // flows through this query.
       (s, dir) => {
         val st = stages(s, dir)
-        val w = org.apache.spark.sql.expressions.Window.orderBy("term")
         // api holds exactly the non-known normalized terms, so the
         // inner join below reproduces the known-entities skip (O15)
         // without a second anti join.
@@ -322,8 +321,20 @@ object Pipeline {
         // neither lookup join below carries a broadcast hint — AQE
         // broadcasts it while it fits, shuffle-joins at scale (repo
         // policy; same as the classify chain's dictionary joins).
-        val tasks = st.terms
-          .withColumn("idx", row_number().over(w) - 1)
+        // Enumeration ordinal: row_number() OVER (ORDER BY term) is a
+        // partition-less window over the vocabulary — the term set
+        // GROWS with the corpus, so the global sort rides
+        // DistributedRank's shard-offset rank instead of one reducer.
+        // The shard key must cast to long: the first 7 UTF-8 bytes of
+        // the term, big-endian (hex→conv), order-match Spark's binary
+        // string comparison, and the full term tiebreaks equal
+        // prefixes — so (key, tie) reproduces ORDER BY term exactly.
+        val ordKey = conv(
+          rpad(hex(substring(encode(col("term"), "UTF-8"), 1, 7)), 14, "0"),
+          16, 10).cast("long")
+        val tasks = graft.operators.DistributedRank
+          .withGlobalRank(st.terms, ordKey, col("term"), out = "__env_rk")
+          .withColumn("idx", col("__env_rk") - 1)
           .join(st.api.select(col("norm")),
             Text.normTerm(col("term")) === col("norm"))
           .select(
@@ -339,9 +350,15 @@ object Pipeline {
                 struct(lit("user").as("role"), col("term").as("content")))
                 .as("messages")).as("body"))
         val out = scratch(s"batch_tasks_${new java.io.File(dir).getName}")
-        tasks.select(to_json(struct(col("custom_id"), col("method"),
-            col("url"), col("body"))).as("value"))
-          .write.mode("overwrite").text(out)
+        // Eager builder-side write: this plan never appears in the
+        // RETURNED query tree (the read-back below is an opaque text
+        // leaf), so it registers with EagerWrites and the three scale
+        // guards sweep it like any returned plan.
+        graft.pipeline.EagerWrites.run("pipeline_batch_envelope_jsonl")(
+          tasks.select(to_json(struct(col("custom_id"), col("method"),
+            col("url"), col("body"))).as("value"))) {
+          _.write.mode("overwrite").text(out)
+        }
         val parsed = s.read.schema(
             "custom_id STRING, method STRING, url STRING, " +
               "body STRUCT<model: STRING, temperature: DOUBLE, " +

@@ -56,21 +56,8 @@ class BnljGuardSpec extends AnyFunSuite {
     */
   private def isBounded(p: SparkPlan): Boolean = BoundedWalk.boundedPhysical(p)
 
-  private def offendingLoops(name: String): Seq[String] = {
-    val df = SparkEntry.queries(name)(spark, sf)
-    df.queryExecution.sparkPlan.collect {
-      case b: BroadcastNestedLoopJoinExec =>
-        val build = b.buildSide match {
-          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
-          case _ => b.right
-        }
-        if (isBounded(build)) None
-        else Some(s"BroadcastNestedLoopJoin(${b.joinType}) with unbounded build side")
-      case c: CartesianProductExec =>
-        if (isBounded(c.left) || isBounded(c.right)) None
-        else Some("CartesianProduct with two unbounded sides")
-    }.flatten
-  }
+  private def offendingLoops(name: String): Seq[String] =
+    loopsIn(SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan)
 
   test("no query plans a nested-loop join against an unbounded side") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -84,6 +71,50 @@ class BnljGuardSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"corpus-scaled nested loops in:\n  " + offenders.mkString("\n  ") +
         "\nbound the side, generate candidates from an index, or defend an allowlist entry")
+  }
+
+  private def loopsIn(p: SparkPlan): Seq[String] =
+    p.collect {
+      case b: BroadcastNestedLoopJoinExec =>
+        val build = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+          case _ => b.right
+        }
+        if (isBounded(build)) None
+        else Some(s"BroadcastNestedLoopJoin(${b.joinType}) with unbounded build side")
+      case c: CartesianProductExec =>
+        if (isBounded(c.left) || isBounded(c.right)) None
+        else Some("CartesianProduct with two unbounded sides")
+    }.flatten
+
+  test("builder-side-effect writes pass the same nested-loop gate") {
+    // EagerWrites records the physical plan of every eager builder
+    // write (see GlobalWindowGuardSpec for the registration contract);
+    // this applies the identical BNLJ/cartesian check to those plans.
+    val entries = graft.pipeline.EagerWrites.all
+    assert(entries.contains("pipeline_batch_envelope_jsonl"),
+      "the known eager write is not registered — EagerWrites.run was bypassed")
+    val offenders = entries.toSeq.sortBy(_._1).flatMap {
+      case (tag, (_, phys)) =>
+        val loops = loopsIn(phys)
+        if (loops.nonEmpty) Some(s"$tag: ${loops.mkString("; ")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"corpus-scaled nested loops in eager builder writes:\n  " +
+        offenders.mkString("\n  "))
+  }
+
+  test("a planted violating eager write is caught by the registry sweep") {
+    val tag = "test_planted_cartesian"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val ev = spark.read.parquet(s"$sf/events.parquet").select("event_id")
+    graft.pipeline.EagerWrites.record(tag, docs.crossJoin(ev))
+    try {
+      val caught = graft.pipeline.EagerWrites.all.get(tag)
+        .map { case (_, phys) => loopsIn(phys) }.getOrElse(Nil)
+      assert(caught.nonEmpty,
+        "the planted corpus cross join escaped the registry sweep")
+    } finally graft.pipeline.EagerWrites.remove(tag)
   }
 
   test("allowlisted queries still plan the nested loop they defend") {

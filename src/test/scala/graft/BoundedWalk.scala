@@ -67,15 +67,18 @@ object BoundedWalk {
     */
   val uniqueIdCols: Set[String] = Set("vec_id", "doc_id")
 
-  /** The unique-id columns' HOME tables — the only corpus scans where
-    * doc_id / vec_id are one-row-per-value by construction. A
-    * disk-staged artifact written after a fan-out join re-enters the
-    * walk as an opaque parquet leaf where the id can repeat corpus-many
-    * times, so the id-panel rule must not treat every leaf as
-    * fan-out-free (final-segment match, like [[boundedTables]]).
+  /** Each unique id's HOME table — the only corpus scan where THAT id
+    * is one-row-per-value by construction. A disk-staged artifact
+    * written after a fan-out join re-enters the walk as an opaque
+    * parquet leaf where the id can repeat corpus-many times, so the
+    * id-panel rule must not treat every leaf as fan-out-free
+    * (final-segment match, like [[boundedTables]]); and the knowledge
+    * is keyed PER ID, not per table — a doc_id panel over
+    * embeddings.parquet (vec_id's home, where doc_id would not be
+    * one-row-per-value) certifies nothing.
     */
-  val uniqueIdHomeTables: Set[String] = Set(
-    "documents.parquet", "embeddings.parquet")
+  val uniqueIdHomeTables: Map[String, String] = Map(
+    "doc_id" -> "documents.parquet", "vec_id" -> "embeddings.parquet")
 
   /** Fixed/star dimension tables, matched by the leaf path's FINAL
     * segment (not substring — a future artifact whose path merely
@@ -147,69 +150,78 @@ object BoundedWalk {
     * itself fan-out free; checkpoint/cache leaves recurse through their
     * registries like the bounded walk does.
     */
-  private def fanoutFree(p: LogicalPlan): Boolean = p match {
+  private def fanoutFree(p: LogicalPlan, ids: Set[String]): Boolean = p match {
     // A LITERAL-fan-out generator multiplies each id's row count by a
     // corpus-independent constant (posexplode over an array(…) of
     // literal length — the subvector-unnest idiom), so an id panel
     // stays |panel|·n: allowed. A DATA-array explode is not.
-    case g: Generate => boundedGenerator(g.generator) && fanoutFree(g.child)
+    case g: Generate => boundedGenerator(g.generator) && fanoutFree(g.child, ids)
     case _: Join | _: Union => false
-    case leaf: LeafNode => fanoutFreeLeaf(leaf)
-    case a: Aggregate => fanoutFree(a.child)
+    case leaf: LeafNode => fanoutFreeLeaf(leaf, ids)
+    case a: Aggregate => fanoutFree(a.child, ids)
     case other if other.children.size == 1 =>
-      !fanoutOperator(other.nodeName) && fanoutFree(other.children.head)
+      !fanoutOperator(other.nodeName) && fanoutFree(other.children.head, ids)
     case _ => false
   }
 
-  private def fanoutFreeLeafPath(pathStr: String): Boolean = {
+  /** `ids` are the pinned panel ids the enclosing filter bounds: the
+    * leaf qualifies as a home table only for ONE OF THOSE ids — a
+    * doc_id panel over vec_id's home table would treat a leaf as
+    * one-row-per-value for an id that is not.
+    */
+  private def fanoutFreeLeafPath(pathStr: String, ids: Set[String]): Boolean = {
     val seg = leafFsPath(pathStr).stripSuffix("/").split('/').last
-    uniqueIdHomeTables.contains(seg) || boundedTables.contains(seg) ||
+    ids.exists(id => uniqueIdHomeTables.get(id).contains(seg)) ||
+      boundedTables.contains(seg) ||
       stagedTagHash(pathStr).exists { case (tag, h) =>
-        graft.pipeline.Staged.buildPlanFor(tag, h).exists(fanoutFree)
+        graft.pipeline.Staged.buildPlanFor(tag, h).exists(fanoutFree(_, ids))
       }
   }
 
-  private def fanoutFreeLeaf(p: LeafNode): Boolean = p match {
+  private def fanoutFreeLeaf(p: LeafNode, ids: Set[String]): Boolean = p match {
     case _: LocalRelation => true
     case _: Range => true
     case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
       r.relation match {
         case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
           fs.location.rootPaths.nonEmpty &&
-            fs.location.rootPaths.forall(pth => fanoutFreeLeafPath(pth.toString))
+            fs.location.rootPaths.forall(pth =>
+              fanoutFreeLeafPath(pth.toString, ids))
         case _ => false
       }
     case l: execution.LogicalRDD =>
-      graft.pipeline.Lineage.planFor(l.rdd.id).exists(fanoutFree)
+      graft.pipeline.Lineage.planFor(l.rdd.id).exists(fanoutFree(_, ids))
     case c: graft.pipeline.CheckpointRef =>
-      graft.pipeline.Lineage.planFor(c.rddId).exists(fanoutFree)
+      graft.pipeline.Lineage.planFor(c.rddId).exists(fanoutFree(_, ids))
     case m: execution.columnar.InMemoryRelation =>
-      fanoutFreePhys(m.cachedPlan)
+      fanoutFreePhys(m.cachedPlan, ids)
     case _ => false
   }
 
-  private def fanoutFreePhys(p: execution.SparkPlan): Boolean = p match {
+  private def fanoutFreePhys(
+      p: execution.SparkPlan, ids: Set[String]): Boolean = p match {
     // See the logical twin: literal-fan-out generators are allowed.
     case g: execution.GenerateExec =>
-      boundedGenerator(g.generator) && fanoutFreePhys(g.child)
+      boundedGenerator(g.generator) && fanoutFreePhys(g.child, ids)
     case _: execution.joins.BaseJoinExec | _: execution.UnionExec => false
     case _: execution.LocalTableScanExec => true
     case _: execution.RangeExec => true
     case sc: execution.FileSourceScanExec =>
       sc.relation.location.rootPaths.nonEmpty &&
         sc.relation.location.rootPaths.forall(pth =>
-          fanoutFreeLeafPath(pth.toString))
+          fanoutFreeLeafPath(pth.toString, ids))
     case r: execution.RDDScanExec =>
-      graft.pipeline.Lineage.planFor(r.rdd.id).exists(fanoutFree)
+      graft.pipeline.Lineage.planFor(r.rdd.id).exists(fanoutFree(_, ids))
     case m: execution.columnar.InMemoryTableScanExec =>
-      fanoutFreePhys(m.relation.cachedPlan)
+      fanoutFreePhys(m.relation.cachedPlan, ids)
     case aq: execution.adaptive.AdaptiveSparkPlanExec =>
-      fanoutFreePhys(aq.inputPlan)
-    case q: execution.adaptive.QueryStageExec => fanoutFreePhys(q.plan)
+      fanoutFreePhys(aq.inputPlan, ids)
+    case q: execution.adaptive.QueryStageExec => fanoutFreePhys(q.plan, ids)
     case _: execution.LeafExecNode => false
-    case a: execution.aggregate.BaseAggregateExec => fanoutFreePhys(a.child)
+    case a: execution.aggregate.BaseAggregateExec =>
+      fanoutFreePhys(a.child, ids)
     case other if other.children.size == 1 =>
-      !fanoutOperator(other.nodeName) && fanoutFreePhys(other.children.head)
+      !fanoutOperator(other.nodeName) && fanoutFreePhys(other.children.head, ids)
     case _ => false
   }
 
@@ -289,10 +301,26 @@ object BoundedWalk {
     * them. Trailing separator on the root: a SIBLING like
     * .../stagecacheX must not pass the gate.
     */
-  private def underCacheRoot(pathStr: String): Boolean = {
-    val root = leafFsPath(graft.pipeline.Staged.cacheRoot)
-      .stripSuffix("/") + "/"
-    leafFsPath(pathStr).startsWith(root)
+  /** (scheme, authority, path) of a leaf location, with the local
+    * defaults normalized (no scheme ≡ `file`, no authority ≡ ""): the
+    * containment check below must compare FULLY-QUALIFIED locations —
+    * a bare-path comparison would let a REMOTE artifact
+    * (hdfs://host/<same-path-as-cacheRoot>/tag-h-fp) pass as a local
+    * stagecache artifact and be judged by the local registry.
+    */
+  private[graft] def leafFsQualified(
+      pathStr: String): (String, String, String) =
+    try {
+      val u = new org.apache.hadoop.fs.Path(pathStr).toUri
+      val p = Option(u.getPath).filter(_.nonEmpty).getOrElse(pathStr)
+      (Option(u.getScheme).getOrElse("file"),
+        Option(u.getAuthority).getOrElse(""), p)
+    } catch { case _: IllegalArgumentException => ("file", "", pathStr) }
+
+  private[graft] def underCacheRoot(pathStr: String): Boolean = {
+    val (rs, ra, rp) = leafFsQualified(graft.pipeline.Staged.cacheRoot)
+    val (ls, la, lp) = leafFsQualified(pathStr)
+    ls == rs && la == ra && lp.startsWith(rp.stripSuffix("/") + "/")
   }
 
   /** (tag, plan hash) of a stagecache artifact directory. The hash pins
@@ -683,23 +711,35 @@ object BoundedWalk {
     * build, which the resolution hops see through) would otherwise
     * turn `filter(doc_id < k)` into a corpus-growing "panel".
     */
-  private def idPanelPredicate(cond: Expression, scope: Scope): Boolean = {
-    def isIdExpr(e: Expression, sc: Scope): Boolean = e match {
+  /** Returns the set of LEAF id names pinned by whole conjuncts (the
+    * name where alias tracing bottoms out — what the downstream
+    * home-table check must key on), empty when no conjunct pins one.
+    */
+  private def idPanelIds(cond: Expression, scope: Scope): Set[String] = {
+    // The name at the trace's bottom, when EVERY resolution branch
+    // bottoms out at the same unique-id leaf name.
+    def leafIdName(e: Expression, sc: Scope): Option[String] = e match {
       case a: Attribute =>
         val defs = sc.resolve(a)
-        if (defs.isEmpty) uniqueIdCols.contains(a.name)
-        else defs.forall { case (d, sub) => isIdExpr(d, sub) }
-      case al: Alias => isIdExpr(al.child, sc)
-      case c: Cast => isIdExpr(c.child, sc)
-      case _ => false
+        if (defs.isEmpty) Some(a.name).filter(uniqueIdCols.contains)
+        else {
+          val names = defs.map { case (d, sub) => leafIdName(d, sub) }
+          if (names.nonEmpty && names.forall(_.isDefined) &&
+              names.flatten.toSet.size == 1) names.head
+          else None
+        }
+      case al: Alias => leafIdName(al.child, sc)
+      case c: Cast => leafIdName(c.child, sc)
+      case _ => None
     }
-    conjuncts(cond).exists {
-      case LessThan(a, _: Literal) => isIdExpr(a, scope)
-      case LessThanOrEqual(a, _: Literal) => isIdExpr(a, scope)
-      case EqualTo(a, _: Literal) => isIdExpr(a, scope)
-      case In(a, vs) => isIdExpr(a, scope) && vs.forall(_.isInstanceOf[Literal])
-      case _ => false
-    }
+    conjuncts(cond).flatMap {
+      case LessThan(a, _: Literal) => leafIdName(a, scope)
+      case LessThanOrEqual(a, _: Literal) => leafIdName(a, scope)
+      case EqualTo(a, _: Literal) => leafIdName(a, scope)
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        leafIdName(a, scope)
+      case _ => None
+    }.toSet
   }
 
   /** A whole conjunct capping a row_number() whose window partitions
@@ -873,7 +913,8 @@ object BoundedWalk {
           }))) ||
         isBounded(a.child)
     case f: Filter =>
-      (idPanelPredicate(f.condition, LScope(f.child)) && fanoutFree(f.child)) ||
+      { val ids = idPanelIds(f.condition, LScope(f.child))
+        ids.nonEmpty && fanoutFree(f.child, ids) } ||
         rankCapPredicate(f.condition, f.child) ||
         isBounded(f.child)
     case w: Window => isBounded(w.child)
@@ -908,8 +949,8 @@ object BoundedWalk {
           }))) ||
         boundedPhysical(a.child)
     case f: execution.FilterExec =>
-      (idPanelPredicate(f.condition, PScope(f.child)) &&
-        fanoutFreePhys(f.child)) ||
+      { val ids = idPanelIds(f.condition, PScope(f.child))
+        ids.nonEmpty && fanoutFreePhys(f.child, ids) } ||
         rankCapPredicatePhys(f.condition, f.child) ||
         boundedPhysical(f.child)
     case w: execution.window.WindowExec => boundedPhysical(w.child)

@@ -10,6 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * independent of which query currently exercises it. Plans are built
   * over parquet-backed frames: local relations constant-fold and never
   * reach the recognizers (the ConvertToLocalRelation lesson).
+  *
+  * The adversarial negative corpus (size-asserted, append-only) covers
+  * every resolution hop and trust rule the walk carries, at least two
+  * cases each:
+  *  - id-panel filters: OR-shadowing, negation, fan-out joins, outer
+  *    joins keeping the other side, renamed non-id values;
+  *  - name trust (domain/FK/unique-id): alias laundering at non-leaf
+  *    positions, substring/explode/cast launder, union widening;
+  *  - rank caps: rank() ties, corpus partition keys;
+  *  - generators: collected-array explode, data-sized sequence;
+  *  - literal grids: pmod with a column modulus, year();
+  *  - checkpoint hop: unregistered checkpoints (bare and laundered);
+  *  - staged-artifact hop: lookalike paths outside the cache root,
+  *    fanned-out staged artifacts (id-panel test above).
+  * RATCHET RULE: every new hop or trust rule ships with >= 2 negative
+  * cases in the same commit; the size assertion makes deletion loud.
   */
 class BoundedWalkSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -306,6 +322,38 @@ class BoundedWalkSpec extends AnyFunSuite {
     assert(bounded(spark.read.parquet(s"file:$sf/nation.parquet")))
   }
 
+  test("the stagecache gate compares fully-qualified locations") {
+    val root = graft.pipeline.Staged.cacheRoot.stripSuffix("/")
+    // The local root itself, in every local spelling, is inside.
+    assert(BoundedWalk.underCacheRoot(s"$root/tag-1-aabb"))
+    assert(BoundedWalk.underCacheRoot(s"file:$root/tag-1-aabb"))
+    assert(BoundedWalk.underCacheRoot(s"file://$root/tag-1-aabb"))
+    // A REMOTE location sharing the root's PATH is not: scheme and
+    // authority are part of the identity (a bare-path comparison would
+    // judge an hdfs artifact by the local registry).
+    assert(!BoundedWalk.underCacheRoot(s"hdfs://evil$root/tag-1-aabb"))
+    assert(!BoundedWalk.underCacheRoot(s"file://otherhost$root/tag-1-aabb"))
+    assert(!BoundedWalk.underCacheRoot(s"s3a://bucket$root/tag-1-aabb"))
+  }
+
+  test("the id-panel home-table knowledge is keyed per id") {
+    // doc_id's home is documents.parquet; vec_id's is
+    // embeddings.parquet — a leaf qualifies as fan-out-free only for
+    // the PINNED id's own home segment. Today's tables each carry
+    // only their own id, so cross-wiring is unreachable live; this
+    // pins the rule against a leaf named like ONE home table but
+    // filtered on the OTHER table's id (where that id is not
+    // one-row-per-value).
+    assert(bounded(spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 5)))
+    val crossed = "/root/repo/target/scratch/boundedwalk/embeddings.parquet"
+    docs.select(col("doc_id")).limit(300)
+      .write.mode("overwrite").parquet(crossed)
+    assert(!bounded(spark.read.parquet(crossed).filter(col("doc_id") < 5)),
+      "a doc_id panel certified over a leaf that is vec_id's home, " +
+        "not doc_id's")
+  }
+
   test("tracing through a column-pruned cached scan maps positions correctly") {
     // The cached physical subtree reads the persisted base through an
     // InMemoryTableScan PRUNED to one column; positional hopping via
@@ -374,7 +422,58 @@ class BoundedWalkSpec extends AnyFunSuite {
           .select(explode(col("ids")).as("id")),
       "corpus column renamed to an event-type domain name" ->
         ev.select(col("value").cast("string").as("event_type"))
-          .groupBy("event_type").agg(count(lit(1)).as("n")))
+          .groupBy("event_type").agg(count(lit(1)).as("n")),
+      // —— round-16 additions, one pair per r15/r16 resolution hop ——
+      // Checkpoint hop: an UNREGISTERED localCheckpoint is an opaque
+      // leaf that must poison even when its pre-checkpoint plan was
+      // bounded — only Lineage.checkpoint's recorded plan certifies.
+      "unregistered checkpoint of a bounded frame" ->
+        docs.limit(5).localCheckpoint(true),
+      "domain name laundered through an unregistered checkpoint" ->
+        docs.select(col("lang")).localCheckpoint(true)
+          .groupBy("lang").agg(count(lit(1)).as("n")),
+      // Cross-side leaf binding: a bounded id panel on ONE side of an
+      // outer join must not certify output that keeps the other
+      // side's unmatched corpus rows.
+      "right outer join keeps corpus rows past a bounded left panel" ->
+        docs.select(col("doc_id")).filter(col("doc_id") < 5)
+          .join(ev, col("doc_id") === col("user_id"), "right"),
+      // Staged-artifact hop: the tag-hash directory NAME certifies
+      // nothing outside Staged.cacheRoot (and nothing without a
+      // registered build plan).
+      "staged-tag lookalike directory outside the cache root" -> {
+        val fake = "/root/repo/target/scratch/boundedwalk/" +
+          "cc_labels-1234567890-aabbccdd11223344"
+        docs.limit(200).write.mode("overwrite").parquet(fake)
+        spark.read.parquet(fake)
+      },
+      // Generator rule: literal fan-out is bounded; DATA-sized fan-out
+      // (sequence length from a corpus column) is not.
+      "sequence explode sized by a corpus column" ->
+        docs.select(explode(sequence(lit(1), col("n_chars"))).as("i"))
+          .groupBy("i").agg(count(lit(1)).as("n")),
+      // pmod grids: only a LITERAL modulus bounds the codomain.
+      "pmod bucket with a column modulus" ->
+        docs.select(pmod(col("doc_id"), col("n_chars")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n")),
+      // Unique-id trust is leaf-only: corpus values renamed to an id
+      // name then panel-filtered bound values, not rows.
+      "corpus values renamed to a unique-id name then panel-filtered" ->
+        ev.select(col("value").cast("long").as("doc_id"))
+          .filter(col("doc_id") < 5),
+      // OR with a data-dependent between: the literal window's bound
+      // must not leak across the disjunction.
+      "literal id window OR'd with a data-dependent between" ->
+        docs.filter(col("doc_id").between(1, 5) ||
+          col("doc_id").between(lit(1), col("n_chars"))))
+    // Ratchet (round-16 rule): every new resolution hop or trust rule
+    // ships with >= 2 negative cases in the same commit, and the
+    // corpus only grows — deleting a case must fail here, not vanish
+    // in a diff.
+    assert(adversarial.size >= 23,
+      s"adversarial corpus shrank to ${adversarial.size} — cases are " +
+        "append-only; a recognizer change that needs one gone is " +
+        "over-reaching")
     val certified = adversarial.collect {
       case (label, df) if bounded(df) => label
     }

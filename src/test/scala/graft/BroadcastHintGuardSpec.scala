@@ -49,9 +49,8 @@ class BroadcastHintGuardSpec extends AnyFunSuite {
     */
   private val allowlist: Map[String, String] = Map.empty
 
-  private def offendingHints(name: String): Seq[String] = {
-    val df = SparkEntry.queries(name)(spark, sf)
-    df.queryExecution.optimizedPlan.collect { case j: Join =>
+  private def hintsIn(plan: LogicalPlan): Seq[String] =
+    plan.collect { case j: Join =>
       Seq((j.hint.leftHint, j.left, "left"),
           (j.hint.rightHint, j.right, "right"))
         .flatMap { case (h, side, label) =>
@@ -62,6 +61,40 @@ class BroadcastHintGuardSpec extends AnyFunSuite {
           else None
         }
     }.flatten
+
+  private def offendingHints(name: String): Seq[String] =
+    hintsIn(SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan)
+
+  test("builder-side-effect writes pass the same broadcast-hint gate") {
+    // EagerWrites records the optimized logical plan of every eager
+    // builder write (see GlobalWindowGuardSpec for the registration
+    // contract); this applies the identical hinted-side check there.
+    val entries = graft.pipeline.EagerWrites.all
+    assert(entries.contains("pipeline_batch_envelope_jsonl"),
+      "the known eager write is not registered — EagerWrites.run was bypassed")
+    val offenders = entries.toSeq.sortBy(_._1).flatMap {
+      case (tag, (opt, _)) =>
+        val bad = hintsIn(opt)
+        if (bad.nonEmpty) Some(s"$tag: ${bad.mkString("; ")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"corpus-scaled broadcast hints in eager builder writes:\n  " +
+        offenders.mkString("\n  "))
+  }
+
+  test("a planted violating eager write is caught by the registry sweep") {
+    val tag = "test_planted_broadcast_hint"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val planted = docs.select("doc_id", "lang").join(
+      org.apache.spark.sql.functions.broadcast(
+        docs.select("doc_id", "n_chars")), "doc_id")
+    graft.pipeline.EagerWrites.record(tag, planted)
+    try {
+      val caught = graft.pipeline.EagerWrites.all.get(tag)
+        .map { case (opt, _) => hintsIn(opt) }.getOrElse(Nil)
+      assert(caught.nonEmpty,
+        "the planted corpus-sized broadcast hint escaped the registry sweep")
+    } finally graft.pipeline.EagerWrites.remove(tag)
   }
 
   test("no query pins an unbounded side to broadcast by hint") {

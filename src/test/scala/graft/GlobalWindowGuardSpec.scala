@@ -89,4 +89,47 @@ class GlobalWindowGuardSpec extends AnyFunSuite {
       .filter(name => globalWindows(name).isEmpty)
     assert(stale.isEmpty, s"stale allowlist entries: ${stale.mkString(", ")}")
   }
+
+  private def registryOffenders(
+      entries: Map[String, (logical.LogicalPlan,
+        org.apache.spark.sql.execution.SparkPlan)]): Seq[String] =
+    entries.toSeq.sortBy(_._1).flatMap { case (tag, (opt, _)) =>
+      val globals = opt.collect {
+        case w: logical.Window
+            if w.partitionSpec.isEmpty && !isShardOffsets(w) &&
+              !BoundedWalk.isBounded(w.child) => w
+      }
+      if (globals.nonEmpty) Some(s"$tag (${globals.size} global windows)")
+      else None
+    }
+
+  test("builder-side-effect writes pass the same global-window gate") {
+    // Plans executed eagerly during query CONSTRUCTION (e.g.
+    // pipeline_batch_envelope's JSONL batch write) never appear in the
+    // returned tree — EagerWrites records them and this sweep applies
+    // the identical check. The main test above constructs every query
+    // first, which is what populates the registry; the nonEmpty
+    // assertion keeps this sweep from passing vacuously if the
+    // registration route is ever bypassed.
+    val entries = graft.pipeline.EagerWrites.all
+    assert(entries.contains("pipeline_batch_envelope_jsonl"),
+      "the known eager write is not registered — EagerWrites.run was bypassed")
+    val offenders = registryOffenders(entries)
+    assert(offenders.isEmpty,
+      s"partition-less windows in eager builder writes:\n  " +
+        offenders.mkString("\n  "))
+  }
+
+  test("a planted violating eager write is caught by the registry sweep") {
+    val tag = "test_planted_global_window"
+    val bad = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+    graft.pipeline.EagerWrites.record(tag, bad)
+    try {
+      val offenders = registryOffenders(graft.pipeline.EagerWrites.all)
+      assert(offenders.exists(_.startsWith(tag)),
+        "the planted partition-less window escaped the registry sweep")
+    } finally graft.pipeline.EagerWrites.remove(tag)
+  }
 }

@@ -101,4 +101,35 @@ class PanelsLineageSpec extends AnyFunSuite {
     assert(Staged.buildPlanFor(tag, "0").isEmpty)
     assert(Staged.buildPlanFor("no_such_tag", hash).isEmpty)
   }
+
+  test("Staged build plans hold checkpoint leaves as id stubs, never the RDD") {
+    // Same leak class as the Lineage registry: a Staged.disk build
+    // over a Lineage.checkpoint'd input must not store the raw
+    // LogicalRDD in buildPlans — that would strongly pin the
+    // checkpoint generation's RDD blocks for the JVM's life. The
+    // recorded plan carries an id-only CheckpointRef stub, and the
+    // walk resolves it through Lineage.planFor like the raw leaf.
+    val dir = "/root/testdata/sf0.001"
+    val tag = "panels_spec_ckpt_probe"
+    val seed = Lineage.checkpoint(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").orderBy("doc_id").limit(4))
+    Staged.disk(spark, dir, tag) { seed.filter(col("doc_id") >= 0) }
+    val sfName = new java.io.File(dir).getName
+    val parent = new java.io.File(s"${Staged.cacheRoot}/$sfName")
+    val seg = Option(parent.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).find(_.startsWith(s"$tag-"))
+      .getOrElse(fail(s"no staged artifact for $tag under $parent"))
+    val hash = seg.stripPrefix(s"$tag-").split('-').head
+    val plan = Staged.buildPlanFor(tag, hash)
+      .getOrElse(fail("no build plan recorded"))
+    assert(!plan.exists { case _: LogicalRDD => true; case _ => false },
+      s"buildPlans pins an RDD via a raw LogicalRDD leaf:\n$plan")
+    assert(plan.collect { case c: graft.pipeline.CheckpointRef => c }.nonEmpty,
+      "checkpointed build input was not stubbed")
+    // And the stub resolves onward: the artifact stays certified
+    // because the checkpoint's recorded plan carries the limit.
+    assert(BoundedWalk.isBounded(plan),
+      "the walk no longer certifies a staged build through its stub")
+  }
 }
