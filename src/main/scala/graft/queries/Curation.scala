@@ -565,18 +565,21 @@ object Curation {
       // an RNG). The cluster key here is the 3-token PREFIX
       // fingerprint (the URL/title-key flavor of soft dedup; this
       // corpus has no exact-text duplicates, so the exact fp would
-      // leave the k>1 arm dead — the dead-arm trap). Plan: one shuffle
-      // on the 16-hex key to size clusters, one join back, a codegen'd
-      // filter — the linear exact-dedup shape with the keep decision
-      // swapped.
+      // leave the k>1 arm dead — the dead-arm trap). Plan: ONE shuffle
+      // on the 16-hex key computing the cluster size as a window count
+      // over the pk partition, then a codegen'd filter — the
+      // groupBy+join-back spelling paid a second exchange and a join
+      // stage for the same result (r16 fusion; cluster-size windows
+      // skew exactly like the aggregate would, and AQE handles both).
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
           .select(col("doc_id"),
             substring(md5(concat_ws(" ", slice(col("tks"), 1, 3))), 1, 16)
               .as("pk"))
-        val sz = docs.groupBy("pk").agg(count(lit(1)).as("csize"))
-        docs.join(sz, "pk")
+        docs
+          .withColumn("csize", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("pk")))
           .filter(pmod(Text.md5Hash32(
             concat(lit("dw:"), col("doc_id").cast("string"))), col("csize")) === 0)
           .select(col("doc_id"), col("pk"), col("csize"))

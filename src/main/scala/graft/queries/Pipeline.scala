@@ -487,18 +487,21 @@ object Pipeline {
           stages(s, dir).known.select("norm").distinct()
             .filter(col("norm").isNotNull && length(col("norm")) >= 1)
         }
-        // No intermediate distincts on the dirty feed or the variant
-        // table: the final output distinct dedups the joined triples,
-        // so pre-deduping each side only added a full shuffle apiece
-        // (collisions — two entities sharing a dirty string, repeated
-        // chars yielding the same deletion — are rare, so the join
-        // fan-out they leave behind is negligible).
+        // The probe side dedups BEFORE the join (two entities can
+        // produce the same dirty string): with the index below keyed
+        // UNIQUE per variant, distinct dirty × unique-keyed index
+        // makes every joined (dirty, entity) pair unique by
+        // construction — the old post-join distinct (a full shuffle
+        // of the joined triples) is gone, and the pre-join distinct
+        // runs over the narrower single-column probe frame (r16
+        // stage-fusion; was 3 exchanges on the probe path, now 2).
         val dirty = ents
           .withColumn("p",
             (Text.md5Hash32(col("norm")) % length(col("norm")).cast("long"))
               .cast("int"))
           .select(concat(expr("substring(norm, 1, p)"),
             expr("substring(norm, p + 2, 1000000)")).as("dirty"))
+          .distinct()
         // Position series capped at 100 (shared with the oracle, which
         // cannot laterally parameterize its series by length(norm)):
         // deletion variants beyond position 100 are skipped identically
@@ -507,7 +510,12 @@ object Pipeline {
         // index — production builds it once per entity-list version and
         // every lookup batch probes it, so the staged artifact is the
         // architecturally honest split (query runs pay the probe join,
-        // not the index build).
+        // not the index build). GROUPED to one row per variant with
+        // the candidate entity set collected (set sizes are bounded by
+        // same-variant collisions — repeated characters, near-equal
+        // entities — a handful at any vocabulary size): the index key
+        // is unique, so the probe join emits each (dirty, entity)
+        // pair at most once and needs no post-join dedup.
         val variants = graft.pipeline.Staged.disk(s, dir, "fuzzy_variants") {
           ents
             .select(col("norm"), explode(sequence(lit(1),
@@ -515,11 +523,12 @@ object Pipeline {
             .select(col("norm"), concat(expr("substring(norm, 1, i - 1)"),
               expr("substring(norm, i + 1, 1000000)")).as("variant"))
             .union(ents.select(col("norm"), col("norm").as("variant")))
+            .groupBy("variant").agg(collect_set(col("norm")).as("norms"))
         }
         dirty.join(variants, col("dirty") === col("variant"))
-          .select(col("dirty"), col("norm").as("entity"),
-            levenshtein(col("dirty"), col("norm")).cast("long").as("dist"))
-          .distinct()
+          .select(col("dirty"), explode(col("norms")).as("entity"))
+          .select(col("dirty"), col("entity"),
+            levenshtein(col("dirty"), col("entity")).cast("long").as("dist"))
           .orderBy("dirty", "entity")
       },
       Some(prelude + """,
