@@ -252,7 +252,7 @@ object Staged {
     * contract filesystems use for cheap change detection; a rewrite that
     * preserves both to the millisecond is not a case the driver produces.
     */
-  private[pipeline] def inputFingerprint(dir: String): String = {
+  private[graft] def inputFingerprint(dir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def walk(f: java.io.File): Unit =
       if (f.isDirectory) {
@@ -294,7 +294,7 @@ object Staged {
     * today; constants live in expressions, which do render) would need
     * its values folded into the tag.
     */
-  private[pipeline] def planFingerprint(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
+  private[graft] def planFingerprint(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(plan.canonicalized
       .treeString(verbose = false, addSuffix = false,

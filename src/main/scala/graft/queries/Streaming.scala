@@ -44,7 +44,7 @@ private[graft] object StreamCdc {
     */
   def applyFeed(s: SparkSession, dir: String, snap: String): Unit = {
     val changes = CdcFeed.changes(s, dir)
-    val src = StreamRuns.stageAsFiles(changes, "upsert-feed", 4)
+    val src = StreamRuns.stageAsFiles(changes, "upsert-feed", 4, dir)
     val q = s.readStream.schema(changes.schema)
       .option("maxFilesPerTrigger", 2).parquet(src)
       .writeStream
@@ -252,7 +252,7 @@ object Streaming {
         col("value"))
     // Shared "events" staging key: all event-stream queries reuse one
     // staged copy per scale dir (memoized in StreamRuns).
-    val src = StreamRuns.stageAsFiles(batch, "events", files)
+    val src = StreamRuns.stageAsFiles(batch, "events", files, dir)
     val r = s.readStream.schema(batch.schema)
     perTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).parquet(src)
   }
@@ -293,7 +293,7 @@ object Streaming {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
             col("text"))
-        val src = StreamRuns.stageAsFiles(docs, "ingest", 4)
+        val src = StreamRuns.stageAsFiles(docs, "ingest", 4, dir)
         val sink = StreamRuns.fresh("ingest-sink")
         val q = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 2).parquet(src)
@@ -391,7 +391,7 @@ object Streaming {
         val cut = raw - raw % 86400000L + 43200000L
         val p1 = e.filter(unix_millis(col("ts")) <= cut)
         val p2 = e.filter(unix_millis(col("ts")) > cut)
-        StreamRuns.twoPhaseFilesToMemory(s, "updmode", p1, p2,
+        StreamRuns.twoPhaseFilesToMemory(s, "updmode", dir, p1, p2,
             mode = "update") { df =>
           df.groupBy(window(col("ts"), "1 day"), col("event_type"))
             .agg(count(lit(1)).as("n"))
@@ -518,7 +518,7 @@ object Streaming {
         val cut = (b.getLong(0) + b.getLong(1) + 1L) / 2L
         val p1 = docs.filter(col("doc_id") < cut)
         val p2 = docs.filter(col("doc_id") >= cut)
-        val cands = StreamRuns.twoPhaseFilesToMemory(s, "mhdedup", p1, p2) { df =>
+        val cands = StreamRuns.twoPhaseFilesToMemory(s, "mhdedup", dir, p1, p2) { df =>
           // ≙ Dedup.minhashBands per row: the fused native kernel
           // (ShingleMinHashExpr — tokens → shingles → md5 → 16-lane
           // min in one JVM loop; the HOF spelling ran md5 through the
@@ -693,7 +693,7 @@ object Streaming {
         val p1 = e.filter(unix_millis(col("ts")) <= cut)
         val p2 = e.filter(unix_millis(col("ts")) > cut)
 
-        StreamRuns.twoPhaseFilesToMemory(s, "timer", p1, p2,
+        StreamRuns.twoPhaseFilesToMemory(s, "timer", dir, p1, p2,
             forceRocksDb = true) { df =>
           df.withWatermark("ts", "0 seconds")
             .as[EvV]
@@ -854,7 +854,7 @@ object Streaming {
           .select(col("ts"), col("event_type"), col("user_id"),
             col("event_id"))
         def phase(p: Column) = e.filter(p).drop("event_id")
-        StreamRuns.twoPhaseFilesToMemory(s, "late",
+        StreamRuns.twoPhaseFilesToMemory(s, "late", dir,
             phase(col("event_id") % 3 =!= 0),
             phase(col("event_id") % 3 === 0)) { df =>
           df.withWatermark("ts", "10 minutes")
@@ -951,7 +951,7 @@ object Streaming {
         val p2 = e.filter(ms > cut)
           .union(p1.filter(ms > wm1))
           .union(p1.filter(ms <= wm1 && col("event_id") % 7 === 0))
-        StreamRuns.twoPhaseFilesToMemory(s, "chain", p1, p2) { df =>
+        StreamRuns.twoPhaseFilesToMemory(s, "chain", dir, p1, p2) { df =>
           df.withWatermark("ts", "10 minutes")
             .dropDuplicatesWithinWatermark("event_id")
             .groupBy(window(col("ts"), "5 minutes"), col("event_type"))

@@ -216,20 +216,29 @@ object StreamRuns {
     * oracles expressible at all.
     */
   def twoPhaseFilesToMemory(
-      spark: SparkSession, tag: String, p1: DataFrame, p2: DataFrame,
+      spark: SparkSession, tag: String, dir: String,
+      p1: DataFrame, p2: DataFrame,
       forceRocksDb: Boolean = false, mode: String = "append")(
       build: DataFrame => DataFrame): DataFrame = {
-    val srcDir = fresh(s"$tag-2psrc")
-    val p2Dir = fresh(s"$tag-2pp2")
-    p1.coalesce(2).write.mode("overwrite").parquet(srcDir)
+    // Both phases are staged ONCE per (plan, input-data) generation in
+    // the shared immutable tree ([[stageAsFiles]] — cross-JVM, so the
+    // driver's fresh-JVM bench reuses the builder's copies) and
+    // PUBLISHED per run by hardlink into a fresh source dir: the run
+    // pays two filesystem links instead of two Spark write jobs. The
+    // source dir must still be per-run — phase 2 is published into it
+    // mid-stream, so it is consumed, never shared.
+    val p1Dir = stageAsFiles(p1, s"2p-$tag-p1", 2, dir)
     // Phase 2 MUST be one part file: the query runs under the default
     // continuous-polling trigger, so a multi-file handoff could have a
-    // micro-batch fire between two moves and split phase 2 — a
+    // micro-batch fire between two publications and split phase 2 — a
     // watermark advance mid-phase would nondeterministically drop
-    // late-phase rows. One file + one atomic same-filesystem move
-    // publishes the whole phase in a single step, preserving the
+    // late-phase rows. One file + one atomic link (the link exposes
+    // already-complete content in a single directory operation)
+    // publishes the whole phase in one step, preserving the
     // MemoryStream-equivalent "batch 2 = phase 2" contract.
-    p2.coalesce(1).write.mode("overwrite").parquet(p2Dir)
+    val p2Dir = stageAsFiles(p2, s"2p-$tag-p2", 1, dir)
+    val srcDir = fresh(s"$tag-2psrc")
+    publishParts(p1Dir, srcDir)
     val qn = s"${tag}_${UUID.randomUUID().toString.take(8).replace("-", "")}"
     def run(): Unit = {
       val q = build(spark.readStream.schema(p1.schema).parquet(srcDir))
@@ -237,13 +246,7 @@ object StreamRuns {
         .option("checkpointLocation", fresh(s"$tag-ckpt"))
         .start()
       q.processAllAvailable()
-      val dst = new java.io.File(srcDir)
-      new java.io.File(p2Dir).listFiles()
-        .filter(_.getName.startsWith("part-"))
-        .foreach { f =>
-          java.nio.file.Files.move(f.toPath,
-            new java.io.File(dst, f.getName).toPath)
-        }
+      publishParts(p2Dir, srcDir)
       q.processAllAvailable()
       q.stop()
     }
@@ -252,34 +255,109 @@ object StreamRuns {
     spark.table(qn)
   }
 
+  /** Expose a staged phase's part files inside `dstDir` without
+    * touching the immutable staged copy: hardlink (atomic — the name
+    * appears with its content complete; same tmpfs/fs as the scratch
+    * root), falling back to copy-then-atomic-rename if the filesystem
+    * refuses links. Names are prefixed with the source dir's hash so
+    * two phases staged with identical part names cannot collide in
+    * the destination.
+    */
+  private def publishParts(stagedDir: String, dstDir: String): Unit = {
+    val pfx = Integer.toHexString(stagedDir.hashCode)
+    Option(new java.io.File(stagedDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-"))
+      .foreach { f =>
+        val dst = new java.io.File(dstDir, s"$pfx-${f.getName}").toPath
+        try java.nio.file.Files.createLink(dst, f.toPath)
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            val tmp = new java.io.File(dstDir, s".tmp-$pfx-${f.getName}").toPath
+            java.nio.file.Files.copy(f.toPath, tmp,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.Files.move(tmp, dst,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    ()
+  }
+
   private val stageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Materialize a stable single-schema copy of a table as a multi-file
     * parquet directory a file-source stream can discover incrementally.
-    * Memoized per (tag, files, plan) within the JVM — six streaming
-    * queries over the same events table stage one copy, not six.
+    * Memoized per (tag, files, plan, input-data) within the JVM — six
+    * streaming queries over the same events table stage one copy, not
+    * six — AND addressed by a DETERMINISTIC generation name on the
+    * shared scratch mount, so a FRESH JVM (the driver's bench after
+    * the builder's runs) discovers the previous JVM's copy instead of
+    * re-running the staging write job. The generation key mirrors
+    * Staged.spillThrough: the canonicalized-plan fingerprint
+    * (semanticHash is NOT JVM-stable for file relations) plus the
+    * input-data fingerprint (an in-place testdata regeneration leaves
+    * every plan identical).
     *
-    * Cache entries are VALIDATED on every hit (the directory's
+    * `dir` is the query's input scale directory, fingerprinted into
+    * the key. Entries are VALIDATED on every hit (the directory's
     * _SUCCESS must still exist — a sweep from a concurrent JVM, or any
     * external cleanup, invalidates the memo and the copy is re-staged)
     * and the directory's mtime is touched on reuse so [[sweepAged]]'s
     * staged-dir grace period measures idle time, not age.
     */
-  def stageAsFiles(df: DataFrame, tag: String, files: Int): String = {
-    val key = s"$tag/$files/${df.queryExecution.logical.semanticHash()}"
-    def live(dir: String): Boolean = new java.io.File(dir, "_SUCCESS").exists()
-    var dir = stageCache.get(key)
-    if (dir == null || !live(dir)) stageCache.synchronized {
-      dir = stageCache.get(key)
-      if (dir == null || !live(dir)) {
-        val d = fresh(s"$StagedPrefix$tag-src")
-        df.repartition(files).write.mode("overwrite").parquet(d)
-        stageCache.put(key, d)
-        dir = d
+  def stageAsFiles(df: DataFrame, tag: String, files: Int,
+      dir: String): String = {
+    val planFp = graft.pipeline.Staged.planFingerprint(
+      df.queryExecution.logical)
+    val dataFp = graft.pipeline.Staged.inputFingerprint(dir)
+    val gen = s"$StagedPrefix$tag-$files-$planFp-$dataFp"
+    val genPath = s"$ScratchRoot/$gen"
+    val key = gen
+    def live(d: String): Boolean = new java.io.File(d, "_SUCCESS").exists()
+    var out = stageCache.get(key)
+    if (out == null || !live(out)) stageCache.synchronized {
+      out = stageCache.get(key)
+      if (out == null || !live(out)) {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+        }
+        val chosen =
+          if (live(genPath)) genPath
+          else {
+            // Write to a fresh private dir, then atomically rename to
+            // the generation name: concurrent JVMs sharing the mount
+            // either win the rename or adopt the winner's copy — a
+            // direct write to the shared name could be listed
+            // half-finished by another JVM's stream.
+            val tmp = fresh(s"$StagedPrefix$tag-src")
+            df.repartition(files).write.mode("overwrite").parquet(tmp)
+            val moved =
+              try {
+                java.nio.file.Files.move(
+                  java.nio.file.Paths.get(tmp),
+                  java.nio.file.Paths.get(genPath),
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                true
+              } catch { case _: java.io.IOException => false }
+            // Prune stale generations of this tag (old plan or data
+            // fingerprints) once a new one is committed — same
+            // new-first-then-prune order as Staged.spillThrough.
+            val pfx = s"$StagedPrefix$tag-$files-"
+            Option(new java.io.File(ScratchRoot).listFiles())
+              .getOrElse(Array.empty)
+              .filter(f => f.getName.startsWith(pfx) && f.getName != gen)
+              .foreach(del)
+            if (moved) genPath
+            else if (live(genPath)) { del(new java.io.File(tmp)); genPath }
+            // Rename refused and nobody else committed: serve our
+            // private copy (non-shared, still correct).
+            else tmp
+          }
+        stageCache.put(key, chosen)
+        out = chosen
       }
     }
-    new java.io.File(dir).setLastModified(System.currentTimeMillis())
-    dir
+    new java.io.File(out).setLastModified(System.currentTimeMillis())
+    out
   }
 }

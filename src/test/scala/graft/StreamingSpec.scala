@@ -22,7 +22,7 @@ class StreamingSpec extends AnyFunSuite {
   test("file ingest processes a 4-file source in >= 2 micro-batches") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("lang"))
-    val src = StreamRuns.stageAsFiles(docs, "spec-ingest", 4)
+    val src = StreamRuns.stageAsFiles(docs, "spec-ingest", 4, sf)
     val batches = new AtomicInteger(0)
     val rows = new AtomicInteger(0)
     val q = spark.readStream.schema(docs.schema)
