@@ -31,13 +31,21 @@ private[graft] object StreamCdc {
   val NBuckets = 16L
   private def bk(c: org.apache.spark.sql.Column) = pmod(c, lit(NBuckets))
 
-  /** Base snapshot, hive-partitioned by the key bucket. */
-  def writeBase(s: SparkSession, dir: String, snap: String): Unit =
-    CdcFeed.base(s, dir)
-      .select(col("o_orderkey"), col("b_status").as("status"),
-        col("b_price").as("price"))
-      .withColumn("bk", bk(col("o_orderkey")))
-      .write.mode("overwrite").partitionBy("bk").parquet(snap)
+  /** Base snapshot, hive-partitioned by the key bucket. Staged ONCE
+    * per (plan, input-data) generation in the immutable shared tree
+    * and hardlink-cloned into the per-run `snap` the merge mutates —
+    * the run pays a directory clone, not a Spark write job (the same
+    * staged-input discipline as the two-phase harness).
+    */
+  def writeBase(s: SparkSession, dir: String, snap: String): Unit = {
+    val staged = StreamRuns.stageAsPartitionedTree(
+      CdcFeed.base(s, dir)
+        .select(col("o_orderkey"), col("b_status").as("status"),
+          col("b_price").as("price"))
+        .withColumn("bk", bk(col("o_orderkey"))),
+      "upsert-base", Seq("bk"), dir)
+    StreamRuns.cloneTree(staged, snap)
+  }
 
   /** Stream the change feed in 2-file micro-batches; each batch merges
     * copy-on-write over the touched buckets only.

@@ -306,11 +306,54 @@ object StreamRuns {
     * staged-dir grace period measures idle time, not age.
     */
   def stageAsFiles(df: DataFrame, tag: String, files: Int,
-      dir: String): String = {
+      dir: String): String =
+    stagedGeneration(df, tag, files.toString, dir) { tmp =>
+      df.repartition(files).write.mode("overwrite").parquet(tmp)
+    }
+
+  /** [[stageAsFiles]] for a HIVE-PARTITIONED snapshot tree (the CDC
+    * base): the directory layout IS the artifact, so the writer
+    * partitions instead of repartitioning flat. Callers never mutate
+    * the staged tree — they [[cloneTree]] it into a per-run dir first.
+    */
+  def stageAsPartitionedTree(df: DataFrame, tag: String,
+      parts: Seq[String], dir: String): String =
+    stagedGeneration(df, tag, s"by-${parts.mkString("_")}", dir) { tmp =>
+      df.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp)
+    }
+
+  /** Hardlink-clone a staged immutable tree into `dst`, which the
+    * caller may then mutate freely: directories are recreated, files
+    * hardlinked (a dynamic-partition overwrite REPLACES whole bucket
+    * dirs, unlinking the clone's links while the staged originals
+    * stay intact — hardlinked content is shared until one side is
+    * replaced). Falls back to copy where the filesystem refuses links.
+    */
+  def cloneTree(src: String, dst: String): Unit = {
+    val s = new java.io.File(src)
+    val d = new java.io.File(dst)
+    d.mkdirs()
+    Option(s.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val t = new java.io.File(d, f.getName)
+      if (f.isDirectory) cloneTree(f.getPath, t.getPath)
+      else
+        try java.nio.file.Files.createLink(t.toPath, f.toPath)
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(f.toPath, t.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+        }
+    }
+    ()
+  }
+
+  private def stagedGeneration(df: DataFrame, tag: String, kind: String,
+      dir: String)(write: String => Unit): String = {
     val planFp = graft.pipeline.Staged.planFingerprint(
       df.queryExecution.logical)
     val dataFp = graft.pipeline.Staged.inputFingerprint(dir)
-    val gen = s"$StagedPrefix$tag-$files-$planFp-$dataFp"
+    val gen = s"$StagedPrefix$tag-$kind-$planFp-$dataFp"
     val genPath = s"$ScratchRoot/$gen"
     val key = gen
     def live(d: String): Boolean = new java.io.File(d, "_SUCCESS").exists()
@@ -330,7 +373,7 @@ object StreamRuns {
             // direct write to the shared name could be listed
             // half-finished by another JVM's stream.
             val tmp = fresh(s"$StagedPrefix$tag-src")
-            df.repartition(files).write.mode("overwrite").parquet(tmp)
+            write(tmp)
             val moved =
               try {
                 java.nio.file.Files.move(
@@ -342,7 +385,7 @@ object StreamRuns {
             // Prune stale generations of this tag (old plan or data
             // fingerprints) once a new one is committed — same
             // new-first-then-prune order as Staged.spillThrough.
-            val pfx = s"$StagedPrefix$tag-$files-"
+            val pfx = s"$StagedPrefix$tag-$kind-"
             Option(new java.io.File(ScratchRoot).listFiles())
               .getOrElse(Array.empty)
               .filter(f => f.getName.startsWith(pfx) && f.getName != gen)
