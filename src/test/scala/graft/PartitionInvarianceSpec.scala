@@ -51,7 +51,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "win_markov_transitions",    // (ts, event_id)-totalized lag pairs (round 10)
     "win_rfm_scoring",           // ntile quintiles under total orders (round 10)
     "sim_ann_binary",            // sign-bit sigs + integer Hamming funnel (round 10)
-    "dedup_lcp_adjacent")        // blocked SNM lag + native LCP kernel (round 10)
+    "dedup_lcp_adjacent",        // blocked SNM lag + native LCP kernel (round 10)
+    "sample_dedup_weighted",     // window-count cluster size over pk (round 16)
+    "str_fuzzy_match",           // grouped deletion index: collect_set order must not leak (round 16)
+    "pipeline_batch_envelope")   // string-prefix-keyed global rank ordinals (round 16)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
