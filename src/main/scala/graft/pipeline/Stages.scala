@@ -333,21 +333,40 @@ object Staged {
   def buildPlanFor(tag: String, hash: String): Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
     Option(buildPlans.get(tag)).collect { case (h, p) if h == hash => p }
 
+  /** Every recorded staged-artifact build plan (latest generation per
+    * tag). Staged builds EXECUTE during query construction on a cache
+    * miss — the same builder-side-effect class as EagerWrites — so
+    * the guard specs sweep these plans for their OWN health (global
+    * windows, corpus broadcast hints, non-equi joins), not just for
+    * the boundedness certification [[buildPlanFor]] serves. diskKeyed
+    * artifacts record nothing here (their iterative builds carry
+    * checkpoint leaves and are bounded by loop structure, disclosed
+    * in SURVEY §4.4).
+    */
+  def recordedBuildPlans: Map[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    import scala.jdk.CollectionConverters._
+    buildPlans.asScala.map { case (tag, (_, p)) => tag -> p }.toMap
+  }
+
   private[pipeline] def spillThrough(
       s: SparkSession, dir: String, tag: String, keyIsBuild: Boolean = false)(
       key: => DataFrame)(build: => DataFrame): DataFrame = {
     val keyExec = key.queryExecution
     val h = planFingerprint(keyExec.logical)
-    // Same LogicalRDD→CheckpointRef stubbing as Lineage.checkpoint
-    // (and for the same reason): a Staged.disk build over a
-    // checkpointed input would otherwise store the raw LogicalRDD and
+    // The registry stores the OPTIMIZED plan: the guard specs sweep
+    // optimized trees everywhere else, and the walk's recognizers are
+    // tuned to optimized shapes (constant folding, collapsed
+    // projections) — an analyzed tree defeated the value-provenance
+    // trace through the Lloyd rounds when the staged-build sweep
+    // landed (round 16). Output column NAMES survive optimization, so
+    // the staged-leaf name-resolution hop is unaffected. Plus the same
+    // LogicalRDD→CheckpointRef stubbing as Lineage.checkpoint (and for
+    // the same reason): a build over a checkpointed input must not
     // strongly pin that generation's checkpoint RDD blocks for the
-    // JVM's life. No current build does this, but the registry must
-    // not be the reason the leak class reopens; the guards' walk
-    // re-resolves a stub through Lineage.planFor exactly as it
-    // resolves the raw leaf.
+    // JVM's life; the guards' walk re-resolves a stub through
+    // Lineage.planFor exactly as it resolves the raw leaf.
     if (keyIsBuild) buildPlans.put(tag,
-      (h, keyExec.analyzed.transformUpWithSubqueries {
+      (h, keyExec.optimizedPlan.transformUpWithSubqueries {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
           CheckpointRef(l.rdd.id, l.output)
       }))

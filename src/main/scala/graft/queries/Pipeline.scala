@@ -61,8 +61,11 @@ object Pipeline {
     * (degree, id) endpoint to the higher one, turning the graph into a
     * DAG where each out-degree is O(√m) — the standard scalable wedge
     * bound. Edge building is document-blocked (bounded per-doc term
-    * lists); the degree sides are vocabulary-bounded, hence the
-    * broadcasts.
+    * lists); the degree sides are VOCABULARY-sized (they grow with the
+    * corpus), so per repo policy they carry no broadcast hint — AQE
+    * broadcasts them while they fit and shuffles the joins at scale
+    * (the round-16 staged-build sweep caught the hints this build
+    * carried; same resolution as the classify dictionaries in r15).
     */
   private def orientedTermEdges(s: SparkSession, dir: String): DataFrame =
     // Disk-staged: the parquet leaf truncates the classify-chain
@@ -85,8 +88,8 @@ object Pipeline {
         .groupBy("node").agg(count(lit(1)).as("dg"))
       val fwd = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
-      e.join(broadcast(deg.toDF("u", "du")), "u")
-        .join(broadcast(deg.toDF("v", "dv")), "v")
+      e.join(deg.toDF("u", "du"), "u")
+        .join(deg.toDF("v", "dv"), "v")
         .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
           when(fwd, col("v")).otherwise(col("u")).as("dst"))
     }
