@@ -132,4 +132,19 @@ class PanelsLineageSpec extends AnyFunSuite {
     assert(BoundedWalk.isBounded(plan),
       "the walk no longer certifies a staged build through its stub")
   }
+
+  test("EagerWrites refuses frames built over raw checkpoint inputs") {
+    // A raw LogicalRDD in the registry would pin its RDD blocks for
+    // the JVM's life (the leak class the CheckpointRef stubbing
+    // closes); the physical half of an EagerWrites entry cannot carry
+    // a stub, so registration must fail loudly instead.
+    import spark.implicits._
+    val ck = (1L to 5L).toDF("id").localCheckpoint(true)
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipeline.EagerWrites.record("panels_spec_ckpt_refusal",
+        ck.filter(col("id") > 0))
+    }
+    assert(ex.getMessage.contains("checkpointed input"))
+    assert(!graft.pipeline.EagerWrites.all.contains("panels_spec_ckpt_refusal"))
+  }
 }
