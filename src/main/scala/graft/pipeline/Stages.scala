@@ -471,8 +471,14 @@ object EagerWrites {
     */
   private[graft] def record(tag: String, df: DataFrame): Unit = {
     val qe = df.queryExecution
-    require(!qe.analyzed.exists(
-        _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+    // collectWithSubqueries, not exists: TreeNode.exists walks only
+    // children, so a checkpointed input consumed via a SUBQUERY would
+    // pass a bare exists and silently pin its RDD blocks for the
+    // JVM's life — the exact leak this require fails loudly on. Same
+    // subquery discipline as spillThrough's stubbing pass.
+    require(qe.analyzed.collectWithSubqueries {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l
+      }.isEmpty,
       s"eager write '$tag' consumes a checkpointed input; route it " +
         "through Lineage.checkpoint and extend EagerWrites stubbing " +
         "before registering it (a raw LogicalRDD in the registry pins " +

@@ -91,6 +91,10 @@ class BnljGuardSpec extends AnyFunSuite {
     // EagerWrites records the physical plan of every eager builder
     // write (see GlobalWindowGuardSpec for the registration contract);
     // this applies the identical BNLJ/cartesian check to those plans.
+    // Constructed explicitly so the registry assertion holds under
+    // testOnly/-z isolation too, not just after this suite's own
+    // all-queries test.
+    SparkEntry.queries("pipeline_batch_envelope")(spark, sf)
     val entries = graft.pipeline.EagerWrites.all
     assert(entries.contains("pipeline_batch_envelope_jsonl"),
       "the known eager write is not registered — EagerWrites.run was bypassed")

@@ -69,6 +69,12 @@ class BroadcastHintGuardSpec extends AnyFunSuite {
     // EagerWrites records the optimized logical plan of every eager
     // builder write (see GlobalWindowGuardSpec for the registration
     // contract); this applies the identical hinted-side check there.
+    // Construct the known eager writer FIRST: the registry is JVM-wide
+    // and this suite's own all-queries test runs AFTER this one, so
+    // without the explicit construction the nonEmpty assertion only
+    // held when another guard suite had already populated the registry
+    // in the same JVM — testOnly/-z isolation failed spuriously.
+    SparkEntry.queries("pipeline_batch_envelope")(spark, sf)
     val entries = graft.pipeline.EagerWrites.all
     assert(entries.contains("pipeline_batch_envelope_jsonl"),
       "the known eager write is not registered — EagerWrites.run was bypassed")

@@ -107,10 +107,12 @@ class GlobalWindowGuardSpec extends AnyFunSuite {
     // Plans executed eagerly during query CONSTRUCTION (e.g.
     // pipeline_batch_envelope's JSONL batch write) never appear in the
     // returned tree — EagerWrites records them and this sweep applies
-    // the identical check. The main test above constructs every query
-    // first, which is what populates the registry; the nonEmpty
-    // assertion keeps this sweep from passing vacuously if the
-    // registration route is ever bypassed.
+    // the identical check. The known eager writer is constructed here
+    // explicitly (not left to the main test above) so the nonEmpty
+    // assertion holds under testOnly/-z isolation; it keeps this
+    // sweep from passing vacuously if the registration route is ever
+    // bypassed.
+    SparkEntry.queries("pipeline_batch_envelope")(spark, sf)
     val entries = graft.pipeline.EagerWrites.all
     assert(entries.contains("pipeline_batch_envelope_jsonl"),
       "the known eager write is not registered — EagerWrites.run was bypassed")

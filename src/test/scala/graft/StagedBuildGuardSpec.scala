@@ -19,10 +19,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - no broadcast HINT pinning an unbounded side;
   *  - no join without an equality conjunct where neither side is
   *    bounded — the LOGICAL approximation of BnljGuardSpec's physical
-  *    check (build plans are registered as analyzed trees; re-planning
-  *    them physically would re-run Catalyst per artifact for no new
-  *    information: a non-equi unbounded×unbounded join IS the plan
-  *    that becomes a corpus-scaled nested loop).
+  *    check (build plans are registered as OPTIMIZED trees with
+  *    checkpoint leaves stubbed to CheckpointRef — Stages.spillThrough
+  *    — because the walk's recognizers are tuned to optimized shapes;
+  *    re-planning them physically would re-run Catalyst per artifact
+  *    for no new information: a non-equi unbounded×unbounded join IS
+  *    the plan that becomes a corpus-scaled nested loop).
   *
   * diskKeyed (iterative) artifacts record no build plan and are out of
   * scope here — their loop structure is bounded by construction and
