@@ -73,6 +73,58 @@ object Bench {
       // read-back, same attribution as every other staged family.
       "str_fuzzy_match")
       .filter(n => SparkEntry.queries.contains(n) && (only.isEmpty || only(n)))
+    // Whole-stage-codegen warm-up for the one expensive UNSTAGED query:
+    // pipeline_nested_enrich's first-touch codegen compilation produced
+    // record spikes in r14 (35.8 s) and r16 (16.2 s), each costing an
+    // A/B to discharge. Running the same plan shape at sf0.001 compiles
+    // the identical generated classes (no data-derived literals in the
+    // plan) for pennies, so the timed sf0.1 run stops paying the JIT
+    // lottery. Reported as its own warmup_sec — NOT inside staging_sec,
+    // whose hit-only read-back is the band-table mode probe and must
+    // stay comparable to the r13-r16 records.
+    var warmupSec = 0.0
+    if (only.isEmpty || only("pipeline_nested_enrich")) {
+      val w0 = System.nanoTime()
+      try {
+        val tiny = "/root/testdata/sf0.001"
+        if (new java.io.File(tiny).isDirectory) {
+          SparkEntry.queries("pipeline_nested_enrich")(spark, tiny).count()
+          warmupSec = r3((System.nanoTime() - w0) / 1e9)
+          System.err.println(s"[bench] nested_enrich codegen warm-up: ${warmupSec}s")
+        }
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] nested_enrich warm-up failed: ${t.getMessage}")
+      }
+    }
+    // Snapshot the pipeline disk-cache counters AFTER the warm-up: its
+    // sf0.001 staged builds are deliberate warm-up cost, and counting
+    // their misses in staging_cache would flip the probe's hit-only
+    // criterion on every box where the sf0.001 cache is cold.
+    val (baseHits, baseMisses) = graft.pipeline.Staged.diskCacheStats
+    // Stream staged-input generation is STAGING by nature: on a cold
+    // scratch mount the shared immutable trees (events/documents
+    // copies, two-phase feeds, CDC base) are materialized by Spark
+    // write jobs that used to land inside whichever stream query
+    // touched each tree first (the r16 record spikes). Generate them
+    // here — reported as prestage_sec, outside both staging_sec (the
+    // mode probe) and every per-query time; on a warm mount each
+    // artifact costs a fingerprint check + mtime touch.
+    var prestageSec = 0.0
+    if (only.isEmpty || only.exists(_.startsWith("stream_"))) {
+      val w0 = System.nanoTime()
+      try {
+        graft.queries.Streaming.prestageInputs(spark, sfDir)
+        prestageSec = r3((System.nanoTime() - w0) / 1e9)
+        System.err.println(s"[bench] stream prestage: ${prestageSec}s")
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] stream prestage failed: ${t.getMessage}")
+      }
+    }
+    // Post-prestage snapshot: generation misses DURING prestage are
+    // by-design (that is what prestage is for); a miss AFTER this point
+    // means a staged tree was invalidated mid-run and some timed query
+    // paid the write — the one case that still poisons a record.
+    val (_, preGenMisses) = graft.streaming.StreamRuns.stagedGenStats
     val s0 = System.nanoTime()
     val stagerSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     stagers.foreach { n =>
@@ -125,8 +177,20 @@ object Bench {
     // Cross-JVM stage-cache telemetry: staging_sec was ~33% of r9 wall;
     // without hit/miss counts the driver cannot tell a cold round (real
     // recompute) from a warm one (parquet read-back) or a regression.
-    val (scHits, scMisses) = graft.pipeline.Staged.diskCacheStats
+    // Delta from the post-warm-up snapshot: the probe's hit-only
+    // criterion judges the sf-dir cache this run benched, not the
+    // warm-up's sf0.001 artifacts.
+    val (scHits0, scMisses0) = graft.pipeline.Staged.diskCacheStats
+    val (scHits, scMisses) = (scHits0 - baseHits, scMisses0 - baseMisses)
     val stagingCache = s"""{"hits":$scHits,"misses":$scMisses}"""
+    // Stream staged-GENERATION telemetry (StreamRuns.stagedGeneration):
+    // `misses` counts only POST-prestage generation writes — a staged
+    // tree invalidated mid-run whose write some timed query absorbed
+    // (ratio_table.py refuses to mode-classify such a record);
+    // `prestaged` counts the by-design cold-mount writes prestage paid
+    // inside prestage_sec.
+    val (sgHits, sgMisses) = graft.streaming.StreamRuns.stagedGenStats
+    val streamStaging = s"""{"hits":$sgHits,"misses":${sgMisses - preGenMisses},"prestaged":$preGenMisses}"""
     // The downstream report collector keeps only the LAST 2000 characters
     // of stdout (observed across five rounds: every full 113-query line
     // was head-truncated and unparseable). Budget the line to fit: emit
@@ -144,7 +208,7 @@ object Bench {
       val stagingMap = stagerSecs
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.write(sidecar,
-        s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"staging_cache":$stagingCache,"staging":$stagingMap,"nq":${results.size},"failed":$failedJson,"queries":$full,"sf":"$sfDir"}\n"""
+        s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"warmup_sec":$warmupSec,"prestage_sec":$prestageSec,"staging_cache":$stagingCache,"stream_staging":$streamStaging,"staging":$stagingMap,"nq":${results.size},"failed":$failedJson,"queries":$full,"sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
     } catch {
       case t: Throwable =>
@@ -166,7 +230,7 @@ object Bench {
     val cutSec = r3(sorted.drop(shown.size).map(_._2).sum)
     val qs = shown.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"staging_cache":$stagingCache,"nq":${results.size},"failed":$failedStdout,"others":{"n":$cut,"sec":$cutSec},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"warmup_sec":$warmupSec,"prestage_sec":$prestageSec,"staging_cache":$stagingCache,"stream_staging":$streamStaging,"nq":${results.size},"failed":$failedStdout,"others":{"n":$cut,"sec":$cutSec},"queries":$qs,"sf":"$sfDir"}"""
     // Print once now, and once more from a shutdown hook: after
     // spark.stop() completes, Spark's shutdown logging (stderr) is done,
     // so the hook's copy is the last stdout line of the forked JVM —

@@ -37,14 +37,32 @@ private[graft] object StreamCdc {
     * the run pays a directory clone, not a Spark write job (the same
     * staged-input discipline as the two-phase harness).
     */
+  /** The staged base-tree frame — ONE builder shared by [[writeBase]]
+    * and [[prestage]] so both produce the identical logical plan and
+    * therefore the identical staged-generation key.
+    */
+  private def baseFrame(s: SparkSession, dir: String): DataFrame =
+    CdcFeed.base(s, dir)
+      .select(col("o_orderkey"), col("b_status").as("status"),
+        col("b_price").as("price"))
+      .withColumn("bk", bk(col("o_orderkey")))
+
   def writeBase(s: SparkSession, dir: String, snap: String): Unit = {
     val staged = StreamRuns.stageAsPartitionedTree(
-      CdcFeed.base(s, dir)
-        .select(col("o_orderkey"), col("b_status").as("status"),
-          col("b_price").as("price"))
-        .withColumn("bk", bk(col("o_orderkey"))),
-      "upsert-base", Seq("bk"), dir)
+      baseFrame(s, dir), "upsert-base", Seq("bk"), dir)
     StreamRuns.cloneTree(staged, snap)
+  }
+
+  /** Generate (or mtime-touch) the staged base tree and change-feed
+    * files without running the merge — the bench's staging phase
+    * charges a cold mount's write jobs to staging_sec instead of to
+    * the upsert query.
+    */
+  def prestage(s: SparkSession, dir: String): Unit = {
+    StreamRuns.stageAsPartitionedTree(baseFrame(s, dir), "upsert-base",
+      Seq("bk"), dir)
+    StreamRuns.stageAsFiles(CdcFeed.changes(s, dir), "upsert-feed", 4, dir)
+    ()
   }
 
   /** Stream the change feed in 2-file micro-batches; each batch merges
@@ -252,17 +270,144 @@ object Streaming {
     }
   }
 
+  /** The batch frame behind the shared "events" staged copy — ONE
+    * builder for [[eventsStream]] and [[prestageInputs]] so the staged
+    * generation key (plan fingerprint) matches between the staging
+    * phase and the queries.
+    */
+  private def eventsBatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+
+  /** The documents frame behind the staged "ingest" copy (same shared
+    * builder discipline as [[eventsBatch]]).
+    */
+  private def ingestDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+
   /** Stream the events table back from a staged multi-file parquet copy. */
   private def eventsStream(s: SparkSession, dir: String, tag: String,
       files: Int, perTrigger: Option[Int]): DataFrame = {
-    val batch = t(s, dir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
+    val batch = eventsBatch(s, dir)
     // Shared "events" staging key: all event-stream queries reuse one
     // staged copy per scale dir (memoized in StreamRuns).
     val src = StreamRuns.stageAsFiles(batch, "events", files, dir)
     val r = s.readStream.schema(batch.schema)
     perTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).parquet(src)
+  }
+
+  // ---- Two-phase feed builders, one per file-replay query ----------
+  // Each is the SINGLE source of its query's phase frames: the query
+  // body and prestageInputs both call it, so the staged-generation
+  // keys (plan fingerprint + file count) are identical by construction
+  // and a prestaged tree is always a query-time memo hit. The cut
+  // derivations run tiny driver-side 1-row aggregates — those are part
+  // of the feed definition, not of the stream being timed.
+
+  /** `stream_update_mode` phases: 80% time cut aligned to NOON of its
+    * day so the straddling 1-day window has rows on both sides at
+    * every SF.
+    */
+  private def updmodePhases(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val e = t(s, dir, "events")
+      .select(col("ts"), col("event_type"), col("user_id"))
+    val b = e.agg(min(unix_millis(col("ts"))).as("mn"),
+      max(unix_millis(col("ts"))).as("mx")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val raw = mn + math.floor((mx - mn) * 0.8).toLong
+    val cut = raw - raw % 86400000L + 43200000L
+    (e.filter(unix_millis(col("ts")) <= cut),
+      e.filter(unix_millis(col("ts")) > cut))
+  }
+
+  /** `stream_minhash_dedup` phases: doc_id-range split at the id
+    * midrange (any range cut keeps every smaller id in the same or an
+    * earlier batch, which is what the closed form needs).
+    */
+  private def mhdedupPhases(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val b = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx")).head()
+    val cut = (b.getLong(0) + b.getLong(1) + 1L) / 2L
+    (docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut))
+  }
+
+  /** `stream_timer_timeout` phases: first 80% of the corpus time span
+    * (a key split would put nearly every phase-2 row below wm1 — see
+    * the query's comment).
+    */
+  private def timerPhases(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val e = t(s, dir, "events")
+      .select(col("ts"), col("user_id"), col("value"))
+    val b = e.agg(min(unix_millis(col("ts"))).as("mn"),
+      max(unix_millis(col("ts"))).as("mx")).head()
+    val cut = b.getLong(0) +
+      math.floor((b.getLong(1) - b.getLong(0)) * 0.8).toLong
+    (e.filter(unix_millis(col("ts")) <= cut),
+      e.filter(unix_millis(col("ts")) > cut))
+  }
+
+  /** `stream_late_data` phases: event_id % 3 split (phase 2 replays
+    * the stragglers).
+    */
+  private def latePhases(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val e = t(s, dir, "events")
+      .select(col("ts"), col("event_type"), col("user_id"), col("event_id"))
+    def phase(p: Column) = e.filter(p).drop("event_id")
+    (phase(col("event_id") % 3 =!= 0), phase(col("event_id") % 3 === 0))
+  }
+
+  /** `stream_chained_stateful` phases: 80% time cut plus the two
+    * redelivery arms (see ChainFeed).
+    */
+  private def chainPhases(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val ms = unix_millis(col("ts"))
+    val b = e.agg(min(ms).as("mn"), max(ms).as("mx")).head()
+    val cut = b.getLong(0) +
+      math.floor((b.getLong(1) - b.getLong(0)) * 0.8).toLong
+    val p1 = e.filter(ms <= cut)
+    val wm1 = p1.agg(max(ms)).head().getLong(0) - ChainFeed.GapMs
+    val p2 = e.filter(ms > cut)
+      .union(p1.filter(ms > wm1))
+      .union(p1.filter(ms <= wm1 && col("event_id") % 7 === 0))
+    (p1, p2)
+  }
+
+  /** Pre-generate EVERY staged stream input for `dir`, so on a cold
+    * scratch mount the Spark write jobs that materialize the shared
+    * immutable trees (the events/documents copies, the five two-phase
+    * feeds, the CDC base snapshot + change feed) are charged to the
+    * bench's staging phase instead of to whichever timed stream query
+    * touches each tree first — the r16 record spikes
+    * (stream_stream_left_join 16.8 s absorbing the events-copy write,
+    * stream_chained_stateful 10.6 s the chain-feed writes) were
+    * exactly this accounting hole. Every call routes through the same
+    * builder its query uses, so on a warm tree this costs one
+    * fingerprint check + mtime touch per artifact (plus the tiny
+    * 1-row cut aggregates).
+    */
+  def prestageInputs(s: SparkSession, dir: String): Unit = {
+    StreamRuns.stageAsFiles(eventsBatch(s, dir), "events", 4, dir)
+    StreamRuns.stageAsFiles(ingestDocs(s, dir), "ingest", 4, dir)
+    StreamCdc.prestage(s, dir)
+    val phases = Seq(
+      "updmode" -> updmodePhases(s, dir),
+      "mhdedup" -> mhdedupPhases(s, dir),
+      "timer" -> timerPhases(s, dir),
+      "late" -> latePhases(s, dir),
+      "chain" -> chainPhases(s, dir))
+    phases.foreach { case (tag, (p1, p2)) =>
+      StreamRuns.prestageTwoPhase(tag, dir, p1, p2)
+    }
   }
 
   val all: Seq[QDef] = Seq(
@@ -298,9 +443,7 @@ object Streaming {
       // foreachBatch, parquet sink. Final sink content == the batch
       // result over the same input.
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-            col("text"))
+        val docs = ingestDocs(s, dir)
         val src = StreamRuns.stageAsFiles(docs, "ingest", 4, dir)
         val sink = StreamRuns.fresh("ingest-sink")
         val q = s.readStream.schema(docs.schema)
@@ -390,15 +533,7 @@ object Streaming {
         // Phase split staged as FILES (twoPhaseFilesToMemory): the only
         // driver-side value is the 1-row min/max bounds aggregate the
         // cut derives from — harness memory is corpus-independent.
-        val e = t(s, dir, "events")
-          .select(col("ts"), col("event_type"), col("user_id"))
-        val b = e.agg(min(unix_millis(col("ts"))).as("mn"),
-          max(unix_millis(col("ts"))).as("mx")).head()
-        val (mn, mx) = (b.getLong(0), b.getLong(1))
-        val raw = mn + math.floor((mx - mn) * 0.8).toLong
-        val cut = raw - raw % 86400000L + 43200000L
-        val p1 = e.filter(unix_millis(col("ts")) <= cut)
-        val p2 = e.filter(unix_millis(col("ts")) > cut)
+        val (p1, p2) = updmodePhases(s, dir)
         StreamRuns.twoPhaseFilesToMemory(s, "updmode", dir, p1, p2,
             mode = "update") { df =>
           df.groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -515,17 +650,13 @@ object Streaming {
       // semantics here are the unbounded-retention ideal.
       (s, dir) => {
         import s.implicits._
-        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         // Key-RANGE split at the id midrange, phases staged as FILES:
         // the closed form (min earlier band-mate) is split-point
         // independent — any doc_id-range cut keeps every smaller id in
         // the same or an earlier batch — so the exact median the
         // collect-era harness used was never load-bearing; a 1-row
         // bounds aggregate replaces the corpus collect.
-        val b = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx")).head()
-        val cut = (b.getLong(0) + b.getLong(1) + 1L) / 2L
-        val p1 = docs.filter(col("doc_id") < cut)
-        val p2 = docs.filter(col("doc_id") >= cut)
+        val (p1, p2) = mhdedupPhases(s, dir)
         val cands = StreamRuns.twoPhaseFilesToMemory(s, "mhdedup", dir, p1, p2) { df =>
           // ≙ Dedup.minhashBands per row: the fused native kernel
           // (ShingleMinHashExpr — tokens → shingles → md5 → 16-lane
@@ -692,15 +823,7 @@ object Streaming {
         // all arms run at every scale (TimerArms in StreamingSpec).
         // Phases staged as FILES; only the 1-row bounds aggregate ever
         // reaches the driver.
-        val e = t(s, dir, "events")
-          .select(col("ts"), col("user_id"), col("value"))
-        val b = e.agg(min(unix_millis(col("ts"))).as("mn"),
-          max(unix_millis(col("ts"))).as("mx")).head()
-        val cut = b.getLong(0) +
-          math.floor((b.getLong(1) - b.getLong(0)) * 0.8).toLong
-        val p1 = e.filter(unix_millis(col("ts")) <= cut)
-        val p2 = e.filter(unix_millis(col("ts")) > cut)
-
+        val (p1, p2) = timerPhases(s, dir)
         StreamRuns.twoPhaseFilesToMemory(s, "timer", dir, p1, p2,
             forceRocksDb = true) { df =>
           df.withWatermark("ts", "0 seconds")
@@ -858,13 +981,8 @@ object Streaming {
       // form. Phases are staged as FILES (twoPhaseFilesToMemory) — the
       // replay harness never moves corpus rows through the driver.
       (s, dir) => {
-        val e = t(s, dir, "events")
-          .select(col("ts"), col("event_type"), col("user_id"),
-            col("event_id"))
-        def phase(p: Column) = e.filter(p).drop("event_id")
-        StreamRuns.twoPhaseFilesToMemory(s, "late", dir,
-            phase(col("event_id") % 3 =!= 0),
-            phase(col("event_id") % 3 === 0)) { df =>
+        val (p1, p2) = latePhases(s, dir)
+        StreamRuns.twoPhaseFilesToMemory(s, "late", dir, p1, p2) { df =>
           df.withWatermark("ts", "10 minutes")
             .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
             .agg(count(lit(1)).as("n"))
@@ -948,17 +1066,7 @@ object Streaming {
         // rows at/below wm1 with event_id % 7 = 0). Driver-side state:
         // two 1-row aggregates (bounds, wm1). ChainFeed.split stays as
         // the spec-side arm-population oracle (StreamingSpec).
-        val e = t(s, dir, "events")
-          .select(col("event_id"), col("ts"), col("event_type"))
-        val ms = unix_millis(col("ts"))
-        val b = e.agg(min(ms).as("mn"), max(ms).as("mx")).head()
-        val cut = b.getLong(0) +
-          math.floor((b.getLong(1) - b.getLong(0)) * 0.8).toLong
-        val p1 = e.filter(ms <= cut)
-        val wm1 = p1.agg(max(ms)).head().getLong(0) - ChainFeed.GapMs
-        val p2 = e.filter(ms > cut)
-          .union(p1.filter(ms > wm1))
-          .union(p1.filter(ms <= wm1 && col("event_id") % 7 === 0))
+        val (p1, p2) = chainPhases(s, dir)
         StreamRuns.twoPhaseFilesToMemory(s, "chain", dir, p1, p2) { df =>
           df.withWatermark("ts", "10 minutes")
             .dropDuplicatesWithinWatermark("event_id")

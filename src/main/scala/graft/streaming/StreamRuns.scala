@@ -215,6 +215,35 @@ object StreamRuns {
     * in-group sort), which is also what makes their closed-form
     * oracles expressible at all.
     */
+  /** Two-phase feed file counts, shared by the run path and
+    * [[prestageTwoPhase]] so the staged generation keys (which embed
+    * the file count) can never diverge between staging and running.
+    * Phase 2 MUST be one part file: the query runs under the default
+    * continuous-polling trigger, so a multi-file handoff could have a
+    * micro-batch fire between two publications and split phase 2 — a
+    * watermark advance mid-phase would nondeterministically drop
+    * late-phase rows. One file + one atomic link (the link exposes
+    * already-complete content in a single directory operation)
+    * publishes the whole phase in one step, preserving the
+    * MemoryStream-equivalent "batch 2 = phase 2" contract.
+    */
+  private val Phase1Files = 2
+  private val Phase2Files = 1
+
+  /** Stage (or mtime-touch) a two-phase feed's immutable file sets
+    * WITHOUT starting a stream — the staging half of
+    * [[twoPhaseFilesToMemory]], called from the bench's staging phase
+    * so a cold scratch mount pays the generation write jobs inside
+    * staging_sec, not inside whichever timed query touches the tree
+    * first.
+    */
+  def prestageTwoPhase(tag: String, dir: String,
+      p1: DataFrame, p2: DataFrame): Unit = {
+    stageAsFiles(p1, s"2p-$tag-p1", Phase1Files, dir)
+    stageAsFiles(p2, s"2p-$tag-p2", Phase2Files, dir)
+    ()
+  }
+
   def twoPhaseFilesToMemory(
       spark: SparkSession, tag: String, dir: String,
       p1: DataFrame, p2: DataFrame,
@@ -227,16 +256,8 @@ object StreamRuns {
     // pays two filesystem links instead of two Spark write jobs. The
     // source dir must still be per-run — phase 2 is published into it
     // mid-stream, so it is consumed, never shared.
-    val p1Dir = stageAsFiles(p1, s"2p-$tag-p1", 2, dir)
-    // Phase 2 MUST be one part file: the query runs under the default
-    // continuous-polling trigger, so a multi-file handoff could have a
-    // micro-batch fire between two publications and split phase 2 — a
-    // watermark advance mid-phase would nondeterministically drop
-    // late-phase rows. One file + one atomic link (the link exposes
-    // already-complete content in a single directory operation)
-    // publishes the whole phase in one step, preserving the
-    // MemoryStream-equivalent "batch 2 = phase 2" contract.
-    val p2Dir = stageAsFiles(p2, s"2p-$tag-p2", 1, dir)
+    val p1Dir = stageAsFiles(p1, s"2p-$tag-p1", Phase1Files, dir)
+    val p2Dir = stageAsFiles(p2, s"2p-$tag-p2", Phase2Files, dir)
     val srcDir = fresh(s"$tag-2psrc")
     publishParts(p1Dir, srcDir)
     val qn = s"${tag}_${UUID.randomUUID().toString.take(8).replace("-", "")}"
@@ -284,6 +305,18 @@ object StreamRuns {
 
   private val stageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // Generation-level telemetry, mirroring Staged.diskCacheStats: a
+  // MISS means a Spark write job generated a staged tree in this JVM;
+  // the bench reports these so a record where stream staging was cold
+  // (generation paid inside staging_sec) is distinguishable from a
+  // warm one — and so the staging mode probe can refuse to classify a
+  // run whose staging time includes stream-input recompute.
+  private val genHits = new java.util.concurrent.atomic.AtomicLong(0)
+  private val genMisses = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** (hits, misses) over [[stagedGeneration]] lookups in this JVM. */
+  def stagedGenStats: (Long, Long) = (genHits.get(), genMisses.get())
 
   /** Materialize a stable single-schema copy of a table as a multi-file
     * parquet directory a file-source stream can discover incrementally.
@@ -358,15 +391,18 @@ object StreamRuns {
     val key = gen
     def live(d: String): Boolean = new java.io.File(d, "_SUCCESS").exists()
     var out = stageCache.get(key)
-    if (out == null || !live(out)) stageCache.synchronized {
+    if (out != null && live(out)) genHits.incrementAndGet()
+    else stageCache.synchronized {
       out = stageCache.get(key)
-      if (out == null || !live(out)) {
+      if (out != null && live(out)) genHits.incrementAndGet()
+      else {
         def del(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
         }
         val chosen =
-          if (live(genPath)) genPath
+          if (live(genPath)) { genHits.incrementAndGet(); genPath }
           else {
+            genMisses.incrementAndGet()
             // Write to a fresh private dir, then atomically rename to
             // the generation name: concurrent JVMs sharing the mount
             // either win the rename or adopt the winner's copy — a
@@ -384,11 +420,20 @@ object StreamRuns {
               } catch { case _: java.io.IOException => false }
             // Prune stale generations of this tag (old plan or data
             // fingerprints) once a new one is committed — same
-            // new-first-then-prune order as Staged.spillThrough.
+            // new-first-then-prune order as Staged.spillThrough — but
+            // only ones IDLE past the ordinary scratch grace: a
+            // concurrent JVM sharing the mount may still be streaming
+            // from an older generation (an in-place testdata
+            // regeneration mid-session, or a stale-dataFp racer), and
+            // reuse touches the dir's mtime, so an in-use generation
+            // never looks idle. Anything younger is left for
+            // [[sweepAged]]'s staged-dir grace to reclaim.
             val pfx = s"$StagedPrefix$tag-$kind-"
+            val now = System.currentTimeMillis()
             Option(new java.io.File(ScratchRoot).listFiles())
               .getOrElse(Array.empty)
-              .filter(f => f.getName.startsWith(pfx) && f.getName != gen)
+              .filter(f => f.getName.startsWith(pfx) && f.getName != gen &&
+                now - f.lastModified() > AgedMs)
               .foreach(del)
             if (moved) genPath
             else if (live(genPath)) { del(new java.io.File(tmp)); genPath }
