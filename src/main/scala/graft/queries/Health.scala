@@ -228,9 +228,21 @@ object Health {
             (col("z") * col("z")).as("x2"), col("true_f2"))
         val ranked = est.withColumn("rn",
           row_number().over(Window.orderBy(col("x2"), col("i"))))
-        val med = ranked.filter(col("rn").isin(8, 9))
-          .agg((sum("x2").cast("double") / 2.0).as("est_f2"))
-        ranked.crossJoin(med)
+        // Median attached as a SECOND window over the same 16-row
+        // frame, not a filter+agg+crossJoin: the crossJoin spelling
+        // referenced `ranked` twice and Spark shares no common
+        // subtrees, so the whole freq+grand-aggregate corpus chain
+        // (two scans, four exchanges) executed twice per run — the
+        // r15/r16 flag on this query was that duplicated pass, not
+        // the sketch. Both windows are partition-less over the
+        // 16-row stack of a grand aggregate (literal fan-out), the
+        // bounded shape the global-window guard certifies.
+        val wAll = Window.orderBy(col("rn"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ranked
+          .withColumn("est_f2",
+            (sum(when(col("rn").isin(8, 9), col("x2"))).over(wAll)
+              .cast("double") / 2.0))
           .select(col("i"), col("x2"), col("est_f2"), col("true_f2"),
             ((col("est_f2") - col("true_f2").cast("double")) /
               col("true_f2").cast("double")).as("rel_err"))
