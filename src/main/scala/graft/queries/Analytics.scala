@@ -1318,12 +1318,19 @@ object Analytics {
       // window.
       (s, dir) => {
         val e = bipEdges(s, dir)
-        val pdeg = e.groupBy("p").agg(count(lit(1)).as("pd"))
+        // Part degree attached by a count window OVER the probe side
+        // (one shuffle on p), not a separate groupBy + join-back: the
+        // aggregate+join spelling cost two extra exchanges, and the
+        // wedge equi-join on p reuses the window's hash partitioning
+        // directly. Same value — pd = deg(p) on every edge row.
+        val probe = e
+          .select(col("s").as("s_other"), col("p"))
+          .withColumn("pd",
+            count(lit(1)).over(Window.partitionBy("p")))
         val wedges = e.filter(expr("s % 25 = 0"))
           .select(col("s").as("s_target"), col("p"))
-          .join(e.select(col("s").as("s_other"), col("p")), Seq("p"))
+          .join(probe, Seq("p"))
           .filter(col("s_other") =!= col("s_target"))
-          .join(pdeg, Seq("p"))
         wedges
           .groupBy("s_target", "s_other")
           .agg(count(lit(1)).as("n_common"),
