@@ -29,6 +29,11 @@ object StreamRuns {
       else "/root/repo/target/scratch/stream"
     }
 
+  /** Exposed for the prune-grace spec (StreamRunsPruneSpec), which
+    * plants fake staged generations directly under the root.
+    */
+  private[graft] def scratchRoot: String = ScratchRoot
+
   /** Fresh scratch sub-directory (checkpoints, sinks, source copies).
     * Also sweeps aged siblings: scratch is tmpfs-backed where
     * available, every run creates new dirs, and nothing else ever
