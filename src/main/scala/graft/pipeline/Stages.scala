@@ -163,6 +163,12 @@ object Staged {
   /** (hits, misses) of the cross-JVM parquet cache since JVM start. */
   def diskCacheStats: (Int, Int) = (diskHits.get(), diskMisses.get())
 
+  // Stale-generation prune grace (see spillThrough): a sibling
+  // generation idle less than this may still be live — another plan
+  // flavor a concurrently-used configuration reads, or an artifact a
+  // second JVM is mid-query on. Mirrors StreamRuns' scratch grace.
+  private val PruneIdleMs = 2L * 3600 * 1000
+
   def apply(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
     StageCache.hookCleanup(s)
     val key = s"${System.identityHashCode(s)}|$dir|$tag"
@@ -383,18 +389,32 @@ object Staged {
       // modes (advisor, r9): a throwing write left the tag with NO valid
       // generation (forced recompute next run), and a concurrent second
       // JVM sharing the cache root could have the generation it was
-      // lazily reading deleted mid-query. Deleting after keeps exactly
-      // one committed generation live at all times; the disk high-water
-      // mark is briefly two generations of one tag, not unbounded growth
-      // (every path still gets pruned once the replacement commits).
+      // lazily reading deleted mid-query. Deleting after keeps the tag
+      // continuously served; growth stays bounded because every stale
+      // generation is pruned once it has been IDLE past the grace
+      // below.
       build.write.mode("overwrite").parquet(path)
       // The "$tag-" prefix cannot cross tags (tags contain no '-' before
       // the hash, and a tag that prefixes another is always followed by
-      // '_' there, never '-').
+      // '_' there, never '-'). Only generations idle past the grace are
+      // reclaimed (r17): a sibling generation can be the SAME tag under
+      // a different plan FLAVOR another live configuration still reads —
+      // observed concretely when a 16-core Verify keyed the five
+      // persisted-upstream builds (ivf_quant, pq_subs, emb_int8,
+      // lm_bigrams, decile_scored) differently from the 32-core bench
+      // (an InMemoryRelation leaf canonicalizes with its physical plan,
+      // which embeds the shuffle-partition count), and the graceless
+      // prune destroyed the 32-flavor artifacts behind the next record
+      // bench — the stagecache twin of the StreamRuns cross-scale-dir
+      // prune bug. Hits touch mtime below, so an in-use generation
+      // never looks idle.
+      val now = System.currentTimeMillis()
       Option(parent.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(s"$tag-") && f.getName != entry)
+        .filter(f => f.getName.startsWith(s"$tag-") && f.getName != entry &&
+          now - f.lastModified() > PruneIdleMs)
         .foreach(deleteRecursively)
     }
+    new java.io.File(path).setLastModified(System.currentTimeMillis())
     s.read.parquet(path)
   }
 
