@@ -35,14 +35,24 @@ class StageCacheSpec extends AnyFunSuite {
       assert(r2.head.getLong(0) == 60L,
         s"cache served stale generation: got ${r2.head.getLong(0)}, want 60")
 
-      // And the stale generation was evicted when the new one was
-      // written — the cache holds exactly the live fingerprinted entry
-      // (unbounded growth across testdata regenerations would fill the
-      // disk at sf0.1 artifact sizes).
-      val entries = new java.io.File(s"$cacheDir/${new java.io.File(dir).getName}")
-        .listFiles()
-      assert(entries != null && entries.length == 1,
-        s"expected one live cache generation, got ${Option(entries).map(_.length)}")
+      // Growth stays bounded WITHOUT destroying possibly-live siblings:
+      // the fresh previous generation survives the new commit (it could
+      // be another configuration's live flavor — the r17 prune grace,
+      // pinned with both arms in StagedPruneGraceSpec), and is
+      // reclaimed once idle past the grace — model that by aging it and
+      // forcing the next rewrite's prune.
+      val parent = new java.io.File(s"$cacheDir/${new java.io.File(dir).getName}")
+      val afterRewrite = Option(parent.listFiles()).getOrElse(Array.empty)
+      assert(afterRewrite.length == 2,
+        s"expected old+new generations under the grace, got ${afterRewrite.length}")
+      afterRewrite.foreach(
+        _.setLastModified(System.currentTimeMillis() - 3L * 3600 * 1000))
+      Seq(100L).toDF("v").write.mode("overwrite").parquet(s"$dir/in.parquet")
+      val r3 = Staged.spillThrough(spark, dir, "t")(build)(build).collect()
+      assert(r3.head.getLong(0) == 100L)
+      val afterAged = Option(parent.listFiles()).getOrElse(Array.empty)
+      assert(afterAged.length == 1,
+        s"idle-past-grace generations must be reclaimed, got ${afterAged.length}")
     } finally {
       prev match {
         case Some(v) => sys.props("graft.stagecache.dir") = v

@@ -16,9 +16,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *     plan moves (literal, column set, input path) and is stable
   *     across re-derivations of the same plan — the property the
   *     cross-JVM key depends on;
-  *  2. `spillThrough` REBUILDS (and prunes the stale generation) when
-  *     the seed plan changes, and serves the committed artifact
-  *     without re-running the build when it does not.
+  *  2. `spillThrough` REBUILDS when the seed plan changes and serves
+  *     the committed artifact without re-running the build when it
+  *     does not; stale generations are reclaimed only once IDLE past
+  *     the prune grace (r17) — a fresh sibling may be another plan
+  *     flavor a concurrently-used configuration still reads (see
+  *     StagedPruneGraceSpec for the grace's own planted test).
   */
 class StagedInvalidationSpec extends AnyFunSuite {
   private lazy val spark = graft.SparkTestSession.spark
@@ -42,7 +45,7 @@ class StagedInvalidationSpec extends AnyFunSuite {
     assert(fp(a) !== fp(base.filter(col("r_regionkey") > 0).select("r_regionkey")))
   }
 
-  test("spillThrough rebuilds on a perturbed seed plan and prunes the stale generation") {
+  test("spillThrough rebuilds on a perturbed seed plan; prunes only idle generations") {
     val tmp = java.nio.file.Files.createTempDirectory("stagecache-inv").toString
     System.setProperty("graft.stagecache.dir", tmp)
     try {
@@ -65,15 +68,32 @@ class StagedInvalidationSpec extends AnyFunSuite {
       assert(builds === 1, "unchanged seed plan must serve the committed artifact")
       assert(entries() === Seq(gen1))
 
-      // Perturbed seed plan (the logic edit): new key, rebuild, stale
-      // generation pruned after the replacement commits.
+      // Perturbed seed plan (the logic edit): new key, rebuild. The
+      // previous generation is FRESH (seconds idle), so the graced
+      // prune must keep it — it could be another configuration's live
+      // flavor (the r17 16-vs-32-core lesson).
       val seedB = spark.read.parquet(s"$sf/region.parquet")
         .filter(col("r_regionkey") > 1)
       run(seedB)
       assert(builds === 2, "a changed seed plan must invalidate the cache key")
-      val gen2 = entries()
-      assert(gen2.size === 1 && gen2.head != gen1,
-        "stale generation must be pruned once the new one commits")
+      val afterB = entries()
+      assert(afterB.size === 2 && afterB.contains(gen1),
+        "a fresh sibling generation must survive a new commit (prune grace)")
+      val gen2 = afterB.filterNot(_ == gen1).head
+
+      // Age the ORIGINAL generation past the grace and perturb again:
+      // now it is reclaimable, while the still-fresh second one stays.
+      new java.io.File(parent, gen1)
+        .setLastModified(System.currentTimeMillis() - 3L * 3600 * 1000)
+      val seedC = spark.read.parquet(s"$sf/region.parquet")
+        .filter(col("r_regionkey") > 2)
+      run(seedC)
+      assert(builds === 3)
+      val afterC = entries()
+      assert(!afterC.contains(gen1),
+        "an idle-past-grace stale generation must be reclaimed")
+      assert(afterC.contains(gen2) && afterC.size === 2,
+        "the fresh sibling must still survive")
     } finally {
       System.clearProperty("graft.stagecache.dir")
       ()
