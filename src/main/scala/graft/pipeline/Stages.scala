@@ -165,9 +165,14 @@ object Staged {
 
   // Stale-generation prune grace (see spillThrough): a sibling
   // generation idle less than this may still be live — another plan
-  // flavor a concurrently-used configuration reads, or an artifact a
-  // second JVM is mid-query on. Mirrors StreamRuns' scratch grace.
-  private val PruneIdleMs = 2L * 3600 * 1000
+  // flavor a concurrently-used configuration reads (16-core Verify vs
+  // 32-core bench), or an artifact a second JVM is mid-query on.
+  // Mirrors StreamRuns' STAGED-dir grace (24 h), not the 2 h scratch
+  // grace: staged artifacts outlive individual runs, and sessions
+  // space runs hours apart, so a 2 h prune would destroy the other
+  // flavor whenever two configurations alternate more than 2 h apart.
+  // Hits touch mtime, so an in-use generation never looks idle.
+  private val PruneIdleMs = 24L * 3600 * 1000
 
   def apply(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
     StageCache.hookCleanup(s)
@@ -302,12 +307,58 @@ object Staged {
     */
   private[graft] def planFingerprint(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(plan.canonicalized
+    md.update(stableLambdas(plan.canonicalized
       .treeString(verbose = false, addSuffix = false,
-        maxFields = Int.MaxValue, printOperatorId = false)
+        maxFields = Int.MaxValue, printOperatorId = false))
       .getBytes("UTF-8"))
     val b = md.digest()
     (math.abs(java.nio.ByteBuffer.wrap(b, 0, 8).getLong) & 0x7fffffff).toString
+  }
+
+  /** Renumber higher-order-function lambda variables in a rendered
+    * plan by order of first appearance (round 18). The Scala Column
+    * API mints every lambda argument from a JVM-GLOBAL counter
+    * (`transform(col, x => …)` renders as `lambda 'x_N` where N is
+    * `UnresolvedNamedLambdaVariable.freshVarName`'s running id), so
+    * the same builder produced a DIFFERENT fingerprint at every
+    * counter position — each fresh session forked a new on-disk
+    * generation of every lambda-bearing staged artifact (observed:
+    * 4-5 flavors each of ivf_quant/pq_subs/emb_int8/lm_bigrams/
+    * decile_scored at ONE data fingerprint; sf0.1 only looked stable
+    * because a fresh bench JVM replays the same counter sequence).
+    * Renumbering by first textual appearance is structural: two
+    * renderings of the same plan at different counter offsets map to
+    * the same string, while distinct variables stay distinct. The
+    * replacement names use an `_lv` infix that the token pattern
+    * itself can never produce, so a renamed variable cannot collide
+    * with (and silently merge into) an untouched natural token.
+    */
+  private[graft] def stableLambdas(rendered: String): String = {
+    val declRe = java.util.regex.Pattern.compile("lambda '?([A-Za-z]+_[0-9]+)")
+    val mapping = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val dm = declRe.matcher(rendered)
+    while (dm.find()) {
+      val tok = dm.group(1)
+      if (!mapping.contains(tok)) {
+        val base = tok.substring(0, tok.indexOf('_'))
+        mapping(tok) = s"${base}_lv${mapping.size}"
+      }
+    }
+    if (mapping.isEmpty) rendered
+    else {
+      // Single pass over every letters_digits token: rewrite exactly
+      // the declared lambda variables, leave natural tokens alone.
+      val tokRe = java.util.regex.Pattern.compile(
+        "(?<![A-Za-z0-9_])([A-Za-z]+_[0-9]+)(?![0-9])")
+      val sb = new StringBuffer
+      val m = tokRe.matcher(rendered)
+      while (m.find()) {
+        val rep = mapping.getOrElse(m.group(1), m.group(1))
+        m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+      }
+      m.appendTail(sb)
+      sb.toString
+    }
   }
 
   // tag -> the staged artifact's analyzed BUILD plan, recorded only

@@ -323,6 +323,26 @@ object StreamRuns {
   /** (hits, misses) over [[stagedGeneration]] lookups in this JVM. */
   def stagedGenStats: (Long, Long) = (genHits.get(), genMisses.get())
 
+  // Append-only log of every generation KEY requested, hit or miss —
+  // telemetry only (never read by staging itself). Lets the prestage
+  // coverage spec compare the key SETS two phases touch instead of
+  // relying on miss counts, which go vacuous whenever a prior suite
+  // in the same JVM (or a warm scratch mount) already built the trees
+  // (round 18, per ADVICE).
+  private val genTouches =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+
+  /** Number of [[stagedGeneration]] touches so far — a slice marker. */
+  def genTouchCount: Int = genTouches.size
+
+  /** The distinct generation keys touched in slice [from, until). */
+  def genTouchedKeys(from: Int, until: Int): Set[String] =
+    genTouches.synchronized {
+      (from until math.min(until, genTouches.size))
+        .map(genTouches.get(_)).toSet
+    }
+
   /** Materialize a stable single-schema copy of a table as a multi-file
     * parquet directory a file-source stream can discover incrementally.
     * Memoized per (tag, files, plan, input-data) within the JVM — six
@@ -394,6 +414,7 @@ object StreamRuns {
     val gen = s"$StagedPrefix$tag-$kind-$planFp-$dataFp"
     val genPath = s"$ScratchRoot/$gen"
     val key = gen
+    genTouches.add(key)
     def live(d: String): Boolean = new java.io.File(d, "_SUCCESS").exists()
     var out = stageCache.get(key)
     if (out != null && live(out)) genHits.incrementAndGet()
@@ -426,19 +447,23 @@ object StreamRuns {
             // Prune stale generations of this tag (old plan or data
             // fingerprints) once a new one is committed — same
             // new-first-then-prune order as Staged.spillThrough — but
-            // only ones IDLE past the ordinary scratch grace: a
-            // concurrent JVM sharing the mount may still be streaming
-            // from an older generation (an in-place testdata
-            // regeneration mid-session, or a stale-dataFp racer), and
-            // reuse touches the dir's mtime, so an in-use generation
-            // never looks idle. Anything younger is left for
-            // [[sweepAged]]'s staged-dir grace to reclaim.
+            // only ones IDLE past the STAGED-dir grace (24 h, the same
+            // one [[sweepAged]] gives `staged-` dirs): staged trees
+            // outlive individual runs — another SCALE DIR's tree
+            // (dataFp differs by construction) or a concurrent JVM's
+            // still-streamed source is a sibling by name, and runs are
+            // routinely spaced more than the 2 h scratch grace apart,
+            // so pruning at the shorter grace re-opens the r16
+            // cross-scale-dir destruction for any >2 h-spaced session.
+            // Reuse touches the dir's mtime, so an in-use generation
+            // never looks idle; this prune is never more aggressive
+            // than the sweep.
             val pfx = s"$StagedPrefix$tag-$kind-"
             val now = System.currentTimeMillis()
             Option(new java.io.File(ScratchRoot).listFiles())
               .getOrElse(Array.empty)
               .filter(f => f.getName.startsWith(pfx) && f.getName != gen &&
-                now - f.lastModified() > AgedMs)
+                now - f.lastModified() > StagedAgedMs)
               .foreach(del)
             if (moved) genPath
             else if (live(genPath)) { del(new java.io.File(tmp)); genPath }

@@ -11,8 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * an InMemoryRelation leaf canonicalizes with its physical plan,
   * which embeds the shuffle-partition count — and the graceless prune
   * destroyed the 32-flavor artifacts behind the next record bench).
-  * Now only generations idle past the 2 h grace are reclaimed, and
-  * hits touch mtime so an in-use generation never ages out.
+  * Now only generations idle past the 24 h staged grace are reclaimed
+  * (NOT the 2 h scratch grace — alternating configurations routinely
+  * run more than 2 h apart, round 18 per ADVICE), and hits touch
+  * mtime so an in-use generation never ages out.
   */
 class StagedPruneGraceSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -31,7 +33,8 @@ class StagedPruneGraceSpec extends AnyFunSuite {
       d
     }
     // Same generation-name shape as real entries: tag-<planFp>-<dataFp>.
-    val stale = plant(s"$tag-111111-aaaaaaaaaaaaaaaa", 3L * 3600 * 1000)
+    val stale = plant(s"$tag-111111-aaaaaaaaaaaaaaaa", 25L * 3600 * 1000)
+    val spaced = plant(s"$tag-333333-cccccccccccccccc", 3L * 3600 * 1000)
     val fresh = plant(s"$tag-222222-bbbbbbbbbbbbbbbb", 60 * 1000)
     try {
       val out = graft.pipeline.Staged.disk(spark, sf, tag) {
@@ -39,7 +42,11 @@ class StagedPruneGraceSpec extends AnyFunSuite {
       }
       assert(out.count() > 0)
       assert(!stale.exists(),
-        "a 3 h-idle stale generation survived the stagecache prune")
+        "a 25 h-idle stale generation survived the stagecache prune")
+      assert(spaced.exists(),
+        "a 3 h-idle sibling generation was pruned — plan flavors used " +
+          "by configurations alternating more than 2 h apart must " +
+          "survive (the prune must use the 24 h staged grace)")
       assert(fresh.exists(),
         "a fresh (1 min-idle) sibling generation was pruned — another " +
           "plan flavor in concurrent use must survive a new commit")

@@ -12,8 +12,12 @@ import graft.streaming.StreamRuns
   * cold inside its first-touch stream queries (the r16 record-spike
   * mechanism), and a concurrent JVM still streaming from an older
   * generation could have its source deleted mid-stream. The prune now
-  * only reclaims generations idle past the 2 h scratch grace; reuse
-  * touches mtime, so live trees never age out.
+  * only reclaims generations idle past the 24 h STAGED-dir grace —
+  * the same one sweepAged gives `staged-` dirs, NOT the 2 h scratch
+  * grace: runs are routinely spaced more than 2 h apart, and a
+  * 2 h-graced sibling prune would re-destroy the other scale dir's
+  * tree on every such session (round 18, per ADVICE). Reuse touches
+  * mtime, so live trees never age out.
   */
 class StreamRunsPruneSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -35,7 +39,10 @@ class StreamRunsPruneSpec extends AnyFunSuite {
     // (tag-kind-planFp-dataFp) so the prefix filter matches them.
     val tag = s"prunespec${System.nanoTime() % 1000000}"
     val stale = plant(s"staged-$tag-2-11111111-aaaaaaaaaaaaaaaa",
-      3L * 3600 * 1000) // idle 3 h — past the 2 h grace
+      25L * 3600 * 1000) // idle 25 h — past the 24 h staged grace
+    val spaced = plant(s"staged-$tag-2-33333333-cccccccccccccccc",
+      3L * 3600 * 1000) // idle 3 h — runs spaced past the 2 h scratch
+                        // grace; MUST survive (the ADVICE r18 gap)
     val fresh = plant(s"staged-$tag-2-22222222-bbbbbbbbbbbbbbbb",
       60 * 1000) // idle 1 min — e.g. another scale dir's live tree
     try {
@@ -46,7 +53,11 @@ class StreamRunsPruneSpec extends AnyFunSuite {
       val out = StreamRuns.stageAsFiles(df, tag, 2, sf)
       assert(new java.io.File(out, "_SUCCESS").exists())
       assert(!stale.exists(),
-        "a 3 h-idle stale generation survived the prune")
+        "a 25 h-idle stale generation survived the prune")
+      assert(spaced.exists(),
+        "a 3 h-idle sibling generation was pruned — runs spaced past " +
+          "the 2 h scratch grace must keep their cross-scale-dir " +
+          "trees (the sibling prune must use the 24 h staged grace)")
       assert(fresh.exists(),
         "a fresh (1 min-idle) sibling generation was pruned — " +
           "cross-scale-dir trees and concurrently-streamed sources " +
