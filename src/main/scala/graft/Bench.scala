@@ -142,22 +142,105 @@ object Bench {
       }
     }
     val staging = r3((System.nanoTime() - s0) / 1e9)
+    // Calibration canaries (round 18): the staging probe classifies the
+    // ENVIRONMENT (same bytes re-read every run) but not QUERY-SIDE
+    // throughput — the r17 record was fast-probe yet 2.2x the round's
+    // median total, with six spikes 11-43x that cost a worktree A/B to
+    // discharge. Fixed work re-run at the BEGIN and END of the timed
+    // loop makes every record self-classifying: one JIT/codegen-heavy
+    // shape (win_kaplan_meier — the repeat record offender, spiked in
+    // both the r16 and r17 records; running it here also pre-compiles
+    // its plan shape, the same cure nested_enrich got in r17), one
+    // shuffle-heavy shape (join_sort_merge — a two-sided shuffle SMJ),
+    // one stream (stream_dsv2_ingest — micro-batch + state machinery).
+    // begin vs the committed table's begin = query-side inflation of
+    // THIS run; end vs begin = drift DURING the run. Untimed: canary
+    // seconds are reported in their own field, and the begin pass
+    // doubles as codegen warm-up for those three shapes (their in-loop
+    // times drop accordingly — disclosed in BENCH_RATIO.md).
+    val canaryNames = Seq("win_kaplan_meier", "join_sort_merge",
+      "stream_dsv2_ingest")
+    def runCanaries(): Seq[(String, Double)] =
+      canaryNames.filter(SparkEntry.queries.contains).flatMap { n =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(n)(spark, sfDir).count()
+          Some(n -> r3((System.nanoTime() - t0) / 1e9)) }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] canary '$n' failed: ${t.getMessage}")
+          None
+        }
+      }
+    def canaryJson(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val canaryBegin = if (only.isEmpty) runCanaries() else Nil
+    if (canaryBegin.nonEmpty)
+      System.err.println(s"[bench] canaries begin: ${canaryJson(canaryBegin)}")
     // A throwing query is excluded from the timing map and reported in a
     // `failed` list instead: recording it as ~0 s (round 8's catch-all)
     // poisoned the headline — 53 broken queries "ran" in milliseconds and
     // the total read as a 4.4x win it was not.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Per-query exchange counts from the (unexecuted, AQE-initial)
+    // physical plan — annotation-grade telemetry for ratio_table.py's
+    // floor arithmetic (each exchange is ~0.1 s of fixed stage-launch
+    // latency in local mode). Counted OUTSIDE the timed window on the
+    // same DataFrame the query returned; string-based so no private
+    // planner API is touched. ReusedExchange is excluded (it launches
+    // no extra stage); full runs only — a subset A/B should not pay
+    // the extra planning pass.
+    val exchanges = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def countExchanges(df: org.apache.spark.sql.DataFrame): Option[Int] =
+      try {
+        val t = df.queryExecution.executedPlan.treeString(
+          verbose = false, addSuffix = false)
+        Some(t.split('\n').count(l =>
+          l.contains("Exchange") && !l.contains("ReusedExchange")))
+      } catch { case _: Throwable => None }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Some(name -> r3((System.nanoTime() - t0) / 1e9)) }
+      try {
+        val df = fn(spark, sfDir)
+        df.count()
+        val sec = r3((System.nanoTime() - t0) / 1e9)
+        if (only.isEmpty) countExchanges(df).foreach(exchanges(name) = _)
+        Some(name -> sec)
+      }
       catch { case t: Throwable =>
         System.err.println(s"[bench] '$name' failed: ${t.getMessage}")
         failed += name; None
       }
     }
     val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
+    val canaryEnd = if (only.isEmpty) runCanaries() else Nil
+    if (canaryEnd.nonEmpty)
+      System.err.println(s"[bench] canaries end: ${canaryJson(canaryEnd)}")
+    val canarySec =
+      s"""{"begin":${canaryJson(canaryBegin)},"end":${canaryJson(canaryEnd)}}"""
+    // Distinct on-disk generation flavors per flavor-sensitive staged
+    // tag (the five whose keys embed a persisted upstream's PHYSICAL
+    // plan — an InMemoryRelation canonicalizes with its shuffle
+    // partition count, so a 16-core Verify forks a second flavor of
+    // each). The prune grace makes flavors coexist by design; this
+    // counter makes silent key drift (a third flavor appearing on
+    // unchanged config) VISIBLE in every record instead of only as
+    // disk growth. StagedFlavorStabilitySpec pins same-session key
+    // stability; this reports the cross-session state.
+    val flavorTags = Seq("ivf_quant", "pq_subs", "emb_int8",
+      "lm_bigrams", "decile_scored")
+    val flavorCounts: Seq[(String, Int)] = try {
+      val parent = new java.io.File(
+        s"${graft.pipeline.Staged.cacheRoot}/${new java.io.File(sfDir).getName}")
+      val names = Option(parent.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName)
+      flavorTags.map { t =>
+        t -> names.count(_.matches(
+          java.util.regex.Pattern.quote(t) + "-\\d+-[0-9a-f]{16}"))
+      }
+    } catch { case _: Throwable => flavorTags.map(_ -> -1) }
+    val flavorJson = flavorCounts
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // ONE schema for `failed` in both outputs — {"n":N,"names":[...]} —
     // so a collector parsing sidecar and stdout under one shape never
     // breaks (the r9 advisor flagged the array-vs-object split). The
@@ -207,8 +290,10 @@ object Bench {
       java.nio.file.Files.createDirectories(sidecar.getParent)
       val stagingMap = stagerSecs
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val exchMap = exchanges
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.write(sidecar,
-        s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"warmup_sec":$warmupSec,"prestage_sec":$prestageSec,"staging_cache":$stagingCache,"stream_staging":$streamStaging,"staging":$stagingMap,"nq":${results.size},"failed":$failedJson,"queries":$full,"sf":"$sfDir"}\n"""
+        s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"warmup_sec":$warmupSec,"prestage_sec":$prestageSec,"staging_cache":$stagingCache,"stream_staging":$streamStaging,"canary_sec":$canarySec,"staged_flavors":$flavorJson,"staging":$stagingMap,"nq":${results.size},"failed":$failedJson,"queries":$full,"exchanges":$exchMap,"sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
     } catch {
       case t: Throwable =>
@@ -230,7 +315,7 @@ object Bench {
     val cutSec = r3(sorted.drop(shown.size).map(_._2).sum)
     val qs = shown.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"warmup_sec":$warmupSec,"prestage_sec":$prestageSec,"staging_cache":$stagingCache,"stream_staging":$streamStaging,"nq":${results.size},"failed":$failedStdout,"others":{"n":$cut,"sec":$cutSec},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$staging,"warmup_sec":$warmupSec,"prestage_sec":$prestageSec,"staging_cache":$stagingCache,"stream_staging":$streamStaging,"canary_sec":$canarySec,"staged_flavors":$flavorJson,"nq":${results.size},"failed":$failedStdout,"others":{"n":$cut,"sec":$cutSec},"queries":$qs,"sf":"$sfDir"}"""
     // Print once now, and once more from a shutdown hook: after
     // spark.stop() completes, Spark's shutdown logging (stderr) is done,
     // so the hook's copy is the last stdout line of the forked JVM —
