@@ -14,9 +14,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * never plan-swept. No runtime hook can see such a site (the write
   * executes outside every registry by definition), so this gate works
   * at the source level: it freezes the current inventory of
-  * plan-executing write call sites under `queries/` and `pipeline/`
-  * and fails on any NEW one, forcing the author to either register
-  * the write or defend a new inventory row in review.
+  * plan-executing write call sites under ALL of
+  * `src/main/scala/graft` (round 18 — two hand-picked subdirectories
+  * left every other package an escape hatch, per ADVICE) and fails on
+  * any NEW one, forcing the author to either register the write or
+  * defend a new inventory row in review.
   *
   * Every frozen entry is one of:
   *  - a sink-by-contract: the write IS the operator under test
@@ -41,8 +43,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class EagerWriteLintSpec extends AnyFunSuite {
 
-  private val Roots = Seq(
-    "src/main/scala/graft/queries", "src/main/scala/graft/pipeline")
+  private val Root = "src/main/scala/graft"
 
   /** file-basename:enclosing-context -> call-site count. Context is
     * the nearest preceding top-level construct (a `QDef("name"` row or
@@ -81,7 +82,15 @@ class EagerWriteLintSpec extends AnyFunSuite {
     "Streaming.scala:applyFeed" -> 1, // foreachBatch CDC merge (stream scope)
     "Streaming.scala:stream_dsv2_ingest" -> 1,
     "Streaming.scala:stream_file_ingest" -> 1,
-    "XmlDocs.scala:writeCorpusXml" -> 2) // deterministic XML fixture staging
+    "XmlDocs.scala:writeCorpusXml" -> 2, // deterministic XML fixture staging
+    // Rows below entered with the round-18 widening to all of graft/:
+    "StreamRuns.scala:stageAsFiles" -> 1, // registered: the stagedGeneration write itself (swept at generation time)
+    "StreamRuns.scala:stageAsPartitionedTree" -> 1, // registered: same
+    "Engine.scala:run" -> 1, // reference batch pipeline's sink by contract (O6 JSON sink)
+    "Engine.scala:runIncremental" -> 3, // incremental pipeline's graph/doc sinks (stream scope)
+    "Verify.scala:run" -> 1, // driver-contract result dump (plan is the query under test)
+    "GraftTsv.scala:write" -> 2, // DSv2 sink-by-contract writer entry point
+    "GraftTsv.scala:writePartitioned" -> 2) // DSv2 key-grouped writer entry point
 
   private val QDefRe = """^\s{0,4}QDef\("([a-z0-9_]+)"""".r
   private val DefRe =
@@ -111,15 +120,20 @@ class EagerWriteLintSpec extends AnyFunSuite {
     hits.groupBy(identity).view.mapValues(_.size).toMap
   }
 
+  private def scalaFilesUnder(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
+      .flatMap { f =>
+        if (f.isDirectory) scalaFilesUnder(f)
+        else if (f.getName.endsWith(".scala")) Seq(f)
+        else Nil
+      }
+
   private def currentInventory: Map[String, Int] =
-    Roots.flatMap { root =>
-      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".scala")).sortBy(_.getName)
-        .flatMap { f =>
-          sitesIn(f.getName,
-            new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-        }
-    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    scalaFilesUnder(new java.io.File(Root))
+      .flatMap { f =>
+        sitesIn(f.getName,
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
 
   test("every plan-executing write call site is frozen or registered") {
     val cur = currentInventory
