@@ -46,7 +46,7 @@ class StageCacheSpec extends AnyFunSuite {
       assert(afterRewrite.length == 2,
         s"expected old+new generations under the grace, got ${afterRewrite.length}")
       afterRewrite.foreach(
-        _.setLastModified(System.currentTimeMillis() - 3L * 3600 * 1000))
+        _.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000))
       Seq(100L).toDF("v").write.mode("overwrite").parquet(s"$dir/in.parquet")
       val r3 = Staged.spillThrough(spark, dir, "t")(build)(build).collect()
       assert(r3.head.getLong(0) == 100L)

@@ -84,7 +84,7 @@ class StagedInvalidationSpec extends AnyFunSuite {
       // Age the ORIGINAL generation past the grace and perturb again:
       // now it is reclaimable, while the still-fresh second one stays.
       new java.io.File(parent, gen1)
-        .setLastModified(System.currentTimeMillis() - 3L * 3600 * 1000)
+        .setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000)
       val seedC = spark.read.parquet(s"$sf/region.parquet")
         .filter(col("r_regionkey") > 2)
       run(seedC)
