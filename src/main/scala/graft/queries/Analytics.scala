@@ -359,15 +359,21 @@ object Analytics {
           when(col("d") === exp.head._1, lit(exp.head._2))) {
           case (acc, (d, bp)) => acc.when(col("d") === d, lit(bp))
         }
+        // digits (9 rows) is referenced twice (tot + scored) and
+        // scored (9 rows) twice more (l1 + final) — unpinned, the
+        // orders scan+aggregate ran up to 4x per execution. Both
+        // bounded — eager-checkpoint (r18).
         val digits = t(s, dir, "orders")
           .select(substring(floor(col("o_totalprice")).cast("long")
             .cast("string"), 1, 1).cast("long").as("d"))
           .groupBy("d").agg(count(lit(1)).as("n"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val tot = digits.agg(sum("n").as("nt"))
         val scored = digits.crossJoin(broadcast(tot))
           .withColumn("obs_bp", expr("(n * 10000) div nt"))
           .withColumn("exp_bp", expCol)
           .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val l1 = scored.agg(sum("dev_bp").as("l1_dev_bp"))
         scored.crossJoin(broadcast(l1))
           .select(col("d"), col("n"), col("obs_bp"), col("exp_bp"),
@@ -790,8 +796,16 @@ object Analytics {
         val pe = pagerankEdges(s, dir).filter(col("src") < 1000000L)
           .select("src", "dst")
         val auth1 = pe.groupBy("dst").agg(count(lit(1)).as("a1"))
+        // Each round's score table is referenced more than once (hub1 by
+        // auth2 + topH + topH's max; auth2 by topA + its max) and Spark
+        // shares no common subtrees, so unpinned the edge-join+aggregate
+        // chain re-ran 3x/2x per execution (r18: 20 -> 8 static
+        // exchanges). Node-count-sized tables — the bfs/hashed-walks
+        // eager-checkpoint rule, not a corpus-sized cache.
         val hub1 = pe.join(auth1, "dst").groupBy("src").agg(sum("a1").as("h1"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val auth2 = pe.join(hub1, "src").groupBy("dst").agg(sum("h1").as("a2"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val topH = hub1
           .crossJoin(broadcast(hub1.agg(max("h1").as("mx"))))
           .select(lit("hub").as("role"), col("src").as("node"),
@@ -1428,11 +1442,15 @@ object Analytics {
       // it, and at customer-dimension size one materialization beats
       // re-aggregating orders per reference.
       (s, dir) => {
+        // perC is referenced twice (mx + base); unpinned, the orders
+        // corpus aggregate ran twice per execution. Customer-dimension
+        // sized — the same materialization argument as base below (r18).
         val perC = t(s, dir, "orders")
           .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
           .groupBy(col("o_custkey").as("custkey"))
           .agg(max(col("o_orderdate").cast("date")).as("last_d"),
             count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val mx = perC.agg(max("last_d").as("max_d"))
         val base = perC.crossJoin(broadcast(mx))
           .withColumn("recency_days",
@@ -1644,9 +1662,13 @@ object Analytics {
           .withColumn("d",
             datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
               .cast("long"))
+        // User-dimension sized, referenced twice (cohort sizes + the
+        // cells join) — eager-checkpoint so the signup corpus
+        // aggregate runs once (r18).
         val firstD = ev
           .filter(col("event_type") === "signup")
           .groupBy("user_id").agg(min("d").as("cohort_day"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val cohortN = firstD.groupBy("cohort_day")
           .agg(countDistinct("user_id").as("n_users"))
         val cells = ev.join(firstD, "user_id")

@@ -87,6 +87,13 @@ object TextAnalysis {
       .withColumn("text", marked)
       .select(col("true_lang"), predExpr.as("pred_lang"))
       .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      // BOUNDED (≤ langs² rows) but referenced up to 6x per consumer
+      // (confusion: trues/preds/rowTot/colTot/acc + the grid join;
+      // kappa: rt/ct/acc) — unpinned, every reference re-ran the
+      // corpus langid scan (the r17 record's 43x spike query paid the
+      // marker-count projection SIX times per run). Eager-checkpoint
+      // the bounded confusion table: one corpus pass per execution.
+      .transform(d => graft.pipeline.Lineage.checkpoint(d))
   }
 
   /** DuckDB CTE chain ending in `scored(true_lang, pred_lang, n)`
@@ -391,7 +398,12 @@ object TextAnalysis {
           .withColumn("parts", split(col("bigram"), " "))
           .select(col("parts").getItem(0).as("w1"),
             col("parts").getItem(1).as("w2"))
+        // The bigram-vocabulary table is referenced 4x (c1/c2/bt + the
+        // final join); unpinned each reference re-ran the corpus
+        // bigram explode+count. Vocabulary-sized — eager-checkpoint
+        // (the staged-lm_bigrams class of table, pinned per run).
         val c12 = wp.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val c1 = c12.groupBy("w1")
           .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
         val c2 = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
@@ -823,10 +835,14 @@ object TextAnalysis {
       // the 5-value lang key + a 1-row broadcast total attach — the
       // scalar-attach pattern, no driver collect, no second scan.
       (s, dir) => {
+        // per is BOUNDED (one row per language) but referenced twice
+        // (total + final) — eager-checkpoint so the corpus tokenize
+        // pass runs once (r18).
         val per = t(s, dir, "documents")
           .select(col("lang"), size(toks).cast("long").as("n"))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val tot = per.agg(sum("tokens").as("total_tokens"))
         per.crossJoin(broadcast(tot))
           .select(col("lang"), col("n_docs"), col("tokens"),
@@ -934,11 +950,15 @@ object TextAnalysis {
         val freq = t(s, dir, "documents")
           .select(explode(toks).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("f"))
+        // top is BOUNDED (20 rows) but referenced twice (f1 + final)
+        // — eager-checkpoint so the corpus tokenize+count chain runs
+        // once (r18).
         val top = freq
           .orderBy(col("f").desc, col("tok"))
           .limit(20)
           .withColumn("r", row_number().over(
             Window.orderBy(col("f").desc, col("tok"))).cast("long"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val f1 = top.agg(max("f").as("f1"))
         top.crossJoin(broadcast(f1))
           .select(col("r").as("rank"), col("tok").as("token"), col("f").as("freq"),
@@ -978,10 +998,16 @@ object TextAnalysis {
       // summed per token (order-free), halved (exact in IEEE), and
       // rx'd at the boundary. Corpus-sized work: one explode+count.
       (s, dir) => {
+        // tokSrc (vocab x sources rows) is referenced 3x (srcTot,
+        // tokTot, the grid left join) and srcTot twice (grand, grid)
+        // — unpinned, the corpus explode+count ran 3x per execution.
+        // Both bounded — eager-checkpoint (r18).
         val tokSrc = t(s, dir, "documents")
           .select(col("source"), explode(toks).as("tok"))
           .groupBy("tok", "source").agg(count(lit(1)).as("c"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val srcTot = tokSrc.groupBy("source").agg(sum("c").as("src_n"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val grand = srcTot.agg(sum("src_n").as("total"))
         val tokTot = tokSrc.groupBy("tok").agg(sum("c").as("freq"))
         val top = tokTot
@@ -1268,10 +1294,15 @@ object TextAnalysis {
           .withColumn("tks", toks)
           .select(explode(Text.shingles(col("tks"), 3)).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("f"))
+        // spec is BOUNDED (11 rows) but referenced twice (totals +
+        // final projection), and unpinned each reference re-ran the
+        // corpus shingle explode+aggregate — eager-checkpoint the
+        // bounded table so the corpus pass runs once (r18).
         val spec = freq
           .withColumn("m", when(col("f") <= 10, col("f")).otherwise(11L))
           .groupBy("m")
           .agg(count(lit(1)).as("n_types"), sum("f").as("n_tokens"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val tot = spec.agg(sum("n_types").as("tt"), sum("n_tokens").as("tk"))
         spec.crossJoin(broadcast(tot))
           .select(col("m"), col("n_types"), col("n_tokens"),
@@ -1326,10 +1357,14 @@ object TextAnalysis {
           sum("c").as("sx"), sum(col("c") * col("c")).as("sx2"))
         val top = stats.orderBy(col("sx").desc, col("tok")).limit(20)
         val nd = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+        // vmr is BOUNDED (20 rows) but referenced twice (peer + final)
+        // — unpinned, both the two-level corpus aggregate chain and
+        // the doc-count scan ran twice per execution (r18).
         val vmr = top.crossJoin(broadcast(nd))
           .select(col("tok"), col("df"), col("sx").as("n_occurrences"),
             expr("(1000000 * (n * sx2 - sx * sx)) div ((n - 1) * sx)")
               .as("vmr_ppm"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val peer = vmr.agg(count(lit(1)).as("np"), sum("vmr_ppm").as("sv"))
         vmr.crossJoin(broadcast(peer))
           .select(col("tok"), col("df"), col("n_occurrences"),
@@ -1406,12 +1441,20 @@ object TextAnalysis {
           .crossJoin(broadcast(nTot))
           .withColumn("target", col("n_chars") > col("med"))
           .withColumn("decile", DistributedRank.ntileFromRank("qrk", "nn", 10))
-        val overall = base.agg(
-          sum(when(col("target"), 1L).otherwise(0L)).as("n_pos_all"),
-          count(lit(1)).as("n_all"))
-        base.groupBy("decile")
+        // Every doc lands in exactly one decile, so the base rates are
+        // sums OVER THE 10-ROW DECILE TABLE (n_pos_all = Σ n_pos,
+        // n_all = Σ n_docs) — the old base.agg spelling re-ran the
+        // whole rank pipeline above the rank helper's cache a second
+        // time per run (base referenced twice, no common-subtree
+        // sharing). The decile table is bounded (10 rows) — eager-
+        // checkpoint it and fold both consumers onto the leaf.
+        val deciles = base.groupBy("decile")
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("target"), 1L).otherwise(0L)).as("n_pos"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
+        val overall = deciles.agg(
+          sum("n_pos").as("n_pos_all"), sum("n_docs").as("n_all"))
+        deciles
           .crossJoin(broadcast(overall))
           .select(col("decile"), col("n_docs"), col("n_pos"),
             expr("(n_pos * 1000000) div n_docs").as("rate_ppm"),

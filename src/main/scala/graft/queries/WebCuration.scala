@@ -205,10 +205,13 @@ object WebCuration {
       // scalar-attach pattern used across the engine).
       (s, dir) => {
         val c = canon(s, dir)
+        // Host-dimension sized, referenced twice (total + final) —
+        // eager-checkpoint so the canon scan+aggregate runs once (r18).
         val perHost = c.groupBy("host").agg(
           count(lit(1)).as("n_docs"),
           sum("n_chars").as("chars"),
           countDistinct("lang").as("n_langs"))
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val total = perHost.agg(sum("chars").as("total_chars"))
         perHost.crossJoin(broadcast(total))
           .select(col("host"), col("n_docs"), col("chars"), col("n_langs"),

@@ -130,20 +130,50 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("agg_decile_lift: every data-path window is shard-partitioned") {
     // The round-10 flaw (three corpus-global unpartitioned windows)
-    // pinned at the PHYSICAL plan: the only partition-less WindowExec
-    // allowed are DistributedRank's driver-sized shard-offset
+    // pinned over the whole producing pipeline: the only partition-less
+    // window allowed are DistributedRank's driver-sized shard-offset
     // cumulatives, recognizable by the helper's __gr_shard_* marker in
     // their child output; the ordinal windows must partition by shard.
+    // r18: the query eager-checkpoints its 10-row decile table, so the
+    // rank windows live BEHIND a LogicalRDD leaf of the final physical
+    // plan — the pin re-walks the Lineage-recorded producing plans
+    // (the same adversarial resolution BoundedWalk uses) and judges
+    // the LOGICAL Window operators found there, plus any physical
+    // WindowExec still in the plan. (partitionSpec nonEmpty, child
+    // output names) carry over 1:1 between the two forms.
     val df = SparkEntry.queries("agg_decile_lift")(spark, sf)
     assert(df.collect().nonEmpty)
-    val wins = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
-      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
-    assert(wins.nonEmpty, "expected window operators in the plan")
-    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
-      assert(w.child.output.exists(_.name.startsWith("__gr_shard_")),
-        s"non-offsets global window found: ${w.windowExpression}")
+    val phys = PlanFlatten.flattenThroughCache(df.queryExecution.executedPlan)
+    val physWins = phys
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec =>
+        (w.partitionSpec.nonEmpty, w.child.output.map(_.name),
+          w.windowExpression.toString) }
+    def logicalWins(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Seq[(Boolean, Seq[String], String)] = {
+      val here = p.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          (w.partitionSpec.nonEmpty, w.child.output.map(_.name),
+            w.windowExpressions.toString)
+      }
+      val nested = p.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          graft.pipeline.Lineage.planFor(l.rdd.id).toSeq.flatMap(logicalWins)
+        case c: graft.pipeline.CheckpointRef =>
+          graft.pipeline.Lineage.planFor(c.rddId).toSeq.flatMap(logicalWins)
+      }.flatten
+      here ++ nested
     }
-    assert(wins.exists(_.partitionSpec.nonEmpty),
+    val ckptWins = phys.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        graft.pipeline.Lineage.planFor(r.rdd.id).toSeq.flatMap(logicalWins)
+    }.flatten
+    val wins = physWins ++ ckptWins
+    assert(wins.nonEmpty, "expected window operators in the (recorded) plan")
+    wins.filter(!_._1).foreach { case (_, childNames, exprStr) =>
+      assert(childNames.exists(_.startsWith("__gr_shard_")),
+        s"non-offsets global window found: $exprStr")
+    }
+    assert(wins.exists(_._1),
       "the ordinal windows must be shard-partitioned")
   }
 
