@@ -1170,11 +1170,17 @@ object Dedup {
           .select(col("a.ci").as("ci"),
             col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        val pc = pairs.groupBy("ci").agg(count(lit(1)).as("n_pairs"))
-        val dc = pairs
+        // ONE aggregate for both per-config counts: each pair emits
+        // its two endpoints, so n_pairs = count(*) div 2 over the
+        // exploded frame (exact — every row is one endpoint of one
+        // pair) and n_docs = the distinct endpoint count. The separate
+        // pc/dc aggregates referenced the banded self-join + distinct
+        // twice (r18).
+        val pcdc = pairs
           .select(col("ci"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
-          .groupBy("ci").agg(countDistinct("d").as("n_docs"))
-        cfgs.join(pc, Seq("ci"), "left").join(dc, Seq("ci"), "left")
+          .groupBy("ci").agg(expr("count(1) div 2").as("n_pairs"),
+            countDistinct("d").as("n_docs"))
+        cfgs.join(pcdc, Seq("ci"), "left")
           .select(col("b").cast("long").as("b"), col("r").cast("long").as("r"),
             col("t_star"),
             coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
@@ -1560,10 +1566,16 @@ object Dedup {
           .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
           .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
           .filter(col("src_a") =!= col("src_b"))
+        // Single-pass multi-emit (the Graph.emit rule): the two union
+        // arms referenced the same crossPairs subtree twice, and Spark
+        // shares no common subtrees — the whole candidate+verify+
+        // attribution chain ran twice per execution (r18).
         val contam = crossPairs
-          .select(col("doc_a").as("doc_id"), col("src_a").as("source"))
-          .unionByName(crossPairs
-            .select(col("doc_b").as("doc_id"), col("src_b").as("source")))
+          .select(explode(array(
+            struct(col("doc_a").as("doc_id"), col("src_a").as("source")),
+            struct(col("doc_b").as("doc_id"), col("src_b").as("source"))))
+            .as("x"))
+          .select(col("x.doc_id").as("doc_id"), col("x.source").as("source"))
           .groupBy("source").agg(countDistinct("doc_id").as("n_contam"))
         src.groupBy("source").agg(count(lit(1)).as("n_docs"))
           .join(contam, Seq("source"), "left")

@@ -663,9 +663,11 @@ object Pipeline {
         val tri = dirE.toDF("p", "x").join(dirE.toDF("p", "y"), Seq("p"))
           .filter(col("x") =!= col("y"))
           .join(dirE.toDF("x", "y"), Seq("x", "y"))
-        val triPer = tri.select(col("p").as("term"))
-          .union(tri.select(col("x")))
-          .union(tri.select(col("y")))
+        // Single-pass multi-emit (the Graph.emit rule): the three
+        // union arms referenced the same wedge-join subtree, so the
+        // triangle enumeration ran 3x per execution (r18).
+        val triPer = tri
+          .select(explode(array(col("p"), col("x"), col("y"))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("n_tri"))
         val deg = dirE.select(col("src").as("term"))
           .union(dirE.select(col("dst")))

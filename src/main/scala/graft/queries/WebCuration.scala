@@ -480,11 +480,15 @@ object WebCuration {
       // the initial canonical projection.
       (s, dir) => {
         import s.implicits._
+        // Bounded (hosts x paths) but referenced 3x (hosts, the
+        // missing anti-join, per-host counts) — eager-checkpoint so
+        // the canonical corpus projection+distinct runs once (r18).
         val fetched = canon(s, dir)
           .select(col("host"),
             regexp_extract(col("canonical"), "^https://[^/]+([^?]*)", 1)
               .as("path"))
           .distinct()
+          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val hosts = fetched.select("host").distinct()
         // 9 declared sections vs 7 crawlable ones: /docs/7 and /docs/8
         // stand in for gated/never-linked content, keeping the MISSING
