@@ -359,21 +359,19 @@ object Analytics {
           when(col("d") === exp.head._1, lit(exp.head._2))) {
           case (acc, (d, bp)) => acc.when(col("d") === d, lit(bp))
         }
-        // digits (9 rows) is referenced twice (tot + scored) and
-        // scored (9 rows) twice more (l1 + final) — unpinned, the
-        // orders scan+aggregate ran up to 4x per execution. Both
-        // bounded — eager-checkpoint (r18).
+        // NOTE (r18): pinning digits/scored with eager checkpoints was
+        // tried and REVERTED — exchange reuse already dedups the
+        // orders aggregate below the shuffle, so the checkpoints were
+        // pure overhead (interleaved A/B: +0.19 s warm median).
         val digits = t(s, dir, "orders")
           .select(substring(floor(col("o_totalprice")).cast("long")
             .cast("string"), 1, 1).cast("long").as("d"))
           .groupBy("d").agg(count(lit(1)).as("n"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val tot = digits.agg(sum("n").as("nt"))
         val scored = digits.crossJoin(broadcast(tot))
           .withColumn("obs_bp", expr("(n * 10000) div nt"))
           .withColumn("exp_bp", expCol)
           .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val l1 = scored.agg(sum("dev_bp").as("l1_dev_bp"))
         scored.crossJoin(broadcast(l1))
           .select(col("d"), col("n"), col("obs_bp"), col("exp_bp"),
@@ -1442,15 +1440,11 @@ object Analytics {
       // it, and at customer-dimension size one materialization beats
       // re-aggregating orders per reference.
       (s, dir) => {
-        // perC is referenced twice (mx + base); unpinned, the orders
-        // corpus aggregate ran twice per execution. Customer-dimension
-        // sized — the same materialization argument as base below (r18).
         val perC = t(s, dir, "orders")
           .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
           .groupBy(col("o_custkey").as("custkey"))
           .agg(max(col("o_orderdate").cast("date")).as("last_d"),
             count(lit(1)).as("n_orders"), sum("cents").as("cents"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val mx = perC.agg(max("last_d").as("max_d"))
         val base = perC.crossJoin(broadcast(mx))
           .withColumn("recency_days",
@@ -1662,13 +1656,9 @@ object Analytics {
           .withColumn("d",
             datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
               .cast("long"))
-        // User-dimension sized, referenced twice (cohort sizes + the
-        // cells join) — eager-checkpoint so the signup corpus
-        // aggregate runs once (r18).
         val firstD = ev
           .filter(col("event_type") === "signup")
           .groupBy("user_id").agg(min("d").as("cohort_day"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val cohortN = firstD.groupBy("cohort_day")
           .agg(countDistinct("user_id").as("n_users"))
         val cells = ev.join(firstD, "user_id")

@@ -333,10 +333,7 @@ object Curation {
       // broadcast; the scan stays narrow and shuffle-free.
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // BOUNDED (one row per language), referenced twice (min +
-        // rates) — eager-checkpoint so the corpus scan runs once (r18).
         val cnt = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val mn = cnt.agg(min(col("nl")).as("minc"))
         val rates = cnt.crossJoin(broadcast(mn))
           .select(col("lang"),
@@ -383,14 +380,10 @@ object Curation {
       // the 5-row rate dim broadcasts; one narrow scan, shuffle-free.
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // BOUNDED (one row per language), referenced twice (total +
-        // rates) — eager-checkpoint so the corpus tokenize pass runs
-        // once (r18).
         val per = docs
           .select(col("lang"), size(Text.tokens(Text.normTerm(col("text"))))
             .cast("long").as("ntok"))
           .groupBy("lang").agg(sum("ntok").as("tokens"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val tot = per.agg(sum("tokens").as("total_tokens"))
         val rates = per.crossJoin(broadcast(tot))
           .select(col("lang"),
@@ -655,16 +648,11 @@ object Curation {
       // argmax attaches via broadcast; display maps the sentinel back
       // to "{pair}".
       (s, dir) => {
-        // Vocabulary-sized but referenced twice (argmax + merge) —
-        // eager-checkpoint so the corpus tokenize+count runs once
-        // (r18; the multi-round sibling below already checkpoints
-        // per round).
         val words = t(s, dir, "documents")
           .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
           .select(explode(col("tks")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("wn"))
           .filter(length(col("w")) >= 2)
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val top1 = words
           .select(col("w"), col("wn"),
             explode(sequence(lit(1), length(col("w")) - 1)).as("i"))

@@ -558,23 +558,18 @@ object Dedup {
       // the coverage floor-divisions have nonnegative numerators and
       // clamped denominators.
       (s, dir) => {
-        // Both pair lists end in distinct(), so a FULL OUTER join on
-        // the pair key yields one row per pair seen by either detector
-        // and all three counts fall out of ONE conditional aggregate —
-        // the old n1/n2/m spelling referenced each pair chain twice
-        // (count + overlap join), and Spark's lack of common-subtree
-        // sharing re-ran both banded self-joins per run.
+        // NOTE (r18): a one-pass full-outer spelling was tried and
+        // REVERTED — exchange reuse already dedups each pair chain's
+        // shuffles across its two references, and the full-outer
+        // join's extra wide shuffle measured slower (interleaved A/B:
+        // +0.20 s warm median).
         val mh = candidatePairs(s, dir).select("doc_a", "doc_b")
-          .withColumn("__mh", lit(1L))
         val sh = simhashPairs(s, dir).select("doc_a", "doc_b")
-          .withColumn("__sh", lit(1L))
-        mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
-          // count(), not sum(): on an empty join count returns 0 like
-          // the old per-list count aggregates did (sum would be NULL).
-          .agg(count(col("__mh")).as("n_det1"),
-            count(col("__sh")).as("n_det2"),
-            count(when(col("__mh").isNotNull && col("__sh").isNotNull, 1L))
-              .as("n_both"))
+        val n1 = mh.agg(count(lit(1)).as("n_det1"))
+        val n2 = sh.agg(count(lit(1)).as("n_det2"))
+        val m = mh.join(sh, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_both"))
+        n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
           .withColumn("est_total",
             expr("((n_det1 + 1) * (n_det2 + 1)) div (n_both + 1) - 1"))
           .select(col("n_det1"), col("n_det2"), col("n_both"),
@@ -1383,10 +1378,6 @@ object Dedup {
             expr("(n_inter * 1000000) div (sz_a + sz_b - n_inter)")
               .as("jac_ppm"))
           .withColumn("bias_ppm", col("est_ppm") - col("jac_ppm"))
-          // Candidate-pair sized, referenced twice (MAE + final) —
-          // eager-checkpoint so the est-vs-exact verify chain runs
-          // once (r18).
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val mae = scored.agg(
           expr("sum(abs(bias_ppm)) div count(1)").as("mae_ppm"))
         scored.crossJoin(broadcast(mae))

@@ -152,13 +152,9 @@ object Health {
       (s, dir) => {
         def bit(i: Int, key: org.apache.spark.sql.Column) =
           pmod(Text.md5Hash32(concat(lit(s"bf$i:"), key.cast("string"))), lit(8192L))
-        // Referenced twice (filter-bits build + the actual-membership
-        // join) — eager-checkpoint so the orders scan+distinct runs
-        // once (r18).
         val members = t(s, dir, "orders")
           .filter(col("o_totalprice") > 480000)
           .select(col("o_custkey").as("k")).distinct()
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val bits = (0 until 4).map(i => members.select(bit(i, col("k")).as("bit")))
           .reduce(_ union _).distinct().withColumn("hit", lit(1L))
         val probes = t(s, dir, "customer").select(col("c_custkey"))
@@ -725,12 +721,8 @@ object Health {
         val feed = t(s, dir, "events")
           .filter(!(col("event_type") === "error" &&
             col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp")))
-        // perType is BOUNDED (one row per type) but referenced twice
-        // (watermark + final) — eager-checkpoint so the corpus scan
-        // runs once (r18).
         val perType = feed.groupBy("event_type")
           .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val wm = perType.agg(max("last_ts").as("watermark"))
         perType.crossJoin(broadcast(wm))
           .withColumn("lag_hours",
@@ -837,10 +829,6 @@ object Health {
               .cast("long"))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n"), sum("succ").as("s"))
-          // User-dimension sized, referenced twice (global stats +
-          // final) — eager-checkpoint so the corpus aggregate runs
-          // once (r18).
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val g = pu.agg(sum("n").as("nn"), sum("s").as("ss"))
         pu.crossJoin(broadcast(g))
           .select(col("user_id"), col("n"), col("s"),
@@ -1391,14 +1379,10 @@ object Health {
       // and division. At 100 TB the only corpus-sized stage is the
       // first groupBy; everything after runs on ~125 rows.
       (s, dir) => {
-        // cells is BOUNDED (segs x nations) but referenced 5x (rt, ct,
-        // dims' total, and the grid's left join) — unpinned, the
-        // customer-nation join+aggregate ran per reference (r18).
         val cells = t(s, dir, "customer")
           .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_mktsegment").as("seg"), col("n_name").as("nat"))
           .groupBy("seg", "nat").agg(count(lit(1)).as("obs"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val rt = cells.groupBy("seg").agg(sum("obs").as("n_seg"))
         val ct = cells.groupBy("nat").agg(sum("obs").as("n_nat"))
         val dims = rt.agg(count(lit(1)).as("r"))
@@ -1825,10 +1809,6 @@ object Health {
           .groupBy("event_type", "xc")
           .agg(sum(when(col("h"), 1L).otherwise(0L)).as("a"),
             sum(when(col("h"), 0L).otherwise(1L)).as("b"))
-          // Value-domain-bounded cells referenced twice (cumulative +
-          // totals) — eager-checkpoint so the corpus aggregate runs
-          // once (r18).
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val w = Window.partitionBy("event_type").orderBy("xc")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = cells
@@ -1906,10 +1886,6 @@ object Health {
           .groupBy("event_type", "d").agg(sum("xc").as("x"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("event_type").orderBy("d")).cast("long"))
-          // BOUNDED (types x days) but referenced three times (stats +
-          // both sides of the lag self-join) — unpinned, the events
-          // scan+aggregate+window chain ran 3x per execution (r18).
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val stats = daily.groupBy("event_type").agg(
           count(lit(1)).as("n"), sum("x").as("s1"),
           sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"))
@@ -2173,9 +2149,6 @@ object Health {
           .withColumn("sg", col("sg_dec").cast("double"))
           .withColumn("bterm",
             col("sg") * col("sg") / col("n_g").cast("double"))
-          // BOUNDED (k=5 rows), referenced twice (tot + final) —
-          // eager-checkpoint so the corpus aggregate runs once (r18).
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val tot = g.agg(count(lit(1)).as("k"), sum("n_g").as("nn"),
             sum("sg_dec").as("s_dec"), sum("qg_dec").as("q_dec"),
             expr("""aggregate(
@@ -2253,25 +2226,16 @@ object Health {
             floor(col("value") * 100 + 0.5).cast("long").as("xc"),
             datediff(col("ts").cast("date"),
               lit("2024-01-01").cast("date")).cast("long").as("yd"))
-        // ONE corpus pass: the (type, value-cell, day-cell) pair
-        // counts are the finest aggregate here, and both per-key
-        // midrank tables are rollups OF THOSE CELLS (count of events
-        // at a cent value = Σ pc over days, and vice versa) — the old
-        // spelling aggregated the raw scan three times (pairs + both
-        // mr2 tables). pairs is domain-bounded — eager-checkpoint and
-        // derive everything from the leaf (r18).
-        val pairs = ev.groupBy("et", "xc", "yd").agg(count(lit(1)).as("pc"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         def mr2(keyCol: String, out: String) = {
           val w = Window.partitionBy("et").orderBy(keyCol)
             .rowsBetween(Window.unboundedPreceding, -1)
-          pairs.groupBy("et", keyCol).agg(sum("pc").as("cnt"))
+          ev.groupBy("et", keyCol).agg(count(lit(1)).as("cnt"))
             .withColumn("before", coalesce(sum("cnt").over(w), lit(0L)))
             .select(col("et"), col(keyCol),
               (col("before") * 2 + col("cnt") + 1).as(out))
         }
         val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-        val st = pairs
+        val st = ev.groupBy("et", "xc", "yd").agg(count(lit(1)).as("pc"))
           .join(mr2("xc", "mx"), Seq("et", "xc"))
           .join(mr2("yd", "my"), Seq("et", "yd"))
           .groupBy("et").agg(
@@ -2465,9 +2429,6 @@ object Health {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             max(unix_micros(col("ts"))).as("last_us"))
-          // BOUNDED (one row per type), referenced twice (global max +
-          // final) — eager-checkpoint so the corpus scan runs once (r18).
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val gmax = perType.agg(max("last_us").as("g_us"))
         perType.crossJoin(broadcast(gmax))
           .select(col("event_type"), col("n_events"), col("last_us"),
@@ -2638,25 +2599,15 @@ object Health {
       (s, dir) => {
         val ev = t(s, dir, "events")
           .withColumn("xc", floor(col("value") * 100 + 0.5).cast("long"))
-        // n comes from a count window over the SAME per-type partition
-        // (the oracle's own spelling) instead of a groupBy + join-back:
-        // one exchange feeds both window columns, and the old
-        // tot-join form re-ran the ranked window chain a third time.
-        // bounds is BOUNDED (one row per type) and referenced by the
-        // final join — checkpointed so the clip pass re-reads a leaf
-        // (the window chain now runs twice per execution: bounds +
-        // clip; was 3x plus a join) (r18).
         val w = Window.partitionBy("event_type").orderBy("xc", "event_id")
-        val withK = ev
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .withColumn("n", count(lit(1))
-            .over(Window.partitionBy("event_type")).cast("long"))
+        val ranked = ev.withColumn("rk", row_number().over(w).cast("long"))
+        val tot = ranked.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val withK = ranked.join(tot, "event_type")
           .withColumn("klo", greatest(lit(1L), expr("(n * 5 + 99) div 100")))
           .withColumn("khi", expr("(n * 95 + 99) div 100"))
         val bounds = withK.groupBy("event_type", "n")
           .agg(max(when(col("rk") === col("klo"), col("xc"))).as("lo"),
             max(when(col("rk") === col("khi"), col("xc"))).as("hi"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         withK.join(bounds.drop("n"), "event_type")
           .withColumn("wx", greatest(col("lo"), least(col("hi"), col("xc"))))
           .groupBy("event_type", "n", "lo", "hi")

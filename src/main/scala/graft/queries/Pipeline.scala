@@ -939,18 +939,10 @@ object Pipeline {
         val ords = t(s, dir, "orders")
         val li = t(s, dir, "lineitem")
         val ev = t(s, dir, "events")
-        // The request-key sets are referenced by several audit arms
-        // each (reqC 4x, remOk 3x, reqU 2x) and are small by the
-        // query's own premise — eager-checkpoint them so an arm's
-        // erase/leftover joins probe a leaf instead of re-deriving
-        // the cascade per reference (r18; the audit arms themselves
-        // stay independent computations).
         val reqC = cust.filter(col("c_custkey") % 97 === 0)
           .select(col("c_custkey").as("k"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val remO = ords.join(reqC, col("o_custkey") === col("k"), "left_semi")
         val remOk = remO.select(col("o_orderkey").as("ok"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         def audit(name: String, before: DataFrame, removed: DataFrame,
             leftover: DataFrame) =
           before.agg(count(lit(1)).as("n_before"))
@@ -965,7 +957,6 @@ object Pipeline {
         val liAfter = li.join(remOk, col("l_orderkey") === col("ok"), "left_anti")
         val reqU = ev.select(col("user_id")).distinct()
           .filter(col("user_id") % 97 === 0)
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val evAfter = ev.join(reqU, Seq("user_id"), "left_anti")
         audit("customer", cust, cust.join(reqC, col("c_custkey") === col("k"), "left_semi"),
             custAfter.filter(col("c_custkey") % 97 === 0))

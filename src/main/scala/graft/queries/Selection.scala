@@ -224,23 +224,18 @@ object Selection {
           .withColumn("tks", Text.tokens(Text.normTerm(col("text"))))
           .select(col("doc_id"), explode(col("tks")).as("term"))
           .filter(length(col("term")) > 0)
-        // top (10 rows), bm (top-K x word blocks) and dt (top-K terms'
-        // postings) are each referenced twice+ downstream; unpinned,
-        // every reference re-ran the corpus tokenize explode (the td
-        // chain executed ~5x per run). All bounded index-sized tables
-        // — eager-checkpoint: the corpus is now scanned once per
-        // artifact (top/bm/dt), never per consumer (r18).
+        // NOTE (r18): eager checkpoints on top/bm/dt were tried and
+        // REVERTED — exchange reuse already dedups the tokenize
+        // explode below the shared aggregates, and the checkpoints
+        // cost +1.1 s warm median in the interleaved A/B.
         val top = td.groupBy("term").agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("term")).limit(10)
           .select("term")
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val bm = td.join(broadcast(top), "term")
           .withColumn("w", expr("doc_id div 32"))
           .groupBy("term", "w")
           .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(doc_id, 32) AS INT)))").as("bits"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val dt = td.join(broadcast(top), "term").distinct()
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val pairs = top.select(col("term").as("term_a"))
           .crossJoin(top.select(col("term").as("term_b")))
           .filter(col("term_a") < col("term_b"))
@@ -659,10 +654,6 @@ object Selection {
             col("b") >= col("lo") && col("b") < col("hi"))
         val obs = assigned.groupBy("variant", "weight_pct")
           .agg(count(lit(1)).as("n_users"))
-          // BOUNDED (one row per arm), referenced twice (total +
-          // cells) — eager-checkpoint so the user-distinct corpus
-          // chain runs once (r18).
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val tot = obs.agg(sum("n_users").as("n"))
         val expd = (col("n") * col("weight_pct")).cast("double") / lit(100.0)
         val contrib = rx((col("n_users").cast("double") - expd) *
@@ -820,10 +811,6 @@ object Selection {
           mu * mu)
         val withW = st.withColumn("w", rx(col("nh").cast("double") * sigma, 6))
           .withColumn("sigma", rx(sigma, 4))
-          // BOUNDED (one row per stratum), referenced twice (normalizer
-          // + ideal) — eager-checkpoint so the corpus aggregate runs
-          // once (r18).
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         // Normalizer and floor-spend are scalar aggregates attached by
         // broadcast (round-10 ran both as unbounded windows); the only
         // remaining global window is the largest-remainder rank over
@@ -903,11 +890,7 @@ object Selection {
           .select(col("doc_id"), col("n_chars").as("w"))
         val cum = graft.operators.DistributedRank.withGlobalCumsum(
           base, col("doc_id"), col("doc_id"), col("w"))
-        // tt = the MAX of the inclusive cumulative (its last value IS
-        // Σw; the cumsum helper persists its keyed input, so this
-        // reads the cache) — the old base.agg spelling scanned the
-        // documents a second time (same r18 fix as win_kaplan_meier).
-        val tot = cum.agg(max("gcs").as("tt"))
+        val tot = base.agg(sum("w").as("tt"))
         cum.crossJoin(broadcast(tot))
           .withColumn("pick_no", expr(s"(gcs * $k) div tt"))
           .filter(col("pick_no") > expr(s"((gcs - w) * $k) div tt"))
@@ -953,14 +936,13 @@ object Selection {
             aggregate(col("tks"), lit(0L), (a, x) => a + length(x))
               .as("n_tchars"))
           .withColumn("diff_ppm", expr("(1000000 * n_tchars) div n_toks"))
+        // NOTE (r18): t_total = max(ctoks) off the cumsum cache was
+        // tried and REVERTED — the extra per-shard window pass over
+        // the cached frame measured slower than the straight tokenize
+        // re-aggregate (interleaved A/B: +0.64 s warm median).
         val cum = graft.operators.DistributedRank.withGlobalCumsum(
           d, col("diff_ppm"), col("doc_id"), col("n_toks"), out = "ctoks")
-        // t_total = the MAX of the inclusive cumulative (its last value
-        // IS Σ n_toks, and the cumsum helper persists its keyed input,
-        // so this aggregate reads the cache) — the old d.agg spelling
-        // re-ran the whole tokenize+aggregate corpus chain a second
-        // time per run (same r18 fix as win_kaplan_meier).
-        val tot = cum.agg(max("ctoks").as("t_total"))
+        val tot = d.agg(sum("n_toks").as("t_total"))
         cum.crossJoin(broadcast(tot))
           .withColumn("phase", expr("((ctoks - 1) * 3) div t_total + 1"))
           .groupBy("phase")

@@ -87,13 +87,11 @@ object TextAnalysis {
       .withColumn("text", marked)
       .select(col("true_lang"), predExpr.as("pred_lang"))
       .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
-      // BOUNDED (≤ langs² rows) but referenced up to 6x per consumer
-      // (confusion: trues/preds/rowTot/colTot/acc + the grid join;
-      // kappa: rt/ct/acc) — unpinned, every reference re-ran the
-      // corpus langid scan (the r17 record's 43x spike query paid the
-      // marker-count projection SIX times per run). Eager-checkpoint
-      // the bounded confusion table: one corpus pass per execution.
-      .transform(d => graft.pipeline.Lineage.checkpoint(d))
+      // NOTE (r18): an eager checkpoint here was tried and REVERTED —
+      // the consumers' differing projections all share this
+      // aggregate's exchange, so exchange reuse already runs the
+      // corpus langid scan once and the checkpoint was pure overhead
+      // (interleaved A/B: +0.2 s warm median on both consumers).
   }
 
   /** DuckDB CTE chain ending in `scored(true_lang, pred_lang, n)`
@@ -835,14 +833,10 @@ object TextAnalysis {
       // the 5-value lang key + a 1-row broadcast total attach — the
       // scalar-attach pattern, no driver collect, no second scan.
       (s, dir) => {
-        // per is BOUNDED (one row per language) but referenced twice
-        // (total + final) — eager-checkpoint so the corpus tokenize
-        // pass runs once (r18).
         val per = t(s, dir, "documents")
           .select(col("lang"), size(toks).cast("long").as("n"))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val tot = per.agg(sum("tokens").as("total_tokens"))
         per.crossJoin(broadcast(tot))
           .select(col("lang"), col("n_docs"), col("tokens"),
@@ -950,15 +944,11 @@ object TextAnalysis {
         val freq = t(s, dir, "documents")
           .select(explode(toks).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("f"))
-        // top is BOUNDED (20 rows) but referenced twice (f1 + final)
-        // — eager-checkpoint so the corpus tokenize+count chain runs
-        // once (r18).
         val top = freq
           .orderBy(col("f").desc, col("tok"))
           .limit(20)
           .withColumn("r", row_number().over(
             Window.orderBy(col("f").desc, col("tok"))).cast("long"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val f1 = top.agg(max("f").as("f1"))
         top.crossJoin(broadcast(f1))
           .select(col("r").as("rank"), col("tok").as("token"), col("f").as("freq"),
@@ -998,16 +988,10 @@ object TextAnalysis {
       // summed per token (order-free), halved (exact in IEEE), and
       // rx'd at the boundary. Corpus-sized work: one explode+count.
       (s, dir) => {
-        // tokSrc (vocab x sources rows) is referenced 3x (srcTot,
-        // tokTot, the grid left join) and srcTot twice (grand, grid)
-        // — unpinned, the corpus explode+count ran 3x per execution.
-        // Both bounded — eager-checkpoint (r18).
         val tokSrc = t(s, dir, "documents")
           .select(col("source"), explode(toks).as("tok"))
           .groupBy("tok", "source").agg(count(lit(1)).as("c"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val srcTot = tokSrc.groupBy("source").agg(sum("c").as("src_n"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val grand = srcTot.agg(sum("src_n").as("total"))
         val tokTot = tokSrc.groupBy("tok").agg(sum("c").as("freq"))
         val top = tokTot
@@ -1294,15 +1278,10 @@ object TextAnalysis {
           .withColumn("tks", toks)
           .select(explode(Text.shingles(col("tks"), 3)).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("f"))
-        // spec is BOUNDED (11 rows) but referenced twice (totals +
-        // final projection), and unpinned each reference re-ran the
-        // corpus shingle explode+aggregate — eager-checkpoint the
-        // bounded table so the corpus pass runs once (r18).
         val spec = freq
           .withColumn("m", when(col("f") <= 10, col("f")).otherwise(11L))
           .groupBy("m")
           .agg(count(lit(1)).as("n_types"), sum("f").as("n_tokens"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val tot = spec.agg(sum("n_types").as("tt"), sum("n_tokens").as("tk"))
         spec.crossJoin(broadcast(tot))
           .select(col("m"), col("n_types"), col("n_tokens"),
@@ -1357,14 +1336,10 @@ object TextAnalysis {
           sum("c").as("sx"), sum(col("c") * col("c")).as("sx2"))
         val top = stats.orderBy(col("sx").desc, col("tok")).limit(20)
         val nd = t(s, dir, "documents").agg(count(lit(1)).as("n"))
-        // vmr is BOUNDED (20 rows) but referenced twice (peer + final)
-        // — unpinned, both the two-level corpus aggregate chain and
-        // the doc-count scan ran twice per execution (r18).
         val vmr = top.crossJoin(broadcast(nd))
           .select(col("tok"), col("df"), col("sx").as("n_occurrences"),
             expr("(1000000 * (n * sx2 - sx * sx)) div ((n - 1) * sx)")
               .as("vmr_ppm"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val peer = vmr.agg(count(lit(1)).as("np"), sum("vmr_ppm").as("sv"))
         vmr.crossJoin(broadcast(peer))
           .select(col("tok"), col("df"), col("n_occurrences"),

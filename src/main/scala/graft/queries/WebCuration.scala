@@ -205,13 +205,10 @@ object WebCuration {
       // scalar-attach pattern used across the engine).
       (s, dir) => {
         val c = canon(s, dir)
-        // Host-dimension sized, referenced twice (total + final) —
-        // eager-checkpoint so the canon scan+aggregate runs once (r18).
         val perHost = c.groupBy("host").agg(
           count(lit(1)).as("n_docs"),
           sum("n_chars").as("chars"),
           countDistinct("lang").as("n_langs"))
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val total = perHost.agg(sum("chars").as("total_chars"))
         perHost.crossJoin(broadcast(total))
           .select(col("host"), col("n_docs"), col("chars"), col("n_langs"),
@@ -480,15 +477,11 @@ object WebCuration {
       // the initial canonical projection.
       (s, dir) => {
         import s.implicits._
-        // Bounded (hosts x paths) but referenced 3x (hosts, the
-        // missing anti-join, per-host counts) — eager-checkpoint so
-        // the canonical corpus projection+distinct runs once (r18).
         val fetched = canon(s, dir)
           .select(col("host"),
             regexp_extract(col("canonical"), "^https://[^/]+([^?]*)", 1)
               .as("path"))
           .distinct()
-          .transform(d => graft.pipeline.Lineage.checkpoint(d))
         val hosts = fetched.select("host").distinct()
         // 9 declared sections vs 7 crawlable ones: /docs/7 and /docs/8
         // stand in for gated/never-linked content, keeping the MISSING
